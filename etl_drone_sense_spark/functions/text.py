@@ -1,0 +1,179 @@
+"""Text-analysis column expressions (extension surface, SURVEY §2 Part C).
+
+Design constraints:
+* Pure Catalyst ``Column`` trees — JVM-side, codegen-friendly, no Python in
+  the row path. At 100 TB a row-at-a-time Python UDF here would dominate the
+  job; these all vectorize.
+* Every expression has a DuckDB-SQL rendering (``*_sql``) built from the
+  same primitive ops so the driver's oracle can replay it exactly. Hashing
+  uses md5 (identical hex output in Spark and DuckDB); pseudo-random hash
+  families are derived by salting the md5 input, never from engine-specific
+  hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword list for quality scoring / language heuristics. Small and fixed —
+# broadcast as a literal array; at scale this stays a codegen'd constant.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# BPE-ish token pattern: runs of letters, runs of digits, or a single
+# non-alphanumeric non-space symbol. Identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) — plain character classes only.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase, trim, collapse whitespace — canonical text form."""
+    return F.regexp_replace(F.trim(F.lower(col)), "\\s+", " ")
+
+
+def normalize_sql(col: str) -> str:
+    return f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize(col), " ")
+
+
+def tokens_sql(col: str) -> str:
+    return f"string_split({normalize_sql(col)}, ' ')"
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(col: str) -> str:
+    return f"len({tokens_sql(col)})"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex tokenizer."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def bpe_token_count_sql(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_TOKEN_RE}'))"
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) of the normalized text.
+
+    Spark: transform over a sequence of start offsets + slice. Stays fully
+    JVM-side; per-row cost is O(tokens · n) string builds.
+    """
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def word_shingles_sql(col: str, n: int = 3) -> str:
+    toks = tokens_sql(col)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def minhash_component(shingles: Column, seed: int) -> Column:
+    """One minhash signature component: the lexicographic min of the salted
+    md5 of each shingle. min-of-md5 is a valid min-wise hash family; salting
+    the input string gives independent components without engine-specific
+    seeded hashes.
+    """
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"mh{seed}|"), s)))
+    )
+
+
+def minhash_component_sql(shingles: str, seed: int) -> str:
+    return (
+        f"list_aggregate(list_transform({shingles}, "
+        f"s -> md5(concat('mh{seed}|', s))), 'min')"
+    )
+
+
+def simhash_bits(col: Column, nbits: int = 16) -> Column:
+    """SimHash fingerprint as an ``nbits``-char '0'/'1' string.
+
+    Bit i is set when the majority of tokens have hex digit i of their md5 in
+    [8-f] (i.e. high bit of that nibble). Majority vote expressed as a sum of
+    ±1 via ``aggregate`` — pure codegen, no UDF.
+    """
+    toks = tokens(col)
+    bits = [
+        F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(F.substring(F.md5(t), i + 1, 1) >= "8", 1).otherwise(-1),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for i in range(nbits)
+    ]
+    return F.concat(*bits)
+
+
+def simhash_bits_sql(col: str, nbits: int = 16) -> str:
+    toks = tokens_sql(col)
+    bits = [
+        (
+            f"CASE WHEN list_sum(list_transform({toks}, "
+            f"t -> CASE WHEN substr(md5(t), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+        for i in range(nbits)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def hamming_bits(a: Column, b: Column, nbits: int = 16) -> Column:
+    """Hamming distance between two '0'/'1' fingerprint strings."""
+    out = F.lit(0)
+    for i in range(nbits):
+        out = out + F.when(
+            F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1
+        ).otherwise(0)
+    return out
+
+
+def hamming_bits_sql(a: str, b: str, nbits: int = 16) -> str:
+    terms = [
+        f"CASE WHEN substr({a}, {i + 1}, 1) <> substr({b}, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(nbits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_ratio_sql(col: str) -> str:
+    toks = tokens_sql(col)
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"(len(list_filter({toks}, t -> t IN ({inlist}))) * 1.0"
+        f" / greatest(len({toks}), 1))"
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the canonical (normalized) text."""
+    return F.md5(normalize(col))
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"md5({normalize_sql(col)})"

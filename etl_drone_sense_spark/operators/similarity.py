@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (SURVEY §2 Part C3).
+
+Two tiers:
+
+* ``topk_cosine``        — exact brute-force scan. One narrow pass + a
+                           global top-k (``orderBy ... limit k`` compiles to
+                           TakeOrderedAndProject: per-partition heaps, no
+                           full sort, no full shuffle). The right baseline
+                           up to ~10^9 vectors per query batch.
+* ``ivf_topk_cosine``    — IVF-style: partition vectors by nearest centroid
+                           once (the expensive pass is amortized across
+                           queries), then probe only ``nprobe`` cells. The
+                           scale path: the probe reads a pruned partition
+                           subset instead of the full corpus.
+* ``embedding_near_pairs`` — near-duplicate pairs by cosine within blocking
+                           cells (label/IVF cell), for embedding-dedup.
+
+All dot products are Catalyst ``zip_with``/``aggregate`` expressions
+(functions/vectors.py) — JVM-side, no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as V
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return V.cosine(a, b)
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a single query vector.
+
+    ``query`` is a 1-row DataFrame with ``vec_col``; it is broadcast, so the
+    scan stays shuffle-free until the final top-k heap merge.
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    scored = corpus.crossJoin(q).select(
+        F.col(id_col),
+        F.round(_cos(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    # Deterministic top-k: tie-break on id.
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+) -> DataFrame:
+    """IVF assignment: nearest centroid (max cosine) per vector.
+
+    Centroids are few (√n in classic IVF) → broadcast; assignment is one
+    narrow pass. Ties broken by centroid id for determinism.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id), F.col(vec_col).alias("_cvec")
+        )
+    )
+    scored = corpus.crossJoin(c).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(centroid_id),
+        F.round(_cos(F.col(vec_col), F.col("_cvec")), 9).alias("_sim"),
+    )
+    w = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("_sim").desc(), F.col(centroid_id).asc()
+        )
+    )
+    return scored.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn", "_sim")
+
+
+def ivf_topk_cosine(
+    corpus: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` cells nearest the query.
+
+    At scale the corpus is written partitioned by cell_id, so the probe is a
+    partition-pruned scan of nprobe/ncells of the data.
+    """
+    assigned = assign_cells(corpus, centroids, id_col, vec_col, centroid_id)
+    qcells = (
+        assign_cells(
+            query.select(F.lit(0).alias("_qid"), F.col(vec_col)),
+            centroids,
+            "_qid",
+            vec_col,
+            centroid_id,
+        )
+        if nprobe == 1
+        else None
+    )
+    if qcells is None:
+        # nprobe > 1: rank centroids by similarity to the query, take nprobe.
+        c = F.broadcast(centroids.select(centroid_id, F.col(vec_col).alias("_cvec")))
+        q1 = query.select(F.col(vec_col).alias("_qv"))
+        ranked = (
+            c.crossJoin(F.broadcast(q1))
+            .select(
+                centroid_id,
+                F.round(_cos(F.col("_cvec"), F.col("_qv")), 9).alias("_sim"),
+            )
+            .orderBy(F.col("_sim").desc(), F.col(centroid_id).asc())
+            .limit(nprobe)
+        )
+        probe_cells = ranked.select(centroid_id)
+    else:
+        probe_cells = qcells.select(centroid_id)
+    pruned = assigned.join(F.broadcast(probe_cells), centroid_id)
+    return topk_cosine(pruned, query, k, id_col, vec_col)
+
+
+def embedding_near_pairs(
+    corpus: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking cells.
+
+    The self-join key is the block column (IVF cell / cluster label), so the
+    pair space is Σ|cell|², not n². Returns (id_a, id_b, cosine) pairs."""
+    side = corpus.select(
+        F.col(id_col), F.col(vec_col), F.col(block_col).alias("_blk")
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._blk") == F.col("b._blk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(_cos(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,191 @@
+"""Reference-parity queries (SURVEY §2 Part A) over synthesized telemetry.
+
+The fixture dirs carry no drone table, so telemetry is derived
+deterministically from ``customer`` keys (FIXTURES.md §4 'usage mapping') —
+integer arithmetic both engines compute identically. The oracle replays the
+*semantics* of the reference transform (first-match video sensor, SPOI
+zero-sentinel, bearing/haversine — reference task.ts:123-214) as direct
+CASE logic, which cross-checks the Spark implementation's array/struct
+mechanics against independently-computed expected values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.geodesy import bearing_deg, bearing_sql, haversine_m, haversine_sql
+from ..operators.feature_transform import drone_features
+from ..schemas import SENSOR_SCHEMA
+from .registry import register, t
+
+# Deterministic telemetry derivation (SQL and Column forms kept in sync).
+_LAT = "((c_custkey % 120) - 60 + 0.5)"
+_LON = "((c_custkey % 340) - 170 + 0.5)"
+_SPOI_LAT = "(CASE WHEN c_custkey % 4 = 0 THEN 0.0 ELSE ((c_custkey * 7) % 120) - 60 + 0.25 END)"
+_SPOI_LNG = "(CASE WHEN c_custkey % 5 = 0 THEN 0.0 ELSE ((c_custkey * 13) % 340) - 170 + 0.25 END)"
+
+
+def _lat() -> F.Column:
+    return (F.col("c_custkey") % 120 - 60 + 0.5).cast("double")
+
+
+def _lon() -> F.Column:
+    return (F.col("c_custkey") % 340 - 170 + 0.5).cast("double")
+
+
+def _spoi_lat() -> F.Column:
+    return (
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(0.0))
+        .otherwise(((F.col("c_custkey") * 7) % 120 - 60 + 0.25))
+        .cast("double")
+    )
+
+
+def _spoi_lng() -> F.Column:
+    return (
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(0.0))
+        .otherwise(((F.col("c_custkey") * 13) % 340 - 170 + 0.25))
+        .cast("double")
+    )
+
+
+@register(
+    "geo_bearing_distance",
+    oracle=f"""
+    SELECT c_custkey,
+           round({bearing_sql(_LAT, _LON, "((c_custkey * 7) % 120) - 60 + 0.25", "((c_custkey * 13) % 340) - 170 + 0.25")}, 6) AS azimuth,
+           round({haversine_sql(_LAT, _LON, "((c_custkey * 7) % 120) - 60 + 0.25", "((c_custkey * 13) % 340) - 170 + 0.25")}, 4) AS range_m
+    FROM customer
+    """,
+    tags=("geo", "scalar"),
+)
+def geo_bearing_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/A16 geodesics as pure Column trees (no UDF → codegen'd; rounded
+    to absorb cross-engine trig ULPs, SURVEY §7.4)."""
+    lat2 = ((F.col("c_custkey") * 7) % 120 - 60 + 0.25).cast("double")
+    lng2 = ((F.col("c_custkey") * 13) % 340 - 170 + 0.25).cast("double")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(bearing_deg(_lat(), _lon(), lat2, lng2), 6).alias("azimuth"),
+        F.round(haversine_m(_lat(), _lon(), lat2, lng2), 4).alias("range_m"),
+    )
+
+
+def synth_drones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic drone telemetry derived from customer keys.
+
+    Sensor-branch coverage by ``c_custkey % 3`` (FIXTURES.md §1 cases):
+      0 → no sensors;
+      1 → first sensor lacks rtsp_url, second has it (first-match skips);
+      2 → both sensors have rtsp_url (break after the first).
+    SPOI zero-sentinels by ``% 4`` / ``% 5`` (task.ts:183 semantics).
+    """
+    c = t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    ks = key.cast("string")
+
+    def sensor(sid: str, name: str, video_url: F.Column, rtsp_url: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(sid).alias("id"),
+            F.lit(name).alias("name"),
+            video_url.alias("video_url"),
+            rtsp_url.alias("rtsp_url"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    sensors = (
+        F.when(key % 3 == 0, F.array().cast(T.ArrayType(SENSOR_SCHEMA)))
+        .when(
+            key % 3 == 1,
+            F.array(
+                sensor("s1", "cam1", null_s, null_s),
+                sensor("s2", "cam2", F.concat(F.lit("http://v/"), ks), F.concat(F.lit("rtsp://r/"), ks)),
+            ),
+        )
+        .otherwise(
+            F.array(
+                sensor("s1", "cam1", null_s, F.concat(F.lit("rtsp://r1/"), ks)),
+                sensor("s2", "cam2", F.concat(F.lit("http://v2/"), ks), F.concat(F.lit("rtsp://r2/"), ks)),
+            )
+        )
+    )
+    return c.select(
+        F.concat(F.lit("drone-"), ks).alias("id"),
+        F.concat(F.lit("CS"), ks).alias("callSign"),
+        F.col("c_mktsegment").alias("missionName"),
+        F.lit("M1").alias("model"),
+        _lat().alias("latitude"),
+        _lon().alias("longitude"),
+        (F.lit(1700000000) + key).cast("double").alias("lastUpdate"),
+        ((key % 400) + 0.5).cast("double").alias("altitudeAgl"),
+        ((key % 400) + 100.5).cast("double").alias("altitudeMsl"),
+        ((key % 30) + 0.5).cast("double").alias("speed"),
+        (key % 360).cast("double").alias("heading"),
+        _spoi_lat().alias("spoiLat"),
+        _spoi_lng().alias("spoiLng"),
+        sensors.alias("sensors"),
+    )
+
+
+@register(
+    "drone_features_flat",
+    oracle=f"""
+    SELECT 'drone-' || CAST(c_custkey AS VARCHAR) AS id,
+           'Feature' AS type,
+           'a-f-A-M-H-Q' AS cot_type,
+           'CS' || CAST(c_custkey AS VARCHAR) AS callsign,
+           ((c_custkey % 30) + 0.5) AS speed,
+           CAST(c_custkey % 360 AS DOUBLE) AS course,
+           {_LON} AS lon, {_LAT} AS lat,
+           ((c_custkey % 400) + 0.5) AS alt,
+           c_mktsegment AS mission,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_links,
+           CASE WHEN c_custkey % 3 = 1 THEN 'http://v/' || CAST(c_custkey AS VARCHAR)
+                END AS link_url,
+           CASE WHEN c_custkey % 3 = 1 THEN 'rtsp://r/' || CAST(c_custkey AS VARCHAR)
+                WHEN c_custkey % 3 = 2 THEN 'rtsp://r1/' || CAST(c_custkey AS VARCHAR)
+                END AS video_url,
+           CASE WHEN c_custkey % 3 <> 0
+                THEN 'CS' || CAST(c_custkey AS VARCHAR) || '-camera' END AS video_sensor,
+           CASE WHEN c_custkey % 3 <> 0 THEN 12000 END AS network_timeout,
+           CASE WHEN c_custkey % 4 <> 0 AND c_custkey % 5 <> 0
+                THEN round({bearing_sql(_LAT, _LON, _SPOI_LAT, _SPOI_LNG)}, 6)
+                END AS azimuth,
+           CASE WHEN c_custkey % 4 <> 0 AND c_custkey % 5 <> 0
+                THEN round({haversine_sql(_LAT, _LON, _SPOI_LAT, _SPOI_LNG)}, 4)
+                END AS range_m,
+           CASE WHEN c_custkey % 4 <> 0 AND c_custkey % 5 <> 0 THEN 45 END AS fov
+    FROM customer
+    """,
+    tags=("drone", "reference-parity"),
+    bench=True,
+)
+def drone_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference transform (A3-A17), flattened for comparison.
+
+    The Spark side runs the real operator (array filter + first-match +
+    conditional structs); the oracle computes expected values by direct CASE
+    logic — a true differential test of the transform's semantics."""
+    feats = drone_features(synth_drones(spark, sf_dir))
+    return feats.select(
+        "id",
+        "type",
+        F.col("properties.type").alias("cot_type"),
+        F.col("properties.callsign").alias("callsign"),
+        F.col("properties.speed").alias("speed"),
+        F.col("properties.course").alias("course"),
+        F.get(F.col("geometry.coordinates"), 0).alias("lon"),
+        F.get(F.col("geometry.coordinates"), 1).alias("lat"),
+        F.get(F.col("geometry.coordinates"), 2).alias("alt"),
+        F.col("properties.metadata.missionName").alias("mission"),
+        F.size("properties.links").cast("long").alias("n_links"),
+        F.get(F.col("properties.links"), 0)["url"].alias("link_url"),
+        F.col("properties.video.url").alias("video_url"),
+        F.col("properties.video.sensor").alias("video_sensor"),
+        F.col("properties.video.connection.networkTimeout").alias("network_timeout"),
+        F.round(F.col("properties.sensor.azimuth"), 6).alias("azimuth"),
+        F.round(F.col("properties.sensor.range"), 4).alias("range_m"),
+        F.col("properties.sensor.fov").alias("fov"),
+    )

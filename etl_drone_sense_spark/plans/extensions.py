@@ -1,0 +1,528 @@
+"""LLM-data-pipeline extension corpus (SURVEY §2 Part C).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + IVF), text analysis, sessionization and
+multimodal plumbing — each as a (Spark program, DuckDB oracle) pair. The
+oracle SQL is generated from the same primitive-op helpers
+(functions/text.py, functions/vectors.py) that build the Spark expressions,
+so both sides execute the same math on the same hash family (salted md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..functions import vectors as V
+from ..operators import dedup, multimodal, sessionize, similarity
+from .registry import register, t
+
+# LSH configuration shared by Spark and oracle sides.
+MH_K = 12
+MH_BANDS = 4
+MH_ROWS = MH_K // MH_BANDS
+SHINGLE_N = 2
+SIM_NBITS = 16
+SIM_BLOCKS = 4
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {TXT.fingerprint_sql("text")} AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the canonical fingerprint. One shuffle
+    on the 128-bit key; survivor choice (min id) is deterministic."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_sig_cte() -> str:
+    """CTE computing the minhash signature table in DuckDB."""
+    mh_cols = ",\n           ".join(
+        f"{TXT.minhash_component_sql('sh', i)} AS mh{i}" for i in range(MH_K)
+    )
+    return f"""
+    sig AS (
+        SELECT doc_id, {mh_cols}
+        FROM (SELECT doc_id, {TXT.word_shingles_sql('text', SHINGLE_N)} AS sh
+              FROM documents)
+    )"""
+
+
+def _lsh_pairs_cte() -> str:
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * MH_ROWS + r}" for r in range(MH_ROWS))
+        + "))"
+        for b in range(MH_BANDS)
+    )
+    band_idx = ", ".join(str(b) for b in range(MH_BANDS))
+    return f"""
+    bands AS (
+        SELECT doc_id,
+               unnest([{band_idx}]) AS band_idx,
+               unnest([{band_exprs}]) AS bucket
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    )"""
+
+
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(MH_K)
+)
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_minhash_sig_cte()},
+    {_lsh_pairs_cte()}
+    SELECT p.id_a, p.id_b, ({_MH_AGREE}) / {float(MH_K)} AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    WHERE ({_MH_AGREE}) / {float(MH_K)} >= 0.2
+    """,
+    tags=("dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates. Scale shape: shingle → k salted
+    min-hashes (narrow) → band-bucket equi-join (shuffles buckets, never
+    the n² pair space) → signature-agreement estimate."""
+    return dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=MH_K,
+        bands=MH_BANDS,
+        threshold=0.2,
+        shingle_n=SHINGLE_N,
+    )
+
+
+def _simhash_sig_cte() -> str:
+    return f"""
+    sig AS (
+        SELECT doc_id, {TXT.simhash_bits_sql('text', SIM_NBITS)} AS simhash
+        FROM documents
+    )"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sig_cte()},
+    blocks AS (
+        SELECT doc_id, simhash,
+               unnest([{", ".join(str(b) for b in range(SIM_BLOCKS))}]) AS block_idx,
+               unnest([{", ".join(f"substr(simhash, {b * (SIM_NBITS // SIM_BLOCKS) + 1}, {SIM_NBITS // SIM_BLOCKS})" for b in range(SIM_BLOCKS))}]) AS block_val
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM blocks a JOIN blocks b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {TXT.hamming_bits_sql('sh_a', 'sh_b', SIM_NBITS)} AS hamming
+    FROM pairs
+    WHERE {TXT.hamming_bits_sql('sh_a', 'sh_b', SIM_NBITS)} <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole blocking (hamming ≤ 3 over 4
+    blocks ⇒ ≥1 block equal ⇒ equi-join key, no all-pairs product)."""
+    return dedup.simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        nbits=SIM_NBITS,
+        blocks=SIM_BLOCKS,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_minhash_sig_cte()},
+    {_lsh_pairs_cte()},
+    sets AS (
+        SELECT doc_id,
+               list_distinct({TXT.word_shingles_sql('text', SHINGLE_N)}) AS sh
+        FROM documents
+    )
+    SELECT p.id_a, p.id_b,
+           len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) AS jaccard
+    FROM pairs p
+    JOIN sets a ON a.doc_id = p.id_a
+    JOIN sets b ON b.doc_id = p.id_b
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh)) >= 0.3
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over LSH candidate pairs
+    (block-then-verify: the exact set math only touches candidates)."""
+    return dedup.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.3,
+        shingle_n=SHINGLE_N,
+        k=MH_K,
+        bands=MH_BANDS,
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.8
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by cluster label (the IVF
+    cell at scale): pair space is Σ|cell|², never n²."""
+    return similarity.embedding_near_pairs(
+        t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings
+               WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+    SELECT e.vec_id, round({V.cosine_sql('e.embedding', 'q.qvec')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "topk"),
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query vector, narrow scoring scan,
+    TakeOrderedAndProject top-k (per-partition heaps, no global sort)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    return similarity.topk_cosine(emb, q, k=10)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT embedding AS qvec FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               round({V.cosine_sql('e.embedding', 'c.cvec')}, 9) AS sim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell_id) AS rn
+        FROM scored
+    ),
+    probe AS (
+        SELECT cell_id FROM (
+            SELECT c.cell_id, round({V.cosine_sql('c.cvec', 'q.qvec')}, 9) AS sim
+            FROM cents c CROSS JOIN q)
+        ORDER BY sim DESC, cell_id LIMIT 2
+    )
+    SELECT a.vec_id, round({V.cosine_sql('a.embedding', 'q.qvec')}, 6) AS cosine
+    FROM assign a JOIN probe USING (cell_id) CROSS JOIN q
+    WHERE a.rn = 1
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "topk", "ann"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: assign once to centroid cells, probe only the
+    2 cells nearest the query. At scale the corpus is stored partitioned by
+    cell_id → the probe is a partition-pruned scan."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding")
+    )
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    return similarity.ivf_topk_cosine(emb, q, centroids, k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {TXT.token_count_sql('text')} AS n_tokens,
+           {TXT.bpe_token_count_sql('text')} AS n_bpe_tokens,
+           length(replace({TXT.normalize_sql('text')}, ' ', '')) * 1.0
+               / greatest({TXT.token_count_sql('text')}, 1) AS avg_token_len,
+           {TXT.stopword_ratio_sql('text')} AS stop_ratio,
+           0.5 * least({TXT.token_count_sql('text')} / 100.0, 1.0)
+             + 0.3 * (1.0 - {TXT.stopword_ratio_sql('text')})
+             + 0.2 * least(length(replace({TXT.normalize_sql('text')}, ' ', '')) * 1.0
+                           / greatest({TXT.token_count_sql('text')}, 1) / 8.0, 1.0)
+               AS quality_score
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (length, BPE-ish
+    token count, stopword ratio). All raw IEEE arithmetic — bit-identical
+    to the oracle."""
+    c = F.col("text")
+    n_tok = TXT.token_count(c)
+    avg_len = (
+        F.length(F.regexp_replace(TXT.normalize(c), " ", "")) * F.lit(1.0)
+    ) / F.greatest(n_tok, F.lit(1))
+    stop = TXT.stopword_ratio(c)
+    score = (
+        0.5 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - stop)
+        + 0.2 * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        TXT.bpe_token_count(c).cast("long").alias("n_bpe_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE {TXT.stopword_ratio_sql('text')} > 0.08) AS n_stopword_heavy,
+           CAST(sum(CAST({TXT.stopword_ratio_sql('text')} AS DECIMAL(28,6))) AS DOUBLE) AS sum_stop_ratio
+    FROM documents GROUP BY lang
+    """,
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language profile: stopword-density heuristic aggregated per labeled
+    lang (an n-gram heuristic langid needs real-language corpora; the
+    fixture text is synthetic word-salad, so the heuristic layer is the
+    declared operator and the labels are the ground truth)."""
+    stop = TXT.stopword_ratio(F.col("text"))
+    return t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(stop > 0.08, 1)).alias("n_stopword_heavy"),
+        F.sum(stop.cast("decimal(28,6)")).cast("double").alias("sum_stop_ratio"),
+    )
+
+
+@register(
+    "text_token_freq",
+    oracle=f"""
+    SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({TXT.tokens_sql('text')}) AS token FROM documents)
+    GROUP BY token
+    """,
+    tags=("text", "explode"),
+    bench=True,
+)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency: explode → two-level agg. Scale: explode is
+    narrow; the agg shuffles (token, doc) pairs once."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, source, {TXT.fingerprint_sql('text')} AS fp,
+           length(text) AS text_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 fingerprint per document (rolling-hash stand-in)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TXT.fingerprint(F.col("text")).alias("fp"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization & event windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("window", "session"),
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-min gap) via ``session_window``; the
+    oracle is the equivalent lag+cumsum islands query."""
+    return sessionize.sessionize(t(spark, sf_dir, "events"), gap="10 minutes")
+
+
+@register(
+    "window_tumbling_events",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("window",),
+)
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (epoch-aligned, matching time_bucket)."""
+    return sessionize.tumbling_window_agg(
+        t(spark, sf_dir, "events"), duration="15 minutes"
+    )
+
+
+@register(
+    "window_sliding_events",
+    oracle="""
+    SELECT ws AS window_start, count(*) AS n_events
+    FROM (SELECT unnest([time_bucket(INTERVAL '15 minutes', ts),
+                         time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
+                 AS ws
+          FROM events)
+    GROUP BY ws
+    """,
+    tags=("window",),
+)
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (30m length, 15m slide): each event lands in 2
+    windows; the oracle materializes both bucket starts per event."""
+    return sessionize.sliding_window_agg(
+        t(spark, sf_dir, "events"), duration="30 minutes", slide="15 minutes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           length(text) * 10 AS duration_ms
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: opaque payload + typed metadata survive
+    transforms; hashes/lengths computed on the binary itself."""
+    media = multimodal.media_from_documents(t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                        i -> ord(substr(text, i, 1)))) AS BIGINT)
+               AS byte_sum
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path (stubbed codec, real Arrow plumbing).
+    Oracle works because the fixture payload is ASCII text (ord == byte)."""
+    media = multimodal.media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select(
+        "media_id", "n_bytes", "byte_sum"
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate (engine-specific values → rows-only
+    check; the exact-distinct twin is oracle-checked in agg_distinct)."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers")
+    )

@@ -1,0 +1,838 @@
+"""Relational operator corpus (SURVEY §2 Part B).
+
+The reference implements none of these (its whole dataflow is one narrow
+map — reference task.ts:123-214); they are the engine surface a general
+analytics user needs, expressed as DataFrame programs with DuckDB oracle
+SQL for the driver's differential gate.
+
+Scale notes are attached per query; the recurring ones:
+* dimension joins (region/nation/supplier/part, and filtered customer) are
+  explicitly ``broadcast()`` — at 100 TB the fact table never shuffles for
+  a dim join;
+* aggregations use map-side-combinable exact decimal sums (registry.dsum);
+* every top-k is ``orderBy().limit()`` which Spark executes as
+  TakeOrderedAndProject (per-partition heaps — no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import davg, davg_sql, dsum, dsum_sql, register, t
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql("l_quantity", "sum_qty")},
+           {dsum_sql("l_extendedprice", "sum_base_price")},
+           {dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {davg_sql("l_quantity", "avg_qty")},
+           {davg_sql("l_extendedprice", "avg_price")},
+           {davg_sql("l_discount", "avg_disc")},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → 6-group hash agg.
+
+    Scale: filter + column pruning push into the parquet scan; the agg is
+    map-side partial (6 groups → bytes per task), so the shuffle is trivial
+    at any SF."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-09-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
+
+    Scale: the filtered customer set is broadcast (no shuffle of orders on
+    custkey); lineitem⨝orders shuffles on orderkey only after both sides'
+    filters prune; top-10 is a heap, not a sort."""
+    cust = F.broadcast(
+        t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    cutoff = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join through region→nation→customer with a
+    co-nation supplier constraint.
+
+    Scale: region/nation/supplier are tiny → broadcast; customer broadcasts
+    after the region filter; only orders⨝lineitem shuffles."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    dims = F.broadcast(
+        r.join(n, n.n_regionkey == r.r_regionkey).join(
+            c, c.c_nationkey == F.col("n_nationkey")
+        )
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    return (
+        dims.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + multi count-distinct (Spark expands to a partial-agg expand;
+    at scale prefer approx_count_distinct — see agg_approx_distinct)."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           round(stddev_samp(l_extendedprice), 3) AS sd_price,
+           median(l_quantity) AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. stddev rounded (engines differ in the last
+    few ULPs of the M2 accumulation); median is exact in both."""
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 3).alias("sd_price"),
+        F.median("l_quantity").alias("med_qty"),
+    )
+
+
+@register(
+    "having_filter",
+    oracle=f"""
+    SELECT o_custkey, count(*) AS n_orders,
+           {dsum_sql("o_totalprice", "total_spend")}
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+    tags=("agg", "filter"),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "rollup_region_nation",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           grouping(r.r_name) AS g_region, grouping(n.n_name) AS g_nation,
+           count(*) AS n_customers,
+           {dsum_sql("c.c_acctbal", "total_balance")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg", "rollup", "join"),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup with GROUPING disambiguation of the null rows."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("long").alias("g_region"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_balance"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_priority,
+           count(*) AS n_orders,
+           {dsum_sql("o_totalprice", "total_price")}
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items, {dsum_sql("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (registered temp view)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items, {dsum_sql("l_quantity", "sum_qty")}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a pinned value list (unpinned pivot needs an extra pass to
+    discover values — never do that at 100 TB)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_count",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS n_orders,
+           {dsum_sql("coalesce(o.o_totalprice, 0)", "total_spend")}
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "agg"),
+)
+def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count of the null
+    key = 0). Scale: pre-aggregate orders per custkey before the join to
+    cut the shuffle — here expressed directly; AQE picks broadcast side."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0)), "total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — no duplication of the left side, right columns
+    dropped; the right side is reduced to its join key before shuffling."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         ss AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cc.nk, ss.nk) AS nationkey, cc.n_cust, ss.n_supp
+    FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+    tags=("join", "agg"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    ss = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cc.join(ss, "nk", "full_outer").select(
+        F.coalesce(cc.nk, ss.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.st AS status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) s
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").select("r_name")
+    s = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    return r.crossJoin(s)
+
+
+@register(
+    "join_range_nonequi",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, b.bucket_id
+    FROM part p
+    JOIN (VALUES (0, 0, 10), (1, 10, 25), (2, 25, 60)) AS b(bucket_id, lo, hi)
+      ON p.p_size >= b.lo AND p.p_size < b.hi
+    """,
+    tags=("join",),
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a small bucket table. Scale: the
+    small side MUST broadcast (a non-equi condition otherwise forces
+    nested-loop across a full shuffle)."""
+    p = t(spark, sf_dir, "part")
+    buckets = F.broadcast(
+        p.sparkSession.createDataFrame(
+            [(0, 0, 10), (1, 10, 25), (2, 25, 60)], "bucket_id INT, lo INT, hi INT"
+        )
+    )
+    return p.join(
+        buckets, (p.p_size >= buckets.lo) & (p.p_size < buckets.hi)
+    ).select("p_partkey", "p_size", "bucket_id")
+
+
+# ---------------------------------------------------------------------------
+# Filters / sorts / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_in_between_like",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice, p.p_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_quantity BETWEEN 10 AND 20
+      AND p.p_name LIKE '%widget%'
+      AND l.l_discount <> 0
+    """,
+    tags=("filter", "join"),
+    bench=True,
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: IN / BETWEEN / LIKE / <>; all push into the scans
+    (verify with .explain → PushedFilters)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_discount") != 0)
+    )
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    )
+    return li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "p_name"
+    )
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("sort", "topk"),
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (no full sort at any scale)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS src, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'f_only' AS src, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'o_only' AS src, o_custkey FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f)
+    """,
+    tags=("setop",),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL (distinct set semantics)."""
+    orders = t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(o).select(F.lit("both").alias("src"), "o_custkey")
+    f_only = f.subtract(o).select(F.lit("f_only").alias("src"), "o_custkey")
+    o_only = o.subtract(f).select(F.lit("o_only").alias("src"), "o_custkey")
+    return both.unionAll(f_only).unionAll(o_only)
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    bench=True,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number (unique-key tie-break). Scale: one
+    shuffle on the partition key; with AQE skewed groups still sort locally."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (exact decimal accumulation)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS micros_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation with deterministic (ts, event_id) ordering."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("micros_since_prev"),
+    )
+
+
+@register(
+    "window_rank_navigation",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           rank() OVER wt AS bal_rank,
+           dense_rank() OVER wt AS bal_dense_rank,
+           percent_rank() OVER wt AS bal_pct_rank,
+           ntile(4) OVER wu AS bal_quartile,
+           first_value(c_acctbal) OVER wf AS nation_top_bal,
+           last_value(c_acctbal) OVER wf AS nation_bottom_bal
+    FROM customer
+    WINDOW wt AS (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000) DESC),
+           wu AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_rank_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank (tie-tolerant ordering), ntile and
+    first/last_value with an explicit full frame."""
+    wt = Window.partitionBy("c_nationkey").orderBy(
+        F.floor(F.col("c_acctbal") / 1000).desc()
+    )
+    wu = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wf = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(wt).alias("bal_rank"),
+        F.dense_rank().over(wt).alias("bal_dense_rank"),
+        F.percent_rank().over(wt).alias("bal_pct_rank"),
+        F.ntile(4).over(wu).alias("bal_quartile"),
+        F.first("c_acctbal").over(wf).alias("nation_top_bal"),
+        F.last("c_acctbal").over(wf).alias("nation_bottom_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_name, 1, 4) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(p_brand, 10, '#') AS brand_padded,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           string_split(p_name, ' ')[1] AS first_word,
+           reverse(p_type) AS type_rev,
+           instr(p_name, 'e') AS first_e
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad("p_brand", 10, "#").alias("brand_padded"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.reverse("p_type").alias("type_rev"),
+        F.instr(F.col("p_name"), "e").cast("long").alias("first_e"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           quarter(o_orderdate) AS order_quarter,
+           date_trunc('month', o_orderdate) AS order_month_start,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_95,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = F.col("o_orderdate")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(od).cast("long").alias("order_year"),
+        F.month(od).cast("long").alias("order_month"),
+        F.dayofmonth(od).cast("long").alias("order_day"),
+        F.quarter(od).cast("long").alias("order_quarter"),
+        F.date_trunc("month", od).alias("order_month_start"),
+        F.datediff(od, F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_95"),
+        (od + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.last_day(od).cast("timestamp").alias("month_end"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           l_extendedprice / l_quantity AS unit_price,
+           power(l_quantity, 2) AS qty_sq,
+           sqrt(l_extendedprice) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           CAST(sign(l_tax - 0.04) AS DOUBLE) AS tax_sign,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           mod(l_orderkey, 7) AS key_mod,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    tags=("scalar",),
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(F.col("l_tax") - 0.04).alias("tax_sign"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from an embedded JSON string column (A2-adjacent:
+    the schema-flexible path; from_json with a declared schema is the
+    schema-strict path, exercised in tests)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").cast("long").alias("missing_val"),
+    )
+
+
+@register(
+    "case_bucketing",
+    oracle=f"""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
+           count(*) AS n_customers,
+           {dsum_sql("c_acctbal", "total_bal")}
+    FROM customer GROUP BY 1
+    """,
+    tags=("scalar", "agg"),
+)
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_bal"))
+    )

