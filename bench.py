@@ -1,0 +1,63 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() forces every stage; results
+are not shipped to the driver so timings measure the engine, not IPC).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from etl_drone_sense_spark.plans.registry import bench_queries
+from etl_drone_sense_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark(app_name="etl-drone-sense-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = bench_queries()
+    # JVM/codegen warm-up on the smallest fixture so headline timings
+    # measure steady-state execution, not first-call compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for fn in queries.values():
+            fn(spark, warm_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,14 +12,21 @@ Four strategies, all shaped for 100 TB:
 * n-gram Jaccard — exact Jaccard verification on LSH candidate pairs
                    (verify-after-block, the standard scalable shape).
 
-Everything is Catalyst expressions (functions/text.py): no Python in the row
-path, and every step is a plain groupBy/join Catalyst can plan (AQE handles
-skewed buckets — e.g. a boilerplate shingle set shared by millions of docs).
+Implementation notes for scale:
+* signatures are built as ONE array expression per row (a per-component
+  column would be duplicated k× by projection collapse — measured 20× wall
+  clock on the bench);
+* the signature relation feeding a self-join is persisted: Spark cannot
+  share a subplan across the two sides of a self-join, and recomputing
+  shingle+md5 pipelines is the dominant cost. At production scale this is
+  the step you materialize to storage (signatures are ~100 B/doc).
+* everything stays Catalyst expressions — no Python in the row path; AQE
+  handles skewed buckets (e.g. boilerplate shared by millions of docs).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -37,15 +44,34 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def with_minhash_signature(
-    df: DataFrame, text_col: str, k: int = 12, shingle_n: int = 3
-) -> DataFrame:
-    """Append minhash signature columns mh0..mh{k-1}."""
-    shingles = TXT.word_shingles(F.col(text_col), shingle_n)
-    out = df.withColumn("_shingles", shingles)
-    for i in range(k):
-        out = out.withColumn(f"mh{i}", TXT.minhash_component(F.col("_shingles"), i))
-    return out.drop("_shingles")
+def minhash_signature(text_col: Column, k: int = 12, shingle_n: int = 3) -> Column:
+    """k-component minhash signature as one array<string> expression.
+
+    Component i = lexicographic min over shingles of md5('mh{i}|' + s) —
+    the same salted family as functions.text.minhash_component, built in a
+    single expression so the shingle pipeline runs once per row.
+    """
+    shingles = TXT.word_shingles(text_col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(
+                    F.concat(F.lit("mh"), i.cast("string"), F.lit("|"), s)
+                ),
+            )
+        ),
+    )
+
+
+def _band_buckets(mhs: Column, k: int, bands: int) -> Column:
+    """Per-band bucket keys: md5 of the '|'-joined signature slice."""
+    rows = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.array_join(F.slice(mhs, b * rows + 1, rows), "|")),
+    )
 
 
 def minhash_lsh_pairs(
@@ -59,33 +85,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
-    rows/band = k/bands; two docs become candidates iff some band's
-    signature slice matches exactly. Estimated Jaccard = fraction of all k
-    components that agree. Returns (id_a, id_b, est_jaccard) with
-    id_a < id_b, est_jaccard >= threshold.
+    Two docs become candidates iff some band's signature slice matches
+    exactly; estimated Jaccard = fraction of all k components that agree.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
     """
-    rows_per_band = k // bands
-    sig = with_minhash_signature(df, text_col, k, shingle_n)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    sig = sig.select(F.col(id_col), *[F.col(f"mh{i}") for i in range(k)], *band_cols)
-
-    # One (band_idx, bucket) row per doc per band → self equi-join on bucket.
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), k, shingle_n).alias("mhs"),
+    )
     exploded = sig.select(
         F.col(id_col),
-        *[F.col(f"mh{i}") for i in range(k)],
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+        F.col("mhs"),
+        F.posexplode(_band_buckets(F.col("mhs"), k, bands)).alias(
             "band_idx", "bucket"
         ),
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    ).persist()  # consumed by both sides of the self-join (see module note)
+    a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(
             b,
@@ -98,13 +113,19 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            *[F.col(f"a.mh{i}").alias(f"amh{i}") for i in range(k)],
-            *[F.col(f"b.mh{i}").alias(f"bmh{i}") for i in range(k)],
+            F.col("a.mhs").alias("mhs_a"),
+            F.col("b.mhs").alias("mhs_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = sum(
-        F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0) for i in range(k)
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("mhs_a"),
+            F.col("mhs_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
     return (
         pairs.withColumn("est_jaccard", agree / F.lit(float(k)))
@@ -129,10 +150,15 @@ def ngram_jaccard_pairs(
     sets = df.select(
         F.col(id_col),
         F.array_distinct(TXT.word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    ).persist()  # joined twice (id_a side and id_b side)
     joined = (
-        cands.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cands.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        ).join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
@@ -143,9 +169,36 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, nbits: int = 16) -> DataFrame:
+def simhash_col(text_col: Column, nbits: int = 16) -> Column:
+    """SimHash fingerprint ('0'/'1' string) built in ONE aggregate pass:
+    per token, bit i contributes ±1 by whether hex digit i of md5(token)
+    has its high bit set; the per-bit sums accumulate in an int array.
+    Matches functions.text.simhash_bits bit-for-bit."""
+    toks = TXT.tokens(text_col)
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(nbits)),
+                lambda i: F.when(
+                    F.substring(F.md5(t), i, F.lit(1)) >= "8", 1
+                ).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.array_join(
+        F.transform(sums, lambda s: F.when(s > 0, "1").otherwise("0")), ""
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, nbits: int = 16
+) -> DataFrame:
     return df.select(
-        F.col(id_col), TXT.simhash_bits(F.col(text_col), nbits).alias("simhash")
+        F.col(id_col), simhash_col(F.col(text_col), nbits).alias("simhash")
     )
 
 
@@ -173,7 +226,7 @@ def simhash_pairs(
                 *[F.substring("simhash", b * width + 1, width) for b in range(blocks)]
             )
         ).alias("block_idx", "block_val"),
-    )
+    ).persist()  # both sides of the self-join
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(
