@@ -82,21 +82,58 @@ def word_shingles_sql(col: str, n: int = 3) -> str:
     )
 
 
-def minhash_component(shingles: Column, seed: int) -> Column:
-    """One minhash signature component: the lexicographic min of the salted
-    md5 of each shingle. min-of-md5 is a valid min-wise hash family; salting
-    the input string gives independent components without engine-specific
-    seeded hashes.
-    """
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"mh{seed}|"), s)))
+# Minhash universal-hash family: each shingle is md5-hashed ONCE to a 48-bit
+# integer h (first 12 hex chars), then component i is
+#     min over shingles of  (A_i * (h mod P) + B_i) mod P
+# with P = 2^31-1 prime.  One md5 per shingle instead of k — the md5 is the
+# dominant cost; the per-component work is integer multiply-add.  Identical
+# in DuckDB via ('0x' || substr(md5(s),1,12))::BIGINT.
+MINHASH_P = 2_147_483_647
+
+
+def _mh_a(i: int) -> int:
+    return 2 * i + 1  # odd ⇒ nonzero mod P (P prime)
+
+
+def _mh_b(i: int) -> int:
+    return 7919 * i
+
+
+def shingle_hash(s: Column) -> Column:
+    """48-bit integer hash of one shingle, reduced mod P."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
+        F.lit(MINHASH_P),
     )
 
 
-def minhash_component_sql(shingles: str, seed: int) -> str:
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """array<bigint>: one integer hash per word n-gram shingle."""
+    return F.transform(word_shingles(col, n), shingle_hash)
+
+
+def shingle_hashes_sql(col: str, n: int = 3) -> str:
     return (
-        f"list_aggregate(list_transform({shingles}, "
-        f"s -> md5(concat('mh{seed}|', s))), 'min')"
+        f"list_transform({word_shingles_sql(col, n)}, "
+        f"s -> ('0x' || substr(md5(s), 1, 12))::BIGINT % {MINHASH_P})"
+    )
+
+
+def minhash_component(hashes: Column, seed: int) -> Column:
+    """Signature component ``seed`` from the pre-computed shingle hashes."""
+    a, b = _mh_a(seed), _mh_b(seed)
+    return F.array_min(
+        F.transform(
+            hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
+        )
+    )
+
+
+def minhash_component_sql(hashes: str, seed: int) -> str:
+    a, b = _mh_a(seed), _mh_b(seed)
+    return (
+        f"list_aggregate(list_transform({hashes}, "
+        f"h -> (h * {a} + {b}) % {MINHASH_P}), 'min')"
     )
 
 

@@ -44,25 +44,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(text_col: Column, k: int = 12, shingle_n: int = 3) -> Column:
-    """k-component minhash signature as one array<string> expression.
-
-    Component i = lexicographic min over shingles of md5('mh{i}|' + s) —
-    the same salted family as functions.text.minhash_component, built in a
-    single expression so the shingle pipeline runs once per row.
-    """
-    shingles = TXT.word_shingles(text_col, shingle_n)
+def minhash_from_hashes(hashes: Column, k: int = 12) -> Column:
+    """k-component minhash signature (array<bigint>) from pre-computed
+    shingle hashes: component i = min over shingles of (Aᵢ·h + Bᵢ) mod P.
+    Pure integer arithmetic — the md5 cost lives in ``TXT.shingle_hashes``,
+    evaluated once per shingle, not once per (shingle, component)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
             F.transform(
-                shingles,
-                lambda s: F.md5(
-                    F.concat(F.lit("mh"), i.cast("string"), F.lit("|"), s)
-                ),
+                hashes,
+                # (A_i, B_i) = (2i+1, 7919i) — matches TXT._mh_a/_mh_b
+                lambda h: F.pmod(h * (i * 2 + 1) + i * 7919, F.lit(TXT.MINHASH_P)),
             )
         ),
     )
+
+
+def minhash_signature(text_col: Column, k: int = 12, shingle_n: int = 3) -> Column:
+    """Convenience one-expression signature. NOTE: inside a single projection
+    the shingle-hash subtree is re-evaluated per component; the scalable path
+    (``minhash_lsh_pairs``) materializes ``shingle_hashes`` first."""
+    return minhash_from_hashes(TXT.shingle_hashes(text_col, shingle_n), k)
 
 
 def _band_buckets(mhs: Column, k: int, bands: int) -> Column:
@@ -70,7 +73,14 @@ def _band_buckets(mhs: Column, k: int, bands: int) -> Column:
     rows = k // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.array_join(F.slice(mhs, b * rows + 1, rows), "|")),
+        lambda b: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(mhs, b * rows + 1, rows), lambda x: x.cast("string")
+                ),
+                "|",
+            )
+        ),
     )
 
 
@@ -88,10 +98,24 @@ def minhash_lsh_pairs(
     Two docs become candidates iff some band's signature slice matches
     exactly; estimated Jaccard = fraction of all k components that agree.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+
+    Scale shape: the md5-per-shingle hash relation is repartitioned (a
+    single small input file must not serialize the CPU-heavy hash stage on
+    one core) and persisted — it is the one expensive subtree, consumed by
+    the signature projection on both sides of the self-join. At production
+    scale this is the relation you'd write to storage (~8 B/shingle).
     """
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), k, shingle_n).alias("mhs"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hv = (
+        df.repartition(par)
+        .select(
+            F.col(id_col),
+            TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv"),
+        )
+        .persist()
+    )
+    sig = hv.select(
+        F.col(id_col), minhash_from_hashes(F.col("hv"), k).alias("mhs")
     )
     exploded = sig.select(
         F.col(id_col),
@@ -99,7 +123,7 @@ def minhash_lsh_pairs(
         F.posexplode(_band_buckets(F.col("mhs"), k, bands)).alias(
             "band_idx", "bucket"
         ),
-    ).persist()  # consumed by both sides of the self-join (see module note)
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(
@@ -147,10 +171,16 @@ def ngram_jaccard_pairs(
     cands = minhash_lsh_pairs(
         df, id_col, text_col, k=k, bands=bands, threshold=0.0, shingle_n=shingle_n
     ).select("id_a", "id_b")
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(TXT.word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).persist()  # joined twice (id_a side and id_b side)
+    sets = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                TXT.word_shingles(F.col(text_col), shingle_n)
+            ).alias("sh"),
+        )
+        .persist()  # joined twice (id_a side and id_b side)
+    )
     joined = (
         cands.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
@@ -217,7 +247,12 @@ def simhash_pairs(
     the join key is (slice_idx, slice_value) — never an all-pairs product.
     """
     width = nbits // blocks
-    fp = simhash_fingerprints(df, id_col, text_col, nbits)
+    fp = simhash_fingerprints(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        id_col,
+        text_col,
+        nbits,
+    )
     exploded = fp.select(
         F.col(id_col),
         F.col("simhash"),

@@ -48,14 +48,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_cte() -> str:
-    """CTE computing the minhash signature table in DuckDB."""
+    """CTE computing the minhash signature table in DuckDB (one md5 per
+    shingle into hv, then k arithmetic components — same family as
+    operators.dedup.minhash_from_hashes)."""
     mh_cols = ",\n           ".join(
-        f"{TXT.minhash_component_sql('sh', i)} AS mh{i}" for i in range(MH_K)
+        f"{TXT.minhash_component_sql('hv', i)} AS mh{i}" for i in range(MH_K)
     )
     return f"""
     sig AS (
         SELECT doc_id, {mh_cols}
-        FROM (SELECT doc_id, {TXT.word_shingles_sql('text', SHINGLE_N)} AS sh
+        FROM (SELECT doc_id, {TXT.shingle_hashes_sql('text', SHINGLE_N)} AS hv
               FROM documents)
     )"""
 
