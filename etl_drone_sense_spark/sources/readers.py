@@ -90,7 +90,12 @@ def decode_json_column(
 
 
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good, quarantined) split of a PERMISSIVE read."""
+    """(good, quarantined) split of a PERMISSIVE read.
+
+    The parsed relation is cached first: Spark disallows queries that touch
+    only ``_corrupt_record`` on a raw file scan (QUERY_ONLY_CORRUPT_RECORD_
+    COLUMN), and both branches scan it anyway — cache once, filter twice."""
+    df = df.cache()
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return good, bad

@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, locked in tests.
+
+Correctness says the answer is right; these say the *strategy* is right —
+broadcast where a side is dimension-sized, pushdown reaching the parquet
+scan, top-k without a global sort, partial aggregation before the shuffle,
+and no accidental cartesian products in the LSH self-joins. A regression
+here is a 100× slowdown at scale that sf0.001 correctness would never see.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from etl_drone_sense_spark.plans.registry import get
+
+
+def plan_of(spark, sf_dir, name, mode="formatted") -> str:
+    df = get(name).fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q5_broadcasts_dimension_tables(spark, sf_dir):
+    """region/nation/customer/supplier are dimension-sized → every join in
+    q5 should be a broadcast, leaving lineitem un-shuffled until the agg."""
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_in_between_like")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """sort_limit touches a few columns — the parquet ReadSchema must not be
+    the full table width."""
+    plan = plan_of(spark, sf_dir, "sort_limit")
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schemas
+    assert all("l_comment" not in line for line in read_schemas)
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sim_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_topk_bruteforce")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_has_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregate nodes (partial + final) so the
+    shuffle carries group states, not raw lineitem rows."""
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_drone_transform_is_narrow(spark, sf_dir):
+    """The A3-A17 feature transform must stay shuffle-free (select-only)."""
+    plan = plan_of(spark, sf_dir, "drone_features_flat")
+    assert "Exchange" not in plan
+
+
+def test_lsh_joins_are_equi_joins(spark, sf_dir):
+    """Band-bucket blocking must plan as a hash-partitioned equi-join —
+    never a nested-loop/cartesian over the pair space."""
+    for q in ("dedup_minhash", "dedup_simhash"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        ), q
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    """The agg pipeline stays inside whole-stage codegen (no interpreted
+    row-at-a-time stages in the hot path)."""
+    # AQE wraps the plan in AdaptiveSparkPlan, which reports no codegen
+    # subtrees until executed — disable it just for this introspection.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, sf_dir, "q1_pricing_summary", mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen" in plan
+    assert "Found 0 WholeStageCodegen subtrees" not in plan

@@ -1,0 +1,122 @@
+"""Source/sink adapters: decode modes, quarantine, file formats, REST sink.
+
+Reference behaviors pinned: decode-or-throw (task.ts:119-121) via FAILFAST;
+the single-FeatureCollection POST (task.ts:107-110, 216) via the driver-side
+document sink and the batched REST sink (scale path).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from etl_drone_sense_spark.operators.feature_transform import drone_features
+from etl_drone_sense_spark.plans.drone import synth_drones
+from etl_drone_sense_spark.schemas import DRONE_LOCATION_SCHEMA
+from etl_drone_sense_spark.sources import readers, sinks
+
+GOOD = {
+    "id": "d1",
+    "callSign": "CS1",
+    "missionName": "m",
+    "model": "M1",
+    "latitude": 1.0,
+    "longitude": 2.0,
+    "lastUpdate": 1.7e9,
+    "altitudeAgl": 10.0,
+    "altitudeMsl": 20.0,
+    "speed": 1.0,
+    "heading": 2.0,
+    "spoiLat": 0.0,
+    "spoiLng": 0.0,
+    "sensors": [],
+}
+
+
+def _landing(tmp_path, lines):
+    p = tmp_path / "landing.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_failfast_decode_throws_on_corrupt(spark, tmp_path):
+    path = _landing(tmp_path, [json.dumps(GOOD), '{"id": broken'])
+    df = readers.read_json_records(spark, path, DRONE_LOCATION_SCHEMA, mode="FAILFAST")
+    with pytest.raises(Exception) as exc:
+        df.collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_permissive_decode_quarantines(spark, tmp_path):
+    path = _landing(tmp_path, [json.dumps(GOOD), '{"id": broken'])
+    df = readers.read_json_records(
+        spark, path, DRONE_LOCATION_SCHEMA, mode="PERMISSIVE"
+    )
+    good, bad = readers.quarantine_split(df)
+    assert good.count() == 1 and bad.count() == 1
+    assert good.filter(F.col("id") == "d1").count() == 1
+
+
+def test_fetch_drone_records_payload_injection(spark):
+    df = readers.fetch_drone_records(spark, _payload=[GOOD])
+    assert df.count() == 1
+    assert df.schema == DRONE_LOCATION_SCHEMA
+    with pytest.raises(ValueError):
+        readers.fetch_drone_records(spark, _payload={"not": "a list"})
+
+
+def test_decode_json_column(spark):
+    raw = spark.createDataFrame(
+        [(json.dumps(GOOD),)], schema="payload string"
+    )
+    out = readers.decode_json_column(raw, "payload", DRONE_LOCATION_SCHEMA)
+    row = out.select("payload.id", "payload.callSign").first()
+    assert tuple(row) == ("d1", "CS1")
+
+
+def test_feature_sinks_roundtrip(spark, sf_dir, tmp_path):
+    feats = drone_features(synth_drones(spark, sf_dir))
+    n = feats.count()
+
+    pq = str(tmp_path / "pq")
+    sinks.features_parquet(feats, pq)
+    assert spark.read.parquet(pq).count() == n
+
+    jl = str(tmp_path / "jl")
+    sinks.features_jsonl(feats, jl)
+    assert spark.read.json(jl).count() == n
+
+
+def test_partitioned_parquet_layout(spark, sf_dir, tmp_path):
+    events = readers.read_table(spark, sf_dir, "events")
+    out = str(tmp_path / "part")
+    sinks.partitioned_parquet(events, out, ["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # partition pruning: a filtered read scans one partition directory
+    one_type = events.select("event_type").first()[0]
+    pruned = back.filter(F.col("event_type") == one_type)
+    assert pruned.count() == events.filter(F.col("event_type") == one_type).count()
+
+
+def test_feature_collection_json_document(spark, sf_dir):
+    feats = drone_features(synth_drones(spark, sf_dir)).limit(5)
+    doc = json.loads(sinks.feature_collection_json(feats))
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == 5
+    assert all(f["type"] == "Feature" for f in doc["features"])
+
+
+def test_rest_post_batches(spark, sf_dir):
+    feats = drone_features(synth_drones(spark, sf_dir))
+    n = feats.count()
+    bodies: list[str] = []
+    posted = sinks.rest_post_batches(feats, bodies.append, batch_size=40)
+    assert posted == n
+    docs = [json.loads(b) for b in bodies]
+    assert sum(len(d["features"]) for d in docs) == n
+    assert all(len(d["features"]) <= 40 for d in docs)
+    assert all(d["type"] == "FeatureCollection" for d in docs)

@@ -1,0 +1,102 @@
+"""Structured Streaming pipelines: stream/batch parity.
+
+Each streaming operator is drained with ``Trigger.AvailableNow`` into a
+memory sink and compared against the equivalent batch computation on the
+same data — watermark/window/session/state semantics have no DuckDB oracle
+(SURVEY §7.4 risk 6), so batch parity is the correctness contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_drone_sense_spark.operators.sessionize import sessionize, tumbling_window_agg
+from etl_drone_sense_spark.plans.drone import synth_drones
+from etl_drone_sense_spark.operators.feature_transform import drone_features
+from etl_drone_sense_spark.schemas import DRONE_LOCATION_SCHEMA, TPCH_SCHEMAS
+from etl_drone_sense_spark.sources.readers import read_table
+from etl_drone_sense_spark.streaming import pipeline as SP
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events fixture rewritten by Spark (µs timestamps) as a landing dir."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _drain(spark, stream, name, mode):
+    q = SP.run_to_memory(stream, name, output_mode=mode)
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    stream = SP.windowed_counts(SP.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_windowed", "complete")
+    expected = tumbling_window_agg(
+        spark.read.schema(TPCH_SCHEMAS["events"]).parquet(events_dir),
+        duration="15 minutes",
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(expected, cols)
+
+
+def test_session_counts_matches_batch(spark, events_dir):
+    stream = SP.session_counts(SP.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_sessions", "complete")
+    expected = sessionize(
+        spark.read.schema(TPCH_SCHEMAS["events"]).parquet(events_dir),
+        gap="10 minutes",
+    ).select("user_id", "session_start", F.col("n_events"))
+    cols = ["user_id", "session_start", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(expected, cols)
+
+
+def test_dedup_stream_drops_duplicate_keys(spark, events_dir):
+    base = spark.read.schema(TPCH_SCHEMAS["events"]).parquet(events_dir)
+    stream = SP.dedup_stream(SP.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_dedup", "append")
+    assert got.count() == base.select("event_id").distinct().count()
+
+
+def test_running_totals_stateful_matches_batch(spark, events_dir):
+    stream = SP.running_totals_stateful(SP.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_totals", "update")
+    # AvailableNow over one landing dir = one micro-batch → one row per key.
+    expected = (
+        spark.read.schema(TPCH_SCHEMAS["events"])
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_seen"))
+    )
+    g = {r["user_id"]: r for r in got.collect()}
+    e = {r["user_id"]: r for r in expected.collect()}
+    assert set(g) == set(e)
+    for uid, row in e.items():
+        assert g[uid]["total_value"] == pytest.approx(row["total_value"], rel=1e-9)
+        assert g[uid]["n_seen"] == row["n_seen"]
+
+
+def test_stream_drone_features_matches_batch(spark, sf_dir, tmp_path):
+    """A1/A2/A3-A17 as a streaming job over a JSON landing dir (the
+    scheduled-ingest parity path, reference task.ts:87)."""
+    landing = str(tmp_path / "landing")
+    drones = synth_drones(spark, sf_dir)
+    drones.write.mode("overwrite").json(landing)
+
+    stream = SP.stream_drone_features(spark, landing)
+    got = _drain(spark, stream, "t_drone_feats", "append")
+
+    expected = drone_features(
+        spark.read.schema(DRONE_LOCATION_SCHEMA).json(landing)
+    )
+    assert got.count() == expected.count() > 0
+    cols = ["id", "properties.callsign", "properties.video.url"]
+    assert _sorted_rows(got, cols) == _sorted_rows(expected, cols)
