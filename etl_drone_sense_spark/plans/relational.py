@@ -836,3 +836,142 @@ def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket)
         .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_bal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (Catalyst decorrelation — SURVEY §4.2)
+# ---------------------------------------------------------------------------
+
+_SUBQ_EXISTS_SQL = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+"""
+
+# Correlated scalar subquery: the per-customer average is an exact decimal
+# mean so Spark's and DuckDB's per-group summation order cannot diverge on
+# the > boundary.
+_SUBQ_SCALAR_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice >
+          (SELECT 1.5 * CAST(avg(CAST(o2.o_totalprice AS DECIMAL(28,6)))
+                             AS DOUBLE)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register("subquery_exists_notin", oracle=_SUBQ_EXISTS_SQL, tags=("subquery",))
+def subquery_exists_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT IN. Catalyst rewrites both to joins (left
+    semi / left anti) — check the plan, not just the answer: a 100 TB
+    correlated subquery that ISN'T decorrelated re-scans orders per row."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SUBQ_EXISTS_SQL)
+
+
+@register("subquery_scalar_correlated", oracle=_SUBQ_SCALAR_SQL, tags=("subquery",))
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 1.5× above the customer's own
+    mean) — decorrelates to an aggregate + equi-join on o_custkey."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SUBQ_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Collection functions: higher-order arrays, maps, percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
+           (len(list_filter(embedding, x -> abs(x) > 2.0)) > 0) AS has_outlier
+    FROM embeddings
+    """,
+    tags=("array", "higher-order"),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/exists/aggregate) —
+    pure Catalyst expressions over array<float>, no UDF, no explode: the
+    per-row fold stays narrow and never shuffles element rows."""
+    e = F.col("embedding")
+    as_double = lambda x: x.cast("double")  # noqa: E731
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(e).cast("long").alias("n_dims"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    e, F.lit(0.0), lambda a, x: a + as_double(x) * as_double(x)
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_component"),
+        F.exists(e, lambda x: F.abs(x) > 2.0).alias("has_outlier"),
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+           json_extract_string(props, '$.k') AS k_val
+    FROM events
+    """,
+    tags=("map", "json"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON string → map<string,string> (schema-flexible
+    decode), then map_keys/element_at. The map stays a value — no explode."""
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS price_median,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75,
+           round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approx twin for 100 TB is
+    ``approx_percentile`` (t-digest, engine-specific → rows-only check
+    territory, same shape as agg_approx_distinct)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("price_p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("price_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("price_p75"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("qty_p90"),
+    )

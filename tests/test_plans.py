@@ -87,6 +87,18 @@ def test_lsh_joins_are_equi_joins(spark, sf_dir):
         ), q
 
 
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """EXISTS/NOT IN/scalar subqueries must plan as semi/anti/equi joins —
+    a non-decorrelated subquery re-executes per outer row at scale."""
+    plan = plan_of(spark, sf_dir, "subquery_exists_notin")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    plan2 = plan_of(spark, sf_dir, "subquery_scalar_correlated")
+    assert "Join" in plan2
+    for p in (plan, plan2):
+        assert "CartesianProduct" not in p
+
+
 def test_q1_whole_stage_codegen(spark, sf_dir):
     """The agg pipeline stays inside whole-stage codegen (no interpreted
     row-at-a-time stages in the hot path)."""
