@@ -5,14 +5,17 @@ Prints ONE JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is executed to completion (count() forces every stage; results
-are not shipped to the driver so timings measure the engine, not IPC).
+Each query is executed to completion with the ``noop`` sink: unlike
+``count()`` — whose plan column-prunes the projections away (a narrow
+transform would time as a bare parquet row-count) — noop materializes
+every output column on executors without shipping rows to the driver.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -35,15 +38,22 @@ def main() -> None:
     # JVM/codegen warm-up on the smallest fixture so headline timings
     # measure steady-state execution, not first-call compilation.
     warm_dir = "/root/testdata/sf0.001"
+
+    def run(fn, d):
+        fn(spark, d).write.mode("overwrite").format("noop").save()
+
     if os.path.isdir(warm_dir):
         for fn in queries.values():
-            fn(spark, warm_dir).count()
+            run(fn, warm_dir)
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(fn, sf_dir)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

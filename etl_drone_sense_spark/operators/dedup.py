@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
+from ..sources.readers import rebalance_for_compute
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -105,9 +106,8 @@ def minhash_lsh_pairs(
     the signature projection on both sides of the self-join. At production
     scale this is the relation you'd write to storage (~8 B/shingle).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
     hv = (
-        df.repartition(par)
+        rebalance_for_compute(df)
         .select(
             F.col(id_col),
             TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv"),
@@ -172,7 +172,7 @@ def ngram_jaccard_pairs(
         df, id_col, text_col, k=k, bands=bands, threshold=0.0, shingle_n=shingle_n
     ).select("id_a", "id_b")
     sets = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        rebalance_for_compute(df)
         .select(
             F.col(id_col),
             F.array_distinct(
@@ -247,12 +247,7 @@ def simhash_pairs(
     the join key is (slice_idx, slice_value) — never an all-pairs product.
     """
     width = nbits // blocks
-    fp = simhash_fingerprints(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
-        id_col,
-        text_col,
-        nbits,
-    )
+    fp = simhash_fingerprints(rebalance_for_compute(df), id_col, text_col, nbits)
     exploded = fp.select(
         F.col(id_col),
         F.col("simhash"),

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.readers import rebalance_for_compute
 from .registry import davg, davg_sql, dsum, dsum_sql, register, t
 
 # ---------------------------------------------------------------------------
@@ -51,9 +52,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: filter + column pruning push into the parquet scan; the agg is
     map-side partial (6 groups → bytes per task), so the shuffle is trivial
-    at any SF."""
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1999-09-01 00:00:00").cast("timestamp")
+    at any SF. The eight exact-decimal aggregates are CPU-heavy relative to
+    the row width, so an under-split source (one row group) is rebalanced
+    after the pushed filter — measured 2× at sf0.1; no-op on a real lake."""
+    li = rebalance_for_compute(
+        t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("1999-09-01 00:00:00").cast("timestamp")
+        ),
+        cache_key=f"{sf_dir}:lineitem:q1",
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

@@ -63,6 +63,38 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TPCH_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SPLIT_DECISIONS: dict[str, bool] = {}
+
+
+def rebalance_for_compute(
+    df: DataFrame, target: int | None = None, cache_key: str | None = None
+) -> DataFrame:
+    """Spread rows before a compute-heavy stage IF the source under-splits.
+
+    Spark parallelizes a parquet scan at row-group granularity; a source
+    laid out as few/huge row groups (the fixtures are one row group per
+    table) pins the whole fused scan→project→partial-agg pipeline to one
+    core. When the scan yields fewer partitions than ``target`` (default:
+    cluster parallelism), a round-robin repartition buys full parallelism
+    for the downstream compute at the cost of shuffling the (filtered,
+    pruned) input once. On a production lake with many splittable files the
+    condition is false and this is a NO-OP — the plan keeps its free
+    map-side pipeline with no extra exchange.
+
+    ``cache_key`` memoizes the split-count probe (``df.rdd`` costs a
+    driver-side plan→RDD conversion, ~0.1-0.3 s) for repeated runs over the
+    same source, e.g. the bench loop.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    need = _SPLIT_DECISIONS.get(cache_key) if cache_key else None
+    if need is None:
+        need = df.rdd.getNumPartitions() < target
+        if cache_key:
+            _SPLIT_DECISIONS[cache_key] = need
+    return df.repartition(target) if need else df
+
+
 def read_json_records(
     spark: SparkSession,
     path: str,
