@@ -1,0 +1,77 @@
+"""Temporal joins (as-of) — a custom operator Spark lacks natively.
+
+``asof_join`` attaches, to each left row, the most recent right row with
+``right_ts <= left_ts`` for the same key (the standard market-data /
+telemetry enrichment join; DuckDB/Pandas call it ASOF JOIN).
+
+Scale shape — the union+window formulation, NOT a range join:
+* tag both inputs and ``unionByName`` them (narrow);
+* one shuffle on the join key; within each key, sort by (ts, side) and
+  carry the right payload forward with ``last(..., ignorenulls=True)``;
+* keep left rows.
+
+Cost is one shuffle + one sort — identical to a SortMergeJoin — and is
+independent of time-gap width. The naive alternative (non-equi range join
+then max-per-left-row) explodes to O(|L|·|R|) per key and is exactly the
+plan AQE can't save; this form never materializes candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward (inclusive) as-of join: latest right row at-or-before each
+    left row's timestamp, per ``on`` key. Right payload columns come back
+    suffixed; unmatched left rows keep them null.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+
+    l_tag = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in (on,)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on,)],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+
+    # Right rows sort before left rows at equal timestamps → inclusive <=.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in payload
+        ],
+    )
+    out_cols = [on] + [c for c in left.columns if c not in (on,)] + [
+        F.col(f"_carry_{c}").alias(c) for c in payload
+    ]
+    return carried.filter(F.col("_is_left") == 1).select(*out_cols)

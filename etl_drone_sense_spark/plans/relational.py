@@ -981,3 +981,81 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("price_p75"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("qty_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal: as-of join, range-frame windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
+                    WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+              WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT c.user_id, c.event_id, c.ts, c.value,
+           p.purchase_value AS purchase_value_asof, p.ts AS ts_asof
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "temporal"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.temporal): each click is enriched with the
+    user's latest at-or-before purchase. Oracle is DuckDB's native ASOF
+    JOIN; the Spark side is the union+window formulation — one shuffle,
+    no candidate-pair explosion (see operators/temporal.py docstring).
+    The right side is pre-deduped per (user_id, ts) so 'latest' is
+    well-defined in both engines."""
+    from ..operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_value"],
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+               AS rev_30d,
+           count(*) OVER w AS n_orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "temporal"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-customer trailing-30-day revenue.
+    Spark RANGE frames need a numeric ordering → epoch seconds; inclusive
+    [cur-30d, cur] matches DuckDB's INTERVAL PRECEDING semantics. Decimal
+    window sums keep the frame arithmetic order-independent."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
