@@ -114,6 +114,27 @@ def read_json_records(
     )
 
 
+def read_csv_records(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "FAILFAST",
+    header: bool = True,
+) -> DataFrame:
+    """Schema-enforced CSV scan (same decode-mode contract as JSON)."""
+    if mode == "PERMISSIVE":
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
 def decode_json_column(
     df: DataFrame, col: str, schema: T.StructType, mode: str = "FAILFAST"
 ) -> DataFrame:

@@ -77,6 +77,16 @@ def test_decode_json_column(spark):
     assert tuple(row) == ("d1", "CS1")
 
 
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    nation = readers.read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    back = readers.read_csv_records(
+        spark, out, nation.schema, mode="FAILFAST"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
 def test_feature_sinks_roundtrip(spark, sf_dir, tmp_path):
     feats = drone_features(synth_drones(spark, sf_dir))
     n = feats.count()
