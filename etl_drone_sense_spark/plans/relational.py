@@ -1059,3 +1059,40 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    ``events.event_type`` has 5 values over the whole table — a direct
+    groupBy puts each key's entire volume on one reducer. Phase 1 salts the
+    key with a deterministic 16-way hash and pre-aggregates (each
+    (key, salt) shard fits a task); phase 2 merges the 5×16 partials.
+    Decimal partial sums make the two-phase result bit-identical to the
+    single-phase oracle. Spark's own map-side partial agg + AQE skew
+    handling often makes this unnecessary — the operator is the explicit,
+    composable form for when a single reducer key still exceeds a task
+    (e.g. count-distinct-like states that don't combine small)."""
+    ev = t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("_sum"),
+        F.max("value").alias("_max"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_sum").cast("double").alias("sum_value"),
+        F.max("_max").alias("max_value"),
+    )

@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the expression libraries.
+
+Each property evaluates a whole batch of generated inputs in ONE Spark job
+(a list strategy → one DataFrame) so hypothesis shrinks over data, not over
+Spark round-trips.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_drone_sense_spark.config import ConfigError, Environment
+from etl_drone_sense_spark.functions.geodesy import bearing_deg, haversine_m
+from etl_drone_sense_spark.functions.vectors import cosine
+from etl_drone_sense_spark.operators.dedup import minhash_from_hashes
+from etl_drone_sense_spark.functions import text as TXT
+
+lat = st.floats(-89.0, 89.0, allow_nan=False, width=64)
+lon = st.floats(-179.0, 179.0, allow_nan=False, width=64)
+coord_pairs = st.lists(st.tuples(lat, lon, lat, lon), min_size=1, max_size=50)
+
+
+def _py_bearing(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dl = math.radians(lon2 - lon1)
+    y = math.sin(dl) * math.cos(p2)
+    x = math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl)
+    return (math.degrees(math.atan2(y, x)) + 360) % 360
+
+
+@settings(max_examples=10, deadline=None)
+@given(coord_pairs)
+def test_geodesy_properties(spark, pairs):
+    df = spark.createDataFrame(
+        pairs, schema="lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    rows = df.select(
+        "lat1", "lon1", "lat2", "lon2",
+        bearing_deg(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("b"),
+        haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d"),
+        haversine_m(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1")).alias("d_rev"),
+        haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat1"), F.col("lon1")).alias("d_self"),
+    ).collect()
+    half_circumference = math.pi * 6371000.0
+    for r in rows:
+        assert 0.0 <= r["b"] < 360.0
+        assert 0.0 <= r["d"] <= half_circumference * (1 + 1e-9)
+        assert abs(r["d"] - r["d_rev"]) <= 1e-6 * max(r["d"], 1.0)  # symmetry
+        assert r["d_self"] == 0.0
+        expected = _py_bearing(r["lat1"], r["lon1"], r["lat2"], r["lon2"])
+        assert math.isclose(r["b"], expected, rel_tol=0, abs_tol=1e-6) or (
+            # 0/360 wraparound: both encode "due north"
+            min(r["b"], expected) < 1e-6 and max(r["b"], expected) > 360 - 1e-6
+        )
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("abcdefg XYZ0123.,"), min_size=0, max_size=80
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts)
+def test_minhash_signature_properties(spark, docs):
+    """Signatures: fixed length k, components in [0, P), identical texts →
+    identical signatures (the property dedup correctness rests on)."""
+    k = 8
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "id long, text string")
+    rows = df.select(
+        "text",
+        minhash_from_hashes(TXT.shingle_hashes(F.col("text"), 2), k).alias("sig"),
+    ).collect()
+    by_text = {}
+    for r in rows:
+        assert len(r["sig"]) == k
+        assert all(0 <= c < TXT.MINHASH_P for c in r["sig"])
+        if r["text"] in by_text:
+            assert by_text[r["text"]] == r["sig"]
+        by_text[r["text"]] = r["sig"]
+
+
+vectors = st.lists(
+    st.lists(
+        st.floats(-5.0, 5.0, allow_nan=False, width=32), min_size=4, max_size=4
+    ).filter(lambda v: sum(abs(x) for x in v) > 1e-3),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vectors)
+def test_cosine_properties(spark, vecs):
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<float>")
+    rows = df.select(
+        cosine(F.col("v"), F.col("v")).alias("self_sim"),
+        cosine(F.col("v"), F.transform(F.col("v"), lambda x: -x)).alias("anti_sim"),
+    ).collect()
+    for r in rows:
+        assert math.isclose(r["self_sim"], 1.0, abs_tol=1e-9)
+        assert math.isclose(r["anti_sim"], -1.0, abs_tol=1e-9)
+
+
+# --- config contract (no Spark) --------------------------------------------
+
+
+def test_environment_defaults_and_parsing():
+    assert Environment.from_env({}) == Environment(DroneSenseToken="", DEBUG=False)
+    e = Environment.from_env({"DroneSenseToken": "tok", "DEBUG": "true"})
+    assert e.DroneSenseToken == "tok" and e.DEBUG is True
+    assert Environment.from_env({"DEBUG": "0"}).DEBUG is False
+
+
+def test_environment_rejects_bad_bool():
+    import pytest
+
+    with pytest.raises(ConfigError):
+        Environment.from_env({"DEBUG": "maybe"})
