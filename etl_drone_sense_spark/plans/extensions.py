@@ -528,3 +528,105 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface (rows-only: watermark semantics have no SQL oracle;
+# the batch twins above are the oracle-checked equivalents)
+# ---------------------------------------------------------------------------
+
+_STREAM_LANDING: dict[str, str] = {}
+
+
+def _events_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Events fixture rewritten once per sf_dir as a µs-timestamp landing
+    dir (the NANOS source parquet isn't stream-readable with a Timestamp
+    schema)."""
+    path = _STREAM_LANDING.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sg_events_landing_")
+        t(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+        _STREAM_LANDING[sf_dir] = path
+    return path
+
+
+@register("stream_tumbling_counts", oracle=None, tags=("streaming",))
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts executed as a REAL streaming job
+    (file source → watermark → window agg → AvailableNow drain to a memory
+    sink), returned as the drained table. Semantics are oracle-checked via
+    the batch twin (window_tumbling_events) and stream/batch parity tests
+    (tests/test_streaming.py); the driver records a rows-only check here
+    because watermark/eviction behavior is not SQL-expressible."""
+    import uuid
+
+    from ..streaming import pipeline as SP
+
+    landing = _events_landing(spark, sf_dir)
+    stream = SP.windowed_counts(SP.stream_events(spark, landing))
+    name = f"reg_stream_{uuid.uuid4().hex[:8]}"
+    q = SP.run_to_memory(stream, name, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TXT.tokens_sql('text')}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rn
+        FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("text", "agg", "join"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 scoring tokens per document.
+
+    Scale shape: explode is narrow; tf aggregates on (doc, token) — one
+    shuffle; document frequency is a second agg on token whose result is
+    vocabulary-sized, joined back on token (hash join, both sides already
+    partitioned by token from the aggs); the per-doc top-5 is a windowed
+    heap. The corpus size N is a 1-row broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tfidf")
+    )

@@ -1096,3 +1096,36 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_sum").cast("double").alias("sum_value"),
         F.max("_max").alias("max_value"),
     )
+
+
+@register(
+    "string_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, p_brand) AS name_brand_dist,
+           levenshtein(p_name, reverse(p_name)) AS palindrome_dist
+    FROM part
+    """,
+    tags=("scalar", "similarity"),
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (fuzzy-matching primitive for entity
+    resolution; at scale always applied AFTER a blocking join — see the
+    LSH operators — never across the raw pair space)."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").cast("long").alias("name_brand_dist"),
+        F.levenshtein("p_name", F.reverse(F.col("p_name")))
+        .cast("long")
+        .alias("palindrome_dist"),
+    )
+
+
+@register("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (the 100 TB path; exact twin is
+    agg_percentiles). Engine-specific sketch values → rows-only check."""
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_median_approx"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("qty_p90_approx"),
+    )
