@@ -1129,3 +1129,35 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_median_approx"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("qty_p90_approx"),
     )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders
+    """,
+    tags=("setop", "pivot"),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot/melt (the inverse of pivot_priority_status).
+    Narrow: each input row emits one row per value column — no shuffle."""
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("o_custkey_d", F.col("o_custkey").cast("double"))
+        .unpivot(
+            ids=["o_orderkey"],
+            values=["o_totalprice", "o_custkey_d"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .withColumn(
+            "metric",
+            F.when(F.col("metric") == "o_custkey_d", "o_custkey").otherwise(
+                F.col("metric")
+            ),
+        )
+    )
