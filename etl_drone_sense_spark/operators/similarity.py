@@ -163,3 +163,36 @@ def embedding_near_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label centroid via grouped-map ``applyInPandas`` (the k-means
+    update step / IVF cell-centroid refresh).
+
+    The custom-operator escape hatch when Column expressions won't do:
+    each group arrives as one Arrow-backed pandas frame. Summation uses
+    ``math.fsum`` (exactly rounded) so the result is reproducible under
+    any row order — the grouped-map equivalent of the engine's decimal-sum
+    convention. Output is long-form (label, dim_idx, centroid) rows.
+
+    Scale: one shuffle on label; a group must fit an executor's memory —
+    for billion-row cells, switch to the expression-based partial-agg form
+    (F.aggregate over zipped arrays), which this cross-checks against.
+    """
+    import math
+
+    import pandas as pd
+
+    out_schema = "label int, dim_idx int, centroid double"
+
+    def centroid(key: tuple, pdf: pd.DataFrame):
+        (label,) = key
+        vecs = pdf["embedding"].tolist()
+        n = len(vecs)
+        rows = [
+            (label, i + 1, round(math.fsum(float(v[i]) for v in vecs) / n, 6))
+            for i in range(dim)
+        ]
+        return pd.DataFrame(rows, columns=["label", "dim_idx", "centroid"])
+
+    return emb.groupBy("label").applyInPandas(centroid, schema=out_schema)

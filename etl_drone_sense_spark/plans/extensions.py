@@ -630,3 +630,22 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@register(
+    "grouped_map_centroids",
+    oracle="""
+    SELECT label, i AS dim_idx,
+           round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,15))) AS DOUBLE)
+                 / count(*), 6) AS centroid
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+    tags=("similarity", "pandas_udf", "grouped-map"),
+)
+def grouped_map_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas custom operator (per-label embedding
+    centroids — the k-means/IVF update step). fsum in the UDF and decimal
+    sums in the oracle are both exact, so the two agree to the rounding
+    digit regardless of row order."""
+    return similarity.label_centroids(t(spark, sf_dir, "embeddings"), dim=64)

@@ -100,3 +100,46 @@ def test_stream_drone_features_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == expected.count() > 0
     cols = ["id", "properties.callsign", "properties.video.url"]
     assert _sorted_rows(got, cols) == _sorted_rows(expected, cols)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark across two
+    micro-batches (maxFilesPerTrigger=1): batch 2 delivers an event far
+    older than the advanced watermark — its window must NOT appear, while
+    the fresh event's window must. This is the eviction semantics the
+    batch twin cannot express."""
+    from datetime import datetime, timedelta
+
+    landing = tmp_path / "late_landing"
+    landing.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        import shutil, glob
+
+        part = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(landing / f"{name}.parquet"))
+
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+    write_file("b1", [(1, t0, 1, "view", 1.0, "{}"),
+                      (2, t0 + timedelta(minutes=30), 1, "view", 1.0, "{}")])
+    write_file("b2", [(4, t0 + timedelta(minutes=45), 1, "view", 1.0, "{}")])
+    # 2 hours older than the watermark established by b1/b2 (the watermark
+    # needs one committed batch to propagate into the late-row filter)
+    write_file("b3", [(5, t0 - timedelta(hours=2), 1, "view", 1.0, "{}"),
+                      (6, t0 + timedelta(minutes=50), 1, "view", 1.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(TPCH_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing))
+    )
+    windowed = SP.windowed_counts(stream, window="15 minutes", watermark="10 minutes")
+    got = _drain(spark, windowed, "t_late", "append")
+    starts = sorted(r["window_start"] for r in got.collect())
+
+    assert (t0 - timedelta(hours=2)) not in starts  # evicted: beyond watermark
+    assert t0 in starts  # on-time window emitted
