@@ -1161,3 +1161,51 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+            nullif(o_orderpriority, '1-URGENT')) AS null_safe_eq,
+           (nullif(o_orderstatus, 'O') IS NULL) AS is_open,
+           count(nullif(o_orderstatus, 'O')) OVER () AS n_non_null
+    FROM orders
+    """,
+    tags=("scalar", "null"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce, null-safe equality (<=> /
+    IS NOT DISTINCT FROM), IS NULL, and count's null-skipping — the
+    semantics joins and aggs silently depend on."""
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    prio_or_null = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+        status_or_null.eqNullSafe(prio_or_null).alias("null_safe_eq"),
+        status_or_null.isNull().alias("is_open"),
+        F.count(status_or_null).over(Window.partitionBy()).alias("n_non_null"),
+    )
+
+
+@register(
+    "set_ops_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (bag semantics — each copy pairs off),
+    complementing the distinct-set variants in set_ops."""
+    orders = t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o)
