@@ -42,3 +42,17 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def unit(a: Column) -> Column:
+    """L2-normalized copy of the vector (unit length)."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def quantize_i8(u: Column) -> Column:
+    """Symmetric int8 quantization of a unit vector: floor(x*127 + 0.5).
+
+    floor(+0.5) instead of round(): identical halfway behavior in every
+    engine (round() half-handling differs across engines/signs)."""
+    return F.transform(u, lambda x: F.floor(x * 127 + F.lit(0.5)).cast("int"))

@@ -1,0 +1,137 @@
+"""Training-corpus preparation operators (LLM-pipeline surface).
+
+* ``chunk_documents``   — overlapping token-window chunking (context-length
+                          shaping for pretraining/fine-tuning corpora);
+* ``assign_split``      — deterministic hash-based train/val/test split
+                          (md5-derived, so the assignment is reproducible
+                          across engines, runs and cluster sizes — never
+                          RNG-sampled, which would shift under re-partition);
+* ``cross_source_overlap`` — n-gram-hash contamination check between
+                          sources (the train/test-leak detector).
+
+All pure Catalyst expressions; chunking is explode-based (narrow), the
+split is a scalar hash, the overlap check is an equi-join on shingle
+hashes — the same never-materialize-the-pair-space shape as the LSH dedup
+family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into overlapping token windows.
+
+    Window starts step by ``chunk_tokens - overlap``; the final window may
+    be short (slice past the end truncates). Narrow: sequence+slice inside
+    one projection, then a generator — no shuffle at any corpus size.
+    """
+    step = chunk_tokens - overlap
+    toks = TXT.tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
+        F.size(F.col("_chunk")).cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 50, overlap: int = 10) -> str:
+    """DuckDB twin of ``chunk_documents`` over the documents table."""
+    step = chunk_tokens - overlap
+    toks = TXT.tokens_sql("text")
+    return f"""
+    SELECT doc_id,
+           CAST(u.i - 1 AS INT) AS chunk_idx,
+           array_to_string(list_slice(t.toks, 1 + (u.i - 1) * {step},
+                           (u.i - 1) * {step} + {chunk_tokens}), ' ') AS chunk_text,
+           len(list_slice(t.toks, 1 + (u.i - 1) * {step},
+               (u.i - 1) * {step} + {chunk_tokens})) AS n_tokens
+    FROM (SELECT doc_id, {toks} AS toks FROM documents) t,
+         LATERAL (SELECT unnest(range(1, 2 + (greatest(len(t.toks) - {overlap}, 1) - 1) // {step})) AS i) u
+    """
+
+
+def split_bucket(id_col: Column) -> Column:
+    """Deterministic 0-99 bucket from the md5 of the row id."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(100),
+    )
+
+
+def split_bucket_sql(id_expr: str) -> str:
+    return f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+def assign_split(
+    df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Attach a reproducible train/val/test split column."""
+    b = split_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs from DIFFERENT groups sharing ≥ min_shared n-gram
+    hashes — the contamination/leak detector between corpus sources.
+
+    Shape: distinct shingle hashes per doc (narrow) → explode → equi-join
+    on the hash value with group_a < group_b → count shared hashes per
+    pair. Only true shared-shingle buckets ever join."""
+    hashed = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(
+            F.array_distinct(TXT.shingle_hashes(F.col(text_col), shingle_n))
+        ).alias("h"),
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col(f"a.{group_col}") < F.col(f"b.{group_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{group_col}").alias("group_a"),
+            F.col(f"b.{group_col}").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

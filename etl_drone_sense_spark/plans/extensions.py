@@ -649,3 +649,121 @@ def grouped_map_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums in the oracle are both exact, so the two agree to the rounding
     digit regardless of row order."""
     return similarity.label_centroids(t(spark, sf_dir, "embeddings"), dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Corpus preparation (chunking, splits, contamination)
+# ---------------------------------------------------------------------------
+
+
+from ..operators.corpus import chunk_documents_sql, split_bucket_sql
+
+
+@register(
+    "corpus_chunking",
+    oracle=chunk_documents_sql(chunk_tokens=50, overlap=10),
+    tags=("text", "chunking"),
+)
+def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token windows, 10 overlap) —
+    context-length shaping for a pretraining corpus. Narrow explode."""
+    from ..operators import corpus
+
+    return corpus.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=50, overlap=10
+    )
+
+
+@register(
+    "corpus_split_stats",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {split_bucket_sql('doc_id')} < 80 THEN 'train'
+                WHEN {split_bucket_sql('doc_id')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("text", "split"),
+)
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-based train/val/test split, profiled per lang.
+    md5-derived buckets — stable under re-partitioning and across engines,
+    unlike RNG sampling."""
+    from ..operators import corpus
+
+    split = corpus.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "corpus_contamination",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, source, unnest(list_distinct(
+            {TXT.shingle_hashes_sql('text', 3)})) AS h
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.source AS group_a, b.source AS group_b,
+           count(*) AS n_shared
+    FROM hashed a JOIN hashed b
+      ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2, 3, 4
+    HAVING count(*) >= 2
+    """,
+    tags=("text", "dedup", "contamination"),
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination check (train/test-leak detector):
+    pairs of documents from different sources sharing ≥2 trigram hashes."""
+    from ..operators import corpus
+
+    return corpus.cross_source_overlap(
+        t(spark, sf_dir, "documents"), shingle_n=3, min_shared=2
+    )
+
+
+@register(
+    "vector_normalize_quantize",
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / {V.norm_sql('embedding')}) AS uv
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(uv, x -> x * x))), 9) AS unit_norm,
+           CAST(list_sum(list_transform(uv,
+                x -> CAST(floor(x * 127 + 0.5) AS INT))) AS BIGINT) AS q8_sum,
+           CAST(list_min(list_transform(uv,
+                x -> CAST(floor(x * 127 + 0.5) AS INT))) AS INT) AS q8_min,
+           CAST(list_max(list_transform(uv,
+                x -> CAST(floor(x * 127 + 0.5) AS INT))) AS INT) AS q8_max
+    FROM u
+    """,
+    tags=("similarity", "vector"),
+)
+def vector_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization + int8 quantization (the storage/ANN prep
+    path: unit vectors make cosine = dot; int8 cuts vector bytes 4×).
+    Scalar summaries (norm/sum/min/max) keep the comparison array-free."""
+    from ..functions.vectors import quantize_i8, unit
+
+    e = t(spark, sf_dir, "embeddings")
+    u = unit(F.col("embedding"))
+    uq = quantize_i8(u)
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(u, F.lit(0.0), lambda a, x: a + x * x)), 9
+        ).alias("unit_norm"),
+        F.aggregate(uq, F.lit(0).cast("long"), lambda a, x: a + x).alias("q8_sum"),
+        F.array_min(uq).alias("q8_min"),
+        F.array_max(uq).alias("q8_max"),
+    )
