@@ -123,3 +123,42 @@ def test_environment_rejects_bad_bool():
 
     with pytest.raises(ConfigError):
         Environment.from_env({"DEBUG": "maybe"})
+
+
+# --- corpus operator edge cases ---------------------------------------------
+
+
+def test_chunking_edges(spark):
+    """Short/empty docs chunk into exactly one (possibly short) window;
+    long docs produce the expected start grid with the overlap carried."""
+    from etl_drone_sense_spark.operators.corpus import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(95))
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, long_text)], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 1  # "" → 1 token
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "one two"
+    # 95 tokens, window 50, step 40 → starts 1, 41, 81
+    chunks3 = sorted(by_doc[3], key=lambda r: r["chunk_idx"])
+    assert [c["n_tokens"] for c in chunks3] == [50, 50, 15]
+    assert chunks3[1]["chunk_text"].split(" ")[0] == "w40"  # overlap of 10
+
+
+def test_split_assignment_is_stable_and_complete(spark):
+    from etl_drone_sense_spark.operators.corpus import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in assign_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # partitioning-independent
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.7 < frac_train < 0.9
+    assert set(a.values()) == {"train", "val", "test"}
