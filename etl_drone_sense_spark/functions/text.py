@@ -137,36 +137,50 @@ def minhash_component_sql(hashes: str, seed: int) -> str:
     )
 
 
+def token_hash_raw(t: Column) -> Column:
+    """Raw 48-bit integer hash of one token (first 12 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+
+
+def token_hash_raw_sql(t: str) -> str:
+    return f"('0x' || substr(md5({t}), 1, 12))::BIGINT"
+
+
 def simhash_bits(col: Column, nbits: int = 16) -> Column:
     """SimHash fingerprint as an ``nbits``-char '0'/'1' string.
 
-    Bit i is set when the majority of tokens have hex digit i of their md5 in
-    [8-f] (i.e. high bit of that nibble). Majority vote expressed as a sum of
-    ±1 via ``aggregate`` — pure codegen, no UDF.
+    Each token is md5-hashed ONCE to a 48-bit integer; bit i of the
+    fingerprint is the majority vote of bit i across token hashes (±1 sum
+    folded in a single ``aggregate`` pass — the token-hash array is a bound
+    value inside the fold, so md5 runs once per token, not once per
+    (token, bit)). Pure codegen-friendly expressions, no UDF.
     """
-    toks = tokens(col)
-    bits = [
-        F.when(
-            F.aggregate(
-                toks,
-                F.lit(0),
-                lambda acc, t: acc
-                + F.when(F.substring(F.md5(t), i + 1, 1) >= "8", 1).otherwise(-1),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for i in range(nbits)
-    ]
-    return F.concat(*bits)
+    th = F.transform(tokens(col), token_hash_raw)
+    sums = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                    for i in range(nbits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.array_join(
+        F.transform(sums, lambda s: F.when(s > 0, "1").otherwise("0")), ""
+    )
 
 
 def simhash_bits_sql(col: str, nbits: int = 16) -> str:
-    toks = tokens_sql(col)
+    th = f"list_transform({tokens_sql(col)}, t -> {token_hash_raw_sql('t')})"
     bits = [
         (
-            f"CASE WHEN list_sum(list_transform({toks}, "
-            f"t -> CASE WHEN substr(md5(t), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+            f"CASE WHEN list_sum(list_transform({th}, "
+            f"h -> CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END)) > 0 "
             f"THEN '1' ELSE '0' END"
         )
         for i in range(nbits)

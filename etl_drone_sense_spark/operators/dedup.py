@@ -200,28 +200,10 @@ def ngram_jaccard_pairs(
 
 
 def simhash_col(text_col: Column, nbits: int = 16) -> Column:
-    """SimHash fingerprint ('0'/'1' string) built in ONE aggregate pass:
-    per token, bit i contributes ±1 by whether hex digit i of md5(token)
-    has its high bit set; the per-bit sums accumulate in an int array.
-    Matches functions.text.simhash_bits bit-for-bit."""
-    toks = TXT.tokens(text_col)
-    sums = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), nbits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(1), F.lit(nbits)),
-                lambda i: F.when(
-                    F.substring(F.md5(t), i, F.lit(1)) >= "8", 1
-                ).otherwise(-1),
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    return F.array_join(
-        F.transform(sums, lambda s: F.when(s > 0, "1").otherwise("0")), ""
-    )
+    """SimHash fingerprint ('0'/'1' string): one md5 per token, per-bit
+    majority folded in a single aggregate pass (functions.text.simhash_bits
+    is the shared implementation — the oracle SQL renders the same family)."""
+    return TXT.simhash_bits(text_col, nbits)
 
 
 def simhash_fingerprints(
