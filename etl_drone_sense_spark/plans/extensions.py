@@ -767,3 +767,80 @@ def vector_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(uq).alias("q8_min"),
         F.array_max(uq).alias("q8_max"),
     )
+
+
+@register(
+    "corpus_sample_per_lang",
+    oracle="""
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 5
+    """,
+    tags=("text", "sampling"),
+)
+def corpus_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: 5 docs per lang ordered by the md5
+    of their id — a reproducible 'random' draw (same sample on every
+    engine, run, and partitioning; RNG-based sampleBy is none of those).
+    One shuffle on lang; the window is a per-group top-k heap."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+               min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        count(*) AS n_users,
+        count(t_signup) AS n_signup,
+        count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup)
+            AS n_signup_then_click,
+        count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                           AND t_purchase > t_click) AS n_full_funnel
+    FROM stages
+    """,
+    tags=("agg", "funnel", "events"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel (signup → click → purchase): one shuffle on
+    user_id computes all per-stage first-times via conditional mins, then a
+    single global roll-up. No self-joins — the naive 3-way event self-join
+    is quadratic in events-per-user."""
+    ev = t(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signup = F.col("t_signup").isNotNull()
+    s_then_c = signup & (F.col("t_click") > F.col("t_signup"))
+    full = s_then_c & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.col("t_signup")).alias("n_signup"),
+        F.count(F.when(s_then_c, 1)).alias("n_signup_then_click"),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+    )
