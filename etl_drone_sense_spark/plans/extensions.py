@@ -844,3 +844,24 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(s_then_c, 1)).alias("n_signup_then_click"),
         F.count(F.when(full, 1)).alias("n_full_funnel"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, length(text) * 10 + 1, 1000)) AS BIGINT)
+               AS sample_ms
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling work list: one row per (media, sample point),
+    sized by duration metadata. The decode of each sampled frame is the
+    stubbed codec step; this exploded plan IS the distributed work list a
+    1000-executor extraction job consumes."""
+    media = multimodal.media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("sample_ms").cast("long").alias("sample_ms")
+    )

@@ -1,0 +1,64 @@
+"""Similarity-search quality: IVF approximation recall vs the exact scan.
+
+Correctness of the IVF *mechanics* is oracle-checked (sim_ivf_topk); this
+checks the *quality* contract — probing nprobe cells recovers most of the
+true top-k — and that cell assignment matches the brute-force nearest
+centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_drone_sense_spark.operators.similarity import (
+    assign_cells,
+    ivf_topk_cosine,
+    topk_cosine,
+)
+from etl_drone_sense_spark.sources.readers import read_table
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+
+    exact = {r["vec_id"] for r in topk_cosine(emb, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk_cosine(emb, q, centroids, k=10, nprobe=4).collect()
+    }
+    # nprobe=4 of 8 cells: at least half the true top-10 must be recovered
+    # (on this fixture recall is typically much higher).
+    assert len(exact & approx) >= 5
+    assert len(approx) == 10
+
+
+def test_assign_cells_matches_bruteforce_nearest(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    centroids = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 4
+    ).select(F.col("vec_id").alias("cell_id"), "embedding")
+    assigned = {
+        r["vec_id"]: r["cell_id"]
+        for r in assign_cells(emb, centroids).collect()
+    }
+
+    import math
+
+    cents = {r["cell_id"]: r["embedding"] for r in centroids.collect()}
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return dot / (na * nb)
+
+    for r in emb.collect():
+        best = max(
+            sorted(cents),  # tie-break: lowest cell_id, like the operator
+            key=lambda cid: (round(cos(r["embedding"], cents[cid]), 9), -cid),
+        )
+        assert assigned[r["vec_id"]] == best, r["vec_id"]
