@@ -189,3 +189,34 @@ def drone_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("properties.sensor.range"), 4).alias("range_m"),
         F.col("properties.sensor.fov").alias("fov"),
     )
+
+
+@register(
+    "drone_features_multivideo",
+    oracle=f"""
+    SELECT 'drone-' || CAST(c_custkey AS VARCHAR) AS id,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 0
+                     WHEN c_custkey % 3 = 1 THEN 1
+                     ELSE 2 END AS INT) AS n_video_sensors,
+           CASE WHEN c_custkey % 3 = 1 THEN 'rtsp://r/' || CAST(c_custkey AS VARCHAR)
+                WHEN c_custkey % 3 = 2 THEN 'rtsp://r1/' || CAST(c_custkey AS VARCHAR)
+                     || ',' || 'rtsp://r2/' || CAST(c_custkey AS VARCHAR)
+                ELSE '' END AS video_urls
+    FROM customer
+    """,
+    tags=("drone", "extension"),
+)
+def drone_features_multivideo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own deferred feature (task.ts:144 'TODO: Handle
+    multiple videos') as an engine extension: ALL rtsp-capable sensors per
+    drone instead of first-match-only. Same narrow array-expression shape —
+    filter preserves order, transform projects urls."""
+    drones = synth_drones(spark, sf_dir)
+    vids = F.filter(F.col("sensors"), lambda s: s["rtsp_url"].isNotNull())
+    return drones.select(
+        F.col("id"),
+        F.size(vids).alias("n_video_sensors"),
+        F.array_join(
+            F.transform(vids, lambda s: s["rtsp_url"]), ","
+        ).alias("video_urls"),
+    )
