@@ -6,9 +6,11 @@ analytics user needs, expressed as DataFrame programs with DuckDB oracle
 SQL for the driver's differential gate.
 
 Scale notes are attached per query; the recurring ones:
-* dimension joins (region/nation/supplier/part, and filtered customer) are
-  explicitly ``broadcast()`` — at 100 TB the fact table never shuffles for
-  a dim join;
+* always-tiny dimensions (region/nation, literal bucket tables) carry an
+  explicit ``broadcast()`` hint; SF-dependent dims (customer, supplier)
+  deliberately do NOT — below the broadcast threshold they broadcast
+  anyway, above it the planner falls back to a shuffle join, whereas a
+  hint would force a multi-GB broadcast at large SF;
 * aggregations use map-side-combinable exact decimal sums (registry.dsum);
 * every top-k is ``orderBy().limit()`` which Spark executes as
   TakeOrderedAndProject (per-partition heaps — no global sort).
@@ -96,11 +98,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
 
-    Scale: the filtered customer set is broadcast (no shuffle of orders on
-    custkey); lineitem⨝orders shuffles on orderkey only after both sides'
-    filters prune; top-10 is a heap, not a sort."""
-    cust = F.broadcast(
-        t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    Scale: the filtered customer set broadcasts while it fits the
+    threshold (no shuffle of orders on custkey) — deliberately NOT a
+    broadcast() hint, because a hint forces the broadcast even when the
+    segment is millions of rows at large SF; the size threshold makes the
+    fallback to a shuffle join automatic. lineitem⨝orders shuffles on
+    orderkey only after both sides' filters prune; top-10 is a heap."""
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
     )
     cutoff = F.lit("1998-06-15 00:00:00").cast("timestamp")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
@@ -138,22 +143,23 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: snowflake join through region→nation→customer with a
     co-nation supplier constraint.
 
-    Scale: region/nation/supplier are tiny → broadcast; customer broadcasts
-    after the region filter; only orders⨝lineitem shuffles."""
+    Scale: region/nation are always tiny → explicit broadcast hints.
+    customer and supplier get NO hint: below the broadcast threshold they
+    broadcast anyway (the local plan), above it the planner falls back to
+    a shuffle join — a hint would force a multi-GB broadcast at SF100+.
+    Only orders⨝lineitem must shuffle at any scale."""
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf_dir, "nation")
     c = t(spark, sf_dir, "customer")
-    dims = F.broadcast(
-        r.join(n, n.n_regionkey == r.r_regionkey).join(
-            c, c.c_nationkey == F.col("n_nationkey")
-        )
+    dims = F.broadcast(r.join(n, n.n_regionkey == r.r_regionkey)).join(
+        c, c.c_nationkey == F.col("n_nationkey")
     )
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
     )
     li = t(spark, sf_dir, "lineitem")
-    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    s = t(spark, sf_dir, "supplier")
     return (
         dims.join(o, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
