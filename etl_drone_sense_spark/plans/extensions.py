@@ -865,3 +865,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_ms=1000).select(
         "media_id", F.col("sample_ms").cast("long").alias("sample_ms")
     )
+
+
+@register(
+    "dedup_keep_rows",
+    oracle=f"""
+    WITH {_minhash_sig_cte()},
+    {_lsh_pairs_cte()},
+    agree AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE ({_MH_AGREE}) / {float(MH_K)} >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM agree)
+    """,
+    tags=("dedup", "lsh"),
+)
+def dedup_keep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup PIPELINE, not just detection: near-dup pairs at
+    est_jaccard ≥ 0.5 → drop the higher-id member of each pair (id_a < id_b
+    makes min-id the canonical survivor) via a left-anti join. This is the
+    query a corpus-cleaning job actually runs."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=MH_K, bands=MH_BANDS,
+        threshold=0.5, shingle_n=SHINGLE_N,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

@@ -68,3 +68,38 @@ def partitioned_parquet(
     """Hive-partitioned parquet sink — the default layout for 100 TB outputs
     (partition pruning on read; one writer task per partition via AQE)."""
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def compact_small_files(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact a directory of many small parquet files into ~target-sized
+    ones (the small-files problem: at 100 TB a scan over millions of tiny
+    files is dominated by open/footer overhead and driver listing).
+
+    Returns the output file count. Sizing uses the on-disk byte total —
+    cheap driver-side listing, no data pass — then one shuffle-free
+    coalesce when shrinking (or a repartition when the directory is one
+    giant file that needs splitting).
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: replace the directory contents
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_out

@@ -130,3 +130,34 @@ def test_rest_post_batches(spark, sf_dir):
     assert sum(len(d["features"]) for d in docs) == n
     assert all(len(d["features"]) <= 40 for d in docs)
     assert all(d["type"] == "FeatureCollection" for d in docs)
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """A lake reality: files written before/after a column was added must
+    read as one relation (mergeSchema), old rows null for the new column."""
+    nation = readers.read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "evolving")
+    nation.write.parquet(out + "/v1")
+    nation.withColumn("population", F.lit(1000).cast("long")).write.parquet(
+        out + "/v2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        out + "/v1", out + "/v2"
+    )
+    assert "population" in merged.columns
+    assert merged.count() == 2 * nation.count()
+    assert merged.filter(F.col("population").isNull()).count() == nation.count()
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    events = readers.read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "fragmented")
+    events.repartition(40).write.parquet(path)  # 40 tiny files
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 40
+    n_total = events.count()
+    n_out = sinks.compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == n_out < 40
+    assert spark.read.parquet(path).count() == n_total
