@@ -161,3 +161,32 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     files = glob.glob(path + "/*.parquet")
     assert len(files) == n_out < 40
     assert spark.read.parquet(path).count() == n_total
+
+
+def test_custom_python_datasource(spark, sf_dir, tmp_path):
+    """spark.read.format('dronesense'): one partition per landing file,
+    declared schema, same rows as the built-in JSON reader."""
+    from etl_drone_sense_spark.sources import datasource
+
+    landing = tmp_path / "ds_landing"
+    landing.mkdir()
+    drones = synth_drones(spark, sf_dir).limit(20).collect()
+    half = len(drones) // 2
+    for name, chunk in [("a.jsonl", drones[:half]), ("b.jsonl", drones[half:])]:
+        with open(landing / name, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r.asDict(recursive=True)) + "\n")
+
+    datasource.register(spark)
+    df = spark.read.format("dronesense").load(str(landing))
+    assert df.schema == DRONE_LOCATION_SCHEMA
+    assert df.rdd.getNumPartitions() == 2  # one per landing file
+    expected = spark.read.schema(DRONE_LOCATION_SCHEMA).json(str(landing))
+    assert sorted(r["id"] for r in df.collect()) == sorted(
+        r["id"] for r in expected.collect()
+    )
+    got = {r["id"]: r for r in df.collect()}
+    exp = {r["id"]: r for r in expected.collect()}
+    assert got.keys() == exp.keys()
+    some = next(iter(got))
+    assert got[some]["sensors"] == exp[some]["sensors"]
