@@ -196,3 +196,81 @@ def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
         return pd.DataFrame(rows, columns=["label", "dim_idx", "centroid"])
 
     return emb.groupBy("label").applyInPandas(centroid, schema=out_schema)
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids with Lloyd's k-means as a DataFrame loop.
+
+    Deterministic: seeds are the k lowest-id vectors; each iteration is
+    assign (broadcast centroids, narrow pass) → elementwise-mean update as
+    ``dim`` per-dimension ``sum(element_at(...))`` aggregates — plain hash
+    aggregation with map-side partial combine, one shuffle of k×dim
+    partials per task, so a cell can hold billions of rows (a grouped-map
+    or collect_list update would buffer the whole cell). The centroid
+    relation is collected each round (k × dim doubles — driver negligible)
+    to close the loop, exactly how MLlib's driver loop works.
+
+    Returns (cell_id, embedding) centroids as array<double>.
+    """
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    cents = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("cell_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                vec_col
+            ),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_cells(emb, cents, id_col, vec_col)
+        sums = assigned.groupBy("cell_id").agg(
+            *[
+                F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+                    f"_s{i}"
+                )
+                for i in range(dim)
+            ],
+            F.count(F.lit(1)).alias("_n"),
+        )
+        cents = sums.select(
+            "cell_id",
+            F.array(
+                *[F.col(f"_s{i}") / F.col("_n") for i in range(dim)]
+            ).alias(vec_col),
+        )
+        # materialize this round's centroids (small) to cut the lineage
+        rows = cents.collect()
+        cents = emb.sparkSession.createDataFrame(
+            [(r["cell_id"], list(r[vec_col])) for r in rows],
+            f"cell_id int, {vec_col} array<double>",
+        )
+    return cents
+
+
+def kmeans_inertia(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean (1 - cosine-to-assigned-centroid): the convergence metric."""
+    assigned = assign_cells(emb, cents, id_col, vec_col)
+    joined = assigned.join(
+        F.broadcast(cents.select("cell_id", F.col(vec_col).alias("_c"))),
+        "cell_id",
+    )
+    row = joined.agg(
+        F.avg(1 - _cos(F.col(vec_col), F.col("_c"))).alias("inertia")
+    ).first()
+    return float(row["inertia"])

@@ -899,3 +899,20 @@ def dedup_keep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@register("sim_kmeans_ivf_topk", oracle=None, tags=("similarity", "ann", "iterative"))
+def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with TRAINED centroids: 3 Lloyd iterations (iterative
+    DataFrame loop, driver closes the loop like MLlib) then a 2-cell probe.
+    Rows-only check: the iterative trainer has no SQL oracle; the IVF
+    mechanics are oracle-checked in sim_ivf_topk and the trainer's
+    convergence/determinism in tests/test_similarity_quality.py."""
+    from ..operators.similarity import kmeans_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=3)
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    return similarity.ivf_topk_cosine(
+        emb, q, cents.withColumn("embedding", F.col("embedding")), k=10, nprobe=2
+    )

@@ -62,3 +62,25 @@ def test_assign_cells_matches_bruteforce_nearest(spark, sf_dir):
             key=lambda cid: (round(cos(r["embedding"], cents[cid]), 9), -cid),
         )
         assert assigned[r["vec_id"]] == best, r["vec_id"]
+
+
+def test_kmeans_training_converges(spark, sf_dir):
+    """Lloyd's iterations must not increase inertia, and trained centroids
+    must beat the raw seed choice for IVF cell quality."""
+    from etl_drone_sense_spark.operators.similarity import (
+        kmeans_inertia,
+        kmeans_train,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    c1 = kmeans_train(emb, k=4, iters=1)
+    c3 = kmeans_train(emb, k=4, iters=3)
+    i1, i3 = kmeans_inertia(emb, c1), kmeans_inertia(emb, c3)
+    assert i3 <= i1 + 1e-9
+    assert c3.count() <= 4  # empty cells may drop; never more than k
+
+    # determinism: same inputs → same centroids
+    again = kmeans_train(emb, k=4, iters=3)
+    a = sorted(map(tuple, ((r["cell_id"], tuple(r["embedding"])) for r in c3.collect())))
+    b = sorted(map(tuple, ((r["cell_id"], tuple(r["embedding"])) for r in again.collect())))
+    assert a == b
