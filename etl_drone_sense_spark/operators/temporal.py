@@ -75,3 +75,43 @@ def asof_join(
         F.col(f"_carry_{c}").alias(c) for c in payload
     ]
     return carried.filter(F.col("_is_left") == 1).select(*out_cols)
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Scalable point-in-interval join: bin to a grid, equi-join, verify.
+
+    A non-equi range condition alone forces a nested-loop join — broadcast
+    if one side is small, O(n·m) disaster if neither is. Binning makes it
+    an EQUI-join: each point lands in one bin; each interval explodes to
+    the bins it spans (``(hi-lo)/bin_width + 1`` rows — pick bin_width on
+    the order of the typical interval width); the exact predicate then
+    filters the co-binned candidates. One shuffle on the bin key, pair
+    work proportional to true matches, AQE handles hot bins.
+    """
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )

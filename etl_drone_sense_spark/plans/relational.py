@@ -1215,3 +1215,35 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.intersectAll(o)
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT o.o_orderkey, p.p_partkey, o.o_totalprice, p.p_retailprice
+    FROM orders o
+    JOIN part p
+      ON o.o_totalprice >= p.p_retailprice - 100.0
+     AND o.o_totalprice <  p.p_retailprice + 100.0
+    """,
+    tags=("join", "range"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable range join (operators.temporal.range_join_binned): orders
+    whose total price falls in a ±100 band around a part's retail price.
+    The oracle is the plain non-equi join; the Spark side bins both sides
+    to a 200-unit grid and equi-joins — the shape that survives when
+    NEITHER side is broadcastable (the broadcast-NLJ twin is
+    join_range_nonequi)."""
+    from ..operators.temporal import range_join_binned
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        (F.col("p_retailprice") - 100.0).alias("lo"),
+        (F.col("p_retailprice") + 100.0).alias("hi"),
+    )
+    return range_join_binned(o, p, "o_totalprice", "lo", "hi", 200.0).select(
+        "o_orderkey", "p_partkey", "o_totalprice", "p_retailprice"
+    )

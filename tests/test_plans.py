@@ -111,3 +111,29 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen" in plan
     assert "Found 0 WholeStageCodegen subtrees" not in plan
+
+
+def test_q5_falls_back_to_shuffle_join_when_dims_exceed_threshold(spark, sf_dir):
+    """The no-hint design claim: customer/supplier broadcast only via the
+    size threshold. With the threshold off, the same query must plan their
+    joins as shuffle joins instead of forcing a broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    # the explicit region⋈nation hint still broadcasts — hints ignore the
+    # threshold, which is exactly why SF-dependent dims must not carry one
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    """The binned range join must plan as a hash-partitioned equi-join on
+    the bin key — not the nested-loop its non-equi twin degrades to."""
+    plan = plan_of(spark, sf_dir, "join_range_binned")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

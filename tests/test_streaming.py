@@ -143,3 +143,28 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
     assert (t0 - timedelta(hours=2)) not in starts  # evicted: beyond watermark
     assert t0 in starts  # on-time window emitted
+
+
+def test_foreachbatch_sink(spark, events_dir, tmp_path):
+    """foreachBatch: arbitrary per-micro-batch sink logic (the idempotent
+    merge/upsert extension point). Each batch lands as parquet keyed by
+    batch id; the union of batches equals the input."""
+    out = str(tmp_path / "fb_out")
+    seen: list[int] = []
+
+    def handle(batch_df, batch_id: int):
+        seen.append(batch_id)
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    stream = SP.stream_events(spark, events_dir)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert seen, "at least one micro-batch must run"
+    total = spark.read.parquet(*[f"{out}/batch={b}" for b in seen]).count()
+    expected = spark.read.schema(TPCH_SCHEMAS["events"]).parquet(events_dir).count()
+    assert total == expected
