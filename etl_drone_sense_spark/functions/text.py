@@ -228,3 +228,30 @@ def fingerprint(col: Column) -> Column:
 
 def fingerprint_sql(col: str) -> str:
     return f"md5({normalize_sql(col)})"
+
+
+def winnow_fingerprints(col: Column, shingle_n: int = 3, window: int = 4) -> Column:
+    """Winnowing fingerprint set (MOSS): the min shingle-hash in every
+    sliding window of ``window`` consecutive k-gram hashes, deduplicated.
+
+    Guarantees at least one fingerprint per ``window + shingle_n - 1``
+    tokens, and that matching runs of that length between two documents
+    share a fingerprint — the standard local-fingerprinting scheme for
+    plagiarism/overlap detection. Built on the same one-md5-per-shingle
+    hash relation as minhash; pure array expressions.
+    """
+    hv = shingle_hashes(col, shingle_n)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hv) - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hv, i, window)),
+    )
+    return F.array_distinct(wins)
+
+
+def winnow_fingerprints_sql(col: str, shingle_n: int = 3, window: int = 4) -> str:
+    hv = shingle_hashes_sql(col, shingle_n)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({hv}) - {window - 1}, 1) + 1), "
+        f"i -> list_aggregate(list_slice({hv}, i, i + {window - 1}), 'min')))"
+    )

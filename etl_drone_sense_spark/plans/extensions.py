@@ -916,3 +916,22 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_cosine(
         emb, q, cents.withColumn("embedding", F.col("embedding")), k=10, nprobe=2
     )
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+    SELECT doc_id, unnest({TXT.winnow_fingerprints_sql('text', 3, 4)}) AS fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, exploded to (doc_id, fp)
+    rows — the local-fingerprint index for overlap detection; two docs
+    sharing a guaranteed-length run share an fp, so overlap lookup is an
+    equi-join on fp (same no-pair-space shape as corpus_contamination)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(TXT.winnow_fingerprints(F.col("text"), 3, 4)).alias("fp"),
+    )
