@@ -935,3 +935,19 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(TXT.winnow_fingerprints(F.col("text"), 3, 4)).alias("fp"),
     )
+
+
+@register("dedup_cluster_stats", oracle=None, tags=("dedup", "graph", "iterative"))
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: LSH pairs → connected components
+    (iterative min-label propagation) → per-cluster size + survivor.
+    Rows-only check: transitive closure is iterative (no SQL oracle); the
+    operator is ground-truthed against a sequential union-find in
+    tests/test_graph.py."""
+    from ..operators.graph import dedup_clusters as _clusters
+
+    pairs = dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
+    )
+    return _clusters(pairs)

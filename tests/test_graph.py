@@ -1,0 +1,57 @@
+"""Connected components vs a driver-side union-find (the iterative
+operator has no SQL oracle; an independent sequential implementation on
+the same edges is the ground truth)."""
+
+from __future__ import annotations
+
+from etl_drone_sense_spark.operators.dedup import minhash_lsh_pairs
+from etl_drone_sense_spark.operators.graph import connected_components, dedup_clusters
+from etl_drone_sense_spark.sources.readers import read_table
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min element of each set
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    edges = spark.createDataFrame(
+        # two chains and a triangle: (1-2-3-4), (10-11), (20-21-22-20)
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    expected = _union_find([(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)])
+    assert got == expected  # chain closure: 4 -> 1 even though (1,4) is no edge
+
+
+def test_dedup_clusters_from_lsh_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2, shingle_n=2)
+    clusters = dedup_clusters(pairs).collect()
+    raw_pairs = [(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()]
+    expected = _union_find(raw_pairs)
+    # cluster count and membership sizes must match union-find exactly
+    from collections import Counter
+
+    exp_sizes = Counter(Counter(expected.values()).values())
+    got_sizes = Counter(r["n_members"] for r in clusters)
+    assert Counter(got_sizes) == Counter(
+        {k: v for k, v in exp_sizes.items()}
+    ) or sorted(got_sizes.elements()) == sorted(exp_sizes.elements())
+    assert all(r["keep_id"] == r["component"] for r in clusters)
