@@ -230,6 +230,22 @@ def fingerprint_sql(col: str) -> str:
     return f"md5({normalize_sql(col)})"
 
 
+def winnow_from_hashes(hv: Column, window: int = 4) -> Column:
+    """Winnowing over a PRE-MATERIALIZED shingle-hash array column.
+
+    ``hv`` must be a plain column reference (e.g. via ``withColumn``), not
+    the hash expression itself: a captured expression subtree re-evaluates
+    on every lambda invocation of the window transform — the whole md5
+    pipeline would run once per window instead of once per row (measured
+    50× on the documents fixture).
+    """
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hv) - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hv, i, window)),
+    )
+    return F.array_distinct(wins)
+
+
 def winnow_fingerprints(col: Column, shingle_n: int = 3, window: int = 4) -> Column:
     """Winnowing fingerprint set (MOSS): the min shingle-hash in every
     sliding window of ``window`` consecutive k-gram hashes, deduplicated.
@@ -238,14 +254,13 @@ def winnow_fingerprints(col: Column, shingle_n: int = 3, window: int = 4) -> Col
     tokens, and that matching runs of that length between two documents
     share a fingerprint — the standard local-fingerprinting scheme for
     plagiarism/overlap detection. Built on the same one-md5-per-shingle
-    hash relation as minhash; pure array expressions.
+    hash relation as minhash.
+
+    Convenience one-expression form — re-evaluates the hash subtree per
+    window; the scalable path materializes hashes first and calls
+    ``winnow_from_hashes`` (see text_winnowing in plans/extensions.py).
     """
-    hv = shingle_hashes(col, shingle_n)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hv) - (window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hv, i, window)),
-    )
-    return F.array_distinct(wins)
+    return winnow_from_hashes(shingle_hashes(col, shingle_n), window)
 
 
 def winnow_fingerprints_sql(col: str, shingle_n: int = 3, window: int = 4) -> str:

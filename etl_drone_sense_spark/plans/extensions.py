@@ -930,10 +930,17 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints, exploded to (doc_id, fp)
     rows — the local-fingerprint index for overlap detection; two docs
     sharing a guaranteed-length run share an fp, so overlap lookup is an
-    equi-join on fp (same no-pair-space shape as corpus_contamination)."""
-    return t(spark, sf_dir, "documents").select(
+    equi-join on fp (same no-pair-space shape as corpus_contamination).
+    The shingle-hash array materializes into a column first so the md5
+    pipeline runs once per row, not once per winnowing window."""
+    from ..sources.readers import rebalance_for_compute
+
+    hv = rebalance_for_compute(t(spark, sf_dir, "documents")).withColumn(
+        "_hv", TXT.shingle_hashes(F.col("text"), 3)
+    )
+    return hv.select(
         "doc_id",
-        F.explode(TXT.winnow_fingerprints(F.col("text"), 3, 4)).alias("fp"),
+        F.explode(TXT.winnow_from_hashes(F.col("_hv"), 4)).alias("fp"),
     )
 
 
