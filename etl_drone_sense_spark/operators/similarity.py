@@ -141,9 +141,15 @@ def embedding_near_pairs(
     """Embedding-cosine near-duplicate pairs within blocking cells.
 
     The self-join key is the block column (IVF cell / cluster label), so the
-    pair space is Σ|cell|², not n². Returns (id_a, id_b, cosine) pairs."""
+    pair space is Σ|cell|², not n². Per-vector norms are computed once on
+    each join side, not once per pair (each vector participates in O(|cell|)
+    pairs; the division order matches ``vectors.cosine`` bit-for-bit).
+    Returns (id_a, id_b, cosine) pairs."""
     side = corpus.select(
-        F.col(id_col), F.col(vec_col), F.col(block_col).alias("_blk")
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(block_col).alias("_blk"),
+        V.norm(F.col(vec_col)).alias("_nrm"),
     )
     a, b = side.alias("a"), side.alias("b")
     return (
@@ -157,9 +163,11 @@ def embedding_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(_cos(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._nrm") * F.col("b._nrm")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
