@@ -199,19 +199,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding",
     oracle=f"""
+    WITH seeded AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000 AS vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05) AS embedding,
+               label
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM seeded a
+    JOIN seeded b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.8
     """,
     tags=("dedup", "similarity"),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by cluster label (the IVF
-    cell at scale): pair space is Σ|cell|², never n²."""
+    cell at scale): pair space is Σ|cell|², never n².
+
+    The fixture's within-label cosines top out ≈0.47, so a 0.8 threshold on
+    the raw table proves nothing (round-1 oracle row was 0 = 0). Every 10th
+    vector is therefore unioned back in as a deterministic near-duplicate
+    companion (per-dim +0.05 shift ⇒ cosine ≈ 0.9987), mirrored in the
+    oracle SQL, so the green row certifies real pair math on ≥ N pairs."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    companions = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.05)).alias(
+            "embedding"
+        ),
+        F.col("label"),
+    )
     return similarity.embedding_near_pairs(
-        t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.8
+        emb.unionByName(companions), block_col="label", threshold=0.8
     )
 
 
