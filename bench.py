@@ -19,6 +19,7 @@ import statistics
 import sys
 import time
 
+from etl_drone_sense_spark.caching import release_caches
 from etl_drone_sense_spark.plans.registry import bench_queries
 from etl_drone_sense_spark.session import get_spark
 
@@ -41,6 +42,7 @@ def main() -> None:
 
     def run(fn, d):
         fn(spark, d).write.mode("overwrite").format("noop").save()
+        release_caches()  # don't let one query's scoped caches skew the next
 
     if os.path.isdir(warm_dir):
         for fn in queries.values():

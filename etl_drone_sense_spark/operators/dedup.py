@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..functions import text as TXT
 from ..sources.readers import rebalance_for_compute
 
@@ -112,8 +113,8 @@ def minhash_lsh_pairs(
             F.col(id_col),
             TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv"),
         )
-        .persist()
     )
+    hv = scoped_persist("dedup.minhash_hashes", hv)
     sig = hv.select(
         F.col(id_col), minhash_from_hashes(F.col("hv"), k).alias("mhs")
     )
@@ -179,8 +180,9 @@ def ngram_jaccard_pairs(
                 TXT.word_shingles(F.col(text_col), shingle_n)
             ).alias("sh"),
         )
-        .persist()  # joined twice (id_a side and id_b side)
     )
+    # joined twice (id_a side and id_b side)
+    sets = scoped_persist("dedup.jaccard_sets", sets)
     joined = (
         cands.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
@@ -238,7 +240,9 @@ def simhash_pairs(
                 *[F.substring("simhash", b * width + 1, width) for b in range(blocks)]
             )
         ).alias("block_idx", "block_val"),
-    ).persist()  # both sides of the self-join
+    )
+    # both sides of the self-join
+    exploded = scoped_persist("dedup.simhash_blocks", exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(

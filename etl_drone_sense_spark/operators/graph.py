@@ -19,6 +19,8 @@ near-identical docs), so rounds stay in the low single digits.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,7 +55,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy(F.col("u").alias("node"))
@@ -78,7 +83,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partial labels are silently wrong for any component whose graph
+        # diameter exceeds max_iters (long near-duplicate chains) — make
+        # that loud instead of returning them as if final.
+        warnings.warn(
+            f"connected_components did not converge after {rounds} rounds; "
+            "labels may be partial — raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -24,7 +24,12 @@ from .config import Environment
 from .operators.feature_transform import drone_features
 from .schemas import DRONE_LOCATION_SCHEMA
 from .sources.readers import fetch_drone_records
-from .sources.sinks import feature_collection_json, rest_post_batches
+from .sources.sinks import (
+    EtlEndpoint,
+    RestPoster,
+    feature_collection_json,
+    rest_post_batches,
+)
 
 # Environment as a StructType for capability reporting (task.ts:74-82).
 ENVIRONMENT_SCHEMA = T.StructType(
@@ -79,3 +84,33 @@ def run_ingest(
     if post is not None:
         rest_post_batches(feats, post, batch_size=batch_size)
     return feats
+
+
+def handler(
+    event: dict | None = None,
+    spark: SparkSession | None = None,
+    payload: list | None = None,
+    transport: Callable[[str, str], None] | None = None,
+    batch_size: int = 500,
+) -> dict:
+    """Scheduled-invocation entry point (reference task.ts:221-223).
+
+    The reference exports a Lambda ``handler(event)`` that runs the same
+    ``control()`` dataflow on a schedule, with the submit target provided
+    by the runtime as ``ETL_API``/``ETL_LAYER`` env (README.md:14-22).
+    This is that contract: resolve the endpoint from env, run the ingest,
+    POST features executor-side, return a run summary. ``transport``
+    replaces the network for offline runs; ``payload`` injects pre-fetched
+    records (tests / replays).
+    """
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession; pass spark=")
+    endpoint = EtlEndpoint.from_env()
+    env = Environment.from_env()
+    records = fetch_drone_records(spark, api_key=env.DroneSenseToken, _payload=payload)
+    feats = drone_features(records)
+    n = rest_post_batches(
+        feats, RestPoster(endpoint.url, transport=transport), batch_size=batch_size
+    )
+    return {"event": event or {}, "layer": endpoint.layer, "features": n}

@@ -147,8 +147,11 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     The parsed relation is cached first: Spark disallows queries that touch
     only ``_corrupt_record`` on a raw file scan (QUERY_ONLY_CORRUPT_RECORD_
-    COLUMN), and both branches scan it anyway — cache once, filter twice."""
-    df = df.cache()
+    COLUMN), and both branches scan it anyway — cache once, filter twice
+    (scoped: a repeat invocation releases the previous call's cache)."""
+    from ..caching import scoped_persist
+
+    df = scoped_persist("readers.quarantine", df)
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return good, bad

@@ -1,23 +1,30 @@
 """Sink adapters (SURVEY §2 A18/A19).
 
 The reference POSTs one FeatureCollection JSON document per run
-(task.ts:216). The engine offers:
+(task.ts:216), with the target resolved from ``ETL_API``/``ETL_LAYER``
+env (reference README.md:14-22). The engine offers:
 
 * ``features_parquet`` / ``features_jsonl`` — row-per-feature distributed
   sinks (the scale path: every executor writes its partition);
 * ``feature_collection_json`` — single-document parity sink (driver-side
   assembly; only for reference-sized payloads);
-* ``rest_post_batches`` — REST sink via ``foreachPartition``-style batching,
-  stubbed to a callable so tests can capture payloads without a network.
+* ``rest_post_batches`` — executor-side REST sink: each partition POSTs its
+  own batches, so the output never funnels through the driver;
+* ``EtlEndpoint`` / ``RestPoster`` — the reference's env-configured submit
+  target as a picklable POST callable.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..config import ConfigError
 
 
 def features_parquet(features: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -43,23 +50,91 @@ def rest_post_batches(
     post: Callable[[str], None],
     batch_size: int = 500,
 ) -> int:
-    """POST features in batches. ``post`` receives one FeatureCollection
-    JSON body per batch; injection keeps tests offline. Batching happens
-    per-partition on executors via ``toJSON`` so the driver never holds the
-    full dataset.
+    """POST features as batched FeatureCollection documents, executor-side.
+
+    ``post`` is shipped in the task closure and invoked WHERE each
+    partition lives: every partition slices itself into ≤ ``batch_size``
+    FeatureCollection bodies and POSTs them locally, so a 1000-executor
+    job fans the submit load across the cluster instead of serializing the
+    whole output through one driver process (the reference posts a single
+    document per run, task.ts:216 — fine at drone-fleet size, not at
+    100 TB). ``post`` must therefore be picklable — a ``RestPoster`` bound
+    to an endpoint URL, or a file-writing capture in tests. Runs one Spark
+    job; returns the total number of features POSTed.
     """
-    n = 0
-    batch: list[dict] = []
-    for r in features.toJSON().toLocalIterator():
-        batch.append(json.loads(r))
-        if len(batch) >= batch_size:
+
+    def _post_partition(lines):
+        n = 0
+        batch: list[dict] = []
+        for r in lines:
+            batch.append(json.loads(r))
+            if len(batch) >= batch_size:
+                post(json.dumps({"type": "FeatureCollection", "features": batch}))
+                n += len(batch)
+                batch = []
+        if batch:
             post(json.dumps({"type": "FeatureCollection", "features": batch}))
             n += len(batch)
-            batch = []
-    if batch:
-        post(json.dumps({"type": "FeatureCollection", "features": batch}))
-        n += len(batch)
-    return n
+        yield n
+
+    return sum(features.toJSON().mapPartitions(_post_partition).collect())
+
+
+@dataclass(frozen=True)
+class EtlEndpoint:
+    """The reference's submit target, resolved from env (README.md:14-22):
+    ``ETL_API`` is the CloudTAK base URL, ``ETL_LAYER`` the layer id the
+    features are attributed to (task.ts:216 submits via the base library
+    using exactly these two variables)."""
+
+    api: str
+    layer: str
+    path_template: str = "{api}/api/layer/{layer}/cot"
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "EtlEndpoint":
+        env = dict(os.environ) if env is None else env
+        missing = [k for k in ("ETL_API", "ETL_LAYER") if not env.get(k)]
+        if missing:
+            raise ConfigError(f"missing env: {', '.join(missing)}")
+        return cls(api=env["ETL_API"].rstrip("/"), layer=env["ETL_LAYER"])
+
+    @property
+    def url(self) -> str:
+        return self.path_template.format(api=self.api, layer=self.layer)
+
+
+class RestPoster:
+    """Picklable POST callable for ``rest_post_batches``.
+
+    Instances carry only plain attributes (url/headers/timeout), so the
+    task closure serializes cleanly to executors; the HTTP client is
+    imported lazily inside the call, on the executor. ``transport``
+    (url, body) → None substitutes the network for offline tests and must
+    itself be picklable."""
+
+    def __init__(
+        self,
+        url: str,
+        headers: dict[str, str] | None = None,
+        timeout: float = 12.0,  # reference connection networkTimeout=12000 ms
+        transport: Callable[[str, str], None] | None = None,
+    ):
+        self.url = url
+        self.headers = {"Content-Type": "application/json", **(headers or {})}
+        self.timeout = timeout
+        self.transport = transport
+
+    def __call__(self, body: str) -> None:
+        if self.transport is not None:
+            self.transport(self.url, body)
+            return
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url, data=body.encode("utf-8"), headers=self.headers, method="POST"
+        )
+        urllib.request.urlopen(req, timeout=self.timeout)  # noqa: S310
 
 
 def partitioned_parquet(
@@ -81,9 +156,20 @@ def compact_small_files(
     cheap driver-side listing, no data pass — then one shuffle-free
     coalesce when shrinking (or a repartition when the directory is one
     giant file that needs splitting).
+
+    LOCAL-FILESYSTEM ONLY, and the directory swap is not atomic (POSIX has
+    no atomic two-directory exchange). The swap is ordered so no step
+    deletes the only copy: the old directory is renamed aside first, the
+    compacted one renamed in, and only then is the old copy removed — a
+    crash at any point leaves a complete dataset on disk (possibly under
+    the ``._compact_old`` name, recoverable by a rename). On an object
+    store the equivalent operator writes a new versioned prefix and
+    atomically repoints a manifest/table pointer (Iceberg/Delta commit
+    semantics) instead of renaming.
     """
     import math
     import os
+    import shutil
 
     total = sum(
         os.path.getsize(os.path.join(root, f))
@@ -95,11 +181,17 @@ def compact_small_files(
     df = spark.read.parquet(path)
     cur = df.rdd.getNumPartitions()
     out = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
-    tmp = path.rstrip("/") + "._compact_tmp"
+    base = path.rstrip("/")
+    tmp = base + "._compact_tmp"
+    old = base + "._compact_old"
     out.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap: replace the directory contents
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    if os.path.exists(old):  # leftover from an earlier crashed swap
+        shutil.rmtree(old)
+    os.rename(base, old)  # old data intact, set aside
+    try:
+        os.rename(tmp, base)  # compacted data takes over
+    except BaseException:
+        os.rename(old, base)  # restore; nothing was deleted
+        raise
+    shutil.rmtree(old)  # only now is the superseded copy dropped
     return n_out

@@ -55,3 +55,23 @@ def test_dedup_clusters_from_lsh_pairs(spark, sf_dir):
         {k: v for k, v in exp_sizes.items()}
     ) or sorted(got_sizes.elements()) == sorted(exp_sizes.elements())
     assert all(r["keep_id"] == r["component"] for r in clusters)
+
+
+def test_nonconvergence_warns(spark):
+    """A path graph needs ~diameter rounds; with max_iters below that the
+    operator must warn rather than silently return partial labels."""
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(edges, max_iters=2)
+    assert any("did not converge" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components(edges, max_iters=20)
+    assert not caught
+    assert {r["component"] for r in labels.collect()} == {0}

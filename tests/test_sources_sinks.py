@@ -120,16 +120,42 @@ def test_feature_collection_json_document(spark, sf_dir):
     assert all(f["type"] == "Feature" for f in doc["features"])
 
 
-def test_rest_post_batches(spark, sf_dir):
-    feats = drone_features(synth_drones(spark, sf_dir))
+def test_rest_post_batches(spark, sf_dir, tmp_path):
+    from tests.helpers import CapturePoster, read_bodies
+
+    feats = drone_features(synth_drones(spark, sf_dir)).repartition(4)
     n = feats.count()
-    bodies: list[str] = []
-    posted = sinks.rest_post_batches(feats, bodies.append, batch_size=40)
+    posted = sinks.rest_post_batches(feats, CapturePoster(tmp_path), batch_size=40)
     assert posted == n
-    docs = [json.loads(b) for b in bodies]
+    docs = [json.loads(b) for b in read_bodies(tmp_path)]
     assert sum(len(d["features"]) for d in docs) == n
     assert all(len(d["features"]) <= 40 for d in docs)
     assert all(d["type"] == "FeatureCollection" for d in docs)
+
+
+def test_rest_post_batches_partition_local(spark, sf_dir, tmp_path):
+    """With batch_size above the row count, exactly one body per non-empty
+    partition appears — proof the batching runs partition-local on
+    executors rather than funneling rows through the driver."""
+    from tests.helpers import CapturePoster, read_bodies
+
+    feats = drone_features(synth_drones(spark, sf_dir)).repartition(4)
+    posted = sinks.rest_post_batches(
+        feats, CapturePoster(tmp_path), batch_size=1_000_000
+    )
+    assert posted == feats.count()
+    assert len(read_bodies(tmp_path)) == 4
+
+
+def test_etl_endpoint_from_env():
+    from etl_drone_sense_spark.config import ConfigError
+
+    ep = sinks.EtlEndpoint.from_env(
+        {"ETL_API": "http://localhost:5001/", "ETL_LAYER": "19"}
+    )
+    assert ep.url == "http://localhost:5001/api/layer/19/cot"
+    with pytest.raises(ConfigError):
+        sinks.EtlEndpoint.from_env({"ETL_API": "http://x"})
 
 
 def test_schema_evolution_merge(spark, sf_dir, tmp_path):
@@ -190,3 +216,42 @@ def test_custom_python_datasource(spark, sf_dir, tmp_path):
     assert got.keys() == exp.keys()
     some = next(iter(got))
     assert got[some]["sensors"] == exp[some]["sensors"]
+
+
+def test_compact_tolerates_leftover_old_dir(spark, sf_dir, tmp_path):
+    """A crash after the aside-rename leaves a ._compact_old directory; the
+    next compaction run must clean it up and still succeed."""
+    import glob
+    import os
+
+    events = readers.read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "fragmented")
+    events.repartition(10).write.parquet(path)
+    os.makedirs(path + "._compact_old/junk")
+    n_total = events.count()
+    sinks.compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+    assert spark.read.parquet(path).count() == n_total
+
+
+def test_scoped_persist_bounded(spark):
+    """Repeated invocations keep at most one live cache per key; release
+    drops them all (ADVICE: long-lived sessions must not accumulate)."""
+    from etl_drone_sense_spark.caching import (
+        live_cache_count,
+        release_caches,
+        scoped_persist,
+    )
+
+    release_caches()
+    a = scoped_persist("test.k", spark.range(10))
+    a.count()
+    assert a.storageLevel.useMemory
+    b = scoped_persist("test.k", spark.range(20))
+    b.count()
+    assert not a.storageLevel.useMemory  # previous holder released
+    assert live_cache_count() == 1
+    release_caches()
+    assert live_cache_count() == 0
+    assert not b.storageLevel.useMemory
