@@ -270,3 +270,113 @@ def winnow_fingerprints_sql(col: str, shingle_n: int = 3, window: int = 4) -> st
         f"range(1, greatest(len({hv}) - {window - 1}, 1) + 1), "
         f"i -> list_aggregate(list_slice({hv}, i, i + {window - 1}), 'min')))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker-n-gram classifier)
+# ---------------------------------------------------------------------------
+
+# High-frequency function words (space-padded: whole-token substring match
+# over the space-padded normalized text) and common CJK characters — the
+# standard frequency-profile langid signal, rendered as pure string
+# expressions so scoring stays JVM-side / oracle-mirrorable. Marker sets are
+# deliberately disjoint where languages share function words (no ' la '/
+# ' que ', which are both es and fr).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": (
+        " der ", " die ", " das ", " und ", " ist ", " nicht ",
+        " ein ", " mit ", " dem ", " zu ",
+    ),
+    "en": (
+        " the ", " and ", " of ", " to ", " is ", " that ",
+        " it ", " for ", " was ", " this ",
+    ),
+    "es": (
+        " el ", " los ", " una ", " por ", " con ", " para ",
+        " son ", " muy ", " tiene ", " pero ",
+    ),
+    "fr": (
+        " les ", " des ", " dans ", " pour ", " est ", " une ",
+        " du ", " nous ", " avec ", " le ",
+    ),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "们", "一", "个"),
+}
+
+LANGS = tuple(sorted(LANG_MARKERS))
+
+
+def padded_sql(col: str) -> str:
+    """Space-padded normalized text — the langid match surface."""
+    return f"(' ' || {normalize_sql(col)} || ' ')"
+
+
+def _marker_count_sql(t: str, marker: str) -> str:
+    esc = marker.replace("'", "''")
+    return (
+        f"CAST((length({t}) - length(replace({t}, '{esc}', '')))"
+        f" / {len(marker)} AS INT)"
+    )
+
+
+def langid_score_sql(t: str, lang: str) -> str:
+    """Occurrence count of ``lang``'s markers in padded text ``t``."""
+    return "(" + " + ".join(_marker_count_sql(t, m) for m in LANG_MARKERS[lang]) + ")"
+
+
+def langid_predict_sql(t: str) -> str:
+    """Predicted language of padded text ``t``: argmax of marker counts,
+    ties broken alphabetically, 'und' (undetermined) when no marker fires.
+
+    The rendering uses only length/replace/CASE/comparison — identical
+    syntax and semantics in Spark SQL and DuckDB, so the SAME string is
+    both the engine expression (via ``F.expr``) and the oracle SQL.
+    """
+    scores = {lang: langid_score_sql(t, lang) for lang in LANGS}
+    total = " + ".join(scores.values())
+    whens = []
+    for i, lang in enumerate(LANGS[:-1]):
+        cond = " AND ".join(
+            f"{scores[lang]} >= {scores[o]}" for o in LANGS[i + 1 :]
+        )
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return (
+        f"CASE WHEN {total} = 0 THEN 'und' "
+        + " ".join(whens)
+        + f" ELSE '{LANGS[-1]}' END"
+    )
+
+
+def padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), normalize(col), F.lit(" "))
+
+
+def _marker_count(t: Column, marker: str) -> Column:
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("int")
+
+
+def langid_score(t: Column, lang: str) -> Column:
+    s = _marker_count(t, LANG_MARKERS[lang][0])
+    for m in LANG_MARKERS[lang][1:]:
+        s = s + _marker_count(t, m)
+    return s
+
+
+def langid_predict(col: Column) -> Column:
+    """Column form of the classifier (same CASE structure as the SQL
+    rendering): argmax of marker counts over the padded normalized text,
+    alphabetical tie-break, 'und' when no marker fires."""
+    t = padded(col)
+    scores = {lang: langid_score(t, lang) for lang in LANGS}
+    total = scores[LANGS[0]]
+    for lang in LANGS[1:]:
+        total = total + scores[lang]
+    out = F.when(total == 0, F.lit("und"))
+    for i, lang in enumerate(LANGS[:-1]):
+        cond = F.lit(True)
+        for o in LANGS[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[o])
+        out = out.when(cond, F.lit(lang))
+    return out.otherwise(F.lit(LANGS[-1]))

@@ -379,6 +379,74 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Genuinely multilingual sentences with known labels, unioned into the
+# langid query: the fixture's text is synthetic word-salad under EVERY
+# label (no language signal), so these seeds are what makes the prediction
+# check non-vacuous — each seeded language must come back predicted as
+# itself. Original sentences (no corpus text).
+LANGID_SEEDS: tuple[tuple[str, str], ...] = (
+    ("de", "der hund läuft über die straße und das wetter ist heute nicht gut "
+           "aber wir fahren mit dem zug in die stadt"),
+    ("de", "die kinder spielen in dem garten und der vater liest ein buch das "
+           "ist eine gute geschichte"),
+    ("en", "the quick brown fox jumps over the lazy dog and that is the reason "
+           "we went to the market for apples"),
+    ("en", "it was the best of times and it was the worst of times for this city"),
+    ("es", "el perro corre por la calle y los vecinos son muy amables pero una "
+           "casa tiene que costar mucho para ellos"),
+    ("es", "los estudiantes son muy buenos y el profesor tiene una manera clara "
+           "de explicar para todos"),
+    ("fr", "le chat dort dans la maison et les enfants jouent pour une heure "
+           "avec nous dans le jardin du village"),
+    ("fr", "nous voyageons dans les montagnes avec des amis pour une semaine du "
+           "printemps"),
+    ("zh", "今天的天气很好我们在公园里散步了他有一本书和我的朋友们一起看"),
+    ("zh", "我是一个学生在学校里学习了很多有用的知识和朋友们的帮助"),
+)
+
+
+def _langid_seed_values() -> str:
+    return ", ".join(
+        "('" + lang + "', '" + txt.replace("'", "''") + "')"
+        for lang, txt in LANGID_SEEDS
+    )
+
+
+@register(
+    "text_langid_predict",
+    oracle=f"""
+    WITH seed(lang, text) AS (VALUES {_langid_seed_values()}),
+    docs AS (
+        SELECT lang, text FROM documents
+        UNION ALL SELECT lang, text FROM seed
+    ),
+    scored AS (
+        SELECT lang, {TXT.langid_predict_sql('_t')} AS predicted
+        FROM (SELECT lang, {TXT.padded_sql('text')} AS _t FROM docs)
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM scored GROUP BY lang, predicted
+    """,
+    tags=("text", "langid"),
+)
+def text_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification that actually predicts: marker-n-gram
+    frequency scoring (functions/text.py LANG_MARKERS) as pure string
+    expressions, argmax per document, confusion counts per (label,
+    predicted). Narrow scan + one small shuffle on (lang, predicted) —
+    scale-indifferent. Seeded multilingual sentences (LANGID_SEEDS) make
+    the check non-vacuous; accuracy on them is asserted in
+    tests/test_properties.py."""
+    docs = t(spark, sf_dir, "documents").select("lang", "text")
+    seed = spark.createDataFrame(list(LANGID_SEEDS), "lang string, text string")
+    return (
+        docs.unionByName(seed)
+        .select("lang", TXT.langid_predict(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register(
     "text_token_freq",
     oracle=f"""

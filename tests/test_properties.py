@@ -162,3 +162,25 @@ def test_split_assignment_is_stable_and_complete(spark):
     frac_train = sum(1 for s in a.values() if s == "train") / len(a)
     assert 0.7 < frac_train < 0.9
     assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_langid_predicts_seeds_and_held_out(spark):
+    """The marker-n-gram classifier must identify every seeded sentence and
+    held-out sentences it never saw; signal-free text is 'und'."""
+    from etl_drone_sense_spark.functions.text import langid_predict
+    from etl_drone_sense_spark.plans.extensions import LANGID_SEEDS
+
+    held_out = [
+        ("de", "das haus ist alt und der garten ist nicht klein"),
+        ("en", "this is the story of the people that lived for the sea"),
+        ("es", "el mercado tiene frutas muy frescas para los clientes"),
+        ("fr", "nous marchons dans les rues avec des amis du quartier"),
+        ("zh", "他们在城市里工作了很多年我的家人也在那里"),
+        ("und", "lorem ipsum dolor sit amet consectetur"),
+        ("und", ""),
+    ]
+    rows = list(LANGID_SEEDS) + held_out
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = df.select("lang", langid_predict(F.col("text")).alias("p")).collect()
+    wrong = [(r["lang"], r["p"]) for r in out if r["lang"] != r["p"]]
+    assert not wrong, wrong
