@@ -129,9 +129,9 @@ def synth_drones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "drone_features_flat",
-    oracle=f"""
+# Shared by drone_features_flat and its streaming twin: the oracle computes
+# expected values by direct CASE logic (reference task.ts:123-214 semantics).
+_FLAT_ORACLE = f"""
     SELECT 'drone-' || CAST(c_custkey AS VARCHAR) AS id,
            'Feature' AS type,
            'a-f-A-M-H-Q' AS cot_type,
@@ -158,17 +158,11 @@ def synth_drones(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END AS range_m,
            CASE WHEN c_custkey % 4 <> 0 AND c_custkey % 5 <> 0 THEN 45 END AS fov
     FROM customer
-    """,
-    tags=("drone", "reference-parity"),
-    bench=True,
-)
-def drone_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end reference transform (A3-A17), flattened for comparison.
+    """
 
-    The Spark side runs the real operator (array filter + first-match +
-    conditional structs); the oracle computes expected values by direct CASE
-    logic — a true differential test of the transform's semantics."""
-    feats = drone_features(synth_drones(spark, sf_dir))
+
+def flatten_features(feats: DataFrame) -> DataFrame:
+    """Flatten the nested Feature rows for oracle comparison."""
     return feats.select(
         "id",
         "type",
@@ -189,6 +183,61 @@ def drone_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("properties.sensor.range"), 4).alias("range_m"),
         F.col("properties.sensor.fov").alias("fov"),
     )
+
+
+@register(
+    "drone_features_flat",
+    oracle=_FLAT_ORACLE,
+    tags=("drone", "reference-parity"),
+    bench=True,
+)
+def drone_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference transform (A3-A17), flattened for comparison.
+
+    The Spark side runs the real operator (array filter + first-match +
+    conditional structs); the oracle computes expected values by direct CASE
+    logic — a true differential test of the transform's semantics."""
+    return flatten_features(drone_features(synth_drones(spark, sf_dir)))
+
+
+# JSON landing dirs for the streaming twin, one per sf_dir per process.
+_DRONE_LANDING: dict[str, str] = {}
+
+
+def _drone_landing(spark: SparkSession, sf_dir: str) -> str:
+    path = _DRONE_LANDING.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sg_drone_landing_")
+        synth_drones(spark, sf_dir).write.mode("overwrite").json(path)
+        _DRONE_LANDING[sf_dir] = path
+    return path
+
+
+@register(
+    "stream_drone_features_flat",
+    oracle=_FLAT_ORACLE,
+    tags=("drone", "streaming", "reference-parity"),
+)
+def stream_drone_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A-surface ingest as a REAL streaming job: JSON landings →
+    ``readStream`` typed decode → the same narrow Feature transform →
+    AvailableNow drain to a memory sink (micro-batch parity with the
+    reference's scheduled re-invocation, task.ts:87,220-223). The transform
+    is invocation-agnostic, so the BATCH oracle is the streaming oracle —
+    the driver hash-checks the drained table against the same SQL as
+    ``drone_features_flat``."""
+    import uuid
+
+    from ..streaming.pipeline import run_to_memory, stream_drone_features
+
+    landing = _drone_landing(spark, sf_dir)
+    flat = flatten_features(stream_drone_features(spark, landing))
+    name = f"reg_drone_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(flat, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @register(
