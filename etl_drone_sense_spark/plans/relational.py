@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.skew import salted_join
 from ..sources.readers import rebalance_for_compute
 from .registry import davg, davg_sql, dsum, dsum_sql, register, t
 
@@ -1246,4 +1247,59 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return range_join_binned(o, p, "o_totalprice", "lo", "hi", 200.0).select(
         "o_orderkey", "p_partkey", "o_totalprice", "p_retailprice"
+    )
+
+
+@register(
+    "join_skewed_salted",
+    oracle=f"""
+    WITH fact AS (
+        SELECT CASE WHEN l_partkey % 100 < 90 THEN 1
+                    ELSE (l_partkey % 97) + 2 END AS hot_key,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT p_partkey AS hot_key, p_type AS key_attr
+        FROM part WHERE p_partkey <= 98
+    )
+    SELECT d.key_attr,
+           count(*) AS n,
+           {dsum_sql("f.rev", "revenue")}
+    FROM fact f JOIN dim d USING (hot_key)
+    GROUP BY d.key_attr
+    """,
+    tags=("join", "skew"),
+    bench=True,
+)
+def join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key fact⨝dim via explicit salting (operators/skew.py).
+
+    The derived key sends ~90% of lineitem to ONE value — the shape that
+    wedges a sort-merge join's hot reducer at scale. ``salted_join``
+    shards the hot key 16 ways (fact hashed on its unique natural key,
+    dim replicated ×16); the follow-up aggregate merges shards with
+    map-side-combinable decimal sums. At local/bench scale Catalyst may
+    still broadcast the tiny dim (fine — broadcast also kills skew); the
+    salted plan is the guarantee for dims too big to broadcast, asserted
+    shuffle-side in tests/test_plans.py."""
+    li = t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_partkey") % 100 < 90, F.lit(1).cast("long"))
+        .otherwise((F.col("l_partkey") % 97 + 2).cast("long"))
+        .alias("hot_key"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    dim = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 98)
+        .select(F.col("p_partkey").alias("hot_key"), F.col("p_type").alias("key_attr"))
+    )
+    joined = salted_join(
+        fact, dim, "hot_key", salt_on=("l_orderkey", "l_linenumber"), salts=16
+    )
+    return joined.groupBy("key_attr").agg(
+        F.count(F.lit(1)).alias("n"), dsum("rev", "revenue")
     )

@@ -137,3 +137,55 @@ def test_range_join_binned_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """join_skewed_salted: the join condition must include the salt column
+    (so the hot key's rows hash to `salts` distinct shuffle shards), and the
+    dim replication must be an explode, not a cartesian product."""
+    plan = plan_of(spark, sf_dir, "join_skewed_salted")
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "explode" in plan.lower()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With AQE skew-join on and one hot key carrying ~90% of a
+    shuffle-sized left side, the executed sort-merge join must report
+    skew=true (OptimizeSkewedJoin split the hot partition)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 20000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            # pad must depend on id: a constant would fold past the shuffle
+            # and the hot partition would weigh nothing
+            F.rpad(F.col("id").cast("string"), 512, "x").alias("pad"),
+        )
+        right = spark.range(0, 20001).select(
+            F.col("id").alias("k"), F.lit("y").alias("r")
+        )
+        out = left.join(right, "k")
+        assert len(out.collect()) == 20000
+        final = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
