@@ -380,3 +380,170 @@ def langid_predict(col: Column) -> Column:
             cond = cond & (scores[lang] >= scores[o])
         out = out.when(cond, F.lit(lang))
     return out.otherwise(F.lit(LANGS[-1]))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules
+# ---------------------------------------------------------------------------
+
+# Thresholds from the published Gopher data-quality filters (Rae et al.
+# 2021, "Scaling Language Models", Appendix A — public knowledge); the
+# word-count floor is scaled down to fit the fixture's short documents.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+_BULLETS = ("- ", "* ", "• ")
+
+
+def _occurrences(t: Column, pat: str) -> Column:
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("int")
+
+
+def _occurrences_sql(t: str, pat: str) -> str:
+    esc = pat.replace("'", "''")
+    return (
+        f"CAST((length({t}) - length(replace({t}, '{esc}', '')))"
+        f" / {len(pat)} AS INT)"
+    )
+
+
+def gopher_features(col: Column) -> dict[str, Column]:
+    """Per-document Gopher quality signals as pure Column expressions."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_len = F.length(F.regexp_replace(normalize(col), " ", "")) / denom
+    symbol_ratio = (_occurrences(col, "#") + _occurrences(col, "...")) / denom
+    lines = F.split(col, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith(_BULLETS[0])
+            | F.ltrim(ln).startswith(_BULLETS[1])
+            | F.ltrim(ln).startswith(_BULLETS[2]),
+        )
+    )
+    ellipsis = F.size(F.filter(lines, lambda ln: F.rtrim(ln).endswith("...")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS])))
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": (bullet / n_lines),
+        "ellipsis_frac": (ellipsis / n_lines),
+        "alpha_frac": (alpha / denom),
+        "n_stopwords": n_stop.cast("long"),
+    }
+
+
+def gopher_pass(f: dict[str, Column]) -> Column:
+    return (
+        f["n_words"].between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & f["mean_word_len"].between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (f["symbol_ratio"] < GOPHER_MAX_SYMBOL_RATIO)
+        & (f["bullet_frac"] <= GOPHER_MAX_BULLET_FRAC)
+        & (f["ellipsis_frac"] <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (f["alpha_frac"] >= GOPHER_MIN_ALPHA_FRAC)
+        & (f["n_stopwords"] >= GOPHER_MIN_STOPWORDS)
+    )
+
+
+def gopher_features_sql(col: str) -> dict[str, str]:
+    toks = tokens_sql(col)
+    denom = f"greatest(len({toks}), 1)"
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    bullets = " OR ".join(
+        f"starts_with(ltrim(ln), '{b.strip()} ')" if b.endswith(" ")
+        else f"starts_with(ltrim(ln), '{b}')"
+        for b in _BULLETS
+    )
+    return {
+        "n_words": f"CAST(len({toks}) AS BIGINT)",
+        "mean_word_len": (
+            f"(length(replace({normalize_sql(col)}, ' ', '')) * 1.0 / {denom})"
+        ),
+        "symbol_ratio": (
+            f"(({_occurrences_sql(col, '#')} + {_occurrences_sql(col, '...')})"
+            f" * 1.0 / {denom})"
+        ),
+        "bullet_frac": (
+            f"(len(list_filter(string_split({col}, chr(10)), ln -> {bullets}))"
+            f" * 1.0 / greatest(len(string_split({col}, chr(10))), 1))"
+        ),
+        "ellipsis_frac": (
+            f"(len(list_filter(string_split({col}, chr(10)),"
+            f" ln -> ends_with(rtrim(ln), '...')))"
+            f" * 1.0 / greatest(len(string_split({col}, chr(10))), 1))"
+        ),
+        "alpha_frac": (
+            f"(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))"
+            f" * 1.0 / {denom})"
+        ),
+        "n_stopwords": (
+            f"CAST(len(list_intersect({toks}, [{inlist}])) AS BIGINT)"
+        ),
+    }
+
+
+def gopher_pass_sql(f: dict[str, str]) -> str:
+    return (
+        f"({f['n_words']} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
+        f" AND {f['mean_word_len']} BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}"
+        f" AND {f['symbol_ratio']} < {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {f['bullet_frac']} <= {GOPHER_MAX_BULLET_FRAC}"
+        f" AND {f['ellipsis_frac']} <= {GOPHER_MAX_ELLIPSIS_FRAC}"
+        f" AND {f['alpha_frac']} >= {GOPHER_MIN_ALPHA_FRAC}"
+        f" AND {f['n_stopwords']} >= {GOPHER_MIN_STOPWORDS})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement). Patterns restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): plain classes, bounded
+# repeats, no backreferences/lookaround. ORDER MATTERS: each rule runs on
+# the previous rule's output (an SSN must not be re-counted as a phone; an
+# IP's digits must not feed the phone matcher).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_stages(col: Column) -> tuple[dict[str, Column], Column]:
+    """(per-rule match counts, fully redacted text) — staged so each rule
+    counts and replaces on the previous rule's output."""
+    counts: dict[str, Column] = {}
+    cur = col
+    for name, pat, tok in PII_RULES:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
+        cur = F.regexp_replace(cur, pat, tok)
+    return counts, cur
+
+
+def pii_stages_sql(col: str) -> tuple[dict[str, str], str]:
+    """Same staging as ``pii_stages`` rendered for DuckDB; returns
+    (counts keyed by rule name, redacted-text expression). Expressions nest
+    — use inside one SELECT."""
+    counts: dict[str, str] = {}
+    cur = col
+    for name, pat, tok in PII_RULES:
+        counts[name] = f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+        cur = f"regexp_replace({cur}, '{pat}', '{tok}', 'g')"
+    return counts, cur

@@ -56,3 +56,42 @@ def quantize_i8(u: Column) -> Column:
     floor(+0.5) instead of round(): identical halfway behavior in every
     engine (round() half-handling differs across engines/signs)."""
     return F.transform(u, lambda x: F.floor(x * 127 + F.lit(0.5)).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sign sketches)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, nbits: int, seed: str = "hp") -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (md5-parity pseudo-random, driver-side).
+
+    Rademacher (±1) entries approximate Gaussian planes for sign-LSH while
+    rendering as exact integer literals in BOTH engines — no RNG state, no
+    float-literal drift. P(sign differs between two vectors) = angle/π, so
+    banded bucket equality concentrates near-duplicates."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(nbits)
+    ]
+
+
+def plane_lit(plane: list[int]) -> Column:
+    return F.array(*[F.lit(float(w)) for w in plane])
+
+
+def hyperplane_bit(vec: Column, plane: list[int]) -> Column:
+    return F.when(dot(vec, plane_lit(plane)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def hyperplane_bit_sql(vec: str, plane: list[int]) -> str:
+    lits = "[" + ", ".join(str(w) for w in plane) + "]"
+    return f"CASE WHEN {dot_sql(vec, lits)} >= 0 THEN '1' ELSE '0' END"

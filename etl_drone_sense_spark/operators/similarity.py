@@ -282,3 +282,77 @@ def kmeans_inertia(
         F.avg(1 - _cos(F.col(vec_col), F.col("_c"))).alias("inertia")
     ).first()
     return float(row["inertia"])
+
+
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    planes: list[list[int]],
+    bands: int = 4,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs WITHOUT a precomputed blocking label:
+    random-hyperplane sign-LSH (sign sketches), banded.
+
+    Where ``embedding_near_pairs`` needs a label/IVF cell to block on, this
+    is the label-free scale path: each vector gets an nbits sign sketch
+    (bit j = sign⟨v, p_j⟩, P(bit differs) = angle/π), the sketch splits
+    into ``bands`` bucket keys, and only same-bucket vectors pair up — a
+    banded equi-join exactly like MinHash-LSH, Σ|bucket|² pair space, never
+    n². Candidates are then verified with exact cosine (per-side norms
+    computed once). The sketch relation is scoped-persisted: it feeds both
+    sides of the self-join."""
+    from ..caching import scoped_persist
+
+    nbits = len(planes)
+    rows_per = nbits // bands
+    sig = F.concat(*[V.hyperplane_bit(F.col(vec_col), p) for p in planes])
+    side = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        V.norm(F.col(vec_col)).alias("_nrm"),
+        sig.alias("_sig"),
+    )
+    exploded = side.select(
+        id_col,
+        vec_col,
+        "_nrm",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("_sig", b * rows_per + 1, rows_per)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    exploded = scoped_persist("similarity.hyperplane_bands", exploded)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+            F.col("a._nrm").alias("_na"),
+            F.col("b._nrm").alias("_nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "cosine",
+            F.round(V.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -196,17 +196,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding",
-    oracle=f"""
-    WITH seeded AS (
+# Embeddings fixture + deterministic near-duplicate companions: the raw
+# fixture's within-label cosines top out ≈0.47, so a 0.8 dedup threshold on
+# it proves nothing (round-1 oracle row was 0 = 0). Every 10th vector is
+# unioned back in with a per-dim +0.05 shift (cosine ≈ 0.9987 to its
+# original), identically on both engine and oracle sides, so green rows
+# certify real pair math. Shared by dedup_embedding (label-blocked) and
+# dedup_embedding_lsh (hyperplane-bucketed).
+_SEEDED_EMB_CTE = """seeded AS (
         SELECT vec_id, embedding, label FROM embeddings
         UNION ALL
         SELECT vec_id + 1000 AS vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05) AS embedding,
                label
         FROM embeddings WHERE vec_id % 10 = 0
+    )"""
+
+
+def _seeded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    companions = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.05)).alias(
+            "embedding"
+        ),
+        F.col("label"),
     )
+    return emb.unionByName(companions)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH {_SEEDED_EMB_CTE}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
     FROM seeded a
@@ -217,23 +239,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by cluster label (the IVF
-    cell at scale): pair space is Σ|cell|², never n².
-
-    The fixture's within-label cosines top out ≈0.47, so a 0.8 threshold on
-    the raw table proves nothing (round-1 oracle row was 0 = 0). Every 10th
-    vector is therefore unioned back in as a deterministic near-duplicate
-    companion (per-dim +0.05 shift ⇒ cosine ≈ 0.9987), mirrored in the
-    oracle SQL, so the green row certifies real pair math on ≥ N pairs."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    companions = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.05)).alias(
-            "embedding"
-        ),
-        F.col("label"),
-    )
+    cell at scale): pair space is Σ|cell|², never n². Seeded companions
+    (see _SEEDED_EMB_CTE) make the 0.8-threshold check non-vacuous."""
     return similarity.embedding_near_pairs(
-        emb.unionByName(companions), block_col="label", threshold=0.8
+        _seeded_embeddings(spark, sf_dir), block_col="label", threshold=0.8
+    )
+
+
+# 16 deterministic ±1 hyperplanes over the 64-dim embeddings, shared
+# literal-for-literal by the Spark expressions and the oracle SQL.
+_HP_PLANES = V.hyperplanes(dim=64, nbits=16)
+_HP_BANDS = 4
+
+
+def _hp_oracle() -> str:
+    bits = ", ".join(V.hyperplane_bit_sql("embedding", p) for p in _HP_PLANES)
+    width = len(_HP_PLANES) // _HP_BANDS
+    cos = V.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH {_SEEDED_EMB_CTE},
+    sigs AS (
+        SELECT vec_id, embedding, concat({bits}) AS sig FROM seeded
+    ),
+    exploded AS (
+        SELECT vec_id, b.band_idx,
+               substr(sig, b.band_idx * {width} + 1, {width}) AS band_val
+        FROM sigs CROSS JOIN
+             (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM exploded a
+        JOIN exploded b ON a.band_idx = b.band_idx
+                       AND a.band_val = b.band_val
+                       AND a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b, round({cos}, 6) AS cosine
+    FROM pairs p
+    JOIN seeded a ON a.vec_id = p.id_a
+    JOIN seeded b ON b.vec_id = p.id_b
+    WHERE round({cos}, 6) >= 0.8
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_hp_oracle(),
+    tags=("dedup", "similarity", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-FREE embedding near-dup: random-hyperplane sign-LSH. Each
+    vector gets a 16-bit sign sketch from deterministic ±1 planes
+    (functions/vectors.hyperplanes), split into 4 band keys; candidates are
+    the banded equi-join's bucket mates (Σ|bucket|² pairs, never n²), then
+    verified with exact cosine. This is the scale path when no cluster
+    label / IVF assignment exists yet — the sketch pass is one narrow scan,
+    and the only shuffle keys are (band, bucket)."""
+    return similarity.hyperplane_lsh_pairs(
+        _seeded_embeddings(spark, sf_dir),
+        planes=_HP_PLANES,
+        bands=_HP_BANDS,
+        threshold=0.8,
     )
 
 
@@ -376,6 +442,103 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(stop > 0.08, 1)).alias("n_stopword_heavy"),
         F.sum(stop.cast("decimal(28,6)")).cast("double").alias("sum_stop_ratio"),
+    )
+
+
+_GOPHER_SQL = TXT.gopher_features_sql("text")
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {_GOPHER_SQL['n_words']} AS n_words,
+           {_GOPHER_SQL['mean_word_len']} AS mean_word_len,
+           {_GOPHER_SQL['symbol_ratio']} AS symbol_ratio,
+           {_GOPHER_SQL['bullet_frac']} AS bullet_frac,
+           {_GOPHER_SQL['ellipsis_frac']} AS ellipsis_frac,
+           {_GOPHER_SQL['alpha_frac']} AS alpha_frac,
+           {_GOPHER_SQL['n_stopwords']} AS n_stopwords,
+           {TXT.gopher_pass_sql(_GOPHER_SQL)} AS gopher_pass
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021 Appendix A): word-count
+    bounds, mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stopword presence, and the
+    composite keep/drop flag. All pure Column expressions over one narrow
+    scan — the canonical first-pass corpus filter at 100 TB (no shuffle,
+    predicate fully parallel)."""
+    feats = TXT.gopher_features(F.col("text"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["symbol_ratio"].alias("symbol_ratio"),
+        feats["bullet_frac"].alias("bullet_frac"),
+        feats["ellipsis_frac"].alias("ellipsis_frac"),
+        feats["alpha_frac"].alias("alpha_frac"),
+        feats["n_stopwords"].alias("n_stopwords"),
+        TXT.gopher_pass(feats).alias("gopher_pass"),
+    )
+
+
+# Deterministic PII-bearing documents unioned into the redaction query
+# (the fixture text contains no emails/phones/SSNs/IPs, so these are what
+# make the counts non-vacuous). Synthetic values only.
+PII_SEEDS: tuple[tuple[int, str], ...] = (
+    (-1, "contact us at support@example.com or sales@test.org for details"),
+    (-2, "call +1 555 123 4567 or (020) 7946-0958 today"),
+    (-3, "ssn on file 123-45-6789 should never appear in a corpus"),
+    (-4, "server at 192.168.0.1 and backup at 10.0.0.254 responded"),
+    (-5, "mixed: jane.doe@corp.io phoned 555-867-5309 from 172.16.3.7"),
+)
+
+_PII_COUNTS, _PII_REDACTED = TXT.pii_stages_sql("text")
+
+
+def _pii_seed_values() -> str:
+    return ", ".join(
+        "(" + str(i) + ", '" + txt.replace("'", "''") + "')" for i, txt in PII_SEEDS
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {_pii_seed_values()}),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    )
+    SELECT doc_id,
+           {_PII_COUNTS['email']} AS n_email,
+           {_PII_COUNTS['ssn']} AS n_ssn,
+           {_PII_COUNTS['ip']} AS n_ip,
+           {_PII_COUNTS['phone']} AS n_phone,
+           {_PII_REDACTED} AS redacted
+    FROM docs
+    """,
+    tags=("text", "pii"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for corpus preparation: staged regex rules (email →
+    SSN → IP → phone, each counting and replacing on the previous stage's
+    output so one span is never double-classified), patterns limited to
+    Java-regex/RE2-common syntax. Narrow map — scales as a pure scan.
+    Seeded PII-bearing docs (PII_SEEDS) make the counts non-vacuous."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = spark.createDataFrame(list(PII_SEEDS), "doc_id long, text string")
+    counts, redacted = TXT.pii_stages(F.col("text"))
+    return docs.unionByName(seed).select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ssn"].alias("n_ssn"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        redacted.alias("redacted"),
     )
 
 

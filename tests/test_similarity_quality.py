@@ -84,3 +84,23 @@ def test_kmeans_training_converges(spark, sf_dir):
     a = sorted(map(tuple, ((r["cell_id"], tuple(r["embedding"])) for r in c3.collect())))
     b = sorted(map(tuple, ((r["cell_id"], tuple(r["embedding"])) for r in again.collect())))
     assert a == b
+
+
+def test_hyperplane_lsh_recall_vs_exact(spark, sf_dir):
+    """Sign-LSH (label-free) must recover most of the pairs the exact
+    label-blocked operator finds on the seeded embeddings, and must never
+    report a pair below the cosine threshold (verify-after-block)."""
+    from etl_drone_sense_spark.plans.extensions import (
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in dedup_embedding(spark, sf_dir).collect()
+    }
+    lsh_rows = dedup_embedding_lsh(spark, sf_dir).collect()
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_rows}
+    assert exact, "seeding must produce ground-truth pairs"
+    assert len(lsh & exact) / len(exact) >= 0.8
+    assert all(r["cosine"] >= 0.8 for r in lsh_rows)
+    assert lsh <= exact  # verification step filters every false candidate
