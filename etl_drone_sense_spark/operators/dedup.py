@@ -267,3 +267,84 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_pred: Column,
+    threshold: float = 0.2,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against the full corpus without re-pairing the
+    historical corpus (the production shape for a growing lake: history was
+    already deduped; only pairs touching new documents matter).
+
+    The banded bucket join is restricted so the probe side is always a new
+    document: join cost is |new| × bucket occupancy instead of Σ|bucket|²
+    over the whole corpus — on a 100 TB lake ingesting 0.1% a day, ~1000×
+    less join work than a full re-pair, with identical per-pair math
+    (same hash family / signatures as ``minhash_lsh_pairs``). New-new
+    pairs are emitted once (id order); new-old pairs as (new, old).
+    Returns (id_new, id_other, vs_corpus, est_jaccard).
+    """
+    hv = (
+        rebalance_for_compute(df)
+        .select(
+            F.col(id_col),
+            new_pred.alias("_new"),
+            TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv"),
+        )
+    )
+    sig = hv.select(
+        F.col(id_col), F.col("_new"), minhash_from_hashes(F.col("hv"), k).alias("mhs")
+    )
+    exploded = sig.select(
+        F.col(id_col),
+        F.col("_new"),
+        F.col("mhs"),
+        F.posexplode(_band_buckets(F.col("mhs"), k, bands)).alias(
+            "band_idx", "bucket"
+        ),
+    )
+    # one sketch relation feeds both join sides (probe = its new subset)
+    exploded = scoped_persist("dedup.minhash_inc_bands", exploded)
+    a = exploded.filter(F.col("_new")).alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+                # old partners always pair; new partners only once (ordered)
+                (~F.col("b._new")) | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_new"),
+            F.col(f"b.{id_col}").alias("id_other"),
+            (~F.col("b._new")).alias("vs_corpus"),
+            F.col("a.mhs").alias("mhs_a"),
+            F.col("b.mhs").alias("mhs_b"),
+        )
+        .dropDuplicates(["id_new", "id_other"])
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("mhs_a"),
+            F.col("mhs_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree / F.lit(float(k)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_other", "vs_corpus", "est_jaccard")
+    )

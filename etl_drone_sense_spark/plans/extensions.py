@@ -62,7 +62,7 @@ def _minhash_sig_cte() -> str:
     )"""
 
 
-def _lsh_pairs_cte() -> str:
+def _bands_cte() -> str:
     band_exprs = ", ".join(
         "md5(concat_ws('|', "
         + ", ".join(f"mh{b * MH_ROWS + r}" for r in range(MH_ROWS))
@@ -76,7 +76,11 @@ def _lsh_pairs_cte() -> str:
                unnest([{band_idx}]) AS band_idx,
                unnest([{band_exprs}]) AS bucket
         FROM sig
-    ),
+    )"""
+
+
+def _lsh_pairs_cte() -> str:
+    return f"""{_bands_cte()},
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -112,6 +116,47 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"),
         "doc_id",
         "text",
+        k=MH_K,
+        bands=MH_BANDS,
+        threshold=0.2,
+        shingle_n=SHINGLE_N,
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_minhash_sig_cte()},
+    {_bands_cte()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_other
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+        WHERE a.doc_id % 4 = 0
+          AND a.doc_id <> b.doc_id
+          AND (b.doc_id % 4 <> 0 OR a.doc_id < b.doc_id)
+    )
+    SELECT p.id_new, p.id_other,
+           (p.id_other % 4 <> 0) AS vs_corpus,
+           ({_MH_AGREE}) / {float(MH_K)} AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_new
+    JOIN sig sb ON sb.doc_id = p.id_other
+    WHERE ({_MH_AGREE}) / {float(MH_K)} >= 0.2
+    """,
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: dedup the NEW batch (doc_id % 4 = 0 as the
+    deterministic batch marker) against the full corpus without re-pairing
+    history — the probe side of the banded bucket join is only the new
+    docs, so join work scales with the batch, not the lake. Same hash
+    family and per-pair math as dedup_minhash."""
+    return dedup.minhash_lsh_pairs_incremental(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        new_pred=F.col("doc_id") % 4 == 0,
         k=MH_K,
         bands=MH_BANDS,
         threshold=0.2,

@@ -184,3 +184,26 @@ def test_langid_predicts_seeds_and_held_out(spark):
     out = df.select("lang", langid_predict(F.col("text")).alias("p")).collect()
     wrong = [(r["lang"], r["p"]) for r in out if r["lang"] != r["p"]]
     assert not wrong, wrong
+
+
+def test_incremental_dedup_equals_restricted_full_pairs(spark, sf_dir):
+    """Incremental LSH must find exactly the full run's pairs that touch a
+    new-batch doc — no pair lost by restricting the probe side, none
+    invented."""
+    from etl_drone_sense_spark.plans.extensions import (
+        dedup_incremental,
+        dedup_minhash,
+    )
+
+    full = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in dedup_minhash(spark, sf_dir).collect()
+        if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
+    }
+    inc_rows = dedup_incremental(spark, sf_dir).collect()
+    inc = {frozenset((r["id_new"], r["id_other"])) for r in inc_rows}
+    assert inc == full
+    assert all(r["id_new"] % 4 == 0 for r in inc_rows)
+    assert all(
+        (r["id_other"] % 4 != 0) == r["vs_corpus"] for r in inc_rows
+    )
