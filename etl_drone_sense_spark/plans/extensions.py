@@ -490,6 +490,55 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-sentence documents for the UDTF query: the fixture text has no
+# '. ' delimiters (every doc is one sentence), so these seeds are what
+# exercises the one-row → many-rows path.
+UDTF_SEEDS: tuple[tuple[int, str], ...] = (
+    (-11, "first sentence here. second one follows. third closes the doc"),
+    (-12, "a single trailing period does not split this one."),
+    (-13, "short. even shorter. s"),
+)
+
+
+@register(
+    "udtf_sentences",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {", ".join(
+        f"({i}, '" + s.replace("'", "''") + "')" for i, s in UDTF_SEEDS
+    )}),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    )
+    SELECT doc_id, sentence,
+           CAST(len(string_split(sentence, ' ')) AS INT) AS n_words
+    FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+          FROM docs)
+    """,
+    tags=("udtf", "text"),
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (operators/udtfs.py): document → sentence rows
+    via ``LATERAL sentence_split(...)``. Row-at-a-time Python — the slow
+    path by design, hash-verified against the ``unnest(string_split())``
+    oracle to prove the mechanism; at scale the same semantics should be
+    the pure-expression ``explode(split(...))``. Seeded multi-sentence
+    docs exercise the one-row → many-rows path."""
+    import uuid
+
+    from ..operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = spark.createDataFrame(list(UDTF_SEEDS), "doc_id long, text string")
+    view = f"udtf_docs_{uuid.uuid4().hex[:8]}"
+    docs.unionByName(seed).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT s.doc_id, s.sentence, s.n_words "
+        f"FROM {view} d, LATERAL sentence_split(d.doc_id, d.text) s"
+    )
+
+
 _GOPHER_SQL = TXT.gopher_features_sql("text")
 
 
@@ -730,6 +779,46 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (10-min gap) via ``session_window``; the
     oracle is the equivalent lag+cumsum islands query."""
     return sessionize.sessionize(t(spark, sf_dir, "events"), gap="10 minutes")
+
+
+@register(
+    "stream_session_counts",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked ``session_window`` aggregation run as a REAL streaming
+    job (file source → AvailableNow drain). The fixture's events all lie
+    inside one drained micro-batch, so no session is split by the
+    watermark and the batch islands query is an exact oracle — a full
+    hash check of streaming session semantics, not just a rows count."""
+    import uuid
+
+    from ..streaming import pipeline as SP
+
+    landing = _events_landing(spark, sf_dir)
+    stream = SP.session_counts(SP.stream_events(spark, landing))
+    name = f"reg_sess_stream_{uuid.uuid4().hex[:8]}"
+    q = SP.run_to_memory(stream, name, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @register(
