@@ -1034,6 +1034,63 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(t0, t1, INTERVAL '6 hours')) AS grid_ts
+        FROM bounds
+    ),
+    obs AS (
+        SELECT user_id, ts, max(value) AS value FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.grid_ts,
+           o.value AS value_ffill, o.ts AS observed_ts
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+    """,
+    tags=("temporal", "gapfill"),
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-time-grid resampling with forward fill: per user, a 6-hour
+    grid spanning their activity, each point carrying the latest
+    observation at-or-before it (the sensor/feature-store shape that turns
+    irregular telemetry into fixed-step training rows).
+
+    Scale: the grid generates from per-key bounds (one small agg), and the
+    fill is the as-of union+window form — one shuffle on user_id, cost
+    independent of gap width; no candidate-pair range join. Oracle is
+    DuckDB's native ASOF JOIN over the same grid. Observations are
+    pre-deduped per (user_id, ts) so 'latest' is well-defined."""
+    from ..operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 6 HOURS"))
+        ).alias("grid_ts"),
+    )
+    obs = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    filled = asof_join(
+        grid, obs, on="user_id", left_ts="grid_ts", right_ts="ts",
+        right_cols=["value"],
+    )
+    return filled.select(
+        "user_id",
+        "grid_ts",
+        F.col("value_asof").alias("value_ffill"),
+        F.col("ts_asof").alias("observed_ts"),
+    )
+
+
+@register(
     "window_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
