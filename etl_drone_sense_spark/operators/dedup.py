@@ -299,6 +299,11 @@ def minhash_lsh_pairs_incremental(
             TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv"),
         )
     )
+    # The persist is a materialization BARRIER, not just reuse: without it
+    # Catalyst inlines the md5-per-shingle subtree into each of the k
+    # signature components (k× the hashing — the same trap the full
+    # variant and winnowing document). Cached hv feeds both join sides.
+    hv = scoped_persist("dedup.minhash_inc_hashes", hv)
     sig = hv.select(
         F.col(id_col), F.col("_new"), minhash_from_hashes(F.col("hv"), k).alias("mhs")
     )
@@ -310,8 +315,6 @@ def minhash_lsh_pairs_incremental(
             "band_idx", "bucket"
         ),
     )
-    # one sketch relation feeds both join sides (probe = its new subset)
-    exploded = scoped_persist("dedup.minhash_inc_bands", exploded)
     a = exploded.filter(F.col("_new")).alias("a")
     b = exploded.alias("b")
     pairs = (

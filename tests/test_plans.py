@@ -189,3 +189,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_is_equi_join(spark, sf_dir):
+    """The batch-vs-corpus probe join must stay a (band,bucket) equi-join —
+    no cartesian, no broadcast-nested-loop fallback."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hyperplane_lsh_is_equi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_has_no_pair_explosion(spark, sf_dir):
+    """Gap-fill uses the union+window as-of form: its fill step must not
+    appear as a range join (cartesian / nested-loop candidates)."""
+    plan = plan_of(spark, sf_dir, "events_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
