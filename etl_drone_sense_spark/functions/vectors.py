@@ -92,6 +92,12 @@ def hyperplane_bit(vec: Column, plane: list[int]) -> Column:
     return F.when(dot(vec, plane_lit(plane)) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def hyperplane_bit_sql(vec: str, plane: list[int]) -> str:
-    lits = "[" + ", ".join(str(w) for w in plane) + "]"
-    return f"CASE WHEN {dot_sql(vec, lits)} >= 0 THEN '1' ELSE '0' END"
+def hyperplane_bit_sql(vec: str, plane_expr: str) -> str:
+    """``plane_expr`` must be a COLUMN/CTE reference to the plane list, not
+    an inline literal: a literal inside ``dot_sql``'s per-index lambda gets
+    re-constructed per element per row (measured ~30× slower in DuckDB)."""
+    return f"CASE WHEN {dot_sql(vec, plane_expr)} >= 0 THEN '1' ELSE '0' END"
+
+
+def plane_lit_sql(plane: list[int]) -> str:
+    return "[" + ", ".join(str(w) for w in plane) + "]"

@@ -302,7 +302,15 @@ def hyperplane_lsh_pairs(
     banded equi-join exactly like MinHash-LSH, Σ|bucket|² pair space, never
     n². Candidates are then verified with exact cosine (per-side norms
     computed once). The sketch relation is scoped-persisted: it feeds both
-    sides of the self-join."""
+    sides of the self-join.
+
+    Cost note: the nbits sign dots are Catalyst higher-order functions
+    (interpreted per element, not codegen'd) — the sketch pass, not the
+    join, dominates below ~10⁶ vectors. At larger scale the sketch is the
+    relation you compute once and store; a vectorized (numpy/Arrow) sketch
+    would be faster but its pairwise-summation order can flip near-zero
+    signs vs the oracle's sequential fold, so the expression form is kept
+    for bit-parity."""
     from ..caching import scoped_persist
 
     nbits = len(planes)

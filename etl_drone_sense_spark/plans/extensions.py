@@ -291,22 +291,40 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 16 deterministic ±1 hyperplanes over the 64-dim embeddings, shared
+# 64 deterministic ±1 hyperplanes over the 64-dim embeddings, shared
 # literal-for-literal by the Spark expressions and the oracle SQL.
-_HP_PLANES = V.hyperplanes(dim=64, nbits=16)
-_HP_BANDS = 4
+# Band geometry is the recall/selectivity dial: 8 bands × 8-bit keys.
+# A 4-bit key (16 buckets) makes every band a near-broadcast of the
+# corpus — millions of false candidates at mere thousands of vectors,
+# hopeless at 100 TB; 16-bit keys prune hard but the measured per-bit
+# flip rate of the seeded near-duplicates (~0.11, higher than the
+# idealized angle/π because the shift direction is fixed, not isotropic)
+# drops recall to ~0.5. 8-bit keys × 8 bands: recall ≈ 0.98 on the
+# seeds, 256-way bucket pruning per band.
+_HP_PLANES = V.hyperplanes(dim=64, nbits=64)
+_HP_BANDS = 8
 
 
 def _hp_oracle() -> str:
-    bits = ", ".join(V.hyperplane_bit_sql("embedding", p) for p in _HP_PLANES)
+    # Planes live in a constant CTE (p0..pN columns), referenced from the
+    # bit lambdas — inline list literals there are re-constructed per
+    # element per row by DuckDB (~30× slower, measured).
+    plane_cols = ", ".join(
+        f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(_HP_PLANES)
+    )
+    bits = ", ".join(
+        V.hyperplane_bit_sql("embedding", f"p{j}") for j in range(len(_HP_PLANES))
+    )
     width = len(_HP_PLANES) // _HP_BANDS
     cos = V.cosine_sql("a.embedding", "b.embedding")
     return f"""
     WITH {_SEEDED_EMB_CTE},
-    sigs AS (
-        SELECT vec_id, embedding, concat({bits}) AS sig FROM seeded
+    planes AS (SELECT {plane_cols}),
+    sigs AS MATERIALIZED (
+        SELECT vec_id, embedding, concat({bits}) AS sig
+        FROM seeded CROSS JOIN planes
     ),
-    exploded AS (
+    exploded AS MATERIALIZED (
         SELECT vec_id, b.band_idx,
                substr(sig, b.band_idx * {width} + 1, {width}) AS band_val
         FROM sigs CROSS JOIN
