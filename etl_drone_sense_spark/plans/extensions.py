@@ -164,6 +164,69 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH tk AS (
+        SELECT source, doc_id,
+               CAST({TXT.token_count_sql('text')} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS start_offset
+        FROM tk
+    )
+    SELECT source, doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           (CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT)
+            <> CAST(floor((start_offset + n_tokens - 1) / {PACK_BUDGET}.0)
+                    AS BIGINT)) AS crosses_boundary
+    FROM cum
+    """,
+    tags=("corpus", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents concatenate in
+    deterministic (source, doc_id) order and the token stream is cut every
+    PACK_BUDGET tokens — each doc gets its pack id, offset, and a flag for
+    spanning a cut (where a loader would split or mask). Packing is
+    per-source by design: at 100 TB a global order is one giant window
+    (single reducer), while per-shard packing is embarrassingly parallel
+    and is what training pipelines actually do; the window shuffles once
+    on `source`. Integer arithmetic only — exact cross-engine parity."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = TXT.token_count(F.col("text")).cast("long")
+    docs = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", n.alias("n_tokens")
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    cum = docs.select("source", "doc_id", "n_tokens", start)
+    pack = F.floor(F.col("start_offset") / float(PACK_BUDGET)).cast("long")
+    end_pack = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / float(PACK_BUDGET)
+    ).cast("long")
+    return cum.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        pack.alias("pack_id"),
+        (pack != end_pack).alias("crosses_boundary"),
+    )
+
+
 def _simhash_sig_cte() -> str:
     return f"""
     sig AS (
