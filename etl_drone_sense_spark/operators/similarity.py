@@ -314,6 +314,13 @@ def hyperplane_lsh_pairs(
     from ..caching import scoped_persist
 
     nbits = len(planes)
+    if nbits % bands != 0:
+        raise ValueError(
+            f"nbits ({nbits}) must divide evenly into bands ({bands}): a "
+            "remainder would silently drop the trailing sign bits from every "
+            "band key, weakening selectivity (the oracle SQL assumes exact "
+            "division too)"
+        )
     rows_per = nbits // bands
     sig = F.concat(*[V.hyperplane_bit(F.col(vec_col), p) for p in planes])
     side = corpus.select(

@@ -42,7 +42,18 @@ def salted_join(
     uniformly across shards (any unique-ish tuple — a row id, or the full
     natural key). The salt is internal; the output schema equals a plain
     join's.
+
+    ``how`` is restricted to inner/left (and left_semi): the dim side is
+    pre-exploded ×``salts``, so a right/full outer join would emit each
+    UNMATCHED dim row ``salts`` times — no longer a plain join's output.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: the "
+            "dim side is replicated per salt, so outer variants would "
+            "duplicate unmatched dim rows"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     f = fact.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in salt_on]), F.lit(salts))

@@ -310,11 +310,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unioned back in with a per-dim +0.05 shift (cosine ≈ 0.9987 to its
 # original), identically on both engine and oracle sides, so green rows
 # certify real pair math. Shared by dedup_embedding (label-blocked) and
-# dedup_embedding_lsh (hyperplane-bucketed).
+# dedup_embedding_lsh (hyperplane-bucketed). The companion id offset is
+# +1_000_000 — far past any fixture's vec_id space (sf0.1 tops out at
+# 1999; a +1000 offset collided there, making pair identity ambiguous).
 _SEEDED_EMB_CTE = """seeded AS (
         SELECT vec_id, embedding, label FROM embeddings
         UNION ALL
-        SELECT vec_id + 1000 AS vec_id,
+        SELECT vec_id + 1000000 AS vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05) AS embedding,
                label
         FROM embeddings WHERE vec_id % 10 = 0
@@ -324,7 +326,7 @@ _SEEDED_EMB_CTE = """seeded AS (
 def _seeded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     companions = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") + F.lit(0.05)).alias(
             "embedding"
         ),

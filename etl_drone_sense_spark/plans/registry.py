@@ -36,14 +36,16 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Queries already checked by the driver's correctness gate in a previous round
-# (CORRECTNESS_r01.json: 46 fully-oracled green + 4 rows-only-by-design).  The
-# driver records the FIRST ~50 queries in the order ``all_queries()`` yields
-# them, so queries with no prior driver entry are ordered FIRST to land inside
-# that window; previously-checked ones rotate to the tail (every query is still
-# parity-tested locally each session by tests/test_oracle_parity.py).
-# ``dedup_embedding`` is deliberately NOT listed: its round-1 pass was vacuous
-# (0 rows vs 0 rows) and the reworked query needs a fresh driver check.
+# Queries already checked by the driver's correctness gate in a previous round.
+# The driver records the FIRST ~50 queries in the order ``all_queries()`` yields
+# them, so ``_ordered_specs`` sorts STALEST-CHECKED FIRST: never-checked
+# queries, then round-1-only greens (whose modules round 2 touched — the
+# evidence-staleness risk VERDICT r2 flagged), then round-2 greens last
+# (every query is still parity-tested locally each session by
+# tests/test_oracle_parity.py).
+# ``dedup_embedding`` is deliberately NOT listed in R01: its round-1 pass was
+# vacuous (0 rows vs 0 rows) and the reworked query needed a fresh check (got
+# one in r2: 50 real pairs).
 DRIVER_CHECKED_R01: frozenset[str] = frozenset(
     {
         "geo_bearing_distance",
@@ -98,6 +100,64 @@ DRIVER_CHECKED_R01: frozenset[str] = frozenset(
     }
 )
 
+# CORRECTNESS_r02.json: 49 fully-oracled green + 1 rows-only-by-design
+# (agg_approx_percentile). These have the FRESHEST driver evidence, so they
+# rotate to the very tail of the window ordering.
+DRIVER_CHECKED_R02: frozenset[str] = frozenset(
+    {
+        "stream_drone_features_flat",
+        "dedup_incremental",
+        "corpus_pack_sequences",
+        "dedup_embedding",
+        "dedup_embedding_lsh",
+        "udtf_sentences",
+        "text_gopher_quality",
+        "text_redact_pii",
+        "text_langid_predict",
+        "stream_session_counts",
+        "filter_in_between_like",
+        "sort_limit",
+        "set_ops",
+        "window_topk_per_group",
+        "window_running_sum",
+        "window_lag_lead",
+        "window_rank_navigation",
+        "string_funcs",
+        "date_funcs",
+        "math_funcs",
+        "json_funcs",
+        "case_bucketing",
+        "subquery_exists_notin",
+        "subquery_scalar_correlated",
+        "array_funcs",
+        "map_funcs",
+        "agg_percentiles",
+        "join_asof",
+        "events_gapfill",
+        "window_range_frame",
+        "agg_skew_salted",
+        "string_distance",
+        "agg_approx_percentile",
+        "unpivot_metrics",
+        "null_semantics",
+        "set_ops_all",
+        "join_range_binned",
+        "join_skewed_salted",
+        "geo_bearing_distance",
+        "drone_features_flat",
+        "drone_features_multivideo",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "sim_topk_bruteforce",
+        "sim_ivf_topk",
+        "text_quality",
+        "text_langid",
+        "text_token_freq",
+    }
+)
+
 
 def register(
     name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False
@@ -144,12 +204,18 @@ def _load() -> None:
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    """Registration order, but driver-unchecked queries first (see
-    DRIVER_CHECKED_R01)."""
+    """Registration order within tiers, stalest driver evidence first:
+    never-checked → checked-in-r1-only → checked-in-r2 (freshest)."""
+
+    def tier(s: QuerySpec) -> int:
+        if s.name in DRIVER_CHECKED_R02:
+            return 2
+        if s.name in DRIVER_CHECKED_R01:
+            return 1
+        return 0
+
     specs = list(REGISTRY.values())
-    head = [s for s in specs if s.name not in DRIVER_CHECKED_R01]
-    tail = [s for s in specs if s.name in DRIVER_CHECKED_R01]
-    return head + tail
+    return sorted(specs, key=tier)  # sorted() is stable → registration order kept
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -142,16 +142,25 @@ def decode_json_column(
     return df.withColumn(col, F.from_json(F.col(col), schema, {"mode": mode}))
 
 
+_QUARANTINE_SEQ = 0
+
+
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined) split of a PERMISSIVE read.
 
     The parsed relation is cached first: Spark disallows queries that touch
     only ``_corrupt_record`` on a raw file scan (QUERY_ONLY_CORRUPT_RECORD_
-    COLUMN), and both branches scan it anyway — cache once, filter twice
-    (scoped: a repeat invocation releases the previous call's cache)."""
+    COLUMN), and both branches scan it anyway — cache once, filter twice.
+    The scoped-cache key is unique per call: a fixed key would let a later
+    ``quarantine_split`` release an earlier call's cache while its ``bad``
+    branch is still unconsumed, and that branch would then fail with
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN on the raw scan. Per-call caches are
+    reclaimed by ``caching.release_caches()`` (bench/sweep loops call it)."""
     from ..caching import scoped_persist
 
-    df = scoped_persist("readers.quarantine", df)
+    global _QUARANTINE_SEQ
+    _QUARANTINE_SEQ += 1
+    df = scoped_persist(f"readers.quarantine.{_QUARANTINE_SEQ}", df)
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return good, bad

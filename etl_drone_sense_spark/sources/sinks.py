@@ -59,9 +59,26 @@ def rest_post_batches(
     whole output through one driver process (the reference posts a single
     document per run, task.ts:216 — fine at drone-fleet size, not at
     100 TB). ``post`` must therefore be picklable — a ``RestPoster`` bound
-    to an endpoint URL, or a file-writing capture in tests. Runs one Spark
-    job; returns the total number of features POSTed.
+    to an endpoint URL, or a file-writing capture in tests; unpicklable
+    callables fail fast here rather than as an opaque task-serialization
+    error. Runs one Spark job; returns the total number of features POSTed.
+
+    Delivery is AT-LEAST-ONCE: Spark re-runs failed/speculative tasks, so a
+    partition's batches can be POSTed more than once (the driver-side loop
+    this replaced was effectively exactly-once). Make bodies idempotent on
+    the receiving side (e.g. a batch id) or disable speculation
+    (``spark.speculation=false``, the default) if duplicates are unacceptable.
     """
+    import pickle
+
+    try:
+        pickle.dumps(post)
+    except Exception as exc:
+        raise TypeError(
+            "rest_post_batches requires a picklable `post` callable (it is "
+            "shipped to executors inside the task closure) — use RestPoster "
+            f"or a module-level function; pickling failed with: {exc!r}"
+        ) from exc
 
     def _post_partition(lines):
         n = 0

@@ -8,6 +8,7 @@ Usage:  python tools/verify_contract.py [name ...]   (no names = all)
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -17,7 +18,7 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, ".")
 import __spark_entry__ as E  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
