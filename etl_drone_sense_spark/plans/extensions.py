@@ -991,6 +991,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM dims
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i) % 256 END)
+                      AS DOUBLE) / (w * h), 6) AS mean_r,
+           round(CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i) % 256 END)
+                      AS DOUBLE) / (w * h), 6) AS mean_g,
+           round(CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i) % 256 END)
+                      AS DOUBLE) / (w * h), 6) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize binary PPM (P6) payloads,
+    run the dependency-free decoder inside mapInPandas, extract
+    width/height/per-channel means. The payload content is an arithmetic
+    function of doc_id (operators/multimodal.synth_ppm_media), so the
+    oracle derives the same features in pure SQL — a header-offset or
+    raster-stride bug in the decoder would shift every mean and hash-fail."""
+    media = multimodal.synth_ppm_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 @register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimate (engine-specific values → rows-only

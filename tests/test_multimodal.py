@@ -1,0 +1,85 @@
+"""Multimodal codec tests: the dependency-free PPM (P6) decoder and the
+Arrow-batched decode_image_features path (SURVEY §2 Part C5).
+
+The decoder is the un-stubbed tier of the codec layer: REAL header parse +
+raster extraction. Compressed formats stay behind decode_stub by declared
+design (no codec libraries in this container).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_drone_sense_spark.operators import multimodal as M
+
+
+def _ppm(w: int, h: int, raster: bytes, header: bytes | None = None) -> bytes:
+    head = header if header is not None else b"P6\n%d %d\n255\n" % (w, h)
+    return head + raster
+
+
+class TestParsePpm:
+    def test_roundtrip(self):
+        raster = bytes(range(2 * 2 * 3))
+        w, h, px = M.parse_ppm(_ppm(2, 2, raster))
+        assert (w, h, px) == (2, 2, raster)
+
+    def test_comments_and_padding_whitespace(self):
+        # netpbm allows comments and arbitrary whitespace between tokens.
+        raster = bytes([7] * 3)
+        payload = b"P6 # a comment\n# another\n 1\t1 # dims\n255\n" + raster
+        assert M.parse_ppm(payload) == (1, 1, raster)
+
+    def test_raster_starting_with_whitespace_byte(self):
+        # Only ONE whitespace byte follows maxval; a raster whose first
+        # pixel is 0x0A (newline) must not be eaten by header parsing.
+        raster = b"\n\n\n"
+        assert M.parse_ppm(_ppm(1, 1, raster)) == (1, 1, raster)
+
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            None,
+            b"",
+            b"P5\n1 1\n255\n" + b"\x00",  # PGM, not PPM
+            b"P6\n1 1\n65535\n" + b"\x00" * 6,  # 2-byte samples unsupported
+            b"P6\n2 2\n255\n" + b"\x00" * 5,  # truncated raster
+            b"P6\n0 1\n255\n",  # zero dimension
+            b"P6\nx 1\n255\n" + b"\x00" * 3,  # non-numeric token
+            b"P6\n1 1",  # truncated header
+        ],
+    )
+    def test_rejects_malformed(self, payload):
+        with pytest.raises(ValueError):
+            M.parse_ppm(payload)
+
+
+def test_decode_image_features_quarantines_corrupt(spark):
+    good = _ppm(2, 1, bytes([10, 20, 30, 40, 50, 60]))
+    rows = [(1, bytearray(good)), (2, bytearray(b"JFIF not a ppm")), (3, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in M.decode_image_features(media).collect()}
+    assert out[1]["decode_ok"] and (out[1]["width"], out[1]["height"]) == (2, 1)
+    assert out[1]["mean_r"] == (10 + 40) / 2
+    assert out[1]["mean_g"] == (20 + 50) / 2
+    assert out[1]["mean_b"] == (30 + 60) / 2
+    assert not out[2]["decode_ok"] and out[2]["width"] is None
+    assert not out[3]["decode_ok"]
+
+
+def test_synth_then_decode_matches_arithmetic(spark, sf_dir):
+    """End-to-end: synthesized PPM bytes decode back to the arithmetic
+    features the oracle predicts (same formulas, independently coded)."""
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    feats = M.decode_image_features(M.synth_ppm_media(docs)).collect()
+    assert len(feats) == 20
+    for r in feats:
+        did = r["media_id"]
+        w, h = 4 + did % 5, 3 + did % 4
+        assert r["decode_ok"]
+        assert (r["width"], r["height"]) == (w, h)
+        for c, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            expect = sum((did * 31 + i) % 256 for i in range(w * h * 3) if i % 3 == c)
+            assert r[col] == expect / (w * h)
