@@ -1053,6 +1053,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON g.user_id = o.user_id AND g.grid_ts >= o.ts
     """,
     tags=("temporal", "gapfill"),
+    bench=True,
 )
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-time-grid resampling with forward fill: per user, a 6-hour
