@@ -47,10 +47,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def _minhash_sig_cte() -> str:
+def _minhash_sig_cte(relation: str = "documents") -> str:
     """CTE computing the minhash signature table in DuckDB (one md5 per
     shingle into hv, then k arithmetic components — same family as
-    operators.dedup.minhash_from_hashes)."""
+    operators.dedup.minhash_from_hashes). ``relation`` lets pipeline
+    oracles compute signatures over an upstream CTE instead of the base
+    table."""
     mh_cols = ",\n           ".join(
         f"{TXT.minhash_component_sql('hv', i)} AS mh{i}" for i in range(MH_K)
     )
@@ -58,7 +60,7 @@ def _minhash_sig_cte() -> str:
     sig AS (
         SELECT doc_id, {mh_cols}
         FROM (SELECT doc_id, {TXT.shingle_hashes_sql('text', SHINGLE_N)} AS hv
-              FROM documents)
+              FROM {relation})
     )"""
 
 
@@ -145,6 +147,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ({_MH_AGREE}) / {float(MH_K)} >= 0.2
     """,
     tags=("dedup", "lsh", "incremental"),
+    bench=True,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: dedup the NEW batch (doc_id % 4 = 0 as the
@@ -414,6 +417,7 @@ def _hp_oracle() -> str:
     "dedup_embedding_lsh",
     oracle=_hp_oracle(),
     tags=("dedup", "similarity", "lsh"),
+    bench=True,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-FREE embedding near-dup: random-hyperplane sign-LSH. Each
@@ -1012,6 +1016,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "pandas_udf"),
+    bench=True,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize binary PPM (P6) payloads,
@@ -1412,6 +1417,121 @@ def dedup_keep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_prepare_pipeline",
+    # The full corpus-prep composition in one statement. CTE order mirrors
+    # the Spark stages exactly; `red`/`ex` are MATERIALIZED because each is
+    # consumed by multiple downstream relations (DuckDB re-evaluates
+    # inlined CTEs per reference — the winnowing 5× trap).
+    oracle=f"""
+    WITH red AS MATERIALIZED (
+        SELECT doc_id, source, {_PII_REDACTED} AS text
+        FROM documents
+        WHERE {TXT.gopher_pass_sql(_GOPHER_SQL)}
+    ),
+    ex AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   min(doc_id) OVER (
+                       PARTITION BY {TXT.fingerprint_sql('text')}) AS keep_id
+            FROM red
+        ) WHERE doc_id = keep_id
+    ),
+    {_minhash_sig_cte(relation='ex')},
+    {_lsh_pairs_cte()},
+    agree AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE ({_MH_AGREE}) / {float(MH_K)} >= 0.5
+    ),
+    surv AS (
+        SELECT doc_id, source, text FROM ex
+        WHERE doc_id NOT IN (SELECT id_b FROM agree)
+    ),
+    sp AS (
+        SELECT doc_id, source,
+               CASE WHEN {split_bucket_sql('doc_id')} < 80 THEN 'train'
+                    WHEN {split_bucket_sql('doc_id')} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST({TXT.token_count_sql('text')} AS BIGINT) AS n_tokens
+        FROM surv
+    ),
+    cum AS (
+        SELECT doc_id, source, split, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source, split
+                                        ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS start_offset
+        FROM sp
+    )
+    SELECT doc_id, source, split, n_tokens, start_offset,
+           CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM cum
+    """,
+    tags=("corpus", "pipeline", "dedup", "text"),
+    bench=True,
+)
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus preparation — the composition a training-data job
+    actually runs, as ONE plan: Gopher quality gate → PII redaction →
+    exact dedup (min-id survivor per fingerprint) → MinHash-LSH near-dup
+    drop (est_jaccard ≥ 0.5) → reproducible train/val/test split →
+    per-(source, split) sequence packing. Each stage is individually
+    oracled elsewhere; this query exists because composition bugs (column
+    collisions, filter ordering, dedup-before-vs-after-redaction) don't
+    show in unit queries.
+
+    Scale shape: the quality gate + redaction are narrow (filter early —
+    the most selective stage runs against the raw scan); exact dedup is
+    one shuffle on the fingerprint; LSH shuffles (band, bucket) keys only;
+    the anti-join shuffles doc_id; packing windows shuffle once on
+    (source, split). The deduped relation is scoped-persisted because both
+    the LSH probe and the survivor anti-join consume it."""
+    from pyspark.sql.window import Window
+
+    from ..caching import scoped_persist
+    from ..operators.corpus import assign_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = docs.filter(TXT.gopher_pass(TXT.gopher_features(F.col("text"))))
+    _, redacted = TXT.pii_stages(F.col("text"))
+    red = kept.select("doc_id", "source", redacted.alias("text"))
+
+    wfp = Window.partitionBy("fp")
+    ex = (
+        red.withColumn("fp", TXT.fingerprint(F.col("text")))
+        .withColumn("keep_id", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("fp", "keep_id")
+    )
+    ex = scoped_persist("extensions.corpus_prepare.ex", ex)
+
+    pairs = dedup.minhash_lsh_pairs(
+        ex, "doc_id", "text",
+        k=MH_K, bands=MH_BANDS, threshold=0.5, shingle_n=SHINGLE_N,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = ex.join(losers, "doc_id", "left_anti")
+
+    sp = assign_split(surv, "doc_id")
+    n = TXT.token_count(F.col("text")).cast("long")
+    staged = sp.select("doc_id", "source", "split", n.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    cum = staged.select("doc_id", "source", "split", "n_tokens", start)
+    pack = F.floor(F.col("start_offset") / float(PACK_BUDGET)).cast("long")
+    return cum.select(
+        "doc_id", "source", "split", "n_tokens", "start_offset",
+        pack.alias("pack_id"),
+    )
+
+
 @register("sim_kmeans_ivf_topk", oracle=None, tags=("similarity", "ann", "iterative"))
 def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with TRAINED centroids: 3 Lloyd iterations (iterative
@@ -1461,6 +1581,7 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hv
     """,
     tags=("text", "fingerprint"),
+    bench=True,
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints, exploded to (doc_id, fp)
