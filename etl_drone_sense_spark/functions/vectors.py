@@ -59,6 +59,41 @@ def quantize_i8(u: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-point quantization (exact cross-engine integer arithmetic)
+# ---------------------------------------------------------------------------
+
+# 2^24: scaling a float32-origin double by a power of two is EXACT (only
+# the exponent changes), so q = floor(x * 2^24 + 0.5) is bit-identical in
+# every IEEE-754 engine regardless of how the surrounding expression is
+# evaluated. Integer sums are then order-independent — the property the
+# float fold could never give (see hyperplane_lsh_pairs).
+FIXED_SCALE = 1 << 24
+
+
+def quantize_fixed(a: Column) -> Column:
+    """int64 fixed-point copy of the vector: q_i = floor(x_i * 2^24 + 0.5).
+
+    floor(+0.5) instead of round() for identical halfway behavior across
+    engines (same rationale as quantize_i8)."""
+    return F.transform(
+        a, lambda x: F.floor(x.cast("double") * FIXED_SCALE + F.lit(0.5)).cast("long")
+    )
+
+
+def quantize_fixed_sql(a: str) -> str:
+    return (
+        f"list_transform({a}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {FIXED_SCALE} + 0.5) AS BIGINT))"
+    )
+
+
+def dot_int_sql(a: str, b: str) -> str:
+    """Integer dot product — exact, order-independent (unlike dot_sql,
+    whose float fold order is part of its contract)."""
+    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH (sign sketches)
 # ---------------------------------------------------------------------------
 
@@ -97,6 +132,13 @@ def hyperplane_bit_sql(vec: str, plane_expr: str) -> str:
     an inline literal: a literal inside ``dot_sql``'s per-index lambda gets
     re-constructed per element per row (measured ~30× slower in DuckDB)."""
     return f"CASE WHEN {dot_sql(vec, plane_expr)} >= 0 THEN '1' ELSE '0' END"
+
+
+def hyperplane_bit_fixed_sql(qvec: str, plane_expr: str) -> str:
+    """Sign bit over a quantize_fixed_sql vector — integer arithmetic, so
+    the result is evaluation-order-independent and matches any engine's
+    (including numpy's) computation of the same sum exactly."""
+    return f"CASE WHEN {dot_int_sql(qvec, plane_expr)} >= 0 THEN '1' ELSE '0' END"
 
 
 def plane_lit_sql(plane: list[int]) -> str:

