@@ -276,33 +276,59 @@ def winnow_fingerprints_sql(col: str, shingle_n: int = 3, window: int = 4) -> st
 # Language identification (marker-n-gram classifier)
 # ---------------------------------------------------------------------------
 
-# High-frequency function words (space-padded: whole-token substring match
-# over the space-padded normalized text) and common CJK characters — the
-# standard frequency-profile langid signal, rendered as pure string
-# expressions so scoring stays JVM-side / oracle-mirrorable. Marker sets are
-# deliberately disjoint where languages share function words (no ' la '/
-# ' que ', which are both es and fr).
+# Character-n-gram / function-word profiles per language (space-padded
+# entries match whole tokens over the space-padded normalized text; bare
+# entries match anywhere — CJK characters, diacritic-bearing sequences).
+# This is the frequency-profile family of Cavnar & Trenkle (1994) n-gram
+# langid, rendered as pure string expressions so scoring stays JVM-side /
+# oracle-mirrorable. Uniform profile size (8 markers per language) keeps
+# the argmax unbiased; markers are chosen to be discriminative where
+# languages share function words (no ' que ' — es AND fr AND pt; no ' de '
+# — nl AND several Romance; no ' on ' — fi AND en; no ' er ' — da AND de).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "de": (
-        " der ", " die ", " das ", " und ", " ist ", " nicht ",
-        " ein ", " mit ", " dem ", " zu ",
-    ),
-    "en": (
-        " the ", " and ", " of ", " to ", " is ", " that ",
-        " it ", " for ", " was ", " this ",
-    ),
-    "es": (
-        " el ", " los ", " una ", " por ", " con ", " para ",
-        " son ", " muy ", " tiene ", " pero ",
-    ),
-    "fr": (
-        " les ", " des ", " dans ", " pour ", " est ", " une ",
-        " du ", " nous ", " avec ", " le ",
-    ),
-    "zh": ("的", "是", "了", "在", "我", "有", "和", "们", "一", "个"),
+    "da": (" og ", " ikke ", " jeg ", " det er ", " af ", " til ",
+           " hvor ", " også "),
+    "de": (" der ", " die ", " das ", " und ", " ist ", " nicht ",
+           " ein ", " mit "),
+    "en": (" the ", " and ", " of ", " to ", " is ", " that ",
+           " it ", " for "),
+    "es": (" el ", " los ", " una ", " por ", " con ", " para ",
+           " son ", " muy "),
+    "fi": (" ja ", " ei ", " että ", " mutta ", " hän ", " myös ",
+           " joka ", " kanssa "),
+    "fr": (" les ", " des ", " dans ", " pour ", " est ", " une ",
+           " du ", " nous "),
+    "id": (" yang ", " dan ", " itu ", " dengan ", " untuk ", " tidak ",
+           " ini ", " adalah "),
+    "it": (" il ", " che ", " di ", " non ", " per ", " sono ",
+           " della ", " anche "),
+    "ja": ("の", "は", "です", "ます", "した", "こと", "を", "が"),
+    "nl": (" het ", " een ", " van ", " niet ", " dat ", " ik ",
+           " voor ", " maar "),
+    "pl": (" nie ", " się ", " jest ", " że ", " ale ", " jak ",
+           " już ", " być "),
+    "pt": (" não ", " uma ", " são ", " como ", " isso ", " ele ",
+           " também ", " muito "),
+    "ro": (" și ", " este ", " care ", " pentru ", " din ", " să ",
+           " dar ", " acest "),
+    "ru": (" и ", " не ", " на ", " что ", " это ", " как ",
+           " он ", " мы "),
+    "sv": (" och ", " att ", " som ", " är ", " inte ", " ett ",
+           " från ", " när "),
+    "tr": (" bir ", " ve ", " için ", " ama ", " çok ", " gibi ",
+           " değil ", " daha "),
+    "vi": (" không ", " của ", " là ", " và ", " có ", " người ",
+           " được ", " một "),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "们"),
 }
 
 LANGS = tuple(sorted(LANG_MARKERS))
+
+# The argmax encodes each (score, language) as a fixed-width sortable
+# string — see langid_argmax. Width constants shared by both renderings.
+_LANGID_SCORE_W = 8  # supports scores < 10^8 (a marker per ~byte of a 100MB doc)
+_LANGID_RANK_W = 2  # supports up to 99 languages
+assert all(len(lang) == 2 for lang in LANGS), "lang codes must be 2 chars"
 
 
 def padded_sql(col: str) -> str:
@@ -323,27 +349,46 @@ def langid_score_sql(t: str, lang: str) -> str:
     return "(" + " + ".join(_marker_count_sql(t, m) for m in LANG_MARKERS[lang]) + ")"
 
 
-def langid_predict_sql(t: str) -> str:
-    """Predicted language of padded text ``t``: argmax of marker counts,
-    ties broken alphabetically, 'und' (undetermined) when no marker fires.
+def _langid_rank(lang: str) -> str:
+    # Higher rank = alphabetically earlier, so the max-encoded string
+    # breaks score ties toward the alphabetically FIRST language.
+    return str(len(LANGS) - LANGS.index(lang)).zfill(_LANGID_RANK_W)
 
-    The rendering uses only length/replace/CASE/comparison — identical
-    syntax and semantics in Spark SQL and DuckDB, so the SAME string is
-    both the engine expression (via ``F.expr``) and the oracle SQL.
-    """
-    scores = {lang: langid_score_sql(t, lang) for lang in LANGS}
-    total = " + ".join(scores.values())
-    whens = []
-    for i, lang in enumerate(LANGS[:-1]):
-        cond = " AND ".join(
-            f"{scores[lang]} >= {scores[o]}" for o in LANGS[i + 1 :]
-        )
-        whens.append(f"WHEN {cond} THEN '{lang}'")
+
+_LANGID_ZERO = "0" * _LANGID_SCORE_W
+_LANGID_LANG_POS = _LANGID_SCORE_W + _LANGID_RANK_W + 1  # 1-based substr
+
+
+def langid_argmax_sql(scores: dict[str, str]) -> str:
+    """Argmax over per-language score expressions/references: each
+    (score, lang) encodes as the fixed-width sortable string
+    ``lpad(score) || rank || lang``, and one ``greatest()`` picks the
+    winner — LINEAR in languages, where a pairwise CASE chain is quadratic
+    (and at 18 languages re-evaluates every score ~18× in engines without
+    common-subexpression elimination, DuckDB included). Ties break
+    alphabetically; all-zero scores → 'und'.
+
+    Pass STAGED column references (a CTE computing s_de, s_en, …) when the
+    relation is large — inline score expressions are evaluated twice.
+    Uses only lpad/CAST/||/greatest/substr/CASE — identical semantics in
+    Spark SQL and DuckDB, so the same string serves both engines."""
+    encs = [
+        f"(lpad(CAST({scores[lang]} AS VARCHAR({_LANGID_SCORE_W})), "
+        f"{_LANGID_SCORE_W}, '0') || '{_langid_rank(lang)}' || '{lang}')"
+        for lang in LANGS
+    ]
+    g = "greatest(" + ", ".join(encs) + ")"
     return (
-        f"CASE WHEN {total} = 0 THEN 'und' "
-        + " ".join(whens)
-        + f" ELSE '{LANGS[-1]}' END"
+        f"CASE WHEN substr({g}, 1, {_LANGID_SCORE_W}) = '{_LANGID_ZERO}' "
+        f"THEN 'und' ELSE substr({g}, {_LANGID_LANG_POS}, 2) END"
     )
+
+
+def langid_predict_sql(t: str) -> str:
+    """Predicted language of padded text ``t`` as one scalar expression
+    (convenience form; large relations should stage scores in a CTE and
+    call ``langid_argmax_sql`` on the references)."""
+    return langid_argmax_sql({lang: langid_score_sql(t, lang) for lang in LANGS})
 
 
 def padded(col: Column) -> Column:
@@ -364,22 +409,29 @@ def langid_score(t: Column, lang: str) -> Column:
     return s
 
 
+def langid_argmax(scores: dict[str, Column]) -> Column:
+    """Column twin of ``langid_argmax_sql`` (same encoding, same widths —
+    bit-identical winner selection)."""
+    encs = [
+        F.concat(
+            F.lpad(scores[lang].cast("string"), _LANGID_SCORE_W, "0"),
+            F.lit(_langid_rank(lang)),
+            F.lit(lang),
+        )
+        for lang in LANGS
+    ]
+    g = F.greatest(*encs)
+    return F.when(
+        F.substring(g, 1, _LANGID_SCORE_W) == _LANGID_ZERO, F.lit("und")
+    ).otherwise(F.substring(g, _LANGID_LANG_POS, 2))
+
+
 def langid_predict(col: Column) -> Column:
-    """Column form of the classifier (same CASE structure as the SQL
-    rendering): argmax of marker counts over the padded normalized text,
-    alphabetical tie-break, 'und' when no marker fires."""
+    """Column form of the classifier: argmax of marker-profile counts over
+    the padded normalized text, alphabetical tie-break, 'und' when no
+    marker fires."""
     t = padded(col)
-    scores = {lang: langid_score(t, lang) for lang in LANGS}
-    total = scores[LANGS[0]]
-    for lang in LANGS[1:]:
-        total = total + scores[lang]
-    out = F.when(total == 0, F.lit("und"))
-    for i, lang in enumerate(LANGS[:-1]):
-        cond = F.lit(True)
-        for o in LANGS[i + 1 :]:
-            cond = cond & (scores[lang] >= scores[o])
-        out = out.when(cond, F.lit(lang))
-    return out.otherwise(F.lit(LANGS[-1]))
+    return langid_argmax({lang: langid_score(t, lang) for lang in LANGS})
 
 
 # ---------------------------------------------------------------------------

@@ -380,8 +380,11 @@ def _hp_oracle() -> str:
     plane_cols = ", ".join(
         f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(_HP_PLANES)
     )
+    # Sign bits over the fixed-point-quantized vector: integer sums are
+    # evaluation-order-independent, so these match the Spark side's numpy
+    # matmul bit-for-bit (functions/vectors.quantize_fixed rationale).
     bits = ", ".join(
-        V.hyperplane_bit_sql("embedding", f"p{j}") for j in range(len(_HP_PLANES))
+        V.hyperplane_bit_fixed_sql("qv", f"p{j}") for j in range(len(_HP_PLANES))
     )
     width = len(_HP_PLANES) // _HP_BANDS
     cos = V.cosine_sql("a.embedding", "b.embedding")
@@ -390,7 +393,10 @@ def _hp_oracle() -> str:
     planes AS (SELECT {plane_cols}),
     sigs AS MATERIALIZED (
         SELECT vec_id, embedding, concat({bits}) AS sig
-        FROM seeded CROSS JOIN planes
+        FROM (SELECT vec_id, embedding,
+                     {V.quantize_fixed_sql('embedding')} AS qv
+              FROM seeded)
+        CROSS JOIN planes
     ),
     exploded AS MATERIALIZED (
         SELECT vec_id, b.band_idx,
@@ -727,8 +733,11 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 # langid query: the fixture's text is synthetic word-salad under EVERY
 # label (no language signal), so these seeds are what makes the prediction
 # check non-vacuous — each seeded language must come back predicted as
-# itself. Original sentences (no corpus text).
+# itself. Original sentences (no corpus text); one or two per language in
+# functions/text.LANG_MARKERS.
 LANGID_SEEDS: tuple[tuple[str, str], ...] = (
+    ("da", "jeg går til byen og det er ikke langt men også i dag skal vi se "
+           "hvor mange af dem kommer nu"),
     ("de", "der hund läuft über die straße und das wetter ist heute nicht gut "
            "aber wir fahren mit dem zug in die stadt"),
     ("de", "die kinder spielen in dem garten und der vater liest ein buch das "
@@ -740,10 +749,33 @@ LANGID_SEEDS: tuple[tuple[str, str], ...] = (
            "casa tiene que costar mucho para ellos"),
     ("es", "los estudiantes son muy buenos y el profesor tiene una manera clara "
            "de explicar para todos"),
+    ("fi", "hän tulee kotiin ja sanoo että kaikki on hyvin mutta minä en usko "
+           "koska myös naapuri joka asuu täällä tulee kanssa"),
     ("fr", "le chat dort dans la maison et les enfants jouent pour une heure "
            "avec nous dans le jardin du village"),
     ("fr", "nous voyageons dans les montagnes avec des amis pour une semaine du "
            "printemps"),
+    ("id", "dia berkata bahwa ini adalah rumah yang besar dan mereka tidak mau "
+           "pergi untuk membeli itu dengan harga tinggi"),
+    ("it", "il ragazzo che gioca non vuole andare per la città ma sono sicuro "
+           "che anche la casa della nonna è di tutti"),
+    ("ja", "わたしは毎日こんなことを考えますがそれはいいことですそしてみんなのために本をよみました"),
+    ("nl", "ik denk dat het een goede dag is maar de mensen van de stad willen "
+           "niet dat wij voor morgen vertrekken"),
+    ("pl", "on mówi że nie wie jak to się stało ale jest już pewne że musimy "
+           "być gotowi na wszystko teraz"),
+    ("pt", "ele disse que não sabe como isso vai acabar mas também acha que é "
+           "uma coisa muito boa e que são pessoas felizes"),
+    ("ro", "el spune că este bine dar nu știe care din aceste lucruri să "
+           "aleagă pentru că acest oraș este mare"),
+    ("ru", "он говорит что это не так как мы думали и на улице уже темно но "
+           "мы будем дома"),
+    ("sv", "hon säger att det inte är ett stort problem som vi har när vi "
+           "kommer från staden och huset är fint"),
+    ("tr", "o bana bir şey söyledi ama bu iş için çok daha iyi bir yol değil "
+           "gibi görünüyor ve ben de oraya gittim"),
+    ("vi", "anh ấy nói rằng đây không phải là một điều xấu và mọi người có "
+           "thể được giúp đỡ trong ngôi nhà của chúng ta"),
     ("zh", "今天的天气很好我们在公园里散步了他有一本书和我的朋友们一起看"),
     ("zh", "我是一个学生在学校里学习了很多有用的知识和朋友们的帮助"),
 )
@@ -758,34 +790,56 @@ def _langid_seed_values() -> str:
 
 @register(
     "text_langid_predict",
+    # Scores are STAGED (one s_<lang> column each, computed once per row)
+    # before the argmax: the scalar langid_predict_sql form would make
+    # DuckDB re-evaluate all 18 profiles inside both references to the
+    # greatest() encoding.
     oracle=f"""
     WITH seed(lang, text) AS (VALUES {_langid_seed_values()}),
     docs AS (
         SELECT lang, text FROM documents
         UNION ALL SELECT lang, text FROM seed
     ),
-    scored AS (
-        SELECT lang, {TXT.langid_predict_sql('_t')} AS predicted
+    scored AS MATERIALIZED (
+        SELECT lang,
+               {", ".join(
+                   f"{TXT.langid_score_sql('_t', lang)} AS s_{lang}"
+                   for lang in TXT.LANGS
+               )}
         FROM (SELECT lang, {TXT.padded_sql('text')} AS _t FROM docs)
+    ),
+    pred AS (
+        SELECT lang,
+               {TXT.langid_argmax_sql(
+                   {lang: f"s_{lang}" for lang in TXT.LANGS}
+               )} AS predicted
+        FROM scored
     )
     SELECT lang, predicted, count(*) AS n
-    FROM scored GROUP BY lang, predicted
+    FROM pred GROUP BY lang, predicted
     """,
     tags=("text", "langid"),
 )
 def text_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language identification that actually predicts: marker-n-gram
-    frequency scoring (functions/text.py LANG_MARKERS) as pure string
-    expressions, argmax per document, confusion counts per (label,
-    predicted). Narrow scan + one small shuffle on (lang, predicted) —
-    scale-indifferent. Seeded multilingual sentences (LANGID_SEEDS) make
-    the check non-vacuous; accuracy on them is asserted in
+    """Language identification that actually predicts: character-n-gram /
+    function-word profile scoring over the 18 LANG_MARKERS languages
+    (functions/text.py) as pure string expressions, encoded-argmax per
+    document (linear in languages — see langid_argmax), confusion counts
+    per (label, predicted). Narrow scan + one small shuffle on (lang,
+    predicted) — scale-indifferent. Seeded multilingual sentences
+    (LANGID_SEEDS) make the check non-vacuous; per-language accuracy on
+    seeds AND held-out sentences is asserted in
     tests/test_properties.py."""
     docs = t(spark, sf_dir, "documents").select("lang", "text")
     seed = spark.createDataFrame(list(LANGID_SEEDS), "lang string, text string")
+    t_col = TXT.padded(F.col("text"))
+    staged = docs.unionByName(seed).select(
+        "lang",
+        *[TXT.langid_score(t_col, lang).alias(f"s_{lang}") for lang in TXT.LANGS],
+    )
+    pred = TXT.langid_argmax({lang: F.col(f"s_{lang}") for lang in TXT.LANGS})
     return (
-        docs.unionByName(seed)
-        .select("lang", TXT.langid_predict(F.col("text")).alias("predicted"))
+        staged.select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -165,20 +165,51 @@ def test_split_assignment_is_stable_and_complete(spark):
 
 
 def test_langid_predicts_seeds_and_held_out(spark):
-    """The marker-n-gram classifier must identify every seeded sentence and
-    held-out sentences it never saw; signal-free text is 'und'."""
-    from etl_drone_sense_spark.functions.text import langid_predict
+    """The n-gram-profile classifier must identify every seeded sentence
+    AND a held-out sentence per language it never saw (all 18 languages);
+    signal-free text is 'und'."""
+    from etl_drone_sense_spark.functions.text import LANGS, langid_predict
     from etl_drone_sense_spark.plans.extensions import LANGID_SEEDS
 
     held_out = [
+        ("da", "jeg ved ikke hvor hun er men det er også sent og vi skal "
+               "til byen af mange grunde"),
         ("de", "das haus ist alt und der garten ist nicht klein"),
         ("en", "this is the story of the people that lived for the sea"),
-        ("es", "el mercado tiene frutas muy frescas para los clientes"),
-        ("fr", "nous marchons dans les rues avec des amis du quartier"),
+        ("es", "el mercado tiene frutas muy frescas para los clientes y son "
+               "baratas con todo"),
+        ("fi", "hän sanoi että tämä ei ole helppoa mutta me yritämme myös "
+               "huomenna ja kaikki tulevat kanssa"),
+        ("fr", "nous marchons dans les rues avec des amis du quartier pour "
+               "une heure"),
+        ("id", "dia mengatakan bahwa ini adalah hal yang baik dan mereka "
+               "tidak akan pergi untuk itu dengan cepat"),
+        ("it", "il ragazzo che abita qui non va per la strada perché sono "
+               "anche giorni della festa di paese"),
+        ("ja", "わたしたちはこの町のことが好きですそして毎日たくさんのことをしました"),
+        ("nl", "ik denk dat het niet goed is maar een man van de stad zei "
+               "dat wij voor morgen komen"),
+        ("pl", "on nie wie jak to się stało ale to jest już bardzo ważne i "
+               "musimy być razem"),
+        ("pt", "ele não sabe como isso aconteceu mas também acha que uma "
+               "coisa é muito boa para nós e são dias bons"),
+        ("ro", "el a spus că este bine dar nu știm pentru care din aceste "
+               "lucruri să mergem și acest drum e lung"),
+        ("ru", "он сказал что это не так и мы будем на месте как всегда"),
+        ("sv", "hon sa att det inte är ett problem som vi har när vi kommer "
+               "från staden och huset"),
+        ("tr", "o bir şey söyledi ama bunun için çok daha iyi bir yol değil "
+               "gibi görünüyor ve ben de geldim"),
+        ("vi", "anh ấy nói rằng đây không phải là một điều tốt và mọi người "
+               "có thể được giúp trong nhà của chúng ta"),
         ("zh", "他们在城市里工作了很多年我的家人也在那里"),
         ("und", "lorem ipsum dolor sit amet consectetur"),
         ("und", ""),
     ]
+    # Coverage guards: every profiled language has a seed and a held-out.
+    assert {lang for lang, _ in held_out} - {"und"} == set(LANGS)
+    assert {lang for lang, _ in LANGID_SEEDS} == set(LANGS)
+
     rows = list(LANGID_SEEDS) + held_out
     df = spark.createDataFrame(rows, "lang string, text string")
     out = df.select("lang", langid_predict(F.col("text")).alias("p")).collect()
