@@ -1143,6 +1143,107 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_watermark_eviction",
+    # The bounded two-batch replay has a COMPUTABLE final table: batch A =
+    # odd-id events up to (max_ts - 2h); batch B = the rest. After A the
+    # watermark is max(A.ts) - 30min, so B rows are dropped iff their
+    # whole WINDOW is below it (streaming aggregation filters late data
+    # per-window — a row with ts < watermark but a still-live window IS
+    # accepted; verified empirically against Spark at two SFs), and the
+    # final emitted set is every surviving window ending at or before the
+    # final watermark max_ts - 30min. The tail windows above it are the
+    # state the query never emits — their absence from the hash is the
+    # eviction proof.
+    oracle="""
+    WITH mb AS (SELECT max(ts) AS mx FROM events),
+    cut AS (SELECT mx - INTERVAL 2 HOUR AS tcut FROM mb),
+    a_rows AS (
+        SELECT e.* FROM events e, cut WHERE event_id % 2 = 1 AND ts <= tcut
+    ),
+    marks AS (SELECT (SELECT max(ts) FROM a_rows) - INTERVAL 30 MINUTE AS wm1,
+                     (SELECT mx FROM mb) - INTERVAL 30 MINUTE AS wm2),
+    survivors AS (
+        SELECT e.* FROM a_rows e
+        UNION ALL
+        SELECT e.* FROM events e, cut, marks
+        WHERE NOT (e.event_id % 2 = 1 AND e.ts <= cut.tcut)
+          AND time_bucket(INTERVAL '15 minutes', e.ts) + INTERVAL 15 MINUTE
+              > marks.wm1
+    )
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM survivors, marks
+    GROUP BY 1, 2, marks.wm2
+    HAVING time_bucket(INTERVAL '15 minutes', min(ts)) + INTERVAL 15 MINUTE
+           <= wm2
+    """,
+    tags=("streaming", "watermark"),
+)
+def stream_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark eviction and late-data drop proven BY HASH, not just by
+    test assertion: a deterministic two-micro-batch replay of the events
+    fixture through the real streaming pipeline (file source → watermark →
+    tumbling agg → append-mode file sink, AvailableNow twice over one
+    checkpoint), whose final emitted table a SQL oracle reproduces exactly.
+
+    Replay schedule: batch A = odd event_ids at or below max_ts - 2h
+    (single file → single micro-batch); run 1 drains it and commits
+    watermark max(A.ts) - 30min, emitting every finalized window with
+    A-only counts. Batch B = everything else; run 2 resumes the checkpoint,
+    drops B rows whose window is below the committed watermark (per-window
+    late filtering — the aggregation semantics, not a per-row ts cut),
+    advances the watermark to max_ts - 30min and emits the newly finalized
+    windows with merged counts. Windows in the final 30 minutes die in
+    state, unemitted. The driver's hash compare against the oracle pins all
+    three effects (late drop, merged emission, tail eviction) — the result
+    deliberately differs from the no-watermark batch twin
+    (window_tumbling_events: 7206 groups at sf0.01 vs 4394 here).
+
+    The max-ts lookup is a driver-side scalar that PARAMETERIZES the
+    bounded replay (like a stream's trigger clock), not a data path."""
+    import datetime
+    import os
+    import tempfile
+
+    from ..streaming import pipeline as SP
+
+    base = tempfile.mkdtemp(prefix="sg_wm_replay_")
+    landing, ckpt, out = (
+        os.path.join(base, d) for d in ("landing", "ckpt", "out")
+    )
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    tcut = mx - datetime.timedelta(hours=2)
+    in_batch_a = (F.col("event_id") % 2 == 1) & (F.col("ts") <= F.lit(tcut))
+
+    # State-store partition count is frozen into the checkpoint at first
+    # query start; the session default (often 200) means 200 tiny state
+    # files per micro-batch for a bounded fixture replay. Scope it down
+    # for the two runs, then restore.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        ev.filter(in_batch_a).coalesce(1).write.mode("overwrite").parquet(
+            landing
+        )
+        SP.run_available_now(
+            SP.windowed_counts(SP.stream_events(spark, landing)), ckpt, out
+        )
+        ev.filter(~in_batch_a).coalesce(1).write.mode("append").parquet(landing)
+        SP.run_available_now(
+            SP.windowed_counts(SP.stream_events(spark, landing)), ckpt, out
+        )
+    finally:
+        spark.conf.set(key, prev)
+    return spark.read.parquet(out).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
     "text_tfidf_topk",
     oracle=f"""
     WITH tok AS (
@@ -1601,6 +1702,67 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_cosine(
         emb, q, cents.withColumn("embedding", F.col("embedding")), k=10, nprobe=2
     )
+
+
+def _frozen_cents_values() -> str:
+    from ._frozen_codebook import FROZEN_CENTROIDS
+
+    return ", ".join(
+        f"({cid}, CAST([{', '.join(repr(v) for v in vec)}] AS DOUBLE[]))"
+        for cid, vec in FROZEN_CENTROIDS
+    )
+
+
+@register(
+    "sim_ivf_topk_frozen",
+    oracle=f"""
+    WITH cents AS (
+        SELECT * FROM (VALUES {_frozen_cents_values()}) AS v(cell_id, cvec)
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               round({V.cosine_sql('e.embedding', 'c.cvec')}, 9) AS sim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell_id) AS rn
+        FROM scored
+    ),
+    probe AS (
+        SELECT cell_id FROM (
+            SELECT c.cell_id, round({V.cosine_sql('c.cvec', 'q.qvec')}, 9) AS sim
+            FROM cents c CROSS JOIN q)
+        ORDER BY sim DESC, cell_id LIMIT 2
+    )
+    SELECT a.vec_id, round({V.cosine_sql('a.embedding', 'q.qvec')}, 6) AS cosine
+    FROM assign a JOIN probe USING (cell_id) CROSS JOIN q
+    WHERE a.rn = 1
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "topk", "ann"),
+)
+def sim_ivf_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k against a TRAINED, FROZEN codebook (plans/_frozen_codebook:
+    8x64 k-means centroids trained offline by kmeans_train and shipped as
+    literals) — the production IVF deployment shape: training is an offline
+    iterative job (covered rows-only by sim_kmeans_ivf_topk + convergence
+    tests); serving assigns and probes against the fixed codebook, which is
+    deterministic SQL and therefore fully hash-oracled here. Assignment is
+    a broadcast-centroid narrow pass; the 2-cell probe is the partition-
+    pruned scan at scale."""
+    from ._frozen_codebook import FROZEN_CENTROIDS
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        list(FROZEN_CENTROIDS), "cell_id int, embedding array<double>"
+    )
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    return similarity.ivf_topk_cosine(emb, q, cents, k=10, nprobe=2)
 
 
 @register(
