@@ -168,3 +168,34 @@ def test_foreachbatch_sink(spark, events_dir, tmp_path):
     total = spark.read.parquet(*[f"{out}/batch={b}" for b in seen]).count()
     expected = spark.read.schema(TPCH_SCHEMAS["events"]).parquet(events_dir).count()
     assert total == expected
+
+
+def test_watermark_eviction_replay_differs_from_batch(spark, sf_dir):
+    """The two-batch bounded replay (stream_watermark_eviction) must show
+    all three watermark effects against the no-watermark batch twin:
+    tail windows evicted unemitted, late rows dropped from survivor
+    windows, and nothing invented."""
+    from datetime import timedelta
+
+    from etl_drone_sense_spark.plans.extensions import (
+        stream_watermark_eviction,
+        window_tumbling_events,
+    )
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in stream_watermark_eviction(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in window_tumbling_events(spark, sf_dir).collect()
+    }
+    assert got, "replay emitted nothing"
+    # Emitted set is a strict subset of batch groups (tail eviction).
+    assert set(got) < set(batch)
+    mx = max(ws for ws, _ in batch)
+    assert all(ws <= mx - timedelta(minutes=30) for ws, _ in got)
+    # Counts never exceed batch (late rows only ever drop)…
+    assert all(n <= batch[k] for k, n in got.items())
+    # …and at least one window really lost late rows.
+    assert any(n < batch[k] for k, n in got.items())
