@@ -174,15 +174,16 @@ def compact_small_files(
     coalesce when shrinking (or a repartition when the directory is one
     giant file that needs splitting).
 
-    LOCAL-FILESYSTEM ONLY, and the directory swap is not atomic (POSIX has
-    no atomic two-directory exchange). The swap is ordered so no step
-    deletes the only copy: the old directory is renamed aside first, the
-    compacted one renamed in, and only then is the old copy removed — a
-    crash at any point leaves a complete dataset on disk (possibly under
-    the ``._compact_old`` name, recoverable by a rename). On an object
-    store the equivalent operator writes a new versioned prefix and
-    atomically repoints a manifest/table pointer (Iceberg/Delta commit
-    semantics) instead of renaming.
+    LOCAL-FILESYSTEM FALLBACK for plain directory tables: the directory
+    swap is not atomic (POSIX has no atomic two-directory exchange), only
+    ordered so no step deletes the only copy — the old directory is
+    renamed aside first, the compacted one renamed in, and only then is
+    the old copy removed; a crash at any point leaves a complete dataset
+    on disk (possibly under ``._compact_old``, recoverable by a rename).
+    The PRIMARY path for managed tables is ``table_commit.compact``:
+    immutable versioned prefixes + an atomic manifest-pointer commit
+    (Iceberg/Delta semantics), which has no swap window at all and works
+    on object stores.
     """
     import math
     import os

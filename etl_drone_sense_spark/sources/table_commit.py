@@ -1,0 +1,298 @@
+"""Manifest-pointer table commits — the object-store-honest sink layout.
+
+``compact_small_files`` (sinks.py) swaps directories by rename, which is
+POSIX-only and non-atomic across two paths. A 100 TB lake on an object
+store commits the way Iceberg/Delta do instead (no rename of data at all):
+
+1. data files are IMMUTABLE and write-once, under a fresh versioned
+   prefix per commit (``data/v00000001/``, ``data/v00000002/``, …);
+2. a tiny manifest per snapshot (``manifests/v00000001.json``) lists the
+   exact data files that make up that table version;
+3. the table pointer (``MANIFEST.json``) is repointed at the new snapshot
+   in ONE atomic operation — readers see the old file list or the new
+   one, never a mix, and a crash anywhere before the swap leaves the
+   previous version intact and current.
+
+The COMMIT point is the snapshot-manifest create, done as PUT-if-absent
+(``open(.., "x")`` locally; a conditional PUT on an object store — exactly
+Delta's zero-padded ``_delta_log`` entry): two writers racing for version
+n cannot both create ``manifests/v0000000n.json``, so the loser aborts
+with ``ConcurrentCommitError`` and removes only its own never-referenced
+data prefix. The pointer swap afterwards (atomic ``os.replace``; catalog
+CAS on an object store) only PUBLISHES the committed version to readers.
+If a writer dies between commit and publish, the next commit adopts the
+orphaned newest manifest as its parent and its own publish step makes
+both visible — no lost updates, no split history.
+
+Because snapshots are file LISTS, logical operations never rewrite
+history in place: append = old files + new prefix, compact = same rows as
+new files, overwrite = new files only. Old snapshots stay readable
+(time travel) until ``vacuum`` drops their unreferenced data files.
+
+Reference parity note: the reference (task.ts:216) submits one document
+per run and keeps no table state; this module is the engine's scale-path
+addition (SURVEY §2 C, storage management), not a reference behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_POINTER = "MANIFEST.json"
+_MANIFEST_DIR = "manifests"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer created this commit's target version first (lost the
+    PUT-if-absent race on the snapshot manifest — optimistic concurrency,
+    Iceberg/Delta-style)."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """One committed table version: an immutable list of data files."""
+
+    version: int
+    files: tuple[str, ...]  # paths relative to the table root
+    operation: str  # "overwrite" | "append" | "compact"
+    parent: int | None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "operation": self.operation,
+                "parent": self.parent,
+                "files": list(self.files),
+            },
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "Snapshot":
+        d = json.loads(text)
+        return cls(
+            version=d["version"],
+            files=tuple(d["files"]),
+            operation=d["operation"],
+            parent=d["parent"],
+        )
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, MANIFEST_POINTER)
+
+
+def _snapshot_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def current_version(root: str) -> int | None:
+    """Version the table pointer names (the PUBLISHED version), or None for
+    an uninitialized table."""
+    try:
+        with open(_pointer_path(root), encoding="utf-8") as f:
+            return json.load(f)["version"]
+    except FileNotFoundError:
+        return None
+
+
+def _latest_committed_version(root: str) -> int | None:
+    """Newest version with a snapshot manifest — committed though possibly
+    not yet published (writer died between commit and pointer swap)."""
+    try:
+        names = os.listdir(os.path.join(root, _MANIFEST_DIR))
+    except FileNotFoundError:
+        return None
+    versions = [
+        int(f[1:9]) for f in names if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=None)
+
+
+def read_snapshot(root: str, version: int | None = None) -> Snapshot:
+    """Load a snapshot — the current one, or any retained version (time
+    travel)."""
+    if version is None:
+        version = current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed table at {root}")
+    with open(_snapshot_path(root, version), encoding="utf-8") as f:
+        return Snapshot.from_json(f.read())
+
+
+def read_table(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Read the table AS OF a snapshot (default: current) — scans exactly
+    the files that snapshot lists, nothing else. Stray files from aborted
+    writes are invisible because reads never list directories."""
+    snap = read_snapshot(root, version)
+    if not snap.files:
+        raise ValueError(f"snapshot v{snap.version} of {root} is empty")
+    return spark.read.parquet(*(os.path.join(root, f) for f in snap.files))
+
+
+def _list_parquet(prefix_abs: str, root: str) -> list[str]:
+    out = [
+        os.path.relpath(os.path.join(dirpath, f), root)
+        for dirpath, _, files in os.walk(prefix_abs)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    return sorted(out)
+
+
+def _swap_pointer(root: str, snap: Snapshot) -> None:
+    """Publish ``snap`` to readers, MONOTONICALLY: the pointer never moves
+    backwards, so a writer that stalled between commit and publish cannot
+    regress visibility past a successor that already published a later
+    version. The read-check-replace is serialized with an advisory file
+    lock (the local analog of the catalog CAS an object store provides);
+    readers never take the lock — they only ever see old-or-new pointer
+    contents because ``os.replace`` is atomic."""
+    import fcntl
+
+    pointer = _pointer_path(root)
+    lock = os.path.join(root, ".pointer.lock")
+    with open(lock, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        cur = current_version(root)
+        if cur is not None and cur >= snap.version:
+            return  # a successor already published past us
+        tmp = f"{pointer}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(json.dumps({"version": snap.version}))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, pointer)  # the one atomic step readers observe
+
+
+def commit(
+    df: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    _operation: str | None = None,
+) -> Snapshot:
+    """Commit ``df`` as a new table version. ``mode='overwrite'`` makes the
+    new snapshot exactly df's files; ``'append'`` carries the parent
+    snapshot's files forward plus df's.
+
+    Crash-safety by construction, step order:
+      (1) write data to a fresh never-referenced prefix   — crash: stray
+          bytes only, table untouched, reads unaffected;
+      (2) create the snapshot manifest with PUT-if-absent — THE commit
+          point; losing the race aborts cleanly (own prefix removed,
+          ``ConcurrentCommitError``), winning makes the version durable;
+      (3) swap the pointer (monotonic)                     — publish only;
+          crash before it leaves a committed-but-unpublished version that
+          the NEXT commit adopts as its parent and publishes.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    # Parent = newest COMMITTED version (adopt an unpublished orphan if a
+    # prior writer died after step 2 — its commit is durable history).
+    parent = _latest_committed_version(root)
+    if parent is None and mode == "append":
+        mode = "overwrite"  # first commit: nothing to append to
+    new_version = (parent or 0) + 1
+    prefix = os.path.join(_DATA_DIR, f"v{new_version:08d}-{uuid.uuid4().hex[:8]}")
+    prefix_abs = os.path.join(root, prefix)
+    df.write.mode("error").parquet(prefix_abs)  # step 1: fresh prefix only
+
+    files = _list_parquet(prefix_abs, root)
+    if mode == "append":
+        files = sorted([*read_snapshot(root, parent).files, *files])
+    snap = Snapshot(
+        version=new_version,
+        files=tuple(files),
+        operation=_operation or mode,
+        parent=parent,
+    )
+    try:
+        # Step 2: PUT-if-absent on the version — the commit CAS.
+        with open(_snapshot_path(root, new_version), "x", encoding="utf-8") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError:
+        shutil.rmtree(prefix_abs, ignore_errors=True)  # own artifacts only
+        raise ConcurrentCommitError(
+            f"table {root}: v{new_version} was committed by another writer"
+        ) from None
+
+    _swap_pointer(root, snap)  # step 3: publish
+    return snap
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> Snapshot:
+    """Rewrite the current snapshot's many small files as ~target-sized
+    ones, committed as a new version (operation='compact'). Readers of the
+    old snapshot keep working throughout — data files are immutable, so
+    compaction is just a new file list; there is no swap window at all
+    (contrast sinks.compact_small_files, the local-FS rename fallback).
+
+    Sizing uses the manifest's own file list (driver-side stat of listed
+    files — no directory walk, no data pass), then one shuffle-free
+    coalesce when shrinking.
+    """
+    import math
+
+    snap = read_snapshot(root)
+    total = sum(os.path.getsize(os.path.join(root, f)) for f in snap.files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = read_table(spark, root)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
+    return commit(out, root, mode="overwrite", _operation="compact")
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced ONLY by snapshots older than the last
+    ``keep_last`` — the GC step that makes old versions unreadable.
+    Never touches files the retained snapshots still share (append/compact
+    lineages overlap). Returns the deleted paths (root-relative)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    # Committed (not merely published) newest — never GC an unpublished
+    # orphan a dead writer committed; the next commit will adopt it.
+    cur = _latest_committed_version(root)
+    if cur is None:
+        return []
+    versions = sorted(
+        int(f[1:9])
+        for f in os.listdir(os.path.join(root, _MANIFEST_DIR))
+        if f.startswith("v") and f.endswith(".json")
+    )
+    keep = {v for v in versions if v > cur - keep_last and v <= cur}
+    keep.add(cur)
+    live: set[str] = set()
+    for v in keep:
+        live.update(read_snapshot(root, v).files)
+    removed: list[str] = []
+    for v in versions:
+        if v in keep:
+            continue
+        for f in read_snapshot(root, v).files:
+            if f not in live and os.path.exists(os.path.join(root, f)):
+                os.remove(os.path.join(root, f))
+                removed.append(f)
+        os.remove(_snapshot_path(root, v))
+    # Drop data prefixes emptied by the removals.
+    data_root = os.path.join(root, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            p = os.path.join(data_root, d)
+            if os.path.isdir(p) and not _list_parquet(p, root):
+                shutil.rmtree(p)
+    return sorted(removed)

@@ -1,0 +1,195 @@
+"""Manifest-pointer table commit (sources/table_commit.py): atomicity is
+proven by injecting a crash into every window of the commit protocol and
+asserting the table stays readable and exactly-old-or-exactly-new."""
+
+import os
+
+import pytest
+
+from etl_drone_sense_spark.sources import table_commit as tc
+from etl_drone_sense_spark.sources.readers import read_table
+
+
+@pytest.fixture
+def nation(spark, sf_dir):
+    return read_table(spark, sf_dir, "nation")
+
+
+@pytest.fixture
+def region(spark, sf_dir):
+    return read_table(spark, sf_dir, "region")
+
+
+def _rows(spark, root, version=None):
+    return sorted(
+        (tuple(r) for r in tc.read_table(spark, root, version).collect()),
+        key=repr,
+    )
+
+
+def test_commit_roundtrip_and_append(spark, tmp_path, nation, region):
+    root = str(tmp_path / "tbl")
+    s1 = tc.commit(nation.limit(10), root)
+    assert s1.version == 1 and s1.parent is None
+    assert len(_rows(spark, root)) == 10
+
+    s2 = tc.commit(nation.limit(25), root, mode="overwrite")
+    assert s2.version == 2 and s2.parent == 1
+    assert len(_rows(spark, root)) == 25
+    # Time travel: v1 still reads its own 10 rows.
+    assert len(_rows(spark, root, version=1)) == 10
+
+    s3 = tc.commit(nation.limit(25), root, mode="append")
+    assert set(s2.files) < set(s3.files)
+    assert len(_rows(spark, root)) == 50
+
+
+def test_crash_after_data_write_leaves_table_untouched(
+    spark, tmp_path, nation, region, monkeypatch
+):
+    """Crash window 1: data prefix written, manifest not. The stray prefix
+    must be invisible to readers (reads go by file list, never listing)."""
+    root = str(tmp_path / "tbl")
+    tc.commit(region, root)
+    before = _rows(spark, root)
+
+    real = tc._list_parquet
+
+    def boom(*a, **k):
+        raise RuntimeError("crash after data write")
+
+    monkeypatch.setattr(tc, "_list_parquet", boom)
+    with pytest.raises(RuntimeError, match="crash after data write"):
+        tc.commit(nation, root)
+    monkeypatch.setattr(tc, "_list_parquet", real)
+
+    assert tc.current_version(root) == 1
+    assert _rows(spark, root) == before
+    # And the table keeps accepting commits afterwards.
+    s = tc.commit(nation.limit(5), root, mode="append")
+    assert s.version == 2
+    assert len(_rows(spark, root)) == len(before) + 5
+
+
+def test_crash_between_commit_and_publish(
+    spark, tmp_path, nation, region, monkeypatch
+):
+    """Crash window 2: manifest created (COMMITTED), pointer not swapped —
+    readers keep seeing the published old version; the next commit adopts
+    the orphaned version as its parent and publishes both."""
+    root = str(tmp_path / "tbl")
+    tc.commit(region, root)
+    before = _rows(spark, root)
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(tc, "_swap_pointer", boom)
+    with pytest.raises(RuntimeError, match="crash before publish"):
+        tc.commit(nation, root)
+    monkeypatch.undo()
+
+    # v2 is durable history but unpublished: readers still see v1.
+    assert tc.current_version(root) == 1
+    assert _rows(spark, root) == before
+    # Recovery: the next commit builds on the orphan, not on v1.
+    s = tc.commit(nation.limit(7), root)
+    assert s.version == 3 and s.parent == 2
+    assert tc.current_version(root) == 3
+    assert len(_rows(spark, root)) == 7
+    assert len(_rows(spark, root, version=2)) == nation.count()
+
+
+def test_crash_during_swap_tmp_file_is_harmless(spark, tmp_path, region, monkeypatch):
+    """Crash window 3: pointer tmp file written, os.replace never ran —
+    readers still resolve the old pointer; the tmp is inert junk."""
+    root = str(tmp_path / "tbl")
+    tc.commit(region, root)
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if os.path.basename(dst) == tc.MANIFEST_POINTER:
+            raise RuntimeError("crash mid-swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(RuntimeError, match="crash mid-swap"):
+        tc.commit(region.limit(1), root)
+    monkeypatch.undo()
+
+    assert tc.current_version(root) == 1
+    assert len(_rows(spark, root)) == region.count()
+
+
+def test_concurrent_commit_detected_and_aborted(spark, tmp_path, nation, region):
+    """Optimistic concurrency: the loser of the manifest PUT-if-absent race
+    must raise and remove only its own artifacts — the winner's commit is
+    untouched."""
+    root = str(tmp_path / "tbl")
+    tc.commit(region, root)
+
+    real_list = tc._list_parquet
+    calls = {"n": 0}
+
+    def racing_list(prefix_abs, r):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # Another writer lands v2 between our parent read and commit.
+            tc.commit(nation.limit(3), root)
+        return real_list(prefix_abs, r)
+
+    tc._list_parquet, saved = racing_list, tc._list_parquet
+    try:
+        with pytest.raises(tc.ConcurrentCommitError):
+            tc.commit(nation.limit(9), root)
+    finally:
+        tc._list_parquet = saved
+
+    # The racer's commit won and is intact; the loser left nothing behind.
+    assert tc.current_version(root) == 2
+    assert len(_rows(spark, root)) == 3
+    assert not os.path.exists(tc._snapshot_path(root, 3))
+    live = set(tc.read_snapshot(root, 1).files) | set(
+        tc.read_snapshot(root, 2).files
+    )
+    on_disk = {
+        os.path.relpath(os.path.join(dp, f), root)
+        for dp, _, fs in os.walk(os.path.join(root, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_compact_preserves_rows_and_old_snapshot(spark, tmp_path, nation):
+    root = str(tmp_path / "tbl")
+    tc.commit(nation.repartition(8), root)
+    before = _rows(spark, root)
+    assert len(tc.read_snapshot(root).files) == 8
+
+    snap = tc.compact(spark, root)
+    assert snap.operation == "compact" and snap.version == 2
+    assert len(snap.files) == 1  # tiny table → one target-sized file
+    assert _rows(spark, root) == before
+    # Old 8-file snapshot still time-travel readable (no swap window).
+    assert _rows(spark, root, version=1) == before
+
+
+def test_vacuum_drops_only_unreferenced_files(spark, tmp_path, nation):
+    root = str(tmp_path / "tbl")
+    tc.commit(nation.limit(10).repartition(4), root)
+    tc.commit(nation.limit(10), root, mode="append")  # v2 shares v1's files
+    tc.compact(spark, root)  # v3 rewrites
+    before = _rows(spark, root)
+
+    removed = tc.vacuum(root, keep_last=2)  # keep v2+v3; v1 shares all with v2
+    assert removed == []  # every v1 file is still referenced by v2
+    with pytest.raises(FileNotFoundError):
+        tc.read_snapshot(root, 1)  # manifest gone even though files live
+
+    removed = tc.vacuum(root, keep_last=1)  # v2's files now unreferenced
+    assert removed  # the 5 original data files die
+    assert _rows(spark, root) == before
+    with pytest.raises(FileNotFoundError):
+        tc.read_snapshot(root, 2)
