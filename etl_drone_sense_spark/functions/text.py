@@ -451,6 +451,13 @@ GOPHER_MAX_ELLIPSIS_FRAC = 0.3
 GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
+# Repetition-filter thresholds, same source (Rae et al. 2021 Appendix A,
+# Table A1): documents dominated by repeated lines or n-grams are removed.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP_2GRAM_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_5GRAM_CHAR_FRAC = 0.15
+
 _BULLETS = ("- ", "* ", "• ")
 
 

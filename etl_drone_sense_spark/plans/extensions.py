@@ -729,6 +729,223 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic repetitive documents unioned into the repetition query:
+# the fixture's word-salad text has near-zero natural repetition, so these
+# are what make each filter dimension non-vacuous (one failing doc per
+# dimension + one clean doc).
+REPETITION_SEEDS: tuple[tuple[int, str], ...] = (
+    (-101, "breaking news update\n" * 8 + "unique closing line"),
+    (-102, "buy now " * 30 + "limited offer ends only this day"),
+    (-103, "the quick brown fox jumps again and " * 6 + "then it rested"),
+    (-104, "a perfectly ordinary document with no repeated content at all"),
+)
+
+
+def _rep_seed_values() -> str:
+    return ", ".join(
+        "(" + str(i) + ", '"
+        + txt.replace("'", "''").replace("\n", "' || chr(10) || '")
+        + "')"
+        for i, txt in REPETITION_SEEDS
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {_rep_seed_values()}),
+    docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    ),
+    base AS (
+        SELECT doc_id,
+               greatest(length(replace({TXT.normalize_sql('text')}, ' ', '')),
+                        1) AS tchars
+        FROM docs
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   list_transform(string_split(text, chr(10)), l -> trim(l)),
+                   l -> length(l) > 0)) AS line
+        FROM docs
+    ),
+    line_g AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+    line_doc AS (
+        SELECT doc_id,
+               (sum(c) - count(*)) * 1.0 / sum(c) AS dup_line_frac,
+               sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) * 1.0
+                   / sum(c * length(line)) AS dup_line_char_frac
+        FROM line_g GROUP BY 1
+    ),
+    g2c AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest({TXT.word_shingles_sql('text', 2)}) AS g
+              FROM docs)
+        GROUP BY 1, 2
+    ),
+    top2 AS (
+        SELECT doc_id, c * length(replace(g, ' ', '')) AS top2_chars
+        FROM (SELECT doc_id, g, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, g DESC) AS rn
+              FROM g2c)
+        WHERE rn = 1
+    ),
+    g5c AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest({TXT.word_shingles_sql('text', 5)}) AS g
+              FROM docs)
+        GROUP BY 1, 2
+    ),
+    dup5 AS (
+        SELECT doc_id,
+               sum(CASE WHEN c >= 2
+                        THEN c * length(replace(g, ' ', '')) END) AS dup5_chars
+        FROM g5c GROUP BY 1
+    )
+    SELECT b.doc_id,
+           round(coalesce(l.dup_line_frac, 0), 6) AS dup_line_frac,
+           round(coalesce(l.dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+           round(coalesce(t.top2_chars, 0) * 1.0 / b.tchars, 6)
+               AS top_2gram_char_frac,
+           round(coalesce(d.dup5_chars, 0) * 1.0 / b.tchars, 6)
+               AS dup_5gram_char_frac,
+           (coalesce(l.dup_line_frac, 0) <= {TXT.GOPHER_MAX_DUP_LINE_FRAC}
+            AND coalesce(l.dup_line_char_frac, 0)
+                <= {TXT.GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+            AND coalesce(t.top2_chars, 0) * 1.0 / b.tchars
+                <= {TXT.GOPHER_MAX_TOP_2GRAM_CHAR_FRAC}
+            AND coalesce(d.dup5_chars, 0) * 1.0 / b.tchars
+                <= {TXT.GOPHER_MAX_DUP_5GRAM_CHAR_FRAC}) AS rep_pass
+    FROM base b
+    LEFT JOIN line_doc l USING (doc_id)
+    LEFT JOIN top2 t USING (doc_id)
+    LEFT JOIN dup5 d USING (doc_id)
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 Appendix A, Table A1):
+    duplicate-line fraction, duplicate-line CHARACTER fraction, characters
+    covered by the single most frequent word 2-gram, and characters in
+    word 5-grams occurring more than once — plus the composite keep flag.
+
+    Deliberately RELATIONAL, not per-row higher-order functions: each
+    signal is explode → two-level aggregate (map-side partial aggs,
+    whole-stage codegen), because Spark's array lambdas are interpreted —
+    at 100 TB the explode/agg form is the fast path, and every shuffle key
+    is (doc_id[, gram]), so work stays proportional to corpus size, never
+    pairwise. Top-gram coverage can exceed 1.0 for overlapping grams (the
+    published definition counts overlaps; not clamped). Seeded repetitive
+    docs (REPETITION_SEEDS) make each dimension non-vacuous."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                list(REPETITION_SEEDS), "doc_id long, text string"
+            )
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        F.greatest(
+            F.length(F.regexp_replace(TXT.normalize(F.col("text")), " ", "")),
+            F.lit(1),
+        ).alias("tchars"),
+    )
+    lines = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            )
+        ).alias("line"),
+    )
+    line_doc = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            ((F.sum("c") - F.count("*")) / F.sum("c")).alias("dup_line_frac"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("c") > 1, F.col("c") * F.length("line")
+                    ).otherwise(F.lit(0))
+                )
+                / F.sum(F.col("c") * F.length("line"))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(TXT.word_shingles(F.col("text"), n)).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("g").desc()
+    )
+    top2 = (
+        gram_counts(2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("c") * F.length(F.regexp_replace("g", " ", ""))).alias(
+                "top2_chars"
+            ),
+        )
+    )
+    dup5 = (
+        gram_counts(5)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c") >= 2,
+                    F.col("c") * F.length(F.regexp_replace("g", " ", "")),
+                )
+            ).alias("dup5_chars")
+        )
+    )
+    dlf = F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
+    dlcf = F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))
+    t2f = F.coalesce(F.col("top2_chars"), F.lit(0)) / F.col("tchars")
+    d5f = F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.col("tchars")
+    return (
+        base.join(line_doc, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(dlf, 6).alias("dup_line_frac"),
+            F.round(dlcf, 6).alias("dup_line_char_frac"),
+            F.round(t2f, 6).alias("top_2gram_char_frac"),
+            F.round(d5f, 6).alias("dup_5gram_char_frac"),
+            (
+                (dlf <= TXT.GOPHER_MAX_DUP_LINE_FRAC)
+                & (dlcf <= TXT.GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+                & (t2f <= TXT.GOPHER_MAX_TOP_2GRAM_CHAR_FRAC)
+                & (d5f <= TXT.GOPHER_MAX_DUP_5GRAM_CHAR_FRAC)
+            ).alias("rep_pass"),
+        )
+    )
+
+
 # Genuinely multilingual sentences with known labels, unioned into the
 # langid query: the fixture's text is synthetic word-salad under EVERY
 # label (no language signal), so these seeds are what makes the prediction
