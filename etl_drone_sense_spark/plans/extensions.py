@@ -946,6 +946,144 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Seeded multi-line documents sharing boilerplate lines (the fixture's
+# docs are single-line and unique, so cross-document line repetition must
+# be seeded to be non-vacuous). Six docs share a header and a footer line;
+# bodies are unique and must survive the strip.
+BOILER_SEEDS: tuple[tuple[int, str], ...] = tuple(
+    (
+        -200 - i,
+        "subscribe to our newsletter today\n"
+        f"unique article body number {i} about a different topic\n"
+        f"second unique paragraph {i} with its own words\n"
+        "all rights reserved contact the webmaster",
+    )
+    for i in range(1, 7)
+)
+
+# A line is boilerplate when it appears in at least this many distinct docs.
+BOILER_MIN_DOCS = 4
+
+
+def _boiler_seed_values() -> str:
+    return ", ".join(
+        "(" + str(i) + ", '"
+        + txt.replace("'", "''").replace("\n", "' || chr(10) || '")
+        + "')"
+        for i, txt in BOILER_SEEDS
+    )
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {_boiler_seed_values()}),
+    docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    ),
+    arr AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split(text, chr(10)), l -> trim(l)),
+                   l -> length(l) > 0) AS lns
+        FROM docs
+    ),
+    lines AS MATERIALIZED (
+        SELECT doc_id, unnest(lns) AS line,
+               generate_subscripts(lns, 1) AS pos
+        FROM arr
+    ),
+    boiler AS (
+        SELECT line FROM lines
+        GROUP BY line HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    kept AS (
+        SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line = b.line
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(t.n_lines, 0) - coalesce(r.n_kept, 0) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM docs d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("text", "corpus", "boilerplate"),
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal: a (trimmed, non-blank) line that
+    occurs in >= BOILER_MIN_DOCS distinct documents is template chrome
+    (nav, cookie banners, footers), not content — strip every occurrence
+    and reassemble each document in original line order.
+
+    Scale shape: one shuffle keyed on the LINE to find boilerplate (the
+    only way to see cross-document repetition); the anti join is left to
+    AQE, which converts it to broadcast at runtime when the boiler set is
+    small (the usual case) and keeps shuffle otherwise — an unconditional
+    hint would be wrong for template-heavy crawls; reassembly groups by
+    doc_id with
+    per-doc state bounded by document size (sort_array on (pos, line)
+    restores order without a global sort). Work is corpus-linear
+    throughout. Seeded shared-header/footer docs (BOILER_SEEDS) make the
+    strip non-vacuous; their unique bodies must survive."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(list(BOILER_SEEDS), "doc_id long, text string")
+        )
+    )
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            )
+        ).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 # Genuinely multilingual sentences with known labels, unioned into the
 # langid query: the fixture's text is synthetic word-salad under EVERY
 # label (no language signal), so these seeds are what makes the prediction
