@@ -1084,6 +1084,71 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest({TXT.tokens_sql('text')}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    nv AS (SELECT sum(cnt) AS n, count(*) AS v FROM freq),
+    lp AS (
+        SELECT tok,
+               CAST(floor(ln((cnt + 1.0) / (n + v)) * 1000000000) AS BIGINT)
+                   AS lp_q
+        FROM freq CROSS JOIN nv
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(sum(lp_q) / 1e9 / count(*), 6) AS avg_logprob
+    FROM toks t JOIN lp USING (tok)
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, CCNet-shape: score every document by
+    its mean per-token log-probability under a unigram LM trained on the
+    corpus itself (add-one smoothing) — documents far below the corpus
+    mean are gibberish/outliers, far above are degenerate/repetitive. The
+    production variant swaps the in-corpus unigram table for a pretrained
+    LM table; the dataflow (train pass → broadcastable token table →
+    score pass) is identical.
+
+    Scale shape: two shuffles, both corpus-linear — token frequency
+    (map-side combine collapses to vocabulary size) and per-doc sum. The
+    score join is co-partitioned on token. Per-token log-probs are
+    quantized to fixed-point BIGINT before summing (floor(lp * 1e9)), so
+    the aggregate is exact integer arithmetic — order-independent across
+    any partitioning, hash-identical to the single-threaded oracle (the
+    same trick as the hyperplane sketch; double summation order would
+    diverge)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    nv = freq.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("v")
+    )
+    lp = freq.crossJoin(F.broadcast(nv)).select(
+        "tok",
+        F.floor(
+            F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("v"))) * 1e9
+        )
+        .cast("bigint")
+        .alias("lp_q"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lp_q") / 1e9 / F.count("*"), 6).alias("avg_logprob"),
+        )
+    )
+
+
 # Genuinely multilingual sentences with known labels, unioned into the
 # langid query: the fixture's text is synthetic word-salad under EVERY
 # label (no language signal), so these seeds are what makes the prediction
