@@ -212,3 +212,29 @@ def test_gapfill_has_no_pair_explosion(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_repetition_top_gram_uses_group_limit(spark, sf_dir):
+    """text_repetition's most-frequent-2-gram must compile to a per-
+    partition WindowGroupLimit (top-1 pushed below the shuffle), with
+    partial aggregation on every explode branch — never a global sort."""
+    plan = plan_of(spark, sf_dir, "text_repetition")
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_partial_aggs_and_exact_sum(spark, sf_dir):
+    """Token-frequency and per-doc passes must partial-aggregate map-side,
+    and the per-doc sum must run on the quantized BIGINT (exact integer
+    aggregation), not on raw doubles."""
+    plan = plan_of(spark, sf_dir, "text_unigram_logprob")
+    assert "partial_count" in plan
+    assert "partial_sum(lp_q" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_strip_no_pair_explosion(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_boilerplate_strip")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
