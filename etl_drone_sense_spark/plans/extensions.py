@@ -1664,6 +1664,60 @@ def stream_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           c.user_id AS user_id, c.ts AS click_ts, v.ts AS view_ts
+    FROM c JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+                  AND c.ts < v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join, hash-checked against the
+    equivalent batch range join: clicks and views land as two independent
+    file streams; each click joins the same user's views from the
+    preceding 30 minutes (streaming/pipeline.attribution_join — both sides
+    watermarked, two-sided time bound so each side's join state has an
+    eviction bound). Drained with AvailableNow, the inner join over a
+    bounded replay emits exactly the batch-join pairs — which is the
+    correctness statement for the streaming operator: incremental
+    execution with keyed state must converge to the relational answer."""
+    import os
+    import tempfile
+
+    from ..streaming import pipeline as SP
+
+    base = tempfile.mkdtemp(prefix="sg_ssj_")
+    cdir, vdir, ckpt, out = (
+        os.path.join(base, d) for d in ("clicks", "views", "ckpt", "out")
+    )
+    ev = t(spark, sf_dir, "events")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(cdir)
+        ev.filter(F.col("event_type") == "view").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(vdir)
+        SP.run_available_now(
+            SP.attribution_join(
+                SP.stream_events(spark, cdir), SP.stream_events(spark, vdir)
+            ),
+            ckpt,
+            out,
+        )
+    finally:
+        spark.conf.set(key, prev)
+    return spark.read.parquet(out)
+
+
+@register(
     "text_tfidf_topk",
     oracle=f"""
     WITH tok AS (

@@ -124,6 +124,39 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    attribution: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time interval condition: each
+    click joins the same user's views from the preceding ``attribution``
+    window (the canonical click/impression attribution shape).
+
+    Both sides are watermarked and the join condition bounds event time in
+    BOTH directions, so Spark derives a state-eviction bound for each side
+    — view state older than watermark+attribution is dropped, click state
+    older than watermark; without the time bounds the join state would
+    grow forever. State shuffles on the equi-key (user_id); the interval
+    part filters within the keyed state, never a cross join."""
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    v = views.withWatermark("ts", watermark).alias("v")
+    return c.join(
+        v,
+        F.expr(
+            "c.user_id = v.user_id AND v.ts <= c.ts "
+            f"AND c.ts < v.ts + interval {attribution}"
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("v.ts").alias("view_ts"),
+    )
+
+
 def run_available_now(stream: DataFrame, checkpoint: str, out_path: str) -> None:
     """Drain-what's-new batch-parity trigger (the scheduled-invocation
     equivalent, reference task.ts:87) writing parquet."""

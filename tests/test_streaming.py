@@ -199,3 +199,58 @@ def test_watermark_eviction_replay_differs_from_batch(spark, sf_dir):
     assert all(n <= batch[k] for k, n in got.items())
     # …and at least one window really lost late rows.
     assert any(n < batch[k] for k, n in got.items())
+
+
+def test_attribution_join_state_spans_micro_batches(spark, sf_dir, tmp_path):
+    """Stream-stream interval join: views arrive in micro-batch 1, clicks
+    only in micro-batch 2 — every attribution pair must still form, which
+    proves the view side is held in keyed join state across batches (not
+    just joined within one batch)."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.sources.readers import read_table
+    from etl_drone_sense_spark.streaming import pipeline as SP
+
+    ev = read_table(spark, sf_dir, "events")
+    cdir, vdir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    expected = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("c")
+        .join(
+            ev.filter(F.col("event_type") == "view").alias("v"),
+            F.expr(
+                "c.user_id = v.user_id AND v.ts <= c.ts "
+                "AND c.ts < v.ts + interval 30 minutes"
+            ),
+        )
+        .select(F.col("c.event_id").alias("click_id"), F.col("v.event_id").alias("view_id"))
+    )
+    exp = {(r.click_id, r.view_id) for r in expected.collect()}
+    assert exp, "fixture produced no attribution pairs"
+
+    def drain():
+        SP.run_available_now(
+            SP.attribution_join(
+                SP.stream_events(spark, cdir), SP.stream_events(spark, vdir)
+            ),
+            ckpt,
+            out,
+        )
+
+    # Batch 1: views only (clicks dir exists but is empty of clicks).
+    ev.filter(F.col("event_type") == "view").coalesce(1).write.parquet(vdir)
+    ev.filter(F.lit(False)).coalesce(1).write.parquet(cdir)
+    drain()
+    # Batch 2: the clicks arrive.
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+        "append"
+    ).parquet(cdir)
+    drain()
+
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == exp
