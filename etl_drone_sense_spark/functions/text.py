@@ -82,6 +82,17 @@ def word_shingles_sql(col: str, n: int = 3) -> str:
     )
 
 
+def word_ngrams_sql(col: str, n: int) -> str:
+    """Exact full-length word n-grams, UNpadded (a doc with < n tokens
+    yields none) — the DuckDB twin of the Spark lead()-window n-gram
+    relation used by text_repetition."""
+    toks = tokens_sql(col)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
 # Minhash universal-hash family: each shingle is md5-hashed ONCE to a 48-bit
 # integer h (first 12 hex chars), then component i is
 #     min over shingles of  (A_i * (h mod P) + B_i) mod P

@@ -782,7 +782,7 @@ def _rep_seed_values() -> str:
     g2c AS (
         SELECT doc_id, g, count(*) AS c
         FROM (SELECT doc_id,
-                     unnest({TXT.word_shingles_sql('text', 2)}) AS g
+                     unnest({TXT.word_ngrams_sql('text', 2)}) AS g
               FROM docs)
         GROUP BY 1, 2
     ),
@@ -797,7 +797,7 @@ def _rep_seed_values() -> str:
     g5c AS (
         SELECT doc_id, g, count(*) AS c
         FROM (SELECT doc_id,
-                     unnest({TXT.word_shingles_sql('text', 5)}) AS g
+                     unnest({TXT.word_ngrams_sql('text', 5)}) AS g
               FROM docs)
         GROUP BY 1, 2
     ),
@@ -884,17 +884,40 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # N-grams via posexplode + lead() windows, NOT per-row array lambdas:
+    # Spark's higher-order functions are interpreted, and building every
+    # 2- and 5-gram with transform+slice+concat dominated the runtime
+    # (~6x this whole query). One explode + one codegen'd window pass
+    # yields the leads both gram sizes share; the relation is persisted as
+    # a materialization barrier so the two aggregation branches don't
+    # recompute the explode. Unpadded semantics (docs with < n tokens
+    # yield no n-gram), mirrored exactly by word_ngrams_sql in the oracle.
+    from pyspark.sql.window import Window
+
+    from ..caching import scoped_persist
+
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    leads = scoped_persist(
+        "extensions.repetition_leads",
+        docs.select(
+            "doc_id",
+            F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok"),
+        ).select(
+            "doc_id",
+            "tok",
+            *[F.lead("tok", i).over(wp).alias(f"t{i}") for i in range(1, 5)],
+        ),
+    )
+
     def gram_counts(n: int) -> DataFrame:
+        last = f"t{n - 1}"
+        parts = ["tok"] + [f"t{i}" for i in range(1, n)]
         return (
-            docs.select(
-                "doc_id",
-                F.explode(TXT.word_shingles(F.col("text"), n)).alias("g"),
-            )
+            leads.filter(F.col(last).isNotNull())
+            .select("doc_id", F.concat_ws(" ", *parts).alias("g"))
             .groupBy("doc_id", "g")
             .agg(F.count("*").alias("c"))
         )
-
-    from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy(
         F.col("c").desc(), F.col("g").desc()
