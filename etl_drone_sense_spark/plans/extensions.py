@@ -827,6 +827,7 @@ def _rep_seed_values() -> str:
     LEFT JOIN dup5 d USING (doc_id)
     """,
     tags=("text", "quality", "repetition"),
+    bench=True,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 Appendix A, Table A1):
@@ -1040,6 +1041,7 @@ def _boiler_seed_values() -> str:
     LEFT JOIN rebuilt r USING (doc_id)
     """,
     tags=("text", "corpus", "boilerplate"),
+    bench=True,
 )
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate removal: a (trimmed, non-blank) line that
