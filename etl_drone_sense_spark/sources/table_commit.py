@@ -57,12 +57,22 @@ class ConcurrentCommitError(RuntimeError):
 
 @dataclass(frozen=True)
 class Snapshot:
-    """One committed table version: an immutable list of data files."""
+    """One committed table version: an immutable list of data files.
+
+    ``txn`` maps writer-application ids to the last transaction (e.g.
+    streaming micro-batch id) each has committed — carried forward across
+    versions, it makes retried writes idempotent (the Delta
+    ``txn``/``setTransaction`` shape)."""
 
     version: int
     files: tuple[str, ...]  # paths relative to the table root
     operation: str  # "overwrite" | "append" | "compact"
     parent: int | None
+    txn: tuple[tuple[str, int], ...] = ()
+
+    @property
+    def txn_map(self) -> dict[str, int]:
+        return dict(self.txn)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -71,6 +81,7 @@ class Snapshot:
                 "operation": self.operation,
                 "parent": self.parent,
                 "files": list(self.files),
+                "txn": dict(self.txn),
             },
             indent=1,
         )
@@ -83,6 +94,7 @@ class Snapshot:
             files=tuple(d["files"]),
             operation=d["operation"],
             parent=d["parent"],
+            txn=tuple(sorted(d.get("txn", {}).items())),
         )
 
 
@@ -178,6 +190,7 @@ def commit(
     root: str,
     mode: str = "overwrite",
     _operation: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> Snapshot:
     """Commit ``df`` as a new table version. ``mode='overwrite'`` makes the
     new snapshot exactly df's files; ``'append'`` carries the parent
@@ -199,6 +212,15 @@ def commit(
     # Parent = newest COMMITTED version (adopt an unpublished orphan if a
     # prior writer died after step 2 — its commit is durable history).
     parent = _latest_committed_version(root)
+    txns: dict[str, int] = {}
+    if parent is not None:
+        txns = read_snapshot(root, parent).txn_map
+        if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+            # This (app, transaction) already landed — a retried streaming
+            # micro-batch or speculative re-run. Idempotent no-op.
+            return read_snapshot(root, parent)
+    if txn is not None:
+        txns[txn[0]] = txn[1]
     if parent is None and mode == "append":
         mode = "overwrite"  # first commit: nothing to append to
     new_version = (parent or 0) + 1
@@ -214,6 +236,7 @@ def commit(
         files=tuple(files),
         operation=_operation or mode,
         parent=parent,
+        txn=tuple(sorted(txns.items())),
     )
     try:
         # Step 2: PUT-if-absent on the version — the commit CAS.
@@ -229,6 +252,30 @@ def commit(
 
     _swap_pointer(root, snap)  # step 3: publish
     return snap
+
+
+def commit_stream_append(
+    stream: DataFrame, root: str, checkpoint: str, app_id: str = "stream"
+) -> None:
+    """Streaming table sink with EXACTLY-ONCE appends: each micro-batch
+    commits as a manifest append tagged ``txn=(app_id, batch_id)``. When a
+    failed/restarted query re-delivers a micro-batch (foreachBatch is
+    at-least-once by contract), the retry sees its (app, batch) already in
+    the current snapshot's txn map and no-ops — at-least-once delivery +
+    idempotent commit = exactly-once table contents. Drains what's
+    available, then returns (AvailableNow)."""
+    (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: commit(
+                bdf, root, mode="append", txn=(app_id, bid)
+            )
+            and None
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
 
 def compact(

@@ -193,3 +193,56 @@ def test_vacuum_drops_only_unreferenced_files(spark, tmp_path, nation):
     assert _rows(spark, root) == before
     with pytest.raises(FileNotFoundError):
         tc.read_snapshot(root, 2)
+
+
+def test_txn_commit_is_idempotent(spark, tmp_path, nation):
+    """A retried (app, batch) commit must be a no-op: same version, same
+    files, no duplicate rows — at-least-once delivery becomes exactly-once
+    table contents."""
+    root = str(tmp_path / "tbl")
+    s1 = tc.commit(nation.limit(5), root, mode="append", txn=("app", 0))
+    s2 = tc.commit(nation.limit(5), root, mode="append", txn=("app", 0))  # retry
+    assert s2.version == s1.version and s2.files == s1.files
+    assert len(_rows(spark, root)) == 5
+
+    s3 = tc.commit(nation.limit(5), root, mode="append", txn=("app", 1))
+    assert s3.version == 2 and s3.txn_map == {"app": 1}
+    assert len(_rows(spark, root)) == 10
+    # A different app's counter is independent.
+    s4 = tc.commit(nation.limit(5), root, mode="append", txn=("other", 0))
+    assert s4.txn_map == {"app": 1, "other": 0}
+    assert len(_rows(spark, root)) == 15
+
+
+def test_commit_stream_append_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming sink: two AvailableNow drains over one checkpoint append
+    each landed file exactly once; re-running with NO new data commits
+    nothing new."""
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "tbl")
+    nation = read_table(spark, sf_dir, "nation")
+    nation.limit(10).coalesce(1).write.parquet(landing)
+
+    from pyspark.sql.types import StructType
+
+    schema = spark.read.parquet(landing).schema
+
+    def drain():
+        tc.commit_stream_append(
+            spark.readStream.schema(schema).parquet(landing), root, ckpt
+        )
+
+    drain()
+    assert len(_rows(spark, root)) == 10
+    v1 = tc.current_version(root)
+
+    nation.limit(25).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    assert len(_rows(spark, root)) == 35
+
+    drain()  # nothing new: no empty-batch version churn, rows unchanged
+    assert len(_rows(spark, root)) == 35
+    assert tc.current_version(root) >= v1
