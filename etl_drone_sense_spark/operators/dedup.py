@@ -269,6 +269,103 @@ def simhash_pairs(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The STORABLE LSH index relation: one row per (doc, band) —
+    ``(id, mhs, band_idx, bucket)``, ~(k ints + bands rows) per doc.
+
+    This is the relation a growing lake materializes to a managed table
+    (e.g. ``table_commit.commit(..., mode='append')`` per ingest batch):
+    each batch hashes only ITS OWN documents once, ever; the corpus side
+    of every future probe is a stored scan, not a recompute. Same hash
+    family as ``minhash_lsh_pairs``, so probes against the stored index
+    are bit-identical to an in-memory run."""
+    hv = rebalance_for_compute(df).select(
+        F.col(id_col), TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv")
+    )
+    hv = scoped_persist("dedup.minhash_index_hashes", hv)  # md5-once barrier
+    sig = hv.select(
+        F.col(id_col), minhash_from_hashes(F.col("hv"), k).alias("mhs")
+    )
+    return sig.select(
+        F.col(id_col),
+        "mhs",
+        F.posexplode(_band_buckets(F.col("mhs"), k, bands)).alias(
+            "band_idx", "bucket"
+        ),
+    )
+
+
+def _mhs_agreement(a: Column, b: Column, k: int) -> Column:
+    agree = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.lit(float(k))
+
+
+def minhash_probe_index(
+    new_index: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    threshold: float = 0.2,
+    k: int = 12,
+) -> DataFrame:
+    """Probe a STORED corpus index (``minhash_index`` rows, e.g. read back
+    from a ``table_commit`` table) with a new batch's index rows. Same
+    output contract as ``minhash_lsh_pairs_incremental`` —
+    ``(id_new, id_other, vs_corpus, est_jaccard)`` — but the corpus text
+    is never re-read and never re-hashed: join work is
+    |new| x bucket occupancy over the stored relation, the true
+    growing-lake steady state."""
+    a = new_index.alias("a")
+    vs_corpus = a.join(
+        corpus_index.alias("b"),
+        on=[
+            F.col("a.band_idx") == F.col("b.band_idx"),
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+        ],
+    ).select(
+        F.col(f"a.{id_col}").alias("id_new"),
+        F.col(f"b.{id_col}").alias("id_other"),
+        F.lit(True).alias("vs_corpus"),
+        F.col("a.mhs").alias("mhs_a"),
+        F.col("b.mhs").alias("mhs_b"),
+    )
+    within_batch = a.join(
+        new_index.alias("b"),
+        on=[
+            F.col("a.band_idx") == F.col("b.band_idx"),
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),  # each new-new pair once
+        ],
+    ).select(
+        F.col(f"a.{id_col}").alias("id_new"),
+        F.col(f"b.{id_col}").alias("id_other"),
+        F.lit(False).alias("vs_corpus"),
+        F.col("a.mhs").alias("mhs_a"),
+        F.col("b.mhs").alias("mhs_b"),
+    )
+    pairs = vs_corpus.unionByName(within_batch).dropDuplicates(
+        ["id_new", "id_other"]
+    )
+    return (
+        pairs.withColumn(
+            "est_jaccard", _mhs_agreement(F.col("mhs_a"), F.col("mhs_b"), k)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_other", "vs_corpus", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs_incremental(
     df: DataFrame,
     id_col: str,

@@ -70,3 +70,43 @@ def test_split_values(spark, sf_dir):
     }
     assert splits <= {"train", "val", "test"}
     assert "train" in splits
+
+
+def test_stored_lsh_index_probe_matches_recompute(spark, sf_dir, tmp_path):
+    """The growing-lake steady state: minhash signatures committed to a
+    managed table (table_commit) per ingest batch, new batches probing the
+    STORED index — must produce exactly the pairs the recompute-everything
+    incremental operator finds (same hash family ⇒ bit-identical), while
+    never re-hashing corpus text."""
+    from etl_drone_sense_spark.operators import dedup
+    from etl_drone_sense_spark.sources import table_commit as tc
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_pred = F.col("doc_id") % 5 == 0  # ~20% "newly ingested"
+    corpus, batch = docs.filter(~new_pred), docs.filter(new_pred)
+
+    expected = {
+        (r.id_new, r.id_other, r.vs_corpus, round(r.est_jaccard, 9))
+        for r in dedup.minhash_lsh_pairs_incremental(
+            docs, "doc_id", "text", new_pred, threshold=0.2
+        ).collect()
+    }
+    assert expected, "fixture produced no incremental pairs"
+
+    root = str(tmp_path / "lsh_index")
+    tc.commit(dedup.minhash_index(corpus, "doc_id", "text"), root)
+    tc.commit(
+        dedup.minhash_index(batch, "doc_id", "text"), root, mode="append"
+    )
+
+    corpus_idx = tc.read_table(spark, root, version=1)  # pre-batch snapshot
+    new_idx = tc.read_table(spark, root).join(
+        corpus_idx.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    got = {
+        (r.id_new, r.id_other, r.vs_corpus, round(r.est_jaccard, 9))
+        for r in dedup.minhash_probe_index(
+            new_idx, corpus_idx, "doc_id", threshold=0.2
+        ).collect()
+    }
+    assert got == expected
