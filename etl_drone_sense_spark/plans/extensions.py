@@ -2330,3 +2330,95 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
     )
     return _clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Lake maintenance: CDC MERGE (upsert)
+# ---------------------------------------------------------------------------
+
+# Deterministic changelog derived from the customer table itself so both
+# engines build the identical batch: every 10th key updated (acctbal +10%
+# decimal-exact, segment lowercased), keys ≡1 (mod 10) deleted, keys
+# ≡7 (mod 100) re-inserted under key+10_000_000 (far outside any
+# fixture's key space — see the seeded-embedding id-collision lesson).
+
+# Null-safe: u.op is NULL for 'kept' rows (no changelog match), so every
+# predicate coalesces it — a bare ``u.op <> 'D'`` would go NULL and
+# silently drop the whole kept tier.
+_MERGE_TAKE_U = "(u.k IS NOT NULL AND coalesce(u.op, '') <> 'D')"
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+    WITH upd AS (
+        SELECT c_custkey AS k, 'U' AS op, c_name, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS c_acctbal,
+               lower(c_mktsegment) AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, 'D', NULL, NULL, NULL, NULL
+        FROM customer WHERE c_custkey % 10 = 1
+        UNION ALL
+        SELECT c_custkey + 10000000, 'I', 'new-' || c_name, c_nationkey,
+               0.0, 'PENDING'
+        FROM customer WHERE c_custkey % 100 = 7
+    )
+    SELECT coalesce(u.k, t.c_custkey) AS c_custkey,
+           CASE WHEN {_MERGE_TAKE_U} THEN u.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN {_MERGE_TAKE_U} THEN u.c_nationkey ELSE t.c_nationkey END
+               AS c_nationkey,
+           CASE WHEN {_MERGE_TAKE_U} THEN u.c_acctbal ELSE t.c_acctbal END
+               AS c_acctbal,
+           CASE WHEN {_MERGE_TAKE_U} THEN u.c_mktsegment ELSE t.c_mktsegment END
+               AS c_mktsegment,
+           CASE WHEN u.k IS NULL THEN 'kept'
+                WHEN t.c_custkey IS NOT NULL THEN 'updated'
+                ELSE 'inserted' END AS action
+    FROM customer t FULL OUTER JOIN upd u ON t.c_custkey = u.k
+    WHERE coalesce(u.op, '') <> 'D'
+    """,
+    tags=("merge", "cdc", "lake"),
+    bench=True,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg-style MERGE INTO (operators/merge.py): apply an
+    insert/update/delete changelog to the customer dimension in ONE
+    full-outer sort-merge join — the lake-table mutation primitive the
+    insert-only reference pipeline (task.ts) lacks. Scale shape: one
+    shuffle on the merge key; a small CDC batch broadcasts instead, a
+    bucketed target drops its exchange entirely (tests/test_bucketing.py);
+    transactional publication composes with sources/table_commit.py
+    (merge_into_committed, tests/test_merge.py)."""
+    from ..operators.merge import merge_into
+
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd_u = cust.filter(k % 10 == 0).select(
+        k.alias("c_custkey"),
+        F.lit("U").alias("op"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 1.1 AS DOUBLE)"
+        ).alias("c_acctbal"),
+        F.lower("c_mktsegment").alias("c_mktsegment"),
+    )
+    upd_d = cust.filter(k % 10 == 1).select(
+        k.alias("c_custkey"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    upd_i = cust.filter(k % 100 == 7).select(
+        (k + 10_000_000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.col("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("PENDING").alias("c_mktsegment"),
+    )
+    updates = upd_u.unionByName(upd_d).unionByName(upd_i)
+    return merge_into(cust, updates, ["c_custkey"])
