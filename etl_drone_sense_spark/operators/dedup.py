@@ -448,3 +448,61 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_new", "id_other", "vs_corpus", "est_jaccard")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style global paragraph/line dedup: across the WHOLE corpus, keep
+    only the first occurrence (min (doc_id, pos)) of every distinct
+    non-blank paragraph, then reassemble each document from its surviving
+    paragraphs in order.
+
+    Returns (id, n_paras, n_kept, text_clean) for every input document —
+    n_paras counts non-blank paragraphs, text_clean is '' when everything
+    a document had was boilerplate seen earlier.
+
+    Scale shape: explode (narrow) → ONE shuffle on the 128-bit paragraph
+    fingerprint for the first-occurrence window → one shuffle back on the
+    doc id for reassembly. Nothing pairs documents; boilerplate shared by
+    millions of docs is a single hot fingerprint group handled by AQE.
+    This is the published C4 cleanup rule (Raffel et al. 2020, "three-
+    sentence span" dedup) expressed on paragraph units.
+    """
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "_raw"),
+    ).select(id_col, "pos", F.trim(F.col("_raw")).alias("para"))
+    nonblank = paras.filter(F.col("para") != "")
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "pos")
+    flagged = nonblank.withColumn("kept", F.row_number().over(w) == 1)
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -2422,3 +2422,77 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = upd_u.unionByName(upd_d).unionByName(upd_i)
     return merge_into(cust, updates, ["c_custkey"])
+
+
+# Multi-paragraph seeds for the C4-style paragraph dedup: the fixture text
+# is single-line, so cross-document boilerplate paragraphs (license header
+# / footer), an intra-doc repeat, and an all-boilerplate doc come from
+# seeds. Negative ids sort first, making seeds the kept "first occurrence".
+PARA_SEEDS: tuple[tuple[int, str], ...] = (
+    (-201, "COMMON LICENSE HEADER\nalpha body text one\nSHARED FOOTER LINE"),
+    (-202, "COMMON LICENSE HEADER\nbeta body text two\nSHARED FOOTER LINE"),
+    (-203, "COMMON LICENSE HEADER\ngamma body text three"),
+    (-204, "entirely unique document\nwith two original lines"),
+    (-205, "COMMON LICENSE HEADER"),
+    (-206, "repeat me\nrepeat me\nunique tail after the repeat"),
+)
+
+
+def _para_seed_values() -> str:
+    return ", ".join(
+        "(" + str(i) + ", '"
+        + txt.replace("'", "''").replace("\n", "' || chr(10) || '")
+        + "')"
+        for i, txt in PARA_SEEDS
+    )
+
+
+@register(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {_para_seed_values()}),
+    docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    ),
+    paras AS (
+        SELECT p.doc_id, u.i - 1 AS pos, trim(list_extract(p.parts, u.i)) AS para
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs) p,
+             LATERAL (SELECT unnest(range(1, len(p.parts) + 1)) AS i) u
+    ),
+    keep AS (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, pos) = 1 AS kept
+        FROM paras WHERE para <> ''
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_paras,
+               count(*) FILTER (WHERE kept) AS n_kept,
+               coalesce(string_agg(para, chr(10) ORDER BY pos)
+                        FILTER (WHERE kept), '') AS text_clean
+        FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM docs d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "text", "corpus"),
+    bench=True,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global paragraph dedup (operators/dedup.py
+    paragraph_dedup): keep the corpus-wide first occurrence of every
+    distinct non-blank paragraph, reassemble docs from survivors. Exact
+    whole-doc duplicates in the fixture dedupe as single-paragraph docs;
+    PARA_SEEDS exercise shared headers/footers, intra-doc repeats, and a
+    doc that dedupes to empty. Two shuffles total (fingerprint window +
+    doc-id rebuild), no doc-pair space."""
+    from ..operators.dedup import paragraph_dedup as _pd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = spark.createDataFrame(list(PARA_SEEDS), "doc_id long, text string")
+    return _pd(docs.unionByName(seed))
