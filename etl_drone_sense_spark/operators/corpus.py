@@ -135,3 +135,61 @@ def cross_source_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, int]
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep a row iff its md5
+    bucket (0-99, from the row KEY — never RNG) is below the stratum's
+    target percentage. Strata absent from ``rates`` are dropped (rate 0).
+
+    The workhorse of corpus mixing — "keep 10% of CommonCrawl, 50% of
+    books, all of reference data" — expressed as a pure scalar predicate:
+    no shuffle, no sort, reproducible across engines/runs/cluster sizes,
+    and pushes down to the scan like any other filter.
+    """
+    pairs: list[Column] = []
+    for stratum, pct in rates.items():
+        pairs += [F.lit(stratum), F.lit(int(pct))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(stratum_col)), F.lit(0)
+    )
+    return df.filter(split_bucket(F.col(key_col)) < rate)
+
+
+def stratified_sample_pred_sql(
+    key_expr: str, stratum_expr: str, rates: dict[str, int]
+) -> str:
+    """DuckDB twin of the ``stratified_sample`` predicate."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(p)}" for s, p in rates.items()
+    )
+    return (
+        f"{split_bucket_sql(key_expr)} < "
+        f"(CASE {stratum_expr} {cases} ELSE 0 END)"
+    )
+
+
+def reservoir_per_group(
+    df: DataFrame, key_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-per-group sample ("frozen reservoir"): rank rows
+    within each group by the md5 of their key — a fixed pseudorandom
+    order — and keep the first k. Adds ``sample_rank`` (1-based).
+
+    One shuffle on the group column; at 100 TB groups are processed
+    independently and the rank never materializes more than k rows per
+    group downstream. Unlike ``TABLESAMPLE``/RNG reservoirs the output is
+    stable under re-partitioning and re-runs, which is what a training-
+    data pipeline needs for reproducible eval carve-outs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

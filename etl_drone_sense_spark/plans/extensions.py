@@ -2496,3 +2496,69 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     seed = spark.createDataFrame(list(PARA_SEEDS), "doc_id long, text string")
     return _pd(docs.unionByName(seed))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (corpus mixing / eval carve-outs)
+# ---------------------------------------------------------------------------
+
+from ..operators import corpus as corpus_ops  # noqa: E402  (section-local)
+
+_STRAT_RATES = {"O": 10, "F": 50, "P": 100}
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           {corpus_ops.split_bucket_sql('o_orderkey')} AS bucket
+    FROM orders
+    WHERE {corpus_ops.stratified_sample_pred_sql(
+        'o_orderkey', 'o_orderstatus', _STRAT_RATES)}
+    """,
+    tags=("sampling", "corpus"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (operators/corpus.py
+    stratified_sample): per-stratum keep rates ('O' 10%, 'F' 50%, 'P'
+    100%) via the md5 key bucket — the corpus-mixing primitive. Pure
+    scalar predicate: no shuffle, pushes to the scan, reproducible at any
+    cluster size."""
+    from ..operators import corpus as _c
+
+    orders = t(spark, sf_dir, "orders")
+    return _c.stratified_sample(
+        orders, "o_orderkey", "o_orderstatus", _STRAT_RATES
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        _c.split_bucket(F.col("o_orderkey")).alias("bucket"),
+    )
+
+
+@register(
+    "sample_reservoir_group",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, sample_rank
+    FROM (SELECT o_orderkey, o_orderpriority,
+                 row_number() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                 ) AS sample_rank
+          FROM orders)
+    WHERE sample_rank <= 100
+    """,
+    tags=("sampling", "corpus"),
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-reservoir k-per-group sample (operators/corpus.py
+    reservoir_per_group): first 100 orders per priority in md5-of-key
+    order — a deterministic stand-in for per-group reservoir sampling
+    that is stable under re-partitioning (RNG reservoirs are not). One
+    shuffle on the group key."""
+    from ..operators.corpus import reservoir_per_group
+
+    return reservoir_per_group(
+        t(spark, sf_dir, "orders"), "o_orderkey", "o_orderpriority", 100
+    ).select("o_orderkey", "o_orderpriority", "sample_rank")

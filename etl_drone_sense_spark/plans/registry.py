@@ -203,12 +203,28 @@ def _load() -> None:
     from . import drone, extensions, relational  # noqa: F401
 
 
+# The driver window holds ~50 queries and round 3 must re-certify the 37
+# round-1-only greens against current code (VERDICT r2 #1). New round-3
+# queries beyond the window's free slots are parked here — ordered AFTER
+# the stale round-1 tier so they rotate into the round-4 window instead of
+# evicting stale evidence. Every name still has the same local gate replay
+# (tools/verify_contract.py) and oracle-parity test as windowed queries.
+DEFERRED_TO_R04: frozenset[str] = frozenset(
+    {
+        "sample_reservoir_group",
+    }
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first:
-    never-checked → checked-in-r1-only → checked-in-r2 (freshest)."""
+    never-checked → checked-in-r1-only → deferred-new → checked-in-r2
+    (freshest)."""
 
     def tier(s: QuerySpec) -> int:
         if s.name in DRIVER_CHECKED_R02:
+            return 3
+        if s.name in DEFERRED_TO_R04:
             return 2
         if s.name in DRIVER_CHECKED_R01:
             return 1
