@@ -617,3 +617,105 @@ def pii_stages_sql(col: str) -> tuple[dict[str, str], str]:
         counts[name] = f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
         cur = f"regexp_replace({cur}, '{pat}', '{tok}', 'g')"
     return counts, cur
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping + URL canonicalization (web-corpus ingestion)
+# ---------------------------------------------------------------------------
+# Regex subset common to Java regex (Spark) and RE2 (DuckDB): (?s) dotall,
+# non-greedy .*?, character classes — no lookaround, no backreferences
+# (RE2 lacks both; replacement backrefs also differ $1 vs \1, so every
+# stage below is backref-free).
+
+# Stage order matters: script/style/comment BLOCKS go first (their bodies
+# may contain '<'), then remaining tags.
+HTML_STRIP_STAGES: tuple[tuple[str, str], ...] = (
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+
+# Entity decode: '&amp;' LAST so '&amp;lt;' decodes to '&lt;', not '<'.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+URL_PATTERN = r'(?i)https?://[^\s"<>]+'
+
+
+def strip_html(col: Column) -> Column:
+    """Markup → text: drop script/style/comment blocks, drop tags, decode
+    the common entities, collapse whitespace. Pure staged expressions —
+    a narrow map over the scan, the first pass of web-corpus prep."""
+    cur = col
+    for pat, rep in HTML_STRIP_STAGES:
+        cur = F.regexp_replace(cur, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        cur = F.replace(cur, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(cur, r"\s+", " "))
+
+
+def strip_html_sql(col: str) -> str:
+    cur = col
+    for pat, rep in HTML_STRIP_STAGES:
+        # dotall comes from the inline (?s) — valid in both engines
+        cur = f"regexp_replace({cur}, '{pat}', '{rep}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        sq = ch.replace("'", "''")
+        cur = f"replace({cur}, '{ent}', '{sq}')"
+    return f"trim(regexp_replace({cur}, '\\s+', ' ', 'g'))"
+
+
+def extract_urls(col: Column) -> Column:
+    """All http(s) URLs in document order (from the RAW text, before
+    stripping — URLs commonly live inside href attributes)."""
+    return F.regexp_extract_all(col, F.lit(URL_PATTERN), 0)
+
+
+def extract_urls_sql(col: str) -> str:
+    return f"regexp_extract_all({col}, '{URL_PATTERN}')"
+
+
+def _canon_url(u, extract, replace, lower, concat):
+    """Shared staging for both renderers (u is a Column or a SQL var):
+    lowercase scheme+host, strip default ports, drop the fragment, strip
+    utm_* tracking params, strip one trailing slash."""
+    scheme = lower(extract(u, r"^(?i)(https?)://", 1))
+    host = replace(
+        lower(extract(u, r"^(?i)https?://([^/?#]+)", 1)), r":(80|443)$", ""
+    )
+    rest = extract(u, r"^(?i)https?://[^/?#]+([^#]*)", 1)  # [^#]* drops #frag
+    rest = replace(rest, r"utm_[^&]*&", "")   # utm param mid-querystring
+    rest = replace(rest, r"[?&]utm_[^&]*$", "")  # utm param at the end
+    rest = replace(rest, r"\?$", "")  # querystring emptied entirely
+    return replace(concat(scheme, "://", host, rest), r"/$", "")
+
+
+def canonicalize_url(url: Column) -> Column:
+    return _canon_url(
+        url,
+        extract=lambda c, p, g: F.regexp_extract(c, p, g),
+        replace=lambda c, p, r: F.regexp_replace(c, p, r),
+        lower=F.lower,
+        concat=lambda *parts: F.concat(
+            *[p if isinstance(p, Column) else F.lit(p) for p in parts]
+        ),
+    )
+
+
+def canonicalize_url_sql(var: str) -> str:
+    return _canon_url(
+        var,
+        extract=lambda c, p, g: f"regexp_extract({c}, '{p}', {g})",
+        replace=lambda c, p, r: f"regexp_replace({c}, '{p}', '{r}', 'g')",
+        lower=lambda c: f"lower({c})",
+        concat=lambda *parts: "("
+        + " || ".join(p if p.startswith(("regexp", "lower", "(")) else f"'{p}'" for p in parts)
+        + ")",
+    )

@@ -2562,3 +2562,76 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reservoir_per_group(
         t(spark, sf_dir, "orders"), "o_orderkey", "o_orderpriority", 100
     ).select("o_orderkey", "o_orderpriority", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus ingestion: HTML strip + URL canonicalization
+# ---------------------------------------------------------------------------
+
+# The fixture text is markup-free, so seeded HTML docs exercise every
+# stage: block elision (script/style/comment), tag drop, entity decode,
+# href extraction, scheme/host case, default ports, utm params, fragments.
+HTML_SEEDS: tuple[tuple[int, str], ...] = (
+    (
+        -301,
+        '<html><head><style>p{color:red}</style></head><body>'
+        "<h1>Hello &amp; welcome</h1><p>See "
+        '<a href="HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag">docs</a> '
+        'and <a href="http://test.org/a/">more</a>.</p>'
+        "<script>var x = 1 < 2;</script></body></html>",
+    ),
+    (
+        -302,
+        "Plain text with a bare link "
+        "http://Mirror.Test.ORG:80/data/file?utm_campaign=z&keep=1 inline",
+    ),
+    (
+        -303,
+        "<div>Entities: &lt;tag&gt; &quot;quoted&quot; &#39;apos&#39;"
+        " and&nbsp;spaced &amp;lt; stays-escaped</div>",
+    ),
+    (-304, "<!-- hidden <b>comment</b> -->visible<br/>text only"),
+)
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {", ".join(
+        f"({i}, '" + s.replace("'", "''") + "')" for i, s in HTML_SEEDS
+    )}),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    )
+    SELECT doc_id,
+           {TXT.strip_html_sql('text')} AS clean_text,
+           array_to_string(list_transform({TXT.extract_urls_sql('text')},
+                           u -> {TXT.canonicalize_url_sql('u')}), ' ')
+               AS urls_canon,
+           CAST(len({TXT.extract_urls_sql('text')}) AS INT) AS n_urls
+    FROM docs
+    """,
+    tags=("text", "html", "corpus"),
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus first pass (functions/text.py): staged markup removal
+    (script/style/comment blocks → tags → entities → whitespace) plus
+    href/bare URL extraction with canonicalization (lowercase scheme+host,
+    default-port/fragment/utm_* strip, trailing-slash norm — the key the
+    URL-level dedup of a crawl corpus joins on). All backref-free regex
+    stages shared verbatim with the oracle; narrow map, no shuffle. The
+    per-URL canonicalization runs inside a higher-order transform —
+    interpreted, not codegen'd, acceptable at ~a few URLs/doc (the
+    same measured trade documented for dedup_embedding_lsh)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = spark.createDataFrame(list(HTML_SEEDS), "doc_id long, text string")
+    urls = TXT.extract_urls(F.col("text"))
+    return docs.unionByName(seed).select(
+        "doc_id",
+        TXT.strip_html(F.col("text")).alias("clean_text"),
+        F.array_join(F.transform(urls, TXT.canonicalize_url), " ").alias(
+            "urls_canon"
+        ),
+        F.size(urls).alias("n_urls"),
+    )

@@ -1,0 +1,47 @@
+"""HTML strip + URL canonicalization (functions/text.py): stage-by-stage
+expectations on crafted inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_drone_sense_spark.functions import text as TXT
+
+
+def _one(spark, expr, value: str) -> str | list:
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(expr(F.col("v")).alias("r")).collect()[0].r
+
+
+def test_strip_html_stages(spark):
+    html = (
+        "<p>a &amp; b</p><script>if (1<2) alert('x')</script>"
+        "<!-- note --><b>end</b>"
+    )
+    assert _one(spark, TXT.strip_html, html) == "a & b end"
+
+
+def test_strip_html_double_escaped_entity(spark):
+    # '&amp;lt;' must decode to '&lt;', never all the way to '<'.
+    assert _one(spark, TXT.strip_html, "x &amp;lt; y") == "x &lt; y"
+
+
+def test_canonicalize_url(spark):
+    cases = {
+        "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag":
+            "https://example.com/Path/?q=1",
+        "http://Test.org:80/a/": "http://test.org/a",
+        "https://a.io/p?utm_a=1&utm_b=2": "https://a.io/p",
+        "https://a.io/": "https://a.io",
+        "https://a.io:8080/x?q=2": "https://a.io:8080/x?q=2",  # non-default port kept
+    }
+    for raw, want in cases.items():
+        assert _one(spark, TXT.canonicalize_url, raw) == want, raw
+
+
+def test_extract_urls_document_order(spark):
+    text = 'see http://a.io/1 then <a href="https://b.io/2">x</a>'
+    assert _one(spark, TXT.extract_urls, text) == [
+        "http://a.io/1",
+        'https://b.io/2',
+    ]
