@@ -394,3 +394,97 @@ def hyperplane_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _pq_subdist(vec_col: str, dsub: int, vec_cast=None):
+    """Squared L2 between a vector's subspace-j slice and the sub-centroid
+    ``cvec`` (both indexed by the joined codebook row's ``j``), rounded to
+    9 decimals for cross-engine argmin parity. Written as diff*diff, never
+    pow(x, 2) — pow parity across engines is not guaranteed."""
+    def term(i: int):
+        d = (
+            F.element_at(F.col(vec_col), (F.col("j") - 1) * dsub + i).cast(
+                "double"
+            )
+            - F.element_at(F.col("cvec"), i).cast("double")
+        )
+        return d * d
+
+    out = term(1)
+    for i in range(2, dsub + 1):
+        out = out + term(i)
+    return F.round(out, 9)
+
+
+def pq_assign_codes(
+    emb: DataFrame,
+    cents: DataFrame,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: for every vector and every subspace
+    ``j``, the nearest sub-centroid id under squared L2 on that subspace's
+    ``dsub``-dim slice. ``cents`` is the frozen codebook relation
+    (j, c, cvec) — small, broadcast.
+
+    Returns (id, j, c) — the PQ code table. Shape: broadcast-join narrow
+    pass + a (id, j)-window for the argmin; at production scale this runs
+    ONCE at ingest and the codes are a stored byte column (m log2(k) bits
+    per vector — here 8x3 = 24 bits instead of 64 floats), which is the
+    entire point of PQ: the serving path never touches raw vectors except
+    for the final re-rank. Distances round to 9 decimals before the argmin
+    (with the centroid id as tie-break) so Spark and any SQL verifier pick
+    identical codes at float64 parity.
+    """
+    from pyspark.sql import Window
+
+    scored = emb.join(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("j"),
+        F.col("c"),
+        _pq_subdist(vec_col, dsub).alias("dist"),
+    )
+    w = Window.partitionBy(id_col, "j").orderBy("dist", "c")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "j", "c")
+    )
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    query: DataFrame,
+    cents: DataFrame,
+    dsub: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jegou et al. 2011):
+    build the query's (subspace x centroid) distance table — m*k_sub
+    scalars, broadcast — then score every vector as the sum of m table
+    lookups on its codes and take the k nearest.
+
+    Scale shape: the scored relation is codes JOIN broadcast(dtable) — no
+    raw-vector math on the serving path, one partial-agg shuffle of
+    (id, partial-sum) pairs, then TakeOrderedAndProject for the top-k.
+    Per-subspace lookups sum as DECIMAL(28,9) so the m-term total is
+    order-independent (the repo's exact-sum convention).
+    """
+    dtab = cents.join(
+        F.broadcast(query.select(F.col(vec_col).alias("qvec")))
+    ).select("j", "c", _pq_subdist("qvec", dsub).alias("qdist"))
+    codes = pq_assign_codes(emb, cents, dsub, id_col, vec_col)
+    return (
+        codes.join(F.broadcast(dtab), ["j", "c"])
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("qdist").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

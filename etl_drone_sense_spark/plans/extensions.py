@@ -2635,3 +2635,81 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(urls).alias("n_urls"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: product quantization (ADC serving against a frozen codebook)
+# ---------------------------------------------------------------------------
+
+from ._frozen_pq import FROZEN_PQ, PQ_DSUB  # noqa: E402  (section-local)
+
+
+def _frozen_pq_values() -> str:
+    return ", ".join(f"({j}, {c}, {vec!r})" for j, c, vec in FROZEN_PQ)
+
+
+def _pq_subdist_sql(vec: str) -> str:
+    """DuckDB twin of operators.similarity._pq_subdist — diff*diff terms
+    (never ``^``/pow, whose float parity across engines is not
+    guaranteed), rounded to 9 for argmin parity."""
+    terms = " + ".join(
+        f"((CAST(list_extract({vec}, (c.j - 1) * {PQ_DSUB} + {i}) AS DOUBLE)"
+        f" - CAST(list_extract(c.cvec, {i}) AS DOUBLE)) * "
+        f"(CAST(list_extract({vec}, (c.j - 1) * {PQ_DSUB} + {i}) AS DOUBLE)"
+        f" - CAST(list_extract(c.cvec, {i}) AS DOUBLE)))"
+        for i in range(1, PQ_DSUB + 1)
+    )
+    return f"round({terms}, 9)"
+
+
+@register(
+    "sim_pq_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT * FROM (VALUES {_frozen_pq_values()}) AS v(j, c, cvec)
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    codes AS (
+        SELECT vec_id, j, c FROM (
+            SELECT e.vec_id, c.j, c.c,
+                   row_number() OVER (PARTITION BY e.vec_id, c.j
+                                      ORDER BY {_pq_subdist_sql('e.embedding')}, c.c)
+                       AS rn
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    dtab AS (
+        SELECT c.j, c.c, {_pq_subdist_sql('q.qvec')} AS qdist
+        FROM cents c CROSS JOIN q
+    )
+    SELECT k.vec_id,
+           round(CAST(sum(CAST(d.qdist AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS adc_dist
+    FROM codes k JOIN dtab d USING (j, c)
+    GROUP BY k.vec_id
+    ORDER BY adc_dist, k.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serving (operators/similarity.py
+    pq_assign_codes + pq_topk_adc, after Jegou et al. 2011 "Product
+    Quantization for Nearest Neighbor Search"): 8 subspaces x 8
+    sub-centroids trained offline and frozen as literals
+    (plans/_frozen_pq.py — the same offline-codebook deployment shape as
+    sim_ivf_topk_frozen), vectors encoded to 24-bit codes, query answered
+    by an asymmetric-distance table of 64 broadcast scalars + 8 lookups
+    per vector. The serving path never touches raw vectors; at 100 TB the
+    code table is ~3 bytes per vector instead of 256 — the memory-bound
+    regime PQ exists for. Recall vs exact top-k is asserted in
+    tests/test_similarity_quality.py."""
+    from ..operators.similarity import pq_topk_adc
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        list(FROZEN_PQ), "j int, c int, cvec array<double>"
+    )
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    return pq_topk_adc(emb, q, cents, dsub=PQ_DSUB, k=10)
