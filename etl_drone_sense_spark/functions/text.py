@@ -682,19 +682,27 @@ def extract_urls_sql(col: str) -> str:
     return f"regexp_extract_all({col}, '{URL_PATTERN}')"
 
 
-def _canon_url(u, extract, replace, lower, concat):
+def _canon_url(u, extract, replace, replace_ref, lower, concat):
     """Shared staging for both renderers (u is a Column or a SQL var):
-    lowercase scheme+host, strip default ports, drop the fragment, strip
-    utm_* tracking params, strip one trailing slash."""
+    lowercase scheme+host, strip the scheme's OWN default port (:80 http /
+    :443 https only — 'https://h:80' is a real port and survives), drop the
+    fragment, strip utm_* tracking params anchored at a [?&] boundary (a
+    param merely CONTAINING 'utm_', e.g. '?xutm_a=1', survives), strip one
+    trailing slash. ``replace_ref`` is engine-supplied because group-ref
+    syntax differs (Spark '$1' vs DuckDB '\\1')."""
     scheme = lower(extract(u, r"^(?i)(https?)://", 1))
-    host = replace(
-        lower(extract(u, r"^(?i)https?://([^/?#]+)", 1)), r":(80|443)$", ""
-    )
+    host = lower(extract(u, r"^(?i)https?://([^/?#]+)", 1))
     rest = extract(u, r"^(?i)https?://[^/?#]+([^#]*)", 1)  # [^#]* drops #frag
-    rest = replace(rest, r"utm_[^&]*&", "")   # utm param mid-querystring
-    rest = replace(rest, r"[?&]utm_[^&]*$", "")  # utm param at the end
+    # Anchored utm strip (separator consumed with the param), then repair:
+    # if the FIRST surviving param lost its '?' to a stripped predecessor,
+    # its '&' must become '?'. '^([^?&]*)&' touches only that case.
+    rest = replace(rest, r"[?&]utm_[^&]*", "")
+    rest = replace_ref(rest, r"^([^?&]*)&", "?")
     rest = replace(rest, r"\?$", "")  # querystring emptied entirely
-    return replace(concat(scheme, "://", host, rest), r"/$", "")
+    schemehost = concat(scheme, "://", host)
+    schemehost = replace_ref(schemehost, r"^(http://[^:/]*):80$", "")
+    schemehost = replace_ref(schemehost, r"^(https://[^:/]*):443$", "")
+    return replace(concat(schemehost, rest), r"/$", "")
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -702,6 +710,7 @@ def canonicalize_url(url: Column) -> Column:
         url,
         extract=lambda c, p, g: F.regexp_extract(c, p, g),
         replace=lambda c, p, r: F.regexp_replace(c, p, r),
+        replace_ref=lambda c, p, suffix: F.regexp_replace(c, p, "$1" + suffix),
         lower=F.lower,
         concat=lambda *parts: F.concat(
             *[p if isinstance(p, Column) else F.lit(p) for p in parts]
@@ -714,6 +723,9 @@ def canonicalize_url_sql(var: str) -> str:
         var,
         extract=lambda c, p, g: f"regexp_extract({c}, '{p}', {g})",
         replace=lambda c, p, r: f"regexp_replace({c}, '{p}', '{r}', 'g')",
+        replace_ref=lambda c, p, suffix: (
+            f"regexp_replace({c}, '{p}', '\\1{suffix}', 'g')"
+        ),
         lower=lambda c: f"lower({c})",
         concat=lambda *parts: "("
         + " || ".join(p if p.startswith(("regexp", "lower", "(")) else f"'{p}'" for p in parts)

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERGE_ACTION_COL = "action"
@@ -49,15 +49,25 @@ def merge_into(
 
     Deterministic: one update row per key is required (enforced — duplicate
     changelog keys would make the merge order-dependent, the classic
-    MERGE cardinality trap; Delta raises the same error).
+    MERGE cardinality trap; Delta raises the same error). Enforcement is
+    IN-PLAN, not an eager pre-pass: a count() window over the update side's
+    merge keys feeds a raise_error branch, so the check executes inside the
+    same job as the merge (the window's hash partitioning on the keys is
+    the same exchange the full-outer join needs — no extra shuffle). For an
+    eager fail-fast on ingest paths, call assert_unique_changelog instead.
     """
     value_cols = [c for c in target.columns if c not in keys]
     missing = [c for c in (*keys, *value_cols) if c not in updates.columns]
     if missing:
         raise ValueError(f"updates side is missing target columns: {missing}")
 
+    dup_n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
     tgt = target.withColumn("_t_present", F.lit(True)).alias("t")
-    upd = updates.withColumn("_u_present", F.lit(True)).alias("u")
+    upd = (
+        updates.withColumn("_u_present", F.lit(True))
+        .withColumn("_u_dup_n", dup_n)
+        .alias("u")
+    )
 
     cond = reduce(
         Column.__and__,
@@ -70,7 +80,19 @@ def merge_into(
     op = F.col(f"u.{op_col}")
 
     action = (
-        F.when(t_here & ~u_here, F.lit("kept"))
+        F.when(
+            u_here & (F.col("u._u_dup_n") > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit("changelog has duplicate merge key ("),
+                    F.concat_ws(
+                        ", ", *[F.col(f"u.{k}").cast("string") for k in keys]
+                    ),
+                    F.lit(") — MERGE would be nondeterministic"),
+                )
+            ).cast("string"),
+        )
+        .when(t_here & ~u_here, F.lit("kept"))
         .when(t_here & u_here & (op == "D"), F.lit("deleted"))
         .when(t_here & u_here, F.lit("updated"))
         .when(~t_here & u_here & (op != "D"), F.lit("inserted"))

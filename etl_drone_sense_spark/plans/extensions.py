@@ -2606,8 +2606,8 @@ HTML_SEEDS: tuple[tuple[int, str], ...] = (
     )
     SELECT doc_id,
            {TXT.strip_html_sql('text')} AS clean_text,
-           array_to_string(list_transform({TXT.extract_urls_sql('text')},
-                           u -> {TXT.canonicalize_url_sql('u')}), ' ')
+           coalesce(array_to_string(list_transform({TXT.extract_urls_sql('text')},
+                           u -> {TXT.canonicalize_url_sql('u')}), ' '), '')
                AS urls_canon,
            CAST(len({TXT.extract_urls_sql('text')}) AS INT) AS n_urls
     FROM docs

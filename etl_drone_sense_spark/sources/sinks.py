@@ -69,15 +69,19 @@ def rest_post_batches(
     the receiving side (e.g. a batch id) or disable speculation
     (``spark.speculation=false``, the default) if duplicates are unacceptable.
     """
-    import pickle
+    # Probe with cloudpickle — what Spark actually ships closures with —
+    # not stdlib pickle, which rejects lambdas/local closures cloudpickle
+    # handles fine (a stdlib probe would fail-fast callables that work).
+    from pyspark import cloudpickle
 
     try:
-        pickle.dumps(post)
+        cloudpickle.dumps(post)
     except Exception as exc:
         raise TypeError(
-            "rest_post_batches requires a picklable `post` callable (it is "
-            "shipped to executors inside the task closure) — use RestPoster "
-            f"or a module-level function; pickling failed with: {exc!r}"
+            "rest_post_batches requires a serializable `post` callable (it "
+            "is shipped to executors inside the task closure) — use "
+            "RestPoster or a module-level function; cloudpickle failed "
+            f"with: {exc!r}"
         ) from exc
 
     def _post_partition(lines):

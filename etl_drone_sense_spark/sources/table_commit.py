@@ -323,6 +323,14 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     )
     keep = {v for v in versions if v > cur - keep_last and v <= cur}
     keep.add(cur)
+    # The PUBLISHED version can trail the newest committed one (writer died
+    # between manifest commit and pointer publish — the crash window
+    # tests/test_table_commit.py exercises). Readers resolve through the
+    # pointer, so GC'ing the published snapshot would leave MANIFEST.json
+    # dangling; always retain it too.
+    pub = current_version(root)
+    if pub is not None:
+        keep.add(pub)
     live: set[str] = set()
     for v in keep:
         live.update(read_snapshot(root, v).files)

@@ -34,6 +34,13 @@ def test_canonicalize_url(spark):
         "https://a.io/p?utm_a=1&utm_b=2": "https://a.io/p",
         "https://a.io/": "https://a.io",
         "https://a.io:8080/x?q=2": "https://a.io:8080/x?q=2",  # non-default port kept
+        # utm strip is anchored: a param NAME containing 'utm_' survives.
+        "http://a.io/p?xutm_a=1&b=2": "http://a.io/p?xutm_a=1&b=2",
+        # First param stripped -> the follower's '&' is repaired to '?'.
+        "http://a.io/p?utm_a=1&b=2": "http://a.io/p?b=2",
+        # Default-port strip is scheme-aware: :80 on https is a REAL port.
+        "https://a.io:80/x": "https://a.io:80/x",
+        "http://a.io:443/x": "http://a.io:443/x",
     }
     for raw, want in cases.items():
         assert _one(spark, TXT.canonicalize_url, raw) == want, raw

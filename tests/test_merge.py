@@ -68,6 +68,14 @@ def test_duplicate_changelog_guard(spark, updates):
     assert_unique_changelog(updates, ["k"])  # clean changelog passes
 
 
+def test_merge_into_enforces_unique_changelog(spark, target, updates):
+    """merge_into itself must refuse a duplicate-key changelog (in-plan
+    raise_error at action time), not silently fan out the join."""
+    dup = updates.union(updates.limit(1))
+    with pytest.raises(Exception, match="duplicate merge key"):
+        merge_into(target, dup, ["k"]).collect()
+
+
 def test_merge_into_committed_versions(spark, tmp_path, target, updates):
     root = str(tmp_path / "dim")
     tc.commit(target, root)

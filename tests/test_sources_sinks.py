@@ -147,6 +147,28 @@ def test_rest_post_batches_partition_local(spark, sf_dir, tmp_path):
     assert len(read_bodies(tmp_path)) == 4
 
 
+def test_rest_post_batches_accepts_local_closure(spark, sf_dir, tmp_path):
+    """The serializability probe must use cloudpickle (what Spark ships
+    closures with), so a local closure — which stdlib pickle rejects —
+    passes the fail-fast check and runs."""
+    from tests.helpers import read_bodies
+
+    out = str(tmp_path)
+
+    def post(body):  # local closure over `out`: unpicklable via stdlib pickle
+        import os
+        import uuid
+
+        with open(os.path.join(out, f"{uuid.uuid4().hex}.json"), "w") as f:
+            f.write(body)
+
+    feats = drone_features(synth_drones(spark, sf_dir)).limit(10)
+    posted = sinks.rest_post_batches(feats, post, batch_size=5)
+    assert posted == 10
+    docs = [json.loads(b) for b in read_bodies(tmp_path)]
+    assert sum(len(d["features"]) for d in docs) == 10
+
+
 def test_etl_endpoint_from_env():
     from etl_drone_sense_spark.config import ConfigError
 

@@ -195,6 +195,34 @@ def test_vacuum_drops_only_unreferenced_files(spark, tmp_path, nation):
         tc.read_snapshot(root, 2)
 
 
+def test_vacuum_keeps_published_version_in_crash_window(
+    spark, tmp_path, nation, region, monkeypatch
+):
+    """vacuum during the commit-but-unpublished window: the PUBLISHED
+    version trails the newest committed one, and GC'ing it would leave
+    MANIFEST.json dangling. Both the published and the newest-committed
+    snapshots must survive vacuum(keep_last=1)."""
+    root = str(tmp_path / "tbl")
+    tc.commit(region, root)  # v1, published
+    published = _rows(spark, root)
+
+    monkeypatch.setattr(
+        tc, "_swap_pointer", lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before publish")
+        )
+    )
+    with pytest.raises(RuntimeError, match="crash before publish"):
+        tc.commit(nation, root)  # v2 committed, never published
+    monkeypatch.undo()
+    assert tc.current_version(root) == 1
+
+    tc.vacuum(root, keep_last=1)
+    # The published snapshot is still fully readable through the pointer...
+    assert _rows(spark, root) == published
+    # ...and the committed orphan survives too (durable history).
+    assert len(_rows(spark, root, version=2)) == nation.count()
+
+
 def test_txn_commit_is_idempotent(spark, tmp_path, nation):
     """A retried (app, batch) commit must be a no-op: same version, same
     files, no duplicate rows — at-least-once delivery becomes exactly-once
