@@ -34,32 +34,60 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs the engine's semantics depend on, set idempotently so
     queries behave identically under any host-created SparkSession:
-    * UTC session timezone (timestamp parity with the naive-UTC oracle);
-    * nanos-as-long parquet reads (Spark has no TIMESTAMP(NANOS) type;
-      the events fixture stores ns — read as long, convert to µs below)."""
+    UTC session timezone (timestamp parity with the naive-UTC oracle)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Parquet footer probe for the events ``ts`` physical unit ('us'/'ns').
+    Fixture generations have shipped BOTH encodings (TIMESTAMP(NANOS)
+    through round 3, TIMESTAMP(MICROS) from round 4) — trusting a doc
+    instead of the footer silently corrupts every timestamp by 1000×.
+    Driver-side metadata read of one footer, cached per path."""
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            probe = next(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+        unit = pq.read_schema(probe).field("ts").type.unit
+        _TS_UNIT_CACHE[path] = unit
+    return unit
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its declared schema (TESTDATA.md)."""
     _ensure_session_confs(spark)
     if name == "events":
-        # ts is INT64 TIMESTAMP(NANOS): read raw ns, truncate to µs (exact —
-        # the fixture has no sub-µs components; DuckDB's reader does the same).
-        schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-        raw = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div` — a double division would lose µs precision at 1e18.
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        path = f"{sf_dir}/{name}.parquet"
+        fields = [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+        if _events_ts_unit(path) == "ns":
+            # TIMESTAMP(NANOS): Spark has no nanos type — read raw ns as
+            # long, truncate to µs with integer `div` (a double division
+            # would lose µs precision at 1e18), exactly as DuckDB's reader
+            # does. Needs the legacy nanos-as-long read conf.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            fields[1] = T.StructField("ts", T.LongType())
+            raw = spark.read.schema(T.StructType(fields)).parquet(path)
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return spark.read.schema(T.StructType(fields)).parquet(path)
     return spark.read.schema(TPCH_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -107,11 +107,12 @@ def test_hyperplane_lsh_recall_vs_exact(spark, sf_dir):
 
 
 def test_pq_adc_quality(spark, sf_dir):
-    """PQ mechanics + quality: the query vector itself must rank first at
-    ~zero ADC distance; codes must match a python argmin re-derivation on
-    a sample; and ADC top-k must beat random selection decisively. On this
-    fixture (near-isotropic random embeddings — PQ's hardest regime)
-    recall@10 is ~0.2 vs a 0.02 random baseline; we assert >= 2 hits."""
+    """PQ mechanics, pinned codebook-agnostically: the operator's ADC
+    top-10 (ids AND distances) must match a full python re-derivation from
+    the frozen codebook, and codes must match a python argmin on a sample.
+    No data-identity assumptions — the round-4 fixture regeneration broke
+    the old prefix property (sf0.001 is NOT a prefix of sf0.01), so the
+    query's self-distance is its true quantization error, not ~0."""
     from etl_drone_sense_spark.operators.similarity import (
         pq_assign_codes,
         pq_topk_adc,
@@ -124,7 +125,34 @@ def test_pq_adc_quality(spark, sf_dir):
     )
     q = emb.orderBy("vec_id").limit(1).select("embedding")
     top = pq_topk_adc(emb, q, cents, dsub=PQ_DSUB, k=10).collect()
-    assert top[0].vec_id == 0 and top[0].adc_dist < 1e-6  # self at rank 1
+
+    # Python re-derivation of the full ADC ranking from the same literals.
+    book = {(j, c): v for j, c, v in FROZEN_PQ}
+    rows = emb.orderBy("vec_id").collect()
+    qv = [float(x) for x in rows[0].embedding]
+
+    def sub(v, j):
+        return v[(j - 1) * PQ_DSUB : j * PQ_DSUB]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    adc = {}
+    for row in rows:
+        v = [float(x) for x in row.embedding]
+        d = 0.0
+        for j in range(1, 9):
+            code = min(
+                (round(l2(sub(v, j), book[(j, c)]), 9), c) for c in range(1, 9)
+            )[1]
+            d += l2(sub(qv, j), book[(j, code)])
+        adc[row.vec_id] = round(d, 6)
+    want = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    got = [(r.vec_id, r.adc_dist) for r in top]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    assert all(abs(a - b) < 1e-5 for (_, a), (_, b) in zip(got, want))
+    # The query's own quantized code is still the nearest on this fixture.
+    assert top[0].vec_id == 0
 
     # Codes parity on a sample.
     sample = emb.filter(F.col("vec_id") < 20)
@@ -172,11 +200,17 @@ def topk_l2(emb, q, k=10):  # helper for the recall check below
     )
 
 
-def test_pq_recall_beats_random(spark, sf_dir):
+def test_pq_recall_beats_random(spark):
+    """In-domain recall: measured at sf0.01 — the scale the frozen codebook
+    is trained on (a codebook must serve the distribution it was trained
+    on; the per-SF fixtures are independent draws since the round-4
+    regeneration). Near-isotropic random 64-d embeddings are PQ's hardest
+    regime: recall@10 ~0.2 here vs a 0.02 random baseline — we assert the
+    self-hit plus at least one true neighbor (≥10x random chance)."""
     from etl_drone_sense_spark.operators.similarity import pq_topk_adc
     from etl_drone_sense_spark.plans._frozen_pq import FROZEN_PQ, PQ_DSUB
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
     cents = spark.createDataFrame(
         list(FROZEN_PQ), "j int, c int, cvec array<double>"
     )
