@@ -203,31 +203,81 @@ def _load() -> None:
     from . import drone, extensions, relational  # noqa: F401
 
 
-# The driver window holds ~50 queries and round 3 must re-certify the 37
-# round-1-only greens against current code (VERDICT r2 #1). New round-3
-# queries beyond the window's free slots are parked here — ordered AFTER
-# the stale round-1 tier so they rotate into the round-4 window instead of
-# evicting stale evidence. Every name still has the same local gate replay
-# (tools/verify_contract.py) and oracle-parity test as windowed queries.
-DEFERRED_TO_R04: frozenset[str] = frozenset(
+# CORRECTNESS_r03.json: 46 fully-oracled green + 4 rows-only-by-design.
+# The r3 window re-certified every round-1-only green (VERDICT r2 #1) plus
+# the 13 new round-3 queries — so after round 3 the STALEST evidence is the
+# round-2 tier (DRIVER_CHECKED_R02: its window ran against round-2 code and
+# rounds 3-4 touched merge/sinks/text modules some of them exercise).
+DRIVER_CHECKED_R03: frozenset[str] = frozenset(
     {
-        "sample_reservoir_group",
+        "text_repetition",
+        "text_boilerplate_strip",
+        "text_unigram_logprob",
+        "multimodal_decode",
+        "stream_watermark_eviction",
+        "stream_interval_join",
+        "corpus_prepare_pipeline",
+        "sim_ivf_topk_frozen",
+        "merge_upsert",
+        "dedup_paragraph",
+        "sample_stratified",
+        "text_html_strip",
+        "sim_pq_topk",
+        "text_fingerprint",
+        "sessionize_events",
+        "window_tumbling_events",
+        "window_sliding_events",
+        "multimodal_bytes",
+        "multimodal_features",
+        "agg_approx_distinct",
+        "stream_tumbling_counts",
+        "text_tfidf_topk",
+        "grouped_map_centroids",
+        "corpus_chunking",
+        "corpus_split_stats",
+        "corpus_contamination",
+        "vector_normalize_quantize",
+        "corpus_sample_per_lang",
+        "events_funnel",
+        "multimodal_frame_sample",
+        "dedup_keep_rows",
+        "sim_kmeans_ivf_topk",
+        "text_winnowing",
+        "dedup_cluster_stats",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "agg_distinct",
+        "agg_stats",
+        "having_filter",
+        "rollup_region_nation",
+        "cube_status_priority",
+        "grouping_sets",
+        "pivot_priority_status",
+        "join_left_count",
+        "join_semi",
+        "join_anti",
+        "join_full_outer",
+        "join_cross",
+        "join_range_nonequi",
     }
 )
 
 
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first:
-    never-checked → checked-in-r1-only → deferred-new → checked-in-r2
-    (freshest)."""
+    never-checked (round-4 additions + r3 overflow) → round-2 tier (now the
+    stalest: checked against round-2 code only) → round-3 tier (freshest).
+    Round-1-only names no longer form a tier — every one was re-certified
+    in round 3."""
 
     def tier(s: QuerySpec) -> int:
-        if s.name in DRIVER_CHECKED_R02:
+        if s.name in DRIVER_CHECKED_R03:
             return 3
-        if s.name in DEFERRED_TO_R04:
-            return 2
-        if s.name in DRIVER_CHECKED_R01:
+        if s.name in DRIVER_CHECKED_R02:
             return 1
+        if s.name in DRIVER_CHECKED_R01:
+            return 2  # r1-green never re-checked (should be empty post-r3)
         return 0
 
     specs = list(REGISTRY.values())
