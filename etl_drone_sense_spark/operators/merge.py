@@ -128,6 +128,60 @@ def assert_unique_changelog(updates: DataFrame, keys: list[str]) -> None:
         )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the CDC changelog between two table snapshots — the INVERSE
+    of ``merge_into``: ``merge_into(old, snapshot_diff(old, new, keys),
+    keys)`` reproduces ``new`` (tests/test_merge.py pins the round trip).
+    This is Delta's Change-Data-Feed shape computed from plain snapshots:
+
+    * key only in ``old``           -> op 'D' (old values carried — the
+                                       delete preimage, like Delta CDF)
+    * key only in ``new``           -> op 'I' (new values)
+    * key in both, any value differs-> op 'U' (new values)
+    * identical rows                -> absent from the changelog
+
+    Scale shape: ONE full-outer hash join, both sides partitioned on the
+    keys; change detection is a null-safe struct comparison, so it costs a
+    map-side expression, not a second pass. Works on any two versions of a
+    table_commit table via read_table(root, version) — time travel in,
+    changelog out.
+    """
+    value_cols = [c for c in old.columns if c not in keys]
+    if [c for c in new.columns if c not in keys] != value_cols:
+        raise ValueError("snapshot schemas must match")
+
+    o = old.withColumn("_o_present", F.lit(True)).alias("o")
+    n = new.withColumn("_n_present", F.lit(True)).alias("n")
+    cond = reduce(
+        Column.__and__,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+    )
+    joined = o.join(n, cond, "full_outer")
+    o_here = F.col("o._o_present").isNotNull()
+    n_here = F.col("n._n_present").isNotNull()
+    changed = ~F.struct(*[F.col(f"o.{c}") for c in value_cols]).eqNullSafe(
+        F.struct(*[F.col(f"n.{c}") for c in value_cols])
+    )
+    op = (
+        F.when(o_here & ~n_here, F.lit("D"))
+        .when(~o_here & n_here, F.lit("I"))
+        .when(changed, F.lit("U"))
+    )
+    use_new = op.isin("I", "U")
+    out = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ] + [
+        F.when(use_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+        for c in value_cols
+    ]
+    return joined.select(op.alias(op_col), *out).filter(F.col(op_col).isNotNull())
+
+
 def merge_into_committed(
     target: DataFrame,
     updates: DataFrame,

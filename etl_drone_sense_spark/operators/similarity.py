@@ -175,6 +175,49 @@ def embedding_near_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then mark as duplicates
+    vectors whose cosine similarity WITHIN a cluster exceeds ``threshold``.
+    Clustering makes the pair space Σ|cell|² instead of n² — the published
+    method's entire scaling argument, and the same blocking shape as
+    ``embedding_near_pairs``.
+
+    Keep policy (deterministic): within each cluster, greedy keep-first by
+    ascending id — a vector is dropped iff some LOWER-id vector in its
+    cluster is ≥ threshold similar. (The paper keeps a random exemplar per
+    duplicate group; greedy-by-id is the reproducible equivalent and needs
+    no iterative connected components on the hot path.)
+
+    Returns one row per input vector: (id, cell_id, kept, n_dup_prior).
+    Scale shape: broadcast-centroid assignment (narrow), one shuffle on
+    cell_id for the blocked self-join, one aggregation — no global state,
+    no iteration. At 100 TB, k is sized ~√n so cells stay bounded (the
+    frozen k=8 codebook here is the oracle-determinism choice, not the
+    production k).
+    """
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    pairs = embedding_near_pairs(
+        assigned, block_col="cell_id", threshold=threshold, id_col=id_col,
+        vec_col=vec_col,
+    )
+    dups = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.count("*").alias("n_dup_prior")
+    )
+    return assigned.join(dups, id_col, "left").select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.col("n_dup_prior").isNull().alias("kept"),
+        F.coalesce(F.col("n_dup_prior"), F.lit(0)).alias("n_dup_prior"),
+    )
+
+
 def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
     """Per-label centroid via grouped-map ``applyInPandas`` (the k-means
     update step / IVF cell-centroid refresh).

@@ -200,7 +200,7 @@ def davg_sql(expr: str, alias: str) -> str:
 
 def _load() -> None:
     # Import for registration side-effects.
-    from . import drone, extensions, relational  # noqa: F401
+    from . import curation, drone, extensions, relational  # noqa: F401
 
 
 # CORRECTNESS_r03.json: 46 fully-oracled green + 4 rows-only-by-design.
