@@ -249,3 +249,478 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lp_q") / 1e9 / F.count("*"), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling (target proportions -> per-domain accept rates)
+# ---------------------------------------------------------------------------
+
+# Target language mixture (sums to 1). en is over-represented in the
+# fixture (~44%) so its rate is < 1; zh/es/de are under-represented and
+# cap at rate 1 — both regimes exercised.
+_MIXTURE_WEIGHTS: dict[str, float] = {
+    "en": 0.25, "zh": 0.25, "es": 0.2, "de": 0.2, "fr": 0.1,
+}
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {w!r}" for k, w in _MIXTURE_WEIGHTS.items()
+)
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    total AS (SELECT count(*) AS n FROM documents),
+    rates AS (
+        SELECT lang,
+               CAST(least(1000000, floor(
+                   1000000.0 * (CASE lang {_MIX_CASE} ELSE 0 END)
+                   * total.n / n_lang)) AS BIGINT) AS rate_ppm
+        FROM counts CROSS JOIN total
+    )
+    SELECT d.doc_id, d.lang, r.rate_ppm
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000) < r.rate_ppm
+    """,
+    tags=("sampling", "corpus", "mixture"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-targeted sampling (the DoReMi/data-mixing primitive):
+    given TARGET domain proportions, derive each domain's acceptance rate
+    from its actual share — rate = min(1, w·N / n_domain) — and keep rows
+    by a deterministic md5 coin. Unlike sample_stratified (fixed literal
+    rates) the rates here come FROM the data: one tiny per-domain count
+    (map-side combine to |domains| rows, broadcast back), then a pure
+    scalar predicate — no shuffle of the corpus itself, reproducible at
+    any cluster size. Rates are quantized to integer ppm so the
+    accept/reject decision is integer-exact across engines."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    total = docs.agg(F.count("*").alias("n"))
+    pairs: list = []
+    for k, w in _MIXTURE_WEIGHTS.items():
+        pairs += [F.lit(k), F.lit(w)]
+    wexpr = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col("lang")), F.lit(0.0)
+    )
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.least(
+            F.lit(1000000),
+            F.floor(1000000.0 * wexpr * F.col("n") / F.col("n_lang")),
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    u_ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u_ppm < F.col("rate_ppm"))
+        .select("doc_id", "lang", "rate_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern matching (MATCH_RECOGNIZE-shape, window-only)
+# ---------------------------------------------------------------------------
+
+# Max minutes between consecutive stages. The fixture's median intra-user
+# event gap is ~8 h (15 users spread over months), so a web-session-scale
+# 30 min window matches nothing — 12 h exercises the operator non-vacuously
+# while still rejecting most candidate chains.
+_PATTERN_GAP_MIN = 720
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH staged AS (
+        SELECT user_id, event_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'view' THEN ts END
+                          IGNORE NULLS)
+                   OVER w AS last_view_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    carts AS (
+        SELECT user_id, event_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'click'
+                                AND last_view_ts IS NOT NULL
+                                AND ts - last_view_ts
+                                    <= INTERVAL {_PATTERN_GAP_MIN} MINUTE
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS q_click_ts,
+               last_value(CASE WHEN event_type = 'click'
+                                AND last_view_ts IS NOT NULL
+                                AND ts - last_view_ts
+                                    <= INTERVAL {_PATTERN_GAP_MIN} MINUTE
+                               THEN last_view_ts END IGNORE NULLS)
+                   OVER w AS q_view_ts
+        FROM staged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, q_view_ts AS view_ts, q_click_ts AS click_ts,
+           ts AS purchase_ts, event_id AS purchase_event_id
+    FROM carts
+    WHERE event_type = 'purchase' AND q_click_ts IS NOT NULL
+      AND ts - q_click_ts <= INTERVAL {_PATTERN_GAP_MIN} MINUTE
+    """,
+    tags=("events", "pattern", "window"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shape sequential pattern detection, window-only:
+    find view → click → purchase chains per user with each stage ≤ 30
+    minutes after the previous, emitting the stage timestamps per match.
+    Where events_funnel counts stage reach, this EXTRACTS match instances.
+
+    No self-joins: two ordered window passes per user (last qualifying
+    stage-k timestamp carried forward via last_value IGNORE NULLS — the
+    two carried columns always come from the same row because both take
+    the LAST qualifier in the same frame). Scale: shuffles once on
+    user_id; state per row is O(stages), independent of history length —
+    the same shape Flink CEP compiles to. Ties broken by (ts, event_id)
+    identically in both engines."""
+    gap = F.expr(f"INTERVAL {_PATTERN_GAP_MIN} MINUTES")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    staged = ev.withColumn(
+        "last_view_ts",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    q_click = F.when(
+        (F.col("event_type") == "click")
+        & F.col("last_view_ts").isNotNull()
+        & (F.col("ts") <= F.col("last_view_ts") + gap),
+        F.col("ts"),
+    )
+    q_view = F.when(
+        (F.col("event_type") == "click")
+        & F.col("last_view_ts").isNotNull()
+        & (F.col("ts") <= F.col("last_view_ts") + gap),
+        F.col("last_view_ts"),
+    )
+    carts = staged.withColumn(
+        "q_click_ts", F.last(q_click, ignorenulls=True).over(w)
+    ).withColumn("q_view_ts", F.last(q_view, ignorenulls=True).over(w))
+    return carts.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("q_click_ts").isNotNull()
+        & (F.col("ts") <= F.col("q_click_ts") + gap)
+    ).select(
+        "user_id",
+        F.col("q_view_ts").alias("view_ts"),
+        F.col("q_click_ts").alias("click_ts"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout (multi-dimensional clustering for file skipping)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # per-dimension bit budget AFTER normalization
+_Z_FILES = 16
+_Z_EPOCH = "1995-01-01"  # fixture o_orderdate min
+
+
+def _morton_col(x, y):
+    """Bit-interleave two ≤8-bit non-negative ints (Morton/Z-value) as a
+    pure integer expression — unrolled, codegen-friendly, no UDF."""
+    total = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        total = (
+            total
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return total
+
+
+def _morton_sql(x: str, y: str) -> str:
+    return " + ".join(
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey AS okey, o_custkey AS x,
+               CAST(datediff('day', DATE '{_Z_EPOCH}',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        FROM orders
+    ),
+    ext AS (SELECT min(x) AS minx, max(x) AS maxx,
+                   min(y) AS miny, max(y) AS maxy FROM pts),
+    normed AS (
+        SELECT okey, x, y,
+               (x - minx) * {2 ** _Z_BITS} // (maxx - minx + 1) AS xs,
+               (y - miny) * {2 ** _Z_BITS} // (maxy - miny + 1) AS ys
+        FROM pts CROSS JOIN ext
+    ),
+    keyed AS (
+        SELECT okey, x, y, {_morton_sql('xs', 'ys')} AS zval FROM normed
+    ),
+    filed AS (
+        SELECT x, y,
+               ntile({_Z_FILES}) OVER (ORDER BY zval, okey) AS file_id,
+               ntile({_Z_FILES}) OVER (ORDER BY y, okey) AS file_lin
+        FROM keyed
+    )
+    SELECT 'zorder' AS layout, file_id, count(*) AS rows_n,
+           min(x) AS min_cust, max(x) AS max_cust,
+           min(y) AS min_day, max(y) AS max_day
+    FROM filed GROUP BY file_id
+    UNION ALL
+    SELECT 'linear' AS layout, file_lin AS file_id, count(*) AS rows_n,
+           min(x) AS min_cust, max(x) AS max_cust,
+           min(y) AS min_day, max(y) AS max_day
+    FROM filed GROUP BY file_lin
+    """,
+    tags=("layout", "lake", "zorder"),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional clustering — the Delta
+    OPTIMIZE ZORDER BY / Iceberg sort-order layout primitive: interleave
+    the bits of (custkey, order-day) so that file-sized runs of the sort
+    order are simultaneously narrow in BOTH dimensions, letting min/max
+    file statistics skip files for predicates on EITHER column (a linear
+    date sort gives every file the full custkey range). Emits per-file
+    min/max stats for a 16-file split of each layout; the skipping win is
+    asserted in tests/test_curation.py.
+
+    Both dimensions are first NORMALIZED to the same 8-bit budget via an
+    integer-exact min/max scale (one tiny agg, broadcast back) — raw
+    interleaving of unequal-width columns silently degenerates to a sort
+    on the wider column's high bits (the fixture's day offsets carry 12
+    bits vs custkey's 8, so unnormalized z-order IS the date sort; Delta
+    solves the same problem with per-column range ids). The z-value is a
+    pure unrolled integer expression (codegen, no UDF). ntile() here is a
+    test-scale stand-in for the production write path —
+    df.repartitionByRange(n, zval).sortWithinPartitions(zval).write — which
+    needs only a range-partitioner sample pass, not a global sort."""
+    pts = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH))
+        .cast("long")
+        .alias("y"),
+    )
+    ext = pts.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    scale = 2 ** _Z_BITS
+    normed = pts.crossJoin(F.broadcast(ext)).select(
+        "okey",
+        "x",
+        "y",
+        F.expr(f"(x - minx) * {scale} div (maxx - minx + 1)").alias("xs"),
+        F.expr(f"(y - miny) * {scale} div (maxy - miny + 1)").alias("ys"),
+    )
+    keyed = normed.select(
+        "okey", "x", "y", _morton_col(F.col("xs"), F.col("ys")).alias("zval")
+    )
+    filed = keyed.select(
+        "x",
+        "y",
+        F.ntile(_Z_FILES).over(Window.orderBy("zval", "okey")).alias("file_id"),
+        F.ntile(_Z_FILES).over(Window.orderBy("y", "okey")).alias("file_lin"),
+    )
+
+    def stats(layout: str, key: str) -> DataFrame:
+        return filed.groupBy(F.col(key).alias("file_id")).agg(
+            F.count("*").alias("rows_n"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    return stats("zorder", "file_id").unionByName(stats("linear", "file_lin"))
+
+
+# ---------------------------------------------------------------------------
+# Importance sampling (DSIR-shape hashed n-gram log-ratio weighting)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_TOP = 200
+
+# The fixture's five languages share ONE 31-word vocabulary (synthetic
+# salad — zero distributional signal between labels), so the target/source
+# contrast is seeded: 20 docs of a distinctive "math-paper" flavor (10
+# declared TARGET, 10 held out) and 10 of an off-domain "spam" flavor.
+# DSIR must pull the held-out target-flavored docs to the top without ever
+# being told they are target — that is the operator's entire claim.
+_DSIR_A = (
+    "theorem lemma manifold tensor spectral operator topology hilbert "
+    "eigenvalue convergence bounded compact metric norm dual adjoint"
+).split()
+_DSIR_B = (
+    "jackpot casino bonus spins lucky winner prize deposit cashout "
+    "megawin roulette slots"
+).split()
+
+
+def _dsir_doc(vocab: list[str], i: int, n: int = 40) -> str:
+    return " ".join(vocab[(i * 7 + k * 3) % len(vocab)] for k in range(n))
+
+
+_DSIR_SEEDS: tuple[tuple[int, str, str, str], ...] = tuple(
+    [(-9000 - i, "en", "tgt_seed", _dsir_doc(_DSIR_A, i)) for i in range(10)]
+    + [(-9100 - i, "en", "tgt_holdout", _dsir_doc(_DSIR_A, i + 10)) for i in range(10)]
+    + [(-9200 - i, "xx", "off_seed", _dsir_doc(_DSIR_B, i)) for i in range(10)]
+)
+
+_DSIR_SEED_VALUES = ", ".join(
+    f"({i}, '{lang}', '{src}', '{txt}')" for i, lang, src, txt in _DSIR_SEEDS
+)
+
+
+@register(
+    "sample_importance",
+    oracle=f"""
+    WITH seed(doc_id, lang, source, text) AS (VALUES {_DSIR_SEED_VALUES}),
+    corpus AS (
+        SELECT doc_id, lang, source, text FROM documents
+        UNION ALL SELECT doc_id, lang, source, text FROM seed
+    ),
+    toks AS MATERIALIZED (
+        SELECT doc_id, lang, source,
+               (('0x' || substr(md5(unnest({TXT.tokens_sql('text')})), 1, 8))
+                ::BIGINT % {_DSIR_BUCKETS}) AS b
+        FROM corpus
+    ),
+    sb AS (SELECT b, count(*) AS s_n FROM toks GROUP BY b),
+    tb AS (SELECT b, count(*) AS t_n FROM toks
+           WHERE source = 'tgt_seed' GROUP BY b),
+    tot AS (SELECT (SELECT sum(s_n) FROM sb) AS s_tot,
+                   (SELECT coalesce(sum(t_n), 0) FROM tb) AS t_tot),
+    lr AS (
+        SELECT sb.b,
+               CAST(floor((ln((coalesce(tb.t_n, 0) + 0.5)
+                              / (tot.t_tot + {_DSIR_BUCKETS / 2}))
+                           - ln((sb.s_n + 0.5)
+                                / (tot.s_tot + {_DSIR_BUCKETS / 2})))
+                          * 1000000000) AS BIGINT) AS lr_q
+        FROM sb LEFT JOIN tb USING (b) CROSS JOIN tot
+    )
+    SELECT doc_id, lang, n_tokens, score
+    FROM (
+        SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+               round(sum(lr.lr_q) / 1e9 / count(*), 6) AS score
+        FROM toks t JOIN lr USING (b)
+        GROUP BY t.doc_id, t.lang)
+    ORDER BY score DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """,
+    tags=("sampling", "corpus", "importance"),
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shape importance sampling (Xie et al. 2023, arXiv:2302.03169):
+    score every document by the mean hashed-unigram log-likelihood ratio
+    between a TARGET domain (here the seeded 'tgt_seed' docs; a quality
+    corpus like Wikipedia in production) and the full source corpus, then
+    keep the top-N — the data-selection step that tilts a raw crawl toward
+    a target distribution without training a model.
+
+    Scale shape: features are md5-hashed into {_DSIR_BUCKETS} buckets, so
+    both distributions collapse map-side to a {_DSIR_BUCKETS}-row table
+    that BROADCASTS to the scoring join — the corpus shuffles once, on
+    doc_id, for the per-doc aggregate; the top-N is TakeOrderedAndProject.
+    Log-ratios are fixed-point-quantized (floor(lr*1e9) BIGINT) before
+    summing — exact integer aggregation under any partitioning, the repo
+    convention. Laplace(0.5) smoothing keeps empty buckets finite. The
+    held-out target-flavored seeds (never labeled target) must surface at
+    the top — asserted in tests/test_curation.py."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .unionByName(
+            spark.createDataFrame(
+                list(_DSIR_SEEDS),
+                "doc_id long, lang string, source string, text string",
+            )
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(TXT.tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    from ..caching import scoped_persist
+
+    toks = scoped_persist("curation.dsir_toks", toks)
+    sb = toks.groupBy("b").agg(F.count("*").alias("s_n"))
+    tb = (
+        toks.filter(F.col("source") == "tgt_seed")
+        .groupBy("b")
+        .agg(F.count("*").alias("t_n"))
+    )
+    tot = sb.agg(F.sum("s_n").alias("s_tot")).crossJoin(
+        tb.agg(F.coalesce(F.sum("t_n"), F.lit(0)).alias("t_tot"))
+    )
+    half = _DSIR_BUCKETS / 2
+    lr = (
+        sb.join(tb, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t_n"), F.lit(0)) + 0.5)
+                        / (F.col("t_tot") + half)
+                    )
+                    - F.log((F.col("s_n") + 0.5) / (F.col("s_tot") + half))
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("lr_q"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr_q") / 1e9 / F.count("*"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+    )
