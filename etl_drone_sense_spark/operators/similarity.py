@@ -186,8 +186,7 @@ def semantic_dedup(
     arXiv:2303.09540): cluster the embedding space, then mark as duplicates
     vectors whose cosine similarity WITHIN a cluster exceeds ``threshold``.
     Clustering makes the pair space Σ|cell|² instead of n² — the published
-    method's entire scaling argument, and the same blocking shape as
-    ``embedding_near_pairs``.
+    method's entire scaling argument; k is sized ~√n so cells stay bounded.
 
     Keep policy (deterministic): within each cluster, greedy keep-first by
     ascending id — a vector is dropped iff some LOWER-id vector in its
@@ -195,26 +194,89 @@ def semantic_dedup(
     duplicate group; greedy-by-id is the reproducible equivalent and needs
     no iterative connected components on the hot path.)
 
+    This operator is the repo's canonical JUSTIFIED Pandas-UDF path: the
+    per-cluster all-pairs cosine is a dense m×m matrix product — exactly
+    what the paper computes — and a numpy int64 matmul does it ~1000×
+    faster than interpreted per-pair array lambdas (measured: the
+    expression form ran 45k cosines/s; one 275-member cell is 38k pairs).
+    Determinism across engines comes from FIXED-POINT arithmetic
+    (vectors.quantize_fixed, 2^24 scale): integer dot products are exact
+    and order-independent, so numpy's blocked matmul, Spark expressions,
+    and DuckDB's list_sum fold all yield the SAME int64 — the double
+    division/sqrt/floor that follow are IEEE-identical everywhere.
+
     Returns one row per input vector: (id, cell_id, kept, n_dup_prior).
-    Scale shape: broadcast-centroid assignment (narrow), one shuffle on
-    cell_id for the blocked self-join, one aggregation — no global state,
-    no iteration. At 100 TB, k is sized ~√n so cells stay bounded (the
-    frozen k=8 codebook here is the oracle-determinism choice, not the
-    production k).
+    Scale shape: one Arrow-batched narrow pass for assignment (the k×dim
+    int codebook ships in the task closure), one shuffle on cell_id, one
+    grouped-map per cell; a cell must fit an executor (bounded by k~√n —
+    re-shard a pathological mega-cell by re-clustering it, as the paper
+    does).
     """
-    assigned = assign_cells(corpus, centroids, id_col, vec_col)
-    pairs = embedding_near_pairs(
-        assigned, block_col="cell_id", threshold=threshold, id_col=id_col,
-        vec_col=vec_col,
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(
+        (r[0], [float(v) for v in r[1]])
+        for r in centroids.select("cell_id", vec_col).collect()
     )
-    dups = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
-        F.count("*").alias("n_dup_prior")
+    scale = float(V.FIXED_SCALE)
+    cmat = np.array(
+        [[np.floor(v * scale + 0.5) for v in vec] for _, vec in cents],
+        dtype=np.int64,
     )
-    return assigned.join(dups, id_col, "left").select(
-        F.col(id_col),
-        F.col("cell_id"),
-        F.col("n_dup_prior").isNull().alias("kept"),
-        F.coalesce(F.col("n_dup_prior"), F.lit(0)).alias("n_dup_prior"),
+    cell_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+
+    quantized = corpus.select(
+        F.col(id_col), V.quantize_fixed(F.col(vec_col)).alias("qvec")
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            dots = q @ cmat.T  # exact int64
+            qn = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            cos = dots / np.outer(qn, cnorm)
+            best = cos.argmax(axis=1)  # first (lowest cell_id) wins ties
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell_id": cell_ids[best],
+                    "qvec": pdf["qvec"].values,
+                }
+            )
+
+    assigned = quantized.mapInPandas(
+        assign, schema=f"{id_col} long, cell_id long, qvec array<long>"
+    )
+
+    thr = float(threshold)
+
+    def dedup_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = key
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        q = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+        g = q @ q.T  # exact int64 Gram matrix
+        n = np.sqrt(g.diagonal().astype(np.float64))
+        cos = g / np.outer(n, n)
+        # Same half-up 6-digit rounding as F.round/DuckDB round(x, 6) for
+        # the positive range the threshold lives in.
+        cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        prior = np.tril(cos6 >= thr, k=-1).sum(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "cell_id": np.full(len(pdf), cell, dtype=np.int64),
+                "kept": prior == 0,
+                "n_dup_prior": prior.astype(np.int64),
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        dedup_cell,
+        schema=f"{id_col} long, cell_id long, kept boolean, n_dup_prior long",
     )
 
 

@@ -24,28 +24,52 @@ from ..functions import vectors as V
 from ..operators import merge as M
 from ..operators import similarity
 from .registry import register, t
-from .extensions import _frozen_cents_values, _seeded_embeddings, _SEEDED_EMB_CTE
+from .extensions import _seeded_embeddings, _SEEDED_EMB_CTE
 
 # ---------------------------------------------------------------------------
 # Semantic deduplication (SemDeDup)
 # ---------------------------------------------------------------------------
 
 
+def _frozen_cents64_values() -> str:
+    from ._frozen_codebook import FROZEN_CENTROIDS_64
+
+    return ", ".join(
+        f"({cid}, CAST([{', '.join(repr(v) for v in vec)}] AS DOUBLE[]))"
+        for cid, vec in FROZEN_CENTROIDS_64
+    )
+
+
 @register(
     "dedup_semantic",
     oracle=f"""
     WITH {_SEEDED_EMB_CTE},
-    cents AS (
-        SELECT * FROM (VALUES {_frozen_cents_values()}) AS v(cell_id, cvec)
+    q AS (
+        SELECT vec_id, {V.quantize_fixed_sql('embedding')} AS qv FROM seeded
+    ),
+    qn AS (
+        SELECT vec_id, qv,
+               sqrt(CAST({V.dot_int_sql('qv', 'qv')} AS DOUBLE)) AS nrm
+        FROM q
+    ),
+    cq AS (
+        SELECT cell_id, {V.quantize_fixed_sql('cvec')} AS cv
+        FROM (VALUES {_frozen_cents64_values()}) AS v(cell_id, cvec)
+    ),
+    cn AS (
+        SELECT cell_id, cv,
+               sqrt(CAST({V.dot_int_sql('cv', 'cv')} AS DOUBLE)) AS cnrm
+        FROM cq
     ),
     scored AS (
-        SELECT e.vec_id, e.embedding, c.cell_id,
-               round({V.cosine_sql('e.embedding', 'c.cvec')}, 9) AS sim
-        FROM seeded e CROSS JOIN cents c
+        SELECT e.vec_id, e.qv, e.nrm, c.cell_id,
+               CAST({V.dot_int_sql('e.qv', 'c.cv')} AS DOUBLE)
+                   / (e.nrm * c.cnrm) AS sim
+        FROM qn e CROSS JOIN cn c
     ),
     mem AS (
-        SELECT vec_id, embedding, cell_id FROM (
-            SELECT vec_id, embedding, cell_id,
+        SELECT vec_id, qv, nrm, cell_id FROM (
+            SELECT vec_id, qv, nrm, cell_id,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY sim DESC, cell_id) AS rn
             FROM scored)
@@ -55,11 +79,12 @@ from .extensions import _frozen_cents_values, _seeded_embeddings, _SEEDED_EMB_CT
         SELECT b.vec_id AS id_b
         FROM mem a JOIN mem b
           ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-        WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.8
+        WHERE floor(CAST({V.dot_int_sql('a.qv', 'b.qv')} AS DOUBLE)
+                    / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 >= 0.8
     ),
     dups AS (SELECT id_b AS vec_id, count(*) AS n_dup_prior
              FROM pairs GROUP BY id_b)
-    SELECT m.vec_id, m.cell_id,
+    SELECT m.vec_id, CAST(m.cell_id AS BIGINT) AS cell_id,
            d.vec_id IS NULL AS kept,
            coalesce(d.n_dup_prior, 0) AS n_dup_prior
     FROM mem m LEFT JOIN dups d USING (vec_id)
@@ -69,16 +94,18 @@ from .extensions import _frozen_cents_values, _seeded_embeddings, _SEEDED_EMB_CT
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.semantic_dedup): cluster-blocked
-    semantic deduplication over the frozen IVF codebook — assign every
-    embedding to its nearest trained centroid (broadcast narrow pass),
-    find ≥0.8-cosine pairs WITHIN cells only (Σ|cell|² pair space), and
-    greedily keep the lowest id per duplicate relation. Seeded companions
-    (+0.05 shift, same as dedup_embedding) make the threshold non-vacuous.
-    """
-    from ._frozen_codebook import FROZEN_CENTROIDS
+    semantic deduplication over the frozen k=64 codebook (k ~ √n keeps
+    cells bounded) — assign every embedding to its nearest centroid, find
+    ≥0.8-cosine pairs WITHIN cells only, greedily keep the lowest id per
+    duplicate relation. The heavy math runs as per-cell numpy int64
+    matmuls over fixed-point-quantized vectors (exact and order-
+    independent, so the Arrow/pandas path is hash-identical to this pure
+    SQL oracle). Seeded companions (+0.05 shift, same as dedup_embedding)
+    make the threshold non-vacuous."""
+    from ._frozen_codebook import FROZEN_CENTROIDS_64
 
     cents = spark.createDataFrame(
-        list(FROZEN_CENTROIDS), "cell_id int, embedding array<double>"
+        list(FROZEN_CENTROIDS_64), "cell_id int, embedding array<double>"
     )
     return similarity.semantic_dedup(
         _seeded_embeddings(spark, sf_dir), cents, threshold=0.8

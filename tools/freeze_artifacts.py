@@ -35,6 +35,7 @@ PQ_M = 8
 PQ_DSUB = 8
 PQ_KSUB = 8
 IVF_K = 8
+IVF_K_SEMDEDUP = 64  # SemDeDup wants |cell| ~ constant -> k ~ sqrt(n)
 IVF_ITERS = 3
 
 
@@ -71,6 +72,10 @@ def main() -> None:
         (r["cell_id"], [float(v) for v in r["embedding"]])
         for r in kmeans_train(emb, k=IVF_K, iters=IVF_ITERS).collect()
     )
+    ivf64 = sorted(
+        (r["cell_id"], [float(v) for v in r["embedding"]])
+        for r in kmeans_train(emb, k=IVF_K_SEMDEDUP, iters=IVF_ITERS).collect()
+    )
 
     rows = emb.orderBy("vec_id").select("embedding").collect()
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -92,6 +97,14 @@ def main() -> None:
             "FROZEN_CENTROIDS: list[tuple[int, list[float]]] = [\n"
         )
         for cell_id, vec in ivf:
+            f.write(f"    ({cell_id}, {vec!r}),\n")
+        f.write("]\n")
+        f.write(
+            "\n# k=64 codebook for SemDeDup (k ~ sqrt(n): bounded cells keep\n"
+            "# the within-cell pair space linear in n). Same trainer, k=64.\n"
+            "FROZEN_CENTROIDS_64: list[tuple[int, list[float]]] = [\n"
+        )
+        for cell_id, vec in ivf64:
             f.write(f"    ({cell_id}, {vec!r}),\n")
         f.write("]\n")
 
