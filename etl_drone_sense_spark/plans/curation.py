@@ -751,3 +751,116 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_DSIR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (dropDuplicatesWithinWatermark, hash-oracled)
+# ---------------------------------------------------------------------------
+
+_DEDUP_LANDING: dict[str, str] = {}
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup as a REAL streaming job: the landing dir
+    holds the events fixture plus EXACT copies of every 7th event;
+    ``dropDuplicatesWithinWatermark`` on event_id must restore the
+    original relation — which makes the plain events table a full hash
+    oracle of streaming dedup semantics (duplicates are identical rows,
+    so whichever copy wins, the output is deterministic).
+
+    Scale shape: keyed state bounded by the 30-min watermark — the whole
+    point of dedup-within-watermark vs an unbounded dropDuplicates: at
+    100 TB/day the state store holds one key per event inside the
+    watermark horizon, not the corpus' full history (the incremental
+    dedup-vs-corpus operator covers the beyond-horizon case). The drain
+    is one AvailableNow micro-batch, so no duplicate straddles a
+    watermark advance and none can be dropped as late."""
+    import uuid
+
+    from ..streaming import pipeline as SP
+
+    landing = _DEDUP_LANDING.get(sf_dir)
+    base = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    if landing is None:
+        import tempfile
+
+        landing = tempfile.mkdtemp(prefix="sg_dedup_landing_")
+        dups = base.filter(F.col("event_id") % 7 == 0)
+        base.unionByName(dups).write.mode("overwrite").parquet(landing)
+        _DEDUP_LANDING[sf_dir] = landing
+    stream = spark.readStream.schema(base.schema).parquet(landing)
+    dd = SP.dedup_stream(stream, watermark="30 minutes")
+    name = f"reg_dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = SP.run_to_memory(dd, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (event analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(datediff('day', f.cohort_week,
+                             date_trunc('week', e.ts)) // 7 AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           count(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    tags=("events", "analytics", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics rollup:
+    users are cohorted by the week of their FIRST event; each (cohort
+    week, week offset) cell counts distinct users active that many weeks
+    later. Week offsets are exact (both engines Monday-truncate and the
+    day difference of two week starts is a multiple of 7).
+
+    Scale shape: one agg for first-touch (map-side combine to |users|),
+    the cohort relation joins back BROADCAST (users ≪ events), then one
+    distinct + agg on (cohort, offset) — no window over the full event
+    history, no self-join."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )

@@ -210,6 +210,35 @@ def test_pattern_match_against_bruteforce(spark, sf_dir):
     assert want, "fixture must contain at least one full chain"
 
 
+def test_stream_dedup_restores_original_relation(spark, sf_dir):
+    """The landing holds events + exact copies of every 7th event; the
+    streaming dedup must emit exactly one row per event_id — and the
+    injection must be real (landing strictly larger than the fixture)."""
+    from etl_drone_sense_spark.plans.curation import (
+        _DEDUP_LANDING,
+        stream_dedup_exact,
+    )
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    out = stream_dedup_exact(spark, sf_dir)
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+    landing = spark.read.parquet(_DEDUP_LANDING[sf_dir])
+    assert landing.count() > n_events
+
+
+def test_retention_cohort_offsets_nonnegative(spark, sf_dir):
+    from etl_drone_sense_spark.plans.curation import events_retention_cohorts
+
+    rows = events_retention_cohorts(spark, sf_dir).collect()
+    assert rows and all(r.week_offset >= 0 for r in rows)
+    # Offset 0 exists for every cohort (the first-touch week itself).
+    cohorts = {r.cohort_week for r in rows}
+    zero = {r.cohort_week for r in rows if r.week_offset == 0}
+    assert zero == cohorts
+
+
 def test_bigram_lm_excludes_short_docs(spark, sf_dir):
     """Docs with < 2 tokens yield no bigrams (unpadded n-gram semantics)
     and must be absent; every present doc has n_bigrams = n_tokens - 1."""
