@@ -69,10 +69,18 @@ class Snapshot:
     operation: str  # "overwrite" | "append" | "compact"
     parent: int | None
     txn: tuple[tuple[str, int], ...] = ()
+    # Per-file column statistics for scan pruning: (file, json-of-
+    # {col: [min, max]}) pairs — the Iceberg/Delta manifest-stats shape.
+    # Stored as rendered JSON strings so the dataclass stays hashable.
+    stats: tuple[tuple[str, str], ...] = ()
 
     @property
     def txn_map(self) -> dict[str, int]:
         return dict(self.txn)
+
+    @property
+    def stats_map(self) -> dict[str, dict]:
+        return {f: json.loads(s) for f, s in self.stats}
 
     def to_json(self) -> str:
         return json.dumps(
@@ -82,6 +90,7 @@ class Snapshot:
                 "parent": self.parent,
                 "files": list(self.files),
                 "txn": dict(self.txn),
+                "stats": {f: json.loads(s) for f, s in self.stats},
             },
             indent=1,
         )
@@ -95,6 +104,12 @@ class Snapshot:
             operation=d["operation"],
             parent=d["parent"],
             txn=tuple(sorted(d.get("txn", {}).items())),
+            stats=tuple(
+                sorted(
+                    (f, json.dumps(s, sort_keys=True))
+                    for f, s in d.get("stats", {}).items()
+                )
+            ),
         )
 
 
@@ -160,6 +175,92 @@ def _list_parquet(prefix_abs: str, root: str) -> list[str]:
     return sorted(out)
 
 
+def _collect_file_stats(
+    root: str, files: list[str], cols: list[str]
+) -> tuple[tuple[str, str], ...]:
+    """Per-file min/max for ``cols`` from the parquet FOOTERS (driver-side
+    metadata read — no data pass; this is what a distributed writer would
+    return from each task at scale). Only int/float/str stats are kept;
+    a column with no usable stats in some file simply has no entry there
+    (that file then never prunes on that column — safe)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(root, f)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in cols:
+            i = names.get(col)
+            if i is None:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins and all(
+                isinstance(v, (int, float, str)) and not isinstance(v, bool)
+                for v in (min(mins), max(maxs))
+            ):
+                stats[col] = [min(mins), max(maxs)]
+        out.append((f, json.dumps(stats, sort_keys=True)))
+    return tuple(sorted(out))
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Scan the table with MANIFEST-LEVEL file skipping: only files whose
+    committed [min, max] for ``col`` overlaps [lo, hi] are opened, then
+    the exact predicate is applied on top (stats prune, they never
+    filter). Files committed without stats for ``col`` are always read —
+    pruning is an optimization, never a correctness dependency. Combined
+    with a Z-order/range layout at write time this is the Iceberg/Delta
+    data-skipping path: a predicate on the layout column touches
+    O(selectivity) of the files instead of all of them
+    (tests/test_table_commit.py asserts both the skip and the equality
+    with the unpruned scan)."""
+    snap = read_snapshot(root, version)
+    stats = snap.stats_map
+    keep = [
+        f
+        for f in snap.files
+        if (s := stats.get(f, {}).get(col)) is None
+        or (s[1] >= lo and s[0] <= hi)
+    ]
+    from pyspark.sql import functions as F
+
+    if not keep:
+        return (
+            read_table(spark, root, version)
+            .filter(F.col(col).between(lo, hi))
+            .limit(0)
+        )
+    df = spark.read.parquet(*(os.path.join(root, f) for f in keep))
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def pruned_file_count(root: str, col: str, lo, hi, version: int | None = None) -> int:
+    """How many files a [lo, hi] predicate on ``col`` would open."""
+    snap = read_snapshot(root, version)
+    stats = snap.stats_map
+    return sum(
+        1
+        for f in snap.files
+        if (s := stats.get(f, {}).get(col)) is None
+        or (s[1] >= lo and s[0] <= hi)
+    )
+
+
 def _swap_pointer(root: str, snap: Snapshot) -> None:
     """Publish ``snap`` to readers, MONOTONICALLY: the pointer never moves
     backwards, so a writer that stalled between commit and publish cannot
@@ -191,6 +292,7 @@ def commit(
     mode: str = "overwrite",
     _operation: str | None = None,
     txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> Snapshot:
     """Commit ``df`` as a new table version. ``mode='overwrite'`` makes the
     new snapshot exactly df's files; ``'append'`` carries the parent
@@ -229,14 +331,21 @@ def commit(
     df.write.mode("error").parquet(prefix_abs)  # step 1: fresh prefix only
 
     files = _list_parquet(prefix_abs, root)
+    # Per-file min/max column stats (scan-pruning metadata). New files
+    # only — on append, the parent's entries carry forward untouched
+    # (files are immutable, so their stats are too).
+    stats = _collect_file_stats(root, files, stats_cols) if stats_cols else ()
     if mode == "append":
-        files = sorted([*read_snapshot(root, parent).files, *files])
+        parent_snap = read_snapshot(root, parent)
+        files = sorted([*parent_snap.files, *files])
+        stats = tuple(sorted([*parent_snap.stats, *stats]))
     snap = Snapshot(
         version=new_version,
         files=tuple(files),
         operation=_operation or mode,
         parent=parent,
         txn=tuple(sorted(txns.items())),
+        stats=stats,
     )
     try:
         # Step 2: PUT-if-absent on the version — the commit CAS.
@@ -282,6 +391,7 @@ def compact(
     spark: SparkSession,
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
 ) -> Snapshot:
     """Rewrite the current snapshot's many small files as ~target-sized
     ones, committed as a new version (operation='compact'). Readers of the
@@ -301,7 +411,9 @@ def compact(
     df = read_table(spark, root)
     cur = df.rdd.getNumPartitions()
     out = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
-    return commit(out, root, mode="overwrite", _operation="compact")
+    return commit(
+        out, root, mode="overwrite", _operation="compact", stats_cols=stats_cols
+    )
 
 
 def vacuum(root: str, keep_last: int = 1) -> list[str]:

@@ -238,3 +238,30 @@ def test_boilerplate_strip_no_pair_explosion(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_boilerplate_strip")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A partitioned fact joined to a selectively-filtered dim must plan a
+    dynamic-pruning subquery on the fact scan's PartitionFilters — at
+    cluster scale this is what keeps a dim-filtered join from reading
+    every fact partition."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    path = str(tmp_path / "orders_by_priority")
+    read_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        )],
+        "o_orderpriority string, rank int",
+    ).filter(F.col("rank") == 0)  # selective predicate -> DPP eligible
+    j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"

@@ -223,6 +223,71 @@ def test_vacuum_keeps_published_version_in_crash_window(
     assert len(_rows(spark, root, version=2)) == nation.count()
 
 
+def test_stats_pruned_scan(spark, sf_dir, tmp_path):
+    """Manifest-level file skipping: a range-laid-out table committed with
+    stats opens only the overlapping files for a range predicate, and the
+    pruned scan equals the unpruned scan + filter exactly."""
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = str(tmp_path / "tbl")
+    laid_out = orders.repartitionByRange(8, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    )
+    snap = tc.commit(laid_out, root, stats_cols=["o_custkey"])
+    assert len(snap.files) == 8
+    assert all("o_custkey" in s for s in snap.stats_map.values())
+
+    lo, hi = 40, 60
+    pruned = tc.read_table_pruned(spark, root, "o_custkey", lo, hi)
+    full = tc.read_table(spark, root).filter(F.col("o_custkey").between(lo, hi))
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    n_open = tc.pruned_file_count(root, "o_custkey", lo, hi)
+    assert n_open < 8  # the skip is real
+    # A column committed WITHOUT stats never prunes (safe fallback).
+    assert tc.pruned_file_count(root, "o_totalprice", 0.0, 1.0) == 8
+
+
+def test_stats_carry_forward_on_append(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    root = str(tmp_path / "tbl")
+    tc.commit(
+        orders.filter(F.col("o_custkey") < 50).coalesce(1),
+        root,
+        stats_cols=["o_custkey"],
+    )
+    snap = tc.commit(
+        orders.filter(F.col("o_custkey") >= 100).coalesce(1),
+        root,
+        mode="append",
+        stats_cols=["o_custkey"],
+    )
+    assert len(snap.files) == 2 and len(snap.stats_map) == 2
+    # The [50, 99] gap between the two committed files prunes everything.
+    assert tc.pruned_file_count(root, "o_custkey", 60, 90) == 0
+    assert tc.read_table_pruned(spark, root, "o_custkey", 60, 90).count() == 0
+    assert tc.pruned_file_count(root, "o_custkey", 0, 200) == 2
+
+
+def test_statless_manifest_reads_fine(spark, tmp_path, nation):
+    """Snapshots committed without stats (including every pre-stats
+    manifest) keep reading and never prune."""
+    root = str(tmp_path / "tbl")
+    tc.commit(nation, root)
+    snap = tc.read_snapshot(root)
+    assert snap.stats == ()
+    n = tc.read_table_pruned(
+        spark, root, "n_nationkey", 0, 5
+    ).count()
+    assert n == len([r for r in nation.collect() if 0 <= r.n_nationkey <= 5])
+
+
 def test_txn_commit_is_idempotent(spark, tmp_path, nation):
     """A retried (app, batch) commit must be a no-op: same version, same
     files, no duplicate rows — at-least-once delivery becomes exactly-once
