@@ -2316,13 +2316,46 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cluster_stats", oracle=None, tags=("dedup", "graph", "iterative"))
+@register(
+    "dedup_cluster_stats",
+    # Full oracle since round 4: the transitive closure that made this
+    # rows-only IS expressible in DuckDB as a recursive CTE (reach =
+    # every (node, reachable-label) pair; component = min reachable).
+    # Fine at oracle scale — closure tuples are Σ|component|²; the
+    # distributed engine keeps the iterative min-label propagation, which
+    # is O(n·diameter) instead.
+    oracle=f"""
+    WITH RECURSIVE {_minhash_sig_cte()},
+    {_lsh_pairs_cte()},
+    edges AS (
+        SELECT p.id_a AS u, p.id_b AS v
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE ({_MH_AGREE}) / {float(MH_K)} >= 0.2
+    ),
+    sym AS (
+        SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ),
+    reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    comp AS (
+        SELECT node, min(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT component, count(*) AS n_members, min(node) AS keep_id
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: LSH pairs → connected components
     (iterative min-label propagation) → per-cluster size + survivor.
-    Rows-only check: transitive closure is iterative (no SQL oracle); the
-    operator is ground-truthed against a sequential union-find in
-    tests/test_graph.py."""
+    Additionally ground-truthed against a sequential union-find in
+    tests/test_graph.py; the driver hash-checks it against a recursive-
+    CTE transitive closure."""
     from ..operators.graph import dedup_clusters as _clusters
 
     pairs = dedup.minhash_lsh_pairs(
