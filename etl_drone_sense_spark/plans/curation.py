@@ -214,6 +214,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.doc_id
     """,
     tags=("text", "quality", "lm"),
+    bench=True,
 )
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM quality scoring with add-k smoothing (k=0.5) — the
@@ -403,6 +404,7 @@ _PATTERN_GAP_MIN = 720
       AND ts - q_click_ts <= INTERVAL {_PATTERN_GAP_MIN} MINUTE
     """,
     tags=("events", "pattern", "window"),
+    bench=True,
 )
 def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-shape sequential pattern detection, window-only:
@@ -666,6 +668,7 @@ _DSIR_SEED_VALUES = ", ".join(
     LIMIT {_DSIR_TOP}
     """,
     tags=("sampling", "corpus", "importance"),
+    bench=True,
 )
 def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shape importance sampling (Xie et al. 2023, arXiv:2302.03169):
@@ -750,6 +753,67 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_DSIR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched similarity serving (many queries per scan)
+# ---------------------------------------------------------------------------
+
+_BATCH_TOPK = 5
+_BATCH_NQ = 8
+
+
+@register(
+    "sim_topk_batch",
+    oracle=f"""
+    WITH queries AS (
+        SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+        WHERE vec_id % 61 = 0
+        ORDER BY vec_id LIMIT {_BATCH_NQ}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round({V.cosine_sql('e.embedding', 'q.qvec')}, 6) AS cosine
+        FROM embeddings e CROSS JOIN queries q
+    )
+    SELECT query_id, vec_id, cosine
+    FROM (SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_BATCH_TOPK}
+    """,
+    tags=("similarity", "topk", "ann"),
+)
+def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED exact top-k — the realistic serving shape: amortize ONE
+    corpus scan across a whole batch of query vectors instead of one scan
+    per query (sim_topk_bruteforce is the single-query baseline). The
+    query batch broadcasts; per-query top-k is a rank window partitioned
+    by query_id, which compiles to WindowGroupLimit (per-partition top-k
+    heaps below the shuffle — plan-asserted in tests/test_plans.py), so
+    the shuffle carries ≤ batch×k rows per partition, not the scored
+    corpus. Deterministic: cosine rounded, vec_id tie-break."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") % 61 == 0)
+        .orderBy("vec_id")
+        .limit(_BATCH_NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(V.cosine(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BATCH_TOPK)
+        .drop("rn")
     )
 
 

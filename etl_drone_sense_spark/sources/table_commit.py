@@ -155,14 +155,27 @@ def read_snapshot(root: str, version: int | None = None) -> Snapshot:
         return Snapshot.from_json(f.read())
 
 
-def read_table(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read the table AS OF a snapshot (default: current) — scans exactly
     the files that snapshot lists, nothing else. Stray files from aborted
-    writes are invisible because reads never list directories."""
+    writes are invisible because reads never list directories.
+
+    ``merge_schema=True`` unions the file schemas (Spark mergeSchema):
+    the lake reality where an append added a column — rows from older
+    files read NULL for it. Off by default: schema union costs a footer
+    read per file group and most tables are schema-stable."""
     snap = read_snapshot(root, version)
     if not snap.files:
         raise ValueError(f"snapshot v{snap.version} of {root} is empty")
-    return spark.read.parquet(*(os.path.join(root, f) for f in snap.files))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*(os.path.join(root, f) for f in snap.files))
 
 
 def _list_parquet(prefix_abs: str, root: str) -> list[str]:

@@ -265,3 +265,13 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower()
     rows = j.collect()
     assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+
+
+def test_batched_topk_uses_window_group_limit(spark, sf_dir):
+    """sim_topk_batch's per-query rank must compile to WindowGroupLimit
+    (per-partition top-k heaps below the shuffle), with the query batch
+    broadcast — never a global sort of the scored corpus."""
+    plan = plan_of(spark, sf_dir, "sim_topk_batch")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

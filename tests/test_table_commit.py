@@ -275,6 +275,25 @@ def test_stats_carry_forward_on_append(spark, sf_dir, tmp_path):
     assert tc.pruned_file_count(root, "o_custkey", 0, 200) == 2
 
 
+def test_schema_evolution_append_reads_with_merge(spark, tmp_path, nation):
+    """An append that ADDS a column must read as one relation with
+    merge_schema=True (old rows NULL for the new column), and time travel
+    to the pre-evolution snapshot still sees the old schema."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    tc.commit(nation.limit(5), root)
+    evolved = nation.limit(3).withColumn("population", F.lit(7).cast("long"))
+    tc.commit(evolved, root, mode="append")
+
+    merged = tc.read_table(spark, root, merge_schema=True)
+    assert "population" in merged.columns
+    rows = merged.collect()
+    assert len(rows) == 8
+    assert sum(1 for r in rows if r.population is None) == 5
+    assert "population" not in tc.read_table(spark, root, version=1).columns
+
+
 def test_statless_manifest_reads_fine(spark, tmp_path, nation):
     """Snapshots committed without stats (including every pre-stats
     manifest) keep reading and never prune."""
