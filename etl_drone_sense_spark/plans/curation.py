@@ -870,6 +870,44 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom stateful streaming operator, fully hash-oracled
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id,
+           round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1e6, 6)
+               AS total_value,
+           count(*) AS n_seen
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator (applyInPandasWithState —
+    per-key mutable state in Arrow batches) run as a real streaming job
+    and hash-checked against its batch aggregate: state accumulates
+    fixed-point int64 micro-units, so the emitted totals are exact and
+    order-independent — which is precisely what makes a custom stateful
+    operator oracle-able at all (a float-accumulating state would drift
+    with batch splits). One AvailableNow micro-batch → one update row per
+    key = the final totals."""
+    import uuid
+
+    from ..streaming import pipeline as SP
+    from .extensions import _events_landing
+
+    landing = _events_landing(spark, sf_dir)
+    stream = SP.running_totals_stateful(SP.stream_events(spark, landing))
+    name = f"reg_totals_stream_{uuid.uuid4().hex[:8]}"
+    q = SP.run_to_memory(stream, name, output_mode="update")
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Retention cohorts (event analytics)
 # ---------------------------------------------------------------------------
 

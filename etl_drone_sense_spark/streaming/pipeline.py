@@ -83,7 +83,14 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
-_STATE_SCHEMA = T.StructType([T.StructField("total", T.DoubleType())])
+# State carries FIXED-POINT micro-units (q = floor(value*1e6 + 0.5) per
+# row, summed as int64): exact and order-independent across micro-batch
+# boundaries, state-store round trips, and engines — the same convention
+# as the repo's decimal/quantized aggregates, which is what lets the
+# stateful operator carry a full hash oracle (stream_running_totals).
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("total_q", T.LongType()), T.StructField("n", T.LongType())]
+)
 _TOTALS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -97,21 +104,30 @@ def _update_totals(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Running per-user totals — custom stateful logic beyond built-in aggs."""
+    import numpy as np
+
     (user_id,) = key
-    total, n = (state.get[0], 0) if state.exists else (0.0, 0)
+    total_q, n = state.get if state.exists else (0, 0)
     for pdf in pdfs:
-        total += float(pdf["value"].sum())
+        q = np.floor(pdf["value"].to_numpy(dtype=np.float64) * 1e6 + 0.5)
+        total_q += int(q.astype(np.int64).sum())
         n += len(pdf)
-    state.update((total,))
+    state.update((total_q, n))
     yield pd.DataFrame(
-        {"user_id": [user_id], "total_value": [total], "n_seen": [n]}
+        {
+            "user_id": [user_id],
+            "total_value": [round(total_q / 1e6, 6)],
+            "n_seen": [n],
+        }
     )
 
 
 def running_totals_stateful(events: DataFrame) -> DataFrame:
     """``applyInPandasWithState`` custom operator: per-key mutable state in
     Arrow batches. The pattern to extend when an operator has no Spark
-    native form (e.g. online sketches, CDC merge)."""
+    native form (e.g. online sketches, CDC merge). Totals accumulate in
+    fixed-point int64 (see _STATE_SCHEMA note) so the emitted value is
+    bit-identical under any batch split or row order."""
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(

@@ -70,17 +70,23 @@ def test_running_totals_stateful_matches_batch(spark, events_dir):
     stream = SP.running_totals_stateful(SP.stream_events(spark, events_dir))
     got = _drain(spark, stream, "t_totals", "update")
     # AvailableNow over one landing dir = one micro-batch → one row per key.
+    # Fixed-point state: the batch twin quantizes per row exactly like
+    # the operator, so the comparison is EXACT equality, not approx.
+    q = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
     expected = (
         spark.read.schema(TPCH_SCHEMAS["events"])
         .parquet(events_dir)
         .groupBy("user_id")
-        .agg(F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_seen"))
+        .agg(
+            F.round(F.sum(q) / 1e6, 6).alias("total_value"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
     )
     g = {r["user_id"]: r for r in got.collect()}
     e = {r["user_id"]: r for r in expected.collect()}
     assert set(g) == set(e)
     for uid, row in e.items():
-        assert g[uid]["total_value"] == pytest.approx(row["total_value"], rel=1e-9)
+        assert g[uid]["total_value"] == row["total_value"]
         assert g[uid]["n_seen"] == row["n_seen"]
 
 
