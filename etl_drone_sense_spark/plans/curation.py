@@ -870,6 +870,96 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join (watermark-honest oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL 2 HOUR AS w),
+    matched AS (
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+               v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+        FROM v JOIN c ON c.user_id = v.user_id AND v.ts <= c.ts
+                      AND c.ts < v.ts + INTERVAL 30 MINUTE
+    ),
+    unmatched AS (
+        SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS click_id,
+               v.user_id AS user_id, v.ts AS view_ts,
+               CAST(NULL AS TIMESTAMP) AS click_ts
+        FROM v CROSS JOIN wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c WHERE c.user_id = v.user_id AND v.ts <= c.ts
+                              AND c.ts < v.ts + INTERVAL 30 MINUTE)
+          AND v.ts + INTERVAL 30 MINUTE <= wm.w
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — unattributed-view
+    reporting: every view emits, either with its attributing click (same
+    30-min window as stream_interval_join) or with NULLs once the
+    watermark proves no click can still arrive.
+
+    The oracle encodes the REAL outer-join watermark semantics, not the
+    batch left join: a null row emits iff the view's match window END has
+    passed the final global watermark (min of both sides' max event time,
+    minus the 2 h delay) — views in the last watermark horizon stay in
+    state and never emit, and the `v.ts + window <= wm` (not `v.ts <= wm`)
+    boundary was pinned empirically at sf0.01, where the two rules differ
+    by 2 rows. Matched pairs emit immediately and match the batch inner
+    join exactly. Same bounded-replay honesty as
+    stream_watermark_eviction."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming import pipeline as SP
+
+    base = tempfile.mkdtemp(prefix="sg_ssjo_")
+    cdir, vdir, ckpt, out = (
+        os.path.join(base, d) for d in ("clicks", "views", "ckpt", "out")
+    )
+    ev = t(spark, sf_dir, "events")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(cdir)
+        ev.filter(F.col("event_type") == "view").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(vdir)
+        c = SP.stream_events(spark, cdir).withWatermark("ts", "2 hours").alias("c")
+        v = SP.stream_events(spark, vdir).withWatermark("ts", "2 hours").alias("v")
+        j = v.join(
+            c,
+            F.expr(
+                "c.user_id = v.user_id AND v.ts <= c.ts "
+                "AND c.ts < v.ts + interval 30 minutes"
+            ),
+            "leftOuter",
+        ).select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("v.user_id").alias("user_id"),
+            F.col("v.ts").alias("view_ts"),
+            F.col("c.ts").alias("click_ts"),
+        )
+        SP.run_available_now(j, ckpt, out)
+    finally:
+        spark.conf.set(key, prev)
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful streaming operator, fully hash-oracled
 # ---------------------------------------------------------------------------
 
