@@ -693,11 +693,14 @@ def _canon_url(u, extract, replace, replace_ref, lower, concat):
     scheme = lower(extract(u, r"^(?i)(https?)://", 1))
     host = lower(extract(u, r"^(?i)https?://([^/?#]+)", 1))
     rest = extract(u, r"^(?i)https?://[^/?#]+([^#]*)", 1)  # [^#]* drops #frag
-    # Anchored utm strip (separator consumed with the param), then repair:
-    # if the FIRST surviving param lost its '?' to a stripped predecessor,
-    # its '&' must become '?'. '^([^?&]*)&' touches only that case.
-    rest = replace(rest, r"[?&]utm_[^&]*", "")
-    rest = replace_ref(rest, r"^([^?&]*)&", "?")
+    # utm strip, ordered so the path portion before '?' is NEVER touched
+    # (a literal '&' in the path is legal per RFC 3986 sub-delims):
+    # 1. non-leading '&utm_x' params vanish with their separator;
+    # 2. a leading '?utm_x&' hands its '?' to the next surviving param;
+    # 3. a leading '?utm_x' that was the whole querystring vanishes.
+    rest = replace(rest, r"&utm_[^&]*", "")
+    rest = replace(rest, r"\?utm_[^&]*&", "?")
+    rest = replace(rest, r"\?utm_[^&]*$", "")
     rest = replace(rest, r"\?$", "")  # querystring emptied entirely
     schemehost = concat(scheme, "://", host)
     schemehost = replace_ref(schemehost, r"^(http://[^:/]*):80$", "")

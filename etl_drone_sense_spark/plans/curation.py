@@ -408,8 +408,10 @@ _PATTERN_GAP_MIN = 720
 )
 def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-shape sequential pattern detection, window-only:
-    find view → click → purchase chains per user with each stage ≤ 30
-    minutes after the previous, emitting the stage timestamps per match.
+    find view → click → purchase chains per user with each stage ≤
+    ``_PATTERN_GAP_MIN`` (720 min = 12 h; the fixture's ~8 h median
+    inter-event gap leaves a 30-min gap with zero matches) after the
+    previous, emitting the stage timestamps per match.
     Where events_funnel counts stage reach, this EXTRACTS match instances.
 
     No self-joins: two ordered window passes per user (last qualifying
@@ -821,7 +823,7 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming exact dedup (dropDuplicatesWithinWatermark, hash-oracled)
 # ---------------------------------------------------------------------------
 
-_DEDUP_LANDING: dict[str, str] = {}
+_DEDUP_LANDING: dict[tuple, str] = {}
 
 
 @register(
@@ -850,7 +852,13 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import pipeline as SP
 
-    landing = _DEDUP_LANDING.get(sf_dir)
+    from ..sources.readers import fixture_fingerprint
+
+    # Keyed on the source footer's stat, not the path: the driver
+    # regenerates fixtures between rounds and a stale landing dir would
+    # silently replay the OLD events through the stream.
+    cache_key = (sf_dir, fixture_fingerprint(f"{sf_dir}/events.parquet"))
+    landing = _DEDUP_LANDING.get(cache_key)
     base = t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -860,7 +868,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         landing = tempfile.mkdtemp(prefix="sg_dedup_landing_")
         dups = base.filter(F.col("event_id") % 7 == 0)
         base.unionByName(dups).write.mode("overwrite").parquet(landing)
-        _DEDUP_LANDING[sf_dir] = landing
+        _DEDUP_LANDING[cache_key] = landing
     stream = spark.readStream.schema(base.schema).parquet(landing)
     dd = SP.dedup_stream(stream, watermark="30 minutes")
     name = f"reg_dedup_stream_{uuid.uuid4().hex[:8]}"

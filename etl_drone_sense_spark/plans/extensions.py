@@ -1550,20 +1550,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the batch twins above are the oracle-checked equivalents)
 # ---------------------------------------------------------------------------
 
-_STREAM_LANDING: dict[str, str] = {}
+_STREAM_LANDING: dict[tuple, str] = {}
 
 
 def _events_landing(spark: SparkSession, sf_dir: str) -> str:
-    """Events fixture rewritten once per sf_dir as a µs-timestamp landing
-    dir (the NANOS source parquet isn't stream-readable with a Timestamp
-    schema)."""
-    path = _STREAM_LANDING.get(sf_dir)
+    """Events fixture rewritten once per source generation as a
+    µs-timestamp landing dir (the NANOS source parquet isn't
+    stream-readable with a Timestamp schema). Cache is keyed on the source
+    footer's stat so a driver fixture regeneration re-materializes."""
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/events.parquet"))
+    path = _STREAM_LANDING.get(key)
     if path is None:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="sg_events_landing_")
         t(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
-        _STREAM_LANDING[sf_dir] = path
+        _STREAM_LANDING[key] = path
     return path
 
 

@@ -264,21 +264,100 @@ DRIVER_CHECKED_R03: frozenset[str] = frozenset(
 )
 
 
-def _ordered_specs() -> list[QuerySpec]:
-    """Registration order within tiers, stalest driver evidence first:
-    never-checked (round-4 additions + r3 overflow) → round-2 tier (now the
-    stalest: checked against round-2 code only) → round-3 tier (freshest).
-    Round-1-only names no longer form a tier — every one was re-certified
-    in round 3."""
+# CORRECTNESS_r04.json: the 50 queries the round-4 window checked (all green).
+DRIVER_CHECKED_R04: frozenset[str] = frozenset(
+    {
+        "array_funcs",
+        "case_bucketing",
+        "cdc_snapshot_diff",
+        "corpus_mixture_sample",
+        "corpus_pack_sequences",
+        "date_funcs",
+        "dedup_embedding",
+        "dedup_embedding_lsh",
+        "dedup_exact",
+        "dedup_incremental",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_semantic",
+        "dedup_simhash",
+        "drone_features_flat",
+        "drone_features_multivideo",
+        "events_pattern_match",
+        "events_retention_cohorts",
+        "filter_in_between_like",
+        "geo_bearing_distance",
+        "json_funcs",
+        "layout_zorder",
+        "math_funcs",
+        "sample_importance",
+        "sample_reservoir_group",
+        "set_ops",
+        "sim_ivf_topk",
+        "sim_topk_batch",
+        "sim_topk_bruteforce",
+        "sort_limit",
+        "stream_dedup_exact",
+        "stream_drone_features_flat",
+        "stream_interval_join_outer",
+        "stream_running_totals",
+        "stream_session_counts",
+        "string_funcs",
+        "subquery_exists_notin",
+        "subquery_scalar_correlated",
+        "text_bigram_lm",
+        "text_gopher_quality",
+        "text_langid",
+        "text_langid_predict",
+        "text_quality",
+        "text_redact_pii",
+        "text_token_freq",
+        "udtf_sentences",
+        "window_lag_lead",
+        "window_rank_navigation",
+        "window_running_sum",
+        "window_topk_per_group",
+    }
+)
 
-    def tier(s: QuerySpec) -> int:
+# Queries whose Spark code OR oracle changed in round 5 — their last green
+# driver row is evidence about code that no longer exists, so they jump to
+# the head of the window regardless of tier:
+# * dedup_cluster_stats — full recursive-CTE oracle landed AFTER its last
+#   driver check (r4 VERDICT item 1: the one oracled-but-unconfirmed query);
+# * text_html_strip — URL canonicalization changed in both renderers
+#   (the '&'-in-path fix, r4 ADVICE);
+# * agg_approx_distinct / agg_approx_percentile — upgraded from rows-only
+#   to bounded-error oracles this round (r4 VERDICT item 3);
+# * dedup_semantic — mega-cell re-shard added (r4 VERDICT item 4; output
+#   must stay hash-identical, which is exactly what a driver row proves).
+TOUCHED_R05: tuple[str, ...] = (
+    "dedup_cluster_stats",
+    "text_html_strip",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "dedup_semantic",
+)
+
+
+def _ordered_specs() -> list[QuerySpec]:
+    """Registration order within tiers, stalest driver evidence first —
+    except queries TOUCHED this round, which lead outright (fresh evidence
+    about old code is still stale evidence). Then: round-2 tier (stalest
+    surviving evidence) → round-3 tier → round-4 tier (freshest)."""
+
+    head = {n: i for i, n in enumerate(TOUCHED_R05)}
+
+    def tier(s: QuerySpec) -> tuple[int, int]:
+        if s.name in head:
+            return (0, head[s.name])
+        if s.name in DRIVER_CHECKED_R04:
+            return (4, 0)
         if s.name in DRIVER_CHECKED_R03:
-            return 3
-        if s.name in DRIVER_CHECKED_R02:
-            return 1
-        if s.name in DRIVER_CHECKED_R01:
-            return 2  # r1-green never re-checked (should be empty post-r3)
-        return 0
+            return (3, 0)
+        if s.name in DRIVER_CHECKED_R02 or s.name in DRIVER_CHECKED_R01:
+            return (1, 0)
+        return (0, len(head))  # never-checked: head of window, after touched
 
     specs = list(REGISTRY.values())
     return sorted(specs, key=tier)  # sorted() is stable → registration order kept

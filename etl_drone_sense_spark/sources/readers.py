@@ -38,7 +38,26 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-_TS_UNIT_CACHE: dict[str, str] = {}
+def fixture_fingerprint(path: str) -> tuple[str, int, int]:
+    """(probe file, mtime_ns, size) of a fixture's first parquet footer.
+    The driver regenerates /root/testdata between rounds — any cache keyed
+    on the PATH alone would serve stale decisions (ts unit, derived landing
+    dirs) across a regeneration and corrupt every downstream timestamp by
+    1000×. Keying on the footer's stat makes every such cache self-heal."""
+    import os
+
+    probe = path
+    if os.path.isdir(path):
+        probe = next(
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    st = os.stat(probe)
+    return (probe, st.st_mtime_ns, st.st_size)
+
+
+_TS_UNIT_CACHE: dict[tuple[str, int, int], str] = {}
 
 
 def _events_ts_unit(path: str) -> str:
@@ -46,22 +65,15 @@ def _events_ts_unit(path: str) -> str:
     Fixture generations have shipped BOTH encodings (TIMESTAMP(NANOS)
     through round 3, TIMESTAMP(MICROS) from round 4) — trusting a doc
     instead of the footer silently corrupts every timestamp by 1000×.
-    Driver-side metadata read of one footer, cached per path."""
-    unit = _TS_UNIT_CACHE.get(path)
+    Driver-side metadata read of one footer, cached per footer stat (not
+    per path: a mid-process fixture regeneration must re-probe)."""
+    key = fixture_fingerprint(path)
+    unit = _TS_UNIT_CACHE.get(key)
     if unit is None:
-        import os
-
         import pyarrow.parquet as pq
 
-        probe = path
-        if os.path.isdir(path):
-            probe = next(
-                os.path.join(path, f)
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet")
-            )
-        unit = pq.read_schema(probe).field("ts").type.unit
-        _TS_UNIT_CACHE[path] = unit
+        unit = pq.read_schema(key[0]).field("ts").type.unit
+        _TS_UNIT_CACHE[key] = unit
     return unit
 
 
@@ -93,6 +105,42 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _SPLIT_DECISIONS: dict[str, bool] = {}
 
+# A SHUFFLE exchange node prints as a standalone word ('Exchange
+# hashpartitioning(...)', 'Exchange RoundRobinPartitioning(...)'); a
+# broadcast build prints as the single token 'BroadcastExchange', which \b
+# does not split. Matching the bare word keeps scan+broadcast-join plans —
+# whose big side is NOT spread by the broadcast — eligible for rebalancing.
+_SHUFFLE_EXCHANGE_RE = None  # compiled lazily to keep `re` out of import hot path
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle Exchange or a cache
+    scan — i.e. converting plan→RDD under AQE would EXECUTE upstream
+    stages (measured: 6.6 s of silent double execution probing a windowed
+    subtree). BroadcastExchange alone does NOT count: its build side is a
+    small dim and the probed big side stays stage-free."""
+    global _SHUFFLE_EXCHANGE_RE
+    if _SHUFFLE_EXCHANGE_RE is None:
+        import re
+
+        _SHUFFLE_EXCHANGE_RE = re.compile(r"\bExchange\b")
+    # executedPlan, not sparkPlan: EnsureRequirements inserts the implicit
+    # exchanges (groupBy/join shuffles) only at the preparation step, and
+    # under AQE stringifying the un-executed AdaptiveSparkPlan prints the
+    # initial plan without running any stage — planning cost only.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return bool(_SHUFFLE_EXCHANGE_RE.search(plan)) or "InMemoryTableScan" in plan
+
+
+def safe_num_partitions(df: DataFrame, default: int | None = None) -> int | None:
+    """Partition count via ``df.rdd`` ONLY when the plan is shuffle-free
+    (cheap driver-side conversion); otherwise returns ``default`` rather
+    than silently double-executing shuffle stages under AQE. Every
+    partition-count probe in the repo must go through here."""
+    if plan_has_shuffle(df):
+        return default
+    return df.rdd.getNumPartitions()
+
 
 def rebalance_for_compute(
     df: DataFrame, target: int | None = None, cache_key: str | None = None
@@ -110,14 +158,14 @@ def rebalance_for_compute(
     map-side pipeline with no extra exchange.
 
     The probe only applies to SHUFFLE-FREE plans (a raw scan, narrow maps
-    on top of one): if the physical plan already contains an Exchange or a
-    cache scan, the input is spread by that shuffle's partitioning and the
-    function is a no-op WITHOUT touching ``df.rdd`` — under AQE, plan→RDD
-    conversion EXECUTES every upstream shuffle stage (measured: 6.6 s of
-    silent double execution probing a windowed subtree in the corpus
-    pipeline), so the probe must never run on a shuffled plan. On a
-    shuffle-free plan ``df.rdd`` has no stages to execute and costs only
-    the driver-side conversion.
+    on top of one, possibly joined to a BROADCAST dim — a broadcast join
+    leaves the big side's partitioning untouched, so such plans stay
+    eligible): if the physical plan already contains a shuffle Exchange or
+    a cache scan, the input is spread by that shuffle's partitioning and
+    the function is a no-op WITHOUT touching ``df.rdd`` — under AQE,
+    plan→RDD conversion EXECUTES every upstream shuffle stage (measured:
+    6.6 s of silent double execution probing a windowed subtree in the
+    corpus pipeline). Both checks live in ``safe_num_partitions``.
 
     ``cache_key`` memoizes the probe for repeated runs over the same
     source, e.g. the bench loop.
@@ -126,11 +174,9 @@ def rebalance_for_compute(
     target = target or sc.defaultParallelism
     need = _SPLIT_DECISIONS.get(cache_key) if cache_key else None
     if need is None:
-        plan = df._jdf.queryExecution().sparkPlan().toString()
-        if "Exchange" in plan or "InMemoryTableScan" in plan:
-            need = False  # already spread (or cached) by an upstream shuffle
-        else:
-            need = df.rdd.getNumPartitions() < target
+        n = safe_num_partitions(df)
+        # n is None ⇔ already spread (or cached) by an upstream shuffle
+        need = n is not None and n < target
         if cache_key:
             _SPLIT_DECISIONS[cache_key] = need
     return df.repartition(target) if need else df

@@ -201,7 +201,12 @@ def compact_small_files(
     )
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    cur = df.rdd.getNumPartitions()
+    # Guarded probe: a raw scan is shuffle-free today, but if this plan
+    # ever grows an Exchange the guard falls back to repartition instead
+    # of double-executing it under AQE (readers.safe_num_partitions).
+    from .readers import safe_num_partitions
+
+    cur = safe_num_partitions(df, default=0)
     out = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
     base = path.rstrip("/")
     tmp = base + "._compact_tmp"

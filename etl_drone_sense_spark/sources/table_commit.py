@@ -422,7 +422,10 @@ def compact(
     total = sum(os.path.getsize(os.path.join(root, f)) for f in snap.files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = read_table(spark, root)
-    cur = df.rdd.getNumPartitions()
+    # Guarded probe — never .rdd a plan with a shuffle (AQE double-exec).
+    from .readers import safe_num_partitions
+
+    cur = safe_num_partitions(df, default=0)
     out = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
     return commit(
         out, root, mode="overwrite", _operation="compact", stats_cols=stats_cols

@@ -218,13 +218,17 @@ def test_stream_dedup_restores_original_relation(spark, sf_dir):
         _DEDUP_LANDING,
         stream_dedup_exact,
     )
-    from etl_drone_sense_spark.sources.readers import read_table
+    from etl_drone_sense_spark.sources.readers import (
+        fixture_fingerprint,
+        read_table,
+    )
 
     out = stream_dedup_exact(spark, sf_dir)
     n_events = read_table(spark, sf_dir, "events").count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
-    landing = spark.read.parquet(_DEDUP_LANDING[sf_dir])
+    cache_key = (sf_dir, fixture_fingerprint(f"{sf_dir}/events.parquet"))
+    landing = spark.read.parquet(_DEDUP_LANDING[cache_key])
     assert landing.count() > n_events
 
 

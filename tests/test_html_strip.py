@@ -41,9 +41,42 @@ def test_canonicalize_url(spark):
         # Default-port strip is scheme-aware: :80 on https is a REAL port.
         "https://a.io:80/x": "https://a.io:80/x",
         "http://a.io:443/x": "http://a.io:443/x",
+        # Literal '&' in the PATH (RFC 3986 sub-delims) must never be
+        # rewritten into '?': the utm repair only fires on '?utm_...'.
+        "http://a.io/p&x": "http://a.io/p&x",
+        "http://a.io/a&b?c=1": "http://a.io/a&b?c=1",
+        "http://a.io/a&b?utm_a=1&c=1": "http://a.io/a&b?c=1",
+        # Leading run of several utm params all collapse.
+        "http://a.io/p?utm_a=1&utm_b=2&c=3": "http://a.io/p?c=3",
+        "http://a.io/p?utm_a=1&b=2&utm_c=3": "http://a.io/p?b=2",
     }
     for raw, want in cases.items():
         assert _one(spark, TXT.canonicalize_url, raw) == want, raw
+
+
+def test_canonicalize_url_sql_parity(spark):
+    """Both renderers of _canon_url must agree case-by-case — a shared
+    staging bug (like the unconditional '&'->'?' repair fixed in r5) is
+    invisible to the driver's oracle compare, so pin parity AND values here."""
+    import duckdb
+
+    cases = [
+        "http://a.io/p&x",
+        "http://a.io/a&b?c=1",
+        "http://a.io/a&b?utm_a=1&c=1",
+        "http://a.io/p?utm_a=1&utm_b=2&c=3",
+        "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+        "http://a.io/p?utm_a=1&b=2",
+        "https://a.io/p?utm_a=1&utm_b=2",
+    ]
+    expr = TXT.canonicalize_url_sql("u")
+    con = duckdb.connect()
+    for raw in cases:
+        spark_val = _one(spark, TXT.canonicalize_url, raw)
+        duck_val = con.execute(
+            f"select {expr} from (select ? as u)", [raw]
+        ).fetchone()[0]
+        assert spark_val == duck_val, raw
 
 
 def test_extract_urls_document_order(spark):
