@@ -1536,12 +1536,35 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct estimate (engine-specific values → rows-only
-    check; the exact-distinct twin is oracle-checked in agg_distinct)."""
-    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers")
+    """HyperLogLog distinct estimate, upgraded from rows-only to a
+    BOUNDED-ERROR oracle: the HLL value is engine-specific and never
+    hashed — the query emits the exact distinct count (cross-engine-
+    checkable) plus ``within_tol`` asserting |approx − exact| ≤ 5% · exact
+    in-plan (HLL at rsd=0.02 is ~±2σ inside that). The oracle emits TRUE
+    unconditionally, so an out-of-band sketch hash-mismatches and the
+    driver flags it. Exact twin: agg_distinct."""
+    g = t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    return g.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= F.col("exact_customers") * F.lit(0.05)
+        ).alias("within_tol"),
     )
 
 

@@ -1186,13 +1186,49 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS price_median_exact,
+           round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90_exact,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (the 100 TB path; exact twin is
-    agg_percentiles). Engine-specific sketch values → rows-only check."""
-    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_median_approx"),
-        F.percentile_approx("l_quantity", 0.9, 10000).alias("qty_p90_approx"),
+    agg_percentiles), upgraded from rows-only to a BOUNDED-ERROR oracle:
+    the sketch value itself is engine-specific and never hashed — instead
+    the query emits the exact percentile (cross-engine-checkable) plus a
+    ``within_tol`` flag asserting the KLL/GK guarantee in-plan: a sketch
+    with accuracy=10000 returns a real data value whose rank is within
+    n/10000 of the target, so it must lie between the exact interpolated
+    percentiles at q ± 0.02 (two orders of magnitude of slack). The oracle
+    emits TRUE unconditionally; a sketch outside the band hash-mismatches
+    and the driver flags it — the tolerance check rides the hash gate."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("med_a"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_a"),
+        F.percentile("l_extendedprice", F.lit(0.48)).alias("med_lo"),
+        F.percentile("l_extendedprice", F.lit(0.52)).alias("med_hi"),
+        F.percentile("l_quantity", F.lit(0.88)).alias("p90_lo"),
+        F.percentile("l_quantity", F.lit(0.92)).alias("p90_hi"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "price_median_exact"
+        ),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("qty_p90_exact"),
+    )
+    return g.select(
+        "l_returnflag",
+        "price_median_exact",
+        "qty_p90_exact",
+        (
+            F.col("med_a").between(F.col("med_lo"), F.col("med_hi"))
+            & F.col("p90_a").between(F.col("p90_lo"), F.col("p90_hi"))
+        ).alias("within_tol"),
     )
 
 
