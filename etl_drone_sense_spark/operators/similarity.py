@@ -29,6 +29,11 @@ from pyspark.sql.window import Window
 
 from ..functions import vectors as V
 
+# Largest group a semantic_dedup cell computes as ONE dense Gram matrix;
+# above this the lower-triangular product runs in B×B blocks (8192² int64
+# ≈ 0.5 GiB — comfortably inside one executor's working memory).
+_GRAM_BLOCK = 8192
+
 
 def _cos(a: Column, b: Column) -> Column:
     return V.cosine(a, b)
@@ -181,6 +186,7 @@ def semantic_dedup(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then mark as duplicates
@@ -208,9 +214,22 @@ def semantic_dedup(
     Returns one row per input vector: (id, cell_id, kept, n_dup_prior).
     Scale shape: one Arrow-batched narrow pass for assignment (the k×dim
     int codebook ships in the task closure), one shuffle on cell_id, one
-    grouped-map per cell; a cell must fit an executor (bounded by k~√n —
-    re-shard a pathological mega-cell by re-clustering it, as the paper
-    does).
+    grouped-map per cell; a cell must fit an executor (bounded by k~√n).
+
+    MEGA-CELL RE-SHARD (the 100 TB skew path): with ``max_cell_rows`` set,
+    cells whose population exceeds it are re-sharded BEFORE the grouped
+    map, by each member's SECOND-nearest centroid — already computed by
+    the assignment matmul, so sub-clustering costs nothing extra and needs
+    no new codebook. Near-duplicate pairs have near-identical cosines to
+    every centroid, so they overwhelmingly share a second choice and stay
+    comparable; pairs split across sub-shards go uncompared — the same
+    recall-for-scale trade the paper makes with its cluster blocking in
+    the first place. Detection needs per-cell counts, so the assigned
+    relation is scoped-persisted and read twice (count + grouped map);
+    pass ``max_cell_rows=None`` to skip both the persist and the count on
+    corpora known to be skew-free. Within a group, a Gram matrix larger
+    than ``_GRAM_BLOCK``² is computed in row/column blocks — quadratic
+    time (inherent to all-pairs), but peak memory bounded by the block.
     """
     import numpy as np
     import pandas as pd
@@ -240,43 +259,99 @@ def semantic_dedup(
             qn = np.sqrt((q * q).sum(axis=1).astype(np.float64))
             cos = dots / np.outer(qn, cnorm)
             best = cos.argmax(axis=1)  # first (lowest cell_id) wins ties
+            if cos.shape[1] > 1:
+                # Second-best centroid = the mega-cell sub-shard key.
+                # Masking the winner then re-argmax keeps the same
+                # first-lowest-index tie rule as the primary assignment.
+                masked = cos.copy()
+                masked[np.arange(len(best)), best] = -np.inf
+                sub = cell_ids[masked.argmax(axis=1)]
+            else:
+                sub = np.zeros(len(best), dtype=np.int64)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
                     "cell_id": cell_ids[best],
+                    "sub_id": sub,
                     "qvec": pdf["qvec"].values,
                 }
             )
 
     assigned = quantized.mapInPandas(
-        assign, schema=f"{id_col} long, cell_id long, qvec array<long>"
+        assign, schema=f"{id_col} long, cell_id long, sub_id long, qvec array<long>"
     )
 
+    mega: set[int] = set()
+    if max_cell_rows is not None:
+        from ..caching import scoped_persist
+
+        assigned = scoped_persist("similarity.semantic_dedup.assigned", assigned)
+        mega = {
+            r["cell_id"]
+            for r in assigned.groupBy("cell_id")
+            .count()
+            .filter(F.col("count") > max_cell_rows)
+            .collect()
+        }
+    if mega:
+        shard = F.when(
+            F.col("cell_id").isin([int(c) for c in mega]), F.col("sub_id")
+        ).otherwise(F.lit(0))
+    else:
+        shard = F.lit(0)
+
     thr = float(threshold)
+    # Captured into the closure (pickled by VALUE to workers, so tests can
+    # shrink it; a module-global lookup would re-import the default there).
+    gram_block = _GRAM_BLOCK
 
     def dedup_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        (cell,) = key
+        cell = key[0]
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         q = np.array(pdf["qvec"].tolist(), dtype=np.int64)
-        g = q @ q.T  # exact int64 Gram matrix
-        n = np.sqrt(g.diagonal().astype(np.float64))
-        cos = g / np.outer(n, n)
-        # Same half-up 6-digit rounding as F.round/DuckDB round(x, 6) for
-        # the positive range the threshold lives in.
-        cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
-        prior = np.tril(cos6 >= thr, k=-1).sum(axis=1)
+        m = len(pdf)
+        n = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+        if m <= gram_block:
+            g = q @ q.T  # exact int64 Gram matrix
+            cos = g / np.outer(n, n)
+            # Same half-up 6-digit rounding as F.round/DuckDB round(x, 6)
+            # for the positive range the threshold lives in.
+            cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
+            prior = np.tril(cos6 >= thr, k=-1).sum(axis=1)
+        else:
+            # Blocked lower-triangular Gram: peak memory gram_block², not
+            # m² — the executor-fit bound for a group that is still huge
+            # after re-sharding.
+            prior = np.zeros(m, dtype=np.int64)
+            B = gram_block
+            for i0 in range(0, m, B):
+                i1 = min(i0 + B, m)
+                for j0 in range(0, i1, B):
+                    j1 = min(j0 + B, i1)
+                    g = q[i0:i1] @ q[j0:j1].T
+                    cos = g / np.outer(n[i0:i1], n[j0:j1])
+                    hit = np.floor(cos * 1e6 + 0.5) / 1e6 >= thr
+                    if j1 > i0:  # diagonal block: strict lower triangle
+                        hit &= (
+                            np.arange(i0, i1)[:, None] > np.arange(j0, j1)[None, :]
+                        )
+                    prior[i0:i1] += hit.sum(axis=1)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].values,
-                "cell_id": np.full(len(pdf), cell, dtype=np.int64),
+                "cell_id": np.full(m, cell, dtype=np.int64),
                 "kept": prior == 0,
-                "n_dup_prior": prior.astype(np.int64),
+                "n_dup_prior": prior,
             }
         )
 
-    return assigned.groupBy("cell_id").applyInPandas(
-        dedup_cell,
-        schema=f"{id_col} long, cell_id long, kept boolean, n_dup_prior long",
+    return (
+        assigned.withColumn("_shard", shard)
+        .groupBy("cell_id", "_shard")
+        .applyInPandas(
+            dedup_cell,
+            schema=f"{id_col} long, cell_id long, kept boolean, n_dup_prior long",
+        )
     )
 
 
