@@ -66,13 +66,22 @@ class Snapshot:
 
     version: int
     files: tuple[str, ...]  # paths relative to the table root
-    operation: str  # "overwrite" | "append" | "compact"
+    operation: str  # "overwrite" | "append" | "compact" | "rename" | "drop"
     parent: int | None
     txn: tuple[tuple[str, int], ...] = ()
     # Per-file column statistics for scan pruning: (file, json-of-
     # {col: [min, max]}) pairs — the Iceberg/Delta manifest-stats shape.
     # Stored as rendered JSON strings so the dataclass stays hashable.
     stats: tuple[tuple[str, str], ...] = ()
+    # Logical schema as (field_id, current_name) pairs — Iceberg field-ID
+    # semantics: renames rebind a NAME to a stable id; drops remove the id;
+    # a re-added name gets a FRESH id, so old files' physical columns can
+    # never leak into it. Empty on legacy snapshots (pre-evolution tables).
+    schema: tuple[tuple[int, str], ...] = ()
+    # Per-file write-time mapping (file, json-of-{physical_name: field_id}):
+    # how each immutable file's physical columns bind to field ids. Carried
+    # forward like stats; reads resolve through it.
+    file_fields: tuple[tuple[str, str], ...] = ()
 
     @property
     def txn_map(self) -> dict[str, int]:
@@ -81,6 +90,10 @@ class Snapshot:
     @property
     def stats_map(self) -> dict[str, dict]:
         return {f: json.loads(s) for f, s in self.stats}
+
+    @property
+    def file_fields_map(self) -> dict[str, dict[str, int]]:
+        return {f: json.loads(s) for f, s in self.file_fields}
 
     def to_json(self) -> str:
         return json.dumps(
@@ -91,6 +104,8 @@ class Snapshot:
                 "files": list(self.files),
                 "txn": dict(self.txn),
                 "stats": {f: json.loads(s) for f, s in self.stats},
+                "schema": [[i, n] for i, n in self.schema],
+                "file_fields": {f: json.loads(s) for f, s in self.file_fields},
             },
             indent=1,
         )
@@ -108,6 +123,13 @@ class Snapshot:
                 sorted(
                     (f, json.dumps(s, sort_keys=True))
                     for f, s in d.get("stats", {}).items()
+                )
+            ),
+            schema=tuple((int(i), n) for i, n in d.get("schema", [])),
+            file_fields=tuple(
+                sorted(
+                    (f, json.dumps(m, sort_keys=True))
+                    for f, m in d.get("file_fields", {}).items()
                 )
             ),
         )
@@ -155,6 +177,127 @@ def read_snapshot(root: str, version: int | None = None) -> Snapshot:
         return Snapshot.from_json(f.read())
 
 
+def _effective_schema(
+    root: str, snap: Snapshot
+) -> tuple[tuple[tuple[int, str], ...], tuple[tuple[str, str], ...]]:
+    """The snapshot's (schema, file_fields), bootstrapping a LEGACY
+    snapshot (pre-evolution, nothing recorded) from its first file's
+    footer: ids 1..n in physical order, one epoch covering all its files
+    (legacy tables in this repo are schema-stable by construction)."""
+    if snap.schema or not snap.files:
+        return snap.schema, snap.file_fields
+    import pyarrow.parquet as pq
+
+    phys = pq.read_schema(os.path.join(root, snap.files[0])).names
+    schema = tuple((i + 1, n) for i, n in enumerate(phys))
+    boot = json.dumps({n: i + 1 for i, n in enumerate(phys)}, sort_keys=True)
+    return schema, tuple((f, boot) for f in snap.files)
+
+
+def _metadata_commit(root: str, operation: str, schema_fn) -> Snapshot:
+    """Commit a METADATA-ONLY new version: same files/stats/txn as the
+    parent, schema transformed by ``schema_fn``. Concurrency-safe the same
+    way data commits are — the snapshot manifest is created PUT-if-absent
+    (losing the race raises ConcurrentCommitError), then published via the
+    monotonic pointer swap. No data is touched, so there is nothing to
+    clean up on abort."""
+    parent = _latest_committed_version(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed table at {root}")
+    parent_snap = read_snapshot(root, parent)
+    schema, file_fields = _effective_schema(root, parent_snap)
+    snap = Snapshot(
+        version=parent + 1,
+        files=parent_snap.files,
+        operation=operation,
+        parent=parent,
+        txn=parent_snap.txn,
+        stats=parent_snap.stats,
+        schema=schema_fn(schema),
+        file_fields=file_fields,
+    )
+    try:
+        with open(_snapshot_path(root, snap.version), "x", encoding="utf-8") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"table {root}: v{snap.version} was committed by another writer"
+        ) from None
+    _swap_pointer(root, snap)
+    return snap
+
+
+def rename_column(root: str, old: str, new: str) -> Snapshot:
+    """Rename a column WITHOUT rewriting any data (Iceberg field-ID
+    rename): the field keeps its id, the id binds to the new name, and
+    every existing file keeps serving it through its write-time mapping.
+    Old snapshots still read under the old name (time travel is
+    schema-versioned too)."""
+
+    def fn(schema):
+        names = {n for _, n in schema}
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column already exists: {new!r}")
+        return tuple((i, new if n == old else n) for i, n in schema)
+
+    return _metadata_commit(root, "rename", fn)
+
+
+def drop_column(root: str, name: str) -> Snapshot:
+    """Drop a column WITHOUT rewriting any data: the field id leaves the
+    schema, so reads stop projecting it — the bytes remain in the
+    immutable files (and in older snapshots, which still read it). A
+    later commit re-adding the same name mints a FRESH field id, so the
+    orphaned bytes can never resurface under the new field."""
+
+    def fn(schema):
+        if name not in {n for _, n in schema}:
+            raise ValueError(f"no such column: {name!r}")
+        if len(schema) == 1:
+            raise ValueError("cannot drop the only column")
+        return tuple((i, n) for i, n in schema if n != name)
+
+    return _metadata_commit(root, "drop", fn)
+
+
+def _read_files_mapped(
+    spark: SparkSession, root: str, snap: Snapshot, files: list[str]
+) -> DataFrame:
+    """Field-ID-resolved scan of ``files``: group files by their write-time
+    {physical_name: field_id} mapping (one EPOCH per distinct write schema
+    — renames/drops are rare, so epochs stay few), scan each epoch once
+    (pushdown/pruning intact per scan), alias physical → current names,
+    and union by name. A field a whole epoch predates null-fills through
+    ``allowMissingColumns`` — exactly Iceberg's read-time projection."""
+    from pyspark.sql import functions as F
+
+    ff = snap.file_fields_map
+    cur_names = dict(snap.schema)  # id -> current name
+    epochs: dict[str, list[str]] = {}
+    for f in files:
+        epochs.setdefault(json.dumps(ff.get(f, {}), sort_keys=True), []).append(f)
+    parts = []
+    for key, group in sorted(epochs.items()):
+        phys_to_id = json.loads(key)
+        id_to_phys = {i: p for p, i in phys_to_id.items()}
+        df = spark.read.parquet(*(os.path.join(root, f) for f in group))
+        cols = [
+            F.col(id_to_phys[i]).alias(name)
+            for i, name in snap.schema
+            if i in id_to_phys
+        ]
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    # Fix the column order to the logical schema (union order can differ).
+    return out.select(*[name for _, name in snap.schema if name in out.columns])
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -165,13 +308,21 @@ def read_table(
     the files that snapshot lists, nothing else. Stray files from aborted
     writes are invisible because reads never list directories.
 
-    ``merge_schema=True`` unions the file schemas (Spark mergeSchema):
-    the lake reality where an append added a column — rows from older
-    files read NULL for it. Off by default: schema union costs a footer
-    read per file group and most tables are schema-stable."""
+    Snapshots that carry a field-ID schema (any table committed since
+    schema evolution landed) resolve physical columns through the per-file
+    mapping — renamed columns read under their CURRENT name from files
+    written under the old one, dropped columns disappear even though the
+    bytes remain, and a re-added name never resurrects old data (fresh
+    field id). Legacy snapshots read the raw file union as before.
+
+    ``merge_schema=True`` (legacy path only) unions the file schemas
+    (Spark mergeSchema): rows from older files read NULL for a column an
+    append added. The field-ID path subsumes it."""
     snap = read_snapshot(root, version)
     if not snap.files:
         raise ValueError(f"snapshot v{snap.version} of {root} is empty")
+    if snap.schema:
+        return _read_files_mapped(spark, root, snap, list(snap.files))
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -241,15 +392,12 @@ def read_table_pruned(
     data-skipping path: a predicate on the layout column touches
     O(selectivity) of the files instead of all of them
     (tests/test_table_commit.py asserts both the skip and the equality
-    with the unpruned scan)."""
+    with the unpruned scan). ``col`` is the CURRENT logical name; on a
+    field-ID snapshot each file's stats are consulted under the physical
+    name that file was written with, so pruning keeps working across
+    renames."""
     snap = read_snapshot(root, version)
-    stats = snap.stats_map
-    keep = [
-        f
-        for f in snap.files
-        if (s := stats.get(f, {}).get(col)) is None
-        or (s[1] >= lo and s[0] <= hi)
-    ]
+    keep = _pruned_files(snap, col, lo, hi)
     from pyspark.sql import functions as F
 
     if not keep:
@@ -258,20 +406,40 @@ def read_table_pruned(
             .filter(F.col(col).between(lo, hi))
             .limit(0)
         )
-    df = spark.read.parquet(*(os.path.join(root, f) for f in keep))
+    if snap.schema:
+        df = _read_files_mapped(spark, root, snap, keep)
+    else:
+        df = spark.read.parquet(*(os.path.join(root, f) for f in keep))
     return df.filter(F.col(col).between(lo, hi))
+
+
+def _pruned_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
+    stats = snap.stats_map
+    if snap.schema:
+        field_id = {n: i for i, n in snap.schema}.get(col)
+        ff = snap.file_fields_map
+
+        def phys_name(f: str) -> str:
+            inv = {i: p for p, i in ff.get(f, {}).items()}
+            return inv.get(field_id, col)
+
+    else:
+
+        def phys_name(f: str) -> str:
+            return col
+
+    return [
+        f
+        for f in snap.files
+        if (s := stats.get(f, {}).get(phys_name(f))) is None
+        or (s[1] >= lo and s[0] <= hi)
+    ]
 
 
 def pruned_file_count(root: str, col: str, lo, hi, version: int | None = None) -> int:
     """How many files a [lo, hi] predicate on ``col`` would open."""
     snap = read_snapshot(root, version)
-    stats = snap.stats_map
-    return sum(
-        1
-        for f in snap.files
-        if (s := stats.get(f, {}).get(col)) is None
-        or (s[1] >= lo and s[0] <= hi)
-    )
+    return len(_pruned_files(snap, col, lo, hi))
 
 
 def _swap_pointer(root: str, snap: Snapshot) -> None:
@@ -327,17 +495,50 @@ def commit(
     # Parent = newest COMMITTED version (adopt an unpublished orphan if a
     # prior writer died after step 2 — its commit is durable history).
     parent = _latest_committed_version(root)
+    parent_snap = read_snapshot(root, parent) if parent is not None else None
     txns: dict[str, int] = {}
-    if parent is not None:
-        txns = read_snapshot(root, parent).txn_map
+    if parent_snap is not None:
+        txns = parent_snap.txn_map
         if txn is not None and txns.get(txn[0], -1) >= txn[1]:
             # This (app, transaction) already landed — a retried streaming
             # micro-batch or speculative re-run. Idempotent no-op.
-            return read_snapshot(root, parent)
+            return parent_snap
     if txn is not None:
         txns[txn[0]] = txn[1]
     if parent is None and mode == "append":
         mode = "overwrite"  # first commit: nothing to append to
+
+    # Field-ID bookkeeping (Iceberg semantics): a df column whose name
+    # matches the parent schema keeps that field's id; an unknown name is
+    # a NEW field with a fresh id — even if a same-named column existed
+    # once and was dropped, old bytes can't bind to the new field.
+    if parent_snap is not None:
+        parent_schema, parent_file_fields = _effective_schema(root, parent_snap)
+    else:
+        parent_schema, parent_file_fields = (), ()
+    name_to_id = {n: i for i, n in parent_schema}
+    # Fresh ids must dodge every id ANY retained file still binds — a
+    # dropped field leaves the schema but its id lives on in old files'
+    # mappings, and reusing it would rebind those orphaned bytes to the
+    # new field (exactly the leak field ids exist to prevent).
+    used_ids = {i for i, _ in parent_schema}
+    for _, s in parent_file_fields:
+        used_ids.update(json.loads(s).values())
+    next_id = max(used_ids, default=0) + 1
+    mapping: dict[str, int] = {}
+    for c in df.columns:
+        if c in name_to_id:
+            mapping[c] = name_to_id[c]
+        else:
+            mapping[c] = next_id
+            next_id += 1
+    if mode == "overwrite":
+        schema = tuple((mapping[c], c) for c in df.columns)
+    else:
+        schema = parent_schema + tuple(
+            (mapping[c], c) for c in df.columns if c not in name_to_id
+        )
+
     new_version = (parent or 0) + 1
     prefix = os.path.join(_DATA_DIR, f"v{new_version:08d}-{uuid.uuid4().hex[:8]}")
     prefix_abs = os.path.join(root, prefix)
@@ -348,10 +549,12 @@ def commit(
     # only — on append, the parent's entries carry forward untouched
     # (files are immutable, so their stats are too).
     stats = _collect_file_stats(root, files, stats_cols) if stats_cols else ()
+    new_ff_json = json.dumps(mapping, sort_keys=True)
+    file_fields = tuple((f, new_ff_json) for f in files)
     if mode == "append":
-        parent_snap = read_snapshot(root, parent)
         files = sorted([*parent_snap.files, *files])
         stats = tuple(sorted([*parent_snap.stats, *stats]))
+        file_fields = tuple(sorted([*parent_file_fields, *file_fields]))
     snap = Snapshot(
         version=new_version,
         files=tuple(files),
@@ -359,6 +562,8 @@ def commit(
         parent=parent,
         txn=tuple(sorted(txns.items())),
         stats=stats,
+        schema=schema,
+        file_fields=file_fields,
     )
     try:
         # Step 2: PUT-if-absent on the version — the commit CAS.
@@ -432,13 +637,31 @@ def compact(
     )
 
 
-def vacuum(root: str, keep_last: int = 1) -> list[str]:
+VACUUM_DEFAULT_MIN_AGE_S = 7 * 24 * 3600.0  # Delta's default retention window
+
+
+def vacuum(
+    root: str,
+    keep_last: int = 1,
+    min_age_seconds: float = VACUUM_DEFAULT_MIN_AGE_S,
+) -> list[str]:
     """Delete data files referenced ONLY by snapshots older than the last
     ``keep_last`` — the GC step that makes old versions unreadable.
     Never touches files the retained snapshots still share (append/compact
-    lineages overlap). Returns the deleted paths (root-relative)."""
+    lineages overlap). Returns the deleted paths (root-relative).
+
+    RETENTION WINDOW (Delta ``VACUUM`` safety check): a snapshot whose
+    manifest is younger than ``min_age_seconds`` is retained regardless of
+    ``keep_last`` — a concurrent time-travel reader resolves a version and
+    opens its files NON-atomically, so GC'ing anything a recently-live
+    reader could have resolved would hand it FileNotFound mid-scan. The
+    7-day default mirrors Delta; tests and offline maintenance pass
+    ``min_age_seconds=0.0`` explicitly to opt out of the guard the way
+    Delta's ``retentionDurationCheck.enabled=false`` does."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    import time
+
     # Committed (not merely published) newest — never GC an unpublished
     # orphan a dead writer committed; the next commit will adopt it.
     cur = _latest_committed_version(root)
@@ -451,6 +674,11 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     )
     keep = {v for v in versions if v > cur - keep_last and v <= cur}
     keep.add(cur)
+    if min_age_seconds > 0:
+        horizon = time.time() - min_age_seconds
+        keep.update(
+            v for v in versions if os.path.getmtime(_snapshot_path(root, v)) > horizon
+        )
     # The PUBLISHED version can trail the newest committed one (writer died
     # between manifest commit and pointer publish — the crash window
     # tests/test_table_commit.py exercises). Readers resolve through the
