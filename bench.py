@@ -23,6 +23,42 @@ from etl_drone_sense_spark.caching import release_caches
 from etl_drone_sense_spark.plans.registry import bench_queries
 from etl_drone_sense_spark.session import get_spark
 
+# Per-query time budgets at sf0.1 / local[32]: 1.8× the best median
+# observed across rounds 3-4 (floor +0.6 s so sub-second queries don't
+# trip on scheduler noise; the machine's documented run-to-run variance
+# is ±0.5 s). A breach prints a LOUD stderr warning and lands in the
+# JSON's budget_violations — drift has to be explained, not discovered
+# two rounds later (r4 VERDICT item 2). Queries added later get a budget
+# when they first appear in a recorded BENCH_r{N}.json.
+BUDGETS_S: dict[str, float] = {
+    "cdc_snapshot_diff": 1.12,
+    "corpus_prepare_pipeline": 4.30,
+    "dedup_embedding_lsh": 2.39,
+    "dedup_incremental": 2.01,
+    "dedup_minhash": 1.87,
+    "dedup_paragraph": 1.64,
+    "dedup_semantic": 2.01,
+    "drone_features_flat": 1.22,
+    "events_gapfill": 1.14,
+    "events_pattern_match": 1.02,
+    "filter_in_between_like": 0.88,
+    "join_skewed_salted": 1.38,
+    "merge_upsert": 1.00,
+    "multimodal_decode": 0.93,
+    "q1_pricing_summary": 1.50,
+    "q3_shipping_priority": 1.18,
+    "q5_region_revenue": 1.37,
+    "sample_importance": 2.50,
+    "sessionize_events": 0.98,
+    "sim_topk_bruteforce": 0.83,
+    "text_bigram_lm": 3.34,
+    "text_boilerplate_strip": 2.47,
+    "text_repetition": 2.95,
+    "text_token_freq": 0.93,
+    "text_winnowing": 1.01,
+    "window_topk_per_group": 0.90,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,6 +93,18 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    violations = {
+        name: {"sec": t, "budget": BUDGETS_S[name]}
+        for name, t in timings.items()
+        if name in BUDGETS_S and t > BUDGETS_S[name] and sf_val == 0.1
+    }
+    for name, v in sorted(violations.items()):
+        print(
+            f"BUDGET EXCEEDED: {name} took {v['sec']:.3f}s"
+            f" (budget {v['budget']:.2f}s at sf0.1)",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -66,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "budget_violations": violations,
             }
         )
     )
