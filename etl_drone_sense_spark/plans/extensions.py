@@ -373,20 +373,22 @@ _HP_PLANES = V.hyperplanes(dim=64, nbits=64)
 _HP_BANDS = 8
 
 
-def _hp_oracle() -> str:
+def _hp_oracle(planes=None, bands=None) -> str:
+    planes = _HP_PLANES if planes is None else planes
+    bands = _HP_BANDS if bands is None else bands
     # Planes live in a constant CTE (p0..pN columns), referenced from the
     # bit lambdas — inline list literals there are re-constructed per
     # element per row by DuckDB (~30× slower, measured).
     plane_cols = ", ".join(
-        f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(_HP_PLANES)
+        f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(planes)
     )
     # Sign bits over the fixed-point-quantized vector: integer sums are
     # evaluation-order-independent, so these match the Spark side's numpy
     # matmul bit-for-bit (functions/vectors.quantize_fixed rationale).
     bits = ", ".join(
-        V.hyperplane_bit_fixed_sql("qv", f"p{j}") for j in range(len(_HP_PLANES))
+        V.hyperplane_bit_fixed_sql("qv", f"p{j}") for j in range(len(planes))
     )
-    width = len(_HP_PLANES) // _HP_BANDS
+    width = len(planes) // bands
     cos = V.cosine_sql("a.embedding", "b.embedding")
     return f"""
     WITH {_SEEDED_EMB_CTE},
@@ -402,7 +404,7 @@ def _hp_oracle() -> str:
         SELECT vec_id, b.band_idx,
                substr(sig, b.band_idx * {width} + 1, {width}) AS band_val
         FROM sigs CROSS JOIN
-             (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b
+             (SELECT unnest(range(0, {bands})) AS band_idx) b
     ),
     pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -451,6 +453,34 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _seeded_embeddings(spark, sf_dir),
         planes=_HP_PLANES,
         bands=_HP_BANDS,
+        threshold=0.8,
+    )
+
+
+# The log₂(n)-scaled band config (see the scale-probe findings above):
+# +4 bits per band over the base 8, the width a ~10× corpus runs at.
+_HP_PLANES_WIDE = V.hyperplanes(dim=64, nbits=96)
+
+
+@register(
+    "dedup_embedding_lsh_wide",
+    oracle=_hp_oracle(_HP_PLANES_WIDE, 8),
+    tags=("dedup", "similarity", "lsh"),
+)
+def dedup_embedding_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-width-scaled twin of dedup_embedding_lsh: 8 bands × 12-bit
+    keys (96 planes) — the config the log₂(n) occupancy rule prescribes at
+    ~10× this corpus, registered with its own full oracle so the SCALE
+    config is driver-certified, not just probe-timed (BENCH_sf1.json
+    measured 17× slope at fixed 8-bit bands vs 2.6× at this width).
+    Narrower buckets trade recall on borderline (≈0.8-cosine) pairs for a
+    16× smaller per-band candidate space; the near-exact seeded
+    duplicates (flip rate ~0.11/bit → ≈0.9 recall at this width) still
+    surface."""
+    return similarity.hyperplane_lsh_pairs(
+        _seeded_embeddings(spark, sf_dir),
+        planes=_HP_PLANES_WIDE,
+        bands=8,
         threshold=0.8,
     )
 
