@@ -229,6 +229,42 @@ def _metadata_commit(root: str, operation: str, schema_fn) -> Snapshot:
     return snap
 
 
+def rollback(root: str, to_version: int) -> Snapshot:
+    """Roll the table back to ``to_version`` — as a NEW commit whose
+    content (files/stats/schema) is the old snapshot's, Iceberg
+    ``rollback_to_snapshot`` style. History only ever moves forward: the
+    pointer stays monotonic, the bad intermediate versions remain
+    time-travel-readable (and vacuum-able), and concurrent writers race
+    through the same PUT-if-absent CAS as every other commit."""
+    old = read_snapshot(root, to_version)  # raises if GC'd/never existed
+    parent = _latest_committed_version(root)
+    if parent == to_version:
+        return old  # already current — no version churn
+    schema, file_fields = _effective_schema(root, old)
+    cur = read_snapshot(root, parent)
+    snap = Snapshot(
+        version=parent + 1,
+        files=old.files,
+        operation="rollback",
+        parent=parent,
+        txn=cur.txn,  # txn watermarks survive: replayed batches stay no-ops
+        stats=old.stats,
+        schema=schema,
+        file_fields=file_fields,
+    )
+    try:
+        with open(_snapshot_path(root, snap.version), "x", encoding="utf-8") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"table {root}: v{snap.version} was committed by another writer"
+        ) from None
+    _swap_pointer(root, snap)
+    return snap
+
+
 def rename_column(root: str, old: str, new: str) -> Snapshot:
     """Rename a column WITHOUT rewriting any data (Iceberg field-ID
     rename): the field keeps its id, the id binds to the new name, and

@@ -491,3 +491,39 @@ def test_rename_is_crash_safe_metadata_commit(spark, tmp_path, nation, monkeypat
     assert tc.current_version(root) == 3
     assert tc.read_snapshot(root).parent == 2
     assert tc.read_table(spark, root).columns == ["n_nationkey", "nation_name"]
+
+
+def test_rollback_restores_old_content_forward(spark, tmp_path, nation):
+    """rollback republishes an old snapshot's content as a NEW version:
+    pointer stays monotonic, bad versions stay time-travel-readable, and
+    schema state (a rename after the target version) rolls back with it."""
+    root = str(tmp_path / "tbl")
+    tc.commit(nation.select("n_nationkey", "n_name"), root)       # v1 good
+    good = _rows(spark, root)
+    tc.commit(nation.limit(3).select("n_nationkey", "n_name"), root)  # v2 bad
+    tc.rename_column(root, "n_name", "oops")                       # v3 bad
+
+    snap = tc.rollback(root, 1)
+    assert snap.version == 4 and snap.operation == "rollback"
+    assert tc.current_version(root) == 4
+    assert _rows(spark, root) == good
+    assert tc.read_table(spark, root).columns == ["n_nationkey", "n_name"]
+    # The bad intermediates are still readable history.
+    assert len(_rows(spark, root, version=2)) == 3
+    assert tc.read_table(spark, root, version=3).columns == ["n_nationkey", "oops"]
+    # Rolling back to the current content is a no-op (no version churn).
+    assert tc.rollback(root, 4).version == 4
+
+
+def test_rollback_preserves_txn_watermarks(spark, tmp_path, nation):
+    """A replayed streaming batch must stay a no-op AFTER a rollback —
+    the txn map carries the CURRENT watermarks, not the old snapshot's."""
+    root = str(tmp_path / "tbl")
+    tc.commit(nation.limit(5), root)                               # v1
+    tc.commit(nation.limit(3), root, mode="append", txn=("app", 7))  # v2
+    tc.rollback(root, 1)                                           # v3
+    assert len(_rows(spark, root)) == 5
+    # Batch 7 re-delivered after rollback: still recognized as landed.
+    snap = tc.commit(nation.limit(3), root, mode="append", txn=("app", 7))
+    assert snap.version == 3  # idempotent no-op, no new version
+    assert len(_rows(spark, root)) == 5
