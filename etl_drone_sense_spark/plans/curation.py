@@ -534,16 +534,11 @@ _Z_EPOCH = "1995-01-01"  # fixture o_orderdate min
 
 
 def _morton_col(x, y):
-    """Bit-interleave two ≤8-bit non-negative ints (Morton/Z-value) as a
-    pure integer expression — unrolled, codegen-friendly, no UDF."""
-    total = F.lit(0).cast("long")
-    for i in range(_Z_BITS):
-        total = (
-            total
-            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return total
+    """Spark-side Morton z-value — the shared production implementation
+    (operators/layout.morton_col, which commit_zordered also uses)."""
+    from ..operators.layout import morton_col
+
+    return morton_col(x, y, _Z_BITS)
 
 
 def _morton_sql(x: str, y: str) -> str:

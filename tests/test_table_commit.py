@@ -527,3 +527,39 @@ def test_rollback_preserves_txn_watermarks(spark, tmp_path, nation):
     snap = tc.commit(nation.limit(3), root, mode="append", txn=("app", 7))
     assert snap.version == 3  # idempotent no-op, no new version
     assert len(_rows(spark, root)) == 5
+
+
+def test_commit_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """operators/layout.commit_zordered: the production z-order write.
+    Files must cover small rectangles of the layout plane, so a manifest-
+    stats pruned read on EITHER column opens a minority of files — a
+    linear single-column sort cannot do that for the other column."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.operators.layout import commit_zordered
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("day"),
+    )
+    root = str(tmp_path / "tbl")
+    snap = commit_zordered(spark, orders, root, ("o_custkey", "day"), n_files=16)
+    assert len(snap.files) == 16
+    total = len(snap.files)
+
+    lo_c, hi_c = 0, orders.agg(F.max("o_custkey")).collect()[0][0] // 8
+    lo_d, hi_d = 0, orders.agg(F.max("day")).collect()[0][0] // 8
+    pruned_c = tc.pruned_file_count(root, "o_custkey", lo_c, hi_c)
+    pruned_d = tc.pruned_file_count(root, "day", lo_d, hi_d)
+    assert pruned_c < total / 2, (pruned_c, total)
+    assert pruned_d < total / 2, (pruned_d, total)
+
+    # Pruned read equals the unpruned filter (pruning never filters rows).
+    got = tc.read_table_pruned(spark, root, "o_custkey", lo_c, hi_c)
+    want = tc.read_table(spark, root).filter(F.col("o_custkey").between(lo_c, hi_c))
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    )
