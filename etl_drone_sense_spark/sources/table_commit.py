@@ -641,6 +641,81 @@ def commit_stream_append(
     )
 
 
+class NonAppendChangeError(RuntimeError):
+    """The table history between two consumed versions contains a
+    non-append operation (overwrite/compact/rollback) — an incremental
+    reader would re-deliver rewritten rows. Pass ``ignore_changes=True``
+    to consume the file diff anyway (Delta's ``ignoreChanges``)."""
+
+
+def process_table_appends(
+    spark: SparkSession,
+    root: str,
+    checkpoint_file: str,
+    handle,
+    ignore_changes: bool = False,
+) -> int:
+    """Incremental consumption of a managed table — the Delta streaming-
+    source shape, as an explicit AvailableNow-style drain: each call
+    diffs the current PUBLISHED snapshot's file list against the last
+    checkpointed version, reads only the NEW files as one batch
+    DataFrame (field-ID-resolved, so renames don't break consumers), and
+    invokes ``handle(batch_df, version)``. The checkpoint (a tiny json,
+    atomically replaced) advances only after ``handle`` returns.
+
+    Delivery is AT-LEAST-ONCE across crashes (a death between handle and
+    checkpoint replays the batch); composing with ``commit(...,
+    txn=(app_id, version))`` in the handler makes the PIPELINE exactly-
+    once — the replayed version no-ops at the sink, the same contract as
+    commit_stream_append. History walking: every version between the
+    checkpoint and the head must still have its manifest (vacuum can
+    remove them — reset the checkpoint if so) and must be an append,
+    unless ``ignore_changes`` accepts re-delivery of rewritten files.
+
+    Returns the number of NEW files processed (0 = nothing to do;
+    an empty diff after a non-append change still advances the
+    checkpoint)."""
+    cur = current_version(root)
+    if cur is None:
+        return 0
+    last = 0
+    try:
+        with open(checkpoint_file, encoding="utf-8") as f:
+            last = json.load(f)["version"]
+    except FileNotFoundError:
+        pass
+    if cur <= last:
+        return 0
+    snap = read_snapshot(root, cur)
+    if last > 0 and not ignore_changes:
+        v = cur
+        while v is not None and v > last:
+            step = read_snapshot(root, v)  # FileNotFoundError if vacuumed
+            if step.operation != "append":
+                raise NonAppendChangeError(
+                    f"v{v} is {step.operation!r}, not append — rewritten "
+                    "files would be re-delivered; pass ignore_changes=True "
+                    "to accept that"
+                )
+            v = step.parent
+    prev_files = set(read_snapshot(root, last).files) if last > 0 else set()
+    new_files = [f for f in snap.files if f not in prev_files]
+    if new_files:
+        batch = (
+            _read_files_mapped(spark, root, snap, new_files)
+            if snap.schema
+            else spark.read.parquet(*(os.path.join(root, f) for f in new_files))
+        )
+        handle(batch, cur)
+    tmp = f"{checkpoint_file}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(json.dumps({"version": cur}))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, checkpoint_file)
+    return len(new_files)
+
+
 def compact(
     spark: SparkSession,
     root: str,

@@ -563,3 +563,75 @@ def test_commit_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert sorted(r.o_orderkey for r in got.collect()) == sorted(
         r.o_orderkey for r in want.collect()
     )
+
+
+def test_process_table_appends_incremental_feed(spark, tmp_path, nation):
+    """Delta-streaming-source shape: each drain sees only files appended
+    since its checkpoint; re-drains no-op; non-append history raises
+    without ignore_changes."""
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "feed.ckpt")
+    seen: list[tuple[int, int]] = []  # (version, rows)
+
+    def handle(bdf, version):
+        seen.append((version, bdf.count()))
+
+    tc.commit(nation.limit(10), root)                              # v1
+    assert tc.process_table_appends(spark, root, ckpt, handle) > 0
+    assert seen == [(1, 10)]
+
+    tc.commit(nation.limit(4), root, mode="append")                # v2
+    tc.commit(nation.limit(6), root, mode="append")                # v3
+    assert tc.process_table_appends(spark, root, ckpt, handle) > 0
+    assert seen[-1] == (3, 10)  # both pending appends in ONE batch
+
+    assert tc.process_table_appends(spark, root, ckpt, handle) == 0
+    assert len(seen) == 2  # nothing new -> handler not invoked
+
+    tc.compact(spark, root)                                        # v4 rewrite
+    with pytest.raises(tc.NonAppendChangeError):
+        tc.process_table_appends(spark, root, ckpt, handle)
+    # Accepting re-delivery drains the rewritten files and advances.
+    n = tc.process_table_appends(spark, root, ckpt, handle, ignore_changes=True)
+    assert n == len(tc.read_snapshot(root).files)
+    assert tc.process_table_appends(spark, root, ckpt, handle) == 0
+
+
+def test_process_table_appends_exactly_once_with_txn_sink(spark, tmp_path, nation):
+    """Crash between handle and checkpoint replays the batch; a txn-keyed
+    sink commit makes the pipeline exactly-once anyway."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "feed.ckpt")
+
+    def handle(bdf, version):
+        tc.commit(bdf, sink, mode="append", txn=("feed", version))
+
+    tc.commit(nation.limit(10), src)                               # v1
+    tc.process_table_appends(spark, src, ckpt, handle)
+    assert len(_rows(spark, sink)) == 10
+
+    tc.commit(nation.limit(5), src, mode="append")                 # v2
+    # Crash injection: handler runs (sink commits), checkpoint write dies.
+    import os as _os
+
+    real_replace = _os.replace
+
+    def boom(a, b):
+        if b == ckpt:
+            raise RuntimeError("crash before checkpoint")
+        return real_replace(a, b)
+
+    _os.replace = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash before checkpoint"):
+            tc.process_table_appends(spark, src, ckpt, handle)
+    finally:
+        _os.replace = real_replace
+    assert len(_rows(spark, sink)) == 15  # batch landed once
+
+    # Replay after the crash: sink txn watermark makes it a no-op commit.
+    v_before = tc.current_version(sink)
+    tc.process_table_appends(spark, src, ckpt, handle)
+    assert tc.current_version(sink) == v_before
+    assert len(_rows(spark, sink)) == 15  # exactly once end-to-end
