@@ -172,6 +172,59 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC.read_table(spark, root)
 
 
+_FEED_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "table_incremental_feed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    """,
+    tags=("lake", "incremental", "cdc"),
+)
+def table_incremental_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental table consumption end-to-end
+    (sources/table_commit.process_table_appends): a source table built in
+    two appends is drained into a sink table by two checkpointed feed
+    calls, each committing its batch with a txn watermark — then drained
+    a THIRD time (a no-op: nothing new) and the sink read back. The sink
+    must equal a plain SQL union of both slices: every appended row
+    delivered exactly once, none duplicated by the idle drain. This is
+    the Delta streaming-source contract the scale pipeline tails a lake
+    table with. Built once per source generation (fingerprint-keyed);
+    later calls are a lazy sink scan."""
+    import os as _os
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    sink = _FEED_TABLES.get(key)
+    if sink is None:
+        base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        work = tempfile.mkdtemp(prefix="sg_feed_")
+        src, sink, ckpt = (
+            _os.path.join(work, "src"),
+            _os.path.join(work, "sink"),
+            _os.path.join(work, "feed.ckpt"),
+        )
+
+        def handle(bdf, version):
+            TC.commit(bdf, sink, mode="append", txn=("feed", version))
+
+        TC.commit(base.filter(F.col("o_orderkey") % 4 == 0), src)
+        TC.process_table_appends(spark, src, ckpt, handle)
+        TC.commit(
+            base.filter(F.col("o_orderkey") % 4 == 1), src, mode="append"
+        )
+        TC.process_table_appends(spark, src, ckpt, handle)
+        assert TC.process_table_appends(spark, src, ckpt, handle) == 0
+        _FEED_TABLES[key] = sink
+    return TC.read_table(spark, sink)
+
+
 # ---------------------------------------------------------------------------
 # CDC changelog derivation (snapshot diff)
 # ---------------------------------------------------------------------------
