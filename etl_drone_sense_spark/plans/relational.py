@@ -1397,3 +1397,161 @@ def join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("key_attr").agg(
         F.count(F.lit(1)).alias("n"), dsum("rev", "revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data governance: one-pass profiling, declarative expectations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_columns",
+    oracle=f"""
+    SELECT 'o_orderkey' AS col, count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_v,
+           {davg_sql('o_orderkey', 'mean_v')}
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           {davg_sql('o_custkey', 'mean_v')}
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+           {davg_sql('o_totalprice', 'mean_v')}
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL, NULL
+    FROM orders
+    """,
+    tags=("profile", "governance"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling — the data-quality snapshot every pipeline
+    publishes with a dataset (null rate, cardinality, numeric extent,
+    mean). ALL columns' statistics are computed in a SINGLE wide
+    aggregate over one scan (Catalyst fuses them into one partial-agg
+    pipeline; count(DISTINCT ..) per column expands to one expand-node
+    pass, still one shuffle), then unpivoted to long form — never one
+    scan per column, which is the naive profiler's 10×-scan trap at
+    100 TB. Means use exact decimal sums (registry.davg) for cross-engine
+    hash parity; non-numeric columns carry NULL extents."""
+    o = t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    agg = o.agg(
+        *[
+            x
+            for c in ("o_orderkey", "o_custkey", "o_totalprice")
+            for x in (
+                (n - F.count(c)).alias(f"{c}__nn"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+                F.min(c).cast("double").alias(f"{c}__mn"),
+                F.max(c).cast("double").alias(f"{c}__mx"),
+                davg(c, f"{c}__av"),
+            )
+        ],
+        (n - F.count("o_orderstatus")).alias("o_orderstatus__nn"),
+        F.countDistinct("o_orderstatus").alias("o_orderstatus__nd"),
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_v"),
+            F.col(f"{c}__mx").alias("max_v"),
+            F.col(f"{c}__av").alias("mean_v"),
+        )
+        for c in ("o_orderkey", "o_custkey", "o_totalprice")
+    ] + [
+        F.struct(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus__nn").alias("n_null"),
+            F.col("o_orderstatus__nd").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_v"),
+            F.lit(None).cast("double").alias("max_v"),
+            F.lit(None).cast("double").alias("mean_v"),
+        )
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@register(
+    "validate_expectations",
+    oracle="""
+    SELECT 'orderkey_unique' AS rule,
+           count(*) - count(DISTINCT o_orderkey) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', count(*) - count(o_custkey) FROM orders
+    UNION ALL
+    SELECT 'totalprice_non_negative',
+           count(CASE WHEN o_totalprice < 0 THEN 1 END) FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_references_customer', count(*)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    tags=("governance", "expectations"),
+)
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data expectations (Delta constraints / Great-
+    Expectations shape): per-rule violation counts as data, not
+    exceptions — the gate a pipeline consults before publishing a
+    snapshot. Row-local rules (uniqueness, null, range, domain) fuse into
+    ONE aggregate over one scan; the referential rule is a LEFT ANTI
+    broadcast join counted in the same output relation. At 100 TB the
+    anti join's dim side (customer keys) broadcasts and the whole check
+    stays one fact-table pass."""
+    o = t(spark, sf_dir, "orders")
+    local = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "orderkey_unique"
+        ),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("custkey_not_null"),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias(
+            "totalprice_non_negative"
+        ),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("status_in_domain"),
+    )
+    rules = [
+        "orderkey_unique",
+        "custkey_not_null",
+        "totalprice_non_negative",
+        "status_in_domain",
+    ]
+    long = local.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"), F.col(r).alias("violations")
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        o.join(
+            F.broadcast(cust),
+            o.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("custkey_references_customer").alias("rule"), "violations")
+    )
+    return long.unionByName(orphans)

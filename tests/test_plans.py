@@ -275,3 +275,25 @@ def test_batched_topk_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_columns_is_single_scan(spark, sf_dir):
+    """All-column profiling must be ONE scan + one aggregate pipeline —
+    the naive per-column profiler scans the table once per column."""
+    plan = plan_of(spark, sf_dir, "profile_columns")
+    # formatted mode prints each node twice (tree + details); count the
+    # numbered detail entries only.
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scans) == 1, scans
+
+
+def test_validate_expectations_broadcasts_referential_dim(spark, sf_dir):
+    """The referential rule's customer side is dimension-sized: the anti
+    join must broadcast, keeping the whole check one fact pass."""
+    plan = plan_of(spark, sf_dir, "validate_expectations")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
