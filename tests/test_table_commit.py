@@ -635,3 +635,29 @@ def test_process_table_appends_exactly_once_with_txn_sink(spark, tmp_path, natio
     tc.process_table_appends(spark, src, ckpt, handle)
     assert tc.current_version(sink) == v_before
     assert len(_rows(spark, sink)) == 15  # exactly once end-to-end
+
+
+def test_metadata_commit_loses_race_cleanly(spark, tmp_path, nation):
+    """A rename racing a data commit goes through the same PUT-if-absent
+    CAS: the loser raises ConcurrentCommitError and the winner's version
+    is untouched (metadata commits have no artifacts to clean up)."""
+    root = str(tmp_path / "tbl")
+    tc.commit(nation.select("n_nationkey", "n_name"), root)  # v1
+    # Another writer lands v2 AFTER our stale parent read (v1): simulate
+    # the window by pinning the parent probe, then creating v2 on disk.
+    real_latest = tc._latest_committed_version
+    tc._latest_committed_version = lambda r: 1
+    try:
+        with open(tc._snapshot_path(root, 2), "x", encoding="utf-8") as f:
+            f.write(
+                tc.read_snapshot(root, 1)
+                .to_json()
+                .replace('"version": 1', '"version": 2')
+            )
+        with pytest.raises(tc.ConcurrentCommitError):
+            tc.rename_column(root, "n_name", "nation_name")
+    finally:
+        tc._latest_committed_version = real_latest
+    # The racer's manifest is intact; the schema is unchanged.
+    assert tc.read_snapshot(root, 2).version == 2
+    assert tc.read_table(spark, root).columns == ["n_nationkey", "n_name"]
