@@ -269,3 +269,68 @@ def drone_features_multivideo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(vids, lambda s: s["rtsp_url"]), ","
         ).alias("video_urls"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial radius join (latitude-band blocking)
+# ---------------------------------------------------------------------------
+
+_RADIUS_M = 100_000.0
+# POI coordinates derived from supplier keys (same style as the drone
+# positions above): deterministic, non-degenerate spread.
+_POI_LAT = "(((s_suppkey * 31) % 120) - 60 + 0.5)"
+_POI_LON = "(((s_suppkey * 17) % 340) - 170 + 0.5)"
+_DR_LAT = "(((c_custkey * 7) % 120) - 60 + 0.25)"
+_DR_LON = "(((c_custkey * 13) % 340) - 170 + 0.25)"
+
+
+@register(
+    "geo_radius_join",
+    oracle=f"""
+    SELECT c.c_custkey, s.s_suppkey,
+           round({haversine_sql(_DR_LAT, _DR_LON, _POI_LAT, _POI_LON)}, 4)
+               AS dist_m
+    FROM customer c CROSS JOIN supplier s
+    WHERE round({haversine_sql(_DR_LAT, _DR_LON, _POI_LAT, _POI_LON)}, 4)
+          <= {_RADIUS_M}
+    """,
+    tags=("geo", "join", "spatial"),
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join — every (drone, point-of-interest) pair within
+    100 km — as a LATITUDE-BAND BLOCKED equi-join, never a cross join:
+    one degree of latitude is a uniform ~111 km everywhere on the globe
+    (unlike longitude), so bucketing both sides by floor(lat) and
+    replicating the small POI side into its ±1 neighbor bands guarantees
+    every ≤100 km pair shares a band key. The exact haversine then
+    verifies candidates. Pair space is Σ|band-bucket|² over ~120 bands —
+    at 100 TB the blocking carries the join; the DuckDB oracle does the
+    honest quadratic join, which is exactly what this plan must agree
+    with. The POI side's 3× band replication is dimension-sized and
+    broadcasts (plan-asserted, tests/test_plans.py)."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7) % 120 - 60 + 0.25).cast("double").alias("dlat"),
+        ((F.col("c_custkey") * 13) % 340 - 170 + 0.25).cast("double").alias("dlon"),
+    )
+    poi = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 31) % 120 - 60 + 0.5).cast("double").alias("plat"),
+        ((F.col("s_suppkey") * 17) % 340 - 170 + 0.5).cast("double").alias("plon"),
+    )
+    shifts = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    poi_banded = poi.select(
+        "*",
+        F.explode(
+            F.transform(shifts, lambda d: F.floor(F.col("plat")) + d)
+        ).alias("band"),
+    )
+    cand = cust.withColumn("band", F.floor(F.col("dlat"))).join(
+        F.broadcast(poi_banded), "band"
+    )
+    dist = F.round(
+        haversine_m(F.col("dlat"), F.col("dlon"), F.col("plat"), F.col("plon")), 4
+    )
+    return cand.select(
+        "c_custkey", "s_suppkey", dist.alias("dist_m")
+    ).filter(F.col("dist_m") <= F.lit(_RADIUS_M))

@@ -297,3 +297,11 @@ def test_validate_expectations_broadcasts_referential_dim(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "validate_expectations")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_radius_join_is_banded_broadcast_not_cartesian(spark, sf_dir):
+    """The spatial radius join must be a band equi-join with the POI side
+    broadcast — a cross join here is the O(n·m) trap at scale."""
+    plan = plan_of(spark, sf_dir, "geo_radius_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
