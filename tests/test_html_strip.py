@@ -85,3 +85,46 @@ def test_extract_urls_document_order(spark):
         "http://a.io/1",
         'https://b.io/2',
     ]
+
+
+def test_canonicalize_url_combinatorial_parity(spark):
+    """Exhaustive structural sweep: every combination of scheme/port/path/
+    query/fragment shape through BOTH renderers in one batch — the class
+    of bug this guards (a shared-staging regex misfiring on a rare shape)
+    was found twice by round reviews; enumerate the space instead."""
+    import itertools
+
+    import duckdb
+
+    schemes = ["http://", "HTTPS://"]
+    hosts = ["a.io", "A.io:443", "a.io:8080"]
+    paths = ["", "/", "/p", "/p&q", "/p/"]
+    queries = [
+        "",
+        "?a=1",
+        "?utm_s=1",
+        "?utm_s=1&b=2",
+        "?a=1&utm_s=2",
+        "?utm_a=1&utm_b=2&c=3",
+        "?xutm_a=1",
+        "?a=1&b=2&utm_c=3",
+    ]
+    frags = ["", "#f", "#f?g=1"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    sdf = spark.createDataFrame([(u,) for u in urls], "u string")
+    spark_vals = [
+        r.c for r in sdf.select(TXT.canonicalize_url(F.col("u")).alias("c")).collect()
+    ]
+    expr = TXT.canonicalize_url_sql("u")
+    con = duckdb.connect()
+    duck_vals = [
+        con.execute(f"select {expr} from (select ? as u)", [u]).fetchone()[0]
+        for u in urls
+    ]
+    mismatches = [
+        (u, s, d) for u, s, d in zip(urls, spark_vals, duck_vals) if s != d
+    ]
+    assert not mismatches, mismatches[:5]
