@@ -110,11 +110,13 @@ def cross_source_overlap(
     Shape: distinct shingle hashes per doc (narrow) → explode → equi-join
     on the hash value with group_a < group_b → count shared hashes per
     pair. Only true shared-shingle buckets ever join."""
-    hashed = docs.select(
+    hashed = docs.withColumn("_toks", TXT.tokens(F.col(text_col))).select(
         F.col(id_col),
         F.col(group_col),
         F.explode(
-            F.array_distinct(TXT.shingle_hashes(F.col(text_col), shingle_n))
+            F.array_distinct(
+                TXT.shingle_hashes_from_tokens(F.col("_toks"), shingle_n)
+            )
         ).alias("h"),
     )
     a, b = hashed.alias("a"), hashed.alias("b")

@@ -109,9 +109,10 @@ def minhash_lsh_pairs(
     """
     hv = (
         rebalance_for_compute(df)
+        .withColumn("_toks", TXT.tokens(F.col(text_col)))
         .select(
             F.col(id_col),
-            TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv"),
+            TXT.shingle_hashes_from_tokens(F.col("_toks"), shingle_n).alias("hv"),
         )
     )
     hv = scoped_persist("dedup.minhash_hashes", hv)
@@ -174,10 +175,11 @@ def ngram_jaccard_pairs(
     ).select("id_a", "id_b")
     sets = (
         rebalance_for_compute(df)
+        .withColumn("_toks", TXT.tokens(F.col(text_col)))
         .select(
             F.col(id_col),
             F.array_distinct(
-                TXT.word_shingles(F.col(text_col), shingle_n)
+                TXT.shingles_from_tokens(F.col("_toks"), shingle_n)
             ).alias("sh"),
         )
     )
@@ -286,8 +288,13 @@ def minhash_index(
     of every future probe is a stored scan, not a recompute. Same hash
     family as ``minhash_lsh_pairs``, so probes against the stored index
     are bit-identical to an in-memory run."""
-    hv = rebalance_for_compute(df).select(
-        F.col(id_col), TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv")
+    hv = (
+        rebalance_for_compute(df)
+        .withColumn("_toks", TXT.tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            TXT.shingle_hashes_from_tokens(F.col("_toks"), shingle_n).alias("hv"),
+        )
     )
     hv = scoped_persist("dedup.minhash_index_hashes", hv)  # md5-once barrier
     sig = hv.select(
@@ -390,10 +397,11 @@ def minhash_lsh_pairs_incremental(
     """
     hv = (
         rebalance_for_compute(df)
+        .withColumn("_toks", TXT.tokens(F.col(text_col)))
         .select(
             F.col(id_col),
             new_pred.alias("_new"),
-            TXT.shingle_hashes(F.col(text_col), shingle_n).alias("hv"),
+            TXT.shingle_hashes_from_tokens(F.col("_toks"), shingle_n).alias("hv"),
         )
     )
     # The persist is a materialization BARRIER, not just reuse: without it

@@ -2378,8 +2378,10 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs once per row, not once per winnowing window."""
     from ..sources.readers import rebalance_for_compute
 
-    hv = rebalance_for_compute(t(spark, sf_dir, "documents")).withColumn(
-        "_hv", TXT.shingle_hashes(F.col("text"), 3)
+    hv = (
+        rebalance_for_compute(t(spark, sf_dir, "documents"))
+        .withColumn("_toks", TXT.tokens(F.col("text")))
+        .withColumn("_hv", TXT.shingle_hashes_from_tokens(F.col("_toks"), 3))
     )
     return hv.select(
         "doc_id",
