@@ -37,12 +37,16 @@ def chunk_documents(
     one projection, then a generator — no shuffle at any corpus size.
     """
     step = chunk_tokens - overlap
-    toks = TXT.tokens(F.col(text_col))
+    # Stage tokenization in a projected column: the slice lambda would
+    # otherwise re-evaluate the tokenize subtree once per chunk
+    # (functions/text.shingles_from_tokens rationale).
+    staged = docs.withColumn("_toks", TXT.tokens(F.col(text_col)))
+    toks = F.col("_toks")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
     )
     chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "_chunk"),
     ).select(
