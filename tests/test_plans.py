@@ -305,3 +305,22 @@ def test_geo_radius_join_is_banded_broadcast_not_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "geo_radius_join")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shingle_staging_survives_optimizer(spark, sf_dir):
+    """The staged-tokens projection must NOT be collapsed into the shingle
+    transform lambda: an inlined tokenize subtree re-evaluates once per
+    shingle (O(tokens²)/doc — the 6× regression r5 fixed). Guard: the
+    tokenize split() appears exactly once in the optimized plan, outside
+    the lambda."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.functions import text as TXT
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("_toks", TXT.tokens(F.col("text"))).select(
+        "doc_id", TXT.shingle_hashes_from_tokens(F.col("_toks"), 3).alias("hv")
+    )
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
