@@ -230,22 +230,22 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sig_cte() -> str:
+def _simhash_sig_cte(nbits: int = SIM_NBITS) -> str:
     return f"""
     sig AS (
-        SELECT doc_id, {TXT.simhash_bits_sql('text', SIM_NBITS)} AS simhash
+        SELECT doc_id, {TXT.simhash_bits_sql('text', nbits)} AS simhash
         FROM documents
     )"""
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH {_simhash_sig_cte()},
+def _simhash_oracle(nbits: int, blocks: int, max_hamming: int = 3) -> str:
+    width = nbits // blocks
+    return f"""
+    WITH {_simhash_sig_cte(nbits)},
     blocks AS (
         SELECT doc_id, simhash,
-               unnest([{", ".join(str(b) for b in range(SIM_BLOCKS))}]) AS block_idx,
-               unnest([{", ".join(f"substr(simhash, {b * (SIM_NBITS // SIM_BLOCKS) + 1}, {SIM_NBITS // SIM_BLOCKS})" for b in range(SIM_BLOCKS))}]) AS block_val
+               unnest([{", ".join(str(b) for b in range(blocks))}]) AS block_idx,
+               unnest([{", ".join(f"substr(simhash, {b * width + 1}, {width})" for b in range(blocks))}]) AS block_val
         FROM sig
     ),
     pairs AS (
@@ -255,10 +255,15 @@ def _simhash_sig_cte() -> str:
           ON a.block_idx = b.block_idx AND a.block_val = b.block_val
          AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, {TXT.hamming_bits_sql('sh_a', 'sh_b', SIM_NBITS)} AS hamming
+    SELECT id_a, id_b, {TXT.hamming_bits_sql('sh_a', 'sh_b', nbits)} AS hamming
     FROM pairs
-    WHERE {TXT.hamming_bits_sql('sh_a', 'sh_b', SIM_NBITS)} <= 3
-    """,
+    WHERE {TXT.hamming_bits_sql('sh_a', 'sh_b', nbits)} <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(SIM_NBITS, SIM_BLOCKS),
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,6 +275,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         max_hamming=3,
         nbits=SIM_NBITS,
+        blocks=SIM_BLOCKS,
+    )
+
+
+@register(
+    "dedup_simhash_wide",
+    oracle=_simhash_oracle(48, SIM_BLOCKS),
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The occupancy-scaled simhash twin (same discipline as
+    dedup_embedding_lsh_wide): 48-bit fingerprints / 4 pigeonhole blocks
+    of 12 bits — 4096 buckets per block where the 16-bit base config has
+    16, so Σ|bucket|² candidates shrink ~256× and the block width is what
+    a corpus ~256× this size runs at. 48 bits is the cap: token hashes
+    are 48-bit md5 prefixes, so any higher bit is constant and its block
+    would degenerate into an all-match key. Fully oracled from the same
+    parameterized renderer — the scale config is driver-certified."""
+    return dedup.simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        nbits=48,
         blocks=SIM_BLOCKS,
     )
 
