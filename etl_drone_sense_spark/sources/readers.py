@@ -222,6 +222,29 @@ def read_csv_records(
     )
 
 
+def read_orc_records(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (columnar like parquet: predicate pushdown + column
+    pruning reach the stripe footers). Schema optional — ORC embeds it —
+    but declaring one skips the footer-sample pass on wide directories."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text corpus ingestion: one row per line (``value`` string), or
+    one row per FILE with ``whole_file=True`` (document-per-file corpora).
+    Line mode splits at newlines inside Hadoop's splittable readers, so a
+    100 TB directory parallelizes by block; whole-file mode cannot split
+    (one task per file) — acceptable only when files are document-sized."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def decode_json_column(
     df: DataFrame, col: str, schema: T.StructType, mode: str = "FAILFAST"
 ) -> DataFrame:

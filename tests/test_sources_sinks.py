@@ -277,3 +277,38 @@ def test_scoped_persist_bounded(spark):
     release_caches()
     assert live_cache_count() == 0
     assert not b.storageLevel.useMemory
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.sources.readers import read_orc_records, read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = read_orc_records(spark, path)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+    # Columnar pushdown reaches the ORC scan like parquet.
+    plan = (
+        back.filter(F.col("n_nationkey") < 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_text_lines_and_whole_file(spark, tmp_path):
+    from etl_drone_sense_spark.sources.readers import read_text_lines
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("single doc body\nsecond line\n")
+    lines = read_text_lines(spark, str(d))
+    assert lines.count() == 4 and lines.columns == ["value"]
+    docs = read_text_lines(spark, str(d), whole_file=True)
+    vals = sorted(r.value for r in docs.collect())
+    assert len(vals) == 2 and vals[0].startswith("line one\nline two")
