@@ -234,6 +234,27 @@ def read_orc_records(
     return reader.orc(path)
 
 
+def read_avro_records(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Avro scan — GATED: Spark ships Avro as an external module
+    (``org.apache.spark:spark-avro``), absent from this container. On a
+    cluster submitted with the package this reads normally; here it
+    raises a clear error instead of Spark's opaque lookup failure."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise RuntimeError(
+                "Avro support needs the external spark-avro module: submit "
+                "with --packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from e
+        raise
+
+
 def read_text_lines(
     spark: SparkSession, path: str, whole_file: bool = False
 ) -> DataFrame:

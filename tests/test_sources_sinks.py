@@ -312,3 +312,14 @@ def test_text_lines_and_whole_file(spark, tmp_path):
     docs = read_text_lines(spark, str(d), whole_file=True)
     vals = sorted(r.value for r in docs.collect())
     assert len(vals) == 2 and vals[0].startswith("line one\nline two")
+
+
+def test_avro_reader_gate_is_clear(spark, tmp_path):
+    """No spark-avro module in this container: the reader must raise the
+    actionable gate error, not Spark's opaque data-source lookup failure."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources.readers import read_avro_records
+
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro_records(spark, str(tmp_path / "nope.avro")).count()
