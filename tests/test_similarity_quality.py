@@ -207,6 +207,9 @@ def test_pq_recall_beats_random(spark):
     regeneration). Near-isotropic random 64-d embeddings are PQ's hardest
     regime: recall@10 ~0.2 here vs a 0.02 random baseline — we assert the
     self-hit plus at least one true neighbor (≥10x random chance)."""
+    from .helpers import skip_unless_frozen_artifacts_fresh
+
+    skip_unless_frozen_artifacts_fresh()
     from etl_drone_sense_spark.operators.similarity import pq_topk_adc
     from etl_drone_sense_spark.plans._frozen_pq import FROZEN_PQ, PQ_DSUB
 

@@ -130,7 +130,26 @@ def main() -> None:
             f.write(f"    ({j}, {c}, {vec!r}),\n")
         f.write("]\n")
 
-    print(f"wrote {cb}\nwrote {pqf}")
+    from etl_drone_sense_spark.sources.readers import fixture_fingerprint
+
+    meta = os.path.join(REPO, "etl_drone_sense_spark", "plans", "_frozen_meta.py")
+    fp = fixture_fingerprint(f"{sf_dir}/embeddings.parquet")
+    with open(meta, "w", encoding="utf-8") as f:
+        f.write(
+            '"""Which fixture generation the frozen artifacts were trained on.\n'
+            "\n"
+            "Distribution-dependent quality tests compare this against the\n"
+            "CURRENT embeddings footer and SKIP with a retrain instruction when\n"
+            "the driver has regenerated /root/testdata (oracle parity is\n"
+            "unaffected — both engines share the stale literals — but recall\n"
+            "collapses on data the codebooks never saw). Regenerated by\n"
+            "tools/freeze_artifacts.py; never edit by hand.\n"
+            '"""\n\n'
+            f"TRAINED_ON_SF_DIR = {sf_dir!r}\n"
+            f"TRAINED_ON_FINGERPRINT = {fp!r}\n"
+        )
+
+    print(f"wrote {cb}\nwrote {pqf}\nwrote {meta}")
 
 
 if __name__ == "__main__":
