@@ -1113,6 +1113,43 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_name
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the remaining cell of the
+    streaming-join matrix (stream-stream inner/outer interval joins are
+    covered by stream_interval_join/_outer): a streaming event feed joined
+    to a static dimension. The static side re-broadcasts per micro-batch
+    with no state store at all — the scale-preferred join whenever one
+    side is a slowly-changing dim, since a stream-stream join would hold
+    BOTH sides in state. Stateless ⇒ append mode, exact rows ⇒ full hash
+    oracle. Drained AvailableNow to a memory sink like the other
+    streaming queries."""
+    import uuid
+
+    from ..streaming import pipeline as SP
+    from .extensions import _events_landing
+
+    landing = _events_landing(spark, sf_dir)
+    stream = SP.stream_events(spark, landing)
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_name"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_name"
+    )
+    name = f"reg_enrich_stream_{uuid.uuid4().hex[:8]}"
+    q = SP.run_to_memory(enriched, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Retention cohorts (event analytics)
 # ---------------------------------------------------------------------------
