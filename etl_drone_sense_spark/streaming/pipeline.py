@@ -140,6 +140,104 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+_TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+try:  # the API landed in Spark 4; older sessions fall back cleanly
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _StatefulProcessorBase,
+    )
+except ImportError:  # pragma: no cover - present in this environment
+    _StatefulProcessorBase = object  # type: ignore[assignment,misc]
+
+
+class _TotalsProcessor(_StatefulProcessorBase):
+    """StatefulProcessor for ``transformWithStateInPandas`` — Spark 4's
+    successor API to applyInPandasWithState: named state variables on a
+    handle (ValueState here; ListState/MapState/timers available), backed
+    by the RocksDB state store. Same fixed-point int64 convention as
+    ``_update_totals``, so the emitted aggregates are exact under any
+    batch split — which is what keeps the operator hash-oracle-able."""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState(
+            "agg", "total_q long, n long, max_q long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        total_q, n, max_q = (
+            self._agg.get() if self._agg.exists() else (0, 0, None)
+        )
+        for pdf in rows:
+            q = np.floor(pdf["value"].to_numpy(dtype=np.float64) * 1e6 + 0.5)
+            qi = q.astype(np.int64)
+            total_q += int(qi.sum())
+            n += len(pdf)
+            if len(qi):
+                m = int(qi.max())
+                max_q = m if max_q is None else max(max_q, m)
+        self._agg.update((total_q, n, max_q))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "total_value": [round(total_q / 1e6, 6)],
+                "n_seen": [n],
+                "max_value": [round(max_q / 1e6, 6) if max_q is not None else None],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """Can ``transformWithStateInPandas`` run HERE? The API's streaming
+    Python driver worker talks to the JVM over protobuf; this container
+    ships a broken google.protobuf (no ``descriptor`` module), so the
+    worker crashes at init. On a normally-provisioned cluster (protobuf
+    installed, RocksDB provider configured) the operator runs as-is."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` custom operator (the modern twin of
+    ``running_totals_stateful``): per-user exact totals + max via a named
+    ValueState. ENVIRONMENT-GATED: check ``tws_available()`` first — see
+    its docstring; also needs the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``). The oracle-able
+    semantics (fixed-point exactness) match running_totals_stateful,
+    whose registered query carries the driver hash check for this state
+    shape."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a working google.protobuf "
+            "in the Python environment (absent in this container) — "
+            "use running_totals_stateful (applyInPandasWithState) here"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TotalsProcessor(),
+        outputStructType=_TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def attribution_join(
     clicks: DataFrame,
     views: DataFrame,

@@ -260,3 +260,49 @@ def test_attribution_join_state_spans_micro_batches(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == exp
+
+
+def test_tws_operator_gated_or_runs(spark, sf_dir):
+    """transformWithStateInPandas twin: on a normally-provisioned cluster
+    it runs and must equal the batch aggregate; in this container (broken
+    google.protobuf) the gate must raise the actionable error instead of
+    the opaque worker crash."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources.readers import read_table
+    from etl_drone_sense_spark.streaming import pipeline as SP
+
+    events = read_table(spark, sf_dir, "events")
+    if not SP.tws_available():
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            SP.running_totals_tws(events)
+        return
+    import uuid
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from etl_drone_sense_spark.plans.extensions import _events_landing
+
+    landing = _events_landing(spark, sf_dir)
+    stream = SP.running_totals_tws(SP.stream_events(spark, landing))
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    SP.run_to_memory(stream, name, output_mode="update").awaitTermination()
+    got = {
+        r.user_id: (r.total_value, r.n_seen)
+        for r in spark.table(name).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        r.user_id: (round(r.tq / 1e6, 6), r.n)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long")).alias("tq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
