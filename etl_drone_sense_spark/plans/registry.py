@@ -337,6 +337,16 @@ TOUCHED_R05: tuple[str, ...] = (
     "agg_approx_distinct",
     "agg_approx_percentile",
     "dedup_semantic",
+    # Staged-tokenization refactor (shingles built from a projected tokens
+    # column — the O(tokens²) lambda fix) rewired every shingle consumer:
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_simhash",
+    "corpus_contamination",
+    "corpus_chunking",
+    "corpus_prepare_pipeline",
+    "text_winnowing",
 )
 
 
