@@ -1,0 +1,58 @@
+"""Registry self-consistency: the driver contract degrades silently when
+these drift (a bench query with no budget, an undeclared rows-only entry,
+a forced-head name that no longer exists), so pin them."""
+
+from __future__ import annotations
+
+from etl_drone_sense_spark.plans import registry as RG
+
+RG.all_queries()  # populate
+
+# The ONLY queries allowed to ship without a DuckDB oracle, with the
+# documented reason (SURVEY §2.D).
+DECLARED_ROWS_ONLY = {
+    "stream_tumbling_counts",  # unbounded-schedule watermark eviction
+    "sim_kmeans_ivf_topk",  # in-query iterative k-means training
+}
+
+
+def test_rows_only_set_is_exactly_the_declared_one():
+    actual = {n for n, s in RG.REGISTRY.items() if s.oracle is None}
+    assert actual == DECLARED_ROWS_ONLY
+
+
+def test_every_bench_query_has_a_budget():
+    import bench
+
+    bench_names = {n for n, s in RG.REGISTRY.items() if s.bench}
+    missing = bench_names - set(bench.BUDGETS_S)
+    assert not missing, f"bench queries without a budget: {sorted(missing)}"
+
+
+def test_touched_and_checked_names_exist():
+    known = set(RG.REGISTRY)
+    for group in (
+        RG.TOUCHED_R05,
+        RG.DRIVER_CHECKED_R04,
+        RG.DRIVER_CHECKED_R03,
+        RG.DRIVER_CHECKED_R02,
+        RG.DRIVER_CHECKED_R01,
+    ):
+        stale = set(group) - known
+        assert not stale, f"window bookkeeping names not in registry: {stale}"
+
+
+def test_window_head_covers_everything_unverified_or_touched():
+    """The driver checks the FIRST ~50 names: every touched-this-round and
+    never-driver-checked query must sort inside that window."""
+    order = list(RG.all_queries())
+    head = set(order[:50])
+    ever_checked = (
+        set(RG.DRIVER_CHECKED_R01)
+        | set(RG.DRIVER_CHECKED_R02)
+        | set(RG.DRIVER_CHECKED_R03)
+        | set(RG.DRIVER_CHECKED_R04)
+    )
+    must_be_in_head = set(RG.TOUCHED_R05) | (set(order) - ever_checked)
+    missing = must_be_in_head - head
+    assert not missing, f"outside the driver window: {sorted(missing)}"
