@@ -1209,25 +1209,26 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits TRUE unconditionally; a sketch outside the band hash-mismatches
     and the driver flags it — the tolerance check rides the hash gate."""
     li = t(spark, sf_dir, "lineitem")
+    # One percentile agg per column (array of percentages = one sorted
+    # pass each), not one per (column, percentage) — 8 separate aggs
+    # measured ~2× slower at sf0.1.
     g = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("med_a"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_a"),
-        F.percentile("l_extendedprice", F.lit(0.48)).alias("med_lo"),
-        F.percentile("l_extendedprice", F.lit(0.52)).alias("med_hi"),
-        F.percentile("l_quantity", F.lit(0.88)).alias("p90_lo"),
-        F.percentile("l_quantity", F.lit(0.92)).alias("p90_hi"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "price_median_exact"
-        ),
-        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("qty_p90_exact"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.48), F.lit(0.5), F.lit(0.52))
+        ).alias("price_pcts"),
+        F.percentile(
+            "l_quantity", F.array(F.lit(0.88), F.lit(0.9), F.lit(0.92))
+        ).alias("qty_pcts"),
     )
     return g.select(
         "l_returnflag",
-        "price_median_exact",
-        "qty_p90_exact",
+        F.round(F.col("price_pcts")[1], 4).alias("price_median_exact"),
+        F.round(F.col("qty_pcts")[1], 4).alias("qty_p90_exact"),
         (
-            F.col("med_a").between(F.col("med_lo"), F.col("med_hi"))
-            & F.col("p90_a").between(F.col("p90_lo"), F.col("p90_hi"))
+            F.col("med_a").between(F.col("price_pcts")[0], F.col("price_pcts")[2])
+            & F.col("p90_a").between(F.col("qty_pcts")[0], F.col("qty_pcts")[2])
         ).alias("within_tol"),
     )
 
