@@ -661,3 +661,51 @@ def test_metadata_commit_loses_race_cleanly(spark, tmp_path, nation):
     # The racer's manifest is intact; the schema is unchanged.
     assert tc.read_snapshot(root, 2).version == 2
     assert tc.read_table(spark, root).columns == ["n_nationkey", "n_name"]
+
+
+def test_pruned_read_across_mixed_stats_epochs(spark, sf_dir, tmp_path):
+    """After a rename, appended files record stats under the NEW physical
+    name while old files keep the OLD one — pruning must resolve each
+    file's stats through its own write-time mapping, and prune BOTH
+    epochs."""
+    from pyspark.sql import functions as F
+
+    nation = read_table(spark, sf_dir, "nation")
+    root = str(tmp_path / "tbl")
+    tc.commit(
+        nation.select("n_nationkey", "n_name")
+        .repartition(4, "n_nationkey")
+        .sortWithinPartitions("n_nationkey"),
+        root,
+        stats_cols=["n_nationkey"],
+    )
+    tc.rename_column(root, "n_nationkey", "nation_key")
+    extra = nation.select(
+        (nation.n_nationkey + 100).alias("nation_key"),
+        nation.n_name.alias("n_name"),
+    )
+    tc.commit(
+        extra.repartition(4, "nation_key").sortWithinPartitions("nation_key"),
+        root,
+        mode="append",
+        stats_cols=["nation_key"],
+    )
+    snap = tc.read_snapshot(root)
+    assert len(snap.files) == 8
+    # Predicate inside the OLD epoch's range only: every new-epoch file
+    # (all keys >= 100) must be skipped, plus non-overlapping old files.
+    pruned = tc.pruned_file_count(root, "nation_key", 0, 3)
+    assert pruned <= 4, pruned
+    got = sorted(
+        r.nation_key
+        for r in tc.read_table_pruned(spark, root, "nation_key", 0, 3).collect()
+    )
+    assert got == [0, 1, 2, 3]
+    # And a predicate inside the NEW epoch's range skips the old epoch.
+    pruned_new = tc.pruned_file_count(root, "nation_key", 110, 112)
+    assert pruned_new <= 4, pruned_new
+    got_new = sorted(
+        r.nation_key
+        for r in tc.read_table_pruned(spark, root, "nation_key", 110, 112).collect()
+    )
+    assert got_new == [110, 111, 112]
