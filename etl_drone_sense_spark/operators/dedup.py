@@ -514,3 +514,62 @@ def paragraph_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def duplicated_span_stats(
+    docs: DataFrame, id_col: str, text_col: str, width: int = 8
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span audit (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): for every document, how much of it is covered by
+    token spans of ``width`` words that also occur verbatim in ANOTHER
+    document. The paper removes the spans; this operator emits the
+    per-document measurement that drives that removal (and is the usual
+    corpus-health metric when span surgery is too aggressive).
+
+    Returns (id, n_spans, n_dup_spans, dup_frac) for EVERY input document
+    (short docs with < width tokens report 0 spans).
+
+    Scale shape — the suffix-array of the paper replaced by hashed fixed
+    width spans, which distribute: explode to one 48-bit hash per span
+    position (narrow, staged-tokens so the tokenize subtree evaluates once
+    per doc, not per span), ONE shuffle on the span hash to find hashes in
+    >= 2 distinct docs, a semi join back on the same hash (AQE broadcasts
+    the dup set when small), then a groupBy on the doc id. Nothing is
+    quadratic: a boilerplate span shared by millions of docs is one hot
+    hash group, not a pair explosion.
+    """
+    toks = docs.select(
+        F.col(id_col), TXT.tokens(F.col(text_col)).alias("_toks")
+    )
+    spans = toks.filter(F.size("_toks") >= width).select(
+        F.col(id_col),
+        F.explode(
+            TXT.shingle_hashes_from_tokens(F.col("_toks"), width)
+        ).alias("h"),
+    )
+    # The span relation feeds both the dup-hash agg and the semi join;
+    # persist it so the shingle+md5 pipeline (the dominant cost) runs once.
+    spans = scoped_persist("dedup.span_hashes", spans)
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        spans.join(dup, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_dup"))
+    )
+    n_spans = F.greatest(F.size("_toks") - (width - 1), F.lit(0))
+    return toks.join(per_doc, on=id_col, how="left").select(
+        F.col(id_col),
+        n_spans.cast("long").alias("n_spans"),
+        F.coalesce("_n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.coalesce("_n_dup", F.lit(0))
+            / F.greatest(n_spans, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -336,6 +336,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_W = 8  # ExactSubstr span width in tokens (the paper uses 50 BPE tokens
+# on web-scale corpora; 8 words keeps the fixture's seeded near-dups — which
+# share sentence-length runs — detectable while staying far above chance
+# 8-gram collisions)
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TXT.tokens_sql('text')} AS tk FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(tk) - {SPAN_W - 1}, 0) + 1),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            list_slice(tk, i, i + {SPAN_W - 1}), ' ')), 1, 12)
+                        )::BIGINT % {TXT.MINHASH_P})) AS h
+        FROM toks WHERE len(tk) >= {SPAN_W}
+    ),
+    dup AS (
+        SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_dup FROM spans
+        WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.tk) - {SPAN_W - 1}, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           round(coalesce(p.n_dup, 0) * 1.0
+                 / greatest(len(t.tk) - {SPAN_W - 1}, 1), 6) AS dup_frac
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span audit (Lee et al. 2022): per document,
+    the count and fraction of width-8 token spans that occur verbatim in
+    at least one OTHER document — the distributed, hashed-span stand-in
+    for the paper's suffix array (see operators/dedup.py for the shape)."""
+    return dedup.duplicated_span_stats(
+        t(spark, sf_dir, "documents"), "doc_id", "text", width=SPAN_W
+    )
+
+
 # Embeddings fixture + deterministic near-duplicate companions: the raw
 # fixture's within-label cosines top out ≈0.47, so a 0.8 dedup threshold on
 # it proves nothing (round-1 oracle row was 0 = 0). Every 10th vector is

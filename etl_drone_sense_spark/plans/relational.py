@@ -175,6 +175,291 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over a quarter.
+
+    Scale: the quarter filter prunes orders at the scan; the returnflag
+    filter prunes lineitem before the orderkey shuffle join. nation is
+    always tiny → explicit broadcast; customer gets no hint (threshold
+    decides, same policy as q5). Top-20 is a TakeOrderedAndProject heap —
+    no global sort of the grouped output."""
+    cust = t(spark, sf_dir, "customer")
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "outer"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over ALL customers,
+    including zero-order ones (the left join + count(col) null semantics;
+    the reference fixture has no o_comment, so the classic NOT LIKE
+    anti-filter is carried by o_orderpriority instead — same shape: a
+    predicate on the NULL-supplying side inside the join condition).
+
+    Scale: first agg shuffles on custkey (same key as the join — AQE
+    reuses the exchange), second agg's key space is tiny (distinct order
+    counts) → map-side combine collapses it."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(
+        100.0
+        * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+        / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE), 6
+    ) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("join", "agg", "scalar"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share).
+
+    Scale: the CASE folds the promo predicate into the aggregate, so one
+    pass computes both sums — no second scan, no self-join. part is the
+    build side of the partkey join (no hint — threshold decides at SF).
+    Both sums are exact decimal → the double ratio is deterministic across
+    partition orders, so round(..,6) is hash-stable."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(dsum(promo, "x"), dsum(disc_price, "y"))
+        .select(
+            F.round(F.lit(100.0) * F.col("x") / F.col("y"), 6).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {dsum_sql("l.l_quantity", "sum_qty")}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "subquery", "topk"),
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (HAVING-filtered semi join).
+
+    Scale: the qualifying-orderkey set is computed by ONE agg over
+    lineitem (map-side partial on orderkey) and is tiny after the
+    HAVING filter — it left-semi joins into orders as a broadcast.
+    The second lineitem pass re-aggregates only qualifying orders'
+    lines. Two lineitem scans beat materializing per-order sums for
+    ALL orders through the customer join at 100 TB (the qualifying set
+    is ~1e-4 of orders)."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_bracket_disjunction",
+    oracle=f"""
+    SELECT {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join", "filter", "scalar"),
+)
+def q19_bracket_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates across the join.
+
+    Scale: Catalyst derives the single-side implications of the OR —
+    part prunes to the three brands, lineitem to the qty hull [1,50] —
+    BEFORE the join (constraint propagation); only the residual
+    disjunction evaluates post-join. The interesting check is that the
+    brand IN-list reaches the part scan as a pushed filter."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    b = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_balance",
+    oracle=f"""
+    SELECT n.n_name, count(*) AS numcust,
+           {dsum_sql("c.c_acctbal", "totacctbal")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("join", "agg", "subquery", "anti"),
+)
+def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers dormant since 2000
+    (uncorrelated scalar subquery + anti join; the fixture's c_phone-less
+    customer table carries the country grouping via nation instead of
+    phone prefixes — every fixture customer has SOME order, so dormancy
+    is date-scoped to keep the anti join non-vacuous).
+
+    Scale: the scalar avg is one tiny agg broadcast into the filter; the
+    anti join shuffles on custkey against date-pruned orders (recent
+    orders only — a small fraction of the lake at any SF)."""
+    cust = t(spark, sf_dir, "customer")
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
     "agg_distinct",
     oracle="""
     SELECT o_orderpriority,
