@@ -1,0 +1,82 @@
+"""Pandas GROUPED_AGG UDAF surface (SURVEY §2 Part B, UDF matrix).
+
+The reference has no aggregate surface at all (its dataflow is one narrow
+map, reference task.ts:123-214); this module exists because a complete
+engine must let users register custom aggregates, and the scalable way to
+do that in PySpark is the Arrow-batched GROUPED_AGG pandas UDF — never a
+row-at-a-time Python UDAF.
+
+Scale rule encoded here: a GROUPED_AGG UDF materializes each group as one
+in-memory pandas Series on one executor, so it must NEVER see raw fact
+rows (an unbounded group OOMs). The shape below pre-shrinks with a
+BUILT-IN fixed-point partial aggregate keyed by (group, bucket) — map-side
+combinable, shuffles only (group × buckets) rows — and lets the UDAF do
+the final, non-distributive math over at most ``buckets`` partials per
+group. This is the same partial/final split Spark applies to its own
+aggregates, made explicit because custom Python aggregates don't get it
+for free.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PRICE_E4 = 10_000  # fixed-point scale: 4 decimal digits of price
+
+
+@F.pandas_udf("double")
+def _weighted_avg_e4(wsum: pd.Series, qsum: pd.Series) -> float:
+    """Final-stage weighted mean over fixed-point partials.
+
+    Partials are int64-exact, so their Python-int sums are exact and
+    order-independent; the single double division + half-up round happen
+    once per group, matching the oracle's round(x, 6) bit-for-bit."""
+    num = int(wsum.sum())
+    den = int(qsum.sum())
+    if den == 0:
+        return 0.0
+    x = float(num) / PRICE_E4 / float(den)
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+@F.pandas_udf("long")
+def _sum_long(qsum: pd.Series) -> int:
+    """Exact int64 sum of partials (Spark disallows mixing GROUPED_AGG
+    pandas UDFs with built-in aggregates in one agg, so the companion
+    count rides the same Arrow batch as a second UDAF)."""
+    return int(qsum.sum())
+
+
+def weighted_avg_price(
+    df: DataFrame,
+    group_col: str,
+    price_col: str,
+    qty_col: str,
+    bucket: Column,
+    buckets: int = 256,
+) -> DataFrame:
+    """Quantity-weighted average price per group via a GROUPED_AGG pandas
+    UDAF over built-in fixed-point partials.
+
+    Returns (group_col, weighted_avg_price, n_units). ``bucket`` is any
+    deterministic int expression over the row (e.g. ``pmod(l_orderkey,
+    256)``) used only to bound the partial relation's size per group.
+    """
+    partial = (
+        df.groupBy(F.col(group_col), F.pmod(bucket, F.lit(buckets)).alias("_b"))
+        .agg(
+            F.sum(
+                F.round(F.col(price_col) * PRICE_E4).cast("long")
+                * F.col(qty_col).cast("long")
+            ).alias("_wsum"),
+            F.sum(F.col(qty_col).cast("long")).alias("_qsum"),
+        )
+    )
+    return partial.groupBy(group_col).agg(
+        _weighted_avg_e4("_wsum", "_qsum").alias("weighted_avg_price"),
+        _sum_long("_qsum").alias("n_units"),
+    )

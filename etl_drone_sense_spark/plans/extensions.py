@@ -1968,6 +1968,39 @@ def grouped_map_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(t(spark, sf_dir, "embeddings"), dim=64)
 
 
+@register(
+    "udaf_weighted_price",
+    oracle="""
+    SELECT l_returnflag,
+           round(
+               CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000
+               / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 6
+           ) AS weighted_avg_price,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n_units
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pandas_udf", "udaf"),
+)
+def udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas UDAF (quantity-weighted
+    average price per return flag) — the remaining cell of the UDF
+    surface matrix (scalar/mapInPandas/applyInPandas/withState/UDTF are
+    elsewhere in this registry). The UDAF only ever sees <= 256
+    fixed-point partials per group, never raw fact rows — see
+    operators/udafs.py for why that split is mandatory at scale."""
+    from ..operators import udafs
+
+    li = t(spark, sf_dir, "lineitem")
+    return udafs.weighted_avg_price(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        bucket=F.col("l_orderkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus preparation (chunking, splits, contamination)
 # ---------------------------------------------------------------------------

@@ -324,3 +324,37 @@ def test_shingle_staging_survives_optimizer(spark, sf_dir):
     )
     plan = staged._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
+
+
+def test_runtime_bloom_filter_on_selective_shuffle_join(spark, sf_dir):
+    """When a selective dim filter feeds a SHUFFLE join (broadcast is the
+    first choice, but a dim over the threshold shuffles), Spark 4 can
+    inject a runtime bloom filter: the dim's join keys are sketched and
+    `might_contain` prunes fact rows BEFORE the fact side's shuffle —
+    at 100 TB that's the difference between shuffling the whole fact
+    table and shuffling the ~matching fraction. The engine leaves the
+    feature enabled; this pins that it actually fires on the canonical
+    fact⨝filtered-dim shape (thresholds lowered to local-fixture scale
+    the way a 100 TB run would meet them naturally)."""
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = read_table(spark, sf_dir, "lineitem")
+        part = read_table(spark, sf_dir, "part").filter("p_type = 'PROMO'")
+        j = li.join(part, li.l_partkey == part.p_partkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
