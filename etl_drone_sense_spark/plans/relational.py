@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import scoped_persist
 from ..operators.skew import salted_join
 from ..sources.readers import rebalance_for_compute
 from .registry import davg, davg_sql, dsum, dsum_sql, register, t
@@ -456,6 +457,278 @@ def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
         .orderBy("n_name")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount", "revenue")},
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "scalar"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown benchmark.
+
+    Scale: all three predicates (date range, discount band, quantity cap)
+    push into the parquet scan as PushedFilters with row-group min/max
+    skipping; the agg reduces to one row with map-side partials — the
+    whole query is scan-bound, which is the point."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year —
+    the same dimension table (nation) joined twice under a disjunctive
+    cross-side predicate.
+
+    Scale: both nation joins broadcast (always-tiny dim, two aliases);
+    the pair disjunction can't split per-side beyond the 2-nation IN
+    hull, which Catalyst DOES derive and push to both scans — supplier
+    and customer prune to two nations' worth before the fact joins."""
+    n1 = F.broadcast(t(spark, sf_dir, "nation")).alias("n1")
+    n2 = F.broadcast(t(spark, sf_dir, "nation")).alias("n2")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    pair = (
+        (F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2")
+    ) | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(pair)
+        .select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_vol"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("_vol", "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(
+               CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                                  ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(sum(CAST(volume AS DECIMAL(28,6))) AS DOUBLE), 6
+           ) AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's market
+    for one part type, by order year — the widest join web in the set
+    (8 tables, nation twice).
+
+    Scale: region/nation broadcast; the p_type filter prunes part before
+    its partkey join into lineitem (the most selective edge, so Catalyst
+    starts there); the share is a conditional aggregate over ONE pass —
+    no per-nation re-scan."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n1 = F.broadcast(t(spark, sf_dir, "nation")).alias("n1")
+    n2 = F.broadcast(t(spark, sf_dir, "nation")).alias("n2")
+    r = F.broadcast(t(spark, sf_dir, "region")).filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(r, F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    num = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0)
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(dsum(num, "_num"), dsum("volume", "_den"))
+        .select(
+            "o_year",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) hitting the quarter's maximum
+    revenue — an aggregate reused by both the probe and its own scalar max
+    (the classic view-reuse query).
+
+    Scale: the revenue relation is one map-side-combinable agg keyed by
+    suppkey; its scalar max is a one-row broadcast; the equality filter
+    is exact because both sides are the same decimal-summed doubles.
+    supplier joins only the (tiny) max-revenue survivors — broadcast."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    rev = scoped_persist(
+        "relational.q15_revenue", rev
+    )  # reused by the max subquery and the probe
+    best = rev.agg(F.max("total_revenue").alias("_max"))
+    top = (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .drop("_max")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    tags=("join", "agg", "subquery", "scalar"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below half their part's average quantity —
+    a correlated aggregate subquery decorrelated into a per-part agg join.
+
+    Scale: the per-part average is ONE agg over lineitem keyed by partkey
+    (map-side partials; quantities are small ints so the double avg is
+    exact), joined back on the same key — the shuffle is shared with the
+    brand join under AQE instead of a per-row re-scan. 7.0 = the
+    fixture's ship-date year span (1995-2001)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("_pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
 
 
