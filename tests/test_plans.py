@@ -358,3 +358,30 @@ def test_runtime_bloom_filter_on_selective_shuffle_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q6_pushes_all_predicates_to_scan(spark, sf_dir):
+    """Q6 is the pushdown benchmark: every predicate (date range, discount
+    band, quantity cap) must reach the parquet scan as a PushedFilter —
+    row-group min/max skipping is what makes this query scan-bound."""
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate,1997-01-01",
+        "LessThan(l_shipdate,1998-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"predicate not pushed: {frag}"
+
+
+def test_q19_disjunction_derives_per_side_pushdown(spark, sf_dir):
+    """The OR'd brackets span both join sides; Catalyst must derive each
+    side's implication (brand/size disjunction → part scan, quantity hull
+    → lineitem scan) and push it below the join — without this the
+    disjunction only filters post-join and both scans read everything."""
+    plan = plan_of(spark, sf_dir, "q19_bracket_disjunction")
+    assert "EqualTo(p_brand,Brand#11)" in plan, "brand OR not pushed to part"
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, (
+        "quantity hull not pushed to lineitem"
+    )
