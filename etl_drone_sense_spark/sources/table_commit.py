@@ -36,6 +36,8 @@ addition (SURVEY §2 C, storage management), not a reference behavior.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import shutil
@@ -82,6 +84,11 @@ class Snapshot:
     # how each immutable file's physical columns bind to field ids. Carried
     # forward like stats; reads resolve through it.
     file_fields: tuple[tuple[str, str], ...] = ()
+    # Per-file bloom filters for EQUALITY skipping on high-cardinality
+    # columns where min/max can't prune (a uniform id column spans every
+    # file's [min,max]): (file, json-of-{col: "m:k:base64(bits)"}).
+    # Same carry-forward rules as stats; absent blooms never prune.
+    blooms: tuple[tuple[str, str], ...] = ()
 
     @property
     def txn_map(self) -> dict[str, int]:
@@ -95,6 +102,10 @@ class Snapshot:
     def file_fields_map(self) -> dict[str, dict[str, int]]:
         return {f: json.loads(s) for f, s in self.file_fields}
 
+    @property
+    def blooms_map(self) -> dict[str, dict[str, str]]:
+        return {f: json.loads(s) for f, s in self.blooms}
+
     def to_json(self) -> str:
         return json.dumps(
             {
@@ -106,6 +117,7 @@ class Snapshot:
                 "stats": {f: json.loads(s) for f, s in self.stats},
                 "schema": [[i, n] for i, n in self.schema],
                 "file_fields": {f: json.loads(s) for f, s in self.file_fields},
+                "blooms": {f: json.loads(s) for f, s in self.blooms},
             },
             indent=1,
         )
@@ -130,6 +142,12 @@ class Snapshot:
                 sorted(
                     (f, json.dumps(m, sort_keys=True))
                     for f, m in d.get("file_fields", {}).items()
+                )
+            ),
+            blooms=tuple(
+                sorted(
+                    (f, json.dumps(m, sort_keys=True))
+                    for f, m in d.get("blooms", {}).items()
                 )
             ),
         )
@@ -215,6 +233,7 @@ def _metadata_commit(root: str, operation: str, schema_fn) -> Snapshot:
         stats=parent_snap.stats,
         schema=schema_fn(schema),
         file_fields=file_fields,
+        blooms=parent_snap.blooms,
     )
     try:
         with open(_snapshot_path(root, snap.version), "x", encoding="utf-8") as f:
@@ -251,6 +270,7 @@ def rollback(root: str, to_version: int) -> Snapshot:
         stats=old.stats,
         schema=schema,
         file_fields=file_fields,
+        blooms=old.blooms,
     )
     try:
         with open(_snapshot_path(root, snap.version), "x", encoding="utf-8") as f:
@@ -411,6 +431,139 @@ def _collect_file_stats(
     return tuple(sorted(out))
 
 
+# --- per-file bloom filters (equality skipping) ----------------------------
+#
+# min/max stats prune RANGE predicates but are useless for point lookups on
+# a high-cardinality unclustered column (every file's [min,max] spans the
+# whole id space). The Delta/Iceberg answer is a tiny per-file bloom filter
+# in the manifest: a definite "value not in this file" skips the file, a
+# maybe opens it — false positives only cost a read, never correctness.
+
+BLOOM_M_BITS = 8192  # 1 KiB/bitset; ~1% FP at ~850 distinct values, k=6
+BLOOM_K = 6
+
+
+def _bloom_key(v) -> bytes:
+    """Canonical hash input for a value: integral floats collapse to their
+    int form so a parquet DOUBLE file and an int probe agree."""
+    if isinstance(v, bool):
+        return f"b:{v}".encode()
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    return str(v).encode()
+
+
+def _bloom_indices(v, m: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list[int]:
+    d = hashlib.md5(_bloom_key(v)).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_encode(bits: bytearray, m: int, k: int) -> str:
+    return f"{m}:{k}:" + base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_might_contain(encoded: str, v) -> bool:
+    m_s, k_s, b64 = encoded.split(":", 2)
+    m, k = int(m_s), int(k_s)
+    bits = base64.b64decode(b64)
+    for i in _bloom_indices(v, m, k):
+        if not (bits[i // 8] >> (i % 8)) & 1:
+            return False
+    return True
+
+
+def _collect_file_blooms(
+    root: str, files: list[str], cols: list[str]
+) -> tuple[tuple[str, str], ...]:
+    """Per-file bloom bitsets over each column's values. Locally this is a
+    driver-side pyarrow column read per new file; at scale it is computed
+    by the WRITING task (which already has the rows in hand) and returned
+    with the file's stats — same posture as ``_collect_file_stats``.
+    Columns absent from a file simply get no bloom there (never prunes)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        pf = pq.ParquetFile(os.path.join(root, f))
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        blooms: dict[str, str] = {}
+        if present:
+            tbl = pf.read(columns=present)
+            for c in present:
+                bits = bytearray(BLOOM_M_BITS // 8)
+                for v in tbl.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    for i in _bloom_indices(v):
+                        bits[i // 8] |= 1 << (i % 8)
+                blooms[c] = _bloom_encode(bits, BLOOM_M_BITS, BLOOM_K)
+        out.append((f, json.dumps(blooms, sort_keys=True)))
+    return tuple(sorted(out))
+
+
+def _phys_name_resolver(snap: "Snapshot", col: str):
+    """file → the physical column name that binds to ``col``'s field id in
+    that file (identity on legacy snapshots without field-ID schemas)."""
+    if snap.schema:
+        field_id = {n: i for i, n in snap.schema}.get(col)
+        ff = snap.file_fields_map
+
+        def phys_name(f: str) -> str:
+            inv = {i: p for p, i in ff.get(f, {}).items()}
+            return inv.get(field_id, col)
+
+        return phys_name
+    return lambda f: col
+
+
+def _bloom_pruned_files(snap: "Snapshot", col: str, value) -> list[str]:
+    blooms = snap.blooms_map
+    phys = _phys_name_resolver(snap, col)
+    return [
+        f
+        for f in snap.files
+        if (b := blooms.get(f, {}).get(phys(f))) is None
+        or _bloom_might_contain(b, value)
+    ]
+
+
+def bloom_pruned_file_count(
+    root: str, col: str, value, version: int | None = None
+) -> int:
+    """How many files an equality probe on ``col`` would open."""
+    snap = read_snapshot(root, version)
+    return len(_bloom_pruned_files(snap, col, value))
+
+
+def read_table_bloom_probe(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup scan with BLOOM file skipping: files whose committed
+    bloom definitively excludes ``value`` are never opened; files without
+    a bloom for ``col`` are always read (pruning is an optimization, never
+    a correctness dependency — bloom false positives just mean an extra
+    file read, filtered exactly on top). Resolves physical names per
+    write-schema epoch like ``read_table_pruned``, so probes keep skipping
+    across column renames."""
+    snap = read_snapshot(root, version)
+    keep = _bloom_pruned_files(snap, col, value)
+    from pyspark.sql import functions as F
+
+    if not keep:
+        return read_table(spark, root, version).filter(F.col(col) == value).limit(0)
+    if snap.schema:
+        df = _read_files_mapped(spark, root, snap, keep)
+    else:
+        df = spark.read.parquet(*(os.path.join(root, f) for f in keep))
+    return df.filter(F.col(col) == value)
+
+
 def read_table_pruned(
     spark: SparkSession,
     root: str,
@@ -451,19 +604,7 @@ def read_table_pruned(
 
 def _pruned_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
     stats = snap.stats_map
-    if snap.schema:
-        field_id = {n: i for i, n in snap.schema}.get(col)
-        ff = snap.file_fields_map
-
-        def phys_name(f: str) -> str:
-            inv = {i: p for p, i in ff.get(f, {}).items()}
-            return inv.get(field_id, col)
-
-    else:
-
-        def phys_name(f: str) -> str:
-            return col
-
+    phys_name = _phys_name_resolver(snap, col)
     return [
         f
         for f in snap.files
@@ -510,10 +651,14 @@ def commit(
     _operation: str | None = None,
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> Snapshot:
     """Commit ``df`` as a new table version. ``mode='overwrite'`` makes the
     new snapshot exactly df's files; ``'append'`` carries the parent
-    snapshot's files forward plus df's.
+    snapshot's files forward plus df's. ``stats_cols`` records per-file
+    min/max (range skipping); ``bloom_cols`` records per-file bloom
+    bitsets (equality skipping for high-cardinality columns min/max
+    can't prune).
 
     Crash-safety by construction, step order:
       (1) write data to a fresh never-referenced prefix   — crash: stray
@@ -585,11 +730,13 @@ def commit(
     # only — on append, the parent's entries carry forward untouched
     # (files are immutable, so their stats are too).
     stats = _collect_file_stats(root, files, stats_cols) if stats_cols else ()
+    blooms = _collect_file_blooms(root, files, bloom_cols) if bloom_cols else ()
     new_ff_json = json.dumps(mapping, sort_keys=True)
     file_fields = tuple((f, new_ff_json) for f in files)
     if mode == "append":
         files = sorted([*parent_snap.files, *files])
         stats = tuple(sorted([*parent_snap.stats, *stats]))
+        blooms = tuple(sorted([*parent_snap.blooms, *blooms]))
         file_fields = tuple(sorted([*parent_file_fields, *file_fields]))
     snap = Snapshot(
         version=new_version,
@@ -600,6 +747,7 @@ def commit(
         stats=stats,
         schema=schema,
         file_fields=file_fields,
+        blooms=blooms,
     )
     try:
         # Step 2: PUT-if-absent on the version — the commit CAS.
@@ -721,6 +869,7 @@ def compact(
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> Snapshot:
     """Rewrite the current snapshot's many small files as ~target-sized
     ones, committed as a new version (operation='compact'). Readers of the
@@ -744,7 +893,12 @@ def compact(
     cur = safe_num_partitions(df, default=0)
     out = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
     return commit(
-        out, root, mode="overwrite", _operation="compact", stats_cols=stats_cols
+        out,
+        root,
+        mode="overwrite",
+        _operation="compact",
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
     )
 
 

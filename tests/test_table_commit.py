@@ -709,3 +709,57 @@ def test_pruned_read_across_mixed_stats_epochs(spark, sf_dir, tmp_path):
         for r in tc.read_table_pruned(spark, root, "nation_key", 110, 112).collect()
     )
     assert got_new == [110, 111, 112]
+
+
+def test_bloom_probe_skips_files_and_matches_full_scan(spark, sf_dir, tmp_path):
+    """Equality skipping where min/max can't help: orders hash-partitioned
+    on o_orderkey (every file's [min,max] spans the whole key space), but
+    the per-file blooms open ~1 file for a point lookup — and the probe
+    equals the unpruned scan + filter exactly. A missing value opens zero
+    files; a column without blooms never prunes."""
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = str(tmp_path / "tbl")
+    snap = tc.commit(
+        orders.repartition(8, "o_orderkey"), root, bloom_cols=["o_orderkey"]
+    )
+    assert len(snap.files) == 8
+    # min/max stats would be useless on this layout — every file overlaps.
+    key = orders.select(F.min("o_orderkey")).first()[0] + 7
+
+    n_open = tc.bloom_pruned_file_count(root, "o_orderkey", key)
+    assert 1 <= n_open < 8, f"bloom should skip most files, opened {n_open}"
+    probe = tc.read_table_bloom_probe(spark, root, "o_orderkey", key)
+    full = tc.read_table(spark, root).filter(F.col("o_orderkey") == key)
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, full.collect()))
+
+    # Value not in the table: definite exclusion, zero files opened.
+    assert tc.bloom_pruned_file_count(root, "o_orderkey", -123456789) == 0
+    assert tc.read_table_bloom_probe(spark, root, "o_orderkey", -123456789).count() == 0
+
+    # No bloom committed for o_custkey → never prunes (safe fallback).
+    assert tc.bloom_pruned_file_count(root, "o_custkey", 1) == 8
+
+
+def test_bloom_carries_forward_on_append_and_rename(spark, tmp_path, nation):
+    """Blooms are immutable per file like stats: an append adds blooms for
+    the NEW files only and carries the parent's forward; after a column
+    rename the probe resolves each file's write-time physical name, so
+    skipping keeps working across epochs."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    lo = nation.filter(F.col("n_nationkey") < 10).repartition(2, "n_nationkey")
+    hi = nation.filter(F.col("n_nationkey") >= 10).repartition(2, "n_nationkey")
+    tc.commit(lo, root, bloom_cols=["n_nationkey"])
+    snap = tc.commit(hi, root, mode="append", bloom_cols=["n_nationkey"])
+    assert len(snap.blooms) == len(snap.files) == 4
+
+    tc.rename_column(root, "n_nationkey", "nation_key")
+    n_open = tc.bloom_pruned_file_count(root, "nation_key", 3)
+    assert 1 <= n_open < 4
+    got = tc.read_table_bloom_probe(spark, root, "nation_key", 3).collect()
+    assert [r.nation_key for r in got] == [3]
