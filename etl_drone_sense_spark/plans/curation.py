@@ -225,6 +225,53 @@ def table_incremental_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC.read_table(spark, sink)
 
 
+_BLOOM_TABLES: dict[tuple, str] = {}
+_BLOOM_PROBE_KEYS = (1, 500, 1337, -42)  # -42 = definite miss at every SF
+
+
+@register(
+    "table_bloom_probe",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey IN {_BLOOM_PROBE_KEYS}
+    """,
+    tags=("lake", "bloom", "skipping"),
+)
+def table_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping end-to-end
+    (sources/table_commit.read_table_bloom_probe): orders committed
+    HASH-partitioned on o_orderkey — the layout where min/max stats prune
+    nothing because every file spans the whole key space — with per-file
+    blooms; four point lookups (one a guaranteed miss) probed through the
+    manifest must equal a plain SQL IN-filter. The probe opens only the
+    files whose bloom might contain each key (asserted strictly in
+    tests/test_table_commit.py); correctness never depends on it —
+    false positives are read-and-filtered, the miss key opens zero files.
+
+    Scale shape: each probe is O(files-that-might-match) opened, O(1)
+    manifest read; the table is built once per source generation
+    (fingerprint-keyed) and probed lazily afterwards."""
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    root = _BLOOM_TABLES.get(key)
+    if root is None:
+        base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        root = tempfile.mkdtemp(prefix="sg_bloom_")
+        TC.commit(
+            base.repartition(8, "o_orderkey"), root, bloom_cols=["o_orderkey"]
+        )
+        _BLOOM_TABLES[key] = root
+    out = None
+    for k in _BLOOM_PROBE_KEYS:
+        probe = TC.read_table_bloom_probe(spark, root, "o_orderkey", k)
+        out = probe if out is None else out.unionByName(probe)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # CDC changelog derivation (snapshot diff)
 # ---------------------------------------------------------------------------
@@ -1066,6 +1113,101 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.event_id").alias("view_id"),
             F.col("c.event_id").alias("click_id"),
             F.col("v.user_id").alias("user_id"),
+            F.col("v.ts").alias("view_ts"),
+            F.col("c.ts").alias("click_ts"),
+        )
+        SP.run_available_now(j, ckpt, out)
+    finally:
+        spark.conf.set(key, prev)
+    return spark.read.parquet(out)
+
+
+@register(
+    "stream_interval_join_full",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL 2 HOUR AS w),
+    matched AS (
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+               v.ts AS view_ts, c.ts AS click_ts
+        FROM v JOIN c ON c.user_id = v.user_id AND v.ts <= c.ts
+                      AND c.ts < v.ts + INTERVAL 30 MINUTE
+    ),
+    unmatched_v AS (
+        SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS click_id,
+               v.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+        FROM v CROSS JOIN wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c WHERE c.user_id = v.user_id AND v.ts <= c.ts
+                              AND c.ts < v.ts + INTERVAL 30 MINUTE)
+          AND v.ts + INTERVAL 30 MINUTE <= wm.w
+    ),
+    unmatched_c AS (
+        SELECT CAST(NULL AS BIGINT) AS view_id, c.event_id AS click_id,
+               CAST(NULL AS TIMESTAMP) AS view_ts, c.ts AS click_ts
+        FROM c CROSS JOIN wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+                              AND c.ts < v.ts + INTERVAL 30 MINUTE)
+          AND c.ts <= wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_v
+    UNION ALL SELECT * FROM unmatched_c
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join — the last cell of the
+    streaming-join matrix (inner / left outer / stream-static elsewhere):
+    matched view-click pairs emit immediately; each side's unmatched rows
+    emit with NULLs once the watermark proves the other side can no
+    longer produce a match.
+
+    The two null-emission boundaries are ASYMMETRIC because the join
+    window is one-sided (v.ts <= c.ts < v.ts + 30 min): a view stops
+    waiting when its window END passes the global watermark
+    (`v.ts + 30 min <= wm`, same rule the left-outer twin pinned), but a
+    click's latest possible matching view has v.ts = c.ts, so it stops
+    waiting at `c.ts <= wm` — no +window term. Both verified empirically
+    at sf0.01 AND sf0.001 against the bounded replay (sub-second ts
+    jitter makes watermark ties measure-zero, so <= vs < is
+    indistinguishable on these fixtures; <= matches the left-outer
+    convention)."""
+    import os
+    import tempfile
+
+    from ..streaming import pipeline as SP
+
+    base = tempfile.mkdtemp(prefix="sg_ssjf_")
+    cdir, vdir, ckpt, out = (
+        os.path.join(base, d) for d in ("clicks", "views", "ckpt", "out")
+    )
+    ev = t(spark, sf_dir, "events")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(cdir)
+        ev.filter(F.col("event_type") == "view").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(vdir)
+        c = SP.stream_events(spark, cdir).withWatermark("ts", "2 hours").alias("c")
+        v = SP.stream_events(spark, vdir).withWatermark("ts", "2 hours").alias("v")
+        j = v.join(
+            c,
+            F.expr(
+                "c.user_id = v.user_id AND v.ts <= c.ts "
+                "AND c.ts < v.ts + interval 30 minutes"
+            ),
+            "fullOuter",
+        ).select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("c.event_id").alias("click_id"),
             F.col("v.ts").alias("view_ts"),
             F.col("c.ts").alias("click_ts"),
         )
