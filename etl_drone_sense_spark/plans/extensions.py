@@ -1688,6 +1688,90 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol, TRUE AS merge_within_tol
+    FROM events
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL with partial-sketch MERGE — the property that makes
+    sketches the scale path: per-event-type sketches built independently
+    (one pass, map-side combinable) are unioned into a global estimate
+    WITHOUT touching raw rows again. At 100 TB this is how a dashboard
+    refreshes distinct-user counts from pre-aggregated per-partition
+    sketch tables instead of rescanning the lake.
+
+    Bounded-error oracle, same contract as agg_approx_distinct: the
+    sketch bytes are engine-specific and never hashed; the query emits
+    the exact distinct count plus two in-plan tolerance flags — the
+    direct sketch's estimate AND the union-of-partials estimate must both
+    land within max(5%, 1) of exact (default lgConfigK=12 ⇒ ~1.6% rsd;
+    the union of HLL partials is lossless, but the two estimates are
+    asserted independently rather than assumed identical)."""
+    ev = t(spark, sf_dir, "events")
+    partials = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = lambda est: (  # noqa: E731 — local readability
+        F.abs(F.col(est) - F.col("exact_users"))
+        <= F.greatest(F.col("exact_users") * F.lit(0.05), F.lit(1))
+    )
+    return (
+        direct.join(F.broadcast(merged))
+        .select(
+            "exact_users",
+            tol("est_direct").alias("within_tol"),
+            tol("est_merged").alias("merge_within_tol"),
+        )
+    )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    ORDER BY o_custkey
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequent-items sketch (Spark 4):
+    customers with >= 15 orders, extracted from ONE bounded-memory sketch
+    pass instead of a full groupBy.
+
+    FULLY hash-oracled, not tolerance-checked, because the sketch is
+    EXACT while the tracked-item capacity covers the key domain (the
+    space-saving guarantee: count error <= n/capacity, = 0 when nothing
+    is evicted; maxItemsTracked=10000 >= the fixture's distinct custkeys).
+    At scale the same query stays correct for hitters above n/capacity —
+    the threshold just needs to clear the error bound. Exact twin of the
+    groupBy-HAVING shape in having_filter."""
+    sk = t(spark, sf_dir, "orders").agg(
+        F.expr("approx_top_k(o_custkey, 10000, 10000)").alias("tk")
+    )
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("o_custkey"),
+            F.col("e.count").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming surface (rows-only: watermark semantics have no SQL oracle;
 # the batch twins above are the oracle-checked equivalents)
