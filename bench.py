@@ -33,6 +33,7 @@ from etl_drone_sense_spark.session import get_spark
 BUDGETS_S: dict[str, float] = {
     "cdc_snapshot_diff": 1.12,
     "corpus_prepare_pipeline": 4.30,
+    "dedup_exact_substring": 3.93,  # r5: 1.8 × 2.18 s quiet-machine median
     "dedup_embedding_lsh": 2.39,
     "dedup_incremental": 2.01,
     "dedup_minhash": 1.87,
@@ -48,6 +49,8 @@ BUDGETS_S: dict[str, float] = {
     "q1_pricing_summary": 1.50,
     "q3_shipping_priority": 1.18,
     "q5_region_revenue": 1.37,
+    "q8_market_share": 1.90,  # r5: 1.8 × 1.05 s quiet-machine median
+    "q18_large_volume": 1.86,  # r5: 1.8 × 1.04 s quiet-machine median
     "sample_importance": 2.50,
     "sessionize_events": 0.98,
     "sim_topk_bruteforce": 0.83,

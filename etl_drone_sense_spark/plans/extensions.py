@@ -372,6 +372,7 @@ SPAN_W = 8  # ExactSubstr span width in tokens (the paper uses 50 BPE tokens
     FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
     """,
     tags=("dedup",),
+    bench=True,
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr duplicated-span audit (Lee et al. 2022): per document,
@@ -2230,6 +2231,64 @@ def corpus_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           round(list_reduce(CAST(vals AS DOUBLE[]),
+                             (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+    FROM ordered
+    """,
+    tags=("events", "timeseries", "higher-order"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event value
+    stream (alpha=0.25, seeded with the first observation) — the
+    recursive time-series smoother SQL windows can't express, done as an
+    ORDERED FOLD with the higher-order ``aggregate`` function: collect
+    each user's values in (ts, event_id) order, then fold entirely
+    JVM-side. No UDF, no per-row Python.
+
+    Determinism: both engines fold the SAME ordered list with the same
+    IEEE ops (0.25/0.75 are exact binary), so the doubles agree
+    bit-for-bit before the final round. Scale shape: one shuffle on
+    user_id; per-user state is one array — for unbounded per-user
+    histories this becomes applyInPandasWithState over time-chunks
+    (stream_running_totals shows that path), but a bounded-session fold
+    needs no Python at all."""
+    ev = t(spark, sf_dir, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_evs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    staged = ordered.select(
+        "user_id",
+        "n_events",
+        F.transform("_evs", lambda e: e["value"].cast("double")).alias("_vals"),
+    )
+    return staged.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.expr(
+                "aggregate(slice(_vals, 2, greatest(size(_vals) - 1, 0)), "
+                "element_at(_vals, 1), "
+                "(acc, x) -> CAST(0.25 AS DOUBLE) * x "
+                "+ CAST(0.75 AS DOUBLE) * acc)"
+            ),
+            6,
+        ).alias("ewma"),
     )
 
 

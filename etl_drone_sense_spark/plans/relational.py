@@ -327,6 +327,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "agg", "subquery", "topk"),
+    bench=True,
 )
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders (HAVING-filtered semi join).
@@ -583,6 +584,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_year
     """,
     tags=("join", "agg"),
+    bench=True,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of a region's market
