@@ -39,6 +39,11 @@ PROBE_QUERIES = [
     "dedup_embedding_lsh",
     "sample_importance",
     "text_repetition",
+    # r5 addition: hashed-span ExactSubstr — the dup-heavy replica corpus
+    # multiplies every shared span's occupancy by the replica count, so a
+    # superlinear slope here would expose a hidden pair blowup in the
+    # span-hash groupBy/semi-join (the shape is designed to stay linear).
+    "dedup_exact_substring",
 ]
 # 10x data on 32 local cores: allow sublinear-parallelism overhead but
 # catch anything superlinear (VERDICT's "slope <= ~15x for 10x data").
