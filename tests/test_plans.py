@@ -385,3 +385,20 @@ def test_q19_disjunction_derives_per_side_pushdown(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, (
         "quantity hull not pushed to lineitem"
     )
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """ReadSchema must carry only referenced columns: q1 touches 7 of
+    lineitem's 11 (a scan that reads all 11 for this projection wastes
+    ~40% of the I/O at 100 TB), and q6's scan must not read the join-only
+    or agg-only columns it never references."""
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"):
+        assert col in rs
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in rs, f"unreferenced column read: {col}"
+
+    plan6 = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    rs6 = [l for l in plan6.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" not in rs6 and "l_orderkey" not in rs6
