@@ -163,6 +163,11 @@ def main() -> int:
         scaled_fn = scaled_fn_override.get(name, fn)
         run_one(fn, BASE_SF)  # warm codegen/broadcast paths
         base_s = median_time(lambda: run_one(fn, BASE_SF))
+        # The scaled variant may carry a DIFFERENT codegen signature (e.g.
+        # the 96-bit LSH override), so it needs its own warm run — without
+        # it the first timed sample pays Janino compilation (~8 s) and a
+        # median-of-3 can't fully mask it, inflating the slope ~2×.
+        run_one(scaled_fn, scaled_dir)
         scaled_s = median_time(lambda: run_one(scaled_fn, scaled_dir))
         slope = scaled_s / base_s
         results[name] = {
