@@ -225,6 +225,106 @@ def table_incremental_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC.read_table(spark, sink)
 
 
+_STREAM_MERGE_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "stream_merge_apply",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 6 = 0
+                THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE)
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 6 = 0 OR c_custkey % 3 = 1
+    """,
+    tags=("streaming", "lake", "merge", "cdc"),
+)
+def stream_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — foreachBatch MERGE into a committed table
+    (the Delta `foreachBatch + MERGE INTO` upsert pattern): a changelog
+    file stream (maxFilesPerTrigger=1) drains micro-batches of
+    key-disjoint U/I/D rows into the managed customer table, each batch
+    applied by operators/merge.merge_into and committed with a txn
+    watermark so a retried micro-batch is a no-op. The final table must
+    equal a plain SQL CASE over the source — updates added exactly once,
+    deletes gone, inserts present.
+
+    The two changelog batches touch DISJOINT key sets on purpose: the
+    file source's batching is an implementation detail (AvailableNow may
+    coalesce files), and key-disjoint merges commute, so the final state
+    is identical however the stream is chopped — the property a real CDC
+    feed needs anyway, since per-key ordering is only guaranteed WITHIN a
+    micro-batch after dropDuplicates-by-latest.
+
+    Scale shape: each micro-batch's merge is one full-outer join keyed on
+    the merge key (in-plan duplicate-key guard, no extra shuffle); the
+    commit is a pointer swap. Built once per source generation
+    (fingerprint-keyed); later calls are a lazy table scan."""
+    import os as _os
+    import tempfile
+
+    from ..operators.merge import merge_into
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/customer.parquet"))
+    root = _STREAM_MERGE_TABLES.get(key)
+    if root is None:
+        work = tempfile.mkdtemp(prefix="sg_smerge_")
+        root, feed, ckpt = (
+            _os.path.join(work, "tbl"),
+            _os.path.join(work, "feed"),
+            _os.path.join(work, "ckpt"),
+        )
+        cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        TC.commit(cust.filter(F.col("c_custkey") % 3 == 0), root)
+
+        bump = F.col("c_acctbal").cast("decimal(18,2)") + 100
+        batch1 = cust.filter(F.col("c_custkey") % 6 == 0).select(
+            "c_custkey", F.lit("U").alias("op"), bump.cast("double").alias("c_acctbal")
+        )
+        batch2 = cust.filter(F.col("c_custkey") % 3 == 1).select(
+            "c_custkey", F.lit("I").alias("op"), "c_acctbal"
+        ).unionByName(
+            cust.filter(F.col("c_custkey") % 6 == 3).select(
+                "c_custkey",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+            )
+        )
+        batch1.coalesce(1).write.mode("append").parquet(feed)
+        batch2.coalesce(1).write.mode("append").parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            tgt = TC.read_table(bdf.sparkSession, root)
+            merged = merge_into(
+                tgt, bdf, keys=["c_custkey"], op_col="op"
+            ).drop("action")
+            TC.commit(
+                merged,
+                root,
+                mode="overwrite",
+                _operation="merge",
+                txn=("stream_merge", batch_id),
+            )
+
+        stream = (
+            spark.readStream.schema("c_custkey bigint, op string, c_acctbal double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_MERGE_TABLES[key] = root
+    return TC.read_table(spark, root)
+
+
 _BLOOM_TABLES: dict[tuple, str] = {}
 _BLOOM_PROBE_KEYS = (1, 500, 1337, -42)  # -42 = definite miss at every SF
 
