@@ -268,7 +268,14 @@ def _simhash_oracle(nbits: int, blocks: int, max_hamming: int = 3) -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with pigeonhole blocking (hamming ≤ 3 over 4
-    blocks ⇒ ≥1 block equal ⇒ equi-join key, no all-pairs product)."""
+    blocks ⇒ ≥1 block equal ⇒ equi-join key, no all-pairs product).
+
+    16-bit fingerprints give 16 buckets per 4-bit block, so Σ|bucket|²
+    candidates grow quadratically with corpus size AT THIS CONFIG — fine
+    for the small-corpus regime this entry pins for the oracle, ~25 s at
+    sf0.1 and the wrong config beyond it. Block width must follow
+    log₂(n): dedup_simhash_wide (48-bit / 12-bit blocks) is the
+    driver-certified scale config with ~256× fewer candidates."""
     return dedup.simhash_pairs(
         t(spark, sf_dir, "documents"),
         "doc_id",
