@@ -13,6 +13,15 @@ reads as ``spark.read.format("dronesense").load(path)`` with
 
 For a live feed, ``partitions()`` would enumerate API pages/tenants
 instead of files — the read path is identical.
+
+STREAMING: the same format also reads as
+``spark.readStream.format("dronesense").load(path)`` — the reference is a
+*scheduled* poll (task.ts:86-87 ``InvocationType.Schedule``), and a
+``DataSourceStreamReader`` models exactly that natively: the offset is
+the count of landing files ingested (files are append-only and sorted by
+name, the object-store landing convention), each micro-batch plans one
+partition per NEW file, and executors decode the payloads. Checkpointed
+offsets give exactly-once across restarts for free.
 """
 
 from __future__ import annotations
@@ -20,7 +29,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..schemas import DRONE_LOCATION_SCHEMA
 
@@ -28,6 +42,38 @@ from ..schemas import DRONE_LOCATION_SCHEMA
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _landing_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".json", ".jsonl"))
+        )
+    return [path]
+
+
+def _read_jsonl(path: str):
+    """Decode-or-throw generator over one landing file (task.ts:119-121
+    semantics) — shared by the batch and streaming read paths."""
+    fields = [f.name for f in DRONE_LOCATION_SCHEMA.fields]
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)  # malformed line raises: decode-or-throw
+            sensors = [
+                (
+                    s["id"],
+                    s["name"],
+                    s.get("video_url"),
+                    s.get("rtsp_url"),
+                )
+                for s in rec.get("sensors", [])
+            ]
+            yield tuple(sensors if f == "sensors" else rec[f] for f in fields)
 
 
 class DroneSenseDataSource(DataSource):
@@ -43,6 +89,9 @@ class DroneSenseDataSource(DataSource):
     def reader(self, schema) -> "DroneSenseReader":
         return DroneSenseReader(self.options)
 
+    def streamReader(self, schema) -> "DroneSenseStreamReader":
+        return DroneSenseStreamReader(self.options)
+
 
 class DroneSenseReader(DataSourceReader):
     def __init__(self, options):
@@ -51,36 +100,44 @@ class DroneSenseReader(DataSourceReader):
             raise ValueError("dronesense source requires a path")
 
     def partitions(self):
-        if os.path.isdir(self.path):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith((".json", ".jsonl"))
-            )
-        else:
-            files = [self.path]
+        return [_FilePartition(p) for p in _landing_files(self.path)]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_jsonl(partition.path)
+
+
+class DroneSenseStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over an append-only landing directory.
+
+    Offsets are ``{"idx": n}`` = number of (name-sorted) landing files
+    consumed; landings must be append-only with monotonically-named files
+    (``part-000001.jsonl`` …), the standard object-store drop convention.
+    Planning is driver-side metadata only; payload decode happens on
+    executors, one partition per new file — identical scale posture to
+    the batch reader."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dronesense source requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(_landing_files(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _landing_files(self.path)[start["idx"] : end["idx"]]
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
-        fields = [f.name for f in DRONE_LOCATION_SCHEMA.fields]
-        with open(partition.path) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)  # malformed line raises: decode-or-throw
-                sensors = [
-                    (
-                        s["id"],
-                        s["name"],
-                        s.get("video_url"),
-                        s.get("rtsp_url"),
-                    )
-                    for s in rec.get("sensors", [])
-                ]
-                yield tuple(
-                    sensors if f == "sensors" else rec[f] for f in fields
-                )
+        yield from _read_jsonl(partition.path)
+
+    def commit(self, end: dict) -> None:
+        # Landing files are immutable; nothing to clean up. A production
+        # variant would age out files older than the committed offset.
+        pass
 
 
 def register(spark) -> None:

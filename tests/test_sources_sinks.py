@@ -323,3 +323,47 @@ def test_avro_reader_gate_is_clear(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="spark-avro"):
         read_avro_records(spark, str(tmp_path / "nope.avro")).count()
+
+
+def test_custom_datasource_stream_reader(spark, sf_dir, tmp_path):
+    """spark.readStream.format('dronesense'): the scheduled-poll reference
+    modeled as a native micro-batch stream. File-count offsets are
+    checkpointed, so a second AvailableNow drain after a new landing file
+    appears ingests ONLY the new file — incremental, exactly-once."""
+    from etl_drone_sense_spark.sources import datasource
+
+    landing = tmp_path / "ds_stream"
+    landing.mkdir()
+    drones = synth_drones(spark, sf_dir).limit(30).collect()
+
+    def write(name, chunk):
+        with open(landing / name, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r.asDict(recursive=True)) + "\n")
+
+    write("part-0001.jsonl", drones[:10])
+    write("part-0002.jsonl", drones[10:20])
+    datasource.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("dronesense")
+            .load(str(landing))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    ids1 = [r["id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(ids1) == sorted(r["id"] for r in drones[:20])
+
+    write("part-0003.jsonl", drones[20:])
+    drain()
+    ids2 = [r["id"] for r in spark.read.parquet(out).collect()]
+    assert len(ids2) == 30 and len(set(ids2)) == 30  # new file only, no re-reads
+    assert sorted(ids2) == sorted(r["id"] for r in drones)
