@@ -332,6 +332,7 @@ DRIVER_CHECKED_R04: frozenset[str] = frozenset(
 # * dedup_semantic — mega-cell re-shard added (r4 VERDICT item 4; output
 #   must stay hash-identical, which is exactly what a driver row proves).
 TOUCHED_R05: tuple[str, ...] = (
+    "sim_kmeans_ivf_topk",  # rows-only → bounded-quality oracle (recall gate)
     "dedup_cluster_stats",
     "text_html_strip",
     "agg_approx_distinct",

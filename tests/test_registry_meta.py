@@ -9,10 +9,11 @@ from etl_drone_sense_spark.plans import registry as RG
 RG.all_queries()  # populate
 
 # The ONLY queries allowed to ship without a DuckDB oracle, with the
-# documented reason (SURVEY §2.D).
+# documented reason (SURVEY §2.D). sim_kmeans_ivf_topk left this set in
+# r5: it now hashes the exact brute-force top-k plus an in-plan
+# trained-index recall gate (the sketch bounded-quality pattern).
 DECLARED_ROWS_ONLY = {
     "stream_tumbling_counts",  # unbounded-schedule watermark eviction
-    "sim_kmeans_ivf_topk",  # in-query iterative k-means training
 }
 
 
