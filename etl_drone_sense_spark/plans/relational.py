@@ -1384,6 +1384,52 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_variant_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) - count(json_extract_string(props, '$.absent'))
+               AS n_missing_absent
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the JSON
+    props column is parsed ONCE into the binary variant encoding, then
+    typed paths are extracted with variant_get / try_variant_get and
+    aggregated. At scale this is the open-table-format 'shredded JSON'
+    path — parse cost paid once at ingest, extractions are cheap typed
+    reads instead of per-query string re-parsing (get_json_object in
+    json_funcs is the string-re-parse twin). The variant bytes themselves
+    are engine-specific and never hashed; only extracted typed values
+    surface."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("_v")
+    )
+    k = F.expr("variant_get(_v, '$.k', 'long')")
+    absent = F.expr("try_variant_get(_v, '$.absent', 'string')")
+    return (
+        v.select("event_type", k.alias("_k"), absent.alias("_a"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            (F.count(F.lit(1)) - F.count("_a")).alias("n_missing_absent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "case_bucketing",
     oracle=f"""
     SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
