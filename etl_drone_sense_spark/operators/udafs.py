@@ -28,27 +28,33 @@ from pyspark.sql import functions as F
 PRICE_E4 = 10_000  # fixed-point scale: 4 decimal digits of price
 
 
-@F.pandas_udf("double")
-def _weighted_avg_e4(wsum: pd.Series, qsum: pd.Series) -> float:
-    """Final-stage weighted mean over fixed-point partials.
+def _make_udafs():
+    """Build the pandas UDAFs lazily — @pandas_udf resolves its return
+    type against the ACTIVE session, so decorating at import time would
+    make importing this module require Spark to be up."""
 
-    Partials are int64-exact, so their Python-int sums are exact and
-    order-independent; the single double division + half-up round happen
-    once per group, matching the oracle's round(x, 6) bit-for-bit."""
-    num = int(wsum.sum())
-    den = int(qsum.sum())
-    if den == 0:
-        return 0.0
-    x = float(num) / PRICE_E4 / float(den)
-    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+    @F.pandas_udf("double")
+    def weighted_avg_e4(wsum: pd.Series, qsum: pd.Series) -> float:
+        # Final-stage weighted mean over fixed-point partials. Partials
+        # are int64-exact, so their Python-int sums are exact and
+        # order-independent; the single double division + half-up round
+        # happen once per group, matching the oracle's round(x, 6)
+        # bit-for-bit.
+        num = int(wsum.sum())
+        den = int(qsum.sum())
+        if den == 0:
+            return 0.0
+        x = float(num) / PRICE_E4 / float(den)
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 
+    @F.pandas_udf("long")
+    def sum_long(qsum: pd.Series) -> int:
+        # Exact int64 sum of partials (Spark disallows mixing GROUPED_AGG
+        # pandas UDFs with built-in aggregates in one agg, so the
+        # companion count rides the same Arrow batch as a second UDAF).
+        return int(qsum.sum())
 
-@F.pandas_udf("long")
-def _sum_long(qsum: pd.Series) -> int:
-    """Exact int64 sum of partials (Spark disallows mixing GROUPED_AGG
-    pandas UDFs with built-in aggregates in one agg, so the companion
-    count rides the same Arrow batch as a second UDAF)."""
-    return int(qsum.sum())
+    return weighted_avg_e4, sum_long
 
 
 def weighted_avg_price(
@@ -76,7 +82,8 @@ def weighted_avg_price(
             F.sum(F.col(qty_col).cast("long")).alias("_qsum"),
         )
     )
+    weighted_avg_e4, sum_long = _make_udafs()
     return partial.groupBy(group_col).agg(
-        _weighted_avg_e4("_wsum", "_qsum").alias("weighted_avg_price"),
-        _sum_long("_qsum").alias("n_units"),
+        weighted_avg_e4("_wsum", "_qsum").alias("weighted_avg_price"),
+        sum_long("_qsum").alias("n_units"),
     )

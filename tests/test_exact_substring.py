@@ -74,3 +74,42 @@ def test_duplicated_span_plan_is_hash_join(spark):
     # product here would be the O(n^2) shape this operator exists to avoid.
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_span_matches_bruteforce(spark):
+    """Property: the distributed hashed-span counts equal a sequential
+    brute-force over the same tokenization, on a randomized-ish corpus of
+    overlapping word sequences (seeded, no hypothesis needed — the doc
+    builder enumerates the collision-prone shapes directly)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → natural collisions
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(25)
+    ]
+    W = 3
+
+    def toks(s):
+        return [t for t in s.lower().split() if t]
+
+    spans = {}  # (doc, tuple) occurrences
+    for i, text in docs:
+        tk = toks(text)
+        for p in range(max(len(tk) - W + 1, 0)):
+            spans.setdefault(tuple(tk[p : p + W]), []).append(i)
+    dup = {s for s, occ in spans.items() if len(set(occ)) >= 2}
+    expect = {}
+    for i, text in docs:
+        tk = toks(text)
+        n = max(len(tk) - W + 1, 0)
+        nd = sum(1 for p in range(n) if tuple(tk[p : p + W]) in dup)
+        expect[i] = (n, nd)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in duplicated_span_stats(df, "doc_id", "text", width=W).collect()
+    }
+    assert got == expect

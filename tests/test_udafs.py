@@ -1,0 +1,49 @@
+"""GROUPED_AGG pandas UDAF (operators/udafs.py): exact fixed-point
+weighted mean on hand-computed values, including the bucket pre-shrink."""
+
+from __future__ import annotations
+
+from etl_drone_sense_spark.operators import udafs
+from pyspark.sql import functions as F
+
+
+def test_weighted_avg_price_exact(spark):
+    rows = [
+        # group A: (10.00*2 + 20.00*6) / 8 = 17.50
+        ("A", 10.00, 2, 1),
+        ("A", 20.00, 6, 2),
+        # group B: one row -> its own price
+        ("B", 99.99, 5, 3),
+        # group C: prices with 4 decimals, exact under the e4 fixed point
+        ("C", 0.1234, 1, 4),
+        ("C", 0.1236, 1, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, price double, qty long, oid long")
+    out = {
+        r.g: r
+        for r in udafs.weighted_avg_price(
+            df, "g", "price", "qty", bucket=F.col("oid"), buckets=4
+        ).collect()
+    }
+    assert out["A"].weighted_avg_price == 17.5 and out["A"].n_units == 8
+    assert out["B"].weighted_avg_price == 99.99 and out["B"].n_units == 5
+    assert out["C"].weighted_avg_price == 0.1235 and out["C"].n_units == 2
+
+
+def test_weighted_avg_partials_bounded_by_buckets(spark):
+    """The UDAF's input relation has at most `buckets` rows per group no
+    matter how many fact rows feed it — the scale invariant."""
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % 7).cast("double").alias("price"),
+        F.lit(1).alias("qty"),
+        F.col("id").alias("oid"),
+    )
+    partial = df.groupBy(
+        F.col("g"), F.pmod(F.col("oid"), F.lit(16)).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert partial.count() <= 16
+    out = udafs.weighted_avg_price(
+        df, "g", "price", "qty", bucket=F.col("oid"), buckets=16
+    ).collect()
+    assert out[0].n_units == 10_000
