@@ -69,6 +69,18 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("resize_ok", T.BooleanType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
 
 def _ppm_header_tokens(buf: bytes, count: int) -> tuple[list[bytes], int]:
     """First ``count`` whitespace-delimited header tokens (``#`` comments
@@ -162,6 +174,46 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def resize_image_features(
+    media: DataFrame, out_w: int = 2, out_h: int = 2
+) -> DataFrame:
+    """PPM payloads → nearest-neighbor RESIZE → per-channel means of the
+    resized raster, via ``mapInPandas`` (Arrow-batched) — the resize step
+    of a decode→resize→embed vision pipeline, with REAL raster math
+    (numpy fancy-indexing selects source pixel (ty·h//out_h, tx·w//out_w)
+    for each target pixel; compressed-codec resizes stay the declared
+    import-gated extension). Undecodable payloads yield
+    ``resize_ok=false`` instead of failing the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, raster = parse_ppm(payload)
+                    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+                    ry = (np.arange(out_h) * h) // out_h
+                    rx = (np.arange(out_w) * w) // out_w
+                    small = arr[ry][:, rx].astype(np.int64)
+                    sums = small.reshape(-1, 3).sum(axis=0)
+                    px = out_w * out_h
+                    vals = (
+                        True, out_w, out_h,
+                        sums[0] / px, sums[1] / px, sums[2] / px,
+                    )
+                except ValueError:
+                    vals = (False, None, None, None, None, None)
+                out["media_id"].append(mid)
+                for k, v in zip(
+                    ("resize_ok", "out_w", "out_h", "mean_r", "mean_g", "mean_b"),
+                    vals,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
 def synth_ppm_media(docs: DataFrame) -> DataFrame:

@@ -1665,6 +1665,52 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ),
+    tp AS (
+        SELECT doc_id, w, h, unnest(range(0, 4)) AS p FROM dims
+    ),
+    sel AS (
+        SELECT doc_id, w, h,
+               ((p // 2) * h) // 2 AS row, ((p % 2) * w) // 2 AS col
+        FROM tp
+    )
+    SELECT doc_id AS media_id,
+           CAST(2 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+           round(CAST(sum((doc_id*31 + ((row*w + col)*3 + 0)) % 256)
+                      AS DOUBLE) / 4, 6) AS mean_r,
+           round(CAST(sum((doc_id*31 + ((row*w + col)*3 + 1)) % 256)
+                      AS DOUBLE) / 4, 6) AS mean_g,
+           round(CAST(sum((doc_id*31 + ((row*w + col)*3 + 2)) % 256)
+                      AS DOUBLE) / 4, 6) AS mean_b
+    FROM sel GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (the decode→RESIZE→embed middle step):
+    the PPM payloads are nearest-neighbor downsampled to 2×2 inside the
+    Arrow mapInPandas batch (numpy fancy-indexing picks source pixel
+    (ty·h//2, tx·w//2) per target pixel) and the resized raster's channel
+    means surface. Same arithmetic-payload trick as multimodal_decode, so
+    the oracle reproduces the exact selected-pixel math in SQL — an
+    off-by-one in the sampling grid moves every mean and hash-fails."""
+    media = multimodal.synth_ppm_media(t(spark, sf_dir, "documents"))
+    rs = multimodal.resize_image_features(media, out_w=2, out_h=2)
+    return rs.filter(F.col("resize_ok")).select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "agg_approx_distinct",
     oracle="""
     SELECT o_orderstatus,
