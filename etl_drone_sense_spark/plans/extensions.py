@@ -2595,10 +2595,16 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     cents = kmeans_train(emb, k=8, iters=3)
     q = emb.orderBy("vec_id").limit(1).select("embedding")
-    ivf_ids = similarity.ivf_topk_cosine(emb, q, cents, k=10, nprobe=2).select(
-        "vec_id"
+    # Both top-k relations are 10 rows BY DEFINITION — checkpoint them so
+    # the recall join doesn't re-execute the IVF probe and the exact scan
+    # subtrees (the composed plan evaluated `exact` twice and the probe
+    # once more inside the hit-count aggregate; measured ~2× the query).
+    ivf_ids = (
+        similarity.ivf_topk_cosine(emb, q, cents, k=10, nprobe=2)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
     )
-    exact = similarity.topk_cosine(emb, q, k=10)
+    exact = similarity.topk_cosine(emb, q, k=10).localCheckpoint(eager=True)
     hits = (
         exact.join(ivf_ids, "vec_id", "left_semi")
         .agg(F.count(F.lit(1)).alias("_n_hit"))
