@@ -2162,3 +2162,80 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("custkey_references_customer").alias("rule"), "violations")
     )
     return long.unionByName(orphans)
+
+
+@register(
+    "profile_drift_psi",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / 62500), 7) AS BIGINT) AS bucket,
+               count(*) FILTER (WHERE o_orderdate
+                                < TIMESTAMP '1998-01-01 00:00:00') AS n_ref,
+               count(*) FILTER (WHERE o_orderdate
+                                >= TIMESTAMP '1998-01-01 00:00:00') AS n_cur
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM b)
+    SELECT bucket,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           round(
+               (CAST(n_cur + 1 AS DOUBLE) / (t_cur + 8)
+                - CAST(n_ref + 1 AS DOUBLE) / (t_ref + 8))
+               * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 8))
+                    / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + 8))), 6
+           ) AS psi_contrib
+    FROM b CROSS JOIN tot
+    ORDER BY bucket
+    """,
+    tags=("governance", "drift", "agg"),
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring between two table epochs: per-bucket
+    Population Stability Index contributions of o_totalprice, reference
+    epoch (orders before 1998) vs current (1998+). The standard
+    training-data drift gate (PSI > 0.2 ⇒ investigate) — emitted
+    per-bucket rather than pre-summed so the alert can localize WHICH
+    price band moved, and so the oracle needs no cross-bucket
+    float-summation order.
+
+    Determinism: bucket counts are exact ints in ONE pass (conditional
+    counts — no second scan, no join between epochs); the Laplace-smoothed
+    ratios (+1 / +n_buckets, so an empty bucket never hits ln(0)) and the
+    single ln() per bucket are identical IEEE expressions in both
+    engines, rounded at 6 — the module's transcendental convention.
+
+    Scale: one shuffle on the 8-bucket key with map-side partials; the
+    totals are a broadcast one-row aggregate. At 100 TB this runs as one
+    pass over each epoch's partition range with stats-pruned scans."""
+    ref_cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    o = t(spark, sf_dir, "orders")
+    b = (
+        o.select(
+            F.least(F.floor(F.col("o_totalprice") / 62500), F.lit(7))
+            .cast("long")
+            .alias("bucket"),
+            (F.col("o_orderdate") < ref_cut).alias("_is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("_is_ref"), 1)).alias("n_ref"),
+            F.count(F.when(~F.col("_is_ref"), 1)).alias("n_cur"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 8)
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 8)
+    return (
+        b.join(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_contrib"
+            ),
+        )
+        .orderBy("bucket")
+    )
