@@ -75,3 +75,19 @@ def test_nonconvergence_warns(spark):
         labels = connected_components(edges, max_iters=20)
     assert not caught
     assert {r["component"] for r in labels.collect()} == {0}
+
+
+def test_connected_components_restores_shuffle_conf(spark):
+    """The loop narrows spark.sql.shuffle.partitions for its own rounds;
+    the session conf must come back even though the loop exits early on
+    convergence (and via the finally on errors)."""
+    from etl_drone_sense_spark.operators.graph import connected_components
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert spark.conf.get(key) == before

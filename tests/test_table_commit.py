@@ -763,3 +763,32 @@ def test_bloom_carries_forward_on_append_and_rename(spark, tmp_path, nation):
     assert 1 <= n_open < 4
     got = tc.read_table_bloom_probe(spark, root, "nation_key", 3).collect()
     assert [r.nation_key for r in got] == [3]
+
+
+def test_bloom_never_false_negative(spark, tmp_path, nation):
+    """The invariant pruning correctness rests on: EVERY value committed
+    into a bloom'd column must probe positive for the file that holds it
+    (false positives cost a read; a false negative would silently drop
+    rows). Checked exhaustively over all committed keys."""
+    root = str(tmp_path / "tbl")
+    tc.commit(
+        nation.repartition(5, "n_nationkey"), root, bloom_cols=["n_nationkey"]
+    )
+    keys = [r.n_nationkey for r in nation.select("n_nationkey").collect()]
+    full = {
+        k: sorted(
+            r.n_name
+            for r in tc.read_table(spark, root)
+            .filter(f"n_nationkey = {k}")
+            .collect()
+        )
+        for k in keys
+    }
+    for k in keys:
+        got = sorted(
+            r.n_name
+            for r in tc.read_table_bloom_probe(
+                spark, root, "n_nationkey", k
+            ).collect()
+        )
+        assert got == full[k], f"bloom probe lost rows for key {k}"
