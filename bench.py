@@ -50,7 +50,7 @@ BUDGETS_S: dict[str, float] = {
     "q3_shipping_priority": 1.18,
     "q5_region_revenue": 1.37,
     "q8_market_share": 1.90,  # r5: 1.8 × 1.05 s quiet-machine median
-    "q18_large_volume": 1.86,  # r5: 1.8 × 1.04 s quiet-machine median
+    "q18_large_volume": 1.87,  # r5: 1.8 × 1.04 s quiet-machine median
     "sample_importance": 2.50,
     "sessionize_events": 0.98,
     "sim_topk_bruteforce": 0.83,

@@ -548,28 +548,41 @@ def duplicated_span_stats(
             TXT.shingle_hashes_from_tokens(F.col("_toks"), width)
         ).alias("h"),
     )
-    # The span relation feeds both the dup-hash agg and the semi join;
-    # persist it so the shingle+md5 pipeline (the dominant cost) runs once.
+    # The span relation feeds both the dup-hash agg and the probe join;
+    # persist it so the tokenize+shingle+md5 pipeline (the dominant cost)
+    # runs exactly once. Everything downstream — including each doc's
+    # TOTAL span count — derives from this relation, so the raw text is
+    # never re-tokenized (a prior draft recomputed TXT.tokens on the
+    # whole corpus just to project n_spans; review catch r5).
     spans = scoped_persist("dedup.span_hashes", spans)
     dup = (
         spans.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("h")
+        .select("h", F.lit(True).alias("_dup"))
     )
+    # One left join carries the dup flag (AQE broadcasts the small dup
+    # set), and ONE aggregate produces both the total and the duplicated
+    # span counts per doc — no separate semi join + second shuffle.
     per_doc = (
-        spans.join(dup, "h", "left_semi")
+        spans.join(dup, "h", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n_dup"))
+        .agg(
+            F.count(F.lit(1)).alias("_n_spans"),
+            F.count("_dup").alias("_n_dup"),
+        )
     )
-    n_spans = F.greatest(F.size("_toks") - (width - 1), F.lit(0))
-    return toks.join(per_doc, on=id_col, how="left").select(
+    # Docs shorter than `width` have no span rows — restore them via a
+    # left join from the id spine (ids only: no text is touched).
+    return docs.select(id_col).join(per_doc, on=id_col, how="left").select(
         F.col(id_col),
-        n_spans.cast("long").alias("n_spans"),
+        F.coalesce("_n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("_n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
         F.round(
             F.coalesce("_n_dup", F.lit(0))
-            / F.greatest(n_spans, F.lit(1)).cast("double"),
+            / F.greatest(F.coalesce("_n_spans", F.lit(0)), F.lit(1)).cast(
+                "double"
+            ),
             6,
         ).alias("dup_frac"),
     )

@@ -30,12 +30,24 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
+    narrow_shuffle: bool = True,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable from node.
 
     ``edges`` is undirected input (each pair listed once, either order).
     Only nodes that appear in an edge are returned; isolated nodes are by
     definition their own singleton cluster and never need relabeling.
+
+    CONCURRENCY CAVEAT: with ``narrow_shuffle=True`` (default) the loop
+    temporarily lowers the SESSION-wide ``spark.sql.shuffle.partitions``
+    (restored in a finally). The setting is session-global — repartition
+    of the inputs cannot bound a groupBy's output width, and AQE's
+    coalescing doesn't survive the eager localCheckpoints the loop needs
+    — so any query PLANNED concurrently in the same session would inherit
+    the narrowed width. Single-threaded drivers (this repo's bench,
+    tests, and the correctness gate) are unaffected; a multi-threaded
+    driver must pass ``narrow_shuffle=False`` and accept the wider loop
+    stages instead.
     """
     # localCheckpoint (not persist): the input may carry an arbitrarily deep
     # plan (e.g. the whole LSH pipeline), and every propagation round would
@@ -71,7 +83,8 @@ def connected_components(
     converged = False
     rounds = 0
     try:
-        spark.conf.set(conf_key, str(loop_parts))
+        if narrow_shuffle:
+            spark.conf.set(conf_key, str(loop_parts))
         for _ in range(max_iters):
             rounds += 1
             neighbor_min = (

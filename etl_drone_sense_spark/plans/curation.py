@@ -1179,9 +1179,20 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     by 2 rows. Matched pairs emit immediately and match the batch inner
     join exactly. Same bounded-replay honesty as
     stream_watermark_eviction."""
+    return _stream_view_click_join(spark, sf_dir, "leftOuter", with_user=True)
+
+
+def _stream_view_click_join(
+    spark: SparkSession, sf_dir: str, how: str, with_user: bool
+) -> DataFrame:
+    """Shared scaffolding for the outer-join streaming twins: land the
+    click/view streams, watermark both sides 2 h, interval-join
+    (v.ts <= c.ts < v.ts + 30 min) with join type ``how``, drain
+    AvailableNow. ONE definition of the window/watermark/condition — a
+    drift between the left-outer and full-outer cells would silently
+    split the matrix (review catch r5)."""
     import os
     import tempfile
-    import uuid
 
     from ..streaming import pipeline as SP
 
@@ -1202,20 +1213,21 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(vdir)
         c = SP.stream_events(spark, cdir).withWatermark("ts", "2 hours").alias("c")
         v = SP.stream_events(spark, vdir).withWatermark("ts", "2 hours").alias("v")
+        cols = [
+            F.col("v.event_id").alias("view_id"),
+            F.col("c.event_id").alias("click_id"),
+            *([F.col("v.user_id").alias("user_id")] if with_user else []),
+            F.col("v.ts").alias("view_ts"),
+            F.col("c.ts").alias("click_ts"),
+        ]
         j = v.join(
             c,
             F.expr(
                 "c.user_id = v.user_id AND v.ts <= c.ts "
                 "AND c.ts < v.ts + interval 30 minutes"
             ),
-            "leftOuter",
-        ).select(
-            F.col("v.event_id").alias("view_id"),
-            F.col("c.event_id").alias("click_id"),
-            F.col("v.user_id").alias("user_id"),
-            F.col("v.ts").alias("view_ts"),
-            F.col("c.ts").alias("click_ts"),
-        )
+            how,
+        ).select(*cols)
         SP.run_available_now(j, ckpt, out)
     finally:
         spark.conf.set(key, prev)
@@ -1276,45 +1288,7 @@ def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     jitter makes watermark ties measure-zero, so <= vs < is
     indistinguishable on these fixtures; <= matches the left-outer
     convention)."""
-    import os
-    import tempfile
-
-    from ..streaming import pipeline as SP
-
-    base = tempfile.mkdtemp(prefix="sg_ssjf_")
-    cdir, vdir, ckpt, out = (
-        os.path.join(base, d) for d in ("clicks", "views", "ckpt", "out")
-    )
-    ev = t(spark, sf_dir, "events")
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try:
-        ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(cdir)
-        ev.filter(F.col("event_type") == "view").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(vdir)
-        c = SP.stream_events(spark, cdir).withWatermark("ts", "2 hours").alias("c")
-        v = SP.stream_events(spark, vdir).withWatermark("ts", "2 hours").alias("v")
-        j = v.join(
-            c,
-            F.expr(
-                "c.user_id = v.user_id AND v.ts <= c.ts "
-                "AND c.ts < v.ts + interval 30 minutes"
-            ),
-            "fullOuter",
-        ).select(
-            F.col("v.event_id").alias("view_id"),
-            F.col("c.event_id").alias("click_id"),
-            F.col("v.ts").alias("view_ts"),
-            F.col("c.ts").alias("click_ts"),
-        )
-        SP.run_available_now(j, ckpt, out)
-    finally:
-        spark.conf.set(key, prev)
-    return spark.read.parquet(out)
+    return _stream_view_click_join(spark, sf_dir, "fullOuter", with_user=False)
 
 
 # ---------------------------------------------------------------------------

@@ -1808,12 +1808,16 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULLY hash-oracled, not tolerance-checked, because the sketch is
     EXACT while the tracked-item capacity covers the key domain (the
     space-saving guarantee: count error <= n/capacity, = 0 when nothing
-    is evicted; maxItemsTracked=10000 >= the fixture's distinct custkeys).
-    At scale the same query stays correct for hitters above n/capacity —
-    the threshold just needs to clear the error bound. Exact twin of the
+    is evicted). Capacity is 100k: sf0.1 orders has 14,999 distinct
+    custkeys, so the earlier 10k capacity EVICTED there and its error
+    bound n/capacity = 15 sat exactly on the >= 15 threshold — approximate
+    results at precisely the scale the audit runs (review catch). At true
+    scale the query stays correct for hitters above n/capacity — the
+    threshold must clear the error bound, and capacity is a memory knob
+    (~a few MB at 100k), not a shuffle cost. Exact twin of the
     groupBy-HAVING shape in having_filter."""
     sk = t(spark, sf_dir, "orders").agg(
-        F.expr("approx_top_k(o_custkey, 10000, 10000)").alias("tk")
+        F.expr("approx_top_k(o_custkey, 100000, 100000)").alias("tk")
     )
     return (
         sk.select(F.explode("tk").alias("e"))

@@ -439,8 +439,21 @@ def _collect_file_stats(
 # in the manifest: a definite "value not in this file" skips the file, a
 # maybe opens it — false positives only cost a read, never correctness.
 
-BLOOM_M_BITS = 8192  # 1 KiB/bitset; ~1% FP at ~850 distinct values, k=6
+BLOOM_MIN_M_BITS = 8192  # floor: 1 KiB/bitset
+BLOOM_MAX_M_BITS = 1 << 22  # cap: 512 KiB/bitset (manifest-size guard)
 BLOOM_K = 6
+
+
+def _bloom_m_bits(n_values: int) -> int:
+    """Bitset size for ~1% FP at k=6: m ≈ 10·n, rounded up to a power of
+    two, clamped to [1 KiB, 512 KiB]. Sizing from the FILE'S OWN value
+    count matters: a fixed m saturates on big files (at m=8192 a file
+    with ~19k values probes ~100% positive — the bloom silently stops
+    pruning while looking healthy; review catch r5)."""
+    m = BLOOM_MIN_M_BITS
+    while m < 10 * max(n_values, 1) and m < BLOOM_MAX_M_BITS:
+        m <<= 1
+    return m
 
 
 def _bloom_key(v) -> bytes:
@@ -453,7 +466,7 @@ def _bloom_key(v) -> bytes:
     return str(v).encode()
 
 
-def _bloom_indices(v, m: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list[int]:
+def _bloom_indices(v, m: int, k: int = BLOOM_K) -> list[int]:
     d = hashlib.md5(_bloom_key(v)).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:16], "big") | 1
@@ -492,13 +505,13 @@ def _collect_file_blooms(
         if present:
             tbl = pf.read(columns=present)
             for c in present:
-                bits = bytearray(BLOOM_M_BITS // 8)
-                for v in tbl.column(c).to_pylist():
-                    if v is None:
-                        continue
-                    for i in _bloom_indices(v):
+                vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+                m = _bloom_m_bits(len(vals))
+                bits = bytearray(m // 8)
+                for v in vals:
+                    for i in _bloom_indices(v, m):
                         bits[i // 8] |= 1 << (i % 8)
-                blooms[c] = _bloom_encode(bits, BLOOM_M_BITS, BLOOM_K)
+                blooms[c] = _bloom_encode(bits, m, BLOOM_K)
         out.append((f, json.dumps(blooms, sort_keys=True)))
     return tuple(sorted(out))
 
