@@ -83,3 +83,46 @@ def test_synth_then_decode_matches_arithmetic(spark, sf_dir):
         for c, col in enumerate(("mean_r", "mean_g", "mean_b")):
             expect = sum((did * 31 + i) % 256 for i in range(w * h * 3) if i % 3 == c)
             assert r[col] == expect / (w * h)
+
+
+def test_resize_identity_and_quarantine(spark):
+    """Nearest-neighbor resize: a 2x2 image resized to 2x2 is the
+    identity (selected pixels are exactly the originals), and corrupt
+    payloads quarantine with resize_ok=false instead of failing the
+    batch."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        resize_image_features,
+    )
+
+    # 2x2 RGB image with distinct channel values per pixel.
+    raster = bytes(range(12))
+    good = b"P6\n2 2\n255\n" + raster
+    media = spark.createDataFrame(
+        [(1, good), (2, b"not an image")], "media_id long, payload binary"
+    )
+    out = {r.media_id: r for r in resize_image_features(media, 2, 2).collect()}
+    assert out[1].resize_ok and (out[1].out_w, out[1].out_h) == (2, 2)
+    # identity resize -> means equal the full-image channel means
+    assert out[1].mean_r == (0 + 3 + 6 + 9) / 4
+    assert out[1].mean_g == (1 + 4 + 7 + 10) / 4
+    assert out[1].mean_b == (2 + 5 + 8 + 11) / 4
+    assert not out[2].resize_ok and out[2].mean_r is None
+
+
+def test_resize_downsample_picks_grid_pixels(spark):
+    """3x3 -> 2x2 must select rows {0, 1} and cols {0, 1} (floor(k*3/2)),
+    i.e. the TOP-LEFT 2x2 block — pinning the grid convention the oracle
+    replicates."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        resize_image_features,
+    )
+
+    raster = bytes(range(27))  # 3x3x3: pixel (r,c) channel ch = (r*3+c)*3+ch
+    media = spark.createDataFrame(
+        [(1, b"P6\n3 3\n255\n" + raster)], "media_id long, payload binary"
+    )
+    r = resize_image_features(media, 2, 2).collect()[0]
+    # selected pixels: (0,0)=0.., (0,1)=3.., (1,0)=9.., (1,1)=12..
+    assert r.mean_r == (0 + 3 + 9 + 12) / 4
+    assert r.mean_g == (1 + 4 + 10 + 13) / 4
+    assert r.mean_b == (2 + 5 + 11 + 14) / 4

@@ -792,3 +792,30 @@ def test_bloom_never_false_negative(spark, tmp_path, nation):
             ).collect()
         )
         assert got == full[k], f"bloom probe lost rows for key {k}"
+
+
+def test_bloom_roundtrip_membership_property(spark):
+    """Encode/probe property over mixed-type values: every inserted value
+    probes positive at any bitset size; int-valued floats collapse to
+    their int form (a DOUBLE parquet column vs an int probe agree)."""
+    import random
+
+    rng = random.Random(7)
+    values = (
+        [rng.randint(-10**12, 10**12) for _ in range(300)]
+        + [rng.random() * 1e6 for _ in range(100)]
+        + [f"s{rng.randint(0, 10**9)}" for _ in range(100)]
+    )
+    for m in (tc.BLOOM_MIN_M_BITS, tc._bloom_m_bits(len(values))):
+        bits = bytearray(m // 8)
+        for v in values:
+            for i in tc._bloom_indices(v, m):
+                bits[i // 8] |= 1 << (i % 8)
+        enc = tc._bloom_encode(bits, m, tc.BLOOM_K)
+        assert all(tc._bloom_might_contain(enc, v) for v in values)
+    # numeric-form collapse
+    bits = bytearray(tc.BLOOM_MIN_M_BITS // 8)
+    for i in tc._bloom_indices(42.0, tc.BLOOM_MIN_M_BITS):
+        bits[i // 8] |= 1 << (i % 8)
+    enc = tc._bloom_encode(bits, tc.BLOOM_MIN_M_BITS, tc.BLOOM_K)
+    assert tc._bloom_might_contain(enc, 42)
