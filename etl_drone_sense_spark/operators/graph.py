@@ -78,12 +78,15 @@ def connected_components(
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(conf_key)
-    loop_parts = max(1, min(int(prev_parts), sym.count() // 50_000 + 1))
 
     converged = False
     rounds = 0
     try:
         if narrow_shuffle:
+            # The sizing count lives INSIDE the branch: with
+            # narrow_shuffle=False the value is unused and the count job
+            # would be a pure waste of a scan (ADVICE r5).
+            loop_parts = max(1, min(int(prev_parts), sym.count() // 50_000 + 1))
             spark.conf.set(conf_key, str(loop_parts))
         for _ in range(max_iters):
             rounds += 1

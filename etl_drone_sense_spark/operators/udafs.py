@@ -36,12 +36,15 @@ def _make_udafs():
     @F.pandas_udf("double")
     def weighted_avg_e4(wsum: pd.Series, qsum: pd.Series) -> float:
         # Final-stage weighted mean over fixed-point partials. Partials
-        # are int64-exact, so their Python-int sums are exact and
-        # order-independent; the single double division + half-up round
-        # happen once per group, matching the oracle's round(x, 6)
-        # bit-for-bit.
-        num = int(wsum.sum())
-        den = int(qsum.sum())
+        # arrive as arbitrary-precision Decimals (see the decimal(38,0)
+        # cast in ``weighted_avg_price``) and are summed as PYTHON ints —
+        # pandas' .sum() is a numpy int64 reduction that WRAPS silently
+        # on overflow, which is exactly the 100 TB regime where per-bucket
+        # partials of round(price*1e4)*qty approach 2^63 (ADVICE r5). The
+        # single double division + half-up round happen once per group,
+        # matching the oracle's round(x, 6) bit-for-bit.
+        num = sum(int(x) for x in wsum)
+        den = sum(int(x) for x in qsum)
         if den == 0:
             return 0.0
         x = float(num) / PRICE_E4 / float(den)
@@ -49,10 +52,12 @@ def _make_udafs():
 
     @F.pandas_udf("long")
     def sum_long(qsum: pd.Series) -> int:
-        # Exact int64 sum of partials (Spark disallows mixing GROUPED_AGG
-        # pandas UDFs with built-in aggregates in one agg, so the
-        # companion count rides the same Arrow batch as a second UDAF).
-        return int(qsum.sum())
+        # Exact arbitrary-precision sum of partials (Spark disallows
+        # mixing GROUPED_AGG pandas UDFs with built-in aggregates in one
+        # agg, so the companion count rides the same Arrow batch as a
+        # second UDAF). Python-int summation for the same no-wrap reason
+        # as above.
+        return int(sum(int(x) for x in qsum))
 
     return weighted_avg_e4, sum_long
 
@@ -72,14 +77,22 @@ def weighted_avg_price(
     deterministic int expression over the row (e.g. ``pmod(l_orderkey,
     256)``) used only to bound the partial relation's size per group.
     """
+    # The per-row term is computed in long (exact for any realistic row),
+    # but the PARTIAL SUM is decimal(38,0): a sum(long) would itself wrap
+    # silently once a bucket accumulates ~2^63 of fixed-point units — the
+    # overflow the UDAF guards against must not just move into the
+    # built-in stage (ADVICE r5). Spark's decimal sum is exact to 38
+    # digits and raises (ANSI) rather than wrapping beyond that.
     partial = (
         df.groupBy(F.col(group_col), F.pmod(bucket, F.lit(buckets)).alias("_b"))
         .agg(
             F.sum(
-                F.round(F.col(price_col) * PRICE_E4).cast("long")
-                * F.col(qty_col).cast("long")
+                (
+                    F.round(F.col(price_col) * PRICE_E4).cast("long")
+                    * F.col(qty_col).cast("long")
+                ).cast("decimal(38,0)")
             ).alias("_wsum"),
-            F.sum(F.col(qty_col).cast("long")).alias("_qsum"),
+            F.sum(F.col(qty_col).cast("decimal(38,0)")).alias("_qsum"),
         )
     )
     weighted_avg_e4, sum_long = _make_udafs()

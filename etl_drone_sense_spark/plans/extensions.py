@@ -1856,23 +1856,79 @@ def _events_landing(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("stream_tumbling_counts", oracle=None, tags=("streaming",))
+@register(
+    "stream_tumbling_counts",
+    # COMPLETE-mode streaming aggregation over a bounded two-batch replay
+    # has a computable final table: complete mode retains every group's
+    # state (no watermark eviction) AND accepts late input rows (the
+    # late-drop filter applies in append/update mode only — verified
+    # empirically at two SFs), so the final re-emitted table converges to
+    # the plain relational aggregate over ALL events, regardless of how
+    # the stream was chopped into micro-batches. The asymmetry with
+    # stream_watermark_eviction (same pipeline, append mode: late rows
+    # dropped, tail windows die in state) is exactly the output-mode
+    # semantics matrix, each side pinned BY HASH.
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "watermark"),
+)
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window counts executed as a REAL streaming job
-    (file source → watermark → window agg → AvailableNow drain to a memory
-    sink), returned as the drained table. Semantics are oracle-checked via
-    the batch twin (window_tumbling_events) and stream/batch parity tests
-    (tests/test_streaming.py); the driver records a rows-only check here
-    because watermark/eviction behavior is not SQL-expressible."""
+    """Watermarked tumbling-window counts as a REAL streaming job in
+    COMPLETE output mode, over a bounded two-micro-batch replay (same
+    deterministic schedule as stream_watermark_eviction: batch A = odd
+    event_ids at or below max_ts - 2h, batch B = the rest, one shared
+    checkpoint, AvailableNow twice). Complete mode keeps all window state
+    and admits batch-B rows that arrive below batch-A's committed
+    watermark, so the final memory table equals the full batch aggregate
+    — the convergence statement for complete-mode incremental execution,
+    hash-checked against the relational oracle (was rows-only through r5;
+    the bounded schedule is what makes it SQL-expressible)."""
+    import datetime
+    import os
+    import tempfile
     import uuid
 
     from ..streaming import pipeline as SP
 
-    landing = _events_landing(spark, sf_dir)
-    stream = SP.windowed_counts(SP.stream_events(spark, landing))
+    base = tempfile.mkdtemp(prefix="sg_tumble_replay_")
+    landing, ckpt = os.path.join(base, "landing"), os.path.join(base, "ckpt")
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    tcut = mx - datetime.timedelta(hours=2)
+    in_batch_a = (F.col("event_id") % 2 == 1) & (F.col("ts") <= F.lit(tcut))
     name = f"reg_stream_{uuid.uuid4().hex[:8]}"
-    q = SP.run_to_memory(stream, name, output_mode="complete")
-    q.awaitTermination()
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        ev.filter(in_batch_a).coalesce(1).write.mode("overwrite").parquet(
+            landing
+        )
+
+        def drain() -> None:
+            q = (
+                SP.windowed_counts(SP.stream_events(spark, landing))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        ev.filter(~in_batch_a).coalesce(1).write.mode("append").parquet(landing)
+        drain()
+    finally:
+        spark.conf.set(key, prev)
     return spark.table(name)
 
 

@@ -109,9 +109,15 @@ class DroneSenseReader(DataSourceReader):
 class DroneSenseStreamReader(DataSourceStreamReader):
     """Micro-batch reader over an append-only landing directory.
 
-    Offsets are ``{"idx": n}`` = number of (name-sorted) landing files
-    consumed; landings must be append-only with monotonically-named files
-    (``part-000001.jsonl`` …), the standard object-store drop convention.
+    Offsets are ``{"idx": n, "last": name}`` = number of (name-sorted)
+    landing files consumed plus the NAME of the last one; landings must
+    be append-only with monotonically-named files (``part-000001.jsonl``
+    …), the standard object-store drop convention. The convention is
+    ENFORCED, not trusted: if a file ever lands with a lexically earlier
+    name than an already-consumed file, a bare index slice would silently
+    re-read a consumed file and skip the newcomer (duplicate + data
+    loss, ADVICE r5) — so planning asserts the current sorted listing is
+    a prefix-extension of what was consumed and raises loudly otherwise.
     Planning is driver-side metadata only; payload decode happens on
     executors, one partition per new file — identical scale posture to
     the batch reader."""
@@ -121,15 +127,45 @@ class DroneSenseStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("dronesense source requires a path")
 
+    @staticmethod
+    def _check_prefix(files: list[str], offset: dict) -> None:
+        """The file at position idx-1 must still be the recorded last
+        consumed name, else the listing is not an append-only extension
+        of the consumed prefix."""
+        idx = offset.get("idx", 0)
+        last = offset.get("last")
+        if idx == 0 or last is None:  # nothing consumed / legacy offset
+            return
+        actual = (
+            os.path.basename(files[idx - 1]) if len(files) >= idx else None
+        )
+        if actual != last:
+            raise RuntimeError(
+                "dronesense landing violated the monotonic-naming "
+                f"convention: offset {idx} was committed with last file "
+                f"{last!r}, but the sorted listing now has {actual!r} at "
+                "that position — a lexically-earlier file arrived after "
+                "consumption (or a consumed file was removed). Refusing "
+                "to plan a batch that would duplicate/skip data."
+            )
+
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"idx": 0, "last": None}
 
     def latestOffset(self) -> dict:
-        return {"idx": len(_landing_files(self.path))}
+        files = _landing_files(self.path)
+        return {
+            "idx": len(files),
+            "last": os.path.basename(files[-1]) if files else None,
+        }
 
     def partitions(self, start: dict, end: dict):
-        files = _landing_files(self.path)[start["idx"] : end["idx"]]
-        return [_FilePartition(p) for p in files]
+        files = _landing_files(self.path)
+        self._check_prefix(files, start)
+        self._check_prefix(files, end)
+        return [
+            _FilePartition(p) for p in files[start["idx"] : end["idx"]]
+        ]
 
     def read(self, partition: _FilePartition):
         yield from _read_jsonl(partition.path)

@@ -37,6 +37,7 @@ addition (SURVEY §2 C, storage management), not a reference behavior.
 from __future__ import annotations
 
 import base64
+import decimal
 import hashlib
 import json
 import os
@@ -457,10 +458,23 @@ def _bloom_m_bits(n_values: int) -> int:
 
 
 def _bloom_key(v) -> bytes:
-    """Canonical hash input for a value: integral floats collapse to their
-    int form so a parquet DOUBLE file and an int probe agree."""
+    """Canonical hash input for a value. ALL numeric-like representations
+    of one value must hash identically — a parquet DECIMAL(12,2) file
+    stores ``Decimal('42.00')`` while the probe passes int ``42``, and a
+    mismatch here is a bloom FALSE NEGATIVE: the file is silently skipped
+    although it holds matching rows, violating the "false positives only
+    cost a read, never correctness" contract (ADVICE r5). So: numpy
+    scalars unwrap to Python, Decimals collapse to int (integral) or the
+    nearest double (fractional — both sides round-trip through the same
+    float64, so equal values still collide), integral floats collapse to
+    int. date/datetime str() forms are already canonical ISO text and
+    match string probes."""
     if isinstance(v, bool):
         return f"b:{v}".encode()
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, decimal.Decimal):
+        v = int(v) if v == v.to_integral_value() else float(v)
     if isinstance(v, float) and v.is_integer():
         v = int(v)
     return str(v).encode()

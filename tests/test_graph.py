@@ -91,3 +91,35 @@ def test_connected_components_restores_shuffle_conf(spark):
     out = {r.node: r.component for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert spark.conf.get(key) == before
+
+
+def test_no_sizing_count_job_when_not_narrowing(spark, monkeypatch):
+    """ADVICE r5 regression: the shuffle-width sizing count is only spent
+    when narrow_shuffle=True actually uses the value."""
+    # patch the CONCRETE class — pyspark.sql.DataFrame is a dispatch
+    # facade in Spark 4 and instances don't resolve count() through it
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from etl_drone_sense_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    calls = {"n": 0}
+    orig = DataFrame.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    calls["n"] = 0
+    connected_components(edges, max_iters=5, narrow_shuffle=True)
+    with_narrow = calls["n"]
+    calls["n"] = 0
+    connected_components(edges, max_iters=5, narrow_shuffle=False)
+    without = calls["n"]
+    assert without == with_narrow - 1, (
+        f"expected exactly one fewer count job without narrowing "
+        f"(got {with_narrow} vs {without})"
+    )

@@ -10,11 +10,10 @@ RG.all_queries()  # populate
 
 # The ONLY queries allowed to ship without a DuckDB oracle, with the
 # documented reason (SURVEY §2.D). sim_kmeans_ivf_topk left this set in
-# r5: it now hashes the exact brute-force top-k plus an in-plan
-# trained-index recall gate (the sketch bounded-quality pattern).
-DECLARED_ROWS_ONLY = {
-    "stream_tumbling_counts",  # unbounded-schedule watermark eviction
-}
+# r5 (bounded-quality oracle); stream_tumbling_counts left it in r6 (the
+# bounded two-batch complete-mode replay made it SQL-expressible). The
+# set is now EMPTY: every registered query carries a full hash oracle.
+DECLARED_ROWS_ONLY: set[str] = set()
 
 
 def test_rows_only_set_is_exactly_the_declared_one():

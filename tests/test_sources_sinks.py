@@ -367,3 +367,34 @@ def test_custom_datasource_stream_reader(spark, sf_dir, tmp_path):
     ids2 = [r["id"] for r in spark.read.parquet(out).collect()]
     assert len(ids2) == 30 and len(set(ids2)) == 30  # new file only, no re-reads
     assert sorted(ids2) == sorted(r["id"] for r in drones)
+
+
+def test_stream_reader_rejects_out_of_order_landing(tmp_path):
+    """ADVICE r5 regression: offsets record the last consumed filename,
+    and planning refuses a batch whose sorted listing is not a
+    prefix-extension of the consumed prefix — a lexically-earlier
+    late-arriving file would otherwise be silently skipped while an
+    already-consumed file is re-read."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources.datasource import DroneSenseStreamReader
+
+    landing = tmp_path / "ooo"
+    landing.mkdir()
+    (landing / "part-0002.jsonl").write_text("")
+    (landing / "part-0003.jsonl").write_text("")
+    rd = DroneSenseStreamReader({"path": str(landing)})
+    start, end = rd.initialOffset(), rd.latestOffset()
+    assert end == {"idx": 2, "last": "part-0003.jsonl"}
+    assert len(rd.partitions(start, end)) == 2
+
+    # a lexically-earlier file lands AFTER part-0002/0003 were consumed
+    (landing / "part-0001.jsonl").write_text("")
+    with _pytest.raises(RuntimeError, match="monotonic-naming"):
+        rd.partitions(end, rd.latestOffset())
+    # removing a consumed file is equally refused
+    (landing / "part-0001.jsonl").unlink()
+    (landing / "part-0003.jsonl").unlink()
+    (landing / "part-0004.jsonl").write_text("")
+    with _pytest.raises(RuntimeError, match="monotonic-naming"):
+        rd.partitions(end, rd.latestOffset())

@@ -819,3 +819,45 @@ def test_bloom_roundtrip_membership_property(spark):
         bits[i // 8] |= 1 << (i % 8)
     enc = tc._bloom_encode(bits, tc.BLOOM_MIN_M_BITS, tc.BLOOM_K)
     assert tc._bloom_might_contain(enc, 42)
+
+
+def test_bloom_key_canonicalizes_numeric_like_types():
+    """ADVICE r5 regression: a bloom'd DECIMAL/numpy column must hash to
+    the same key as the plain int/float probe — a representation mismatch
+    is a bloom FALSE NEGATIVE (silently skipped matching rows)."""
+    import decimal
+
+    import numpy as np
+
+    assert tc._bloom_key(decimal.Decimal("42.00")) == tc._bloom_key(42)
+    assert tc._bloom_key(decimal.Decimal("42")) == tc._bloom_key(42.0)
+    assert tc._bloom_key(decimal.Decimal("2.50")) == tc._bloom_key(2.5)
+    assert tc._bloom_key(np.int64(7)) == tc._bloom_key(7)
+    assert tc._bloom_key(np.float64(7.25)) == tc._bloom_key(7.25)
+    assert tc._bloom_key(np.float64(7.0)) == tc._bloom_key(7)
+    # bool stays distinct from int 1/0 (it is an int subclass in Python)
+    assert tc._bloom_key(True) != tc._bloom_key(1)
+
+
+def test_bloom_probe_decimal_column_no_false_negative(spark, tmp_path):
+    """End-to-end: commit a DECIMAL(12,2) bloom'd column (pyarrow hands
+    the bloom builder Decimal objects), probe with int and float — every
+    committed key must keep its rows."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 40)
+        .select(
+            (F.col("id") * 100).cast("decimal(12,2)").alias("amount"),
+            F.concat(F.lit("row"), F.col("id")).alias("tag"),
+        )
+        .repartition(4, "amount")
+    )
+    root = str(tmp_path / "dec_tbl")
+    tc.commit(df, root, bloom_cols=["amount"])
+    for probe in (1500, 1500.0):
+        got = tc.read_table_bloom_probe(spark, root, "amount", probe)
+        rows = got.filter(F.col("amount") == F.lit(probe)).collect()
+        assert len(rows) == 1 and rows[0].tag == "row15", (
+            f"bloom probe {probe!r} lost the DECIMAL row"
+        )

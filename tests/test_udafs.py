@@ -47,3 +47,21 @@ def test_weighted_avg_partials_bounded_by_buckets(spark):
         df, "g", "price", "qty", bucket=F.col("oid"), buckets=16
     ).collect()
     assert out[0].n_units == 10_000
+
+
+def test_weighted_avg_no_int64_wrap(spark):
+    """ADVICE r5 regression: partial sums near/above 2^63 must stay exact.
+    Each row contributes round(price*1e4)*qty ≈ 9.2e17 fixed-point units
+    (half of int64 max); ten rows in ONE bucket force both the Spark-side
+    partial sum and the UDAF's final sum far past 2^63 — a numpy int64
+    reduction (or a sum(long) partial) would wrap silently."""
+    big_price = 92_233_720_368_547.0  # *1e4 -> ~9.2e17 per unit qty
+    rows = [("g", big_price, 1, 0) for _ in range(10)]
+    df = spark.createDataFrame(rows, "g string, price double, qty long, oid long")
+    out = udafs.weighted_avg_price(
+        df, "g", "price", "qty", bucket=F.col("oid"), buckets=4
+    ).collect()
+    assert out[0].n_units == 10
+    # weighted mean of identical prices is the price itself; any wrap
+    # would produce a wildly different (likely negative) value.
+    assert out[0].weighted_avg_price == big_price
