@@ -35,6 +35,7 @@ BUDGETS_S: dict[str, float] = {
     "corpus_prepare_pipeline": 4.30,
     "dedup_exact_substring": 3.93,  # r5: 1.8 × 2.18 s quiet-machine median
     "dedup_embedding_lsh": 2.39,
+    "dedup_embedding_lsh_adaptive": 2.41,  # r6: 1.8 × 1.34 s quiet median
     "dedup_incremental": 2.01,
     "dedup_minhash": 1.87,
     "dedup_paragraph": 1.64,

@@ -5,13 +5,20 @@ metadata struct. The Spark-side machinery — schema, partition-sized Arrow
 batches, ``mapInPandas`` signatures — is real and tested. The codec layer
 has two tiers:
 
-* ``parse_ppm`` / ``decode_image_features`` — a REAL, dependency-free
-  decoder for uncompressed binary PPM (P6) images: header parse (with
-  comment handling), raster extraction, per-channel statistics. This is
-  the honest end-to-end path a user gets without external libraries.
-* ``decode_stub`` — a deterministic fake standing in for compressed
-  codecs (JPEG/H.264 need PIL/libav, not in this container); it keeps the
-  full Arrow path exercised for those formats' plumbing.
+* ``parse_ppm`` — a REAL, dependency-free decoder for uncompressed
+  binary PPM (P6) images: header parse (with comment handling), raster
+  extraction.
+* ``parse_png`` / ``encode_png`` — a REAL, dependency-free PNG codec for
+  the 8-bit RGB non-interlaced common case: chunk walk with CRC
+  verification, stdlib-zlib DEFLATE, and all five scanline filter
+  reconstructions (None/Sub/Up/Average/Paeth) per the PNG spec — the
+  compressed-codec tier that was import-gated through round 5.
+* ``decode_image_features`` — per-payload codec dispatch on magic bytes
+  (``parse_image``) → per-channel statistics; the honest end-to-end path
+  a user gets without external libraries.
+* ``decode_stub`` — a deterministic fake standing in for the remaining
+  compressed codecs (JPEG/H.264 need PIL/libav, not in this container);
+  it keeps the full Arrow path exercised for those formats' plumbing.
 
 Scale notes: binary rows are large → keep ``spark.sql.files.maxPartitionBytes``
 bounded and never ``collect`` payloads; feature extraction emits small typed
@@ -112,8 +119,8 @@ def parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
     ``width*height*3`` interleaved-RGB byte string. Exactly one whitespace
     byte separates the maxval token from the raster (netpbm spec). Only
     maxval 255 (1 byte/sample) is supported. Malformed, truncated, or
-    non-P6 payloads raise ``ValueError`` — compressed formats (JPEG/PNG)
-    need external codec libraries, which this container doesn't ship.
+    non-P6 payloads raise ``ValueError``. (PNG has its own real decoder,
+    ``parse_png``; JPEG/video stay import-gated on external codec libs.)
     """
     if payload is None or len(payload) < 2 or bytes(payload[:2]) != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
@@ -139,9 +146,177 @@ def parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, raster
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): pick the neighbor (left, up,
+    up-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, raster: bytes) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, colour type 2) — the fixture side
+    of the codec pair. Scanline ``y`` is filtered with type ``y % 5``, so
+    a synthetic corpus of ≥5 rows drives EVERY filter reconstruction path
+    (None/Sub/Up/Average/Paeth) through the decoder; zlib (stdlib) is the
+    real DEFLATE layer."""
+    import struct
+    import zlib
+
+    bpp = 3
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * bpp
+    prior = bytes(stride)
+    lines = []
+    for y in range(height):
+        raw = raster[y * stride : (y + 1) * stride]
+        ft = y % 5
+        if ft == 0:
+            enc = raw
+        elif ft == 1:  # Sub
+            enc = bytes(
+                (raw[i] - (raw[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            enc = bytes((raw[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            enc = bytes(
+                (raw[i] - ((raw[i - bpp] if i >= bpp else 0) + prior[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            enc = bytes(
+                (
+                    raw[i]
+                    - _paeth(
+                        raw[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        lines.append(bytes([ft]) + enc)
+        prior = raw
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a PNG image — dependency-free (stdlib zlib is the DEFLATE
+    layer; chunk walk, CRC verification, and the five filter-type
+    reconstructions are implemented here per the PNG spec). Supports the
+    training-corpus common case: 8-bit-depth colour type 2 (RGB),
+    non-interlaced. Anything else — palettes, alpha, 16-bit, Adam7 —
+    raises ``ValueError`` like any malformed payload, keeping the
+    quarantine contract of ``decode_image_features``."""
+    import struct
+    import zlib
+
+    buf = bytes(payload or b"")
+    if len(buf) < len(_PNG_SIG) or buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, n = len(_PNG_SIG), len(buf)
+    width = height = None
+    idat = bytearray()
+    seen_end = False
+    while i + 8 <= n and not seen_end:
+        (length,) = struct.unpack(">I", buf[i : i + 4])
+        typ = buf[i + 4 : i + 8]
+        data = buf[i + 8 : i + 8 + length]
+        if len(data) < length or i + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", buf[i + 8 + length : i + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant: need 8-bit RGB non-interlaced, "
+                    f"got depth={depth} colour={ctype} interlace={inter}"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            seen_end = True
+        i += 12 + length
+    if width is None or not seen_end or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        rec = bytearray(stride)
+        for k in range(stride):
+            left = rec[k - bpp] if k >= bpp else 0
+            up = prior[k]
+            upleft = prior[k - bpp] if k >= bpp else 0
+            if ft == 0:
+                v = line[k]
+            elif ft == 1:
+                v = line[k] + left
+            elif ft == 2:
+                v = line[k] + up
+            elif ft == 3:
+                v = line[k] + (left + up) // 2
+            elif ft == 4:
+                v = line[k] + _paeth(left, up, upleft)
+            else:
+                raise ValueError(f"invalid PNG filter type {ft}")
+            rec[k] = v & 0xFF
+        out += rec
+        prior = bytes(rec)
+    return width, height, bytes(out)
+
+
+def parse_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
+    PNG signature → PNG; anything else raises ``ValueError`` (JPEG/video
+    remain the declared import-gated extension — they need external
+    codec libraries)."""
+    buf = bytes(payload or b"")
+    if buf[: len(_PNG_SIG)] == _PNG_SIG:
+        return parse_png(buf)
+    return parse_ppm(buf)
+
+
 def decode_image_features(media: DataFrame) -> DataFrame:
     """PPM payloads → per-image features via ``mapInPandas`` (Arrow-batched).
 
+    Accepts any supported codec per payload (``parse_image``: PPM/P6 or
+    PNG, dispatched on magic bytes).
     Emits (media_id, decode_ok, width, height, mean_r/g/b). Channel means
     are exact-integer sums (numpy int64) divided once in double — the same
     IEEE op an SQL oracle performs, so results are bit-comparable.
@@ -154,7 +329,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             out: dict[str, list] = {k.name: [] for k in IMAGE_FEATURE_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, raster = parse_ppm(payload)
+                    w, h, raster = parse_image(payload)
                     sums = (
                         np.frombuffer(raster, dtype=np.uint8)
                         .astype(np.int64)
@@ -192,7 +367,7 @@ def resize_image_features(
             out: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, raster = parse_ppm(payload)
+                    w, h, raster = parse_image(payload)
                     arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
                     ry = (np.arange(out_h) * h) // out_h
                     rx = (np.arange(out_w) * w) // out_w
@@ -231,6 +406,30 @@ def synth_ppm_media(docs: DataFrame) -> DataFrame:
                 w, h = 4 + did % 5, 3 + did % 4
                 raster = bytes((did * 31 + i) % 256 for i in range(w * h * 3))
                 payloads.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic PNG payloads keyed by doc id — REAL PNG
+    bytes (signature, CRC'd chunks, DEFLATE, per-row filters 0-4 via
+    ``encode_png``) whose pixel content is arithmetically predictable, so
+    a SQL oracle can derive the decoded features without a decoder:
+    ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``, raster byte
+    ``i`` = ``(doc_id*37 + i) % 256`` (a different multiplier than the
+    PPM fixture so a codec mix-up cannot silently hash-match)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                raster = bytes((did * 37 + i) % 256 for i in range(w * h * 3))
+                payloads.append(encode_png(w, h, raster))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

@@ -1329,6 +1329,67 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "stream_running_totals_tws",
+    # Same fixed-point-exact state convention as stream_running_totals,
+    # so the same relational restatement is the oracle; the extra
+    # max_value column exercises a second named-state field.
+    oracle="""
+    SELECT user_id,
+           round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1e6, 6)
+               AS total_value,
+           count(*) AS n_seen,
+           round(max(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1e6, 6)
+               AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` — Spark 4's named-state successor to
+    applyInPandasWithState — run as a real streaming job and hash-checked
+    against its batch aggregate (env-gated through round 5; unblocked in
+    r6 by vendoring the Google Cloud SDK's pure-python protobuf runtime
+    into the streaming runner's path, streaming/pipeline.ensure_protobuf).
+    State is a single ValueState holding exact int64 micro-units + count
+    + max, so the update-mode emission after one AvailableNow drain is
+    bit-identical to the relational restatement. The RocksDB state store
+    provider (required: the API uses multiple column families, which the
+    HDFS-backed provider rejects) is scoped to this query and restored."""
+    import uuid
+
+    from ..streaming import pipeline as SP
+    from .extensions import _events_landing
+
+    if not SP.tws_available(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas unavailable: no google.protobuf "
+            "and no vendorable pure-python runtime found "
+            "(SPARK_GRAFT_PROTOBUF_PATH)"
+        )
+    landing = _events_landing(spark, sf_dir)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        stream = SP.running_totals_tws(SP.stream_events(spark, landing))
+        name = f"reg_tws_stream_{uuid.uuid4().hex[:8]}"
+        q = SP.run_to_memory(stream, name, output_mode="update")
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(name)
+
+
 @register(
     "stream_static_enrich",
     oracle="""

@@ -569,6 +569,103 @@ def dedup_embedding_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adaptive band geometry (VERDICT r5 item 3): the scale probe established
+# that band WIDTH must follow log₂(n) to hold Σ|bucket|² linear, but
+# dedup_embedding_lsh / _wide pin two FIXED configs. This layout lets ONE
+# registered query derive its width from the corpus it reads: 128 planes
+# as 8 bands × 16-bit blocks; each band keys on the first `width` bits of
+# its block, so growing the corpus widens every band IN PLACE (each
+# width's plane set is a prefix of the next — the bucketing refines, never
+# reshuffles semantics). Width rule, in exact INTEGER arithmetic so Spark
+# (Python int.bit_length) and DuckDB (length(bin(n-1))) can never disagree
+# by a ULP the way ceil(log2(n)) could:
+#     width = clamp(bit_length(n-1) - 2, 8, 16)    [= ceil(log2 n) - 2]
+# i.e. hold expected bucket occupancy at ~2^2..2^3 per band: n=550 (sf0.01
+# seeded) → 8 bits; n=2200 (sf0.1) → 10 bits; n=2.2M → 16 bits (cap).
+_HP_BLOCK = 16
+_HP_PLANES_MAX = V.hyperplanes(dim=64, nbits=_HP_BANDS * _HP_BLOCK)
+
+
+def _adaptive_band_bits(n_rows: int) -> int:
+    return max(8, min(_HP_BLOCK, (max(n_rows, 2) - 1).bit_length() - 2))
+
+
+def _hp_oracle_adaptive() -> str:
+    planes = _HP_PLANES_MAX
+    plane_cols = ", ".join(
+        f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(planes)
+    )
+    bits = ", ".join(
+        V.hyperplane_bit_fixed_sql("qv", f"p{j}") for j in range(len(planes))
+    )
+    cos = V.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH {_SEEDED_EMB_CTE},
+    cfg AS (SELECT GREATEST(8, LEAST({_HP_BLOCK},
+                   length(bin(count(*) - 1)) - 2)) AS width
+            FROM seeded),
+    planes AS (SELECT {plane_cols}),
+    sigs AS MATERIALIZED (
+        SELECT vec_id, embedding, concat({bits}) AS sig
+        FROM (SELECT vec_id, embedding,
+                     {V.quantize_fixed_sql('embedding')} AS qv
+              FROM seeded)
+        CROSS JOIN planes
+    ),
+    exploded AS MATERIALIZED (
+        SELECT vec_id, b.band_idx,
+               substr(sig, b.band_idx * {_HP_BLOCK} + 1, cfg.width) AS band_val
+        FROM sigs
+        CROSS JOIN (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b
+        CROSS JOIN cfg
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM exploded a
+        JOIN exploded b ON a.band_idx = b.band_idx
+                       AND a.band_val = b.band_val
+                       AND a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b, round({cos}, 6) AS cosine
+    FROM pairs p
+    JOIN seeded a ON a.vec_id = p.id_a
+    JOIN seeded b ON b.vec_id = p.id_b
+    WHERE round({cos}, 6) >= 0.8
+    """
+
+
+@register(
+    "dedup_embedding_lsh_adaptive",
+    oracle=_hp_oracle_adaptive(),
+    tags=("dedup", "similarity", "lsh"),
+    bench=True,
+)
+def dedup_embedding_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup pairs whose band width FOLLOWS the corpus size —
+    the config a 100× deployment would actually run, certified as one
+    query instead of per-scale fixed twins (dedup_embedding_lsh at 8 bits,
+    _wide at 12). The corpus count is a driver-side scalar that
+    PARAMETERIZES the plan (like stream replay's max-ts lookup); the
+    derived width is exact integer math mirrored by the oracle's
+    length(bin(n-1)), and each band's planes are a prefix of its 16-bit
+    block (_HP_PLANES_MAX layout) so sf0.01 (550 rows → 8 bits) and sf0.1
+    (2200 rows → 10 bits) certify genuinely different widths of the SAME
+    artifact. Occupancy stays ~2^2..2^3 per bucket per band, keeping the
+    candidate space Σ|bucket|² linear in n up to the 16-bit cap — past
+    that, add bands/blocks, not width."""
+    seeded = _seeded_embeddings(spark, sf_dir)
+    n = seeded.count()
+    width = _adaptive_band_bits(n)
+    used = [
+        p
+        for i in range(_HP_BANDS)
+        for p in _HP_PLANES_MAX[i * _HP_BLOCK : i * _HP_BLOCK + width]
+    ]
+    return similarity.hyperplane_lsh_pairs(
+        seeded, planes=used, bands=_HP_BANDS, threshold=0.8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1653,6 +1750,52 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives the same features in pure SQL — a header-offset or
     raster-stride bug in the decoder would shift every mean and hash-fail."""
     media = multimodal.synth_ppm_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_decode_png",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM dims
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 37 + i) % 256 END)
+                      AS DOUBLE) / (w * h), 6) AS mean_r,
+           round(CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 37 + i) % 256 END)
+                      AS DOUBLE) / (w * h), 6) AS mean_g,
+           round(CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 37 + i) % 256 END)
+                      AS DOUBLE) / (w * h), 6) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end — the codec tier that was
+    import-gated through round 5: synthesize genuine PNG payloads
+    (CRC'd chunks, stdlib-zlib DEFLATE, scanline filters cycling through
+    all five types, operators/multimodal.encode_png) and decode them
+    inside the same Arrow mapInPandas path as the PPM query
+    (decode_image_features dispatches per payload on magic bytes). Pixel
+    content is an arithmetic function of doc_id, so the oracle derives
+    the decoded features in pure SQL — a CRC, inflate, filter-
+    reconstruction, or stride bug anywhere in parse_png shifts a mean
+    and hash-fails. JPEG/video remain honestly import-gated (they need
+    external codec libraries)."""
+    media = multimodal.synth_png_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
     return feats.filter(F.col("decode_ok")).select(
         "media_id",

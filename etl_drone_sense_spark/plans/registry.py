@@ -351,17 +351,103 @@ TOUCHED_R05: tuple[str, ...] = (
 )
 
 
+# CORRECTNESS_r05.json: the 50 queries the round-5 window checked (all green).
+DRIVER_CHECKED_R05: frozenset[str] = frozenset(
+    {
+        "sim_kmeans_ivf_topk",
+        "dedup_cluster_stats",
+        "text_html_strip",
+        "agg_approx_distinct",
+        "agg_approx_percentile",
+        "dedup_semantic",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_incremental",
+        "dedup_simhash",
+        "corpus_contamination",
+        "corpus_chunking",
+        "corpus_prepare_pipeline",
+        "text_winnowing",
+        "dedup_simhash_wide",
+        "dedup_exact_substring",
+        "dedup_embedding_lsh_wide",
+        "multimodal_resize",
+        "agg_hll_mergeable",
+        "agg_heavy_hitters",
+        "udaf_weighted_price",
+        "events_ewma",
+        "schema_evolution_read",
+        "table_incremental_feed",
+        "stream_merge_apply",
+        "table_bloom_probe",
+        "stream_interval_join_full",
+        "stream_static_enrich",
+        "geo_radius_join",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q18_large_volume",
+        "q19_bracket_disjunction",
+        "q22_dormant_balance",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "json_variant_agg",
+        "profile_columns",
+        "validate_expectations",
+        "profile_drift_psi",
+        "map_funcs",
+        "agg_percentiles",
+        "join_asof",
+        "events_gapfill",
+        "window_range_frame",
+        "agg_skew_salted",
+    }
+)
+
+# Queries whose Spark code OR oracle changed in round 6, plus this round's
+# new registrations — all need a fresh driver row:
+# * stream_tumbling_counts — rows-only → FULL oracle (bounded two-batch
+#   complete-mode replay);
+# * udaf_weighted_price — partial sums moved to decimal(38,0) + Python-int
+#   finals (the r5 ADVICE overflow fix; result must stay hash-identical);
+# * table_bloom_probe — _bloom_key canonicalization changed every bloom
+#   hash input (r5 ADVICE false-negative fix);
+# * dedup_embedding_lsh_adaptive / governance_quarantine_split /
+#   stream_running_totals_tws / multimodal_decode_png — new in r6 (never
+#   driver-checked);
+# * multimodal_decode / multimodal_resize — the shared decode operator now
+#   dispatches per payload on magic bytes (parse_image), so their decode
+#   path changed even though results must not.
+TOUCHED_R06: tuple[str, ...] = (
+    "stream_tumbling_counts",
+    "stream_running_totals_tws",
+    "dedup_embedding_lsh_adaptive",
+    "governance_quarantine_split",
+    "multimodal_decode_png",
+    "udaf_weighted_price",
+    "table_bloom_probe",
+    "multimodal_decode",
+    "multimodal_resize",
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
-    about old code is still stale evidence). Then: round-2 tier (stalest
-    surviving evidence) → round-3 tier → round-4 tier (freshest)."""
+    about old code is still stale evidence). Then: round-1/2 tier (the
+    stalest surviving evidence — relational queries whose last driver row
+    is four rounds old) → round-3 → round-4 → round-5 (freshest)."""
 
-    head = {n: i for i, n in enumerate(TOUCHED_R05)}
+    head = {n: i for i, n in enumerate(TOUCHED_R06)}
 
     def tier(s: QuerySpec) -> tuple[int, int]:
         if s.name in head:
             return (0, head[s.name])
+        if s.name in DRIVER_CHECKED_R05:
+            return (5, 0)
         if s.name in DRIVER_CHECKED_R04:
             return (4, 0)
         if s.name in DRIVER_CHECKED_R03:

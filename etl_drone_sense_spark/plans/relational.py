@@ -2239,3 +2239,97 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_QUARANTINE_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "governance_quarantine_split",
+    oracle="""
+    WITH flags AS (
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice > 400000 AS v_price,
+               o_orderstatus = 'P' AS v_status
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN v_price OR v_status
+                THEN 'quarantine' ELSE 'pass' END AS disposition,
+           CASE WHEN v_price AND v_status THEN 'price_cap,status_settled'
+                WHEN v_price THEN 'price_cap'
+                WHEN v_status THEN 'status_settled'
+                ELSE '' END AS rules
+    FROM flags
+    """,
+    tags=("governance", "expectations", "lake"),
+)
+def governance_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation enforcement as a SPLIT WRITE, not just a violation
+    count (the validate_expectations gate composed with table_commit,
+    VERDICT r5 item 7): rows passing every row-local rule commit to the
+    clean table; violating rows commit to a quarantine table TAGGED with
+    the comma-joined ids of the rules they broke (fixed rule order, so
+    the tag is deterministic). The registered relation is the ROUND TRIP
+    — both committed tables read back and unioned with their disposition
+    — so the driver hash certifies that the split lost nothing, dropped
+    nothing into both sides, and preserved the rule attribution, against
+    a plain SQL restatement of the rules.
+
+    Scale shape: rules are row-local, so the flagged relation is ONE
+    narrow scan, scoped-persisted and consumed by the two filtered
+    commits (no second fact-table pass); each commit is the manifest
+    CAS protocol (object-store honest). Rules chosen to actually FIRE on
+    the fixture (price cap: ~20% of orders; status 'P': ~34%) so the
+    certified quarantine is never vacuous. Built once per source
+    generation (fingerprint-keyed), then a lazy two-table readback."""
+    import tempfile
+
+    from ..caching import scoped_persist
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    v_price = F.col("o_totalprice") > 400000
+    v_status = F.col("o_orderstatus") == "P"
+    rules = (
+        F.when(v_price & v_status, F.lit("price_cap,status_settled"))
+        .when(v_price, F.lit("price_cap"))
+        .when(v_status, F.lit("status_settled"))
+        .otherwise(F.lit(""))
+    )
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    root = _QUARANTINE_TABLES.get(key)
+    if root is None:
+        import os as _os
+
+        root = tempfile.mkdtemp(prefix="sg_quarantine_")
+        flagged = scoped_persist(
+            "relational.quarantine_flags",
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", rules.alias("rules"))
+        )
+        TC.commit(
+            flagged.filter(F.col("rules") == "").drop("rules"),
+            _os.path.join(root, "clean"),
+        )
+        TC.commit(
+            flagged.filter(F.col("rules") != ""),
+            _os.path.join(root, "quarantine"),
+        )
+        _QUARANTINE_TABLES[key] = root
+    import os as _os
+
+    clean = TC.read_table(spark, _os.path.join(root, "clean")).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("pass").alias("disposition"),
+        F.lit("").alias("rules"),
+    )
+    quar = TC.read_table(spark, _os.path.join(root, "quarantine")).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("quarantine").alias("disposition"),
+        "rules",
+    )
+    return clean.unionByName(quar)

@@ -201,34 +201,100 @@ class _TotalsProcessor(_StatefulProcessorBase):
         pass
 
 
-def tws_available() -> bool:
-    """Can ``transformWithStateInPandas`` run HERE? The API's streaming
-    Python driver worker talks to the JVM over protobuf; this container
-    ships a broken google.protobuf (no ``descriptor`` module), so the
-    worker crashes at init. On a normally-provisioned cluster (protobuf
-    installed, RocksDB provider configured) the operator runs as-is."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+# Roots that may carry a complete PURE-PYTHON google.protobuf runtime as
+# a namespace package (``<root>/google/protobuf/descriptor.py``). The
+# Google Cloud SDK publicly ships one with its bundled App Engine
+# platform; ``SPARK_GRAFT_PROTOBUF_PATH`` lets an operator point at any
+# other unpacked protobuf wheel.
+_PROTOBUF_VENDOR_ROOTS: tuple[str | None, ...] = (
+    None,  # placeholder replaced by the env var at call time
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
 
-        return True
-    except ImportError:
-        return False
+
+def ensure_protobuf(spark: SparkSession | None = None) -> bool:
+    """Make ``google.protobuf`` importable here AND in the streaming
+    Python runner processes; returns availability.
+
+    ``transformWithStateInPandas``'s driver-side runner talks to the JVM
+    over protobuf. If the environment lacks ``google.protobuf``, probe
+    the vendor roots for a pure-python runtime and wire it up via (a)
+    ``sys.path`` + ``PYTHONPATH`` for this process and its children, and
+    (b) ``sc.environment`` — the env map stamped onto every PythonFunction,
+    which is how the StreamingPythonRunner (launched by an already-running
+    JVM that never saw our PYTHONPATH) finds it. The SDK runtime may be
+    one minor version behind Spark's gencode, so the probe also sets
+    protobuf's own documented escape hatch
+    (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) — minor-version wire
+    compatibility is a protobuf guarantee."""
+    import importlib
+    import os
+    import sys
+
+    def _importable() -> bool:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    ok = _importable()
+    if not ok:
+        roots = (os.environ.get("SPARK_GRAFT_PROTOBUF_PATH"),) + (
+            _PROTOBUF_VENDOR_ROOTS[1:]
+        )
+        for root in roots:
+            if not root or not os.path.isfile(
+                os.path.join(root, "google", "protobuf", "descriptor.py")
+            ):
+                continue
+            sys.path.append(root)
+            os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+            os.environ["PYTHONPATH"] = (
+                root + os.pathsep + os.environ.get("PYTHONPATH", "")
+            )
+            importlib.invalidate_caches()
+            if _importable():
+                ok = True
+                break
+            sys.path.remove(root)
+    if ok and spark is not None:
+        env = spark.sparkContext.environment
+        pypath = os.environ.get("PYTHONPATH", "")
+        if pypath:
+            env["PYTHONPATH"] = pypath
+        if os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"):
+            env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    return ok
+
+
+def tws_available(spark: SparkSession | None = None) -> bool:
+    """Can ``transformWithStateInPandas`` run HERE? True natively on a
+    normally-provisioned cluster; in protobuf-less containers
+    ``ensure_protobuf`` can often vendor a pure-python runtime (see its
+    docstring). The operator additionally needs the RocksDB state store
+    provider — HDFSBackedStateStoreProvider rejects the API's multiple
+    column families; callers scope that conf around the query."""
+    return ensure_protobuf(spark)
 
 
 def running_totals_tws(events: DataFrame) -> DataFrame:
     """``transformWithStateInPandas`` custom operator (the modern twin of
     ``running_totals_stateful``): per-user exact totals + max via a named
-    ValueState. ENVIRONMENT-GATED: check ``tws_available()`` first — see
-    its docstring; also needs the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``). The oracle-able
-    semantics (fixed-point exactness) match running_totals_stateful,
-    whose registered query carries the driver hash check for this state
-    shape."""
-    if not tws_available():
+    ValueState. Gated on ``tws_available()``; the CALLER must also set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider for the query's duration (scoped, not session-wide — an
+    HDFS-provider checkpoint resumed under RocksDB would mismatch). The
+    oracle-able semantics (fixed-point exactness) match
+    running_totals_stateful."""
+    if not tws_available(events.sparkSession):
         raise RuntimeError(
             "transformWithStateInPandas needs a working google.protobuf "
-            "in the Python environment (absent in this container) — "
-            "use running_totals_stateful (applyInPandasWithState) here"
+            "in the Python environment and none could be vendored "
+            "(set SPARK_GRAFT_PROTOBUF_PATH to an unpacked pure-python "
+            "protobuf wheel) — use running_totals_stateful "
+            "(applyInPandasWithState) instead"
         )
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_TotalsProcessor(),

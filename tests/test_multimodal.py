@@ -126,3 +126,75 @@ def test_resize_downsample_picks_grid_pixels(spark):
     assert r.mean_r == (0 + 3 + 9 + 12) / 4
     assert r.mean_g == (1 + 4 + 10 + 13) / 4
     assert r.mean_b == (2 + 5 + 11 + 14) / 4
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles scanline filters y % 5, so any image with ≥5
+    rows drives every reconstruction path (None/Sub/Up/Average/Paeth);
+    the round trip must be byte-exact."""
+    import random
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_png,
+        parse_image,
+        parse_png,
+    )
+
+    rng = random.Random(11)
+    for w, h in [(1, 1), (3, 5), (7, 6), (16, 16), (5, 9)]:
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        png = encode_png(w, h, raster)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert parse_png(png) == (w, h, raster)
+        # magic-byte dispatch picks the right codec
+        assert parse_image(png) == (w, h, raster)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+    import zlib
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import encode_png, parse_png
+
+    png = encode_png(4, 5, bytes(range(60)))
+    # flipped byte inside IHDR → CRC mismatch, loud
+    bad = bytearray(png)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(bad))
+    # truncation → loud
+    with pytest.raises(ValueError):
+        parse_png(png[: len(png) // 2])
+    # unsupported variant (RGBA colour type) → loud, not garbage pixels
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 6, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_decode_features_mixed_codecs(spark):
+    """One media relation carrying BOTH PPM and PNG payloads (plus a
+    corrupt row) decodes in a single mapInPandas pass — the per-payload
+    magic-byte dispatch — with the corrupt row quarantined, not fatal."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_image_features,
+        encode_png,
+    )
+
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    png = encode_png(2, 2, bytes(range(12, 24)))
+    rows = [(1, bytearray(ppm)), (2, bytearray(png)), (3, bytearray(b"JFIF?"))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_image_features(media).collect()}
+    assert out[1].decode_ok and (out[1].width, out[1].height) == (2, 2)
+    assert out[2].decode_ok and (out[2].width, out[2].height) == (2, 2)
+    assert out[1].mean_r == (0 + 3 + 6 + 9) / 4
+    assert out[2].mean_r == (12 + 15 + 18 + 21) / 4
+    assert not out[3].decode_ok

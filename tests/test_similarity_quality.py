@@ -223,3 +223,41 @@ def test_pq_recall_beats_random(spark):
         r.vec_id for r in pq_topk_adc(emb, q, cents, dsub=PQ_DSUB, k=10).collect()
     }
     assert len(exact & approx) >= 2  # ~10x the random-chance baseline
+
+
+def test_adaptive_band_bits_follow_corpus_size():
+    """The adaptive LSH width rule is exact integer math (mirrors the
+    oracle's length(bin(n-1))): ceil(log2 n) - 2, clamped to [8, 16].
+    Pins the two fixture-scale widths the driver certifies (sf0.01 seeded
+    = 550 rows → 8 bits; sf0.1 = 2200 → 10) and the growth behavior a
+    100× deployment relies on."""
+    from etl_drone_sense_spark.plans.extensions import _adaptive_band_bits
+
+    assert _adaptive_band_bits(550) == 8
+    assert _adaptive_band_bits(2200) == 10
+    assert _adaptive_band_bits(1024) == 8
+    assert _adaptive_band_bits(1025) == 9
+    assert _adaptive_band_bits(1) == 8  # degenerate corpora stay clamped
+    assert _adaptive_band_bits(2_200_000) == 16  # cap: add bands past this
+    # monotone non-decreasing in n
+    widths = [_adaptive_band_bits(n) for n in range(2, 100_000, 997)]
+    assert widths == sorted(widths)
+
+
+def test_adaptive_lsh_bands_are_block_prefixes():
+    """Each band's planes must be a PREFIX of its 16-bit block in
+    _HP_PLANES_MAX — that is what makes the adaptive config refine in
+    place as the corpus grows (a wider run buckets strictly finer)."""
+    from etl_drone_sense_spark.plans import extensions as X
+
+    width = 10
+    used = [
+        p
+        for i in range(X._HP_BANDS)
+        for p in X._HP_PLANES_MAX[i * X._HP_BLOCK : i * X._HP_BLOCK + width]
+    ]
+    assert len(used) == X._HP_BANDS * width
+    for i in range(X._HP_BANDS):
+        band = used[i * width : (i + 1) * width]
+        block = X._HP_PLANES_MAX[i * X._HP_BLOCK : (i + 1) * X._HP_BLOCK]
+        assert band == block[:width]

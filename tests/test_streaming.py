@@ -263,37 +263,47 @@ def test_attribution_join_state_spans_micro_batches(spark, sf_dir, tmp_path):
 
 
 def test_tws_operator_gated_or_runs(spark, sf_dir):
-    """transformWithStateInPandas twin: on a normally-provisioned cluster
-    it runs and must equal the batch aggregate; in this container (broken
-    google.protobuf) the gate must raise the actionable error instead of
-    the opaque worker crash."""
+    """transformWithStateInPandas twin: where a google.protobuf runtime
+    exists or can be vendored (ensure_protobuf — in this container the
+    Google Cloud SDK's pure-python runtime is wired into the streaming
+    runner's path), the operator runs and must equal the batch aggregate;
+    where none is available the gate must raise the actionable error
+    instead of the opaque worker crash."""
     import pytest as _pytest
 
     from etl_drone_sense_spark.sources.readers import read_table
     from etl_drone_sense_spark.streaming import pipeline as SP
 
     events = read_table(spark, sf_dir, "events")
-    if not SP.tws_available():
+    if not SP.tws_available(spark):
         with _pytest.raises(RuntimeError, match="protobuf"):
             SP.running_totals_tws(events)
         return
     import uuid
 
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    from etl_drone_sense_spark.plans.extensions import _events_landing
+    try:
+        from etl_drone_sense_spark.plans.extensions import _events_landing
 
-    landing = _events_landing(spark, sf_dir)
-    stream = SP.running_totals_tws(SP.stream_events(spark, landing))
-    name = f"tws_{uuid.uuid4().hex[:8]}"
-    SP.run_to_memory(stream, name, output_mode="update").awaitTermination()
-    got = {
-        r.user_id: (r.total_value, r.n_seen)
-        for r in spark.table(name).collect()
-    }
+        landing = _events_landing(spark, sf_dir)
+        stream = SP.running_totals_tws(SP.stream_events(spark, landing))
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        SP.run_to_memory(stream, name, output_mode="update").awaitTermination()
+        got = {
+            r.user_id: (r.total_value, r.n_seen)
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     from pyspark.sql import functions as F
 
     want = {
@@ -306,3 +316,98 @@ def test_tws_operator_gated_or_runs(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def _interval_join_state_series(spark, base_dir, ev, n_chunks=6):
+    """Drive attribution_join over ``ev`` split into time-ordered chunk
+    files, one file per micro-batch per side (maxFilesPerTrigger=1), and
+    return the state-store row count after each micro-batch."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    cdir, vdir = os.path.join(base_dir, "clicks"), os.path.join(base_dir, "views")
+    ckpt, out = os.path.join(base_dir, "ckpt"), os.path.join(base_dir, "out")
+
+    chunk = F.ntile(n_chunks).over(Window.orderBy("ts"))
+    for side, d in (("click", cdir), ("view", vdir)):
+        rows = ev.filter(F.col("event_type") == side).withColumn("_c", chunk)
+        for i in range(1, n_chunks + 1):
+            # sequential writes → mod-time order matches event-time order,
+            # the append-only landing convention the watermark relies on
+            rows.filter(F.col("_c") == i).drop("_c").coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+
+    def src(d):
+        return (
+            spark.readStream.schema(TPCH_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+
+    q = (
+        SP.attribution_join(src(cdir), src(vdir))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    series = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"] and p["numInputRows"] > 0
+    ]
+    return series
+
+
+def test_interval_join_state_stays_watermark_bounded(spark, sf_dir, tmp_path):
+    """VERDICT r5 item 6: the interval-join matrix is hash-correct, but
+    correctness says nothing about STATE GROWTH — an unbounded join state
+    is the classic streaming OOM at 100 TB. Pin that join state is
+    watermark-bounded, at two event densities:
+
+    * the per-batch state-row series PLATEAUS (the tail batch holds no
+      more than peak × a slack factor, instead of accumulating the whole
+      stream — eviction is actually happening);
+    * peak state is a small fraction of total input rows (the 30-day
+      fixture vs the 2h watermark + 30min interval horizon);
+    * 10× the density ⇒ ~10× the peak state (state scales with the LIVE
+      HORIZON's row count, never with stream length)."""
+    ev1 = read_table(spark, sf_dir, "events")
+    # 10×-densified twin: each event replicated with distinct event_ids,
+    # identical (user_id, ts) profile — same horizon, 10× the rows in it.
+    d = 10
+    ev10 = (
+        ev1.select(
+            F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("_i"),
+            *ev1.columns,
+        )
+        .withColumn("event_id", F.col("event_id") * d + F.col("_i"))
+        .drop("_i")
+    )
+
+    peaks = {}
+    for label, ev in (("x1", ev1), ("x10", ev10)):
+        series = _interval_join_state_series(
+            spark, str(tmp_path / label), ev
+        )
+        total = ev.filter(
+            F.col("event_type").isin("click", "view")
+        ).count()
+        assert len(series) >= 3, f"{label}: need ≥3 stateful micro-batches"
+        peak = max(series)
+        assert series[-1] <= peak * 1.2, (
+            f"{label}: state still growing at the tail: {series}"
+        )
+        assert peak < 0.5 * total, (
+            f"{label}: peak state {peak} ~ stream size {total}; "
+            f"watermark eviction not bounding state: {series}"
+        )
+        peaks[label] = peak
+    ratio = peaks["x10"] / max(peaks["x1"], 1)
+    assert 2 <= ratio <= 20, (
+        f"state should scale ~linearly with density, got {peaks}"
+    )

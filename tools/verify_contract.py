@@ -44,7 +44,11 @@ def main() -> int:
     qs, os_ = E.queries(), E.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # fixture tables are single files; synthesized sf1 replicas are
+        # Spark-written DIRECTORIES named *.parquet — glob those
+        p = f"{SF}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     only = set(sys.argv[1:])
     failed = []
