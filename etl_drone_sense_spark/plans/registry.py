@@ -427,6 +427,7 @@ TOUCHED_R06: tuple[str, ...] = (
     "dedup_embedding_lsh_adaptive",
     "governance_quarantine_split",
     "multimodal_decode_png",
+    "avro_scan",  # new in r6: dependency-free avrolite DataSource readback
     "udaf_weighted_price",
     "table_bloom_probe",
     "multimodal_decode",

@@ -2333,3 +2333,89 @@ def governance_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rules",
     )
     return clean.unionByName(quar)
+
+
+_AVRO_LANDINGS: dict[tuple, str] = {}
+
+
+@register(
+    "avro_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate
+    FROM orders WHERE o_orderkey % 5 = 2
+    """,
+    tags=("source", "avro"),
+)
+def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro file-format scan end-to-end, driver-certified: an orders
+    slice is written as REAL Avro object container files (two files,
+    deflate + null codecs, multi-block — sources/avrolite.write_avro)
+    and read back through ``read_avro_records``, which in this
+    connector-less container exercises the engine's own dependency-free
+    ``format("avrolite")`` Python DataSource (zigzag varints, sync-marker
+    blocks, raw-DEFLATE inflate, nullable unions, timestamp-micros). The
+    readback must equal the plain SQL projection of the same source rows
+    — a varint, block-boundary, union-branch, or timestamp-scale bug
+    anywhere in the codec shifts values and hash-fails.
+
+    Scale posture: one partition per landing file, executor-side decode,
+    driver touches only metadata (the dronesense DataSource pattern).
+    Built once per source generation (fingerprint-keyed); later calls
+    are a lazy scan."""
+    import os as _os
+    import tempfile
+
+    from ..sources import avrolite as AL
+    from ..sources.readers import fixture_fingerprint, read_avro_records
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    landing = _AVRO_LANDINGS.get(key)
+    if landing is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=[
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderstatus",
+                "o_orderdate",
+            ],
+        )
+        rows = [r for r in tbl.to_pylist() if r["o_orderkey"] % 5 == 2]
+        schema = {
+            "type": "record",
+            "name": "orders",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_custkey", "type": ["null", "long"]},
+                {"name": "o_totalprice", "type": ["null", "double"]},
+                {"name": "o_orderstatus", "type": ["null", "string"]},
+                {
+                    "name": "o_orderdate",
+                    "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-micros",
+                    },
+                },
+            ],
+        }
+        landing = tempfile.mkdtemp(prefix="sg_avro_")
+        half = len(rows) // 2
+        AL.write_avro(
+            _os.path.join(landing, "part-0001.avro"),
+            schema,
+            rows[:half],
+            codec="deflate",
+            block_records=500,
+        )
+        AL.write_avro(
+            _os.path.join(landing, "part-0002.avro"),
+            schema,
+            rows[half:],
+            codec="null",
+            block_records=500,
+        )
+        _AVRO_LANDINGS[key] = landing
+    return read_avro_records(spark, landing)

@@ -1,0 +1,370 @@
+"""Dependency-free Avro object-container-file codec + PySpark DataSource.
+
+The reference has no file IO at all (its only source is one HTTPS GET,
+task.ts:112-117); SURVEY §2 Part B requires the engine to expose standard
+file-format scans anyway. Parquet/JSON/CSV/ORC/text are Spark built-ins;
+Avro's DataFrame connector (``spark-avro``) is an EXTERNAL module absent
+from this environment — through round 5 the engine import-gated it with
+an actionable error. This module closes that gap honestly: a from-scratch
+decoder for the Avro 1.x object container format (spec: magic ``Obj\\x01``,
+metadata map carrying the writer schema JSON + codec, 16-byte sync-marker
+delimited blocks, zigzag-varint binary encoding), surfaced as the
+PySpark-4 custom DataSource ``format("avrolite")``.
+
+Supported schema subset — the analytics-table common case: a top-level
+``record`` of primitive fields (``long/int/double/float/string/boolean/
+bytes``), nullable unions (``["null", T]`` either order), and the
+``timestamp-micros`` logical type. Codecs: ``null`` and ``deflate``
+(stdlib zlib, raw DEFLATE per spec). Anything else raises ``ValueError``
+— same quarantine-friendly honesty as the multimodal codec tier.
+
+Scale posture: planning is driver-side metadata only; each landing file
+is one partition and executors decode independently (the dronesense
+DataSource pattern). Avro blocks are sync-marker delimited, so a
+block-level split index is the natural extension for multi-GB files; a
+100 TB lake would land many files, which already parallelizes.
+
+The WRITER (``write_avro``) exists so tests and fixtures can produce real
+Avro bytes without the external connector — it is the fixture side of the
+codec pair, exactly like multimodal.encode_png.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+SYNC = bytes(range(16))  # deterministic marker: fixtures stay byte-stable
+
+_PRIMITIVE_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "bytes": "binary",
+}
+
+
+# --- binary primitives ------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift = u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+# --- schema handling --------------------------------------------------------
+
+
+def _field_codec(ftype) -> tuple[str, bool, str | None]:
+    """(primitive, nullable, logical) for a supported Avro field type."""
+    logical = None
+    if isinstance(ftype, dict):
+        logical = ftype.get("logicalType")
+        ftype = ftype.get("type")
+    if isinstance(ftype, list):
+        non_null = [t for t in ftype if t != "null"]
+        if len(ftype) > 2 or len(non_null) != 1:
+            raise ValueError(f"unsupported Avro union: {ftype}")
+        prim, _, logical2 = _field_codec(non_null[0])
+        return prim, True, logical2
+    if ftype not in _PRIMITIVE_TO_SPARK:
+        raise ValueError(f"unsupported Avro type: {ftype!r}")
+    return ftype, False, logical
+
+
+def spark_ddl_for(schema: dict) -> str:
+    """Spark DDL string for a supported Avro record schema."""
+    cols = []
+    for f in schema["fields"]:
+        prim, _, logical = _field_codec(f["type"])
+        spark_t = (
+            "timestamp"
+            if logical == "timestamp-micros"
+            else _PRIMITIVE_TO_SPARK[prim]
+        )
+        cols.append(f"{f['name']} {spark_t}")
+    return ", ".join(cols)
+
+
+# --- writer (fixture side) --------------------------------------------------
+
+
+def _encode_value(prim: str, v) -> bytes:
+    if prim in ("long", "int"):
+        return _zigzag_encode(int(v))
+    if prim == "double":
+        return struct.pack("<d", float(v))
+    if prim == "float":
+        return struct.pack("<f", float(v))
+    if prim == "string":
+        raw = str(v).encode("utf-8")
+        return _zigzag_encode(len(raw)) + raw
+    if prim == "bytes":
+        raw = bytes(v)
+        return _zigzag_encode(len(raw)) + raw
+    if prim == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"unsupported Avro type: {prim!r}")
+
+
+def write_avro(
+    path: str,
+    schema: dict,
+    rows,
+    codec: str = "deflate",
+    block_records: int = 1000,
+) -> None:
+    """Write an Avro object container file (spec-conformant, readable by
+    any Avro implementation). ``rows`` yields dicts keyed by field name;
+    ``timestamp-micros`` fields accept datetime (µs since epoch computed
+    here) or int."""
+    import calendar
+
+    fields = [
+        (f["name"], *_field_codec(f["type"])) for f in schema["fields"]
+    ]
+
+    def enc_row(row) -> bytes:
+        out = bytearray()
+        for name, prim, nullable, logical in fields:
+            v = row[name]
+            if nullable:
+                if v is None:
+                    out += _zigzag_encode(0)  # union branch: null first
+                    continue
+                out += _zigzag_encode(1)
+            elif v is None:
+                raise ValueError(f"null in non-nullable field {name}")
+            if logical == "timestamp-micros" and not isinstance(v, int):
+                v = (
+                    calendar.timegm(v.timetuple()) * 1_000_000
+                    + v.microsecond
+                )
+            out += _encode_value(prim, v)
+        return bytes(out)
+
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    buf.write(_zigzag_encode(len(meta)))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        buf.write(_zigzag_encode(len(kb)) + kb)
+        buf.write(_zigzag_encode(len(v)) + v)
+    buf.write(_zigzag_encode(0))
+    buf.write(SYNC)
+
+    block: list[bytes] = []
+
+    def flush():
+        if not block:
+            return
+        data = b"".join(block)
+        if codec == "deflate":
+            data = zlib.compress(data)[2:-4]  # raw DEFLATE per spec
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec: {codec!r}")
+        buf.write(_zigzag_encode(len(block)))
+        buf.write(_zigzag_encode(len(data)))
+        buf.write(data)
+        buf.write(SYNC)
+        block.clear()
+
+    for row in rows:
+        block.append(enc_row(row))
+        if len(block) >= block_records:
+            flush()
+    flush()
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+# --- reader -----------------------------------------------------------------
+
+
+def read_avro_header(path: str) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync_marker, data_start) from a container file."""
+    with open(path, "rb") as fh:
+        head = fh.read()
+    if head[:4] != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    buf = memoryview(head)
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _zigzag_decode(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative block count carries an explicit byte size
+            _, pos = _zigzag_decode(buf, pos)
+            n = -n
+        for _ in range(n):
+            klen, pos = _zigzag_decode(buf, pos)
+            k = bytes(buf[pos : pos + klen]).decode()
+            pos += klen
+            vlen, pos = _zigzag_decode(buf, pos)
+            meta[k] = bytes(buf[pos : pos + vlen])
+            pos += vlen
+    sync = bytes(buf[pos : pos + 16])
+    pos += 16
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if schema.get("type") != "record":
+        raise ValueError("avrolite supports top-level record schemas only")
+    return schema, codec, sync, pos
+
+
+def iter_avro_rows(path: str):
+    """Yield tuples (schema field order) from a container file."""
+    import datetime
+
+    schema, codec, sync, pos = read_avro_header(path)
+    fields = [
+        (f["name"], *_field_codec(f["type"])) for f in schema["fields"]
+    ]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    buf = memoryview(data)
+    n = len(data)
+    while pos < n:
+        n_recs, pos = _zigzag_decode(buf, pos)
+        n_bytes, pos = _zigzag_decode(buf, pos)
+        raw = bytes(buf[pos : pos + n_bytes])
+        pos += n_bytes
+        if bytes(buf[pos : pos + 16]) != sync:
+            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+        pos += 16
+        if codec == "deflate":
+            raw = zlib.decompress(raw, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec: {codec!r}")
+        b = memoryview(raw)
+        p = 0
+        for _ in range(n_recs):
+            row = []
+            for _name, prim, nullable, logical in fields:
+                if nullable:
+                    branch, p = _zigzag_decode(b, p)
+                    if branch == 0:
+                        row.append(None)
+                        continue
+                if prim in ("long", "int"):
+                    v, p = _zigzag_decode(b, p)
+                elif prim == "double":
+                    (v,) = struct.unpack_from("<d", b, p)
+                    p += 8
+                elif prim == "float":
+                    (v,) = struct.unpack_from("<f", b, p)
+                    p += 4
+                elif prim in ("string", "bytes"):
+                    ln, p = _zigzag_decode(b, p)
+                    v = bytes(b[p : p + ln])
+                    p += ln
+                    if prim == "string":
+                        v = v.decode("utf-8")
+                elif prim == "boolean":
+                    v = b[p] == 1
+                    p += 1
+                else:  # pragma: no cover - _field_codec already rejects
+                    raise ValueError(prim)
+                if logical == "timestamp-micros":
+                    # naive UTC wall time, exact at any magnitude (the
+                    # utcfromtimestamp float path loses µs past 2^53)
+                    v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                        microseconds=v
+                    )
+                row.append(v)
+            yield tuple(row)
+
+
+# --- PySpark DataSource -----------------------------------------------------
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".avro")
+        )
+    return [path]
+
+
+def make_datasource():
+    """Build the DataSource class lazily (pyspark import kept out of the
+    codec layer so the pure-python reader/writer work anywhere)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _AvroPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class AvroLiteReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("avrolite source requires a path")
+
+        def partitions(self):
+            return [_AvroPartition(p) for p in _avro_files(self.path)]
+
+        def read(self, partition):
+            yield from iter_avro_rows(partition.path)
+
+    class AvroLiteDataSource(DataSource):
+        """``format("avrolite")`` — Avro object container files."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "avrolite"
+
+        def schema(self):
+            files = _avro_files(self.options.get("path", ""))
+            if not files:
+                raise ValueError("avrolite: no .avro files at path")
+            schema, _, _, _ = read_avro_header(files[0])
+            return spark_ddl_for(schema)
+
+        def reader(self, schema):
+            return AvroLiteReader(self.options)
+
+    return AvroLiteDataSource
+
+
+def register(spark) -> None:
+    """Idempotently register ``format("avrolite")`` with a session."""
+    spark.dataSource.register(make_datasource())

@@ -237,22 +237,29 @@ def read_orc_records(
 def read_avro_records(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
-    """Avro scan — GATED: Spark ships Avro as an external module
-    (``org.apache.spark:spark-avro``), absent from this container. On a
-    cluster submitted with the package this reads normally; here it
-    raises a clear error instead of Spark's opaque lookup failure."""
+    """Avro scan. Preferred path: the JVM ``spark-avro`` connector (an
+    external module — submit with ``--packages
+    org.apache.spark:spark-avro_2.13:<spark-version>``). Where that
+    module is absent (this container), falls back to the engine's own
+    dependency-free ``format("avrolite")`` Python DataSource
+    (sources/avrolite.py — full object-container decode for the
+    primitive/nullable/timestamp-micros record subset), so Avro landings
+    are readable out of the box instead of import-gated."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     try:
         return reader.format("avro").load(path)
     except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" in str(e).lower():
-            raise RuntimeError(
-                "Avro support needs the external spark-avro module: submit "
-                "with --packages org.apache.spark:spark-avro_2.13:<spark-version>"
-            ) from e
-        raise
+        if "avro" not in str(e).lower():
+            raise
+        from . import avrolite
+
+        avrolite.register(spark)
+        fallback = spark.read
+        if schema is not None:
+            fallback = fallback.schema(schema)
+        return fallback.format("avrolite").load(path)
 
 
 def read_text_lines(

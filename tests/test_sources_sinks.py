@@ -314,15 +314,83 @@ def test_text_lines_and_whole_file(spark, tmp_path):
     assert len(vals) == 2 and vals[0].startswith("line one\nline two")
 
 
-def test_avro_reader_gate_is_clear(spark, tmp_path):
-    """No spark-avro module in this container: the reader must raise the
-    actionable gate error, not Spark's opaque data-source lookup failure."""
-    import pytest as _pytest
+def test_avro_reader_roundtrip_via_avrolite(spark, tmp_path):
+    """No spark-avro JVM module in this container: read_avro_records must
+    fall back to the dependency-free ``avrolite`` Python DataSource and
+    read real Avro container files — nulls, negative longs, doubles,
+    timestamps (micros logical type), deflate codec, multiple files and
+    blocks — not raise a gate error (the r5 posture)."""
+    import datetime
 
+    from etl_drone_sense_spark.sources import avrolite as AL
     from etl_drone_sense_spark.sources.readers import read_avro_records
 
-    with _pytest.raises(RuntimeError, match="spark-avro"):
-        read_avro_records(spark, str(tmp_path / "nope.avro")).count()
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "price", "type": "double"},
+            {"name": "status", "type": ["null", "string"]},
+            {
+                "name": "when",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+        ],
+    }
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        {
+            "k": i - 3,
+            "price": i * 0.25,
+            "status": None if i % 4 == 0 else f"s{i}",
+            "when": base + datetime.timedelta(minutes=i, microseconds=i * 11),
+        }
+        for i in range(120)
+    ]
+    d = tmp_path / "avro_landing"
+    d.mkdir()
+    AL.write_avro(str(d / "a.avro"), schema, rows[:70], block_records=25)
+    AL.write_avro(
+        str(d / "b.avro"), schema, rows[70:], codec="null", block_records=25
+    )
+    df = read_avro_records(spark, str(d))
+    assert [f.name for f in df.schema.fields] == ["k", "price", "status", "when"]
+    got = sorted(
+        (r.k, r.price, r.status, r.when) for r in df.collect()
+    )
+    want = sorted((r["k"], r["price"], r["status"], r["when"]) for r in rows)
+    assert got == want
+
+
+def test_avrolite_rejects_corruption(tmp_path):
+    """Corrupt sync markers and unsupported schema shapes fail loudly."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    p = str(tmp_path / "t.avro")
+    AL.write_avro(p, schema, [{"k": i} for i in range(10)])
+    data = bytearray(open(p, "rb").read())
+    data[-3] ^= 0xFF  # inside the trailing sync marker
+    open(p, "wb").write(bytes(data))
+    with _pytest.raises(ValueError, match="sync marker"):
+        list(AL.iter_avro_rows(p))
+    with _pytest.raises(ValueError, match="unsupported Avro"):
+        AL.spark_ddl_for(
+            {
+                "type": "record",
+                "name": "t",
+                "fields": [
+                    {"name": "m", "type": {"type": "map", "values": "long"}}
+                ],
+            }
+        )
 
 
 def test_custom_datasource_stream_reader(spark, sf_dir, tmp_path):

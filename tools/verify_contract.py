@@ -35,7 +35,16 @@ def canon(df_):
 
 
 def main() -> int:
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # The driver gate runs a PLAIN session (sf0.01 fits the 1g default).
+    # The sf1 certification sweep reuses this harness on 10x data, where
+    # local mode's single JVM needs a real heap — size it via env, the
+    # way a cluster submit would size executors.
+    builder = SparkSession.builder.master(
+        os.environ.get("VERIFY_MASTER", "local[8]")
+    )
+    if mem := os.environ.get("VERIFY_DRIVER_MEM"):
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = E.entry(spark).collect()
