@@ -77,20 +77,22 @@ def weighted_avg_price(
     deterministic int expression over the row (e.g. ``pmod(l_orderkey,
     256)``) used only to bound the partial relation's size per group.
     """
-    # The per-row term is computed in long (exact for any realistic row),
-    # but the PARTIAL SUM is decimal(38,0): a sum(long) would itself wrap
-    # silently once a bucket accumulates ~2^63 of fixed-point units — the
-    # overflow the UDAF guards against must not just move into the
-    # built-in stage (ADVICE r5). Spark's decimal sum is exact to 38
-    # digits and raises (ANSI) rather than wrapping beyond that.
+    # Fixed-point arithmetic stays in DECIMAL end to end: the row term
+    # multiplies two decimal(19,0) operands (product type decimal(38,0)
+    # — exact for any int64-ranged inputs; a long×long product would
+    # wrap at 2^63 BEFORE any widening cast) and the PARTIAL SUM is a
+    # decimal sum — a sum(long) would itself wrap silently once a bucket
+    # accumulates ~2^63 of fixed-point units (ADVICE r5). Spark's
+    # decimal aggregation is exact to 38 digits and nulls/raises rather
+    # than wrapping beyond that.
     partial = (
         df.groupBy(F.col(group_col), F.pmod(bucket, F.lit(buckets)).alias("_b"))
         .agg(
             F.sum(
-                (
-                    F.round(F.col(price_col) * PRICE_E4).cast("long")
-                    * F.col(qty_col).cast("long")
-                ).cast("decimal(38,0)")
+                F.round(F.col(price_col) * PRICE_E4)
+                .cast("long")
+                .cast("decimal(19,0)")
+                * F.col(qty_col).cast("decimal(19,0)")
             ).alias("_wsum"),
             F.sum(F.col(qty_col).cast("decimal(38,0)")).alias("_qsum"),
         )

@@ -5,9 +5,13 @@ This drives ``__spark_entry__.queries()`` / ``oracle_sql()`` (the driver's
 correctness gate), ``bench.py``, and the differential tests.
 
 Numeric-parity conventions (SURVEY §7.4):
-* double sums are computed as ``sum(cast(x as decimal(28,6)))`` then cast
-  back to double — decimal summation is exact and order-independent, so
-  Spark's partial-aggregation order can't diverge from DuckDB's;
+* double sums quantize per row with ``floor(x*1e6 + 0.5)`` (IEEE-identical
+  in every engine), sum as exact integers (DECIMAL(38,0) — order-
+  independent, so Spark's partial-aggregation order can't diverge from
+  DuckDB's), then take the identical int→double + /1e6 rounding sequence
+  in both engines (see the r6 note at dsum below — the previous
+  decimal(28,6)-cast convention diverged by one ULP past 2^53 scaled
+  units because the engines' decimal→double casts round differently);
 * results of transcendental math are ``round(.., 6)`` inside the query;
 * top-k queries always carry a unique-key tie-break.
 """
@@ -177,24 +181,64 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --- exact-sum helpers (see module docstring) -------------------------------
+#
+# r6 convention change (sf1 certification finding): the old shape —
+# sum(cast(x as decimal(28,6))) cast to double — is exact through the sum,
+# but the FINAL decimal→double conversion takes different paths per
+# engine: Spark's BigDecimal.doubleValue() is a correctly-rounded single
+# step, while DuckDB converts the scaled int128 to double and THEN
+# divides by 10^scale (two roundings). Below ~2^53 scaled units the paths
+# coincide; at sf1 a 5.4M-row group's sum crossed it and the engines
+# landed one ULP apart (join_skewed_salted, caught by the 10× oracle
+# sweep). The fix makes BOTH engines take the IDENTICAL two-step path:
+# per-row fixed-point floor(x*1e6 + 0.5) (IEEE-identical everywhere, the
+# convention the streaming state operators already use), exact integer
+# sum (DECIMAL(38,0) — a 128-bit accumulator in both engines, never wraps), then int→double (correctly
+# rounded in both) followed by one shared /1e6. Same 6-decimal semantic,
+# no scale ceiling.
 
 def dsum(col: Column | str, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(28,6)")).cast("double").alias(alias)
+    return (
+        F.sum(
+            F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double")
+        / F.lit(1e6)
+    ).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast("decimal(28,6)")).cast("double") / F.count(c)).alias(alias)
+    return (
+        F.sum(
+            F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double")
+        / F.lit(1e6)
+        / F.count(c)
+    ).alias(alias)
 
+
+# DECIMAL(38,0), not HUGEINT: the SQL renderings are parsed by BOTH
+# DuckDB (oracles) and Spark SQL (queries that express grouping
+# sets/pivots as SQL text), and DECIMAL(38,0) means the same exact
+# 128-bit integer accumulator in each; its cast to DOUBLE is the same
+# correctly-rounded single step in both engines.
 
 def dsum_sql(expr: str, alias: str) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS DECIMAL(38,0))) "
+        f"AS DOUBLE) / 1000000 AS {alias}"
+    )
 
 
 def davg_sql(expr: str, alias: str) -> str:
     return (
-        f"CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / count({expr}) AS {alias}"
+        f"CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS DECIMAL(38,0))) "
+        f"AS DOUBLE) / 1000000 / count({expr}) AS {alias}"
     )
 
 

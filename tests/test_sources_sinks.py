@@ -466,3 +466,26 @@ def test_stream_reader_rejects_out_of_order_landing(tmp_path):
     (landing / "part-0004.jsonl").write_text("")
     with _pytest.raises(RuntimeError, match="monotonic-naming"):
         rd.partitions(end, rd.latestOffset())
+
+
+def test_avrolite_partitions_per_file(tmp_path):
+    """Planning is one partition per landing file (executor-parallel
+    decode, driver touches metadata only) — the scale contract."""
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(5):
+        AL.write_avro(str(d / f"p{i}.avro"), schema, [{"k": i}])
+    ds = AL.make_datasource()({"path": str(d)})
+    reader = ds.reader(None)
+    parts = reader.partitions()
+    assert len(parts) == 5
+    assert sorted(sum((list(reader.read(p)) for p in parts), [])) == [
+        (i,) for i in range(5)
+    ]

@@ -65,3 +65,22 @@ def test_weighted_avg_no_int64_wrap(spark):
     # weighted mean of identical prices is the price itself; any wrap
     # would produce a wildly different (likely negative) value.
     assert out[0].weighted_avg_price == big_price
+
+
+def test_weighted_avg_row_term_exceeds_int64(spark):
+    """The ROW-LEVEL product round(price*1e4)*qty must not wrap either:
+    each row here contributes ~9.2e20 fixed-point units (100× int64 max)
+    — only a decimal product survives. An int64 wrap corrupts the mean
+    by orders of magnitude (usually negative); what remains at this
+    magnitude is only the final double division's last-ULP rounding,
+    which the oracle's double path shares by contract — so assert
+    relative error at double precision, not bit equality."""
+    big_price = 92_233_720_368_547.0
+    rows = [("g", big_price, 1000, 0) for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, price double, qty long, oid long")
+    out = udafs.weighted_avg_price(
+        df, "g", "price", "qty", bucket=F.col("oid"), buckets=4
+    ).collect()
+    assert out[0].n_units == 3000
+    got = out[0].weighted_avg_price
+    assert got > 0 and abs(got - big_price) / big_price < 1e-12

@@ -48,7 +48,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = E.entry(spark).collect()
-    print(f"entry(): {len(rows)} rows OK")
+    print(f"entry(): {len(rows)} rows OK", flush=True)
 
     qs, os_ = E.queries(), E.oracle_sql()
     con = duckdb.connect()
@@ -81,7 +81,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             status = f"FAIL: {e}"
             failed.append(name)
-        print(f"  {name}: {status} [{time.time() - t0:.1f}s]")
+        print(f"  {name}: {status} [{time.time() - t0:.1f}s]", flush=True)
 
     print(f"\n{'FAILED: ' + ', '.join(failed) if failed else 'ALL GREEN'}")
     return 1 if failed else 0
