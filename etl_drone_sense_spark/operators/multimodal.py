@@ -254,6 +254,8 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {typ!r} chunk")
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("malformed PNG IHDR length")
             width, height, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -269,7 +271,13 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
         i += 12 + length
     if width is None or not seen_end or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # must surface as ValueError: the decode operators' per-row
+        # quarantine catches ValueError only — a zlib.error escaping here
+        # would kill the whole Arrow task for one corrupt payload
+        raise ValueError(f"PNG inflate failed: {exc}") from exc
     bpp, stride = 3, width * 3
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG raster size mismatch")

@@ -43,8 +43,10 @@ def _make_udafs():
         # partials of round(price*1e4)*qty approach 2^63 (ADVICE r5). The
         # single double division + half-up round happen once per group,
         # matching the oracle's round(x, 6) bit-for-bit.
-        num = sum(int(x) for x in wsum)
-        den = sum(int(x) for x in qsum)
+        # skip NULL partials (an all-NULL-price bucket yields a NULL
+        # _wsum) the way pandas' skipna sum did — int(None) would throw
+        num = sum(int(x) for x in wsum if x is not None)
+        den = sum(int(x) for x in qsum if x is not None)
         if den == 0:
             return 0.0
         x = float(num) / PRICE_E4 / float(den)
@@ -57,7 +59,7 @@ def _make_udafs():
         # agg, so the companion count rides the same Arrow batch as a
         # second UDAF). Python-int summation for the same no-wrap reason
         # as above.
-        return int(sum(int(x) for x in qsum))
+        return int(sum(int(x) for x in qsum if x is not None))
 
     return weighted_avg_e4, sum_long
 

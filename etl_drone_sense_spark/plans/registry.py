@@ -193,9 +193,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # sweep). The fix makes BOTH engines take the IDENTICAL two-step path:
 # per-row fixed-point floor(x*1e6 + 0.5) (IEEE-identical everywhere, the
 # convention the streaming state operators already use), exact integer
-# sum (DECIMAL(38,0) — a 128-bit accumulator in both engines, never wraps), then int→double (correctly
-# rounded in both) followed by one shared /1e6. Same 6-decimal semantic,
-# no scale ceiling.
+# sum (DECIMAL(38,0) — a 128-bit accumulator in both engines, never
+# wraps), then int→double (correctly rounded in both) followed by one
+# shared /1e6. Same 6-decimal semantic. The GROUP SUM has no scale
+# ceiling; the PER-ROW input must satisfy |x| < 2^63/1e6 ≈ 9.2e12
+# (Spark's floor(double) lands in BIGINT) — every dsum consumer feeds
+# prices/quantities/values ≤ ~1e7, six orders inside the domain. A
+# per-row value outside it needs a dedicated decimal formulation, not
+# this helper.
 
 def dsum(col: Column | str, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col

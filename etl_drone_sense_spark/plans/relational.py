@@ -2371,19 +2371,37 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
     landing = _AVRO_LANDINGS.get(key)
     if landing is None:
+        import glob as _glob
+
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(
-            f"{sf_dir}/orders.parquet",
-            columns=[
-                "o_orderkey",
-                "o_custkey",
-                "o_totalprice",
-                "o_orderstatus",
-                "o_orderdate",
-            ],
+        src = f"{sf_dir}/orders.parquet"
+        parts = (
+            sorted(_glob.glob(f"{src}/*.parquet"))
+            if _os.path.isdir(src)
+            else [src]
         )
-        rows = [r for r in tbl.to_pylist() if r["o_orderkey"] % 5 == 2]
+
+        def rows_where(pred):
+            # bounded-memory fixture build: stream arrow batches, never
+            # materialize the whole slice as python dicts (review catch
+            # r6 — write_avro consumes any iterable)
+            for part in parts:
+                pf = pq.ParquetFile(part)
+                for batch in pf.iter_batches(
+                    batch_size=10_000,
+                    columns=[
+                        "o_orderkey",
+                        "o_custkey",
+                        "o_totalprice",
+                        "o_orderstatus",
+                        "o_orderdate",
+                    ],
+                ):
+                    for r in batch.to_pylist():
+                        if r["o_orderkey"] % 5 == 2 and pred(r):
+                            yield r
+
         schema = {
             "type": "record",
             "name": "orders",
@@ -2402,18 +2420,19 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
         landing = tempfile.mkdtemp(prefix="sg_avro_")
-        half = len(rows) // 2
+        # deterministic two-file split by key (a length-based half would
+        # need the whole slice in memory)
         AL.write_avro(
             _os.path.join(landing, "part-0001.avro"),
             schema,
-            rows[:half],
+            rows_where(lambda r: (r["o_orderkey"] // 5) % 2 == 0),
             codec="deflate",
             block_records=500,
         )
         AL.write_avro(
             _os.path.join(landing, "part-0002.avro"),
             schema,
-            rows[half:],
+            rows_where(lambda r: (r["o_orderkey"] // 5) % 2 == 1),
             codec="null",
             block_records=500,
         )

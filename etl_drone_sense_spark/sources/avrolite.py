@@ -31,7 +31,6 @@ codec pair, exactly like multimodal.encode_png.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
@@ -174,39 +173,40 @@ def write_avro(
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
-    buf = io.BytesIO()
-    buf.write(MAGIC)
-    buf.write(_zigzag_encode(len(meta)))
-    for k, v in sorted(meta.items()):
-        kb = k.encode()
-        buf.write(_zigzag_encode(len(kb)) + kb)
-        buf.write(_zigzag_encode(len(v)) + v)
-    buf.write(_zigzag_encode(0))
-    buf.write(SYNC)
-
-    block: list[bytes] = []
-
-    def flush():
-        if not block:
-            return
-        data = b"".join(block)
-        if codec == "deflate":
-            data = zlib.compress(data)[2:-4]  # raw DEFLATE per spec
-        elif codec != "null":
-            raise ValueError(f"unsupported Avro codec: {codec!r}")
-        buf.write(_zigzag_encode(len(block)))
-        buf.write(_zigzag_encode(len(data)))
-        buf.write(data)
-        buf.write(SYNC)
-        block.clear()
-
-    for row in rows:
-        block.append(enc_row(row))
-        if len(block) >= block_records:
-            flush()
-    flush()
+    # Stream block-by-block straight to disk: memory stays bounded by one
+    # block regardless of row count (a whole-file BytesIO would hold the
+    # entire encoded table — review catch r6).
     with open(path, "wb") as fh:
-        fh.write(buf.getvalue())
+        fh.write(MAGIC)
+        fh.write(_zigzag_encode(len(meta)))
+        for k, v in sorted(meta.items()):
+            kb = k.encode()
+            fh.write(_zigzag_encode(len(kb)) + kb)
+            fh.write(_zigzag_encode(len(v)) + v)
+        fh.write(_zigzag_encode(0))
+        fh.write(SYNC)
+
+        block: list[bytes] = []
+
+        def flush():
+            if not block:
+                return
+            data = b"".join(block)
+            if codec == "deflate":
+                data = zlib.compress(data)[2:-4]  # raw DEFLATE per spec
+            elif codec != "null":
+                raise ValueError(f"unsupported Avro codec: {codec!r}")
+            fh.write(_zigzag_encode(len(block)))
+            fh.write(_zigzag_encode(len(data)))
+            fh.write(data)
+            fh.write(SYNC)
+            block.clear()
+
+        for row in rows:
+            block.append(enc_row(row))
+            if len(block) >= block_records:
+                flush()
+        flush()
 
 
 # --- reader -----------------------------------------------------------------

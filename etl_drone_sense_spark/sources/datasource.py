@@ -128,35 +128,54 @@ class DroneSenseStreamReader(DataSourceStreamReader):
             raise ValueError("dronesense source requires a path")
 
     @staticmethod
-    def _check_prefix(files: list[str], offset: dict) -> None:
-        """The file at position idx-1 must still be the recorded last
-        consumed name, else the listing is not an append-only extension
-        of the consumed prefix."""
+    def _prefix_hash(files: list[str], n: int) -> str:
+        import hashlib
+
+        names = "\n".join(os.path.basename(f) for f in files[:n])
+        return hashlib.md5(names.encode()).hexdigest()
+
+    @classmethod
+    def _check_prefix(cls, files: list[str], offset: dict) -> None:
+        """The current listing's first idx names must hash to exactly the
+        consumed prefix recorded in the offset. A bare last-name check
+        misses the removal+insertion combination (retention deletes a
+        consumed file while a lexically-earlier one lands: position idx-1
+        still shows the right name, but position 0 now holds an unread
+        file the index slice will never visit — review catch r6); the
+        prefix hash catches any reshuffle of the consumed range."""
         idx = offset.get("idx", 0)
-        last = offset.get("last")
-        if idx == 0 or last is None:  # nothing consumed / legacy offset
+        if idx == 0:
             return
-        actual = (
-            os.path.basename(files[idx - 1]) if len(files) >= idx else None
+        h = offset.get("h")
+        ok = (
+            len(files) >= idx
+            and (h is None or cls._prefix_hash(files, idx) == h)
+            # legacy offsets (no hash) keep the last-name check
+            and (
+                h is not None
+                or offset.get("last") is None
+                or os.path.basename(files[idx - 1]) == offset.get("last")
+            )
         )
-        if actual != last:
+        if not ok:
             raise RuntimeError(
                 "dronesense landing violated the monotonic-naming "
-                f"convention: offset {idx} was committed with last file "
-                f"{last!r}, but the sorted listing now has {actual!r} at "
-                "that position — a lexically-earlier file arrived after "
-                "consumption (or a consumed file was removed). Refusing "
-                "to plan a batch that would duplicate/skip data."
+                f"convention: offset {idx} no longer names the same "
+                "consumed prefix in the sorted listing — a "
+                "lexically-earlier file arrived after consumption or a "
+                "consumed file was removed. Refusing to plan a batch "
+                "that would duplicate/skip data."
             )
 
     def initialOffset(self) -> dict:
-        return {"idx": 0, "last": None}
+        return {"idx": 0, "last": None, "h": self._prefix_hash([], 0)}
 
     def latestOffset(self) -> dict:
         files = _landing_files(self.path)
         return {
             "idx": len(files),
             "last": os.path.basename(files[-1]) if files else None,
+            "h": self._prefix_hash(files, len(files)),
         }
 
     def partitions(self, start: dict, end: dict):

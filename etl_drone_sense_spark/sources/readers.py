@@ -250,8 +250,16 @@ def read_avro_records(
         reader = reader.schema(schema)
     try:
         return reader.format("avro").load(path)
-    except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" not in str(e).lower():
+    except Exception as e:
+        # Fall back ONLY on the connector-absent error — any other
+        # failure (corrupt file, schema mismatch) on a cluster that HAS
+        # spark-avro must surface as-is, not be masked by a retry through
+        # the limited avrolite subset (review catch r6).
+        msg = str(e)
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+        ):
             raise
         from . import avrolite
 

@@ -249,13 +249,19 @@ def ensure_protobuf(spark: SparkSession | None = None) -> bool:
                 os.path.join(root, "google", "protobuf", "descriptor.py")
             ):
                 continue
+            # probe via sys.path ALONE; mutate the process environment
+            # only after the root actually imports — a broken root must
+            # not leave PYTHONPATH polluted or the protobuf version check
+            # disabled for every child process (review catch r6)
             sys.path.append(root)
-            os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
-            os.environ["PYTHONPATH"] = (
-                root + os.pathsep + os.environ.get("PYTHONPATH", "")
-            )
             importlib.invalidate_caches()
             if _importable():
+                os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = (
+                    "true"
+                )
+                os.environ["PYTHONPATH"] = (
+                    root + os.pathsep + os.environ.get("PYTHONPATH", "")
+                )
                 ok = True
                 break
             sys.path.remove(root)

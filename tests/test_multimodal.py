@@ -198,3 +198,41 @@ def test_decode_features_mixed_codecs(spark):
     assert out[1].mean_r == (0 + 3 + 6 + 9) / 4
     assert out[2].mean_r == (12 + 15 + 18 + 21) / 4
     assert not out[3].decode_ok
+
+
+def test_png_bad_deflate_quarantines_not_crashes(spark):
+    """Review catch r6: a CRC-valid IDAT holding invalid DEFLATE bytes
+    raises zlib.error internally — it must surface as the codec's
+    ValueError so the per-row quarantine emits decode_ok=False instead of
+    killing the Arrow task."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_image_features,
+        encode_png,
+        parse_png,
+    )
+
+    png = bytearray(encode_png(2, 2, bytes(range(12))))
+    # locate the IDAT chunk and replace its payload with garbage + re-CRC
+    i = 8
+    while True:
+        (ln,) = struct.unpack(">I", png[i : i + 4])
+        typ = bytes(png[i + 4 : i + 8])
+        if typ == b"IDAT":
+            garbage = b"\xff" * ln
+            png[i + 8 : i + 8 + ln] = garbage
+            crc = zlib.crc32(b"IDAT" + garbage) & 0xFFFFFFFF
+            png[i + 8 + ln : i + 12 + ln] = struct.pack(">I", crc)
+            break
+        i += 12 + ln
+    with pytest.raises(ValueError, match="inflate"):
+        parse_png(bytes(png))
+    media = spark.createDataFrame(
+        [(1, bytes(png))], "media_id long, payload binary"
+    )
+    out = decode_image_features(media).collect()
+    assert len(out) == 1 and not out[0].decode_ok

@@ -453,7 +453,8 @@ def test_stream_reader_rejects_out_of_order_landing(tmp_path):
     (landing / "part-0003.jsonl").write_text("")
     rd = DroneSenseStreamReader({"path": str(landing)})
     start, end = rd.initialOffset(), rd.latestOffset()
-    assert end == {"idx": 2, "last": "part-0003.jsonl"}
+    assert (end["idx"], end["last"]) == (2, "part-0003.jsonl")
+    assert "h" in end  # consumed-prefix hash travels with the offset
     assert len(rd.partitions(start, end)) == 2
 
     # a lexically-earlier file lands AFTER part-0002/0003 were consumed
@@ -489,3 +490,27 @@ def test_avrolite_partitions_per_file(tmp_path):
     assert sorted(sum((list(reader.read(p)) for p in parts), [])) == [
         (i,) for i in range(5)
     ]
+
+
+def test_stream_reader_catches_removal_plus_insertion(tmp_path):
+    """Review catch r6: a consumed file removed while a lexically-earlier
+    one lands keeps position idx-1 intact — only the consumed-prefix HASH
+    exposes that the listing's first idx names changed."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources.datasource import DroneSenseStreamReader
+
+    landing = tmp_path / "swap"
+    landing.mkdir()
+    (landing / "part-0001.jsonl").write_text("")
+    (landing / "part-0002.jsonl").write_text("")
+    rd = DroneSenseStreamReader({"path": str(landing)})
+    end = rd.latestOffset()
+    assert len(rd.partitions(rd.initialOffset(), end)) == 2
+
+    (landing / "part-0001.jsonl").unlink()
+    (landing / "part-0000.jsonl").write_text("")
+    # position idx-1 still shows part-0002, but the consumed prefix is
+    # now (part-0000, part-0002) — must refuse
+    with _pytest.raises(RuntimeError, match="monotonic-naming"):
+        rd.partitions(end, rd.latestOffset())

@@ -84,3 +84,16 @@ def test_weighted_avg_row_term_exceeds_int64(spark):
     assert out[0].n_units == 3000
     got = out[0].weighted_avg_price
     assert got > 0 and abs(got - big_price) / big_price < 1e-12
+
+
+def test_weighted_avg_all_null_price_group(spark):
+    """Review catch r6: a group whose every price is NULL produces NULL
+    _wsum partials; the UDAF must skip them (pandas-skipna semantics),
+    not throw int(None)."""
+    rows = [("g", None, 2, 0), ("g", None, 3, 1)]
+    df = spark.createDataFrame(rows, "g string, price double, qty long, oid long")
+    out = udafs.weighted_avg_price(
+        df, "g", "price", "qty", bucket=F.col("oid"), buckets=4
+    ).collect()
+    assert out[0].weighted_avg_price == 0.0
+    assert out[0].n_units == 5
