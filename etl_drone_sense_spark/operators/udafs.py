@@ -44,11 +44,15 @@ def _make_udafs():
         # single double division + half-up round happen once per group,
         # matching the oracle's round(x, 6) bit-for-bit.
         # skip NULL partials (an all-NULL-price bucket yields a NULL
-        # _wsum) the way pandas' skipna sum did — int(None) would throw
-        num = sum(int(x) for x in wsum if x is not None)
+        # _wsum) the way SQL's sum does — int(None) would throw; a group
+        # with NO non-null weighted terms is NULL, exactly like
+        # SUM(price*qty)/SUM(qty) (0.0 would conflate "no price data"
+        # with "average price is zero" — review catch r6)
+        num_vals = [int(x) for x in wsum if x is not None]
         den = sum(int(x) for x in qsum if x is not None)
-        if den == 0:
-            return 0.0
+        if not num_vals or den == 0:
+            return None
+        num = sum(num_vals)
         x = float(num) / PRICE_E4 / float(den)
         return math.floor(x * 1_000_000 + 0.5) / 1_000_000
 

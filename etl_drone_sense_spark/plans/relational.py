@@ -2385,7 +2385,10 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         def rows_where(pred):
             # bounded-memory fixture build: stream arrow batches, never
             # materialize the whole slice as python dicts (review catch
-            # r6 — write_avro consumes any iterable)
+            # r6 — write_avro consumes any iterable). The two writer
+            # calls each make their own pass — a deliberate trade: one
+            # extra columnar scan of a fixture slice vs holding either
+            # half (or a two-sink writer refactor) in the build path
             for part in parts:
                 pf = pq.ParquetFile(part)
                 for batch in pf.iter_batches(

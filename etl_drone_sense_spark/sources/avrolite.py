@@ -173,10 +173,13 @@ def write_avro(
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
-    # Stream block-by-block straight to disk: memory stays bounded by one
-    # block regardless of row count (a whole-file BytesIO would hold the
-    # entire encoded table — review catch r6).
-    with open(path, "wb") as fh:
+    # Stream block-by-block to a temp file, publish with an atomic
+    # rename: memory stays bounded by one block regardless of row count
+    # (a whole-file BytesIO would hold the entire encoded table), and a
+    # mid-write failure can never leave a truncated-but-header-valid
+    # .avro for a directory scan to pick up (review catches r6).
+    tmp = path + ".inprogress"
+    with open(tmp, "wb") as fh:
         fh.write(MAGIC)
         fh.write(_zigzag_encode(len(meta)))
         for k, v in sorted(meta.items()):
@@ -207,6 +210,7 @@ def write_avro(
             if len(block) >= block_records:
                 flush()
         flush()
+    os.replace(tmp, path)
 
 
 # --- reader -----------------------------------------------------------------

@@ -168,7 +168,9 @@ class DroneSenseStreamReader(DataSourceStreamReader):
             )
 
     def initialOffset(self) -> dict:
-        return {"idx": 0, "last": None, "h": self._prefix_hash([], 0)}
+        # h is None, not a hash of the empty prefix: nothing was consumed,
+        # and _check_prefix never reads h at idx 0 anyway
+        return {"idx": 0, "last": None, "h": None}
 
     def latestOffset(self) -> dict:
         files = _landing_files(self.path)

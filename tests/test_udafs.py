@@ -88,12 +88,14 @@ def test_weighted_avg_row_term_exceeds_int64(spark):
 
 def test_weighted_avg_all_null_price_group(spark):
     """Review catch r6: a group whose every price is NULL produces NULL
-    _wsum partials; the UDAF must skip them (pandas-skipna semantics),
-    not throw int(None)."""
+    _wsum partials; the UDAF must neither throw int(None) nor fabricate
+    0.0 — SQL's SUM(price*qty)/SUM(qty) is NULL when every weighted term
+    is NULL, and "no price data" must stay distinguishable from "average
+    price is zero"."""
     rows = [("g", None, 2, 0), ("g", None, 3, 1)]
     df = spark.createDataFrame(rows, "g string, price double, qty long, oid long")
     out = udafs.weighted_avg_price(
         df, "g", "price", "qty", bucket=F.col("oid"), buckets=4
     ).collect()
-    assert out[0].weighted_avg_price == 0.0
+    assert out[0].weighted_avg_price is None
     assert out[0].n_units == 5
