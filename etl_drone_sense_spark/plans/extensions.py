@@ -275,7 +275,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the small-corpus regime this entry pins for the oracle, ~25 s at
     sf0.1 and the wrong config beyond it. Block width must follow
     log₂(n): dedup_simhash_wide (48-bit / 12-bit blocks) is the
-    driver-certified scale config with ~256× fewer candidates."""
+    driver-certified scale config with ~256× fewer candidates. Measured
+    at the r6 sf1 certification (SF1_CERT.md): on the 10× dup-deepened
+    replica corpus this narrow config emits 311,968,361 pairs (engine
+    completes in ~4 min distributed; the row-compare harness reasonably
+    cannot), while the wide twin hash-matches there with 501,315 —
+    the occupancy rule is the difference between the two outcomes."""
     return dedup.simhash_pairs(
         t(spark, sf_dir, "documents"),
         "doc_id",
