@@ -225,21 +225,34 @@ def simhash_pairs(
     max_hamming: int = 3,
     nbits: int = 16,
     blocks: int = 4,
+    key_bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole blocking: split the fingerprint into ``blocks`` slices; any
     pair within distance ``max_hamming < blocks`` must agree on ≥1 slice, so
     the join key is (slice_idx, slice_value) — never an all-pairs product.
+
+    ``key_bits`` (default: the full slice width) keys each slice on its
+    first ``key_bits`` bits only — the adaptive-occupancy hook. A pair
+    agreeing on a full slice agrees on any prefix of it, so narrowing the
+    key only WIDENS the candidate set; the exact hamming filter below
+    makes the OUTPUT invariant to ``key_bits``. What the knob controls is
+    Σ|bucket|²: bucket count per slice is 2^key_bits, so callers hold
+    occupancy constant by deriving ``key_bits`` from the corpus count
+    (see plans/extensions.dedup_simhash_adaptive).
     """
     width = nbits // blocks
+    kb = width if key_bits is None else key_bits
+    if not 1 <= kb <= width:
+        raise ValueError(f"key_bits {kb} outside [1, {width}]")
     fp = simhash_fingerprints(rebalance_for_compute(df), id_col, text_col, nbits)
     exploded = fp.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
-                *[F.substring("simhash", b * width + 1, width) for b in range(blocks)]
+                *[F.substring("simhash", b * width + 1, kb) for b in range(blocks)]
             )
         ).alias("block_idx", "block_val"),
     )

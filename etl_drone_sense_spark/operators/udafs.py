@@ -62,8 +62,13 @@ def _make_udafs():
         # mixing GROUPED_AGG pandas UDFs with built-in aggregates in one
         # agg, so the companion count rides the same Arrow batch as a
         # second UDAF). Python-int summation for the same no-wrap reason
-        # as above.
-        return int(sum(int(x) for x in qsum if x is not None))
+        # as above. All-NULL partials → NULL, mirroring SQL SUM and the
+        # r6 weighted_avg_e4 fix — the same all-NULL group must not get
+        # NULL from one UDAF and 0 from its companion (r6 ADVICE).
+        vals = [int(x) for x in qsum if x is not None]
+        if not vals:
+            return None
+        return int(sum(vals))
 
     return weighted_avg_e4, sum_long
 

@@ -5,13 +5,21 @@ This drives ``__spark_entry__.queries()`` / ``oracle_sql()`` (the driver's
 correctness gate), ``bench.py``, and the differential tests.
 
 Numeric-parity conventions (SURVEY §7.4):
-* double sums quantize per row with ``floor(x*1e6 + 0.5)`` (IEEE-identical
-  in every engine), sum as exact integers (DECIMAL(38,0) — order-
-  independent, so Spark's partial-aggregation order can't diverge from
-  DuckDB's), then take the identical int→double + /1e6 rounding sequence
-  in both engines (see the r6 note at dsum below — the previous
-  decimal(28,6)-cast convention diverged by one ULP past 2^53 scaled
-  units because the engines' decimal→double casts round differently);
+* double sums over UNBOUNDED groups go through the ``dsum``/``dsum_sql``
+  helpers below: quantize per row with ``floor(x*1e6 + 0.5)``
+  (IEEE-identical in every engine), sum as exact integers (DECIMAL(38,0)
+  — order-independent, so Spark's partial-aggregation order can't
+  diverge from DuckDB's), then take the identical int→double + /1e6
+  rounding sequence in both engines (see the r6 note at dsum below —
+  the previous decimal(28,6)-cast convention diverged by one ULP past
+  2^53 scaled units because the engines' decimal→double casts round
+  differently). Scope: this convention is the HELPERS' contract; a
+  handful of inline query/oracle pairs keep the older
+  ``sum(cast(x as decimal(28,6)))``→double shape DELIBERATELY — their
+  groups are time- or key-bounded (windowed/sessionized event-value
+  sums, conditional TPC-H aggregates) and sit orders of magnitude under
+  the 2^53-scaled-unit divergence ceiling even at 100× (SF1_CERT.md
+  scope note). Any NEW unbounded-group sum must use the helpers;
 * results of transcendental math are ``round(.., 6)`` inside the query;
 * top-k queries always carry a unique-key tie-break.
 """

@@ -18,11 +18,15 @@ bytes``), nullable unions (``["null", T]`` either order), and the
 (stdlib zlib, raw DEFLATE per spec). Anything else raises ``ValueError``
 — same quarantine-friendly honesty as the multimodal codec tier.
 
-Scale posture: planning is driver-side metadata only; each landing file
-is one partition and executors decode independently (the dronesense
-DataSource pattern). Avro blocks are sync-marker delimited, so a
-block-level split index is the natural extension for multi-GB files; a
-100 TB lake would land many files, which already parallelizes.
+Scale posture: planning is driver-side metadata only; small landing
+files are one partition each and executors decode independently (the
+dronesense DataSource pattern). Files larger than ``split_target_bytes``
+(option, default 32 MiB) are split at BLOCK boundaries by a driver-side
+sync-marker index (``build_split_index`` — cost proportional to block
+COUNT, ~30 bytes read per block, never the data), so one multi-GB
+container file fans out to many executor partitions. Reading streams
+block-by-block from the open handle: executor memory is bounded by one
+block (compressed + decompressed), never the whole file (r6 ADVICE).
 
 The WRITER (``write_avro``) exists so tests and fixtures can produce real
 Avro bytes without the external connector — it is the fixture side of the
@@ -81,8 +85,15 @@ def _zigzag_decode(buf: memoryview, pos: int) -> tuple[int, int]:
 # --- schema handling --------------------------------------------------------
 
 
-def _field_codec(ftype) -> tuple[str, bool, str | None]:
-    """(primitive, nullable, logical) for a supported Avro field type."""
+def _field_codec(ftype) -> tuple[str, int | None, str | None]:
+    """(primitive, null_branch, logical) for a supported Avro field type.
+
+    ``null_branch`` is the union index of ``"null"`` as DECLARED by the
+    writer schema (``None`` → non-nullable field). Avro encodes a union
+    value as its branch index, so both sides of the codec must honor the
+    declared order — hardcoding null-first decoded spec-conformant
+    ``[T, "null"]`` files with the branches swapped, desyncing the record
+    stream (r6 ADVICE, high)."""
     logical = None
     if isinstance(ftype, dict):
         logical = ftype.get("logicalType")
@@ -91,11 +102,12 @@ def _field_codec(ftype) -> tuple[str, bool, str | None]:
         non_null = [t for t in ftype if t != "null"]
         if len(ftype) > 2 or len(non_null) != 1:
             raise ValueError(f"unsupported Avro union: {ftype}")
+        null_branch = ftype.index("null")
         prim, _, logical2 = _field_codec(non_null[0])
-        return prim, True, logical2
+        return prim, null_branch, logical2
     if ftype not in _PRIMITIVE_TO_SPARK:
         raise ValueError(f"unsupported Avro type: {ftype!r}")
-    return ftype, False, logical
+    return ftype, None, logical
 
 
 def spark_ddl_for(schema: dict) -> str:
@@ -152,13 +164,13 @@ def write_avro(
 
     def enc_row(row) -> bytes:
         out = bytearray()
-        for name, prim, nullable, logical in fields:
+        for name, prim, null_branch, logical in fields:
             v = row[name]
-            if nullable:
+            if null_branch is not None:
                 if v is None:
-                    out += _zigzag_encode(0)  # union branch: null first
+                    out += _zigzag_encode(null_branch)
                     continue
-                out += _zigzag_encode(1)
+                out += _zigzag_encode(1 - null_branch)
             elif v is None:
                 raise ValueError(f"null in non-nullable field {name}")
             if logical == "timestamp-micros" and not isinstance(v, int):
@@ -216,99 +228,177 @@ def write_avro(
 # --- reader -----------------------------------------------------------------
 
 
-def read_avro_header(path: str) -> tuple[dict, str, bytes, int]:
-    """(schema, codec, sync_marker, data_start) from a container file."""
-    with open(path, "rb") as fh:
-        head = fh.read()
-    if head[:4] != MAGIC:
-        raise ValueError(f"{path}: not an Avro object container file")
-    buf = memoryview(head)
-    pos = 4
+def _read_varint_fh(fh) -> int | None:
+    """Streaming zigzag varint off an open handle. ``None`` on clean EOF
+    at a value boundary (how block iteration detects end-of-file);
+    truncation mid-varint raises."""
+    first = fh.read(1)
+    if not first:
+        return None
+    b = first[0]
+    shift = u = 0
+    while True:
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        nxt = fh.read(1)
+        if not nxt:
+            raise ValueError("truncated Avro varint")
+        b = nxt[0]
+    return (u >> 1) ^ -(u & 1)
+
+
+def _read_header_fh(fh) -> tuple[dict, str, bytes, int]:
+    """Parse the container header INCREMENTALLY from an open handle —
+    never slurps the file (r6 ADVICE: the whole-file read contradicted
+    the bounded-memory posture). Leaves ``fh`` positioned at the first
+    data block; returns (schema, codec, sync, data_start)."""
+    if fh.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
     meta: dict[str, bytes] = {}
     while True:
-        n, pos = _zigzag_decode(buf, pos)
+        n = _read_varint_fh(fh)
+        if n is None:
+            raise ValueError("truncated Avro header")
         if n == 0:
             break
         if n < 0:  # negative block count carries an explicit byte size
-            _, pos = _zigzag_decode(buf, pos)
+            _read_varint_fh(fh)
             n = -n
         for _ in range(n):
-            klen, pos = _zigzag_decode(buf, pos)
-            k = bytes(buf[pos : pos + klen]).decode()
-            pos += klen
-            vlen, pos = _zigzag_decode(buf, pos)
-            meta[k] = bytes(buf[pos : pos + vlen])
-            pos += vlen
-    sync = bytes(buf[pos : pos + 16])
-    pos += 16
+            klen = _read_varint_fh(fh)
+            k = fh.read(klen).decode()
+            vlen = _read_varint_fh(fh)
+            meta[k] = fh.read(vlen)
+    sync = fh.read(16)
+    if len(sync) != 16:
+        raise ValueError("truncated Avro header (sync marker)")
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
     if schema.get("type") != "record":
         raise ValueError("avrolite supports top-level record schemas only")
-    return schema, codec, sync, pos
+    return schema, codec, sync, fh.tell()
 
 
-def iter_avro_rows(path: str):
-    """Yield tuples (schema field order) from a container file."""
+def read_avro_header(path: str) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync_marker, data_start) from a container file."""
+    with open(path, "rb") as fh:
+        try:
+            return _read_header_fh(fh)
+        except ValueError as e:
+            raise ValueError(f"{path}: {e}") from None
+
+
+def build_split_index(path: str, target_bytes: int) -> list[tuple[int, int]]:
+    """Block-aligned ``(start, end)`` byte ranges over the data section,
+    each covering ~``target_bytes`` of consecutive blocks — the planner's
+    index for fanning ONE multi-GB container file out to many executor
+    partitions. Cost is proportional to block COUNT (two varints + one
+    sync per block, payloads seeked over), never to data volume."""
+    with open(path, "rb") as fh:
+        _, _, sync, data_start = _read_header_fh(fh)
+        size = os.fstat(fh.fileno()).st_size
+        splits: list[tuple[int, int]] = []
+        cur = pos = data_start
+        while pos < size:
+            n_recs = _read_varint_fh(fh)
+            if n_recs is None:
+                break
+            n_bytes = _read_varint_fh(fh)
+            fh.seek(n_bytes, 1)
+            if fh.read(16) != sync:
+                raise ValueError(
+                    f"{path}: sync marker mismatch (corrupt block)"
+                )
+            pos = fh.tell()
+            if pos - cur >= target_bytes:
+                splits.append((cur, pos))
+                cur = pos
+        if cur < pos:
+            splits.append((cur, pos))
+        return splits or [(data_start, data_start)]
+
+
+def iter_avro_rows(path: str, start: int | None = None, end: int | None = None):
+    """Yield tuples (schema field order) from a container file, streaming
+    block-by-block — memory is bounded by ONE block, never the file.
+
+    ``start``/``end`` restrict iteration to a block-aligned byte range
+    from ``build_split_index`` (``start`` MUST be a block boundary; the
+    sync check catches a misaligned one)."""
     import datetime
 
-    schema, codec, sync, pos = read_avro_header(path)
-    fields = [
-        (f["name"], *_field_codec(f["type"])) for f in schema["fields"]
-    ]
     with open(path, "rb") as fh:
-        data = fh.read()
-    buf = memoryview(data)
-    n = len(data)
-    while pos < n:
-        n_recs, pos = _zigzag_decode(buf, pos)
-        n_bytes, pos = _zigzag_decode(buf, pos)
-        raw = bytes(buf[pos : pos + n_bytes])
-        pos += n_bytes
-        if bytes(buf[pos : pos + 16]) != sync:
-            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
-        pos += 16
-        if codec == "deflate":
-            raw = zlib.decompress(raw, -15)
-        elif codec != "null":
-            raise ValueError(f"unsupported Avro codec: {codec!r}")
-        b = memoryview(raw)
-        p = 0
-        for _ in range(n_recs):
-            row = []
-            for _name, prim, nullable, logical in fields:
-                if nullable:
-                    branch, p = _zigzag_decode(b, p)
-                    if branch == 0:
-                        row.append(None)
-                        continue
-                if prim in ("long", "int"):
-                    v, p = _zigzag_decode(b, p)
-                elif prim == "double":
-                    (v,) = struct.unpack_from("<d", b, p)
-                    p += 8
-                elif prim == "float":
-                    (v,) = struct.unpack_from("<f", b, p)
-                    p += 4
-                elif prim in ("string", "bytes"):
-                    ln, p = _zigzag_decode(b, p)
-                    v = bytes(b[p : p + ln])
-                    p += ln
-                    if prim == "string":
-                        v = v.decode("utf-8")
-                elif prim == "boolean":
-                    v = b[p] == 1
-                    p += 1
-                else:  # pragma: no cover - _field_codec already rejects
-                    raise ValueError(prim)
-                if logical == "timestamp-micros":
-                    # naive UTC wall time, exact at any magnitude (the
-                    # utcfromtimestamp float path loses µs past 2^53)
-                    v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
-                        microseconds=v
-                    )
-                row.append(v)
-            yield tuple(row)
+        try:
+            schema, codec, sync, _ = _read_header_fh(fh)
+        except ValueError as e:
+            raise ValueError(f"{path}: {e}") from None
+        fields = [
+            (f["name"], *_field_codec(f["type"])) for f in schema["fields"]
+        ]
+        if start is not None:
+            fh.seek(start)
+        while True:
+            if end is not None and fh.tell() >= end:
+                break
+            n_recs = _read_varint_fh(fh)
+            if n_recs is None:
+                break
+            n_bytes = _read_varint_fh(fh)
+            raw = fh.read(n_bytes)
+            if len(raw) != n_bytes:
+                raise ValueError(f"{path}: truncated Avro block")
+            if fh.read(16) != sync:
+                raise ValueError(
+                    f"{path}: sync marker mismatch (corrupt block)"
+                )
+            if codec == "deflate":
+                raw = zlib.decompress(raw, -15)
+            elif codec != "null":
+                raise ValueError(f"unsupported Avro codec: {codec!r}")
+            yield from _decode_block(raw, n_recs, fields, datetime)
+
+
+def _decode_block(raw: bytes, n_recs: int, fields, datetime):
+    """Decode one decompressed block's records (tuples in field order)."""
+    b = memoryview(raw)
+    p = 0
+    for _ in range(n_recs):
+        row = []
+        for _name, prim, null_branch, logical in fields:
+            if null_branch is not None:
+                branch, p = _zigzag_decode(b, p)
+                if branch == null_branch:
+                    row.append(None)
+                    continue
+            if prim in ("long", "int"):
+                v, p = _zigzag_decode(b, p)
+            elif prim == "double":
+                (v,) = struct.unpack_from("<d", b, p)
+                p += 8
+            elif prim == "float":
+                (v,) = struct.unpack_from("<f", b, p)
+                p += 4
+            elif prim in ("string", "bytes"):
+                ln, p = _zigzag_decode(b, p)
+                v = bytes(b[p : p + ln])
+                p += ln
+                if prim == "string":
+                    v = v.decode("utf-8")
+            elif prim == "boolean":
+                v = b[p] == 1
+                p += 1
+            else:  # pragma: no cover - _field_codec already rejects
+                raise ValueError(prim)
+            if logical == "timestamp-micros":
+                # naive UTC wall time, exact at any magnitude (the
+                # utcfromtimestamp float path loses µs past 2^53)
+                v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                    microseconds=v
+                )
+            row.append(v)
+        yield tuple(row)
 
 
 # --- PySpark DataSource -----------------------------------------------------
@@ -334,20 +424,42 @@ def make_datasource():
     )
 
     class _AvroPartition(InputPartition):
-        def __init__(self, path: str):
+        def __init__(self, path: str, start: int | None = None, end: int | None = None):
             self.path = path
+            self.start = start
+            self.end = end
 
     class AvroLiteReader(DataSourceReader):
         def __init__(self, options):
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("avrolite source requires a path")
+            self.split_target = int(
+                options.get("split_target_bytes", 32 * 1024 * 1024)
+            )
+            if self.split_target <= 0:
+                raise ValueError("split_target_bytes must be positive")
 
         def partitions(self):
-            return [_AvroPartition(p) for p in _avro_files(self.path)]
+            # One partition per small file; large files fan out to
+            # block-aligned byte-range splits (driver cost ∝ block count
+            # — see build_split_index). A few-huge-files landing zone
+            # parallelizes the same as a many-files one.
+            parts = []
+            for p in _avro_files(self.path):
+                if os.path.getsize(p) > self.split_target:
+                    parts.extend(
+                        _AvroPartition(p, s, e)
+                        for s, e in build_split_index(p, self.split_target)
+                    )
+                else:
+                    parts.append(_AvroPartition(p))
+            return parts
 
         def read(self, partition):
-            yield from iter_avro_rows(partition.path)
+            yield from iter_avro_rows(
+                partition.path, partition.start, partition.end
+            )
 
     class AvroLiteDataSource(DataSource):
         """``format("avrolite")`` — Avro object container files."""

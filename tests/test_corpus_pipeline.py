@@ -110,3 +110,34 @@ def test_stored_lsh_index_probe_matches_recompute(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_simhash_key_width_invariance(spark, sf_dir):
+    """The adaptive-width contract (r6 VERDICT item 1): prefix keys emit
+    a candidate SUPERSET, the exact hamming filter converges every width
+    to the same pair set — so the derived width can follow corpus growth
+    without changing results. Pin three widths bit-identical, plus the
+    derived-width rule's fixture/scale values."""
+    from etl_drone_sense_spark.operators import dedup
+    from etl_drone_sense_spark.plans.extensions import _adaptive_simhash_bits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    outs = []
+    for kb in (4, 7, 12):
+        got = sorted(
+            map(
+                tuple,
+                dedup.simhash_pairs(
+                    docs, "doc_id", "text", max_hamming=3, nbits=48,
+                    blocks=4, key_bits=kb,
+                ).collect(),
+            )
+        )
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0, "fixture must produce near-dup pairs"
+
+    assert _adaptive_simhash_bits(500) == 7      # sf0.01 documents
+    assert _adaptive_simhash_bits(5_000) == 11   # sf0.1
+    assert _adaptive_simhash_bits(50_000) == 12  # sf1 → full-block cap
+    assert _adaptive_simhash_bits(1) == 4        # floor

@@ -363,6 +363,43 @@ def test_avro_reader_roundtrip_via_avrolite(spark, tmp_path):
     assert got == want
 
 
+def test_avrolite_union_order_spec_conformant(tmp_path):
+    """r6 ADVICE (high): union branch indices must follow the DECLARED
+    order. A ``[T, "null"]`` union encodes null as branch 1, the value as
+    branch 0 — hardcoded null-first desyncs the record stream on
+    spec-conformant files written elsewhere. Byte-level assertion (a
+    round-trip alone can't catch a symmetric encode/decode bug)."""
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "v", "type": ["long", "null"]}],
+    }
+    p = str(tmp_path / "t.avro")
+    AL.write_avro(p, schema, [{"v": 5}, {"v": None}], codec="null")
+    assert list(AL.iter_avro_rows(p)) == [(5,), (None,)]
+    _, _, _, data_start = AL.read_avro_header(p)
+    raw = open(p, "rb").read()
+    # block head: n_recs=2 (zigzag 0x04), n_bytes=3 (zigzag 0x06); then
+    # rec 1 = branch 0 + zigzag(5), rec 2 = branch 1 (null is branch ONE
+    # in this declared order)
+    assert raw[data_start : data_start + 5] == b"\x04\x06\x00\x0a\x02"
+
+    # and the null-first order still encodes null as branch 0
+    schema2 = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "v", "type": ["null", "long"]}],
+    }
+    p2 = str(tmp_path / "t2.avro")
+    AL.write_avro(p2, schema2, [{"v": 5}, {"v": None}], codec="null")
+    assert list(AL.iter_avro_rows(p2)) == [(5,), (None,)]
+    _, _, _, ds2 = AL.read_avro_header(p2)
+    raw2 = open(p2, "rb").read()
+    assert raw2[ds2 : ds2 + 5] == b"\x04\x06\x02\x0a\x00"
+
+
 def test_avrolite_rejects_corruption(tmp_path):
     """Corrupt sync markers and unsupported schema shapes fail loudly."""
     import pytest as _pytest
@@ -490,6 +527,59 @@ def test_avrolite_partitions_per_file(tmp_path):
     assert sorted(sum((list(reader.read(p)) for p in parts), [])) == [
         (i,) for i in range(5)
     ]
+
+
+def test_avrolite_block_split_index(spark, tmp_path):
+    """One multi-GB container file must fan out to MANY executor
+    partitions (r6 VERDICT item 4): build_split_index cuts at block
+    boundaries, each split decodes independently, and the union is
+    byte-identical to a whole-file read — across both codecs."""
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [
+        {"k": i, "s": None if i % 7 == 0 else f"v{i}" * 20}
+        for i in range(2000)
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"big_{codec}.avro")
+        AL.write_avro(p, schema, rows, codec=codec, block_records=100)
+        whole = list(AL.iter_avro_rows(p))
+        splits = AL.build_split_index(p, target_bytes=2048)
+        assert len(splits) > 3, f"{codec}: expected multiple splits"
+        # contiguous, block-aligned, covering the whole data section
+        for (s1, e1), (s2, _) in zip(splits, splits[1:]):
+            assert e1 == s2
+        ranged = [
+            r for s, e in splits for r in AL.iter_avro_rows(p, s, e)
+        ]
+        assert ranged == whole
+
+    # the DataSource plans >1 partition for one file under a small target
+    # and the DataFrame content matches the single-partition read
+    big = str(tmp_path / "big_deflate.avro")
+    ds = AL.make_datasource()({"path": big, "split_target_bytes": "2048"})
+    reader = ds.reader(None)
+    parts = reader.partitions()
+    assert len(parts) > 3
+    AL.register(spark)
+    df_split = (
+        spark.read.format("avrolite")
+        .option("split_target_bytes", "2048")
+        .load(big)
+    )
+    df_whole = spark.read.format("avrolite").load(big)
+    assert df_split.rdd.getNumPartitions() > 1
+    assert sorted(map(tuple, df_split.collect())) == sorted(
+        map(tuple, df_whole.collect())
+    )
 
 
 def test_stream_reader_catches_removal_plus_insertion(tmp_path):

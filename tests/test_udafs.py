@@ -99,3 +99,17 @@ def test_weighted_avg_all_null_price_group(spark):
     ).collect()
     assert out[0].weighted_avg_price is None
     assert out[0].n_units == 5
+
+
+def test_sum_long_all_null_group_is_null(spark):
+    """r6 ADVICE: the same all-NULL group must get CONSISTENT semantics
+    from both UDAFs — a group whose every qty is NULL yields NULL _qsum
+    partials, and sum_long must return NULL like SQL SUM (not 0) just as
+    weighted_avg_e4 returns NULL (not 0.0)."""
+    rows = [("g", 1.5, None, 0), ("g", 2.5, None, 1)]
+    df = spark.createDataFrame(rows, "g string, price double, qty long, oid long")
+    out = udafs.weighted_avg_price(
+        df, "g", "price", "qty", bucket=F.col("oid"), buckets=4
+    ).collect()
+    assert out[0].weighted_avg_price is None
+    assert out[0].n_units is None
