@@ -9,6 +9,15 @@ Each query is executed to completion with the ``noop`` sink: unlike
 ``count()`` — whose plan column-prunes the projections away (a narrow
 transform would time as a bare parquet row-count) — noop materializes
 every output column on executors without shipping rows to the driver.
+
+External grounding (r6 VERDICT item 9): alongside the engine timings,
+each bench query's DuckDB oracle runs ONCE on the same parquet at the
+same SF and its wall time lands in ``oracle_s`` with the engine/oracle
+ratio in ``oracle_ratio`` — so "within 2× of baseline" is anchored to an
+independent engine on identical data, not only to self-derived budgets.
+(One run, not median-of-3: DuckDB executes in-process with no JVM/
+scheduler variance, and the grounding is a sanity anchor, not a race.)
+Disable with SPARK_GRAFT_BENCH_ORACLE=0.
 """
 
 from __future__ import annotations
@@ -38,6 +47,8 @@ BUDGETS_S: dict[str, float] = {
     "dedup_embedding_lsh_adaptive": 2.41,  # r6: 1.8 × 1.34 s quiet median
     "dedup_incremental": 2.01,
     "dedup_minhash": 1.87,
+    "dedup_simhash_adaptive": 6.35,  # r7: 1.8 × 3.53 s median (48-bit
+    # fingerprint pass dominates; the knob under test is pair emission)
     "dedup_paragraph": 1.64,
     "dedup_semantic": 2.01,
     "drone_features_flat": 1.22,
@@ -97,6 +108,31 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    oracle_s: dict[str, float] = {}
+    oracle_ratio: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        import duckdb
+
+        from etl_drone_sense_spark.plans.registry import all_oracles
+
+        oracles = all_oracles()
+        con = duckdb.connect()
+        for t_name in (
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ):
+            p = f"{sf_dir}/{t_name}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t_name} AS SELECT * FROM '{src}'")
+        for name in sorted(queries):
+            if name not in oracles:
+                continue
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()  # materialize like noop
+            oracle_s[name] = round(time.perf_counter() - t0, 3)
+            if oracle_s[name] > 0:
+                oracle_ratio[name] = round(timings[name] / oracle_s[name], 2)
+
     violations = {
         name: {"sec": t, "budget": BUDGETS_S[name]}
         for name, t in timings.items()
@@ -119,6 +155,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "budget_violations": violations,
+                "oracle_s": oracle_s,
+                "oracle_ratio": oracle_ratio,
             }
         )
     )

@@ -1823,21 +1823,35 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_png",
     oracle="""
     WITH dims AS (
-        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+               doc_id % 3 AS variant
+        FROM documents
     ),
     px AS (
-        SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM dims
+        SELECT doc_id, w, h, variant, unnest(range(0, w * h)) AS p FROM dims
+    ),
+    ch AS (
+        SELECT doc_id, w, h, p, unnest([0, 1, 2]) AS c, variant FROM px
+    ),
+    val AS (
+        SELECT doc_id, w, h, c,
+               CASE variant
+                   WHEN 0 THEN (doc_id * 37 + p * 3 + c) % 256
+                   WHEN 1 THEN (doc_id * 37 + p * 4 + c) % 256
+                   ELSE (doc_id * 41 + ((doc_id * 37 + p) % 64) * 3 + c) % 256
+               END AS v
+        FROM ch
     )
     SELECT doc_id AS media_id,
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
-           round(CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 37 + i) % 256 END)
-                      AS DOUBLE) / (w * h), 6) AS mean_r,
-           round(CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id * 37 + i) % 256 END)
-                      AS DOUBLE) / (w * h), 6) AS mean_g,
-           round(CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id * 37 + i) % 256 END)
-                      AS DOUBLE) / (w * h), 6) AS mean_b
-    FROM px GROUP BY doc_id, w, h
+           round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_r,
+           round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_g,
+           round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_b
+    FROM val GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "pandas_udf"),
 )
@@ -1847,10 +1861,13 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CRC'd chunks, stdlib-zlib DEFLATE, scanline filters cycling through
     all five types, operators/multimodal.encode_png) and decode them
     inside the same Arrow mapInPandas path as the PPM query
-    (decode_image_features dispatches per payload on magic bytes). Pixel
-    content is an arithmetic function of doc_id, so the oracle derives
-    the decoded features in pure SQL — a CRC, inflate, filter-
-    reconstruction, or stride bug anywhere in parse_png shifts a mean
+    (decode_image_features dispatches per payload on magic bytes). The
+    relation MIXES the three supported colour types — RGB, RGBA
+    (alpha-dropped), palette (PLTE-mapped) — per ``doc_id % 3`` (r7:
+    one pass decodes all variants). Pixel content is an arithmetic
+    function of doc_id, so the oracle derives the decoded features in
+    pure SQL — a CRC, inflate, filter-reconstruction, stride, palette-
+    lookup, or alpha-stripping bug anywhere in parse_png shifts a mean
     and hash-fails. JPEG/video remain honestly import-gated (they need
     external codec libraries)."""
     media = multimodal.synth_png_media(t(spark, sf_dir, "documents"))

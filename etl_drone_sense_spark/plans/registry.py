@@ -492,18 +492,107 @@ TOUCHED_R06: tuple[str, ...] = (
 )
 
 
+# CORRECTNESS_r06.json: the 50 queries the round-6 window checked (all
+# green — the first round with zero rows-only and zero err).
+DRIVER_CHECKED_R06: frozenset[str] = frozenset(
+    {
+        "agg_distinct",
+        "agg_stats",
+        "avro_scan",
+        "corpus_sample_per_lang",
+        "corpus_split_stats",
+        "cube_status_priority",
+        "dedup_embedding_lsh_adaptive",
+        "dedup_keep_rows",
+        "dedup_paragraph",
+        "events_funnel",
+        "governance_quarantine_split",
+        "grouped_map_centroids",
+        "grouping_sets",
+        "having_filter",
+        "join_range_binned",
+        "join_skewed_salted",
+        "merge_upsert",
+        "multimodal_bytes",
+        "multimodal_decode",
+        "multimodal_decode_png",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "null_semantics",
+        "pivot_priority_status",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "rollup_region_nation",
+        "sample_stratified",
+        "sessionize_events",
+        "set_ops_all",
+        "sim_ivf_topk_frozen",
+        "sim_pq_topk",
+        "stream_interval_join",
+        "stream_running_totals_tws",
+        "stream_tumbling_counts",
+        "stream_watermark_eviction",
+        "string_distance",
+        "table_bloom_probe",
+        "text_boilerplate_strip",
+        "text_fingerprint",
+        "text_repetition",
+        "text_tfidf_topk",
+        "text_unigram_logprob",
+        "udaf_weighted_price",
+        "unpivot_metrics",
+        "vector_normalize_quantize",
+        "window_sliding_events",
+        "window_tumbling_events",
+    }
+)
+
+# Queries whose Spark code OR oracle changed in round 7, plus new
+# registrations — all need a fresh driver row:
+# * dedup_simhash_adaptive — NEW: corpus-count-derived pigeonhole key
+#   width (r6 VERDICT item 1);
+# * dedup_simhash / dedup_simhash_wide — the shared simhash_pairs
+#   operator gained the key_bits hook (output must be unchanged, which
+#   is exactly what a driver row proves);
+# * avro_scan — the avrolite reader was rewritten (streaming block
+#   iteration, spec-conformant union branch order, split index);
+# * udaf_weighted_price — sum_long all-NULL semantics fix (r6 ADVICE);
+# * multimodal_decode_png — fixture + oracle now MIX colour types
+#   2/3/6 (palette + RGBA support) and the filter reconstruction is
+#   numpy-vectorized;
+# * multimodal_decode / multimodal_bytes / multimodal_features —
+#   share the parse_image → parse_png path whose unfilter changed
+#   (results must not).
+TOUCHED_R07: tuple[str, ...] = (
+    "dedup_simhash_adaptive",
+    "dedup_simhash",
+    "dedup_simhash_wide",
+    "avro_scan",
+    "udaf_weighted_price",
+    "multimodal_decode_png",
+    "multimodal_decode",
+    "multimodal_bytes",
+    "multimodal_features",
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
-    about old code is still stale evidence). Then: round-1/2 tier (the
-    stalest surviving evidence — relational queries whose last driver row
-    is four rounds old) → round-3 → round-4 → round-5 (freshest)."""
+    about old code is still stale evidence). After r6's fold the stalest
+    surviving evidence is the round-3 tier (the six join primitives whose
+    last driver row is four rounds old — r6 VERDICT item 5); then
+    round-4 → round-5 → round-6 (freshest)."""
 
-    head = {n: i for i, n in enumerate(TOUCHED_R06)}
+    head = {n: i for i, n in enumerate(TOUCHED_R07)}
 
     def tier(s: QuerySpec) -> tuple[int, int]:
         if s.name in head:
             return (0, head[s.name])
+        if s.name in DRIVER_CHECKED_R06:
+            return (6, 0)
         if s.name in DRIVER_CHECKED_R05:
             return (5, 0)
         if s.name in DRIVER_CHECKED_R04:

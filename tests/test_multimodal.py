@@ -167,8 +167,9 @@ def test_png_rejects_corruption_and_unsupported():
     # truncation → loud
     with pytest.raises(ValueError):
         parse_png(png[: len(png) // 2])
-    # unsupported variant (RGBA colour type) → loud, not garbage pixels
-    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 6, 0, 0, 0)
+    # unsupported variant (16-bit greyscale — RGBA/palette became real
+    # codec paths in r7) → loud, not garbage pixels
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 16, 0, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
@@ -236,3 +237,121 @@ def test_png_bad_deflate_quarantines_not_crashes(spark):
     )
     out = decode_image_features(media).collect()
     assert len(out) == 1 and not out[0].decode_ok
+
+
+def test_png_palette_and_rgba_roundtrip():
+    """r7 colour-type extension: RGBA decodes with the alpha lane
+    dropped, palette images map indices through PLTE — both against a
+    pure-Python reference raster, across every filter type (encode_png
+    cycles y % 5)."""
+    from etl_drone_sense_spark.operators.multimodal import encode_png, parse_png
+
+    w, h = 5, 7  # ≥5 rows → all five filters at each bpp
+    # RGBA: reference output strips every 4th byte
+    rgba = bytes((11 * j + 3) % 256 for j in range(w * h * 4))
+    want_rgb = bytes(
+        b for j, b in enumerate(rgba) if j % 4 != 3
+    )
+    assert parse_png(encode_png(w, h, rgba, ctype=6)) == (w, h, want_rgb)
+
+    # palette: indices map through PLTE entries
+    idx = bytes((3 * p + 1) % 16 for p in range(w * h))
+    plte = bytes((7 * b + 5) % 256 for b in range(16 * 3))
+    want_pal = b"".join(plte[i * 3 : i * 3 + 3] for i in idx)
+    assert parse_png(encode_png(w, h, idx, ctype=3, palette=plte)) == (
+        w,
+        h,
+        want_pal,
+    )
+
+
+def test_png_palette_errors_are_loud():
+    import struct
+    import zlib
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import encode_png, parse_png
+
+    # encoder refuses out-of-range indices and missing palettes
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(2, 2, bytes([0, 1, 2, 9]), ctype=3, palette=bytes(9))
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(2, 2, bytes(4), ctype=3)
+    # decoder refuses a palette image whose PLTE chunk is absent:
+    # re-assemble a type-3 PNG without its PLTE
+    png = encode_png(2, 2, bytes([0, 1, 1, 0]), ctype=3, palette=bytes(6))
+    sig, rest = png[:8], png[8:]
+    chunks = []
+    i = 0
+    while i < len(rest):
+        (ln,) = struct.unpack(">I", rest[i : i + 4])
+        chunks.append(rest[i : i + 12 + ln])
+        i += 12 + ln
+    no_plte = sig + b"".join(c for c in chunks if c[4:8] != b"PLTE")
+    with pytest.raises(ValueError, match="PLTE"):
+        parse_png(no_plte)
+
+
+def test_png_unfilter_matches_bytewise_reference():
+    """The numpy unfilter (r7 vectorization) must be bit-identical to a
+    per-byte spec transcription on adversarial content at every bpp."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        _unfilter_scanlines,
+        encode_png,
+    )
+
+    def reference(raw, width, height, bpp):
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        stride = width * bpp
+        out = bytearray()
+        prior = bytes(stride)
+        for y in range(height):
+            ft = raw[y * (stride + 1)]
+            line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            rec = bytearray(stride)
+            for k in range(stride):
+                left = rec[k - bpp] if k >= bpp else 0
+                up = prior[k]
+                ul = prior[k - bpp] if k >= bpp else 0
+                v = line[k] + (
+                    0 if ft == 0
+                    else left if ft == 1
+                    else up if ft == 2
+                    else (left + up) // 2 if ft == 3
+                    else paeth(left, up, ul)
+                )
+                rec[k] = v & 0xFF
+            out += rec
+            prior = bytes(rec)
+        return bytes(out)
+
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(7)
+    for bpp, ctype in ((3, 2), (4, 6), (1, 3)):
+        w, h = 9, 11
+        raster = bytes(rng.randrange(256 if ctype != 3 else 64) for _ in range(w * h * bpp))
+        plte = bytes(range(192)) if ctype == 3 else None
+        png = encode_png(w, h, raster, ctype=ctype, palette=plte)
+        # pull the filtered stream back out of the IDAT chunk
+        i, idat = 8, b""
+        while i < len(png):
+            (ln,) = struct.unpack(">I", png[i : i + 4])
+            if png[i + 4 : i + 8] == b"IDAT":
+                idat += png[i + 8 : i + 8 + ln]
+            i += 12 + ln
+        raw = zlib.decompress(idat)
+        got = _unfilter_scanlines(raw, w, h, bpp)
+        assert got.tobytes() == reference(raw, w, h, bpp)
+        assert np.frombuffer(got.tobytes(), dtype=np.uint8).size == w * h * bpp

@@ -32,8 +32,10 @@ def test_every_bench_query_has_a_budget():
 def test_touched_and_checked_names_exist():
     known = set(RG.REGISTRY)
     for group in (
+        RG.TOUCHED_R07,
         RG.TOUCHED_R06,
         RG.TOUCHED_R05,
+        RG.DRIVER_CHECKED_R06,
         RG.DRIVER_CHECKED_R05,
         RG.DRIVER_CHECKED_R04,
         RG.DRIVER_CHECKED_R03,
@@ -55,31 +57,42 @@ def test_window_head_covers_everything_unverified_or_touched():
         | set(RG.DRIVER_CHECKED_R03)
         | set(RG.DRIVER_CHECKED_R04)
         | set(RG.DRIVER_CHECKED_R05)
+        | set(RG.DRIVER_CHECKED_R06)
     )
-    must_be_in_head = set(RG.TOUCHED_R06) | (set(order) - ever_checked)
+    must_be_in_head = set(RG.TOUCHED_R07) | (set(order) - ever_checked)
     missing = must_be_in_head - head
     assert not missing, f"outside the driver window: {sorted(missing)}"
 
 
 def test_window_head_leads_with_stalest_tier():
-    """After the touched head, the r6 window must be filled by the
-    stalest-evidence tier (round-1/2-only greens — their last driver rows
-    are four rounds old), not by freshly-certified queries (VERDICT r5
-    item 5)."""
+    """After the touched head, the r7 window must lead with the
+    stalest-evidence tier — the six join primitives whose last driver row
+    is round 3, four rounds old (r6 VERDICT item 5) — not with
+    freshly-certified queries."""
     order = list(RG.all_queries())
-    fresh = set(RG.DRIVER_CHECKED_R05) | set(RG.DRIVER_CHECKED_R04)
+    fresher = (
+        set(RG.DRIVER_CHECKED_R04)
+        | set(RG.DRIVER_CHECKED_R05)
+        | set(RG.DRIVER_CHECKED_R06)
+    )
     stale_tier = [
         n
         for n in RG.REGISTRY
-        if (n in RG.DRIVER_CHECKED_R01 or n in RG.DRIVER_CHECKED_R02)
-        and n not in fresh
-        and n not in set(RG.DRIVER_CHECKED_R03)
-        and n not in set(RG.TOUCHED_R06)
+        if n in RG.DRIVER_CHECKED_R03
+        and n not in fresher
+        and n not in set(RG.TOUCHED_R07)
     ]
+    assert set(stale_tier) == {
+        "join_anti",
+        "join_cross",
+        "join_full_outer",
+        "join_left_count",
+        "join_range_nonequi",
+        "join_semi",
+    }, "stale-tier membership drifted — re-derive the rotation plan"
     head = set(order[:50])
     missing = set(stale_tier) - head
-    # the stale tier fits in the window alongside the touched head
-    assert len(RG.TOUCHED_R06) + len(stale_tier) <= 50, (
+    assert len(RG.TOUCHED_R07) + len(stale_tier) <= 50, (
         "stale tier larger than the window — rotation plan needs splitting"
     )
     assert not missing, f"stalest-evidence queries outside window: {sorted(missing)}"
