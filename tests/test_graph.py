@@ -123,3 +123,25 @@ def test_no_sizing_count_job_when_not_narrowing(spark, monkeypatch):
         f"expected exactly one fewer count job without narrowing "
         f"(got {with_narrow} vs {without})"
     )
+
+
+def test_sf1_harness_unionfind_matches_suite_reference():
+    """tools/sf1_exclusions.py carries its own union-find (the sf1
+    compare harness must not import from tests/); pin the two
+    implementations identical on adversarial edge sets so the harness's
+    ground truth IS the suite's ground truth."""
+    import random
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from sf1_exclusions import union_find as harness_uf
+
+    rng = random.Random(19)
+    for _ in range(5):
+        n = rng.randrange(2, 400)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(1, 600))
+        ]
+        assert harness_uf(edges) == _union_find(edges)

@@ -211,6 +211,117 @@ def synthesize_full(spark, scale: int) -> str:
     return out
 
 
+def synthesize_skewed(spark, scale: int) -> str:
+    """HOT-KEY variant of the fixture (r6 VERDICT item 8): the replica
+    model above is deliberately skew-free, so this mode remaps ~20% of
+    events onto ONE user and ~20% of orders onto ONE custkey — the
+    single-hot-reducer shape that wedges groupBy/window/stream state at
+    scale. Unmodified tables are symlinked from the full fixture
+    (``scale`` > 1) or the base sf0.1 dir; events/orders are rewritten
+    with the remap. Row counts, timestamps, and referential integrity
+    are untouched — only the key DISTRIBUTION changes, so a skewed-vs-
+    skewed slope isolates scaling under skew from the skew penalty
+    itself."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"sf_skew_x{scale}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.isfile(marker):
+        return out
+    base = synthesize_full(spark, scale) if scale > 1 else BASE_SF
+    os.makedirs(out, exist_ok=True)
+    tables = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    )
+    for t_ in tables:
+        dst = os.path.join(out, f"{t_}.parquet")
+        if t_ in ("events", "orders") or os.path.exists(dst):
+            continue
+        os.symlink(os.path.join(base, f"{t_}.parquet"), dst)
+
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    hot_user = ev.agg(F.min("user_id")).collect()[0][0]
+    ev.withColumn(
+        "user_id",
+        F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit(hot_user)).otherwise(
+            F.col("user_id")
+        ),
+    ).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    orders = spark.read.parquet(f"{base}/orders.parquet")
+    hot_cust = orders.agg(F.min("o_custkey")).collect()[0][0]
+    orders.withColumn(
+        "o_custkey",
+        F.when(
+            F.pmod("o_orderkey", F.lit(5)) == 0, F.lit(hot_cust)
+        ).otherwise(F.col("o_custkey")),
+    ).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+SKEW_QUERIES = [
+    # one window/session key carrying 20% of all rows
+    "sessionize_events",
+    # stream-stream interval join where one user owns 20% of BOTH sides
+    "stream_interval_join",
+    # the explicit-salting query (its 90%-hot derived key is intrinsic)
+    "join_skewed_salted",
+]
+
+
+def assert_skew_mitigation(spark, skew_dir: str) -> dict:
+    """Plan assertions AT THE PROBE SCALE: (a) the salted join's plan
+    still carries the `_salt` shard column; (b) AQE's skew-join split
+    actually ENGAGES on the hot-custkey orders⨝customer sort-merge join.
+    AQE's default trip-wires (256 MB skewed-partition threshold) are
+    sized for cluster-scale partitions, so the probe scales them to the
+    fixture (8 MB/2 MB) — the assertion is that the MECHANISM fires on
+    this key distribution, exactly as the defaults would at 100 TB
+    partition sizes."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_drone_sense_spark.plans.registry import get
+
+    plan = get("join_skewed_salted").fn(spark, skew_dir)._jdf.queryExecution()
+    salted_ok = "_salt" in plan.optimizedPlan().toString()
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{skew_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{skew_dir}/customer.parquet")
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "o_totalprice", "c_name"
+        )
+        joined.write.mode("overwrite").format("noop").save()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")  # final adaptive plan post-run
+        aqe_ok = "skew=true" in buf.getvalue()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return {"salted_plan_has_salt": salted_ok, "aqe_skew_split_engaged": aqe_ok}
+
+
 def median_time(run, n=3) -> float:
     samples = []
     for _ in range(n):
@@ -230,6 +341,14 @@ def main() -> int:
         help="synthesize ALL tables and slope-probe the complete bench set "
         "(r5 VERDICT item 1); writes BENCH_sf1.json in full mode",
     )
+    ap.add_argument(
+        "--skewed",
+        action="store_true",
+        help="hot-key probe (r6 VERDICT item 8): remap ~20%% of events to "
+        "one user / orders to one custkey at 1x and at --scale, slope the "
+        "skew-sensitive queries, and assert salting + AQE skew split "
+        "engage; writes SKEW_PROBE.json",
+    )
     args = ap.parse_args()
 
     from etl_drone_sense_spark.caching import release_caches
@@ -240,12 +359,58 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    scaled_dir = synthesize(spark, args.scale)
     results: dict[str, dict] = {}
 
     def run_one(fn, d):
         fn(spark, d).write.mode("overwrite").format("noop").save()
         release_caches()
+
+    if args.skewed:
+        base_skew = synthesize_skewed(spark, 1)
+        scaled_skew = synthesize_skewed(spark, args.scale)
+        for name in SKEW_QUERIES:
+            fn = queries[name]
+            run_one(fn, base_skew)  # warm
+            base_s = median_time(lambda: run_one(fn, base_skew))
+            run_one(fn, scaled_skew)
+            scaled_s = median_time(lambda: run_one(fn, scaled_skew))
+            results[name] = {
+                "base_s": round(base_s, 3),
+                "scaled_s": round(scaled_s, 3),
+                "slope": round(scaled_s / base_s, 2),
+            }
+            print(
+                f"{name}: {base_s:.2f}s -> {scaled_s:.2f}s at {args.scale}x "
+                f"skewed (slope {results[name]['slope']:.1f}x)",
+                file=sys.stderr,
+            )
+        assertions = assert_skew_mitigation(spark, scaled_skew)
+        max_slope = max(r["slope"] for r in results.values())
+        report = {
+            "sf_base": 0.1,
+            "scale": args.scale,
+            "mode": "skewed",
+            "hot_key_share": 0.2,
+            "queries": results,
+            "max_slope": max_slope,
+            "limit": float(args.scale),
+            "plan_assertions": assertions,
+        }
+        with open(os.path.join(REPO, "SKEW_PROBE.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report))
+        if not args.keep:
+            shutil.rmtree(SCRATCH, ignore_errors=True)
+        ok = max_slope <= args.scale and all(assertions.values())
+        if not ok:
+            print(
+                f"SKEW PROBE FAILED: max slope {max_slope} "
+                f"(limit {args.scale}) assertions {assertions}",
+                file=sys.stderr,
+            )
+        return 0 if ok else 1
+
+    scaled_dir = synthesize(spark, args.scale)
 
     # dedup_embedding_lsh's band width must follow log2(n) to hold bucket
     # occupancy constant (Σ|bucket|² = n²/2^width per band): the registered
