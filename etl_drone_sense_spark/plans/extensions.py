@@ -346,8 +346,8 @@ def dedup_simhash_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     its prefix, so sf0.01 (500 docs → 7 bits) and sf0.1 (5,000 → 11
     bits) certify genuinely different widths of the same artifact, and
     the sf1 replica corpus (50,000 → 12-bit cap) lands in the wide
-    regime (~501k pairs measured there for the full-block key — not the
-    narrow config's 312M, SF1_CERT.md).
+    regime: 501,315 pairs HASH-MATCHED against this oracle at sf1
+    (SF1_EXCLUSIONS.json, r7) — not the narrow config's 312M.
 
     The ORACLE is width-independent on purpose: a pair agreeing on a
     full block agrees on any prefix, so prefix keys emit a candidate

