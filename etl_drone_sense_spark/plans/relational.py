@@ -2358,10 +2358,14 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a varint, block-boundary, union-branch, or timestamp-scale bug
     anywhere in the codec shifts values and hash-fails.
 
-    Scale posture: one partition per landing file, executor-side decode,
-    driver touches only metadata (the dronesense DataSource pattern).
-    Built once per source generation (fingerprint-keyed); later calls
-    are a lazy scan."""
+    Scale posture: executor-side decode, driver touches only metadata
+    (the dronesense DataSource pattern). The scan passes a fixture-sized
+    ``split_target_bytes`` so each multi-block container file fans out
+    to several BLOCK-ALIGNED byte-range partitions (r7:
+    sources/avrolite.build_split_index — the multi-GB-file path), making
+    the driver row certify the SPLIT read, not just whole-file decode;
+    results must be byte-identical either way. Built once per source
+    generation (fingerprint-keyed); later calls are a lazy scan."""
     import os as _os
     import tempfile
 
@@ -2440,4 +2444,6 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             block_records=500,
         )
         _AVRO_LANDINGS[key] = landing
-    return read_avro_records(spark, landing)
+    return read_avro_records(
+        spark, landing, options={"split_target_bytes": str(16 * 1024)}
+    )

@@ -235,7 +235,10 @@ def read_orc_records(
 
 
 def read_avro_records(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Avro scan. Preferred path: the JVM ``spark-avro`` connector (an
     external module — submit with ``--packages
@@ -244,8 +247,13 @@ def read_avro_records(
     dependency-free ``format("avrolite")`` Python DataSource
     (sources/avrolite.py — full object-container decode for the
     primitive/nullable/timestamp-micros record subset), so Avro landings
-    are readable out of the box instead of import-gated."""
-    reader = spark.read
+    are readable out of the box instead of import-gated.
+
+    ``options`` pass through to whichever source serves the scan (each
+    ignores options it doesn't know — e.g. avrolite's
+    ``split_target_bytes`` block-split knob is a no-op under the JVM
+    connector, which has its own splitting)."""
+    reader = spark.read.options(**(options or {}))
     if schema is not None:
         reader = reader.schema(schema)
     try:
@@ -264,7 +272,7 @@ def read_avro_records(
         from . import avrolite
 
         avrolite.register(spark)
-        fallback = spark.read
+        fallback = spark.read.options(**(options or {}))
         if schema is not None:
             fallback = fallback.schema(schema)
         return fallback.format("avrolite").load(path)
