@@ -393,6 +393,168 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, raster
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
+    """Minimal RIFF/WAVE writer (PCM, 16-bit LE) — the fixture side of
+    the audio codec pair, exactly like encode_png. ``samples`` is the
+    interleaved int16 frame stream (numpy array or any int iterable);
+    its length must be a multiple of ``channels``."""
+    import struct
+
+    arr = np.asarray(list(samples) if not isinstance(samples, np.ndarray) else samples)
+    if arr.size % channels:
+        raise ValueError("sample count not a multiple of channels")
+    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
+        raise ValueError("sample outside int16 range")
+    pcm = arr.astype("<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(payload: bytes):
+    """Decode a RIFF/WAVE payload — dependency-free chunk walk per the
+    RIFF spec (unknown chunks skipped, word-aligned). Supports the
+    interchange common case: PCM (format 1), 16-bit samples. Anything
+    else — float/ADPCM/24-bit, truncated data — raises ``ValueError``,
+    keeping the decode operators' per-row quarantine contract. Returns
+    ``(sample_rate, channels, int16 numpy array of interleaved
+    samples)``."""
+    import struct
+
+    buf = bytes(payload or b"")
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    if riff_size + 8 > len(buf):
+        raise ValueError("truncated RIFF payload")
+    i, n = 12, min(len(buf), riff_size + 8)
+    rate = channels = bits = None
+    pcm = None
+    while i + 8 <= n:
+        cid = buf[i : i + 4]
+        (clen,) = struct.unpack_from("<I", buf, i + 4)
+        data = buf[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("malformed WAV fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", data
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    "unsupported WAV variant: need 16-bit PCM, got "
+                    f"format={audio_fmt} bits={bits}"
+                )
+        elif cid == b"data":
+            pcm = data
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    if len(pcm) % (2 * channels):
+        raise ValueError("WAV data not frame-aligned")
+    return rate, channels, np.frombuffer(pcm, dtype="<i2")
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """WAV payloads → per-clip features via ``mapInPandas``
+    (Arrow-batched): frame count, duration, mean absolute amplitude,
+    peak. Amplitude statistics are exact-integer sums (int64 — int16's
+    |−32768| overflows its own width, so abs happens AFTER the widening
+    cast) divided once in double, the same IEEE op the SQL oracle
+    performs. Undecodable payloads yield ``decode_ok=false`` with null
+    features instead of failing the batch — one corrupt blob must not
+    kill a 100 TB scan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_FEATURE_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    import math
+
+                    rate, ch, samples = parse_wav(payload)
+                    a = np.abs(samples.astype(np.int64))
+                    frames = samples.size // ch
+                    # fixed-point half-up (floor(x*1e6+0.5)/1e6), NOT
+                    # round(): 61 frames / 16000 Hz = 0.0038125 is a
+                    # 6-decimal TIE, where Python rounds half-even and
+                    # SQL half-up — the registry's cross-engine
+                    # convention sidesteps the mode entirely
+                    row = (
+                        True,
+                        rate,
+                        ch,
+                        frames,
+                        math.floor(frames * 1.0 / rate * 1e6 + 0.5) / 1e6,
+                        math.floor(
+                            int(a.sum()) * 1.0 / max(samples.size, 1) * 1e6
+                            + 0.5
+                        )
+                        / 1e6,
+                        int(a.max(initial=0)),
+                    )
+                except ValueError:
+                    row = (False, None, None, None, None, None, None)
+                for k, v in zip(out, (int(mid), *row)):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic WAV payloads keyed by doc id — REAL RIFF
+    bytes whose sample stream is arithmetically predictable, so a SQL
+    oracle derives the decoded features without a decoder:
+    ``channels = 1 + doc_id % 2``, ``rate = 8000 + (doc_id % 3) * 4000``,
+    ``frames = 50 + doc_id % 40``, interleaved sample ``i`` =
+    ``(doc_id*53 + i*7) % 65536 - 32768`` (full int16 dynamic range, so
+    the |−32768| widening contract stays exercised)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = 1 + did % 2
+                rate = 8000 + (did % 3) * 4000
+                frames = 50 + did % 40
+                i = np.arange(frames * ch, dtype=np.int64)
+                samples = (did * 53 + i * 7) % 65536 - 32768
+                payloads.append(encode_wav(rate, ch, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
     PNG signature → PNG; anything else raises ``ValueError`` (JPEG/video

@@ -1883,6 +1883,63 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_wav",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 2 AS ch,
+               8000 + (doc_id % 3) * 4000 AS rate,
+               50 + doc_id % 40 AS frames
+        FROM documents
+    ),
+    smp AS (
+        SELECT doc_id, ch, rate, frames,
+               unnest(range(0, frames * ch)) AS i
+        FROM dims
+    ),
+    val AS (
+        SELECT doc_id, ch, rate, frames,
+               (doc_id * 53 + i * 7) % 65536 - 32768 AS s
+        FROM smp
+    )
+    SELECT doc_id AS media_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(ch AS INTEGER) AS channels,
+           CAST(frames AS BIGINT) AS n_frames,
+           floor(frames * 1.0 / rate * 1000000 + 0.5) / 1000000
+               AS duration_s,
+           floor(sum(abs(s)) * 1.0 / (frames * ch) * 1000000 + 0.5)
+               / 1000000 AS mean_abs,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM val GROUP BY doc_id, ch, rate, frames
+    """,
+    tags=("multimodal", "audio", "pandas_udf"),
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (r7) — the modality that was
+    stub-only through round 6: synthesize genuine RIFF/WAVE payloads
+    (PCM 16-bit, mono AND stereo, full int16 dynamic range —
+    operators/multimodal.encode_wav) and decode them in the Arrow
+    mapInPandas path (parse_wav: RIFF chunk walk, word alignment,
+    fmt/data extraction). Sample content is an arithmetic function of
+    doc_id, so the oracle derives frame counts, duration, mean absolute
+    amplitude, and peak in pure SQL — a chunk-walk, alignment,
+    byte-order, or |−32768|-widening bug shifts a value and hash-fails.
+    Compressed audio (MP3/AAC/FLAC) remains honestly import-gated, the
+    same contract as JPEG/video."""
+    media = multimodal.synth_wav_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_audio_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        "mean_abs",
+        "peak",
+    )
+
+
+@register(
     "multimodal_resize",
     oracle="""
     WITH dims AS (

@@ -566,6 +566,7 @@ DRIVER_CHECKED_R06: frozenset[str] = frozenset(
 #   share the parse_image → parse_png path whose unfilter changed
 #   (results must not).
 TOUCHED_R07: tuple[str, ...] = (
+    "multimodal_decode_wav",  # NEW r7: real RIFF/WAVE PCM codec
     "dedup_simhash_adaptive",
     "dedup_simhash",
     "dedup_simhash_wide",

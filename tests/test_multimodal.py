@@ -355,3 +355,93 @@ def test_png_unfilter_matches_bytewise_reference():
         got = _unfilter_scanlines(raw, w, h, bpp)
         assert got.tobytes() == reference(raw, w, h, bpp)
         assert np.frombuffer(got.tobytes(), dtype=np.uint8).size == w * h * bpp
+
+
+def test_wav_roundtrip_mono_stereo():
+    """RIFF/WAVE codec pair (r7): mono and stereo 16-bit PCM round-trip
+    byte-exact, including the full int16 dynamic range (the |-32768|
+    widening contract)."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import encode_wav, parse_wav
+
+    for ch in (1, 2):
+        samples = np.array(
+            [-32768, 32767, 0, -1, 12345, -12345] * ch, dtype=np.int64
+        )
+        rate, got_ch, got = parse_wav(encode_wav(44100, ch, samples))
+        assert (rate, got_ch) == (44100, ch)
+        assert got.tolist() == samples.tolist()
+
+
+def test_wav_skips_unknown_chunks_word_aligned():
+    """RIFF chunks are word-aligned: an odd-length unknown chunk (e.g. a
+    LIST/INFO tag) must be skipped with its pad byte, not desync the
+    walk."""
+    import struct
+
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import encode_wav, parse_wav
+
+    samples = np.arange(8, dtype=np.int64) - 4
+    wav = bytearray(encode_wav(8000, 1, samples))
+    # splice an odd-length chunk between fmt and data
+    tag = b"note" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad to even
+    fmt_end = 12 + 8 + 16
+    spliced = bytes(wav[:fmt_end]) + tag + bytes(wav[fmt_end:])
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    rate, ch, got = parse_wav(spliced)
+    assert (rate, ch) == (8000, 1) and got.tolist() == samples.tolist()
+
+
+def test_wav_rejects_malformed_and_unsupported():
+    import struct
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import encode_wav, parse_wav
+
+    good = encode_wav(8000, 1, [1, 2, 3, 4])
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"OggS" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav(good[: len(good) - 3])
+    # IEEE-float format (3) refused loudly
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        parse_wav(bytes(bad))
+    # 8-bit refused loudly
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 34, 8)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        parse_wav(bytes(bad))
+    # stereo data not frame-aligned
+    with pytest.raises(ValueError, match="frame-aligned"):
+        mono = encode_wav(8000, 1, [1, 2, 3])
+        b2 = bytearray(mono)
+        struct.pack_into("<H", b2, 22, 2)  # claim 2 channels
+        parse_wav(bytes(b2))
+
+
+def test_decode_audio_features_quarantines(spark):
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_audio_features,
+        encode_wav,
+    )
+
+    good = encode_wav(8000, 2, [100, -200, 300, -32768])
+    rows = [(1, bytearray(good)), (2, bytearray(b"not audio")), (3, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_audio_features(media).collect()}
+    assert out[1].decode_ok
+    assert (out[1].sample_rate, out[1].channels, out[1].n_frames) == (8000, 2, 2)
+    assert out[1].peak == 32768
+    assert out[1].mean_abs == (100 + 200 + 300 + 32768) / 4
+    assert not out[2].decode_ok and out[2].peak is None
+    assert not out[3].decode_ok
