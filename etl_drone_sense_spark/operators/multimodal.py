@@ -171,7 +171,8 @@ def encode_png(
     """Minimal PNG encoder — the fixture side of the codec pair. Colour
     types: 2 (``raster`` = RGB, the default), 6 (``raster`` = RGBA), 3
     (``raster`` = palette INDICES, ``palette`` = the PLTE RGB bytes,
-    ≤256 entries). Scanline ``y`` is filtered with type ``y % 5``, so a
+    ≤256 entries), 0 (``raster`` = grey bytes), 4 (``raster`` =
+    grey+alpha pairs). Scanline ``y`` is filtered with type ``y % 5``, so a
     synthetic corpus of ≥5 rows drives EVERY filter reconstruction path
     (None/Sub/Up/Average/Paeth) through the decoder at every bpp; zlib
     (stdlib) is the real DEFLATE layer."""
@@ -246,9 +247,11 @@ def encode_png(
     return b"".join(parts)
 
 
-# bytes-per-pixel for the supported 8-bit colour types: 2=RGB,
-# 3=palette indices, 6=RGBA
-_PNG_BPP = {2: 3, 3: 1, 6: 4}
+# bytes-per-pixel for the supported 8-bit colour types: 0=greyscale,
+# 2=RGB, 3=palette indices, 4=grey+alpha, 6=RGBA — the COMPLETE 8-bit
+# colour-type matrix of the PNG spec (the only depth used by training
+# corpora; 1/2/4/16-bit depths and Adam7 stay rejected)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _unfilter_scanlines(raw: bytes, width: int, height: int, bpp: int):
@@ -316,10 +319,11 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a PNG image — dependency-free (stdlib zlib is the DEFLATE
     layer; chunk walk, CRC verification, and the five filter-type
     reconstructions are implemented here per the PNG spec). Supports
-    8-bit depth, non-interlaced, colour types 2 (RGB), 3 (palette —
-    PLTE-mapped to RGB) and 6 (RGBA — alpha dropped, RGB returned, tRNS
-    ignored); always returns an RGB raster. Anything else — 16-bit,
-    greyscale, Adam7 — raises ``ValueError`` like any malformed payload,
+    8-bit depth, non-interlaced, ALL five colour types: 0 (greyscale,
+    replicated to RGB), 2 (RGB), 3 (palette — PLTE-mapped to RGB), 4
+    (grey+alpha, alpha dropped) and 6 (RGBA — alpha dropped, tRNS
+    ignored); always returns an RGB raster. Anything else — sub-8/16-bit
+    depths, Adam7 — raises ``ValueError`` like any malformed payload,
     keeping the quarantine contract of ``decode_image_features``."""
     import struct
     import zlib
@@ -355,9 +359,9 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
                 0,
             ):
                 raise ValueError(
-                    "unsupported PNG variant: need 8-bit RGB/palette/RGBA "
-                    f"non-interlaced, got depth={depth} colour={ctype} "
-                    f"interlace={inter}"
+                    "unsupported PNG variant: need 8-bit depth, "
+                    "non-interlaced, got "
+                    f"depth={depth} colour={ctype} interlace={inter}"
                 )
         elif typ == b"PLTE":
             if length == 0 or length % 3 or length > 256 * 3:
@@ -382,6 +386,13 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
         raster = rec.tobytes()
     elif ctype == 6:
         raster = rec.reshape(height, width, 4)[:, :, :3].tobytes()
+    elif ctype == 0:
+        # greyscale → replicate into RGB (the decode contract always
+        # returns an RGB raster)
+        raster = np.repeat(rec.reshape(height, width, 1), 3, axis=2).tobytes()
+    elif ctype == 4:
+        grey = rec.reshape(height, width, 2)[:, :, :1]  # alpha dropped
+        raster = np.repeat(grey, 3, axis=2).tobytes()
     else:
         if plte is None:
             raise ValueError("PNG palette image missing PLTE chunk")

@@ -445,3 +445,19 @@ def test_decode_audio_features_quarantines(spark):
     assert out[1].mean_abs == (100 + 200 + 300 + 32768) / 4
     assert not out[2].decode_ok and out[2].peak is None
     assert not out[3].decode_ok
+
+
+def test_png_greyscale_types_roundtrip():
+    """r7: colour types 0 (grey) and 4 (grey+alpha) complete the 8-bit
+    colour-type matrix — grey replicates into RGB, alpha drops, across
+    every filter type at bpp 1 and 2."""
+    from etl_drone_sense_spark.operators.multimodal import encode_png, parse_png
+
+    w, h = 6, 7
+    grey = bytes((13 * p + 5) % 256 for p in range(w * h))
+    want = b"".join(bytes([g, g, g]) for g in grey)
+    assert parse_png(encode_png(w, h, grey, ctype=0)) == (w, h, want)
+
+    ga = bytes((11 * j + 2) % 256 for j in range(w * h * 2))
+    want4 = b"".join(bytes([ga[2 * p]] * 3) for p in range(w * h))
+    assert parse_png(encode_png(w, h, ga, ctype=4)) == (w, h, want4)
