@@ -567,6 +567,7 @@ DRIVER_CHECKED_R06: frozenset[str] = frozenset(
 #   (results must not).
 TOUCHED_R07: tuple[str, ...] = (
     "multimodal_decode_wav",  # NEW r7: real RIFF/WAVE PCM codec
+    "avro_sink_roundtrip",  # NEW r7: executor-parallel Avro WRITE sink
     "dedup_simhash_adaptive",
     "dedup_simhash",
     "dedup_simhash_wide",

@@ -2447,3 +2447,53 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro_records(
         spark, landing, options={"split_target_bytes": str(16 * 1024)}
     )
+
+
+_AVRO_SINK_DIRS: dict[tuple, str] = {}
+
+
+@register(
+    "avro_sink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate
+    FROM orders WHERE o_orderkey % 7 = 3
+    """,
+    tags=("sink", "avro"),
+)
+def avro_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro WRITE path end-to-end, driver-certified (r7 — the sink twin
+    of avro_scan): an orders slice flows through the executor-parallel
+    ``write_avro_records`` sink (one container file per partition,
+    schema derived from the DataFrame, block-buffered streaming encode,
+    atomic per-file publish — sources/avrolite.py) and is read back
+    through the avrolite scan. The readback must equal the plain SQL
+    projection of the same source rows — an encode-side varint, union-
+    branch, timestamp-scale, or block-flush bug shifts values and
+    hash-fails. Scan + sink close the Avro surface in both directions.
+
+    Scale posture: the sink is mapPartitionsWithIndex — write
+    parallelism = input partitioning, no driver materialization (the
+    returned count is the only driver traffic)."""
+    import tempfile
+
+    from ..sources import avrolite as AL
+    from ..sources.readers import fixture_fingerprint, read_avro_records
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    out = _AVRO_SINK_DIRS.get(key)
+    if out is None:
+        src = (
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 7 == 3)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderstatus",
+                "o_orderdate",
+            )
+        )
+        out = tempfile.mkdtemp(prefix="sg_avro_sink_")
+        AL.write_avro_records(src, out)
+        _AVRO_SINK_DIRS[key] = out
+    return read_avro_records(spark, out)

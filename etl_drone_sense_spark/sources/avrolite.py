@@ -225,6 +225,87 @@ def write_avro(
     os.replace(tmp, path)
 
 
+_SPARK_TO_AVRO = {
+    "bigint": "long",
+    "long": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def avro_schema_for(spark_schema, name: str = "record") -> dict:
+    """Derive the Avro record schema for a supported Spark schema
+    (primitives + timestamp → timestamp-micros; nullable fields become
+    ``["null", T]`` unions). Unsupported Spark types raise."""
+    fields = []
+    for f in spark_schema.fields:
+        st = f.dataType.simpleString()
+        if st == "timestamp":
+            ft: object = {"type": "long", "logicalType": "timestamp-micros"}
+        elif st in _SPARK_TO_AVRO:
+            ft = _SPARK_TO_AVRO[st]
+        else:
+            raise ValueError(
+                f"avrolite sink: unsupported Spark type {st!r} "
+                f"for field {f.name!r}"
+            )
+        if f.nullable:
+            ft = ["null", ft]
+        fields.append({"name": f.name, "type": ft})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def write_avro_records(df, path: str, codec: str = "deflate") -> int:
+    """Executor-PARALLEL Avro sink: each input partition streams its rows
+    to one container file ``part-<idx>.avro`` under ``path`` — the write
+    twin of the ``format("avrolite")`` scan (the JVM ``spark-avro``
+    connector is the preferred sink where installed; this is the
+    dependency-free fallback, same posture as the reader).
+
+    The driver derives the schema and creates the directory; everything
+    else happens on executors via ``mapPartitionsWithIndex`` (rows
+    stream straight into ``write_avro``'s block-buffered encoder —
+    executor memory is bounded by one block, and each file publishes
+    with an atomic rename, so a failed task can never leave a partial
+    file for a scan to pick up; Spark's task retry simply overwrites).
+    Empty partitions write nothing. Returns the number of rows
+    written."""
+    schema = avro_schema_for(df.schema)
+    names = [f["name"] for f in schema["fields"]]
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(idx, rows):
+        n = 0
+
+        def gen():
+            nonlocal n
+            for row in rows:
+                n += 1
+                yield dict(zip(names, row))
+
+        g = gen()
+        try:
+            first = next(g)
+        except StopIteration:
+            return
+        import itertools
+
+        write_avro(
+            os.path.join(path, f"part-{idx:05d}.avro"),
+            schema,
+            itertools.chain([first], g),
+            codec=codec,
+        )
+        yield n
+
+    return sum(df.rdd.mapPartitionsWithIndex(write_part).collect())
+
+
 # --- reader -----------------------------------------------------------------
 
 

@@ -604,3 +604,38 @@ def test_stream_reader_catches_removal_plus_insertion(tmp_path):
     # now (part-0000, part-0002) — must refuse
     with _pytest.raises(RuntimeError, match="monotonic-naming"):
         rd.partitions(end, rd.latestOffset())
+
+
+def test_avrolite_executor_sink_roundtrip(spark, tmp_path):
+    """write_avro_records (r7): one container file per non-empty input
+    partition, schema derived from the DataFrame (nullable unions,
+    timestamp-micros), rows round-trip exactly — including NULLs and an
+    empty partition that must write nothing."""
+    import datetime
+
+    from etl_drone_sense_spark.sources import avrolite as AL
+    from etl_drone_sense_spark.sources.readers import read_avro_records
+
+    base = datetime.datetime(2024, 5, 1, 8, 30, 0)
+    rows = [
+        (i, None if i % 5 == 0 else f"s{i}", i * 0.5,
+         base + datetime.timedelta(minutes=i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, s string, v double, ts timestamp"
+    ).repartition(4, "k")
+    out = str(tmp_path / "sink")
+    n = AL.write_avro_records(df, out)
+    assert n == 200
+    import os
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert 1 <= len(files) <= 4
+    back = read_avro_records(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    # an all-empty frame writes no files and counts zero
+    empty_out = str(tmp_path / "empty")
+    assert AL.write_avro_records(df.filter("k < 0"), empty_out) == 0
+    assert not [f for f in os.listdir(empty_out) if f.endswith(".avro")]
