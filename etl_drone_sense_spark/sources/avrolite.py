@@ -273,8 +273,14 @@ def write_avro_records(df, path: str, codec: str = "deflate") -> int:
     executor memory is bounded by one block, and each file publishes
     with an atomic rename, so a failed task can never leave a partial
     file for a scan to pick up; Spark's task retry simply overwrites).
-    Empty partitions write nothing. Returns the number of rows
-    written."""
+    Empty partitions write nothing. Returns the number of rows written.
+
+    Honesty note on ``path``: files are written with plain ``open()``,
+    so executors must share the filesystem with the reader (local mode,
+    NFS, or a fuse-mounted object store). A multi-node cluster writing
+    to HDFS/S3 URIs should install the JVM ``spark-avro`` connector and
+    use ``df.write.format("avro")`` — this sink is the dependency-free
+    fallback with the same posture as the avrolite reader."""
     schema = avro_schema_for(df.schema)
     names = [f["name"] for f in schema["fields"]]
     os.makedirs(path, exist_ok=True)
