@@ -568,6 +568,7 @@ DRIVER_CHECKED_R06: frozenset[str] = frozenset(
 TOUCHED_R07: tuple[str, ...] = (
     "multimodal_decode_wav",  # NEW r7: real RIFF/WAVE PCM codec
     "avro_sink_roundtrip",  # NEW r7: executor-parallel Avro WRITE sink
+    "stream_avro_scan",  # NEW r7: Avro landing zone as a micro-batch stream
     "dedup_simhash_adaptive",
     "dedup_simhash",
     "dedup_simhash_wide",

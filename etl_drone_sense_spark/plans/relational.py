@@ -2366,11 +2366,22 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver row certify the SPLIT read, not just whole-file decode;
     results must be byte-identical either way. Built once per source
     generation (fingerprint-keyed); later calls are a lazy scan."""
+    from ..sources.readers import read_avro_records
+
+    landing = _avro_landing(sf_dir)
+    return read_avro_records(
+        spark, landing, options={"split_target_bytes": str(16 * 1024)}
+    )
+
+
+def _avro_landing(sf_dir: str) -> str:
+    """Build (once per source generation) the two-file multi-codec Avro
+    landing that avro_scan and stream_avro_scan read."""
     import os as _os
     import tempfile
 
     from ..sources import avrolite as AL
-    from ..sources.readers import fixture_fingerprint, read_avro_records
+    from ..sources.readers import fixture_fingerprint
 
     key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
     landing = _AVRO_LANDINGS.get(key)
@@ -2444,9 +2455,37 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             block_records=500,
         )
         _AVRO_LANDINGS[key] = landing
-    return read_avro_records(
-        spark, landing, options={"split_target_bytes": str(16 * 1024)}
-    )
+    return landing
+
+
+@register(
+    "stream_avro_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate
+    FROM orders WHERE o_orderkey % 5 = 2
+    """,
+    tags=("source", "avro", "streaming"),
+)
+def stream_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Avro landing zone as a REAL micro-batch STREAM (r7):
+    ``spark.readStream.format("avrolite")`` over the same two-file
+    landing as avro_scan, drained AvailableNow to a memory sink — the
+    AppendOnlyLandingStreamReader offset protocol (checkpointed
+    file-count offsets, prefix-hash enforcement) carried by the Avro
+    source. Decode is invocation-agnostic, so the BATCH oracle is the
+    streaming oracle, exactly the stream_drone_features_flat pattern."""
+    import uuid
+
+    from ..sources import avrolite as AL
+    from ..streaming.pipeline import run_to_memory
+
+    landing = _avro_landing(sf_dir)
+    AL.register(spark)
+    stream = spark.readStream.format("avrolite").load(landing)
+    name = f"reg_avro_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name)
 
 
 _AVRO_SINK_DIRS: dict[tuple, str] = {}

@@ -510,6 +510,8 @@ def make_datasource():
         InputPartition,
     )
 
+    from .datasource import AppendOnlyLandingStreamReader
+
     class _AvroPartition(InputPartition):
         def __init__(self, path: str, start: int | None = None, end: int | None = None):
             self.path = path
@@ -548,8 +550,30 @@ def make_datasource():
                 partition.path, partition.start, partition.end
             )
 
+    class AvroLiteStreamReader(AppendOnlyLandingStreamReader):
+        """Avro landing zone as a micro-batch STREAM — the shared
+        append-only offset protocol (prefix-hash enforced, exactly-once
+        via checkpointed file-count offsets) over ``.avro`` container
+        files; one partition per new file, executor-side decode.
+        Streaming keeps whole-file partitions (a landing file arrives as
+        one object); the byte-range split index is the BATCH scan's
+        multi-GB-file path."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("avrolite source requires a path")
+
+        def _list(self) -> list[str]:
+            return _avro_files(self.path)
+
+        def _rows(self, path: str):
+            yield from iter_avro_rows(path)
+
     class AvroLiteDataSource(DataSource):
-        """``format("avrolite")`` — Avro object container files."""
+        """``format("avrolite")`` — Avro object container files (batch
+        scan with block-level splits, and an append-only landing
+        STREAM)."""
 
         @classmethod
         def name(cls) -> str:
@@ -564,6 +588,9 @@ def make_datasource():
 
         def reader(self, schema):
             return AvroLiteReader(self.options)
+
+        def streamReader(self, schema):
+            return AvroLiteStreamReader(self.options)
 
     return AvroLiteDataSource
 

@@ -106,8 +106,11 @@ class DroneSenseReader(DataSourceReader):
         yield from _read_jsonl(partition.path)
 
 
-class DroneSenseStreamReader(DataSourceStreamReader):
-    """Micro-batch reader over an append-only landing directory.
+class AppendOnlyLandingStreamReader(DataSourceStreamReader):
+    """GENERIC micro-batch reader over an append-only landing directory
+    (r7: extracted from the dronesense reader so every landing-zone
+    format — JSON lines, Avro containers — shares ONE hardened offset
+    protocol instead of re-implementing it).
 
     Offsets are ``{"idx": n, "last": name}`` = number of (name-sorted)
     landing files consumed plus the NAME of the last one; landings must
@@ -120,12 +123,16 @@ class DroneSenseStreamReader(DataSourceStreamReader):
     a prefix-extension of what was consumed and raises loudly otherwise.
     Planning is driver-side metadata only; payload decode happens on
     executors, one partition per new file — identical scale posture to
-    the batch reader."""
+    the batch readers.
 
-    def __init__(self, options):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("dronesense source requires a path")
+    Subclasses provide ``_list()`` (the sorted landing listing) and
+    ``_rows(path)`` (the per-file row iterator)."""
+
+    def _list(self) -> list[str]:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _rows(self, path: str):  # pragma: no cover - abstract
+        raise NotImplementedError
 
     @staticmethod
     def _prefix_hash(files: list[str], n: int) -> str:
@@ -173,7 +180,7 @@ class DroneSenseStreamReader(DataSourceStreamReader):
         return {"idx": 0, "last": None, "h": None}
 
     def latestOffset(self) -> dict:
-        files = _landing_files(self.path)
+        files = self._list()
         return {
             "idx": len(files),
             "last": os.path.basename(files[-1]) if files else None,
@@ -181,7 +188,7 @@ class DroneSenseStreamReader(DataSourceStreamReader):
         }
 
     def partitions(self, start: dict, end: dict):
-        files = _landing_files(self.path)
+        files = self._list()
         self._check_prefix(files, start)
         self._check_prefix(files, end)
         return [
@@ -189,12 +196,28 @@ class DroneSenseStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _FilePartition):
-        yield from _read_jsonl(partition.path)
+        yield from self._rows(partition.path)
 
     def commit(self, end: dict) -> None:
         # Landing files are immutable; nothing to clean up. A production
         # variant would age out files older than the committed offset.
         pass
+
+
+class DroneSenseStreamReader(AppendOnlyLandingStreamReader):
+    """The drone-telemetry landing stream (JSON lines), on the shared
+    append-only offset protocol."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dronesense source requires a path")
+
+    def _list(self) -> list[str]:
+        return _landing_files(self.path)
+
+    def _rows(self, path: str):
+        yield from _read_jsonl(path)
 
 
 def register(spark) -> None:

@@ -639,3 +639,61 @@ def test_avrolite_executor_sink_roundtrip(spark, tmp_path):
     empty_out = str(tmp_path / "empty")
     assert AL.write_avro_records(df.filter("k < 0"), empty_out) == 0
     assert not [f for f in os.listdir(empty_out) if f.endswith(".avro")]
+
+
+def test_avrolite_stream_reader_incremental(spark, tmp_path):
+    """spark.readStream.format('avrolite'): the Avro landing zone on the
+    shared append-only offset protocol — a second AvailableNow drain
+    after a new container file lands ingests ONLY the new file
+    (checkpointed file-count offsets, exactly-once), and a
+    lexically-earlier late arrival is refused by the prefix check."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    landing = tmp_path / "avro_landing"
+    landing.mkdir()
+    AL.write_avro(str(landing / "part-0002.avro"), schema, [{"k": 1}, {"k": 2}])
+    AL.register(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("avrolite")
+            .load(str(landing))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    drain()
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2]
+    AL.write_avro(str(landing / "part-0003.avro"), schema, [{"k": 3}])
+    drain()
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+    # late lexically-earlier landing → loud refusal, not silent dup/skip
+    AL.write_avro(str(landing / "part-0001.avro"), schema, [{"k": 0}])
+    from etl_drone_sense_spark.sources.avrolite import make_datasource
+
+    ds = make_datasource()({"path": str(landing)})
+    rd = ds.streamReader(None)
+    consumed = {"idx": 2, "last": "part-0003.avro",
+                "h": rd._prefix_hash(rd._list()[:2], 2)}
+    # the recorded prefix was [0002, 0003]; the listing now leads with 0001
+    import hashlib
+    good_prefix_h = hashlib.md5(b"part-0002.avro\npart-0003.avro").hexdigest()
+    with _pytest.raises(RuntimeError, match="monotonic-naming"):
+        rd.partitions(
+            {"idx": 2, "last": "part-0003.avro", "h": good_prefix_h},
+            rd.latestOffset(),
+        )
