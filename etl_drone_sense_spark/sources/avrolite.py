@@ -336,6 +336,17 @@ def _read_varint_fh(fh) -> int | None:
     return (u >> 1) ^ -(u & 1)
 
 
+def _expect_varint(fh) -> int:
+    """A varint that must be present: clean EOF here is truncation (a
+    ``None`` flowing into ``fh.read(None)``/``fh.seek(None)`` would
+    surface as TypeError and break the ValueError quarantine
+    contract)."""
+    v = _read_varint_fh(fh)
+    if v is None:
+        raise ValueError("truncated Avro structure (unexpected EOF)")
+    return v
+
+
 def _read_header_fh(fh) -> tuple[dict, str, bytes, int]:
     """Parse the container header INCREMENTALLY from an open handle —
     never slurps the file (r6 ADVICE: the whole-file read contradicted
@@ -354,9 +365,9 @@ def _read_header_fh(fh) -> tuple[dict, str, bytes, int]:
             _read_varint_fh(fh)
             n = -n
         for _ in range(n):
-            klen = _read_varint_fh(fh)
+            klen = _expect_varint(fh)
             k = fh.read(klen).decode()
-            vlen = _read_varint_fh(fh)
+            vlen = _expect_varint(fh)
             meta[k] = fh.read(vlen)
     sync = fh.read(16)
     if len(sync) != 16:
@@ -392,7 +403,7 @@ def build_split_index(path: str, target_bytes: int) -> list[tuple[int, int]]:
             n_recs = _read_varint_fh(fh)
             if n_recs is None:
                 break
-            n_bytes = _read_varint_fh(fh)
+            n_bytes = _expect_varint(fh)
             fh.seek(n_bytes, 1)
             if fh.read(16) != sync:
                 raise ValueError(
@@ -432,7 +443,7 @@ def iter_avro_rows(path: str, start: int | None = None, end: int | None = None):
             n_recs = _read_varint_fh(fh)
             if n_recs is None:
                 break
-            n_bytes = _read_varint_fh(fh)
+            n_bytes = _expect_varint(fh)
             raw = fh.read(n_bytes)
             if len(raw) != n_bytes:
                 raise ValueError(f"{path}: truncated Avro block")

@@ -697,3 +697,27 @@ def test_avrolite_stream_reader_incremental(spark, tmp_path):
             {"idx": 2, "last": "part-0003.avro", "h": good_prefix_h},
             rd.latestOffset(),
         )
+
+
+def test_avrolite_truncation_mid_structure_is_valueerror(tmp_path):
+    """r7 review catch: EOF landing exactly between a block's record
+    count and its byte length must raise the quarantine-contract
+    ValueError, not a TypeError from None flowing into fh.read/seek."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    p = str(tmp_path / "t.avro")
+    AL.write_avro(p, schema, [{"k": i} for i in range(10)], codec="null")
+    _, _, _, data_start = AL.read_avro_header(p)
+    # keep only the first varint (record count) of the first block
+    open(p + ".cut", "wb").write(open(p, "rb").read()[: data_start + 1])
+    with _pytest.raises(ValueError, match="truncated|sync"):
+        list(AL.iter_avro_rows(p + ".cut"))
+    with _pytest.raises(ValueError, match="truncated|sync"):
+        AL.build_split_index(p + ".cut", 1)
