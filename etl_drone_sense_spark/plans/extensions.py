@@ -1646,7 +1646,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (10-min gap) via ``session_window``; the
-    oracle is the equivalent lag+cumsum islands query."""
+    oracle is the equivalent lag+cumsum islands query.
+
+    Skew posture: sessionization is inherently per-key — a hot user's
+    events land in ONE shuffle partition. Measured at the r7 hot-key
+    probe (SKEW_PROBE.json: one user = 20% of all events), slope 1.22×
+    for 10× data: per-key work is a linear sort+scan, so even a
+    pathological key stays a single linear task, never a quadratic
+    one."""
     return sessionize.sessionize(t(spark, sf_dir, "events"), gap="10 minutes")
 
 
