@@ -242,6 +242,16 @@ def simhash_pairs(
     occupancy constant by deriving ``key_bits`` from the corpus count
     (see plans/extensions.dedup_simhash_adaptive).
     """
+    if max_hamming >= blocks:
+        # the pigeonhole guarantee needs more blocks than allowed
+        # differing bits; silently missing pairs would be far worse
+        # than refusing the config
+        raise ValueError(
+            f"pigeonhole blocking requires max_hamming < blocks "
+            f"({max_hamming} >= {blocks}): pairs at distance "
+            f">= {blocks} can differ in every block and would be "
+            "silently missed"
+        )
     width = nbits // blocks
     kb = width if key_bits is None else key_bits
     if not 1 <= kb <= width:

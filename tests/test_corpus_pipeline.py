@@ -141,3 +141,18 @@ def test_simhash_key_width_invariance(spark, sf_dir):
     assert _adaptive_simhash_bits(5_000) == 11   # sf0.1
     assert _adaptive_simhash_bits(50_000) == 12  # sf1 → full-block cap
     assert _adaptive_simhash_bits(1) == 4        # floor
+
+
+def test_simhash_pigeonhole_precondition_enforced(spark, sf_dir):
+    """max_hamming >= blocks breaks the pigeonhole recall guarantee —
+    the operator must refuse the config loudly rather than silently
+    miss pairs (r7 review catch)."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=4, nbits=48, blocks=4
+        )
