@@ -480,6 +480,15 @@ def parse_wav(payload: bytes):
                     "unsupported WAV variant: need 16-bit PCM, got "
                     f"format={audio_fmt} bits={bits}"
                 )
+            if channels < 1 or rate < 1:
+                # zero channels would divide-by-zero the frame-alignment
+                # check below (ZeroDivisionError escapes the ValueError
+                # quarantine and kills the whole Arrow task); zero rate
+                # survives parse and divides by zero downstream in
+                # decode_audio_features — both must quarantine here
+                raise ValueError(
+                    f"malformed WAV fmt: channels={channels} rate={rate}"
+                )
         elif cid == b"data":
             pcm = data
         i += 8 + clen + (clen & 1)  # chunks are word-aligned

@@ -155,8 +155,23 @@ def write_avro(
     """Write an Avro object container file (spec-conformant, readable by
     any Avro implementation). ``rows`` yields dicts keyed by field name;
     ``timestamp-micros`` fields accept datetime (µs since epoch computed
-    here) or int."""
-    import calendar
+    here) or int.
+
+    Timestamp semantics: a NAIVE datetime is interpreted as LOCAL wall
+    time — that is exactly what PySpark's rdd path hands workers for
+    ``TimestampType`` (naive, in the process's local timezone, which in
+    the default config equals ``spark.sql.session.timeZone``). A
+    tz-AWARE datetime is converted exactly. Either way the container
+    holds TRUE epoch micros, so external Avro consumers (including the
+    JVM ``spark-avro`` connector) decode the same instant on any host —
+    the old ``calendar.timegm`` path silently assumed naive==UTC and
+    shifted instants on non-UTC hosts (r7 ADVICE). Epoch arithmetic is
+    integer timedelta division, never float ``.timestamp()`` (exact µs
+    at any magnitude)."""
+    import datetime as _dt
+
+    _epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    _us = _dt.timedelta(microseconds=1)
 
     fields = [
         (f["name"], *_field_codec(f["type"])) for f in schema["fields"]
@@ -174,10 +189,9 @@ def write_avro(
             elif v is None:
                 raise ValueError(f"null in non-nullable field {name}")
             if logical == "timestamp-micros" and not isinstance(v, int):
-                v = (
-                    calendar.timegm(v.timetuple()) * 1_000_000
-                    + v.microsecond
-                )
+                # naive → assume local wall time (astimezone on a naive
+                # datetime applies the local zone); aware → exact convert
+                v = (v.astimezone(_dt.timezone.utc) - _epoch) // _us
             out += _encode_value(prim, v)
         return bytes(out)
 
@@ -189,8 +203,15 @@ def write_avro(
     # rename: memory stays bounded by one block regardless of row count
     # (a whole-file BytesIO would hold the entire encoded table), and a
     # mid-write failure can never leave a truncated-but-header-valid
-    # .avro for a directory scan to pick up (review catches r6).
-    tmp = path + ".inprogress"
+    # .avro for a scan to pick up (review catches r6). The tmp name is
+    # unique PER ATTEMPT (pid+uuid) — a fixed suffix would let two
+    # concurrent attempts of the same task (speculative execution, or a
+    # zombie attempt outliving a driver-declared failure) interleave
+    # writes into one shared tmp and publish a corrupt part file; with
+    # independent tmps, last-rename-wins stays whole-file atomic.
+    import uuid
+
+    tmp = f"{path}.inprogress.{os.getpid()}.{uuid.uuid4().hex}"
     with open(tmp, "wb") as fh:
         fh.write(MAGIC)
         fh.write(_zigzag_encode(len(meta)))
@@ -366,13 +387,31 @@ def _read_header_fh(fh) -> tuple[dict, str, bytes, int]:
             n = -n
         for _ in range(n):
             klen = _expect_varint(fh)
-            k = fh.read(klen).decode()
+            if klen < 0:
+                # a corrupt negative length would turn fh.read(-1) into
+                # a slurp of the rest of the file — the exact unbounded
+                # read this incremental parser exists to avoid
+                raise ValueError("corrupt Avro header (negative key length)")
+            k = fh.read(klen)
+            if len(k) != klen:
+                raise ValueError("truncated Avro header (metadata key)")
             vlen = _expect_varint(fh)
-            meta[k] = fh.read(vlen)
+            if vlen < 0:
+                raise ValueError(
+                    "corrupt Avro header (negative value length)"
+                )
+            v = fh.read(vlen)
+            if len(v) != vlen:
+                raise ValueError("truncated Avro header (metadata value)")
+            meta[k.decode()] = v
     sync = fh.read(16)
     if len(sync) != 16:
         raise ValueError("truncated Avro header (sync marker)")
-    schema = json.loads(meta["avro.schema"].decode())
+    schema_raw = meta.get("avro.schema")
+    if schema_raw is None:
+        # KeyError would escape the ValueError quarantine contract
+        raise ValueError("Avro header missing avro.schema")
+    schema = json.loads(schema_raw.decode())
     codec = meta.get("avro.codec", b"null").decode()
     if schema.get("type") != "record":
         raise ValueError("avrolite supports top-level record schemas only")
@@ -490,11 +529,18 @@ def _decode_block(raw: bytes, n_recs: int, fields, datetime):
             else:  # pragma: no cover - _field_codec already rejects
                 raise ValueError(prim)
             if logical == "timestamp-micros":
-                # naive UTC wall time, exact at any magnitude (the
-                # utcfromtimestamp float path loses µs past 2^53)
-                v = datetime.datetime(1970, 1, 1) + datetime.timedelta(
-                    microseconds=v
-                )
+                # The container holds true epoch micros; Spark expects a
+                # NAIVE datetime in LOCAL wall time (the mirror of the
+                # writer's interpretation — round-trips hold the same
+                # instant on any host TZ). Arithmetic in exact integer
+                # micros (the fromtimestamp float path loses µs past
+                # 2^53), then one tz conversion, then drop tzinfo.
+                v = (
+                    datetime.datetime(
+                        1970, 1, 1, tzinfo=datetime.timezone.utc
+                    )
+                    + datetime.timedelta(microseconds=v)
+                ).astimezone().replace(tzinfo=None)
             row.append(v)
         yield tuple(row)
 

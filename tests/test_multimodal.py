@@ -461,3 +461,38 @@ def test_png_greyscale_types_roundtrip():
     ga = bytes((11 * j + 2) % 256 for j in range(w * h * 2))
     want4 = b"".join(bytes([ga[2 * p]] * 3) for p in range(w * h))
     assert parse_png(encode_png(w, h, ga, ctype=4)) == (w, h, want4)
+
+
+def test_wav_zeroed_fmt_quarantines_not_crashes(spark):
+    """r8 (ADVICE): a fmt chunk declaring channels=0 divided by zero in
+    the frame-alignment check, and rate=0 survived parse to divide by
+    zero in decode_audio_features — ZeroDivisionError is NOT caught by
+    the ValueError quarantine, so one adversarial blob killed the whole
+    Arrow task. Both must raise ValueError at parse time."""
+    import struct
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_audio_features,
+        encode_wav,
+        parse_wav,
+    )
+
+    good = encode_wav(8000, 1, [1, 2, 3, 4])
+    zero_ch = bytearray(good)
+    struct.pack_into("<H", zero_ch, 22, 0)  # channels := 0
+    with pytest.raises(ValueError, match="malformed WAV fmt"):
+        parse_wav(bytes(zero_ch))
+    zero_rate = bytearray(good)
+    struct.pack_into("<I", zero_rate, 24, 0)  # sample rate := 0
+    with pytest.raises(ValueError, match="malformed WAV fmt"):
+        parse_wav(bytes(zero_rate))
+
+    # end-to-end: the corrupt payloads quarantine (decode_ok=false),
+    # the good sibling in the same Arrow batch still decodes
+    rows = [(1, bytearray(good)), (2, zero_ch), (3, zero_rate)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_audio_features(media).collect()}
+    assert out[1].decode_ok and out[1].n_frames == 4
+    assert not out[2].decode_ok and not out[3].decode_ok

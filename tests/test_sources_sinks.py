@@ -721,3 +721,113 @@ def test_avrolite_truncation_mid_structure_is_valueerror(tmp_path):
         list(AL.iter_avro_rows(p + ".cut"))
     with _pytest.raises(ValueError, match="truncated|sync"):
         AL.build_split_index(p + ".cut", 1)
+
+
+def test_avrolite_header_corruption_quarantines(tmp_path):
+    """r8 (ADVICE): corrupt header varints must hit the ValueError
+    quarantine contract — a negative klen/vlen would slurp the rest of
+    the file via read(-1), a short metadata read silently truncated, and
+    a missing avro.schema key raised KeyError."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    p = str(tmp_path / "t.avro")
+    AL.write_avro(p, schema, [{"k": 1}], codec="null")
+    raw = open(p, "rb").read()
+
+    # header layout: magic(4) | map-count varint | klen varint | key ...
+    # zigzag(-1) = 0x01; splice it in as the first key length
+    neg_klen = raw[:5] + b"\x01" + raw[6:]
+    pneg = str(tmp_path / "neg.avro")
+    open(pneg, "wb").write(neg_klen)
+    with _pytest.raises(ValueError, match="negative key length"):
+        AL.read_avro_header(pneg)
+
+    # truncate inside the first metadata value → short read, not silence
+    pcut = str(tmp_path / "cut.avro")
+    open(pcut, "wb").write(raw[:40])
+    with _pytest.raises(ValueError, match="truncated Avro header"):
+        AL.read_avro_header(pcut)
+
+    # header whose metadata map lacks avro.schema → ValueError not KeyError
+    import io
+
+    buf = io.BytesIO()
+    buf.write(AL.MAGIC)
+    buf.write(AL._zigzag_encode(1))
+    k = b"avro.codec"
+    buf.write(AL._zigzag_encode(len(k)) + k)
+    buf.write(AL._zigzag_encode(4) + b"null")
+    buf.write(AL._zigzag_encode(0))
+    buf.write(AL.SYNC)
+    pnos = str(tmp_path / "noschema.avro")
+    open(pnos, "wb").write(buf.getvalue())
+    with _pytest.raises(ValueError, match="missing avro.schema"):
+        AL.read_avro_header(pnos)
+
+
+def test_avrolite_timestamps_hold_true_epoch_micros(tmp_path):
+    """r8 (ADVICE): the container must hold TRUE epoch micros on any
+    host timezone. A naive datetime is interpreted as LOCAL wall time
+    (what PySpark's rdd path materializes); the reader mirrors, so the
+    round-trip is identity AND an external consumer decoding the raw
+    long sees the correct instant. Verified under a non-UTC TZ via
+    tzset, restored in finally."""
+    import datetime as dt
+    import os
+    import time
+
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+
+    def stored_long(path):
+        with open(path, "rb") as fh:
+            AL._read_header_fh(fh)
+            AL._expect_varint(fh)  # record count
+            n = AL._expect_varint(fh)  # block byte size
+            block = fh.read(n)
+        v, _ = AL._zigzag_decode(memoryview(block), 0)
+        return v
+
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        naive = dt.datetime(2024, 6, 1, 12, 0, 0, 123456)  # EDT = UTC-4
+        p = str(tmp_path / "tz.avro")
+        AL.write_avro(p, schema, [{"ts": naive}], codec="null")
+        want_utc = dt.datetime(
+            2024, 6, 1, 16, 0, 0, 123456, tzinfo=dt.timezone.utc
+        )
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        assert stored_long(p) == (want_utc - epoch) // dt.timedelta(
+            microseconds=1
+        )
+        # reader mirrors: naive local wall time, identity round-trip
+        assert list(AL.iter_avro_rows(p)) == [(naive,)]
+        # aware input encodes the same instant exactly
+        p2 = str(tmp_path / "tz2.avro")
+        AL.write_avro(p2, schema, [{"ts": want_utc}], codec="null")
+        assert stored_long(p2) == stored_long(p)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
