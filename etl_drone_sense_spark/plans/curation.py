@@ -372,6 +372,71 @@ def table_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_PRUNED_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "table_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 1
+          AND (SELECT CAST(floor(max(o_orderkey) / 8.0) AS BIGINT)
+               FROM orders)
+    """,
+    tags=("lake", "stats", "skipping"),
+)
+def table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max-stats file skipping end-to-end
+    (sources/table_commit.read_table_pruned): orders committed
+    RANGE-partitioned on o_orderkey into 8 files with per-file min/max
+    stats in the manifest — the clustered layout where each file owns a
+    disjoint key slice — then a range predicate covering the lowest
+    ~1/8 of the keyspace is read back THROUGH the manifest. The result
+    must equal a plain SQL BETWEEN over the source, and the query
+    asserts in-plan that the probe opens STRICTLY FEWER files than the
+    snapshot lists (pruning is real, not a silent full scan); the exact
+    predicate is re-applied on top, so stats prune but never filter —
+    correctness cannot depend on the manifest.
+
+    This is the Iceberg/Delta data-skipping read path (r7 VERDICT item
+    1): at 100 TB a clustered range predicate touches O(selectivity) of
+    the files, driver cost is one manifest read, and the returned
+    relation stays a lazy pruned scan. The bound is derived from the
+    table's own max key (floor(max/8)) so the predicate — and the
+    pruning geometry — is identical at every SF. Built once per source
+    generation (fingerprint-keyed) and re-read lazily afterwards."""
+    import math
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    root = _PRUNED_TABLES.get(key)
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="sg_pruned_")
+        TC.commit(
+            base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        _PRUNED_TABLES[key] = root
+    # the same scalar the oracle derives: floor(max(o_orderkey)/8)
+    hi = int(
+        math.floor(base.agg(F.max("o_orderkey")).collect()[0][0] / 8.0)
+    )
+    n_total = len(TC.read_snapshot(root).files)
+    n_open = TC.pruned_file_count(root, "o_orderkey", 1, hi)
+    assert n_open < n_total, (
+        f"manifest pruning is a no-op: opens {n_open}/{n_total} files"
+    )
+    return TC.read_table_pruned(spark, root, "o_orderkey", 1, hi)
+
+
 # ---------------------------------------------------------------------------
 # CDC changelog derivation (snapshot diff)
 # ---------------------------------------------------------------------------

@@ -261,34 +261,18 @@ def _simhash_oracle(nbits: int, blocks: int, max_hamming: int = 3) -> str:
     """
 
 
-@register(
-    "dedup_simhash",
-    oracle=_simhash_oracle(SIM_NBITS, SIM_BLOCKS),
-    tags=("dedup", "simhash"),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with pigeonhole blocking (hamming ≤ 3 over 4
-    blocks ⇒ ≥1 block equal ⇒ equi-join key, no all-pairs product).
-
-    16-bit fingerprints give 16 buckets per 4-bit block, so Σ|bucket|²
-    candidates grow quadratically with corpus size AT THIS CONFIG — fine
-    for the small-corpus regime this entry pins for the oracle, ~25 s at
-    sf0.1 and the wrong config beyond it. Block width must follow
-    log₂(n): dedup_simhash_wide (48-bit / 12-bit blocks) is the
-    driver-certified scale config with ~256× fewer candidates. Measured
-    at the r6 sf1 certification (SF1_CERT.md): on the 10× dup-deepened
-    replica corpus this narrow config emits 311,968,361 pairs (engine
-    completes in ~4 min distributed; the row-compare harness reasonably
-    cannot), while the wide twin hash-matches there with 501,315 —
-    the occupancy rule is the difference between the two outcomes."""
-    return dedup.simhash_pairs(
-        t(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        max_hamming=3,
-        nbits=SIM_NBITS,
-        blocks=SIM_BLOCKS,
-    )
+# RETIRED from the registry in r8 (VERDICT r7 item 6): the fixed 16-bit
+# "dedup_simhash" config was the one registry entry that could never be
+# sf1-certified — 16-bit fingerprints on a dup-deepened corpus emit 312M
+# hamming≤3 pairs BY DESIGN (that is the answer at that config, not a
+# plan defect), so the registry's default paths now start at the
+# occupancy-scaled widths: dedup_simhash_wide (fixed 48-bit, the scale
+# endpoint) and dedup_simhash_adaptive (corpus-derived key width, the
+# config a growing corpus actually runs). The narrow config survives as
+# a TEACHING artifact in tests/test_plans.py::test_simhash_narrow_config
+# (small-SF only): it pins that simhash_pairs still plans the pigeonhole
+# equi-join at 16 bits and documents WHY the width rule exists. The
+# parameterized oracle renderer (_simhash_oracle) still renders it.
 
 
 @register(

@@ -581,19 +581,109 @@ TOUCHED_R07: tuple[str, ...] = (
 )
 
 
+# CORRECTNESS_r07.json: the 50 queries the round-7 window checked (all
+# green — rows+schema+hash, zero err). This fold cleared the r3-stale
+# join-primitive tier; the stalest surviving evidence is now the
+# 13-query round-4 tier (r7 VERDICT item 4), which the r8 rotation puts
+# at the head of the window right after this round's touched queries.
+DRIVER_CHECKED_R07: frozenset[str] = frozenset(
+    {
+        "avro_scan",
+        "avro_sink_roundtrip",
+        "cdc_snapshot_diff",
+        "corpus_mixture_sample",
+        "corpus_pack_sequences",
+        "dedup_embedding",
+        "dedup_embedding_lsh",
+        "dedup_exact",
+        "dedup_simhash",
+        "dedup_simhash_adaptive",
+        "dedup_simhash_wide",
+        "drone_features_flat",
+        "drone_features_multivideo",
+        "events_pattern_match",
+        "events_retention_cohorts",
+        "filter_in_between_like",
+        "geo_bearing_distance",
+        "join_anti",
+        "join_cross",
+        "join_full_outer",
+        "join_left_count",
+        "join_range_nonequi",
+        "join_semi",
+        "layout_zorder",
+        "multimodal_bytes",
+        "multimodal_decode",
+        "multimodal_decode_png",
+        "multimodal_decode_wav",
+        "multimodal_features",
+        "sample_importance",
+        "sample_reservoir_group",
+        "sim_ivf_topk",
+        "sim_topk_batch",
+        "sim_topk_bruteforce",
+        "sort_limit",
+        "stream_avro_scan",
+        "stream_dedup_exact",
+        "stream_drone_features_flat",
+        "stream_interval_join_outer",
+        "stream_running_totals",
+        "stream_session_counts",
+        "text_bigram_lm",
+        "text_gopher_quality",
+        "text_langid",
+        "text_langid_predict",
+        "text_quality",
+        "text_redact_pii",
+        "text_token_freq",
+        "udaf_weighted_price",
+        "udtf_sentences",
+    }
+)
+
+# Names RETIRED from the registry but still present in historical
+# DRIVER_CHECKED/TOUCHED bookkeeping (those sets are a record of what the
+# driver checked, not of what exists today):
+# * dedup_simhash — the fixed 16-bit teaching config, retired r8
+#   (r7 VERDICT item 6: the one sf1-incapable default path). Lives on in
+#   tests/test_plans.py::test_simhash_narrow_config.
+RETIRED: frozenset[str] = frozenset({"dedup_simhash"})
+
+# Queries whose Spark code OR oracle changed in round 8, plus new
+# registrations — all need a fresh driver row:
+# * table_pruned_read — NEW: min/max-stats file skipping through the
+#   manifest (r7 VERDICT item 1);
+# * avro_scan / avro_sink_roundtrip / stream_avro_scan — avrolite
+#   hardening: per-attempt tmp names, header varint validation, and
+#   timestamp-micros now hold TRUE epoch micros (naive = local wall
+#   time) with the reader mirroring (r7 ADVICE; results must not
+#   change on this UTC host — exactly what a driver row proves);
+# * multimodal_decode_wav — parse_wav now quarantines zeroed fmt
+#   fields (channels/rate < 1) as ValueError (r7 ADVICE medium).
+TOUCHED_R08: tuple[str, ...] = (
+    "table_pruned_read",
+    "avro_scan",
+    "avro_sink_roundtrip",
+    "stream_avro_scan",
+    "multimodal_decode_wav",
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
-    about old code is still stale evidence). After r6's fold the stalest
-    surviving evidence is the round-3 tier (the six join primitives whose
-    last driver row is four rounds old — r6 VERDICT item 5); then
-    round-4 → round-5 → round-6 (freshest)."""
+    about old code is still stale evidence). After r7's fold the stalest
+    surviving evidence is the 13-query round-4 tier (scalar-function and
+    window-function primitives whose last driver row is four rounds old —
+    r7 VERDICT item 4); then round-5 → round-6 → round-7 (freshest)."""
 
-    head = {n: i for i, n in enumerate(TOUCHED_R07)}
+    head = {n: i for i, n in enumerate(TOUCHED_R08)}
 
     def tier(s: QuerySpec) -> tuple[int, int]:
         if s.name in head:
             return (0, head[s.name])
+        if s.name in DRIVER_CHECKED_R07:
+            return (7, 0)
         if s.name in DRIVER_CHECKED_R06:
             return (6, 0)
         if s.name in DRIVER_CHECKED_R05:

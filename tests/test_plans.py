@@ -78,13 +78,45 @@ def test_drone_transform_is_narrow(spark, sf_dir):
 def test_lsh_joins_are_equi_joins(spark, sf_dir):
     """Band-bucket blocking must plan as a hash-partitioned equi-join —
     never a nested-loop/cartesian over the pair space."""
-    for q in ("dedup_minhash", "dedup_simhash"):
+    for q in ("dedup_minhash", "dedup_simhash_adaptive"):
         plan = plan_of(spark, sf_dir, q)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
             "BroadcastHashJoin" in plan
         ), q
+
+
+def test_simhash_narrow_config(spark, sf_dir):
+    """TEACHING config (r8: retired from the registry — VERDICT r7 item
+    6): 16-bit simhash fingerprints still plan the pigeonhole equi-join
+    and match the parameterized oracle at small SF, but 16 buckets per
+    4-bit block means Σ|bucket|² candidates grow quadratically with
+    corpus size — at the sf1 dup-deepened corpus this config's ANSWER is
+    312M pairs (SF1_CERT.md), which is why the registry's default paths
+    are the occupancy-scaled dedup_simhash_wide/_adaptive and the width
+    rule (key_bits ≈ ceil(log2 n) − 2) exists at all."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from etl_drone_sense_spark.operators import dedup
+    from etl_drone_sense_spark.plans.registry import t
+
+    df = dedup.simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        nbits=16,
+        blocks=4,
+    )
+    buf = _io.StringIO()
+    with _rs(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert df.count() > 0  # narrow buckets still produce real pairs
 
 
 def test_subqueries_decorrelate_to_joins(spark, sf_dir):

@@ -30,11 +30,13 @@ def test_every_bench_query_has_a_budget():
 
 
 def test_touched_and_checked_names_exist():
-    known = set(RG.REGISTRY)
+    known = set(RG.REGISTRY) | set(RG.RETIRED)
     for group in (
+        RG.TOUCHED_R08,
         RG.TOUCHED_R07,
         RG.TOUCHED_R06,
         RG.TOUCHED_R05,
+        RG.DRIVER_CHECKED_R07,
         RG.DRIVER_CHECKED_R06,
         RG.DRIVER_CHECKED_R05,
         RG.DRIVER_CHECKED_R04,
@@ -44,6 +46,13 @@ def test_touched_and_checked_names_exist():
     ):
         stale = set(group) - known
         assert not stale, f"window bookkeeping names not in registry: {stale}"
+
+
+def test_retired_names_stay_retired():
+    """A retired name must not quietly re-enter the registry (the whole
+    point of retirement was removing the sf1-incapable default path)."""
+    ghosts = set(RG.RETIRED) & set(RG.REGISTRY)
+    assert not ghosts, f"retired names re-registered: {sorted(ghosts)}"
 
 
 def test_window_head_covers_everything_unverified_or_touched():
@@ -58,41 +67,49 @@ def test_window_head_covers_everything_unverified_or_touched():
         | set(RG.DRIVER_CHECKED_R04)
         | set(RG.DRIVER_CHECKED_R05)
         | set(RG.DRIVER_CHECKED_R06)
+        | set(RG.DRIVER_CHECKED_R07)
     )
-    must_be_in_head = set(RG.TOUCHED_R07) | (set(order) - ever_checked)
+    must_be_in_head = set(RG.TOUCHED_R08) | (set(order) - ever_checked)
     missing = must_be_in_head - head
     assert not missing, f"outside the driver window: {sorted(missing)}"
 
 
 def test_window_head_leads_with_stalest_tier():
-    """After the touched head, the r7 window must lead with the
-    stalest-evidence tier — the six join primitives whose last driver row
-    is round 3, four rounds old (r6 VERDICT item 5) — not with
-    freshly-certified queries."""
+    """After the touched head, the r8 window must lead with the
+    stalest-evidence tier — the 13 scalar/window-function primitives
+    whose last driver row is round 4, four rounds old (r7 VERDICT item
+    4) — not with freshly-certified queries."""
     order = list(RG.all_queries())
     fresher = (
-        set(RG.DRIVER_CHECKED_R04)
-        | set(RG.DRIVER_CHECKED_R05)
+        set(RG.DRIVER_CHECKED_R05)
         | set(RG.DRIVER_CHECKED_R06)
+        | set(RG.DRIVER_CHECKED_R07)
     )
     stale_tier = [
         n
         for n in RG.REGISTRY
-        if n in RG.DRIVER_CHECKED_R03
+        if n in RG.DRIVER_CHECKED_R04
         and n not in fresher
-        and n not in set(RG.TOUCHED_R07)
+        and n not in set(RG.TOUCHED_R08)
     ]
     assert set(stale_tier) == {
-        "join_anti",
-        "join_cross",
-        "join_full_outer",
-        "join_left_count",
-        "join_range_nonequi",
-        "join_semi",
+        "array_funcs",
+        "case_bucketing",
+        "date_funcs",
+        "json_funcs",
+        "math_funcs",
+        "set_ops",
+        "string_funcs",
+        "subquery_exists_notin",
+        "subquery_scalar_correlated",
+        "window_lag_lead",
+        "window_rank_navigation",
+        "window_running_sum",
+        "window_topk_per_group",
     }, "stale-tier membership drifted — re-derive the rotation plan"
     head = set(order[:50])
     missing = set(stale_tier) - head
-    assert len(RG.TOUCHED_R07) + len(stale_tier) <= 50, (
+    assert len(RG.TOUCHED_R08) + len(stale_tier) <= 50, (
         "stale tier larger than the window — rotation plan needs splitting"
     )
     assert not missing, f"stalest-evidence queries outside window: {sorted(missing)}"
