@@ -575,14 +575,614 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- JPEG (baseline JFIF) ---------------------------------------------------
+#
+# Dependency-free baseline-DCT JPEG codec (r8 — r7 VERDICT item 5): JPEG
+# is the first format a real image corpus hits, and baseline JFIF
+# (huffman + IDCT) is numpy-vectorizable the same way the PNG unfilter
+# work was. Decoder scope — the baseline common case: SOF0, 8-bit
+# precision, 1 or 3 components, any sampling factors up to 2×2 (4:4:4 /
+# 4:2:2 / 4:2:0), restart markers. Progressive (SOF2), arithmetic
+# coding, 12-bit, and hierarchical variants raise ValueError — the
+# quarantine contract, same as PNG's unsupported variants. The encoder
+# is the fixture side (like encode_png): spec-conformant 4:4:4 baseline
+# output any JPEG implementation reads; its Huffman tables are fixed-
+# length canonical codes (legal, and the decoder reads tables from the
+# file's own DHT segments — never assumes the Annex K defaults).
+
+_JPEG_STD_QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+_JPEG_STD_QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+
+def _zigzag_indices() -> np.ndarray:
+    """The 64-entry zigzag scan order, generated (not hand-typed): walk
+    the 15 anti-diagonals, alternating direction."""
+    order = []
+    for s in range(15):
+        cells = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            cells.reverse()  # even diagonals run bottom-left → top-right
+        order.extend(y * 8 + x for y, x in cells)
+    return np.array(order, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_indices()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: forward F = C·x·Cᵀ, inverse
+    x = Cᵀ·F·C."""
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            b = (self._acc >> self._nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing per spec
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+# Fixed-length canonical Huffman tables for the ENCODER: DC categories
+# 0-11 at 4 bits (codes 0000..1011 — the all-ones code stays unused, as
+# the spec requires), AC symbols 0x00..0xFA minus the undefined
+# (run,0) combos at 9 bits. Fixed-length codes are legal Huffman tables;
+# the decoder always reconstructs from the file's DHT, so interop holds.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = sorted(
+    {0x00, 0xF0}
+    | {(run << 4) | size for run in range(16) for size in range(1, 11)}
+)
+
+
+def _encoder_huff(symbols: list[int], length: int):
+    bits = [0] * 17
+    bits[length] = len(symbols)
+    codes = {sym: (i, length) for i, sym in enumerate(symbols)}
+    if len(symbols) >= (1 << length):  # pragma: no cover - static config
+        raise ValueError("fixed-length huffman table overflow")
+    return bits, symbols, codes
+
+
+_DC_BITS, _DC_VALS, _DC_CODES = _encoder_huff(_DC_SYMBOLS, 4)
+_AC_BITS, _AC_VALS, _AC_CODES = _encoder_huff(_AC_SYMBOLS, 9)
+
+
+def _encode_block(
+    bw: _BitWriter, block: np.ndarray, quant: np.ndarray, dc_pred: int
+) -> int:
+    """DCT → quantize → zigzag → huffman-encode one 8×8 sample block;
+    returns the new DC predictor."""
+    coef = _DCT_C @ (block.astype(np.float64) - 128.0) @ _DCT_C.T
+    q = np.round(coef / quant).astype(np.int64)
+    zz = q.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - dc_pred
+    cat = _jpeg_category(diff)
+    code, nbits = _DC_CODES[cat]
+    bw.write(code, nbits)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for v in zz[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, nb = _AC_CODES[0xF0]  # ZRL
+            bw.write(c, nb)
+            run -= 16
+        size = _jpeg_category(v)
+        c, nb = _AC_CODES[(run << 4) | size]
+        bw.write(c, nb)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        c, nb = _AC_CODES[0x00]  # EOB
+        bw.write(c, nb)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    data: bytes,
+    ncomp: int = 3,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a baseline JFIF JPEG — REAL spec-conformant bytes any JPEG
+    implementation decodes. ``data`` is interleaved RGB (``ncomp=3``,
+    converted to YCbCr here; ``subsampling`` "4:4:4" or "4:2:0" — the
+    latter mean-pools chroma 2×2 and interleaves 4 Y blocks per MCU, the
+    dominant layout in real corpora) or a grayscale plane (``ncomp=1``).
+    Dimensions that aren't multiples of the MCU are edge-replicated to
+    the block grid (the decoder crops back). Fixture-side twin of
+    ``parse_jpeg``, exactly like encode_png/parse_png."""
+    import struct
+
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 components")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("encode_jpeg supports 4:4:4 or 4:2:0")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size != width * height * ncomp:
+        raise ValueError("raster size mismatch")
+    if ncomp == 3:
+        rgb = arr.reshape(height, width, 3).astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        quants = [_JPEG_STD_QUANT_LUMA, _JPEG_STD_QUANT_CHROMA]
+        comp_q = [0, 1, 1]
+        if subsampling == "4:2:0":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1)] * 3
+    else:
+        planes = [arr.reshape(height, width).astype(np.float64)]
+        quants = [_JPEG_STD_QUANT_LUMA]
+        comp_q = [0]
+        samp = [(1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def pad_to(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        ch, cw = p.shape
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:ch, :cw] = p
+        pp[ch:, :cw] = p[-1:, :]  # edge replication
+        pp[:, cw:] = pp[:, cw - 1 : cw]
+        return pp
+
+    padded = []
+    for ci, p in enumerate(planes):
+        hi, vi = samp[ci]
+        if (hi, vi) != (hmax, vmax):
+            # mean-pool down to the component resolution (chroma in
+            # 4:2:0): pad to even dims first, then 2×2 block means
+            fy, fx = vmax // vi, hmax // hi
+            p = pad_to(
+                p,
+                (p.shape[0] + fy - 1) // fy * fy,
+                (p.shape[1] + fx - 1) // fx * fx,
+            )
+            p = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        padded.append(pad_to(p, mcus_y * vi * 8, mcus_x * hi * 8))
+
+    # restart_interval > 0 (in MCUs) segments the scan with RSTn markers
+    # — each segment byte-aligns, resets DC predictors, and can be
+    # decoded independently (the real-corpora resilience feature; camera
+    # output uses it routinely). Emitted here so the decoder's DRI/RST
+    # path is round-trip-testable, not just claimed.
+    scan_parts: list[bytes] = []
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(
+                    bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+                )
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            for ci, p in enumerate(padded):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        py = (my * vi + by) * 8
+                        px = (mx * hi + bx) * 8
+                        preds[ci] = _encode_block(
+                            bw,
+                            p[py : py + 8, px : px + 8],
+                            quants[comp_q[ci]],
+                            preds[ci],
+                        )
+            mcu_i += 1
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    for qi, qt in enumerate(quants):
+        seg(0xDB, bytes([qi]) + bytes(qt.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
+    seg(0xC0, sof)  # SOF0 baseline
+    for tc in (0, 1):  # DC=class 0, AC=class 1; one shared table each
+        bits, vals = (_DC_BITS, _DC_VALS) if tc == 0 else (_AC_BITS, _AC_VALS)
+        seg(0xC4, bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah=Al=0
+    seg(0xDA, sos)
+    out.extend(scan)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers.
+    ``marker`` holds the pending marker byte once one is hit."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG scan")
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated JPEG scan")
+            nxt = self.buf[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed literal 0xFF
+            else:
+                self.marker = nxt
+                self.pos += 1
+                raise ValueError("JPEG scan data ended at marker")
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self._acc = 0
+        self._nbits = 0
+
+
+def _decoder_huff(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol from a DHT (BITS, HUFFVAL) pair — the
+    canonical code construction from the spec."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("corrupt JPEG huffman table")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("corrupt JPEG huffman stream")
+
+
+def _receive_extend(br: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = br.read_bits(size)
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline JFIF JPEG — dependency-free. Returns
+    ``(width, height, raster)``, interleaved RGB (grayscale replicates,
+    the parse_png grey convention). Supports SOF0 8-bit with 1 or 3
+    components, sampling factors up to 2×2, restart markers. Everything
+    else — progressive SOF2, arithmetic coding, 12-bit, unknown
+    markers mid-scan — raises ``ValueError`` (quarantine contract)."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, comps) ; comps = [(cid, hi, vi, tq)]
+    restart_interval = 0
+    while True:
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG (no SOS)")
+        if buf[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            continue
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(
+                "unsupported JPEG variant: progressive/extended (SOF%d)"
+                % (marker - 0xC0)
+            )
+        if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG variant: arithmetic coding")
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG segment")
+        (seglen,) = struct.unpack_from(">H", buf, pos)
+        if seglen < 2 or pos + seglen > len(buf):
+            raise ValueError("truncated JPEG segment")
+        body = buf[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quant table")
+                if i + 64 > len(body):
+                    raise ValueError("corrupt JPEG quant table")
+                q = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(
+                    np.int32
+                )[_UNZIGZAG].reshape(8, 8)
+                quant[tq] = q
+                i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if i + 16 > len(body):
+                    raise ValueError("corrupt JPEG huffman table")
+                bits = list(body[i : i + 16])
+                i += 16
+                n = sum(bits)
+                vals = body[i : i + n]
+                if len(vals) != n:
+                    raise ValueError("corrupt JPEG huffman table")
+                i += n
+                (huff_dc if tc == 0 else huff_ac)[th] = _decoder_huff(
+                    bits, vals
+                )
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("unsupported JPEG: %d-bit precision" % prec)
+            if nc not in (1, 3):
+                raise ValueError("unsupported JPEG: %d components" % nc)
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[3 + 3 + ci * 3 : 3 + 6 + ci * 3]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError("unsupported JPEG sampling factors")
+                comps.append((cid, hi, vi, tq))
+            frame = (h, w, comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for si in range(ns):
+                cs, tbl = body[1 + si * 2], body[2 + si * 2]
+                scan_tables[cs] = (tbl >> 4, tbl & 0x0F)
+            break
+        # APPn / COM / others: skipped
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for cid, hi, vi, tq in comps:
+        planes.append(
+            np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        )
+        if tq not in quant:
+            raise ValueError("JPEG scan references missing quant table")
+        if cid not in scan_tables:
+            raise ValueError("JPEG scan misses a frame component")
+        td, ta = scan_tables[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("JPEG scan references missing huffman table")
+
+    br = _BitReader(buf, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    br.align()
+                    if br.pos + 2 <= len(buf) and buf[br.pos] == 0xFF and (
+                        0xD0 <= buf[br.pos + 1] <= 0xD7
+                    ):
+                        br.pos += 2
+                    preds = [0] * len(comps)
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
+                    td, ta = scan_tables[cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = np.zeros(64, dtype=np.int64)
+                            cat = _huff_decode(br, huff_dc[td])
+                            if cat > 11:
+                                raise ValueError("corrupt JPEG DC category")
+                            preds[ci] += _receive_extend(br, cat)
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(br, huff_ac[ta])
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("corrupt JPEG AC run")
+                                zz[k] = _receive_extend(br, size)
+                                k += 1
+                            coef = (
+                                zz[_UNZIGZAG].reshape(8, 8) * quant[tq]
+                            ).astype(np.float64)
+                            block = _DCT_C.T @ coef @ _DCT_C + 128.0
+                            py = (my * vi + by) * 8
+                            px = (mx * hi + bx) * 8
+                            planes[ci][py : py + 8, px : px + 8] = block
+                mcu_count += 1
+    except ValueError as e:
+        if "ended at marker" not in str(e):
+            raise
+        raise ValueError("truncated JPEG scan (marker inside MCU)") from None
+
+    full = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        p = planes[ci]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        grey = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(grey[..., None], 3, axis=2).tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic JPEG payloads keyed by doc id — REAL
+    baseline JFIF bytes whose DECODED pixels are arithmetically
+    predictable despite the lossy codec: each image is GRAYSCALE with
+    CONSTANT 8×8 blocks whose value has an even offset from 128, so the
+    DCT is DC-only, the DC coefficient (8·(v−128)) is exactly
+    representable under the standard table's q₀=16 (8·2k/16 = k), and
+    the IDCT reconstructs v EXACTLY — lossless through a lossy pipe, by
+    construction. ``w = 8·(1 + doc_id % 2)``, ``h = 8·(1 + doc_id % 3)``,
+    block ``bi`` (row-major) value
+    ``v = 128 + 2·((doc_id·7 + bi·13) % 81 − 40)`` ∈ [48, 208]."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wb, hb = 1 + did % 2, 1 + did % 3
+                w, h = 8 * wb, 8 * hb
+                img = np.empty((h, w), dtype=np.uint8)
+                for bi in range(wb * hb):
+                    by, bx = divmod(bi, wb)
+                    v = 128 + 2 * ((did * 7 + bi * 13) % 81 - 40)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payloads.append(encode_jpeg(w, h, img.tobytes(), ncomp=1))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
-    PNG signature → PNG; anything else raises ``ValueError`` (JPEG/video
-    remain the declared import-gated extension — they need external
-    codec libraries)."""
+    PNG signature → PNG, SOI → baseline JPEG; anything else raises
+    ``ValueError`` (video remains the declared import-gated extension —
+    it needs external codec libraries)."""
     buf = bytes(payload or b"")
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return parse_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        return parse_jpeg(buf)
     return parse_ppm(buf)
 
 

@@ -1037,34 +1037,31 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import scoped_persist
 
     toks = scoped_persist("curation.dsir_toks", toks)
-    sb = toks.groupBy("b").agg(F.count("*").alias("s_n"))
-    tb = (
-        toks.filter(F.col("source") == "tgt_seed")
-        .groupBy("b")
-        .agg(F.count("*").alias("t_n"))
+    # BOTH distributions in ONE aggregation pass over the cached token
+    # relation (r8 — r7 VERDICT item 3: the per-side builds re-scanned
+    # it): source count is the group size, target count a conditional
+    # count in the same map-side partials; the old sb⨝tb re-join on b
+    # disappears with the second scan.
+    dist = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("s_n"),
+        F.count(F.when(F.col("source") == "tgt_seed", 1)).alias("t_n"),
     )
-    tot = sb.agg(F.sum("s_n").alias("s_tot")).crossJoin(
-        tb.agg(F.coalesce(F.sum("t_n"), F.lit(0)).alias("t_tot"))
+    tot = dist.agg(
+        F.sum("s_n").alias("s_tot"),
+        F.coalesce(F.sum("t_n"), F.lit(0)).alias("t_tot"),
     )
     half = _DSIR_BUCKETS / 2
-    lr = (
-        sb.join(tb, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.floor(
-                (
-                    F.log(
-                        (F.coalesce(F.col("t_n"), F.lit(0)) + 0.5)
-                        / (F.col("t_tot") + half)
-                    )
-                    - F.log((F.col("s_n") + 0.5) / (F.col("s_tot") + half))
-                )
-                * 1e9
+    lr = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("t_n") + 0.5) / (F.col("t_tot") + half))
+                - F.log((F.col("s_n") + 0.5) / (F.col("s_tot") + half))
             )
-            .cast("bigint")
-            .alias("lr_q"),
+            * 1e9
         )
+        .cast("bigint")
+        .alias("lr_q"),
     )
     return (
         toks.join(F.broadcast(lr), "b")

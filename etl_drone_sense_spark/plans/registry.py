@@ -660,8 +660,19 @@ RETIRED: frozenset[str] = frozenset({"dedup_simhash"})
 #   change on this UTC host — exactly what a driver row proves);
 # * multimodal_decode_wav — parse_wav now quarantines zeroed fmt
 #   fields (channels/rate < 1) as ValueError (r7 ADVICE medium).
+# * multimodal_decode_jpeg — NEW: dependency-free baseline JFIF decode
+#   with a bit-exact constant-block fixture (r7 VERDICT item 5);
+# * stream_interval_join — now horizon-PACED (half-month chunk files ×
+#   maxFilesPerTrigger=1; r7 VERDICT item 2) — output must be unchanged;
+# * text_boilerplate_strip / sample_importance — constant-factor rework
+#   (scoped-persist + folded aggregates; r7 VERDICT item 3) — hashes
+#   must be unchanged.
 TOUCHED_R08: tuple[str, ...] = (
     "table_pruned_read",
+    "multimodal_decode_jpeg",
+    "stream_interval_join",
+    "text_boilerplate_strip",
+    "sample_importance",
     "avro_scan",
     "avro_sink_roundtrip",
     "stream_avro_scan",

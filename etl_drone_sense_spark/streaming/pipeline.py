@@ -34,9 +34,20 @@ from ..operators.feature_transform import drone_features
 from ..schemas import DRONE_LOCATION_SCHEMA, TPCH_SCHEMAS
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """Incremental scan of an events directory (parquet files arriving)."""
-    return spark.readStream.schema(TPCH_SCHEMAS["events"]).parquet(path)
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Incremental scan of an events directory (parquet files arriving).
+
+    ``max_files_per_trigger`` paces the drain: with time-ordered landing
+    files, 1 file per micro-batch means one watermark advance per file —
+    the production posture that keeps stateful-operator state bounded by
+    the watermark horizon instead of the whole replay (see
+    plans/extensions.stream_interval_join)."""
+    reader = spark.readStream.schema(TPCH_SCHEMAS["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def stream_drone_features(spark: SparkSession, landing_path: str) -> DataFrame:

@@ -496,3 +496,137 @@ def test_wav_zeroed_fmt_quarantines_not_crashes(spark):
     out = {r.media_id: r for r in decode_audio_features(media).collect()}
     assert out[1].decode_ok and out[1].n_frames == 4
     assert not out[2].decode_ok and not out[3].decode_ok
+
+
+def test_jpeg_grayscale_constant_blocks_exact():
+    """r8: the lossy-codec oracle trick — grayscale constant 8x8 blocks
+    with even offsets from 128 are DC-only with exactly-representable
+    coefficients (8*2k under q0=16), so baseline JPEG decodes them
+    BIT-EXACTLY. This is the property the multimodal_decode_jpeg oracle
+    rests on."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    for did in (0, 1, 2, 5, 17, 123, 499):
+        wb, hb = 1 + did % 2, 1 + did % 3
+        w, h = 8 * wb, 8 * hb
+        img = np.empty((h, w), dtype=np.uint8)
+        for bi in range(wb * hb):
+            by, bx = divmod(bi, wb)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * (
+                (did * 7 + bi * 13) % 81 - 40
+            )
+        w2, h2, raster = parse_jpeg(encode_jpeg(w, h, img.tobytes(), ncomp=1))
+        dec = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+        assert (w2, h2) == (w, h)
+        # grayscale replicates into RGB, all three channels exact
+        assert (dec == img[..., None]).all(), f"did={did}"
+
+
+def test_jpeg_color_roundtrip_tolerance():
+    """Color JPEG is lossy by nature: 4:4:4 and 4:2:0 round-trips on a
+    smooth gradient must stay within a small tolerance, at dimensions
+    that are NOT multiples of the MCU (padding + crop exercised)."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    w, h = 22, 19
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = (
+        np.stack([100 + xx * 2, 80 + yy * 3, 120 + xx + yy], axis=-1)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    for sub in ("4:4:4", "4:2:0"):
+        pay = encode_jpeg(w, h, rgb.tobytes(), subsampling=sub)
+        w2, h2, raster = parse_jpeg(pay)
+        assert (w2, h2) == (w, h)
+        dec = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+        err = np.abs(dec.astype(int) - rgb.astype(int)).max()
+        assert err <= 12, (sub, err)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn segmentation: byte-aligned segments with reset DC
+    predictors must decode identically to the unsegmented scan."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    w, h = 40, 24  # 15 MCUs at 4:4:4 -> several restart segments
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = (
+        np.stack([50 + xx * 4, 200 - yy * 5, 30 + xx + 2 * yy], axis=-1)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    plain = parse_jpeg(encode_jpeg(w, h, rgb.tobytes()))
+    for ri in (1, 2, 7):
+        paced = parse_jpeg(
+            encode_jpeg(w, h, rgb.tobytes(), restart_interval=ri)
+        )
+        assert paced == plain, f"restart_interval={ri}"
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    pay = bytearray(encode_jpeg(8, 8, img.tobytes(), ncomp=1))
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"\x00\x00" + bytes(pay[2:]))
+    i = bytes(pay).index(b"\xff\xc0")
+    prog = bytearray(pay)
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        parse_jpeg(bytes(prog))
+    arith = bytearray(pay)
+    arith[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        parse_jpeg(bytes(arith))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_jpeg(bytes(pay[: len(pay) // 2]))
+    # 12-bit precision refused loudly (precision byte follows SOF length)
+    deep = bytearray(pay)
+    deep[i + 4] = 12
+    with pytest.raises(ValueError, match="12-bit"):
+        parse_jpeg(bytes(deep))
+
+
+def test_jpeg_end_to_end_decode_with_quarantine(spark):
+    """JPEG payloads flow through the same decode_image_features Arrow
+    path as PPM/PNG (parse_image dispatches on the SOI magic); corrupt
+    siblings quarantine without killing the batch."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_image_features,
+        encode_jpeg,
+    )
+
+    img = np.full((16, 8), 150, dtype=np.uint8)  # even offset from 128
+    good = encode_jpeg(8, 16, img.tobytes(), ncomp=1)
+    rows = [(1, bytearray(good)), (2, bytearray(b"\xff\xd8garbage")), (3, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_image_features(media).collect()}
+    assert out[1].decode_ok
+    assert (out[1].width, out[1].height) == (8, 16)
+    assert out[1].mean_r == 150.0 and out[1].mean_b == 150.0
+    assert not out[2].decode_ok and not out[3].decode_ok
