@@ -2348,8 +2348,10 @@ _AVRO_LANDINGS: dict[tuple, str] = {}
 )
 def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro file-format scan end-to-end, driver-certified: an orders
-    slice is written as REAL Avro object container files (two files,
-    deflate + null codecs, multi-block — sources/avrolite.write_avro)
+    slice is written as REAL Avro object container files (three files,
+    deflate + null + snappy codecs, multi-block —
+    sources/avrolite.write_avro; snappy rides pyarrow's bundled
+    implementation, r8)
     and read back through ``read_avro_records``, which in this
     connector-less container exercises the engine's own dependency-free
     ``format("avrolite")`` Python DataSource (zigzag varints, sync-marker
@@ -2438,22 +2440,18 @@ def _avro_landing(sf_dir: str) -> str:
             ],
         }
         landing = tempfile.mkdtemp(prefix="sg_avro_")
-        # deterministic two-file split by key (a length-based half would
-        # need the whole slice in memory)
-        AL.write_avro(
-            _os.path.join(landing, "part-0001.avro"),
-            schema,
-            rows_where(lambda r: (r["o_orderkey"] // 5) % 2 == 0),
-            codec="deflate",
-            block_records=500,
-        )
-        AL.write_avro(
-            _os.path.join(landing, "part-0002.avro"),
-            schema,
-            rows_where(lambda r: (r["o_orderkey"] // 5) % 2 == 1),
-            codec="null",
-            block_records=500,
-        )
+        # deterministic three-file split by key (a length-based split
+        # would need the whole slice in memory); one file per codec so
+        # the driver row certifies deflate + null + snappy (r8 — snappy
+        # rides pyarrow's bundled implementation) in one readback
+        for i, codec in enumerate(("deflate", "null", "snappy")):
+            AL.write_avro(
+                _os.path.join(landing, f"part-000{i + 1}.avro"),
+                schema,
+                rows_where(lambda r, i=i: (r["o_orderkey"] // 5) % 3 == i),
+                codec=codec,
+                block_records=500,
+            )
         _AVRO_LANDINGS[key] = landing
     return landing
 
@@ -2468,8 +2466,8 @@ def _avro_landing(sf_dir: str) -> str:
 )
 def stream_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Avro landing zone as a REAL micro-batch STREAM (r7):
-    ``spark.readStream.format("avrolite")`` over the same two-file
-    landing as avro_scan, drained AvailableNow to a memory sink — the
+    ``spark.readStream.format("avrolite")`` over the same three-file
+    multi-codec landing as avro_scan, drained AvailableNow to a memory sink — the
     AppendOnlyLandingStreamReader offset protocol (checkpointed
     file-count offsets, prefix-hash enforcement) carried by the Avro
     source. Decode is invocation-agnostic, so the BATCH oracle is the
@@ -2509,6 +2507,10 @@ def avro_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of the same source rows — an encode-side varint, union-
     branch, timestamp-scale, or block-flush bug shifts values and
     hash-fails. Scan + sink close the Avro surface in both directions.
+    Since r8 the sink writes SNAPPY-coded blocks (pyarrow's bundled
+    implementation + the spec's trailing CRC32 of the uncompressed
+    data), so with the scan fixture's deflate/null/snappy files every
+    supported codec is driver-certified in BOTH directions.
 
     Scale posture: the sink is mapPartitionsWithIndex — write
     parallelism = input partitioning, no driver materialization (the
@@ -2533,6 +2535,6 @@ def avro_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = tempfile.mkdtemp(prefix="sg_avro_sink_")
-        AL.write_avro_records(src, out)
+        AL.write_avro_records(src, out, codec="snappy")
         _AVRO_SINK_DIRS[key] = out
     return read_avro_records(spark, out)

@@ -14,9 +14,14 @@ PySpark-4 custom DataSource ``format("avrolite")``.
 Supported schema subset — the analytics-table common case: a top-level
 ``record`` of primitive fields (``long/int/double/float/string/boolean/
 bytes``), nullable unions (``["null", T]`` either order), and the
-``timestamp-micros`` logical type. Codecs: ``null`` and ``deflate``
-(stdlib zlib, raw DEFLATE per spec). Anything else raises ``ValueError``
-— same quarantine-friendly honesty as the multimodal codec tier.
+``timestamp-micros`` logical type. Codecs: ``null``, ``deflate``
+(stdlib zlib, raw DEFLATE per spec), and ``snappy`` (per spec: raw
+snappy block + 4-byte big-endian CRC32 of the UNCOMPRESSED data) when a
+public snappy implementation is importable — pyarrow ships one, so this
+container reads snappy-coded files from other writers; without any,
+snappy blocks raise ``ValueError`` and quarantine. Anything else raises
+``ValueError`` — same quarantine-friendly honesty as the multimodal
+codec tier.
 
 Scale posture: planning is driver-side metadata only; small landing
 files are one partition each and executors decode independently (the
@@ -42,6 +47,66 @@ import zlib
 
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # deterministic marker: fixtures stay byte-stable
+
+
+def _snappy_codec():
+    """A public snappy implementation if one is importable (pyarrow
+    bundles one), else ``None`` — the import-gate pattern: presence
+    enables the codec, absence quarantines instead of crashing."""
+    try:
+        import pyarrow as pa
+
+        return pa.Codec("snappy")
+    except Exception:
+        return None
+
+
+def _snappy_uncompressed_len(data: bytes) -> int:
+    """Raw-snappy streams lead with a little-endian base-128 varint of
+    the uncompressed length (the size pyarrow's decompress requires)."""
+    n = shift = i = 0
+    while True:
+        if i >= len(data):
+            raise ValueError("corrupt snappy block (truncated preamble)")
+        b = data[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return n
+        shift += 7
+
+
+def _snappy_compress_block(data: bytes) -> bytes:
+    codec = _snappy_codec()
+    if codec is None:
+        raise ValueError(
+            "Avro snappy codec needs a snappy implementation "
+            "(pyarrow not importable)"
+        )
+    comp = codec.compress(data)
+    comp = comp.to_pybytes() if hasattr(comp, "to_pybytes") else bytes(comp)
+    # spec: 4-byte big-endian CRC32 of the UNCOMPRESSED data trails the block
+    return comp + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+
+
+def _snappy_decompress_block(raw: bytes) -> bytes:
+    codec = _snappy_codec()
+    if codec is None:
+        raise ValueError(
+            "unsupported Avro codec: 'snappy' (no snappy implementation "
+            "importable — pyarrow provides one)"
+        )
+    if len(raw) < 4:
+        raise ValueError("corrupt snappy block (missing CRC)")
+    body, (crc,) = raw[:-4], struct.unpack(">I", raw[-4:])
+    try:
+        out = codec.decompress(body, _snappy_uncompressed_len(body))
+    except Exception as e:
+        raise ValueError(f"corrupt snappy block: {e}") from None
+    out = out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
+    if zlib.crc32(out) & 0xFFFFFFFF != crc:
+        raise ValueError("corrupt snappy block (CRC mismatch)")
+    return out
 
 _PRIMITIVE_TO_SPARK = {
     "long": "bigint",
@@ -230,6 +295,8 @@ def write_avro(
             data = b"".join(block)
             if codec == "deflate":
                 data = zlib.compress(data)[2:-4]  # raw DEFLATE per spec
+            elif codec == "snappy":
+                data = _snappy_compress_block(data)
             elif codec != "null":
                 raise ValueError(f"unsupported Avro codec: {codec!r}")
             fh.write(_zigzag_encode(len(block)))
@@ -492,6 +559,8 @@ def iter_avro_rows(path: str, start: int | None = None, end: int | None = None):
                 )
             if codec == "deflate":
                 raw = zlib.decompress(raw, -15)
+            elif codec == "snappy":
+                raw = _snappy_decompress_block(raw)
             elif codec != "null":
                 raise ValueError(f"unsupported Avro codec: {codec!r}")
             yield from _decode_block(raw, n_recs, fields, datetime)

@@ -831,3 +831,57 @@ def test_avrolite_timestamps_hold_true_epoch_micros(tmp_path):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_avrolite_snappy_codec_roundtrip_and_gate(tmp_path, monkeypatch):
+    """r8: snappy joins deflate/null — raw snappy block + trailing
+    big-endian CRC32 of the uncompressed data per the Avro spec, riding
+    pyarrow's bundled implementation. Round-trips across block
+    boundaries; a corrupted CRC quarantines; and with NO snappy
+    implementation importable both sides raise the contract ValueError
+    instead of crashing."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [
+        {"k": i, "s": None if i % 7 == 0 else f"v{i}" * (i % 5)}
+        for i in range(1000)
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        p = str(tmp_path / f"{codec}.avro")
+        AL.write_avro(p, schema, rows, codec=codec, block_records=100)
+        got = list(AL.iter_avro_rows(p))
+        assert got == [(r["k"], r["s"]) for r in rows], codec
+
+    # corrupt the stored CRC of the first snappy block → ValueError
+    p = str(tmp_path / "snappy.avro")
+    _, _, _, data_start = AL.read_avro_header(p)
+    raw = bytearray(open(p, "rb").read())
+    with open(p, "rb") as fh:
+        fh.seek(data_start)
+        AL._expect_varint(fh)  # record count
+        n_bytes = AL._expect_varint(fh)
+        blk_start = fh.tell()
+    raw[blk_start + n_bytes - 1] ^= 0xFF  # last CRC byte
+    pbad = str(tmp_path / "bad_crc.avro")
+    open(pbad, "wb").write(bytes(raw))
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        list(AL.iter_avro_rows(pbad))
+
+    # no snappy implementation → quarantine ValueError on read AND write
+    monkeypatch.setattr(AL, "_snappy_codec", lambda: None)
+    with _pytest.raises(ValueError, match="snappy"):
+        list(AL.iter_avro_rows(p))
+    with _pytest.raises(ValueError, match="snappy"):
+        AL.write_avro(
+            str(tmp_path / "nope.avro"), schema, rows[:1], codec="snappy"
+        )
