@@ -669,6 +669,7 @@ RETIRED: frozenset[str] = frozenset({"dedup_simhash"})
 #   must be unchanged.
 TOUCHED_R08: tuple[str, ...] = (
     "table_pruned_read",
+    "join_bloom_prefiltered",  # NEW r8: engine-owned bloom-prefiltered join
     "multimodal_decode_jpeg",
     "stream_interval_join",
     "text_boilerplate_strip",

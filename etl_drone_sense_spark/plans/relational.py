@@ -2006,6 +2006,60 @@ def join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bloom_prefiltered",
+    oracle="""
+    SELECT l.l_orderkey,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey
+    """,
+    tags=("join", "bloom", "prefilter"),
+)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered equi-join (operators/bloomjoin.py — the
+    engine-owned analogue of Spark's runtime bloom filter and
+    Iceberg/Trino bloom pushdown): a selective dim (urgent orders,
+    ~1-in-5) would normally shuffle ALL of lineitem into the join; here
+    one executor pass builds a bitset over the dim keys (numpy double
+    hashing, per-partition partials OR-merged on the driver — bitset
+    traffic, never keys), broadcasts it into an Arrow-batched
+    ``might_contain`` predicate, and only fact rows that might match
+    reach the shuffle. Bloom false positives ride through and die in
+    the exact join, so the result is hash-identical to the plain join —
+    which IS the oracle. The fact-side filter sits before the exchange
+    (plan-asserted in tests/test_plans.py); the built-in optimizer
+    injection (``runtime.bloomFilter``) is plan-asserted separately —
+    this operator is for when the heuristics don't fire or the build
+    side is another engine's artifact (a committed manifest bloom).
+
+    Scale shape: dim pass is narrow; bitset size is the only driver
+    traffic (num_partitions × m/8 bytes); fact filter is Arrow-batched
+    JVM→Python on ONE long column; the surviving shuffle carries
+    O(selectivity · fact) rows instead of O(fact)."""
+    from ..operators.bloomjoin import bloom_prefilter_join
+
+    fact = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    dim = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    joined = bloom_prefilter_join(
+        fact, dim, "l_orderkey", "o_orderkey", m_bits=1 << 20
+    )
+    return joined.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data governance: one-pass profiling, declarative expectations
 # ---------------------------------------------------------------------------

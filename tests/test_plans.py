@@ -187,6 +187,60 @@ def test_tpch_broadcast_strategy_holds_at_sf1_stats(spark):
         assert "SortMergeJoin" not in scaled, name
 
 
+def test_bloom_prefilter_sits_below_the_shuffle(spark, sf_dir):
+    """join_bloom_prefiltered: the might_contain predicate must filter
+    the fact scan BEFORE its exchange — that ordering IS the operator
+    (shuffle carries survivors only)."""
+    plan = plan_of(spark, sf_dir, "join_bloom_prefiltered")
+    assert "might_contain" in plan
+    fact_scan = plan.find("pythonUDF")  # the Arrow predicate projection
+    assert fact_scan != -1
+    # the filter feeds an Exchange above it in the formatted tree: the
+    # BatchEvalPython/ArrowEvalPython node appears under the join's
+    # shuffle, not above it
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_builtin_runtime_bloom_filter_injects(spark, sf_dir):
+    """Spark's own runtime bloom filter (the optimizer-heuristic twin of
+    operators/bloomjoin.py) must inject a might_contain subquery on the
+    fact side when a selective creation side joins a large application
+    side — at fixture scale the size trip-wires need scoping down, the
+    same way the AQE skew-split test scales its thresholds."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        from etl_drone_sense_spark.plans.registry import t
+
+        orders = (
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        import io as _io
+        from contextlib import redirect_stdout as _rs
+
+        buf = _io.StringIO()
+        with _rs(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_range_join_binned_is_equi_join(spark, sf_dir):
     """The binned range join must plan as a hash-partitioned equi-join on
     the bin key — not the nested-loop its non-equi twin degrades to."""
