@@ -1176,14 +1176,261 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
     PNG signature → PNG, SOI → baseline JPEG; anything else raises
-    ``ValueError`` (video remains the declared import-gated extension —
-    it needs external codec libraries)."""
+    ``ValueError`` (H.264/VP9-class video remains the declared
+    import-gated extension — MJPEG-in-AVI is real, see parse_avi)."""
     buf = bytes(payload or b"")
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return parse_png(buf)
     if buf[:2] == b"\xff\xd8":
         return parse_jpeg(buf)
     return parse_ppm(buf)
+
+
+# --- video: MJPEG-in-AVI ----------------------------------------------------
+#
+# With a real JPEG decoder in hand, the classic no-external-deps video
+# container is MJPEG inside AVI: a RIFF file (the same chunk discipline
+# as WAV) whose 'movi' list carries one baseline-JPEG payload per frame
+# ('00dc' chunks). That makes the video tier REAL — container walk,
+# per-frame decode, frame sampling — while inter-frame codecs
+# (H.264/VP9/AV1) stay honestly import-gated: they need external codec
+# libraries, and no fixture trick makes motion compensation exact.
+
+
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 10,
+) -> bytes:
+    """Encode an MJPEG AVI — REAL RIFF/AVI structure (avih + strl
+    headers, 'movi' list of '00dc' JPEG frames, idx1 index) that any
+    AVI-aware player decodes. ``frames`` are ready-made baseline JPEG
+    payloads (encode_jpeg). Fixture-side twin of ``parse_avi``."""
+    import struct
+
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    uspf = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I",
+        uspf,  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        0,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids",
+        b"MJPG",
+        0, 0, 0, 0,  # flags, priority, language, initial frames
+        1,  # dwScale
+        fps,  # dwRate (rate/scale = fps)
+        0,  # dwStart
+        len(frames),  # dwLength
+        0,  # dwSuggestedBufferSize
+        0xFFFFFFFF,  # dwQuality
+        0,  # dwSampleSize
+        0, 0, width, height,  # rcFrame (left, top, right, bottom)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",
+        width * height * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks, idx, off = [], [], 4  # offsets count from 'movi' fourcc
+    for f in frames:
+        c = chunk(b"00dc", f)
+        movi_chunks.append(c)
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an MJPEG AVI — dependency-free. Returns
+    ``(width, height, usec_per_frame, jpeg_frames)``; each frame is the
+    raw baseline-JPEG payload (decode with ``parse_jpeg``). Raises
+    ``ValueError`` (quarantine contract) on non-AVI RIFF, non-MJPG
+    streams, or truncated/corrupt chunk structure."""
+    import struct
+
+    buf = bytes(payload or b"")
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    if riff_size + 8 > len(buf):
+        raise ValueError("truncated AVI payload")
+    end = min(len(buf), riff_size + 8)
+
+    width = height = uspf = None
+    fourcc = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, uspf, fourcc
+        i = lo
+        while i + 8 <= hi:
+            cid = buf[i : i + 4]
+            (clen,) = struct.unpack_from("<I", buf, i + 4)
+            data_lo, data_hi = i + 8, i + 8 + clen
+            if data_hi > hi:
+                raise ValueError(f"truncated AVI chunk {cid!r}")
+            if cid == b"LIST":
+                walk(data_lo + 4, data_hi)  # skip the list-kind fourcc
+            elif cid == b"avih":
+                if clen < 40:
+                    raise ValueError("malformed AVI avih header")
+                vals = struct.unpack_from("<10I", buf, data_lo)
+                uspf, width, height = vals[0], vals[8], vals[9]
+            elif cid == b"strh":
+                if clen >= 8 and buf[data_lo : data_lo + 4] == b"vids":
+                    fourcc = buf[data_lo + 4 : data_lo + 8]
+            elif cid in (b"00dc", b"00db"):
+                frames.append(buf[data_lo:data_hi])
+            i = data_hi + (clen & 1)  # chunks are word-aligned
+
+    walk(12, end)
+    if width is None or uspf is None:
+        raise ValueError("AVI missing avih header")
+    if fourcc is not None and fourcc not in (b"MJPG", b"mjpg"):
+        raise ValueError(
+            f"unsupported AVI video codec {fourcc!r}: only MJPG is "
+            "dependency-free (H.264-class codecs are import-gated)"
+        )
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return int(width), int(height), int(uspf), frames
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def decode_video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """MJPEG-AVI payloads → per-SAMPLED-frame features via
+    ``mapInPandas`` (Arrow-batched): container walk (parse_avi), decode
+    every ``every_n``-th frame with the real JPEG decoder, emit one row
+    per sampled frame (frame_idx, dims, channel means — exact-integer
+    sums divided once in double, the image convention). Undecodable
+    payloads yield ONE ``decode_ok=false`` row instead of failing the
+    batch — the multimodal quarantine contract. The heavy binary column
+    dies here; downstream sees only small typed rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in VIDEO_FEATURE_SCHEMA}
+
+            def emit(mid, ok, fi, nf, w, h, mr, mg, mb):
+                for k, v in zip(
+                    out, (mid, ok, fi, nf, w, h, mr, mg, mb)
+                ):
+                    out[k].append(v)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    w, h, _uspf, frames = parse_avi(payload)
+                    for fi in range(0, len(frames), every_n):
+                        fw, fh, raster = parse_jpeg(frames[fi])
+                        if (fw, fh) != (w, h):
+                            raise ValueError(
+                                "AVI frame dims disagree with header"
+                            )
+                        sums = (
+                            np.frombuffer(raster, dtype=np.uint8)
+                            .astype(np.int64)
+                            .reshape(-1, 3)
+                            .sum(axis=0)
+                        )
+                        px = fw * fh
+                        emit(
+                            mid, True, fi, len(frames), fw, fh,
+                            sums[0] / px, sums[1] / px, sums[2] / px,
+                        )
+                except ValueError:
+                    emit(
+                        mid, False, None, None, None, None,
+                        None, None, None,
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+def synth_avi_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic MJPEG-AVI payloads keyed by doc id — REAL
+    RIFF/AVI containers of REAL baseline-JPEG frames whose decoded
+    pixels are arithmetically predictable (the encode_jpeg constant-
+    block exactness trick, per frame): ``w = 8·(1 + doc_id % 2)``,
+    ``h = 8·(1 + doc_id % 3)``, ``n_frames = 2 + doc_id % 4``, frame
+    ``f`` block ``bi`` value
+    ``v = 128 + 2·((doc_id·7 + f·29 + bi·13) % 81 − 40)``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wb, hb = 1 + did % 2, 1 + did % 3
+                w, h = 8 * wb, 8 * hb
+                frames = []
+                for f in range(2 + did % 4):
+                    img = np.empty((h, w), dtype=np.uint8)
+                    for bi in range(wb * hb):
+                        by, bx = divmod(bi, wb)
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            128 + 2 * ((did * 7 + f * 29 + bi * 13) % 81 - 40)
+                        )
+                    frames.append(encode_jpeg(w, h, img.tobytes(), ncomp=1))
+                payloads.append(encode_avi_mjpeg(w, h, frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
 
 
 def decode_image_features(media: DataFrame) -> DataFrame:

@@ -1945,6 +1945,71 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_video",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 2 AS wb, 1 + doc_id % 3 AS hb,
+               2 + doc_id % 4 AS nf
+        FROM documents
+    ),
+    frm AS (
+        SELECT doc_id, wb, hb, nf, unnest(range(0, nf)) AS f FROM dims
+    ),
+    blk AS (
+        SELECT doc_id, wb, hb, nf, f, unnest(range(0, wb * hb)) AS bi
+        FROM frm
+    ),
+    val AS (
+        SELECT doc_id, wb, hb, nf, f,
+               128 + 2 * ((doc_id * 7 + f * 29 + bi * 13) % 81 - 40) AS v
+        FROM blk
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_r,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_g,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_b
+    FROM val GROUP BY doc_id, f, nf, wb, hb
+    """,
+    tags=("multimodal", "video", "pandas_udf"),
+)
+def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (r8) — the modality that was
+    stub-only through round 7: synthesize genuine MJPEG-in-AVI
+    containers (RIFF/AVI structure with avih/strl headers, 'movi' list
+    of '00dc' frames, idx1 index — operators/multimodal.encode_avi_mjpeg)
+    whose every frame is a REAL baseline JPEG, then walk the container
+    and decode EVERY frame inside the Arrow mapInPandas path
+    (decode_video_features → parse_avi → parse_jpeg). Each frame uses
+    the constant-block bit-exactness trick, so the oracle derives
+    per-frame channel means in pure SQL — a chunk-walk, frame-order,
+    word-alignment, or per-frame decode bug shifts a mean and
+    hash-fails. Inter-frame codecs (H.264/VP9/AV1) remain honestly
+    import-gated — no fixture trick makes motion compensation exact.
+
+    Scale shape: one narrow Arrow pass; the heavy binary column dies at
+    the feature extractor; output rows are frame-count-small. Frame
+    sampling (``every_n``) bounds decode work per payload for long
+    videos — the sampled variant shares this oracle with a stride
+    filter."""
+    media = multimodal.synth_avi_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_video_features(media, every_n=1)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_decode_wav",
     oracle="""
     WITH dims AS (

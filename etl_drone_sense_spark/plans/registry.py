@@ -670,6 +670,7 @@ RETIRED: frozenset[str] = frozenset({"dedup_simhash"})
 TOUCHED_R08: tuple[str, ...] = (
     "table_pruned_read",
     "join_bloom_prefiltered",  # NEW r8: engine-owned bloom-prefiltered join
+    "multimodal_decode_video",  # NEW r8: real MJPEG-in-AVI per-frame decode
     "multimodal_decode_jpeg",
     "stream_interval_join",
     "text_boilerplate_strip",

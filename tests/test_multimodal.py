@@ -630,3 +630,76 @@ def test_jpeg_end_to_end_decode_with_quarantine(spark):
     assert (out[1].width, out[1].height) == (8, 16)
     assert out[1].mean_r == 150.0 and out[1].mean_b == 150.0
     assert not out[2].decode_ok and not out[3].decode_ok
+
+
+def test_avi_mjpeg_roundtrip_and_quarantine():
+    """r8: MJPEG-in-AVI container codec — RIFF walk (the WAV chunk
+    discipline), avih/strh headers, '00dc' frame extraction. Frames
+    round-trip byte-identically; wrong form type, truncation, and
+    non-MJPG streams quarantine as ValueError."""
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        parse_avi,
+        parse_jpeg,
+    )
+
+    w, h = 16, 24
+    frames = [
+        encode_jpeg(
+            w, h, np.full((h, w), 128 + 2 * f * 4, np.uint8).tobytes(), ncomp=1
+        )
+        for f in range(3)
+    ]
+    avi = encode_avi_mjpeg(w, h, frames, fps=5)
+    w2, h2, uspf, got = parse_avi(avi)
+    assert (w2, h2, uspf) == (w, h, 200_000)
+    assert got == frames  # byte-identical frame payloads
+    for f, jp in enumerate(got):
+        _, _, raster = parse_jpeg(jp)
+        assert (np.frombuffer(raster, np.uint8) == 128 + 2 * f * 4).all()
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi(avi[:40])
+    h264 = bytearray(avi)
+    i = h264.index(b"vids")
+    h264[i + 4 : i + 8] = b"H264"
+    with pytest.raises(ValueError, match="unsupported AVI video codec"):
+        parse_avi(bytes(h264))
+
+
+def test_decode_video_features_sampling_and_quarantine(spark):
+    """every_n frame sampling decodes exactly the strided frames; a
+    corrupt sibling payload quarantines as one decode_ok=false row
+    without killing the Arrow batch."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_video_features,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    w, h = 8, 8
+    frames = [
+        encode_jpeg(
+            w, h, np.full((h, w), 100 + 2 * f, np.uint8).tobytes(), ncomp=1
+        )
+        for f in range(5)
+    ]
+    good = encode_avi_mjpeg(w, h, frames)
+    rows = [(1, bytearray(good)), (2, bytearray(b"RIFFgarbage~~~~~"))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_video_features(media, every_n=2).collect()
+    ok = sorted(
+        (r.frame_idx, r.mean_r) for r in out if r.media_id == 1
+    )
+    assert ok == [(0, 100.0), (2, 104.0), (4, 108.0)]  # stride 2
+    assert all(r.n_frames == 5 for r in out if r.media_id == 1)
+    bad = [r for r in out if r.media_id == 2]
+    assert len(bad) == 1 and not bad[0].decode_ok
