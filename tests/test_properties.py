@@ -238,3 +238,128 @@ def test_incremental_dedup_equals_restricted_full_pairs(spark, sf_dir):
     assert all(
         (r["id_other"] % 4 != 0) == r["vs_corpus"] for r in inc_rows
     )
+
+
+# --- r8 codec properties (pure-python, no Spark job needed) ----------------
+
+_img_dims = st.tuples(st.integers(1, 25), st.integers(1, 25))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    _img_dims,
+    st.integers(0, 2**32 - 1),
+    st.sampled_from(["4:4:4", "4:2:0"]),
+)
+def test_jpeg_color_roundtrip_bounded_error(dims, seed, subsampling):
+    """Any RGB image round-trips through the baseline JPEG codec with
+    bounded per-pixel error — arbitrary dims (MCU padding/crop), both
+    subsampling layouts. The bound is generous (JPEG is lossy and the
+    std tables quantize hard on noise) but must HOLD: an unbounded
+    error means a zigzag/dequant/IDCT defect, not loss."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    # smooth low-frequency content: JPEG's own domain (white noise is
+    # the adversarial case where std-table loss is unbounded-ish)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        120
+        + 60 * np.sin(xx / 6 + seed % 7)
+        + 50 * np.cos(yy / 5 + seed % 5)
+    )
+    rgb = np.stack(
+        [base, np.roll(base, 1, 0), np.roll(base, 1, 1)], axis=-1
+    ).clip(0, 255).astype(np.uint8)
+    pay = encode_jpeg(w, h, rgb.tobytes(), subsampling=subsampling)
+    w2, h2, raster = parse_jpeg(pay)
+    assert (w2, h2) == (w, h)
+    dec = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    # Two bounds, each sized by what a DEFECT (not loss) looks like:
+    # * per-pixel: std-table ringing at the roll-seam discontinuity
+    #   legitimately reaches ~105 at 4:2:0 (measured sweep) — a
+    #   scrambled zigzag/huffman/IDCT hits the 255 rail;
+    # * channel-mean drift: DC quantization + edge padding + clip
+    #   asymmetry measured ≤ 8.3 — a defect scrambles means by tens to
+    #   hundreds. The mean bound is the sharp one.
+    err = np.abs(dec.astype(int) - rgb.astype(int)).max()
+    assert err <= 128, err
+    drift = np.abs(
+        dec.reshape(-1, 3).mean(0) - rgb.reshape(-1, 3).mean(0)
+    ).max()
+    assert drift <= 12.0, drift
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.lists(st.integers(-40, 40), min_size=1, max_size=9),
+)
+def test_jpeg_constant_even_blocks_always_exact(wb, hb, ks):
+    """The oracle-bearing exactness property, generalized: ANY grayscale
+    image of constant 8x8 blocks with even offsets from 128 decodes
+    bit-exactly (DC-only, exactly-representable under q0=16)."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    w, h = 8 * wb, 8 * hb
+    img = np.empty((h, w), dtype=np.uint8)
+    for bi in range(wb * hb):
+        by, bx = divmod(bi, wb)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            128 + 2 * ks[bi % len(ks)]
+        )
+    _, _, raster = parse_jpeg(encode_jpeg(w, h, img.tobytes(), ncomp=1))
+    dec = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    assert (dec == img[..., None]).all()
+
+
+_avro_rows = st.lists(
+    st.tuples(
+        st.integers(-(2**62), 2**62),
+        st.one_of(st.none(), st.text(max_size=20)),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_avro_rows, st.sampled_from(["null", "deflate", "snappy"]), st.integers(1, 50))
+def test_avrolite_codec_roundtrip_property(tmp_path_factory, rows, codec, block):
+    """Any (long, nullable string, double) relation round-trips through
+    every supported codec at any block size — including empty relations
+    and block-boundary-straddling ones."""
+    from etl_drone_sense_spark.sources import avrolite as AL
+
+    d = tmp_path_factory.mktemp("avro_prop")
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "x", "type": "double"},
+        ],
+    }
+    p = str(d / f"t_{codec}.avro")
+    AL.write_avro(
+        p,
+        schema,
+        ({"k": k, "s": s, "x": x} for k, s, x in rows),
+        codec=codec,
+        block_records=block,
+    )
+    assert list(AL.iter_avro_rows(p)) == [tuple(r) for r in rows]
