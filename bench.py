@@ -55,9 +55,12 @@ BUDGETS_S: dict[str, float] = {
     "events_gapfill": 1.14,
     "events_pattern_match": 1.02,
     "filter_in_between_like": 0.88,
+    "join_bloom_prefiltered": 2.45,  # r8: 1.8 x 1.36 s quiet median
     "join_skewed_salted": 1.38,
     "merge_upsert": 1.00,
     "multimodal_decode": 0.93,
+    "multimodal_decode_jpeg": 1.58,  # r8: 1.8 x 0.88 s quiet median
+    "multimodal_decode_video": 2.00,  # r8: 1.8 x 1.11 s quiet median
     "q1_pricing_summary": 1.50,
     "q3_shipping_priority": 1.18,
     "q5_region_revenue": 1.37,

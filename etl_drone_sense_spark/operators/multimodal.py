@@ -1168,6 +1168,11 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_jpeg(w, h, img.tobytes(), ncomp=1))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs, cache_key="mm.synth_jpeg")
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -1428,6 +1433,11 @@ def synth_avi_media(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_avi_mjpeg(w, h, frames))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs, cache_key="mm.synth_avi")
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )

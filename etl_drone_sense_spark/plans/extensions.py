@@ -1915,6 +1915,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM val GROUP BY doc_id, wb, hb
     """,
     tags=("multimodal", "pandas_udf"),
+    bench=True,
 )
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec decode end-to-end (r8 — r7 VERDICT item 5): JPEG
@@ -1975,6 +1976,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM val GROUP BY doc_id, f, nf, wb, hb
     """,
     tags=("multimodal", "video", "pandas_udf"),
+    bench=True,
 )
 def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode end-to-end (r8) — the modality that was
@@ -2006,6 +2008,54 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 2 AS wb, 1 + doc_id % 3 AS hb,
+               2 + doc_id % 4 AS nf
+        FROM documents
+    ),
+    frm AS (
+        SELECT doc_id, wb, hb, nf, unnest(range(0, nf)) AS f FROM dims
+    ),
+    blk AS (
+        SELECT doc_id, wb, hb, nf, f, unnest(range(0, wb * hb)) AS bi
+        FROM frm WHERE f % 2 = 0
+    ),
+    val AS (
+        SELECT doc_id, wb, hb, nf, f,
+               128 + 2 * ((doc_id * 7 + f * 29 + bi * 13) % 81 - 40) AS v
+        FROM blk
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_r
+    FROM val GROUP BY doc_id, f, nf, wb, hb
+    """,
+    tags=("multimodal", "video", "sampling", "pandas_udf"),
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRIDED frame sampling over real video (r8): the
+    ``decode_video_features(every_n=2)`` path decodes only every second
+    frame of each MJPEG-AVI container — the bounded-work posture for
+    long videos at 100 TB, where full-rate decode is the budget killer.
+    The oracle is the full-decode oracle restricted to even frame
+    indices, so a stride bug (off-by-one, wrong origin, accidental full
+    decode) changes the row set and hash-fails. Complements
+    ``multimodal_frame_sample`` (the metadata-driven sampling PLAN,
+    timestamp explode) with the decode side of the same pipeline."""
+    media = multimodal.synth_avi_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_video_features(media, every_n=2)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        F.round("mean_r", 6).alias("mean_r"),
     )
 
 

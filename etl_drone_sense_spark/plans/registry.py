@@ -671,6 +671,7 @@ TOUCHED_R08: tuple[str, ...] = (
     "table_pruned_read",
     "join_bloom_prefiltered",  # NEW r8: engine-owned bloom-prefiltered join
     "multimodal_decode_video",  # NEW r8: real MJPEG-in-AVI per-frame decode
+    "multimodal_video_frame_sample",  # NEW r8: strided decode-side sampling
     "multimodal_decode_jpeg",
     "stream_interval_join",
     "text_boilerplate_strip",

@@ -2019,6 +2019,7 @@ def join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.l_orderkey
     """,
     tags=("join", "bloom", "prefilter"),
+    bench=True,
 )
 def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered equi-join (operators/bloomjoin.py — the
