@@ -976,8 +976,11 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("corrupt JPEG marker stream")
         marker = buf[pos + 1]
         pos += 2
-        if marker == 0xD8:  # stray SOI
+        if marker == 0xFF:  # fill byte (spec allows 0xFF padding runs)
+            pos -= 1
             continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers: stray SOI, TEM, RSTn
         if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError(
                 "unsupported JPEG variant: progressive/extended (SOF%d)"
@@ -1301,8 +1304,15 @@ def parse_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     fourcc = None
     frames: list[bytes] = []
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal width, height, uspf, fourcc
+        if depth > 16:
+            # real AVIs nest 2-3 LISTs deep; an adversarial payload with
+            # thousands of nested LISTs would otherwise blow the Python
+            # stack as RecursionError, which escapes the ValueError
+            # quarantine and kills the whole Arrow task (the WAV
+            # zero-channels lesson, r7 ADVICE)
+            raise ValueError("AVI LIST nesting too deep")
         i = lo
         while i + 8 <= hi:
             cid = buf[i : i + 4]
@@ -1311,7 +1321,7 @@ def parse_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
             if data_hi > hi:
                 raise ValueError(f"truncated AVI chunk {cid!r}")
             if cid == b"LIST":
-                walk(data_lo + 4, data_hi)  # skip the list-kind fourcc
+                walk(data_lo + 4, data_hi, depth + 1)  # skip the kind fourcc
             elif cid == b"avih":
                 if clen < 40:
                     raise ValueError("malformed AVI avih header")
@@ -1360,7 +1370,12 @@ def decode_video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
     sums divided once in double, the image convention). Undecodable
     payloads yield ONE ``decode_ok=false`` row instead of failing the
     batch — the multimodal quarantine contract. The heavy binary column
-    dies here; downstream sees only small typed rows."""
+    dies here; downstream sees only small typed rows. ``every_n`` is
+    validated EAGERLY — a bad stride inside the batch loop would
+    quarantine every payload as decode_ok=false, a config error
+    masquerading as corrupt data."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -102,3 +102,18 @@ def test_semi_join_variant(spark, sf_dir):
         dim, fact.l_orderkey == dim.o_orderkey, "semi"
     ).count()
     assert got == want
+
+
+def test_empty_and_all_null_dim(spark):
+    """An empty (or all-NULL-key) dim yields an all-zero bitset: every
+    fact row is definitively excluded and the join is empty — the same
+    answer the exact join gives, reached without scanning fact twice."""
+    fact = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    empty = spark.createDataFrame([], "k long")
+    nulls = spark.createDataFrame([(None,), (None,)], "k long")
+    for dim in (empty, nulls):
+        bloom = BJ.build_key_bloom(dim, "k", m_bits=1 << 13)
+        n = fact.filter(
+            BJ.bloom_might_contain(spark, bloom, "k", 1 << 13)
+        ).count()
+        assert n == 0

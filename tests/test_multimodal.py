@@ -703,3 +703,42 @@ def test_decode_video_features_sampling_and_quarantine(spark):
     assert all(r.n_frames == 5 for r in out if r.media_id == 1)
     bad = [r for r in out if r.media_id == 2]
     assert len(bad) == 1 and not bad[0].decode_ok
+
+
+def test_avi_and_jpeg_adversarial_hardening():
+    """r8 self-audit: (a) deeply-nested LIST chunks must quarantine as
+    ValueError, not blow the stack as RecursionError (which escapes the
+    Arrow-task quarantine); (b) JPEG 0xFF fill bytes and standalone
+    RST/TEM markers between segments parse fine; (c) a bad sampling
+    stride raises eagerly instead of quarantining every payload."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_video_features,
+        encode_jpeg,
+        parse_avi,
+        parse_jpeg,
+    )
+
+    # (a) 1000-deep LIST nesting
+    inner = b""
+    for _ in range(1000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    evil = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError, match="nesting too deep"):
+        parse_avi(evil)
+
+    # (b) fill bytes / standalone markers between header segments
+    img = np.full((8, 8), 150, dtype=np.uint8)
+    pay = encode_jpeg(8, 8, img.tobytes(), ncomp=1)
+    padded = pay[:2] + b"\xff\xff\xff\x01" + pay[2:]  # fill, fill, TEM
+    w, h, raster = parse_jpeg(padded)
+    assert (w, h) == (8, 8)
+    assert np.frombuffer(raster, np.uint8)[0] == 150
+
+    # (c) eager stride validation
+    with pytest.raises(ValueError, match="every_n"):
+        decode_video_features(None, every_n=0)
