@@ -372,6 +372,93 @@ def table_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_INC_AGG_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "table_incremental_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 1000000
+               AS sum_price
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+    tags=("lake", "incremental", "materialized-view"),
+)
+def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance end-to-end
+    (operators/incremental_agg.py): a source table built in two appends
+    is drained by two checkpointed maintenance calls, each collapsing
+    its DELTA to per-status partials (count + fixed-point price sum)
+    and advancing the stored aggregate by one keyed full-outer merge —
+    work per refresh is O(delta + groups), never O(table). A third
+    drain is a no-op (nothing new; the txn watermark also makes replays
+    no-op, so at-least-once delivery yields exactly-once maintenance).
+    The final stored aggregate must equal a plain SQL GROUP BY over
+    both slices — the convergence statement for incremental view
+    maintenance, the same shape Spark guarantees for partial→final
+    aggregation inside one query, lifted across commits.
+
+    The fixed-point partial (floor(x·1e6+0.5) summed as DECIMAL(38,0),
+    divided once at READ time) is the registry's exact-sum convention —
+    which is precisely what makes the aggregate maintainable: integer
+    partials form a commutative monoid, double sums do not (their
+    rounding depends on merge order). Built once per source generation
+    (fingerprint-keyed); later calls are a lazy scan of the stored
+    aggregate."""
+    import os as _os
+    import tempfile
+
+    from ..operators.incremental_agg import maintain_agg_table
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    agg_root = _INC_AGG_TABLES.get(key)
+    if agg_root is None:
+        base = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        work = tempfile.mkdtemp(prefix="sg_incagg_")
+        src, agg_root, ckpt = (
+            _os.path.join(work, "src"),
+            _os.path.join(work, "agg"),
+            _os.path.join(work, "agg.ckpt"),
+        )
+
+        def partials(batch):
+            return batch.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.floor(
+                        F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).alias("sum_price_q"),
+            )
+
+        def drain():
+            return maintain_agg_table(
+                spark, src, agg_root, ckpt, partials, ["o_orderstatus"]
+            )
+
+        TC.commit(base.filter(F.col("o_orderkey") % 3 == 0), src)
+        assert drain() > 0
+        TC.commit(
+            base.filter(F.col("o_orderkey") % 3 == 1), src, mode="append"
+        )
+        assert drain() > 0
+        assert drain() == 0  # idle refresh: aggregate already current
+        _INC_AGG_TABLES[key] = agg_root
+    return TC.read_table(spark, agg_root).select(
+        "o_orderstatus",
+        "n_orders",
+        (F.col("sum_price_q").cast("double") / F.lit(1e6)).alias("sum_price"),
+    )
+
+
 _PRUNED_TABLES: dict[tuple, str] = {}
 
 

@@ -669,6 +669,7 @@ RETIRED: frozenset[str] = frozenset({"dedup_simhash"})
 #   must be unchanged.
 TOUCHED_R08: tuple[str, ...] = (
     "table_pruned_read",
+    "table_incremental_agg",  # NEW r8: materialized-view maintenance
     "join_bloom_prefiltered",  # NEW r8: engine-owned bloom-prefiltered join
     "multimodal_decode_video",  # NEW r8: real MJPEG-in-AVI per-frame decode
     "multimodal_video_frame_sample",  # NEW r8: strided decode-side sampling

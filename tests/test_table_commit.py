@@ -861,3 +861,71 @@ def test_bloom_probe_decimal_column_no_false_negative(spark, tmp_path):
         assert len(rows) == 1 and rows[0].tag == "row15", (
             f"bloom probe {probe!r} lost the DECIMAL row"
         )
+
+
+def test_incremental_agg_maintenance_and_replay(spark, tmp_path, nation):
+    """r8 (operators/incremental_agg.py): the stored aggregate advances
+    by delta-sized merges; a replayed batch (crash between handle and
+    checkpoint) no-ops through the txn watermark — at-least-once
+    delivery, exactly-once maintenance."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.operators.incremental_agg import (
+        combine_additive,
+        maintain_agg_table,
+    )
+
+    src, agg, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "agg"),
+        str(tmp_path / "agg.ckpt"),
+    )
+    rows = nation.select(
+        "n_regionkey", F.col("n_nationkey").alias("v")
+    )
+
+    def partials(batch):
+        return batch.groupBy("n_regionkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+        )
+
+    def drain():
+        return maintain_agg_table(
+            spark, src, agg, ckpt, partials, ["n_regionkey"], app_id="t"
+        )
+
+    tc.commit(rows.filter(F.col("v") % 2 == 0), src)
+    assert drain() > 0
+    tc.commit(rows.filter(F.col("v") % 2 == 1), src, mode="append")
+    assert drain() > 0
+    assert drain() == 0
+
+    want = sorted(
+        map(tuple, partials(rows).collect())
+    )
+    got = sorted(map(tuple, tc.read_table(spark, agg).collect()))
+    assert got == want
+
+    # replay: rewind the checkpoint one version — the txn watermark must
+    # swallow the duplicate merge, leaving the aggregate unchanged
+    with open(ckpt, encoding="utf-8") as f:
+        state = json.load(f)
+    state["version"] -= 1
+    with open(ckpt, "w", encoding="utf-8") as f:
+        json.dump(state, f)
+    drain()  # redelivers the last batch
+    got2 = sorted(map(tuple, tc.read_table(spark, agg).collect()))
+    assert got2 == want, "replayed batch was double-applied"
+
+    # merge refuses mismatched partial schemas (a silent zero-fill would
+    # corrupt the aggregate instead)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        combine_additive(
+            partials(rows), partials(rows).drop("sv"), ["n_regionkey"]
+        )
