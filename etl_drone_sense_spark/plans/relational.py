@@ -2495,15 +2495,19 @@ def _avro_landing(sf_dir: str) -> str:
             ],
         }
         landing = tempfile.mkdtemp(prefix="sg_avro_")
-        # deterministic three-file split by key (a length-based split
+        # deterministic four-file split by key (a length-based split
         # would need the whole slice in memory); one file per codec so
-        # the driver row certifies deflate + null + snappy (r8 — snappy
-        # rides pyarrow's bundled implementation) in one readback
-        for i, codec in enumerate(("deflate", "null", "snappy")):
+        # the driver row certifies deflate + null + snappy + zstandard
+        # (r8 — snappy/zstd ride pyarrow's bundled implementations) in
+        # one readback
+        codecs = ("deflate", "null", "snappy", "zstandard")
+        for i, codec in enumerate(codecs):
             AL.write_avro(
                 _os.path.join(landing, f"part-000{i + 1}.avro"),
                 schema,
-                rows_where(lambda r, i=i: (r["o_orderkey"] // 5) % 3 == i),
+                rows_where(
+                    lambda r, i=i: (r["o_orderkey"] // 5) % len(codecs) == i
+                ),
                 codec=codec,
                 block_records=500,
             )

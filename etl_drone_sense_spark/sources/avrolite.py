@@ -15,11 +15,12 @@ Supported schema subset — the analytics-table common case: a top-level
 ``record`` of primitive fields (``long/int/double/float/string/boolean/
 bytes``), nullable unions (``["null", T]`` either order), and the
 ``timestamp-micros`` logical type. Codecs: ``null``, ``deflate``
-(stdlib zlib, raw DEFLATE per spec), and ``snappy`` (per spec: raw
-snappy block + 4-byte big-endian CRC32 of the UNCOMPRESSED data) when a
-public snappy implementation is importable — pyarrow ships one, so this
-container reads snappy-coded files from other writers; without any,
-snappy blocks raise ``ValueError`` and quarantine. Anything else raises
+(stdlib zlib, raw DEFLATE per spec), ``snappy`` (per spec: raw
+snappy block + 4-byte big-endian CRC32 of the UNCOMPRESSED data), and
+``zstandard`` (raw zstd frames) when a public implementation is
+importable — pyarrow bundles both, so this container reads
+snappy/zstd-coded files from other writers; without one, those blocks
+raise ``ValueError`` and quarantine. Anything else raises
 ``ValueError`` — same quarantine-friendly honesty as the multimodal
 codec tier.
 
@@ -76,6 +77,49 @@ def _snappy_uncompressed_len(data: bytes) -> int:
         shift += 7
 
 
+def _zstd_codec():
+    """pyarrow's bundled zstd codec if importable, else ``None`` — same
+    import-gate pattern as snappy."""
+    try:
+        import pyarrow as pa
+
+        return pa.Codec("zstd")
+    except Exception:
+        return None
+
+
+def _zstd_compress_block(data: bytes) -> bytes:
+    codec = _zstd_codec()
+    if codec is None:
+        raise ValueError(
+            "Avro zstandard codec needs a zstd implementation "
+            "(pyarrow not importable)"
+        )
+    comp = codec.compress(data)
+    return comp.to_pybytes() if hasattr(comp, "to_pybytes") else bytes(comp)
+
+
+def _zstd_decompress_block(raw: bytes) -> bytes:
+    """zstd frames are self-describing, but pyarrow's one-shot
+    decompress demands the decompressed size up front — the streaming
+    reader path doesn't, so decode through it (bounded by one block
+    either way)."""
+    import_err = None
+    try:
+        import pyarrow as pa
+
+        stream = pa.CompressedInputStream(pa.BufferReader(raw), "zstd")
+        return bytes(stream.read())
+    except ImportError as e:  # pragma: no cover - env-specific
+        import_err = e
+    except Exception as e:
+        raise ValueError(f"corrupt zstandard block: {e}") from None
+    raise ValueError(
+        "unsupported Avro codec: 'zstandard' (no zstd implementation "
+        f"importable: {import_err})"
+    )
+
+
 def _snappy_compress_block(data: bytes) -> bytes:
     codec = _snappy_codec()
     if codec is None:
@@ -107,6 +151,7 @@ def _snappy_decompress_block(raw: bytes) -> bytes:
     if zlib.crc32(out) & 0xFFFFFFFF != crc:
         raise ValueError("corrupt snappy block (CRC mismatch)")
     return out
+
 
 _PRIMITIVE_TO_SPARK = {
     "long": "bigint",
@@ -297,6 +342,8 @@ def write_avro(
                 data = zlib.compress(data)[2:-4]  # raw DEFLATE per spec
             elif codec == "snappy":
                 data = _snappy_compress_block(data)
+            elif codec == "zstandard":
+                data = _zstd_compress_block(data)
             elif codec != "null":
                 raise ValueError(f"unsupported Avro codec: {codec!r}")
             fh.write(_zigzag_encode(len(block)))
@@ -561,6 +608,8 @@ def iter_avro_rows(path: str, start: int | None = None, end: int | None = None):
                 raw = zlib.decompress(raw, -15)
             elif codec == "snappy":
                 raw = _snappy_decompress_block(raw)
+            elif codec == "zstandard":
+                raw = _zstd_decompress_block(raw)
             elif codec != "null":
                 raise ValueError(f"unsupported Avro codec: {codec!r}")
             yield from _decode_block(raw, n_recs, fields, datetime)

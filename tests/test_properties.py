@@ -337,7 +337,7 @@ _avro_rows = st.lists(
 
 
 @settings(max_examples=12, deadline=None)
-@given(_avro_rows, st.sampled_from(["null", "deflate", "snappy"]), st.integers(1, 50))
+@given(_avro_rows, st.sampled_from(["null", "deflate", "snappy", "zstandard"]), st.integers(1, 50))
 def test_avrolite_codec_roundtrip_property(tmp_path_factory, rows, codec, block):
     """Any (long, nullable string, double) relation round-trips through
     every supported codec at any block size — including empty relations

@@ -856,7 +856,7 @@ def test_avrolite_snappy_codec_roundtrip_and_gate(tmp_path, monkeypatch):
         {"k": i, "s": None if i % 7 == 0 else f"v{i}" * (i % 5)}
         for i in range(1000)
     ]
-    for codec in ("null", "deflate", "snappy"):
+    for codec in ("null", "deflate", "snappy", "zstandard"):
         p = str(tmp_path / f"{codec}.avro")
         AL.write_avro(p, schema, rows, codec=codec, block_records=100)
         got = list(AL.iter_avro_rows(p))
