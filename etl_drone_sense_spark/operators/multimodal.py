@@ -1175,7 +1175,8 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
     # one row per doc but kilobytes of codec work each: spread an
     # under-split source across the cluster before the Arrow pass
-    docs = rebalance_for_compute(docs, cache_key="mm.synth_jpeg")
+    docs = rebalance_for_compute(docs)  # no cache_key: callers pass
+    # docs from DIFFERENT sf_dirs; the shuffle-free probe is cheap
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -1452,7 +1453,7 @@ def synth_avi_media(docs: DataFrame) -> DataFrame:
 
     # one row per doc but kilobytes of codec work each: spread an
     # under-split source across the cluster before the Arrow pass
-    docs = rebalance_for_compute(docs, cache_key="mm.synth_avi")
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
