@@ -734,6 +734,537 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion tier (r8): the eight remaining query shapes. The fixture
+# has no partsupp table and lineitem carries no commit/receipt dates or ship
+# modes, so each query keeps its TPC-H PLAN SHAPE (the thing the engine must
+# execute well) over the columns that exist:
+#   * partsupp        → distinct (l_partkey, l_suppkey) pairs from lineitem,
+#                       with unit cost min(l_extendedprice / l_quantity)
+#   * "late shipment" → l_shipdate > o_orderdate + 90 days (q4) or
+#                       l_returnflag = 'R' (q21)
+#   * l_shipmode      → l_returnflag as the two-class line category (q12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+               n.n_name, ps.unit_cost
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_name,
+           e.unit_cost AS min_cost
+    FROM eligible e
+    WHERE e.unit_cost = (
+        SELECT min(e2.unit_cost) FROM eligible e2
+        WHERE e2.p_partkey = e.p_partkey
+    )
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional supplier per part — a correlated
+    MIN subquery over a five-table join web, decorrelated to a per-part
+    min joined back on (partkey, cost).
+
+    The fixture has no partsupp; the part-supplier catalog is the distinct
+    (l_partkey, l_suppkey) relation with unit_cost = min unit price ever
+    charged (IEEE division + MIN are bit-identical in both engines, so the
+    equality probe against the per-part minimum is exact).
+
+    Scale: ps is one map-side-combinable agg on (partkey, suppkey);
+    eligible persists for its two consumers (per-part min + probe) instead
+    of recomputing the join web twice; nation/region broadcast; the
+    per-part min relation is small (≤ #parts) so its join back is
+    broadcast-able under AQE. Top-100 is a TakeOrderedAndProject heap with
+    a total-order tie-break (acctbal desc, nation, supplier, partkey)."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = t(spark, sf_dir, "supplier")
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    reg = F.broadcast(
+        t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    eligible = (
+        ps.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "n_name", "unit_cost",
+        )
+    )
+    eligible = scoped_persist("relational.q2_eligible", eligible)
+    per_part_min = eligible.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("_min_cost")
+    )
+    return (
+        eligible.join(
+            per_part_min,
+            (F.col("_pk") == F.col("p_partkey"))
+            & (F.col("unit_cost") == F.col("_min_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("unit_cost").alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "semi", "agg", "subquery"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority census of orders with at least one late
+    line — a correlated EXISTS whose predicate spans BOTH sides
+    (l_shipdate > o_orderdate + 90 days), so the semi join carries an
+    equi key plus a residual cross-side condition.
+
+    The fixture lineitem has no commit/receipt dates; "late" is shipped
+    more than 90 days after the order date.
+
+    Scale: the quarter filter prunes orders at the scan; the semi join
+    shuffles on orderkey and short-circuits per key (no duplicate blowup,
+    no distinct); the final 5-group agg is map-side trivial."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           {dsum_sql(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.6 * p.p_retailprice * l.l_quantity",
+               "sum_profit",
+           )}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%ring%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by nation and year — the widest
+    fact-side join web after q8 (lineitem joined to part, supplier, orders,
+    nation) under a part-name LIKE filter that cannot prune by min/max.
+
+    The fixture has no ps_supplycost; cost is modeled as 60% of the part's
+    retail price (same multiply-into-the-sum shape).
+
+    Scale: the LIKE-filtered part relation is the selective side and
+    broadcast-joins into lineitem below threshold (shuffle fallback above);
+    supplier/nation broadcast; the orders join shuffles on orderkey only
+    for surviving lines. The profit expression stays inside one
+    whole-stage-codegen project; dsum keeps the (possibly negative)
+    per-row profit exact."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH val AS (
+        SELECT l.l_partkey AS ps_partkey,
+               {dsum_sql("l.l_extendedprice * l.l_quantity", "part_value")}
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY l.l_partkey
+    )
+    SELECT ps_partkey, part_value FROM val
+    WHERE part_value > (
+        SELECT CAST(sum(CAST(floor(part_value * 1000000 + 0.5)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1000000
+               * 2.0 / count(*)
+        FROM val
+    )
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    tags=("join", "agg", "subquery", "filter"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose regional traded value exceeds a
+    threshold derived from the whole relation — a grouped aggregate
+    filtered against an uncorrelated scalar computed from ITSELF. TPC-H
+    scales its 0.0001 fraction by 1/SF to keep the query non-vacuous; the
+    scale-free equivalent is 2× the mean per-part value (total × 2 / n).
+
+    No partsupp: "stock value" is the lineitem trade value
+    (extendedprice × quantity) routed through EUROPE suppliers.
+
+    Scale: val is one keyed agg; it persists for its two consumers (the
+    scalar total and the probe) so the supplier-routed join web runs once;
+    the scalar is a one-row broadcast. The threshold comparison is exact
+    cross-engine because BOTH sides re-quantize through the dsum fixed-
+    point path (a plain double sum of the group values would be
+    order-dependent)."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    reg = F.broadcast(
+        t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    val = (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), "part_value"))
+    )
+    val = scoped_persist("relational.q11_val", val)
+    total = val.agg(dsum("part_value", "_t"), F.count(F.lit(1)).alias("_n"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_t") * 2.0 / F.col("_n"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "q12_line_class_priority",
+    oracle="""
+    SELECT l.l_returnflag AS line_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY line_class
+    ORDER BY line_class
+    """,
+    tags=("join", "agg", "filter"),
+)
+def q12_line_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-category census of high- vs low-priority
+    orders — two complementary conditional aggregates (CASE-sums) over one
+    join, the canonical "pivot a predicate into columns" shape.
+
+    The fixture has no l_shipmode; l_returnflag ('A'/'R') is the two-class
+    line category standing in for ship mode.
+
+    Scale: the year + flag filters push to the lineitem scan; the join
+    shuffles on orderkey (orders side prunes to the surviving keys under
+    AQE); both CASE-sums ride the same map-side partial agg — integer
+    counters, no numeric-parity risk."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("line_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("line_class")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_type NOT LIKE 'SMALL%'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("join", "agg", "anti", "subquery"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier census per part attribute triple,
+    excluding a NOT IN supplier blacklist — anti join + count(DISTINCT)
+    over a de-duplicated catalog relation.
+
+    partsupp is the distinct (l_partkey, l_suppkey) relation; the
+    "complaints" blacklist (the fixture has no s_comment) is low-balance
+    suppliers (s_acctbal < 1000 — non-empty at every fixture SF).
+    s_suppkey is non-nullable, so NOT IN ≡ anti join.
+
+    Scale: the distinct collapses lineitem to catalog cardinality BEFORE
+    any join; the blacklist is a broadcast anti join; part's attribute
+    filters push to its scan. count(DISTINCT suppkey) per triple expands
+    in the agg, but the group keys bound the expansion to catalog size."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
+        "s_suppkey"
+    )
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        ps.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "q20_concentrated_suppliers",
+    oracle=f"""
+    WITH total AS (
+        SELECT l_partkey, l_suppkey,
+               {dsum_sql("l_quantity", "qty_all")}
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    recent AS (
+        SELECT l_partkey, l_suppkey,
+               {dsum_sql("l_quantity", "qty_97")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+          SELECT rc.l_suppkey
+          FROM recent rc
+          JOIN total tt ON tt.l_partkey = rc.l_partkey
+                       AND tt.l_suppkey = rc.l_suppkey
+          WHERE rc.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND rc.qty_97 > 0.5 * tt.qty_all
+      )
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "semi", "subquery", "agg"),
+)
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified through NESTED IN subqueries —
+    an inner parts-list IN, a correlated per-(part,supplier) aggregate
+    threshold (the 0.5 × sum half-qty test), and an outer supplier IN —
+    all decorrelated to aggregates + semi joins.
+
+    No ps_availqty: a supplier qualifies if, for some 'red%' part, their
+    1997 shipments exceed half their ALL-TIME shipments of it (recent
+    concentration — same agg-vs-scaled-agg comparison shape).
+
+    Scale: both quantity rollups are one map-side agg each over the same
+    scan (Spark reuses the exchange under AQE); the parts list is a
+    broadcast semi join; the qualifying-supplier set collapses via
+    distinct before the final semi join into supplier. dsum on both sides
+    keeps the 0.5× comparison exact cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    total = li.groupBy(
+        F.col("l_partkey").alias("_tpk"), F.col("l_suppkey").alias("_tsk")
+    ).agg(dsum("l_quantity", "qty_all"))
+    recent = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", "qty_97"))
+    )
+    red_parts = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    qualifying = (
+        recent.join(
+            F.broadcast(red_parts),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .join(
+            total,
+            (F.col("_tpk") == F.col("l_partkey"))
+            & (F.col("_tsk") == F.col("l_suppkey")),
+        )
+        .filter(F.col("qty_97") > 0.5 * F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    reg = F.broadcast(
+        t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    return (
+        supp.join(
+            qualifying, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        )
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("join", "semi", "anti", "agg", "subquery", "topk"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a failed order's
+    problem line — EXISTS (another supplier participated) plus NOT EXISTS
+    (no OTHER supplier also flagged), both correlated to the same fact.
+
+    No receipt/commit dates: the "kept waiting" line is l_returnflag='R'
+    on an o_orderstatus='F' order.
+
+    Scale: instead of two self-joins of lineitem (the naive EXISTS /
+    NOT EXISTS transliteration — two extra shuffles of the biggest
+    table), ONE per-order aggregate computes n_suppliers and
+    n_flagged_suppliers; a flagged line qualifies iff the order has ≥2
+    suppliers and exactly 1 flagged supplier (necessarily its own — it is
+    flagged itself). The oracle keeps the EXISTS/NOT EXISTS formulation,
+    so the driver's hash gate doubles as an equivalence proof of the
+    decorrelation. Top-100 heap with (numwait desc, s_name) total order."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_flagged"),
+    )
+    orders_f = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    flagged = li.filter(F.col("l_returnflag") == "R")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        flagged.join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(per_order, F.col("_ok") == F.col("l_orderkey"))
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_flagged") == 1))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 @register(
     "agg_distinct",
     oracle="""
