@@ -133,6 +133,80 @@ def connected_components(
     return labels
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    base_micro: int = 150_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """(node, rank) after ``iters`` synchronous PageRank rounds, in EXACT
+    integer micro-units — rank 1_000_000 ≡ 1.0.
+
+    Every step is integer arithmetic: each round a node sends
+    ``(rank * damping_num) div (damping_den * outdeg)`` along every
+    out-edge (integer floor division — deterministic, no float summation
+    order to diverge between engines) and collects
+    ``base_micro + Σ incoming``. That makes a fixed-iteration run
+    bit-identical to ANY other engine executing the same recurrence (the
+    registry query's DuckDB oracle is the same five rounds as chained
+    CTEs), which is what lets an ITERATIVE operator ride the exact-hash
+    correctness gate at all — float PageRank can only ever be compared
+    with tolerances.
+
+    Semantics notes: nodes = all edge endpoints; a dangling node (no
+    out-edges) receives rank but contributes none (the mass-leak form —
+    the standard bounded-iteration simplification); floor division also
+    leaks ≤ outdeg-1 micro-units per node per round. Both leaks are part
+    of the DEFINED recurrence, identically reproduced by any conforming
+    engine, so cross-engine hashes still match exactly.
+
+    Scale: the edge list shuffles once per round on src (contribution
+    join) and once on dst (the incoming sum — map-side combinable); the
+    rank relation is node-scale, orders smaller than edges. Each round
+    ends in an eager localCheckpoint so round N's plan is O(1) deep, the
+    same lineage-truncation discipline as connected_components above.
+    Rounds are a fixed count (PageRank is used with 10-50 rounds in
+    practice), so there is no convergence probe."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.localCheckpoint(eager=True)
+
+    outdeg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        sym.select(F.col("u").alias("node"))
+        .unionByName(sym.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
+
+    contrib_expr = F.expr(
+        f"(rank * {damping_num}) div ({damping_den} * d)"
+    ).alias("_c")
+    for _ in range(iters):
+        incoming = (
+            sym.join(ranks, sym.u == ranks.node)
+            .join(outdeg, "u")
+            .select(F.col("v").alias("node"), contrib_expr)
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_micro).cast("long")
+                    + F.coalesce(F.col("_in"), F.lit(0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -115,3 +115,54 @@ def range_join_binned(
         )
         .drop("_bin")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str],
+    suppress_unchanged: bool = True,
+) -> DataFrame:
+    """Kimball type-2 slowly-changing-dimension build: turn a change
+    stream (key, ts, attrs...) into versioned validity intervals
+    ``(key, attrs..., valid_from, valid_to, version)`` — ``valid_to`` is
+    NULL on each key's current row, ``version`` counts from 1 in time
+    order.
+
+    With ``suppress_unchanged`` (the usual warehouse semantics), a change
+    row whose attributes all equal the previous row's is dropped BEFORE
+    interval construction, so consecutive identical states collapse into
+    one longer-lived version instead of splitting it.
+
+    Caller contract: ``changes`` must be unique per (key, ts) — pre-
+    aggregate duplicates (e.g. max per key+ts) so "the state at ts" is
+    well-defined; otherwise lead() ordering ties are nondeterministic.
+
+    Scale: both windows and the suppression lag shuffle ONCE on key (the
+    three window functions share the same (key, ts) sort under one
+    exchange); per-key history is dimension-scale, never fact-scale."""
+    w = Window.partitionBy(key).orderBy(ts)
+    if suppress_unchanged:
+        marked = changes.select(
+            "*",
+            *[
+                F.lag(a).over(w).alias(f"_prev_{a}")
+                for a in attrs
+            ],
+        )
+        changed = F.lit(False)
+        for a in attrs:
+            changed = changed | F.col(f"_prev_{a}").isNull() | (
+                F.col(a) != F.col(f"_prev_{a}")
+            )
+        changes = marked.filter(changed).drop(
+            *[f"_prev_{a}" for a in attrs]
+        )
+    return changes.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )

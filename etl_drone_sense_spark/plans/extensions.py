@@ -3699,3 +3699,204 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.orderBy("vec_id").limit(1).select("embedding")
     return pq_topk_adc(emb, q, cents, dsub=PQ_DSUB, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics (r8): exact fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """The SAME integer recurrence as operators/graph.pagerank_fixed_point,
+    unrolled as chained CTEs (fixed iteration count → plain ANSI SQL, no
+    recursive-CTE aggregation restrictions). `//` is DuckDB's integer floor
+    division — the exact counterpart of Spark SQL's `div`."""
+    ctes = [
+        """edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 100000000 AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )""",
+        """sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    )""",
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM sym)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""inc{i} AS (
+        SELECT s.dst AS node,
+               CAST(sum((r.rank * 85) // (100 * o.d)) AS BIGINT) AS m
+        FROM sym s
+        JOIN r{i - 1} r ON r.node = s.src
+        JOIN outdeg o ON o.src = s.src
+        GROUP BY s.dst
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+        SELECT n.node,
+               CAST(150000 + coalesce(m.m, 0) AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN inc{i} m ON m.node = n.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, rank AS rank_micro FROM r{iters}
+    ORDER BY rank_micro DESC, node
+    LIMIT 100
+    """
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(PR_ITERS),
+    tags=("graph", "iterative", "join", "agg"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph — the registry's
+    second ITERATIVE operator (after connected components), and the first
+    one certified by EXACT HASH: the integer fixed-point recurrence
+    (operators/graph.pagerank_fixed_point) makes five synchronous rounds
+    bit-identical between Spark's distributed loop and the oracle's
+    unrolled chained-CTE SQL, so the driver's hash gate doubles as an
+    engine-equivalence proof for the whole loop.
+
+    Graph: nodes are customers and suppliers (supplier ids offset into a
+    disjoint keyspace), one undirected edge per distinct trading pair
+    from orders⨝lineitem, walked in both directions.
+
+    Scale: the edge derivation is fact-scale (one shuffle on orderkey,
+    then a distinct on the pair) and collapses to catalog cardinality
+    before the loop; each round is two keyed shuffles of the edge list
+    and a node-scale aggregate, with lineage truncated per round — the
+    same discipline that lets connected_components run at 100 TB. Top-100
+    output with a (rank desc, node) total order."""
+    from ..operators.graph import pagerank_fixed_point
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(100_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(sym, iters=PR_ITERS)
+    return (
+        ranks.select("node", F.col("rank").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), "node")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Slowly-changing dimensions (r8): type-2 history build + point-in-time join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, max(value) AS tier
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT user_id, ts, tier,
+               lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev_tier
+        FROM changes
+    ),
+    suppressed AS (
+        SELECT user_id, ts, tier FROM marked
+        WHERE prev_tier IS NULL OR tier <> prev_tier
+    ),
+    hist AS (
+        SELECT user_id, tier, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                    AS BIGINT) AS version
+        FROM suppressed
+    ),
+    clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    pit AS (
+        SELECT h.version, h.tier
+        FROM clicks c
+        JOIN hist h ON h.user_id = c.user_id
+                   AND c.ts >= h.valid_from
+                   AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+    )
+    SELECT version, count(*) AS n_clicks,
+           CAST(sum(CAST(floor(tier * 1000000 + 0.5) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1000000 AS sum_tier
+    FROM pit GROUP BY version ORDER BY version
+    """,
+    tags=("temporal", "scd", "window", "join"),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball type-2 SCD build + point-in-time fact enrichment — the
+    dimension-versioning shape every lakehouse ETL needs (and the MERGE /
+    CDC family's temporal complement): purchase events are the change
+    stream for a per-user "tier" attribute; consecutive identical states
+    are SUPPRESSED (one longer-lived version, not a split); each click is
+    enriched with the version valid at its timestamp via an
+    equi-key + validity-interval join (NULL valid_to = current row,
+    clicks before a user's first version drop out — the strict PIT
+    semantics, distinct from join_asof's last-known-value fill).
+
+    Scale: the history build is one shuffle on user_id (lag + lead +
+    row_number share a single (user, ts) sort); the PIT join is an equi
+    join on user_id with a residual interval predicate — per-user version
+    counts are dimension-scale, so no candidate-pair blowup; the final
+    per-version rollup is map-side combinable. The dsum fixed-point path
+    keeps the double sum engine-exact.
+
+    The registry's MERGE/CDC family (merge_upsert, cdc_snapshot_diff)
+    covers "latest state"; this covers "state as of any time" — together
+    they are the two halves of warehouse dimension maintenance."""
+    from ..operators.temporal import scd2_history
+
+    ev = t(spark, sf_dir, "events")
+    changes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("tier"))
+    )
+    hist = scd2_history(changes, key="user_id", ts="ts", attrs=["tier"])
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    pit = clicks.join(
+        hist,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("c_ts") < F.col("valid_to"))),
+    )
+    return (
+        pit.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("tier").cast("double") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("sum_tier"),
+        )
+        .orderBy("version")
+    )

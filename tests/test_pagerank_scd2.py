@@ -1,0 +1,79 @@
+"""Unit semantics for the r8 iterative + temporal additions:
+pagerank_fixed_point (exact integer recurrence on a known graph) and
+scd2_history (change suppression, validity intervals, version numbers)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_drone_sense_spark.operators.graph import pagerank_fixed_point
+from etl_drone_sense_spark.operators.temporal import scd2_history
+
+
+def _reference_pagerank(edges, iters):
+    """Sequential transcription of the documented integer recurrence."""
+    out = {}
+    nodes = set()
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+        nodes.update((u, v))
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for u, vs in out.items():
+            c = (rank[u] * 85) // (100 * len(vs))
+            for v in vs:
+                incoming[v] += c
+        rank = {n: 150_000 + incoming[n] for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_sequential_reference(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iters=4).collect()
+    }
+    assert got == _reference_pagerank(edges, 4)
+
+
+def test_pagerank_dangling_node_receives_but_never_contributes(spark):
+    # 2 is a sink: it accumulates 1's mass but sends none back.
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank_fixed_point(df, iters=1).collect()
+    }
+    assert got == {1: 150_000, 2: 150_000 + 850_000}
+
+
+def _ts(day):
+    return dt.datetime(2024, 1, day)
+
+
+def test_scd2_suppresses_unchanged_and_builds_intervals(spark):
+    rows = [
+        (1, _ts(1), 10.0),
+        (1, _ts(2), 10.0),  # unchanged -> suppressed
+        (1, _ts(3), 20.0),
+        (2, _ts(5), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, tier double")
+    hist = {
+        (r["user_id"], r["version"]): (r["tier"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(df, "user_id", "ts", ["tier"]).collect()
+    }
+    assert hist == {
+        (1, 1): (10.0, _ts(1), _ts(3)),  # valid_to skips the suppressed day-2 row
+        (1, 2): (20.0, _ts(3), None),
+        (2, 1): (7.0, _ts(5), None),
+    }
+
+
+def test_scd2_without_suppression_splits_versions(spark):
+    rows = [(1, _ts(1), 10.0), (1, _ts(2), 10.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, tier double")
+    got = scd2_history(df, "user_id", "ts", ["tier"], suppress_unchanged=False)
+    assert got.count() == 2
