@@ -609,3 +609,76 @@ def duplicated_span_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def editdistance_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: Column,
+    max_ed: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, edist): pairs whose KEY strings are within ``max_ed``
+    Levenshtein edits — the string-similarity join, via the FastSS
+    deletion-neighborhood index (Bocek et al. 2007, "Fast Similarity
+    Search in Large Dictionaries").
+
+    Candidate completeness: if ed(a, b) <= k then deleting (at most k)
+    characters of each at the edit positions reaches a COMMON string, so
+    a's and b's k-deletion neighborhoods intersect — an equi join on the
+    variant string finds every true pair, and the exact levenshtein
+    filter on top removes the false candidates. No all-pairs comparison
+    anywhere (tests/test_editdistance.py proves set-equality against the
+    quadratic definition).
+
+    Only max_ed=1 is accepted: the k-deletion neighborhood is C(L, k)
+    variants per string — linear in key length for k=1 (L+1 rows), but
+    quadratic for k=2 — and the single-deletion neighborhood-intersection
+    property is what the oracle SQL transcribes. A wider radius wants a
+    segment-based filter (PassJoin), not a bigger neighborhood.
+
+    Scale: the exploded variant relation is N×(L+1) rows of short
+    strings; the self-join shuffles BOTH sides on the variant hash —
+    bucket occupancy is the deletion-neighborhood collision count, which
+    mirrors the true duplicate structure (near-dup-heavy corpora emit
+    more candidates because they HAVE more pairs). The distinct collapses
+    multi-variant agreement before the levenshtein evaluation."""
+    if max_ed != 1:
+        raise ValueError(
+            "editdistance_pairs implements the single-deletion FastSS "
+            f"neighborhood; max_ed must be 1, got {max_ed}"
+        )
+    keyed = df.select(F.col(id_col).alias("_id"), key_col.alias("_key"))
+    variants = keyed.select(
+        "_id",
+        "_key",
+        F.explode(
+            F.concat(
+                F.array(F.col("_key")),
+                F.expr(
+                    "transform(sequence(1, length(_key)), "
+                    "i -> concat(substring(_key, 1, i - 1), "
+                    "substring(_key, i + 1)))"
+                ),
+            )
+        ).alias("_variant"),
+    )
+    variants = scoped_persist("dedup.ed_variants", variants)
+    a = variants.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("_key_a"),
+        "_variant",
+    )
+    b = variants.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("_key_b"),
+        "_variant",
+    )
+    return (
+        a.join(b, "_variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_key_a", "_key_b")
+        .distinct()
+        .withColumn("edist", F.levenshtein("_key_a", "_key_b").cast("long"))
+        .filter(F.col("edist") <= max_ed)
+        .select("id_a", "id_b", "edist")
+    )

@@ -3900,3 +3900,59 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "dedup_editdistance",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, lower(substr(text, 1, 24)) AS key
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vars AS (
+        SELECT doc_id, key, key AS variant FROM k
+        UNION ALL
+        SELECT doc_id, key,
+               substr(key, 1, CAST(i AS INTEGER) - 1)
+               || substr(key, CAST(i AS INTEGER) + 1) AS variant
+        -- DuckDB's generate_series rejects lateral column bounds; the key
+        -- is substr(..., 1, 24) so a constant 24 + a length guard is the
+        -- same per-row deletion set
+        FROM k, generate_series(1, 24) AS t(i)
+        WHERE CAST(i AS INTEGER) <= length(key)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.key AS key_a, b.key AS key_b
+        FROM vars a JOIN vars b
+          ON a.variant = b.variant AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(key_a, key_b) AS BIGINT) AS edist
+    FROM cand WHERE levenshtein(key_a, key_b) <= 1
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity", "join"),
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join: document pairs whose 24-char title keys are
+    within ONE Levenshtein edit — the fuzzy-key matching shape (entity
+    resolution, near-identical titles) that neither equality dedup nor
+    token-set Jaccard covers. Candidates come from the FastSS
+    single-deletion neighborhood equi-join (operators/dedup.py::
+    editdistance_pairs — never all-pairs); the exact levenshtein filter
+    makes the OUTPUT definition-exact, so the oracle (the same
+    neighborhood construction in SQL, both engines' identical classic
+    levenshtein) hash-matches, and tests/test_editdistance.py separately
+    proves the neighborhood join equals the quadratic definition — the
+    same two-step certification pattern as geo_radius_join.
+
+    Scale: N×25 short variant rows, one self-equi-join on the variant
+    (shuffle on a hashable short string), distinct, then levenshtein only
+    on surviving candidates. Levenshtein and substring/transform are all
+    JVM built-ins — no Python in the row path."""
+    from ..operators.dedup import editdistance_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return editdistance_pairs(
+        docs, "doc_id", F.lower(F.substring("text", 1, 24))
+    ).orderBy("id_a", "id_b")
