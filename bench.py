@@ -41,6 +41,13 @@ from etl_drone_sense_spark.session import get_spark
 # when they first appear in a recorded BENCH_r{N}.json.
 BUDGETS_S: dict[str, float] = {
     "cdc_snapshot_diff": 1.12,
+    "dedup_editdistance": 1.53,  # r8: 1.8 x 0.85 s quiet median
+    "graph_pagerank": 7.09,  # r8: 1.8 x 3.94 s quiet median (5 fixed
+    # rounds x per-round localCheckpoint — overhead-bound at sf0.1)
+    "q2_min_cost_supplier": 2.38,  # r8: 1.8 x 1.32 s quiet median
+    "q9_product_profit": 1.97,  # r8: 1.8 x 1.10 s quiet median
+    "q21_waiting_suppliers": 3.16,  # r8: 1.8 x 1.76 s quiet median
+    "scd2_point_in_time": 1.17,  # r8: 0.57 s quiet median + 0.6 floor
     "corpus_prepare_pipeline": 4.30,
     "dedup_exact_substring": 3.93,  # r5: 1.8 × 2.18 s quiet-machine median
     "dedup_embedding_lsh": 2.39,

@@ -163,17 +163,24 @@ def pagerank_fixed_point(
     of the DEFINED recurrence, identically reproduced by any conforming
     engine, so cross-engine hashes still match exactly.
 
-    Scale: the edge list shuffles once per round on src (contribution
-    join) and once on dst (the incoming sum — map-side combinable); the
-    rank relation is node-scale, orders smaller than edges. Each round
-    ends in an eager localCheckpoint so round N's plan is O(1) deep, the
-    same lineage-truncation discipline as connected_components above.
-    Rounds are a fixed count (PageRank is used with 10-50 rounds in
-    practice), so there is no convergence probe."""
+    Scale: the out-degree is joined into the edge list ONCE before the
+    loop (the adjacency (u, v, d) is static across rounds — joining it
+    per round would redo the same degree aggregation five times), so
+    each round is one rank join on u + one incoming sum on v (map-side
+    combinable); the rank relation is node-scale, orders smaller than
+    edges. Each round ends in an eager localCheckpoint so round N's plan
+    is O(1) deep, and the loop narrows the session shuffle width to the
+    measured edge count — the same lineage-truncation + narrow-shuffle
+    discipline (and the same session-global conf caveat) as
+    connected_components above. Rounds are a fixed count (PageRank runs
+    10-50 rounds in practice), so there is no convergence probe."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.localCheckpoint(eager=True)
 
-    outdeg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    adj = (
+        sym.join(sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         sym.select(F.col("u").alias("node"))
         .unionByName(sym.select(F.col("v").alias("node")))
@@ -185,25 +192,34 @@ def pagerank_fixed_point(
     contrib_expr = F.expr(
         f"(rank * {damping_num}) div ({damping_den} * d)"
     ).alias("_c")
-    for _ in range(iters):
-        incoming = (
-            sym.join(ranks, sym.u == ranks.node)
-            .join(outdeg, "u")
-            .select(F.col("v").alias("node"), contrib_expr)
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_in"))
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    try:
+        loop_parts = max(
+            1, min(int(prev_parts), adj.count() // 50_000 + 1)
         )
-        ranks = (
-            nodes.join(incoming, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_micro).cast("long")
-                    + F.coalesce(F.col("_in"), F.lit(0))
-                ).alias("rank"),
+        spark.conf.set(conf_key, str(loop_parts))
+        for _ in range(iters):
+            incoming = (
+                adj.join(ranks, adj.u == ranks.node)
+                .select(F.col("v").alias("node"), contrib_expr)
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_in"))
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                nodes.join(incoming, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base_micro).cast("long")
+                        + F.coalesce(F.col("_in"), F.lit(0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set(conf_key, prev_parts)
     return ranks
 
 

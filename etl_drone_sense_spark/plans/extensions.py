@@ -3758,6 +3758,7 @@ def _pagerank_oracle(iters: int) -> str:
     "graph_pagerank",
     oracle=_pagerank_oracle(PR_ITERS),
     tags=("graph", "iterative", "join", "agg"),
+    bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph — the registry's
@@ -3845,6 +3846,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pit GROUP BY version ORDER BY version
     """,
     tags=("temporal", "scd", "window", "join"),
+    bench=True,
 )
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kimball type-2 SCD build + point-in-time fact enrichment — the
@@ -3932,6 +3934,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("dedup", "similarity", "join"),
+    bench=True,
 )
 def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity join: document pairs whose 24-char title keys are

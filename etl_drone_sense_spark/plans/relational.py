@@ -776,6 +776,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "subquery", "topk"),
+    bench=True,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest regional supplier per part — a correlated
@@ -899,6 +900,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation, o_year DESC
     """,
     tags=("join", "agg"),
+    bench=True,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: product-line profit by nation and year — the widest
@@ -1224,6 +1226,7 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "semi", "anti", "agg", "subquery", "topk"),
+    bench=True,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers solely responsible for a failed order's
@@ -1426,6 +1429,45 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@register(
+    "unpivot_priority_status",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n_orders
+    FROM wide
+    UNPIVOT (n_orders FOR status IN (f_cnt AS 'F', o_cnt AS 'O', p_cnt AS 'P'))
+    ORDER BY o_orderpriority, status
+    """,
+    tags=("agg", "pivot"),
+)
+def unpivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — pivot_priority_status's inverse: the wide
+    per-priority status counts fold back to (priority, status, n) rows.
+    Wide→long reshape is the other half of the pivot surface (feature
+    matrices → training rows); Spark's native ``unpivot`` is a zero-
+    shuffle narrow expand, so the only exchange is the upstream agg's.
+
+    Round-trip shape check: unpivot(pivot(x)) = the plain two-key
+    groupBy — which is exactly what the oracle's UNPIVOT over the
+    FILTER-pivoted CTE computes in DuckDB."""
+    wide = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "n_orders"
+    ).orderBy("o_orderpriority", "status")
 
 
 # ---------------------------------------------------------------------------
