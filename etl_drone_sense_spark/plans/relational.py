@@ -1470,6 +1470,59 @@ def unpivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "status")
 
 
+@register(
+    "basket_pair_counts",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS n_baskets
+    FROM pairs GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    ORDER BY n_baskets DESC, part_a, part_b
+    LIMIT 50
+    """,
+    tags=("join", "agg", "topk"),
+)
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the frequent-itemset k=2 pass): part
+    pairs bought together in >= 2 orders — a self-join WITHIN the basket
+    key, the one self-join shape that is safe at scale because the
+    quadratic blowup is bounded by basket size (C(|basket|, 2), ~6 pairs
+    for the fixture's ~4-line orders), never by corpus size.
+
+    Scale: items collapses to distinct (order, part) first so multi-line
+    duplicates can't square the pair count; the self-join shuffles both
+    sides on orderkey (co-partitioned, one exchange each); the pair count
+    is map-side combinable and the HAVING prunes the long tail before the
+    top-50 heap. A basket-size cap (filter huge baskets) is the standard
+    guard on real retail data — the fixture's baskets are bounded by
+    construction."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "_ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 2)
+        .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
