@@ -418,6 +418,254 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 )
 
 
+# --- GIF (LZW) ---------------------------------------------------------------
+#
+# The remaining legacy-web raster format after PPM/PNG/JPEG: GIF87a/89a
+# with LZW entropy coding. Dependency-free like the others; the
+# variable-width LSB-first code stream is the interesting part.
+#
+# Width-sync derivation (the boundary where naive implementations
+# desync): the DECODER must widen as soon as the next code it could
+# RECEIVE needs more bits — and the KwKwK case means a received code can
+# equal the decoder's next unassigned slot — so after its table insert
+# makes next_code == 1 << width, it widens. The ENCODER inserts each
+# entry one step EARLIER than the decoder does (the decoder only
+# materializes step n's entry while processing step n+1's code), so the
+# encoder widens one insert later: next_code > 1 << width. Getting both
+# sides off-by-one-consistent-but-shifted round-trips cleanly and
+# desyncs against the rest of the world — the avrolite union-order
+# lesson — so tests/test_multimodal.py pins the decoder against a
+# CANONICAL hand-packed GIF byte string (external bytes, not this
+# encoder's).
+
+
+def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            # one insert LATER than the decoder's bump: the decoder
+            # inserts its step-n entry while processing step n+1's code,
+            # so its table is one entry behind — see the width-sync note
+            # in the section comment above
+            width += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+
+    out = bytearray()
+    bitpos = 0
+    total = len(data) * 8
+    prev: bytes | None = None
+    while True:
+        if bitpos + width > total:
+            raise ValueError("gif: truncated LZW stream")
+        code = 0
+        for k in range(width):
+            if data[(bitpos + k) >> 3] >> ((bitpos + k) & 7) & 1:
+                code |= 1 << k
+        bitpos += width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("gif: first code not a literal")
+        elif code < next_code:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("gif: code references empty slot")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        else:
+            raise ValueError("gif: LZW code beyond table")
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """GIF89a writer: one non-interlaced frame over a 256-entry global
+    color table. ``indices`` is the w*h index raster; ``palette`` is 768
+    bytes of RGB triples. Fixture side of the codec pair (encode_png's
+    role for the LZW tier)."""
+    if len(indices) != width * height:
+        raise ValueError("gif: raster size mismatch")
+    if len(palette) != 256 * 3:
+        raise ValueError("gif: palette must be 256 RGB entries")
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0xF7)  # GCT present, 8-bit colour resolution, 256 entries
+    out += b"\x00\x00"  # background index, aspect
+    out += palette
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x00)  # no LCT, not interlaced
+    out.append(8)  # LZW min code size
+    comp = _lzw_compress_gif(indices, 8)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a single-frame GIF87a/89a to (width, height, raw RGB).
+
+    Supported: global or local color table, any LZW min code size,
+    extension blocks skipped (GCE transparency is IGNORED — the feature
+    extractor reads opaque RGB like the PNG alpha-drop path). Quarantined
+    as ValueError (the one-corrupt-blob-must-not-kill-the-scan
+    contract): interlaced frames, missing color table, truncated or
+    over-long LZW streams, junk after the raster."""
+    buf = bytes(payload or b"")
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    if len(buf) < 13:
+        raise ValueError("gif: truncated header")
+    pos = 6
+    pos += 4  # logical screen w/h (frame descriptor is authoritative)
+    packed = buf[pos]
+    pos += 3
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = buf[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("gif: truncated global color table")
+        pos += 3 * n
+    while True:
+        if pos >= len(buf):
+            raise ValueError("gif: missing image descriptor")
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:
+            raise ValueError("gif: no image frame before trailer")
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(buf):
+                    raise ValueError("gif: truncated extension")
+                n = buf[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        break
+    if pos + 9 > len(buf):
+        raise ValueError("gif: truncated image descriptor")
+    w = int.from_bytes(buf[pos + 4 : pos + 6], "little")
+    h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
+    ipacked = buf[pos + 8]
+    pos += 9
+    if ipacked & 0x40:
+        raise ValueError("gif: interlaced frames unsupported")
+    ct = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        ct = buf[pos : pos + 3 * n]
+        if len(ct) < 3 * n:
+            raise ValueError("gif: truncated local color table")
+        pos += 3 * n
+    if not ct:
+        raise ValueError("gif: frame has no color table")
+    if w < 1 or h < 1:
+        raise ValueError("gif: empty frame")
+    if pos >= len(buf):
+        raise ValueError("gif: missing LZW min code size")
+    min_code = buf[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        raise ValueError("gif: bad LZW min code size")
+    comp = bytearray()
+    while True:
+        if pos >= len(buf):
+            raise ValueError("gif: truncated image data")
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            break
+        block = buf[pos : pos + n]
+        if len(block) < n:
+            raise ValueError("gif: short data sub-block")
+        comp += block
+        pos += n
+    indices = _lzw_decompress_gif(bytes(comp), min_code)
+    if len(indices) < w * h:
+        raise ValueError("gif: raster shorter than frame")
+    indices = indices[: w * h]
+    n_colors = len(ct) // 3
+    arr = np.frombuffer(indices, dtype=np.uint8)
+    if int(arr.max(initial=0)) >= n_colors:
+        raise ValueError("gif: index beyond color table")
+    pal = np.frombuffer(ct[: 3 * n_colors], dtype=np.uint8).reshape(-1, 3)
+    rgb = pal[arr].reshape(-1)
+    return w, h, rgb.tobytes()
+
+
 def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
     """Minimal RIFF/WAVE writer (PCM, 16-bit LE) — the fixture side of
     the audio codec pair, exactly like encode_png. ``samples`` is the
@@ -1184,14 +1432,17 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
-    PNG signature → PNG, SOI → baseline JPEG; anything else raises
-    ``ValueError`` (H.264/VP9-class video remains the declared
-    import-gated extension — MJPEG-in-AVI is real, see parse_avi)."""
+    PNG signature → PNG, SOI → baseline JPEG, GIF87a/89a → GIF-LZW;
+    anything else raises ``ValueError`` (H.264/VP9-class video remains
+    the declared import-gated extension — MJPEG-in-AVI is real, see
+    parse_avi)."""
     buf = bytes(payload or b"")
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return parse_png(buf)
     if buf[:2] == b"\xff\xd8":
         return parse_jpeg(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return parse_gif(buf)
     return parse_ppm(buf)
 
 
@@ -1604,6 +1855,33 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                     payloads.append(
                         encode_png(w, h, idx, ctype=3, palette=plte)
                     )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic GIF payloads keyed by doc id — REAL GIF89a
+    bytes (global color table, variable-width LZW via ``encode_gif``)
+    whose content a SQL oracle can derive: ``width = 4 + doc_id % 5``,
+    ``height = 3 + doc_id % 4``, index at pixel ``p`` =
+    ``(doc_id*43 + p) % 64``, palette byte ``b`` = ``(doc_id*47 + b) %
+    256`` — so pixel ``p`` channel ``c`` decodes to
+    ``(doc_id*47 + ((doc_id*43 + p) % 64)*3 + c) % 256``. Multipliers
+    differ from every other codec fixture so a dispatch mix-up cannot
+    silently hash-match."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                idx = bytes((did * 43 + p) % 64 for p in range(w * h))
+                pal = bytes((did * 47 + b) % 256 for b in range(256 * 3))
+                payloads.append(encode_gif(w, h, idx, pal))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

