@@ -42,8 +42,8 @@ from etl_drone_sense_spark.session import get_spark
 BUDGETS_S: dict[str, float] = {
     "cdc_snapshot_diff": 1.12,
     "dedup_editdistance": 1.53,  # r8: 1.8 x 0.85 s quiet median
-    "graph_pagerank": 7.09,  # r8: 1.8 x 3.94 s quiet median (5 fixed
-    # rounds x per-round localCheckpoint — overhead-bound at sf0.1)
+    "graph_pagerank": 6.50,  # r8: 1.8 x 3.61 s quiet median (5 fixed
+    # rounds; checkpoint every 4th + final — overhead-bound at sf0.1)
     "q2_min_cost_supplier": 2.38,  # r8: 1.8 x 1.32 s quiet median
     "q9_product_profit": 1.97,  # r8: 1.8 x 1.10 s quiet median
     "q21_waiting_suppliers": 3.16,  # r8: 1.8 x 1.76 s quiet median

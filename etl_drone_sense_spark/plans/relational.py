@@ -1872,6 +1872,50 @@ def window_rank_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(cume_dist() OVER wd, 9) AS bal_cume,
+           nth_value(c_acctbal, 2) OVER wf AS nation_second_bal,
+           round(c_acctbal - avg(c_acctbal) OVER wp, 6) AS bal_vs_nation_avg
+    FROM customer
+    WINDOW wd AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey),
+           wf AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           wp AS (PARTITION BY c_nationkey)
+    """,
+    tags=("window",),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window-function tier after window_rank_navigation:
+    cume_dist (distribution), nth_value over an explicit full frame, and
+    an un-ordered whole-partition analytic (value vs partition average —
+    the 'compare each row to its group aggregate without a join' shape).
+
+    Scale: all three ride ONE shuffle on c_nationkey; the ordered and
+    un-ordered frames share the exchange, the sort serves the first two.
+    cume_dist is rounded(9): both engines compute rank/n in doubles but
+    the division is the only float op, so 9 digits is far inside the
+    shared precision; the avg delta rides the usual round(6)."""
+    wd = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wf = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("c_nationkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(wd), 9).alias("bal_cume"),
+        F.nth_value("c_acctbal", 2).over(wf).alias("nation_second_bal"),
+        F.round(
+            F.col("c_acctbal") - F.avg("c_acctbal").over(wp), 6
+        ).alias("bal_vs_nation_avg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function surface
 # ---------------------------------------------------------------------------

@@ -363,3 +363,45 @@ def test_avrolite_codec_roundtrip_property(tmp_path_factory, rows, codec, block)
         block_records=block,
     )
     assert list(AL.iter_avro_rows(p)) == [tuple(r) for r in rows]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=6000),
+    st.integers(2, 8),
+)
+def test_gif_lzw_roundtrip_lossless(data, min_code_size):
+    """GIF-LZW is LOSSLESS: any byte stream (clamped into the code
+    alphabet) round-trips exactly, at every min code size — including
+    streams long enough to cross width bumps and the 4096-entry reset.
+    hypothesis shrinks straight to the boundary cases."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        _lzw_compress_gif,
+        _lzw_decompress_gif,
+    )
+
+    alphabet = 1 << min_code_size
+    clamped = bytes(b % alphabet for b in data)
+    out = _lzw_decompress_gif(
+        _lzw_compress_gif(clamped, min_code_size), min_code_size
+    )
+    assert out == clamped
+
+
+@settings(max_examples=15, deadline=None)
+@given(_img_dims, st.integers(0, 2**32 - 1))
+def test_gif_image_roundtrip_exact(dims, seed):
+    """Unlike JPEG, the full GIF image pipeline is bit-exact: random
+    indices through a random palette decode to exactly the palette
+    lookup of the input raster."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import encode_gif, parse_gif
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, w * h, dtype=np.uint8)
+    pal = rng.integers(0, 256, 256 * 3, dtype=np.uint8)
+    got_w, got_h, rgb = parse_gif(encode_gif(w, h, idx.tobytes(), pal.tobytes()))
+    assert (got_w, got_h) == (w, h)
+    assert rgb == pal.reshape(-1, 3)[idx].reshape(-1).tobytes()
