@@ -682,3 +682,105 @@ def editdistance_pairs(
         .filter(F.col("edist") <= max_ed)
         .select("id_a", "id_b", "edist")
     )
+
+
+def editdistance_pairs_passjoin(
+    df: DataFrame,
+    id_col: str,
+    key_col: Column,
+    max_ed: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, edist): pairs of FIXED-LENGTH keys within ``max_ed``
+    Levenshtein edits — the PassJoin segment filter (Li, Deng, Feng 2011,
+    "PASS-JOIN: A Partition-based Method for Similarity Joins"), the
+    scale path past the single-deletion FastSS radius.
+
+    Candidate completeness (same-length strings): partition the key into
+    ``max_ed + 1`` segments; at most ``max_ed`` edits touch the
+    alignment, so BY PIGEONHOLE one segment is untouched, and the edits
+    before it shift its aligned copy in the other string by at most
+    ±``max_ed`` positions. Hence an equi-join of every string's exact
+    segments against every string's position-shifted substrings (the
+    (2·max_ed+1)-slot probe grid) finds every true pair; exact
+    levenshtein on the survivors makes the output definition-exact.
+    tests/test_editdistance.py proves set-equality against an
+    independent quadratic DuckDB join.
+
+    Fixed-length contract: segment offsets are static columns, so the
+    key length must be uniform — validated with one tiny distinct-scan
+    (driver-side, one value). Variable-length corpora need PassJoin's
+    length-grouped indexes; refusing loudly beats silently missing
+    cross-length pairs.
+
+    Scale: 3 index rows + ≤15 probe rows per key (for max_ed=2), one
+    equi shuffle on (segment_idx, content) — bucket occupancy mirrors
+    true duplicate structure exactly like the FastSS join; never
+    all-pairs. The neighborhood alternative at k=2 is C(L,2) ≈ 66
+    variants per string and grows quadratically with the radius; the
+    probe grid grows linearly."""
+    keyed = df.select(F.col(id_col).alias("_id"), key_col.alias("_key"))
+    lens = [
+        r["_l"]
+        for r in keyed.select(F.length("_key").alias("_l")).distinct().limit(3).collect()
+    ]
+    if len(lens) != 1:
+        raise ValueError(
+            f"editdistance_pairs_passjoin requires fixed-length keys, "
+            f"saw lengths {sorted(lens)}; pad/truncate the key or group "
+            "by length first"
+        )
+    L = int(lens[0])
+    segs = max_ed + 1
+    if L < segs:
+        raise ValueError(f"key length {L} shorter than {segs} segments")
+    bounds = []
+    start = 0
+    base, rem = divmod(L, segs)
+    for i in range(segs):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((i, start, ln))
+        start += ln
+
+    idx_structs = [
+        F.struct(
+            F.lit(i).alias("i"), F.substring("_key", s + 1, ln).alias("c")
+        )
+        for i, s, ln in bounds
+    ]
+    probe_structs = [
+        F.struct(
+            F.lit(i).alias("i"), F.substring("_key", s + d + 1, ln).alias("c")
+        )
+        for i, s, ln in bounds
+        for d in range(-max_ed, max_ed + 1)
+        if 0 <= s + d and s + d + ln <= L
+    ]
+    idx = keyed.select(
+        F.col("_id").alias("id_i"),
+        F.col("_key").alias("key_i"),
+        F.explode(F.array(*idx_structs)).alias("sg"),
+    ).select("id_i", "key_i", F.col("sg.i").alias("i"), F.col("sg.c").alias("c"))
+    prb = keyed.select(
+        F.col("_id").alias("id_p"),
+        F.col("_key").alias("key_p"),
+        F.explode(F.array(*probe_structs)).alias("sg"),
+    ).select("id_p", "key_p", F.col("sg.i").alias("i"), F.col("sg.c").alias("c"))
+    lo = F.col("id_i") < F.col("id_p")
+    cand = (
+        idx.join(prb, ["i", "c"])
+        .filter(F.col("id_i") != F.col("id_p"))
+        .select(
+            F.when(lo, F.col("id_i")).otherwise(F.col("id_p")).alias("id_a"),
+            F.when(lo, F.col("id_p")).otherwise(F.col("id_i")).alias("id_b"),
+            F.when(lo, F.col("key_i")).otherwise(F.col("key_p")).alias("_key_a"),
+            F.when(lo, F.col("key_p")).otherwise(F.col("key_i")).alias("_key_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "edist", F.levenshtein("_key_a", "_key_b").cast("long")
+        )
+        .filter(F.col("edist") <= max_ed)
+        .select("id_a", "id_b", "edist")
+    )

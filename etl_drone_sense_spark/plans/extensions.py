@@ -4017,3 +4017,62 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+@register(
+    "dedup_editdistance_k2",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, lower(substr(text, 1, 12)) AS key
+        FROM documents WHERE text IS NOT NULL
+    ),
+    seg AS (
+        SELECT doc_id, key, CAST(i AS INTEGER) AS i,
+               substr(key, 1 + CAST(i AS INTEGER) * 4, 4) AS c
+        FROM k, unnest([0, 1, 2]) AS s(i)
+    ),
+    probe AS (
+        SELECT doc_id, key, CAST(i AS INTEGER) AS i,
+               substr(key, 1 + CAST(i AS INTEGER) * 4 + CAST(d AS INTEGER), 4) AS c
+        FROM k, unnest([0, 1, 2]) AS s(i), unnest([-2, -1, 0, 1, 2]) AS t(d)
+        WHERE 1 + CAST(i AS INTEGER) * 4 + CAST(d AS INTEGER) >= 1
+          AND CAST(i AS INTEGER) * 4 + CAST(d AS INTEGER) + 4 <= 12
+    ),
+    cand AS (
+        SELECT DISTINCT
+            CASE WHEN a.doc_id < b.doc_id THEN a.doc_id ELSE b.doc_id END AS id_a,
+            CASE WHEN a.doc_id < b.doc_id THEN b.doc_id ELSE a.doc_id END AS id_b,
+            CASE WHEN a.doc_id < b.doc_id THEN a.key ELSE b.key END AS key_a,
+            CASE WHEN a.doc_id < b.doc_id THEN b.key ELSE a.key END AS key_b
+        FROM seg a JOIN probe b
+          ON a.i = b.i AND a.c = b.c AND a.doc_id <> b.doc_id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(key_a, key_b) AS BIGINT) AS edist
+    FROM cand WHERE levenshtein(key_a, key_b) <= 2
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity", "join"),
+)
+def dedup_editdistance_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join at radius TWO — the scale path past
+    dedup_editdistance's single-deletion neighborhood: PassJoin segment
+    partitioning (operators/dedup.py::editdistance_pairs_passjoin) over
+    the 12-char title key. One untouched segment per true pair
+    (pigeonhole over 3 segments vs ≤2 edits) appears position-shifted by
+    ≤2 in the partner, so exact segments equi-join against a 15-slot
+    shifted-substring probe grid; exact levenshtein ≤ 2 on top makes the
+    output definition-exact. The oracle transcribes the same
+    construction; tests/test_editdistance.py pins BOTH radius queries
+    against an independent quadratic DuckDB levenshtein join (the
+    mirror-oracle blind spot check), and the operator refuses
+    mixed-length keys rather than silently missing cross-length pairs.
+
+    Scale: 3+15 short rows per key, one (segment_idx, content) equi
+    shuffle — candidate volume linear in corpus + true-pair structure;
+    the k-deletion neighborhood alternative grows C(L,k) per string."""
+    from ..operators.dedup import editdistance_pairs_passjoin
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return editdistance_pairs_passjoin(
+        docs, "doc_id", F.lower(F.substring("text", 1, 12)), max_ed=2
+    ).orderBy("id_a", "id_b")
