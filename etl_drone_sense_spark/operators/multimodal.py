@@ -541,17 +541,37 @@ def _lzw_decompress_gif(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_order(height: int) -> list[int]:
+    """Row storage order of an interlaced GIF frame: four passes with
+    strides 8/8/4/2 starting at rows 0/4/2/1 (GIF89a spec appendix E)."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def encode_gif(
-    width: int, height: int, indices: bytes, palette: bytes
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    interlaced: bool = False,
 ) -> bytes:
-    """GIF89a writer: one non-interlaced frame over a 256-entry global
-    color table. ``indices`` is the w*h index raster; ``palette`` is 768
+    """GIF89a writer: one frame over a 256-entry global color table.
+    ``indices`` is the w*h index raster in NORMAL row order; with
+    ``interlaced`` the rows are stored in four-pass order and the flag
+    set, exactly as a real interlaced writer would. ``palette`` is 768
     bytes of RGB triples. Fixture side of the codec pair (encode_png's
     role for the LZW tier)."""
     if len(indices) != width * height:
         raise ValueError("gif: raster size mismatch")
     if len(palette) != 256 * 3:
         raise ValueError("gif: palette must be 256 RGB entries")
+    if interlaced:
+        indices = b"".join(
+            indices[r * width : (r + 1) * width]
+            for r in _gif_interlace_order(height)
+        )
     out = bytearray(b"GIF89a")
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
     out.append(0xF7)  # GCT present, 8-bit colour resolution, 256 entries
@@ -559,7 +579,7 @@ def encode_gif(
     out += palette
     out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out.append(0x00)  # no LCT, not interlaced
+    out.append(0x40 if interlaced else 0x00)  # LCT absent; interlace flag
     out.append(8)  # LZW min code size
     comp = _lzw_compress_gif(indices, 8)
     for i in range(0, len(comp), 255):
@@ -574,11 +594,11 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a single-frame GIF87a/89a to (width, height, raw RGB).
 
     Supported: global or local color table, any LZW min code size,
-    extension blocks skipped (GCE transparency is IGNORED — the feature
-    extractor reads opaque RGB like the PNG alpha-drop path). Quarantined
-    as ValueError (the one-corrupt-blob-must-not-kill-the-scan
-    contract): interlaced frames, missing color table, truncated or
-    over-long LZW streams, junk after the raster."""
+    INTERLACED frames (four-pass row reorder), extension blocks skipped
+    (GCE transparency is IGNORED — the feature extractor reads opaque
+    RGB like the PNG alpha-drop path). Quarantined as ValueError (the
+    one-corrupt-blob-must-not-kill-the-scan contract): missing color
+    table, truncated or over-long LZW streams, junk after the raster."""
     buf = bytes(payload or b"")
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
@@ -621,8 +641,7 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
     h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
     ipacked = buf[pos + 8]
     pos += 9
-    if ipacked & 0x40:
-        raise ValueError("gif: interlaced frames unsupported")
+    interlaced = bool(ipacked & 0x40)
     ct = gct
     if ipacked & 0x80:
         n = 2 << (ipacked & 0x07)
@@ -657,6 +676,11 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
     if len(indices) < w * h:
         raise ValueError("gif: raster shorter than frame")
     indices = indices[: w * h]
+    if interlaced:
+        rows = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+        out_rows = np.empty_like(rows)
+        out_rows[_gif_interlace_order(h)] = rows
+        indices = out_rows.tobytes()
     n_colors = len(ct) // 3
     arr = np.frombuffer(indices, dtype=np.uint8)
     if int(arr.max(initial=0)) >= n_colors:

@@ -4004,9 +4004,10 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean and hash-fails; the decoder is additionally pinned against a
     canonical externally-packed GIF byte string in
     tests/test_multimodal.py so a symmetric encoder/decoder convention
-    bug cannot round-trip invisibly. Interlaced and animated GIFs
-    quarantine; the lone-frame opaque-RGB read mirrors the PNG
-    alpha-drop semantics."""
+    bug cannot round-trip invisibly. Interlaced frames DECODE (four-pass
+    row reorder, round-trip-tested against progressive storage at
+    degenerate heights); animated GIFs quarantine; the lone-frame
+    opaque-RGB read mirrors the PNG alpha-drop semantics."""
     media = multimodal.synth_gif_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
     return feats.filter(F.col("decode_ok")).select(

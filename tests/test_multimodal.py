@@ -805,18 +805,31 @@ def test_gif_quarantines_malformed():
         parse_gif(b"NOTGIF" + good[6:])
     with pytest.raises(ValueError):
         parse_gif(good[:40])  # truncated mid-structure
-    # interlace flag set on the image descriptor
-    evil = bytearray(good)
-    desc = good.index(b"\x2c", 13)
-    evil[desc + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        parse_gif(bytes(evil))
-    # index beyond a short local/global table is refused, not wrapped
-    small_pal_gif = bytearray(good)
-    # shrink GCT declaration to 2 entries but keep an index of 5 in data:
-    # simpler: corrupt LZW stream instead — flip the sub-block length up
     with pytest.raises(ValueError):
         parse_gif(good[:-2])  # missing terminator+trailer
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced storage (four-pass row order + flag) decodes to the
+    SAME raster as progressive storage — and the two payloads differ on
+    the wire, so the reorder is actually exercised."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import encode_gif, parse_gif
+
+    w, h = 7, 13  # odd height: all four passes non-empty and uneven
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+    pal = bytes((k * 5 + c) % 256 for k in range(256) for c in range(3))
+    plain = encode_gif(w, h, idx, pal)
+    inter = encode_gif(w, h, idx, pal, interlaced=True)
+    assert plain != inter
+    assert parse_gif(inter) == parse_gif(plain)
+    for hh in (1, 2, 3, 4, 8, 9):  # degenerate heights: passes collapse
+        idx2 = bytes(range(w * hh))
+        assert parse_gif(
+            encode_gif(w, hh, idx2, pal, interlaced=True)
+        ) == parse_gif(encode_gif(w, hh, idx2, pal))
 
 
 def test_gif_end_to_end_decode_matches_formula(spark):
