@@ -46,7 +46,8 @@ BUDGETS_S: dict[str, float] = {
     # rounds; checkpoint every 4th + final — overhead-bound at sf0.1)
     "q2_min_cost_supplier": 2.38,  # r8: 1.8 x 1.32 s quiet median
     "q9_product_profit": 1.97,  # r8: 1.8 x 1.10 s quiet median
-    "q21_waiting_suppliers": 3.16,  # r8: 1.8 x 1.76 s quiet median
+    "q21_waiting_suppliers": 2.25,  # r8: 1.8 x 1.25 s quiet median
+    # (two-level pair agg, no Expand — was 1.76 s with countDistinct)
     "scd2_point_in_time": 1.17,  # r8: 0.57 s quiet median + 0.6 floor
     "corpus_prepare_pipeline": 4.30,
     "dedup_exact_substring": 3.93,  # r5: 1.8 × 2.18 s quiet-machine median
