@@ -723,6 +723,10 @@ def editdistance_pairs_passjoin(
         r["_l"]
         for r in keyed.select(F.length("_key").alias("_l")).distinct().limit(3).collect()
     ]
+    if not lens:  # empty corpus → empty pair relation, not an error
+        return keyed.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, edist long"
+        )
     if len(lens) != 1:
         raise ValueError(
             f"editdistance_pairs_passjoin requires fixed-length keys, "

@@ -135,3 +135,22 @@ def test_passjoin_catches_shifted_segment_pairs(spark):
     assert got[(1, 2)] == 2 and got[(1, 3)] == 2
     assert got[(1, 4)] == 1 and got[(1, 5)] == 2
     assert all(6 not in p for p in got)
+
+
+def test_operators_handle_empty_corpus(spark):
+    """An empty corpus yields empty pair relations — never a driver
+    error (a 100 TB pipeline's first partition filter can legitimately
+    drop everything)."""
+    from etl_drone_sense_spark.operators.dedup import (
+        editdistance_pairs,
+        editdistance_pairs_passjoin,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, key string")
+    assert editdistance_pairs(empty, "doc_id", F.col("key")).count() == 0
+    assert (
+        editdistance_pairs_passjoin(
+            empty, "doc_id", F.col("key"), max_ed=2
+        ).count()
+        == 0
+    )

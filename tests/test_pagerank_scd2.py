@@ -77,3 +77,15 @@ def test_scd2_without_suppression_splits_versions(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, tier double")
     got = scd2_history(df, "user_id", "ts", ["tier"], suppress_unchanged=False)
     assert got.count() == 2
+
+
+def test_operators_handle_empty_inputs(spark):
+    from etl_drone_sense_spark.operators.graph import pagerank_fixed_point
+    from etl_drone_sense_spark.operators.temporal import scd2_history
+
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_fixed_point(no_edges, iters=2).count() == 0
+    no_changes = spark.createDataFrame(
+        [], "user_id long, ts timestamp, tier double"
+    )
+    assert scd2_history(no_changes, "user_id", "ts", ["tier"]).count() == 0
