@@ -590,22 +590,67 @@ def encode_gif(
     return bytes(out)
 
 
-def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a single-frame GIF87a/89a to (width, height, raw RGB).
+def encode_gif_animated(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    palette: bytes,
+    delay_cs: int = 10,
+) -> bytes:
+    """GIF89a animation writer: every frame full-rect over the global
+    color table, a Graphic Control Extension (delay, no transparency)
+    before each — the full-frame subset parse_gif_frames decodes."""
+    if not frames:
+        raise ValueError("gif: animation needs at least one frame")
+    if len(palette) != 256 * 3:
+        raise ValueError("gif: palette must be 256 RGB entries")
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0xF7)
+    out += b"\x00\x00"
+    out += palette
+    for indices in frames:
+        if len(indices) != width * height:
+            raise ValueError("gif: raster size mismatch")
+        out += b"\x21\xf9\x04\x00"  # GCE: no disposal, no transparency
+        out += delay_cs.to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out.append(0x00)
+        out.append(8)
+        comp = _lzw_compress_gif(bytes(indices), 8)
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
 
-    Supported: global or local color table, any LZW min code size,
-    INTERLACED frames (four-pass row reorder), extension blocks skipped
-    (GCE transparency is IGNORED — the feature extractor reads opaque
-    RGB like the PNG alpha-drop path). Quarantined as ValueError (the
-    one-corrupt-blob-must-not-kill-the-scan contract): missing color
-    table, truncated or over-long LZW streams, junk after the raster."""
+
+def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a GIF87a/89a to (width, height, [raw RGB per frame]) —
+    single images AND full-frame animations.
+
+    Supported: global or local color tables, any LZW min code size,
+    INTERLACED frames (four-pass row reorder), any number of frames,
+    extension blocks skipped (GCE transparency/disposal is IGNORED —
+    every supported frame is a full-rect replacement, so there is
+    nothing to compose; the feature extractor reads opaque RGB like the
+    PNG alpha-drop path). Quarantined as ValueError (the one-corrupt-
+    blob-must-not-kill-the-scan contract): PARTIAL-RECT animation
+    frames (sub-rectangle updates need disposal compositing — the
+    honest unsupported subset), missing color tables, truncated or
+    over-long LZW streams."""
     buf = bytes(payload or b"")
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     if len(buf) < 13:
         raise ValueError("gif: truncated header")
     pos = 6
-    pos += 4  # logical screen w/h (frame descriptor is authoritative)
+    sw = int.from_bytes(buf[pos : pos + 2], "little")
+    sh = int.from_bytes(buf[pos + 2 : pos + 4], "little")
+    pos += 4
     packed = buf[pos]
     pos += 3
     gct = b""
@@ -615,13 +660,16 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
         if len(gct) < 3 * n:
             raise ValueError("gif: truncated global color table")
         pos += 3 * n
+
+    frames: list[bytes] = []
+    size: tuple[int, int] | None = None
     while True:
         if pos >= len(buf):
-            raise ValueError("gif: missing image descriptor")
+            raise ValueError("gif: missing trailer")
         b0 = buf[pos]
         pos += 1
-        if b0 == 0x3B:
-            raise ValueError("gif: no image frame before trailer")
+        if b0 == 0x3B:  # trailer
+            break
         if b0 == 0x21:  # extension: label + sub-blocks
             pos += 1
             while True:
@@ -634,60 +682,78 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
             continue
         if b0 != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b0:02x}")
-        break
-    if pos + 9 > len(buf):
-        raise ValueError("gif: truncated image descriptor")
-    w = int.from_bytes(buf[pos + 4 : pos + 6], "little")
-    h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
-    ipacked = buf[pos + 8]
-    pos += 9
-    interlaced = bool(ipacked & 0x40)
-    ct = gct
-    if ipacked & 0x80:
-        n = 2 << (ipacked & 0x07)
-        ct = buf[pos : pos + 3 * n]
-        if len(ct) < 3 * n:
-            raise ValueError("gif: truncated local color table")
-        pos += 3 * n
-    if not ct:
-        raise ValueError("gif: frame has no color table")
-    if w < 1 or h < 1:
-        raise ValueError("gif: empty frame")
-    if pos >= len(buf):
-        raise ValueError("gif: missing LZW min code size")
-    min_code = buf[pos]
-    pos += 1
-    if not 2 <= min_code <= 11:
-        raise ValueError("gif: bad LZW min code size")
-    comp = bytearray()
-    while True:
+        if pos + 9 > len(buf):
+            raise ValueError("gif: truncated image descriptor")
+        left = int.from_bytes(buf[pos : pos + 2], "little")
+        top = int.from_bytes(buf[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(buf[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
+        ipacked = buf[pos + 8]
+        pos += 9
+        if (left, top) != (0, 0) or (sw and sh and (w, h) != (sw, sh)):
+            raise ValueError(
+                "gif: partial-rect animation frames unsupported "
+                "(disposal compositing needed)"
+            )
+        if size is not None and (w, h) != size:
+            raise ValueError("gif: frame size changed mid-animation")
+        interlaced = bool(ipacked & 0x40)
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = buf[pos : pos + 3 * n]
+            if len(ct) < 3 * n:
+                raise ValueError("gif: truncated local color table")
+            pos += 3 * n
+        if not ct:
+            raise ValueError("gif: frame has no color table")
+        if w < 1 or h < 1:
+            raise ValueError("gif: empty frame")
         if pos >= len(buf):
-            raise ValueError("gif: truncated image data")
-        n = buf[pos]
+            raise ValueError("gif: missing LZW min code size")
+        min_code = buf[pos]
         pos += 1
-        if n == 0:
-            break
-        block = buf[pos : pos + n]
-        if len(block) < n:
-            raise ValueError("gif: short data sub-block")
-        comp += block
-        pos += n
-    indices = _lzw_decompress_gif(bytes(comp), min_code)
-    if len(indices) < w * h:
-        raise ValueError("gif: raster shorter than frame")
-    indices = indices[: w * h]
-    if interlaced:
-        rows = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
-        out_rows = np.empty_like(rows)
-        out_rows[_gif_interlace_order(h)] = rows
-        indices = out_rows.tobytes()
-    n_colors = len(ct) // 3
-    arr = np.frombuffer(indices, dtype=np.uint8)
-    if int(arr.max(initial=0)) >= n_colors:
-        raise ValueError("gif: index beyond color table")
-    pal = np.frombuffer(ct[: 3 * n_colors], dtype=np.uint8).reshape(-1, 3)
-    rgb = pal[arr].reshape(-1)
-    return w, h, rgb.tobytes()
+        if not 2 <= min_code <= 11:
+            raise ValueError("gif: bad LZW min code size")
+        comp = bytearray()
+        while True:
+            if pos >= len(buf):
+                raise ValueError("gif: truncated image data")
+            n = buf[pos]
+            pos += 1
+            if n == 0:
+                break
+            block = buf[pos : pos + n]
+            if len(block) < n:
+                raise ValueError("gif: short data sub-block")
+            comp += block
+            pos += n
+        indices = _lzw_decompress_gif(bytes(comp), min_code)
+        if len(indices) < w * h:
+            raise ValueError("gif: raster shorter than frame")
+        indices = indices[: w * h]
+        if interlaced:
+            rows = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+            out_rows = np.empty_like(rows)
+            out_rows[_gif_interlace_order(h)] = rows
+            indices = out_rows.tobytes()
+        n_colors = len(ct) // 3
+        arr = np.frombuffer(indices, dtype=np.uint8)
+        if int(arr.max(initial=0)) >= n_colors:
+            raise ValueError("gif: index beyond color table")
+        pal = np.frombuffer(ct[: 3 * n_colors], dtype=np.uint8).reshape(-1, 3)
+        frames.append(pal[arr].reshape(-1).tobytes())
+        size = (w, h)
+    if not frames:
+        raise ValueError("gif: no image frame before trailer")
+    return size[0], size[1], frames
+
+
+def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """First frame of a GIF as (width, height, raw RGB) — the raster-
+    codec interface parse_image dispatches to (parse_png's shape)."""
+    w, h, frames = parse_gif_frames(payload)
+    return w, h, frames[0]
 
 
 def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
@@ -1639,11 +1705,13 @@ VIDEO_FEATURE_SCHEMA = T.StructType(
 
 
 def decode_video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
-    """MJPEG-AVI payloads → per-SAMPLED-frame features via
-    ``mapInPandas`` (Arrow-batched): container walk (parse_avi), decode
-    every ``every_n``-th frame with the real JPEG decoder, emit one row
-    per sampled frame (frame_idx, dims, channel means — exact-integer
-    sums divided once in double, the image convention). Undecodable
+    """Video payloads (MJPEG-AVI or animated GIF — magic-byte dispatch)
+    → per-SAMPLED-frame features via ``mapInPandas`` (Arrow-batched):
+    container walk (parse_avi / parse_gif_frames), decode every
+    ``every_n``-th frame (real JPEG decoder for AVI; GIF frames arrive
+    already palette-resolved), emit one row per sampled frame
+    (frame_idx, dims, channel means — exact-integer sums divided once
+    in double, the image convention). Undecodable
     payloads yield ONE ``decode_ok=false`` row instead of failing the
     batch — the multimodal quarantine contract. The heavy binary column
     dies here; downstream sees only small typed rows. ``every_n`` is
@@ -1666,12 +1734,19 @@ def decode_video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 mid = int(mid)
                 try:
-                    w, h, _uspf, frames = parse_avi(payload)
-                    for fi in range(0, len(frames), every_n):
-                        fw, fh, raster = parse_jpeg(frames[fi])
+                    # container dispatch: animated GIF frames arrive as
+                    # decoded RGB; AVI frames as per-frame JPEG payloads
+                    if bytes(payload or b"")[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, rasters = parse_gif_frames(payload)
+                        decode_frame = lambda fr: (w, h, fr)  # noqa: E731
+                    else:
+                        w, h, _uspf, rasters = parse_avi(payload)
+                        decode_frame = parse_jpeg
+                    for fi in range(0, len(rasters), every_n):
+                        fw, fh, raster = decode_frame(rasters[fi])
                         if (fw, fh) != (w, h):
                             raise ValueError(
-                                "AVI frame dims disagree with header"
+                                "video frame dims disagree with header"
                             )
                         sums = (
                             np.frombuffer(raster, dtype=np.uint8)
@@ -1681,7 +1756,7 @@ def decode_video_features(media: DataFrame, every_n: int = 1) -> DataFrame:
                         )
                         px = fw * fh
                         emit(
-                            mid, True, fi, len(frames), fw, fh,
+                            mid, True, fi, len(rasters), fw, fh,
                             sums[0] / px, sums[1] / px, sums[2] / px,
                         )
                 except ValueError:
@@ -1906,6 +1981,33 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
                 idx = bytes((did * 43 + p) % 64 for p in range(w * h))
                 pal = bytes((did * 47 + b) % 256 for b in range(256 * 3))
                 payloads.append(encode_gif(w, h, idx, pal))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic ANIMATED GIF payloads keyed by doc id —
+    REAL multi-frame GIF89a (GCE + full-rect frames, encode_gif_animated):
+    ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``,
+    ``n_frames = 2 + doc_id % 4``; frame ``f`` index at pixel ``p`` =
+    ``(doc_id*53 + f*17 + p) % 64``, palette byte ``b`` =
+    ``(doc_id*59 + b) % 256``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                pal = bytes((did * 59 + b) % 256 for b in range(256 * 3))
+                frames = [
+                    bytes((did * 53 + f * 17 + p) % 64 for p in range(w * h))
+                    for f in range(2 + did % 4)
+                ]
+                payloads.append(encode_gif_animated(w, h, frames, pal))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

@@ -4077,3 +4077,57 @@ def dedup_editdistance_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdistance_pairs_passjoin(
         docs, "doc_id", F.lower(F.substring("text", 1, 12)), max_ed=2
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "multimodal_gif_frame_sample",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+               2 + doc_id % 4 AS nf
+        FROM documents
+    ),
+    frm AS (
+        SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM dims
+        WHERE true
+    ),
+    px AS (
+        SELECT doc_id, w, h, nf, f, unnest(range(0, w * h)) AS p
+        FROM frm WHERE f % 2 = 0
+    ),
+    val AS (
+        SELECT doc_id, w, h, nf, f,
+               (doc_id * 59 + ((doc_id * 53 + f * 17 + p) % 64) * 3) % 256 AS vr,
+               (doc_id * 59 + ((doc_id * 53 + f * 17 + p) % 64) * 3 + 1) % 256 AS vg
+        FROM px
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           round(CAST(sum(vr) AS DOUBLE) / (w * h), 6) AS mean_r,
+           round(CAST(sum(vg) AS DOUBLE) / (w * h), 6) AS mean_g
+    FROM val GROUP BY doc_id, f, nf, w, h
+    """,
+    tags=("multimodal", "video", "sampling", "pandas_udf"),
+)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF strided frame sampling (late r8): real multi-frame
+    GIF89a payloads (GCE + full-rect frames, every frame LZW-coded over
+    the shared global palette) through the SAME
+    ``decode_video_features(every_n=2)`` path as the MJPEG-AVI twin —
+    the container dispatch is per payload on magic bytes, so one decode
+    operator serves both video tiers. Frame content is an arithmetic
+    function of (doc_id, frame, pixel), so the oracle derives every
+    sampled frame's means in SQL: a GCE-skip, per-frame LZW reset, or
+    stride bug changes the row set or a mean and hash-fails.
+    Partial-rect animation frames (disposal compositing) quarantine —
+    the honest unsupported subset, like H.264 for AVI."""
+    media = multimodal.synth_gif_anim_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_video_features(media, every_n=2)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+    )

@@ -848,3 +848,51 @@ def test_gif_end_to_end_decode_matches_formula(spark):
             (did * 47 + ((did * 43 + p) % 64) * 3) % 256 for p in range(w * h)
         ]
         assert abs(r["mean_r"] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_gif_animation_roundtrip_and_partial_rect_quarantine():
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_gif_animated,
+        parse_gif_frames,
+    )
+
+    w, h = 5, 4
+    pal = bytes((k + c) % 256 for k in range(256) for c in range(3))
+    frames = [bytes((f * 7 + p) % 64 for p in range(w * h)) for f in range(3)]
+    gw, gh, got = parse_gif_frames(encode_gif_animated(w, h, frames, pal))
+    assert (gw, gh, len(got)) == (w, h, 3)
+    palv = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    for f, fr in enumerate(frames):
+        exp = palv[np.frombuffer(fr, np.uint8)].reshape(-1).tobytes()
+        assert got[f] == exp
+
+    # partial-rect frame: shift the second descriptor's left offset
+    payload = bytearray(encode_gif_animated(w, h, frames, pal))
+    first = payload.index(b"\x2c", 13 + 768)
+    second = payload.index(b"\x2c", first + 1)
+    # make sure we found a descriptor, not a pixel byte: descriptor is
+    # preceded by the GCE terminator \x00
+    while payload[second - 1] != 0:
+        second = payload.index(b"\x2c", second + 1)
+    payload[second + 1] = 1  # left = 1
+    with pytest.raises(ValueError, match="partial-rect"):
+        parse_gif_frames(bytes(payload))
+
+
+def test_video_features_dispatch_gif(spark):
+    from etl_drone_sense_spark.operators import multimodal
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    feats = multimodal.decode_video_features(
+        multimodal.synth_gif_anim_media(docs), every_n=2
+    ).collect()
+    for r in feats:
+        did = r["media_id"]
+        assert r["decode_ok"]
+        assert r["frame_idx"] % 2 == 0
+        assert r["n_frames"] == 2 + did % 4
+        w, h = 4 + did % 5, 3 + did % 4
+        assert (r["width"], r["height"]) == (w, h)
