@@ -489,7 +489,15 @@ def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decompress_gif(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decompress_gif(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytes:
+    """``max_out`` bounds the decompressed size: LZW output is quadratic
+    in the code count (entry lengths grow by one per code), so without a
+    cap a kilobytes-sized adversarial stream expands to gigabytes and
+    kills the Arrow task with an OOM that escapes the ValueError
+    quarantine. Callers know the raster size; over-long streams are
+    corrupt by definition and quarantine loudly."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -538,6 +546,8 @@ def _lzw_decompress_gif(data: bytes, min_code_size: int) -> bytes:
             raise ValueError("gif: LZW code beyond table")
         out += entry
         prev = entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("gif: LZW stream expands beyond the raster")
     return bytes(out)
 
 
@@ -728,7 +738,11 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
                 raise ValueError("gif: short data sub-block")
             comp += block
             pos += n
-        indices = _lzw_decompress_gif(bytes(comp), min_code)
+        # cap = raster + one max-length entry of slack (a conformant
+        # final code may overshoot the raster by its entry length)
+        indices = _lzw_decompress_gif(
+            bytes(comp), min_code, max_out=w * h + 4096
+        )
         if len(indices) < w * h:
             raise ValueError("gif: raster shorter than frame")
         indices = indices[: w * h]

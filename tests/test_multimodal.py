@@ -896,3 +896,33 @@ def test_video_features_dispatch_gif(spark):
         assert r["n_frames"] == 2 + did % 4
         w, h = 4 + did % 5, 3 + did % 4
         assert (r["width"], r["height"]) == (w, h)
+
+
+def test_gif_lzw_expansion_bomb_quarantines():
+    """A tiny declared frame carrying a huge LZW stream must raise the
+    quarantine ValueError at the size cap — not expand quadratically
+    toward an OOM that would kill the whole Arrow task."""
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        _lzw_compress_gif,
+        encode_gif,
+        parse_gif,
+    )
+
+    pal = bytes(768)
+    # honest 2x2 container, then splice in the LZW stream of a much
+    # larger raster (256x256 of structured content → big expansion)
+    bomb_raster = bytes((i * 7) % 256 for i in range(256 * 256))
+    bomb_stream = _lzw_compress_gif(bomb_raster, 8)
+    out = bytearray(encode_gif(2, 2, bytes(4), pal))
+    desc = out.index(b"\x2c", 13 + 768)
+    head = bytes(out[: desc + 10 + 1])  # through min-code-size byte
+    blocks = bytearray()
+    for i in range(0, len(bomb_stream), 255):
+        b = bomb_stream[i : i + 255]
+        blocks.append(len(b))
+        blocks += b
+    evil = head + bytes(blocks) + b"\x00\x3b"
+    with pytest.raises(ValueError, match="expands beyond"):
+        parse_gif(evil)
