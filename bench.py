@@ -44,7 +44,8 @@ BUDGETS_S: dict[str, float] = {
     "dedup_editdistance": 1.53,  # r8: 1.8 x 0.85 s quiet median
     "graph_pagerank": 6.50,  # r8: 1.8 x 3.61 s quiet median (5 fixed
     # rounds; checkpoint every 4th + final — overhead-bound at sf0.1)
-    "q2_min_cost_supplier": 2.38,  # r8: 1.8 x 1.32 s quiet median
+    "q2_min_cost_supplier": 1.93,  # r8: 1.8 x 1.07 s quiet median
+    # (rank-1 WindowGroupLimit — was 1.32 s as agg + equality probe)
     "q9_product_profit": 1.97,  # r8: 1.8 x 1.10 s quiet median
     "q21_waiting_suppliers": 2.25,  # r8: 1.8 x 1.25 s quiet median
     # (two-level pair agg, no Expand — was 1.76 s with countDistinct)

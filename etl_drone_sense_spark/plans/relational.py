@@ -789,11 +789,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality probe against the per-part minimum is exact).
 
     Scale: ps is one map-side-combinable agg on (partkey, suppkey);
-    eligible persists for its two consumers (per-part min + probe) instead
-    of recomputing the join web twice; nation/region broadcast; the
-    per-part min relation is small (≤ #parts) so its join back is
-    broadcast-able under AQE. Top-100 is a TakeOrderedAndProject heap with
-    a total-order tie-break (acctbal desc, nation, supplier, partkey)."""
+    the correlated min is a rank()==1 window over partkey — Spark plans
+    it as WindowGroupLimit (per-partition top-1 heaps BEFORE the
+    shuffle), and rank keeps min-cost TIES exactly like the oracle's
+    equality probe. One pass over the join web — the agg+equality-probe
+    formulation needed a persisted relation read twice and measured 25%
+    slower at sf0.1. nation/region broadcast. Top-100 is a
+    TakeOrderedAndProject heap with a total-order tie-break (acctbal
+    desc, nation, supplier, partkey)."""
     li = t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
@@ -814,16 +817,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name", "unit_cost",
         )
     )
-    eligible = scoped_persist("relational.q2_eligible", eligible)
-    per_part_min = eligible.groupBy(F.col("p_partkey").alias("_pk")).agg(
-        F.min("unit_cost").alias("_min_cost")
-    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost")
     return (
-        eligible.join(
-            per_part_min,
-            (F.col("_pk") == F.col("p_partkey"))
-            & (F.col("unit_cost") == F.col("_min_cost")),
-        )
+        eligible.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             F.col("unit_cost").alias("min_cost"),

@@ -538,12 +538,12 @@ def test_q21_decorrelates_to_one_lineitem_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q2_probe_reuses_persisted_eligible(spark, sf_dir):
-    """The correlated-min decorrelation must read the five-table join web
-    from the persisted `eligible` relation on BOTH consumers (the per-part
-    min and the probe) instead of re-running the join web."""
+def test_q2_min_is_window_group_limit(spark, sf_dir):
+    """The correlated min must plan as a rank-1 WindowGroupLimit (per-
+    partition top-1 heaps before the shuffle) — ONE pass over the join
+    web, not an aggregate + equality probe re-reading it."""
     plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
-    assert "InMemoryTableScan" in plan
+    assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan  # top-100 is a heap, not a sort
 
 
