@@ -796,14 +796,60 @@ def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _build_ulaw_table() -> np.ndarray:
+    """G.711 mu-law byte → int16 decode table (CCITT expansion: invert,
+    split sign/exponent/mantissa, rebuild with the 0x84 bias). Anchors:
+    0xFF → 0, 0x00 → −32124, 0x80 → +32124."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        out[b] = -mag if u & 0x80 else mag
+    return out
+
+
+_ULAW_TABLE = _build_ulaw_table()
+
+
+def linear_to_ulaw(x: int) -> int:
+    """int16 → G.711 mu-law byte (the fixture-side compressor; the
+    standard segment encoder with bias 0x84 and clip 32635)."""
+    sign = 0x80 if x < 0 else 0
+    mag = min(-x if x < 0 else x, 32635) + 0x84
+    exp = mag.bit_length() - 8
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def encode_wav_ulaw(sample_rate: int, channels: int, ulaw: bytes) -> bytes:
+    """RIFF/WAVE writer for G.711 mu-law (format 7, 8-bit) — one byte
+    per sample, block align = channels."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 7, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(ulaw)) + ulaw
+        + (b"\x00" if len(ulaw) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def parse_wav(payload: bytes):
     """Decode a RIFF/WAVE payload — dependency-free chunk walk per the
     RIFF spec (unknown chunks skipped, word-aligned). Supports the
-    interchange common case: PCM (format 1), 16-bit samples. Anything
-    else — float/ADPCM/24-bit, truncated data — raises ``ValueError``,
-    keeping the decode operators' per-row quarantine contract. Returns
-    ``(sample_rate, channels, int16 numpy array of interleaved
-    samples)``."""
+    interchange common cases: PCM (format 1, 16-bit) and G.711 mu-law
+    (format 7, 8-bit — telephony; expanded to int16 via the CCITT
+    table). Anything else — float/ADPCM/24-bit, truncated data — raises
+    ``ValueError``, keeping the decode operators' per-row quarantine
+    contract. Returns ``(sample_rate, channels, int16 numpy array of
+    interleaved samples)``."""
     import struct
 
     buf = bytes(payload or b"")
@@ -827,10 +873,13 @@ def parse_wav(payload: bytes):
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", data
             )
-            if audio_fmt != 1 or bits != 16:
+            if not (
+                (audio_fmt == 1 and bits == 16)
+                or (audio_fmt == 7 and bits == 8)
+            ):
                 raise ValueError(
-                    "unsupported WAV variant: need 16-bit PCM, got "
-                    f"format={audio_fmt} bits={bits}"
+                    "unsupported WAV variant: need 16-bit PCM or 8-bit "
+                    f"G.711 mu-law, got format={audio_fmt} bits={bits}"
                 )
             if channels < 1 or rate < 1:
                 # zero channels would divide-by-zero the frame-alignment
@@ -846,6 +895,10 @@ def parse_wav(payload: bytes):
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("WAV missing fmt /data chunk")
+    if audio_fmt == 7:  # G.711 mu-law: one byte per sample
+        if len(pcm) % channels:
+            raise ValueError("WAV data not frame-aligned")
+        return rate, channels, _ULAW_TABLE[np.frombuffer(pcm, dtype=np.uint8)]
     if len(pcm) % (2 * channels):
         raise ValueError("WAV data not frame-aligned")
     return rate, channels, np.frombuffer(pcm, dtype="<i2")
@@ -920,6 +973,30 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 i = np.arange(frames * ch, dtype=np.int64)
                 samples = (did * 53 + i * 7) % 65536 - 32768
                 payloads.append(encode_wav(rate, ch, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_ulaw_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic G.711 mu-law WAV payloads keyed by doc id
+    — REAL format-7 RIFF bytes: ``rate = 8000`` (the telephony rate),
+    mono, ``frames = 60 + doc_id % 50``, mu-law BYTE at sample ``i`` =
+    ``(doc_id * 29 + i * 11) % 256`` (every code point exercised), so a
+    SQL oracle derives the EXPANDED int16 stream by transcribing the
+    CCITT expansion arithmetic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = 60 + did % 50
+                i = np.arange(frames, dtype=np.int64)
+                ulaw = ((did * 29 + i * 11) % 256).astype(np.uint8)
+                payloads.append(encode_wav_ulaw(8000, 1, ulaw.tobytes()))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

@@ -4131,3 +4131,63 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
     )
+
+
+@register(
+    "multimodal_decode_ulaw",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 60 + doc_id % 50 AS frames FROM documents
+    ),
+    smp AS (
+        SELECT doc_id, frames, unnest(range(0, frames)) AS i FROM dims
+    ),
+    expand AS (
+        SELECT doc_id, frames,
+               255 - CAST((doc_id * 29 + i * 11) % 256 AS INTEGER) AS u
+        FROM smp
+    ),
+    val AS (
+        SELECT doc_id, frames,
+               CASE WHEN u >= 128 THEN
+                    -((((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132)
+               ELSE
+                    ((((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132)
+               END AS s
+        FROM expand
+    )
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           1 AS channels,
+           CAST(frames AS BIGINT) AS n_frames,
+           floor(frames * 1.0 / 8000 * 1000000 + 0.5) / 1000000
+               AS duration_s,
+           floor(sum(abs(s)) * 1.0 / frames * 1000000 + 0.5)
+               / 1000000 AS mean_abs,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM val GROUP BY doc_id, frames
+    """,
+    tags=("multimodal", "audio", "pandas_udf"),
+)
+def multimodal_decode_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode end-to-end (late r8): G.711 mu-law
+    (format-7 WAV, 8-bit logarithmic — the telephony codec) expanded to
+    int16 through the same Arrow decode_audio_features path as PCM.
+    The mu-law byte stream is an arithmetic function of doc_id covering
+    every code point, and the ORACLE TRANSCRIBES THE CCITT EXPANSION
+    ITSELF (invert, sign/exponent/mantissa split, 0x84-bias rebuild) in
+    SQL — a table, bias, or sign bug shifts mean_abs/peak and
+    hash-fails. MP3/AAC/FLAC remain honestly import-gated; mu-law is
+    the dependency-free compressed-audio tier, like GIF-LZW for
+    images."""
+    media = multimodal.synth_ulaw_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_audio_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        "mean_abs",
+        "peak",
+    )

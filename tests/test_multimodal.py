@@ -926,3 +926,75 @@ def test_gif_lzw_expansion_bomb_quarantines():
     evil = head + bytes(blocks) + b"\x00\x3b"
     with pytest.raises(ValueError, match="expands beyond"):
         parse_gif(evil)
+
+
+def test_ulaw_table_anchors_and_roundtrip():
+    """G.711 anchors (0xFF→0, 0x00→−32124, 0x80→+32124) and the
+    compress∘expand identity: every mu-law byte re-encodes to itself
+    except 0x7F (negative zero folds onto 0xFF)."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        _ULAW_TABLE,
+        linear_to_ulaw,
+    )
+
+    assert _ULAW_TABLE[0xFF] == 0
+    assert _ULAW_TABLE[0x00] == -32124
+    assert _ULAW_TABLE[0x80] == 32124
+    for b in range(256):
+        back = linear_to_ulaw(int(_ULAW_TABLE[b]))
+        assert back == (0xFF if b == 0x7F else b), b
+    # quantization: expansion of the compression of any int16 is within
+    # the segment step (≤ 2^(exp+3) ≈ mag/16 + 132)
+    for x in [-32768, -12345, -132, -1, 0, 1, 131, 132, 7000, 32124, 32767]:
+        y = int(_ULAW_TABLE[linear_to_ulaw(x)])
+        assert abs(y - max(min(x, 32635), -32635)) <= max(abs(x) / 15, 132), x
+
+
+def test_ulaw_wav_end_to_end(spark):
+    from etl_drone_sense_spark.operators import multimodal
+
+    docs = spark.range(4).withColumnRenamed("id", "doc_id")
+    feats = multimodal.decode_audio_features(
+        multimodal.synth_ulaw_media(docs)
+    ).collect()
+    import numpy as np
+
+    for r in feats:
+        did = r["media_id"]
+        frames = 60 + did % 50
+        assert r["decode_ok"] and r["n_frames"] == frames
+        assert (r["sample_rate"], r["channels"]) == (8000, 1)
+        i = np.arange(frames, dtype=np.int64)
+        vals = multimodal._ULAW_TABLE[((did * 29 + i * 11) % 256).astype(np.uint8)]
+        exp_mean = np.floor(
+            np.abs(vals.astype(np.int64)).sum() / frames * 1e6 + 0.5
+        ) / 1e6
+        assert r["mean_abs"] == exp_mean
+        assert r["peak"] == int(np.abs(vals.astype(np.int64)).max())
+
+
+def test_gif_fuzz_only_valueerror_escapes():
+    """Random and bit-flipped payloads must only ever raise ValueError —
+    any other exception class escapes the Arrow-task quarantine."""
+    import random
+
+    from etl_drone_sense_spark.operators.multimodal import encode_gif, parse_gif
+
+    rng = random.Random(5)
+    pal = bytes(range(256)) * 3
+    pal = pal[: 256 * 3]
+    good = encode_gif(5, 4, bytes(range(20)), pal)
+    for _ in range(300):
+        buf = bytearray(good)
+        for _ in range(rng.randrange(1, 6)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            parse_gif(bytes(buf))
+        except ValueError:
+            pass
+    for _ in range(200):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        try:
+            parse_gif(b"GIF89a" + blob)
+        except ValueError:
+            pass
