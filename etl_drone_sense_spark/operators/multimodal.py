@@ -999,6 +999,11 @@ def synth_ulaw_media(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_wav_ulaw(8000, 1, ulaw.tobytes()))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -2074,6 +2079,11 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_gif(w, h, idx, pal))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -2101,6 +2111,11 @@ def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_gif_animated(w, h, frames, pal))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )

@@ -3991,6 +3991,7 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM val GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "pandas_udf"),
+    bench=True,
 )
 def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF-LZW decode end-to-end (late r8) — the last common legacy-
@@ -4109,6 +4110,7 @@ def dedup_editdistance_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM val GROUP BY doc_id, f, nf, w, h
     """,
     tags=("multimodal", "video", "sampling", "pandas_udf"),
+    bench=True,
 )
 def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED-GIF strided frame sampling (late r8): real multi-frame
@@ -4168,6 +4170,7 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM val GROUP BY doc_id, frames
     """,
     tags=("multimodal", "audio", "pandas_udf"),
+    bench=True,
 )
 def multimodal_decode_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED audio decode end-to-end (late r8): G.711 mu-law
