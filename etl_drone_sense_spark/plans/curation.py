@@ -1635,3 +1635,164 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active")
     )
+
+
+_STREAM_SCD2_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "stream_scd2_apply",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, max(value) AS tier
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT user_id, ts, tier,
+               lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev_tier
+        FROM changes
+    ),
+    suppressed AS (
+        SELECT user_id, ts, tier FROM marked
+        WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT user_id, tier, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                AS BIGINT) AS version
+    FROM suppressed
+    ORDER BY user_id, version
+    """,
+    tags=("streaming", "lake", "scd", "cdc", "window"),
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING type-2 SCD maintenance — the dimension-history
+    complement of stream_merge_apply's type-1 latest-state apply: a
+    time-chunked change stream (purchase events split at an event-time
+    cutoff, sequential appends so mod-time draining order = event-time
+    order, ``maxFilesPerTrigger=1``) folds into a committed history
+    table batch by batch. Each micro-batch: dedupe per (user, ts),
+    suppress changes equal to the user's CURRENT tier (cross-batch
+    suppression — the lag chain continues across the boundary), CLOSE
+    the open row at the first kept change's timestamp, append new
+    versions numbered from the user's current version, and commit with a
+    txn watermark so a retried batch is a no-op.
+
+    The ORACLE IS THE BATCH BUILD over all changes at once (the same
+    construction as scd2_point_in_time's history CTE): the hash gate is
+    therefore the stream-chop invariance proof — incremental maintenance
+    over time-ordered chunks must converge to exactly the relational
+    history, version numbers, closed intervals, NULL-open current rows
+    and all. The raw-lag suppression equals compare-to-last-kept because
+    a suppressed run carries its value forward (the scd2_history
+    argument), and the cutoff chunking guarantees per-user in-order
+    arrival — the watermark assumption a real SCD2 feed runs under.
+
+    Scale: per batch, one shuffle on user_id (lag/lead/row_number share
+    the sort), one broadcast-able join against the open rows, one keyed
+    join to close them; the commit is a pointer swap. Built once per
+    source generation (fingerprint-keyed); later calls scan the table."""
+    import os as _os
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/events.parquet"))
+    root = _STREAM_SCD2_TABLES.get(key)
+    if root is None:
+        work = tempfile.mkdtemp(prefix="sg_scd2_")
+        root, feed, ckpt = (
+            _os.path.join(work, "tbl"),
+            _os.path.join(work, "feed"),
+            _os.path.join(work, "ckpt"),
+        )
+        hist_schema = (
+            "user_id bigint, tier double, valid_from timestamp, "
+            "valid_to timestamp, version bigint"
+        )
+        TC.commit(spark.createDataFrame([], hist_schema), root)
+
+        changes = (
+            t(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("tier"))
+        )
+        cutoff = changes.agg(
+            F.min("ts") + (F.max("ts") - F.min("ts")) / 2
+        ).first()[0]
+        # sequential appends: mod-time order = event-time order, the
+        # append-only landing convention the file source drains in
+        changes.filter(F.col("ts") < cutoff).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        changes.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            sp = bdf.sparkSession
+            tgt = TC.read_table(sp, root)
+            ch = bdf.groupBy("user_id", "ts").agg(F.max("tier").alias("tier"))
+            cur = tgt.filter(F.col("valid_to").isNull()).select(
+                "user_id",
+                F.col("tier").alias("_cur_tier"),
+                F.col("version").alias("_cur_ver"),
+            )
+            w = Window.partitionBy("user_id").orderBy("ts")
+            marked = ch.join(cur, "user_id", "left").withColumn(
+                "_prev", F.coalesce(F.lag("tier").over(w), F.col("_cur_tier"))
+            )
+            kept = marked.filter(
+                F.col("_prev").isNull() | (F.col("tier") != F.col("_prev"))
+            )
+            new_rows = kept.select(
+                "user_id",
+                "tier",
+                F.col("ts").alias("valid_from"),
+                F.lead("ts").over(w).alias("valid_to"),
+                (
+                    F.coalesce(F.col("_cur_ver"), F.lit(0))
+                    + F.row_number().over(w)
+                ).alias("version"),
+            )
+            first_new = kept.groupBy("user_id").agg(
+                F.min("ts").alias("_first")
+            )
+            closed = tgt.join(first_new, "user_id", "left").select(
+                "user_id",
+                "tier",
+                "valid_from",
+                F.when(
+                    F.col("valid_to").isNull() & F.col("_first").isNotNull(),
+                    F.col("_first"),
+                )
+                .otherwise(F.col("valid_to"))
+                .alias("valid_to"),
+                "version",
+            )
+            TC.commit(
+                closed.unionByName(new_rows),
+                root,
+                mode="overwrite",
+                _operation="scd2_apply",
+                txn=("stream_scd2", batch_id),
+            )
+
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, tier double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_SCD2_TABLES[key] = root
+    from ..sources import table_commit as TC2
+
+    return TC2.read_table(spark, root).orderBy("user_id", "version")

@@ -517,3 +517,24 @@ def test_tws_checkpoint_restart_invariance(spark, sf_dir, tmp_path):
     assert got == want
     # the restart really was a second query: emitted rows span >1 batch id
     assert emitted.select("_bid").distinct().count() >= 2
+
+
+def test_stream_scd2_apply_is_multi_batch_and_idempotent(spark, sf_dir):
+    """The chop-invariance claim needs a REAL multi-batch run: the
+    committed history table must carry >= 2 scd2_apply commits (one per
+    drained chunk file — AvailableNow must not have coalesced them), and
+    the final snapshot must carry the second chunk's txn watermark so a
+    replayed batch would no-op."""
+    from etl_drone_sense_spark.plans.curation import stream_scd2_apply
+    from etl_drone_sense_spark.plans.curation import _STREAM_SCD2_TABLES
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    stream_scd2_apply(spark, sf_dir).collect()  # builds (or reuses) the table
+    (root,) = [v for k, v in _STREAM_SCD2_TABLES.items() if k[0] == sf_dir]
+    version = TC.current_version(root)
+    ops = []
+    for v in range(1, version + 1):
+        ops.append(TC.read_snapshot(root, v).operation)
+    assert ops.count("scd2_apply") >= 2, ops
+    last = TC.read_snapshot(root, version)
+    assert last.txn_map.get("stream_scd2") == 1, last.txn
