@@ -41,6 +41,9 @@ from etl_drone_sense_spark.session import get_spark
 # when they first appear in a recorded BENCH_r{N}.json.
 BUDGETS_S: dict[str, float] = {
     "cdc_snapshot_diff": 1.12,
+    "hierarchy_flatten": 4.13,  # r9: 1.8 x 1.96 s quiet median + 0.6 floor
+    # (5 doubling rounds, barrier-bound at sf0.1 — the node relation is
+    # dimension-scale, so wall is ~fixed checkpoint latency x rounds)
     "dedup_editdistance": 1.53,  # r8: 1.8 x 0.85 s quiet median
     "graph_pagerank": 6.50,  # r8: 1.8 x 3.61 s quiet median (5 fixed
     # rounds; checkpoint every 4th + final — overhead-bound at sf0.1)

@@ -231,6 +231,99 @@ def pagerank_fixed_point(
     return ranks
 
 
+def flatten_hierarchy(
+    nodes: DataFrame,
+    key: str = "key",
+    parent: str = "parent",
+    max_doublings: int = 20,
+) -> DataFrame:
+    """(key, root_key, depth) for every node of a parent-pointer forest —
+    the ``WITH RECURSIVE`` ancestor-walk class (org charts, category
+    trees, BOM roll-ups) computed by POINTER DOUBLING.
+
+    ``nodes`` carries one row per node: ``key`` and ``parent`` (NULL for
+    a root). The forest must be acyclic; a cycle never reaches a root, so
+    the loop hits ``max_doublings`` and warns rather than spinning.
+
+    Why doubling instead of a per-edge walk: a naive loop follows ONE
+    parent edge per round (O(max_depth) shuffles — a 50-deep chain is 50
+    joins); doubling keeps, per node, the ancestor 2^j edges up plus the
+    real-edge count to it, and composes the relation with itself —
+    ``anc_{j+1}(k) = anc_j(anc_j(k))`` — so the whole forest flattens in
+    ceil(log2(max_depth)) self-joins. Roots self-loop with step count 0,
+    which makes the composition uniform: a finished row joins its root's
+    own fixed-point row and is unchanged, so there is no union-of-done
+    branch to grow the plan. Each round is ONE equi-shuffle of the
+    node-scale state on the ancestor pointer; lineage is truncated per
+    round (eager localCheckpoint) and the loop narrows the session
+    shuffle width to the measured node count — the same discipline (and
+    the same session-global conf caveat) as connected_components above.
+
+    The output is exact integers (depth = real edges to the root), so a
+    fixed recurrence is bit-identical to any other engine's recursive-CTE
+    evaluation — the registry query hash-checks this loop against DuckDB
+    ``WITH RECURSIVE`` directly.
+    """
+    state = nodes.select(
+        F.col(key).alias("key"),
+        F.coalesce(F.col(parent), F.col(key)).alias("ptr"),
+        F.when(F.col(parent).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("steps"),
+        F.col(parent).isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+
+    spark = nodes.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    converged = False
+    try:
+        loop_parts = max(
+            1, min(int(prev_parts), state.count() // 50_000 + 1)
+        )
+        spark.conf.set(conf_key, str(loop_parts))
+        # Probe AFTER each join, and only from round 2 on: after round j
+        # the jump is 2^j edges, so rounds 1-2 can only have converged on
+        # a ≤4-deep forest — for real hierarchies the early probes are
+        # guaranteed-false jobs. The loop is barrier-bound (each round is
+        # an eager localCheckpoint), so every skipped job is wall-clock.
+        for j in range(1, max_doublings + 1):
+            hop = state.select(
+                F.col("key").alias("_k"),
+                F.col("ptr").alias("_p"),
+                F.col("steps").alias("_s"),
+                F.col("done").alias("_d"),
+            )
+            state = (
+                state.join(hop, state.ptr == hop._k)
+                .select(
+                    "key",
+                    F.col("_p").alias("ptr"),
+                    (F.col("steps") + F.col("_s")).alias("steps"),
+                    F.col("_d").alias("done"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if j >= min(2, max_doublings):
+                if state.filter(~F.col("done")).limit(1).count() == 0:
+                    converged = True
+                    break
+    finally:
+        spark.conf.set(conf_key, prev_parts)
+    if not converged:
+        warnings.warn(
+            f"flatten_hierarchy did not converge after {max_doublings} "
+            "doublings: depth exceeds 2^max_doublings or the graph has a "
+            "cycle — results may be partial",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return state.select(
+        "key", F.col("ptr").alias("root_key"), F.col("steps").alias("depth")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -73,6 +73,10 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
         T.StructField("mean_r", T.DoubleType()),
         T.StructField("mean_g", T.DoubleType()),
         T.StructField("mean_b", T.DoubleType()),
+        # Σ_y y·(row y's byte sum): ROW-ORDER-sensitive where the means
+        # are not — a vertically flipped decode (e.g. a mishandled
+        # top-down BMP) keeps every mean and changes this moment.
+        T.StructField("row_moment", T.LongType()),
     ]
 )
 
@@ -768,6 +772,150 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
     codec interface parse_image dispatches to (parse_png's shape)."""
     w, h, frames = parse_gif_frames(payload)
     return w, h, frames[0]
+
+
+# --- BMP (Windows DIB) ------------------------------------------------------
+#
+# The uncompressed-raster interchange format every OS tool emits: a
+# 14-byte file header, a 40-byte BITMAPINFOHEADER, and bottom-up (or
+# top-down, via negative height) BGR rows padded to 4-byte multiples.
+# Supported tiers: 24-bit BI_RGB and 8-bit palette — the two layouts
+# that cover the overwhelming majority of real .bmp files. RLE4/RLE8,
+# BITFIELDS, 16/32-bit, and V4/V5 headers quarantine (ValueError), the
+# same honesty contract as the progressive-JPEG and animated-GIF gates.
+
+
+def encode_bmp(
+    width: int,
+    height: int,
+    raster: bytes,
+    palette: bytes | None = None,
+    top_down: bool = False,
+) -> bytes:
+    """Minimal BMP writer — the fixture side of the codec pair, exactly
+    like encode_png. ``raster`` is RGB bytes (24-bit) or palette indices
+    (with ``palette`` = RGB triples, ≤256 entries); rows are emitted
+    bottom-up unless ``top_down`` (negative biHeight)."""
+    import struct
+
+    if palette is None:
+        row_bytes = width * 3
+        bitcount, pal_blob, n_colors = 24, b"", 0
+        if len(raster) != width * height * 3:
+            raise ValueError("bmp: raster length mismatch")
+    else:
+        if len(palette) % 3 != 0 or len(palette) > 256 * 3:
+            raise ValueError("bmp: palette must be <=256 RGB triples")
+        n_colors = len(palette) // 3
+        # palette entries are BGRX quads on disk
+        pal_blob = b"".join(
+            bytes((palette[3 * k + 2], palette[3 * k + 1], palette[3 * k], 0))
+            for k in range(n_colors)
+        )
+        row_bytes = width
+        bitcount = 8
+        if len(raster) != width * height:
+            raise ValueError("bmp: index raster length mismatch")
+        if raster and max(raster) >= n_colors:
+            raise ValueError("bmp: index out of palette range")
+    pad = (-row_bytes) % 4
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for y in order:
+        row = raster[y * row_bytes : (y + 1) * row_bytes]
+        if bitcount == 24:
+            # RGB → BGR per pixel
+            row = bytes(
+                b
+                for x in range(width)
+                for b in (row[3 * x + 2], row[3 * x + 1], row[3 * x])
+            )
+        rows.append(row + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    data_offset = 14 + 40 + len(pal_blob)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        bitcount,
+        0,  # BI_RGB
+        len(pixel_data),
+        2835,
+        2835,
+        n_colors,
+        0,
+    )
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + len(pixel_data), 0, 0, data_offset
+    )
+    return file_header + info + pal_blob + pixel_data
+
+
+def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """BMP → (width, height, raw RGB raster), parse_png's interface.
+
+    Accepts 24-bit BI_RGB and 8-bit palette with a 40-byte
+    BITMAPINFOHEADER, both row orders. Everything else — RLE
+    compression, BITFIELDS, 1/4/16/32-bit depths, V4/V5 headers, and
+    every malformed-structure case (truncation, raster overflow,
+    out-of-range palette index) — raises ``ValueError`` so one bad blob
+    quarantines instead of killing the Arrow task."""
+    import struct
+
+    buf = bytes(payload or b"")
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("bmp: not a BM file")
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size != 40:
+        raise ValueError(f"bmp: unsupported header size {hdr_size}")
+    w, h_raw, planes, bitcount, compression = struct.unpack_from(
+        "<iiHHI", buf, 18
+    )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if planes != 1:
+        raise ValueError("bmp: planes must be 1")
+    if compression != 0:
+        raise ValueError(f"bmp: unsupported compression {compression}")
+    if bitcount not in (8, 24):
+        raise ValueError(f"bmp: unsupported bit depth {bitcount}")
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
+        raise ValueError("bmp: unreasonable dimensions")
+    n_colors = struct.unpack_from("<I", buf, 46)[0]
+    if bitcount == 8:
+        if n_colors == 0:
+            n_colors = 256
+        pal_off = 14 + 40
+        pal_end = pal_off + 4 * n_colors
+        if pal_end > len(buf) or pal_end > data_offset:
+            raise ValueError("bmp: truncated palette")
+        quads = np.frombuffer(buf[pal_off:pal_end], dtype=np.uint8).reshape(
+            -1, 4
+        )
+        pal_rgb = quads[:, [2, 1, 0]]  # BGRX → RGB
+        row_bytes = w
+    else:
+        row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = data_offset + stride * h
+    if need > len(buf):
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(
+        buf[data_offset : data_offset + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, :row_bytes]
+    if not top_down:
+        rows = rows[::-1]
+    if bitcount == 8:
+        idx = rows.reshape(h, w)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("bmp: palette index out of range")
+        rgb = pal_rgb[idx]
+    else:
+        rgb = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return w, h, np.ascontiguousarray(rgb).tobytes()
 
 
 def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
@@ -1618,10 +1766,10 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
-    PNG signature → PNG, SOI → baseline JPEG, GIF87a/89a → GIF-LZW;
-    anything else raises ``ValueError`` (H.264/VP9-class video remains
-    the declared import-gated extension — MJPEG-in-AVI is real, see
-    parse_avi)."""
+    PNG signature → PNG, SOI → baseline JPEG, GIF87a/89a → GIF-LZW,
+    BM → BMP; anything else raises ``ValueError`` (H.264/VP9-class video
+    remains the declared import-gated extension — MJPEG-in-AVI is real,
+    see parse_avi)."""
     buf = bytes(payload or b"")
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return parse_png(buf)
@@ -1629,6 +1777,8 @@ def parse_image(payload: bytes) -> tuple[int, int, bytes]:
         return parse_jpeg(buf)
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return parse_gif(buf)
+    if buf[:2] == b"BM":
+        return parse_bmp(buf)
     return parse_ppm(buf)
 
 
@@ -1923,19 +2073,24 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, raster = parse_image(payload)
-                    sums = (
-                        np.frombuffer(raster, dtype=np.uint8)
-                        .astype(np.int64)
-                        .reshape(-1, 3)
-                        .sum(axis=0)
-                    )
+                    arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                    sums = arr.reshape(-1, 3).sum(axis=0)
+                    row_sums = arr.reshape(h, w * 3).sum(axis=1)
+                    row_moment = int((np.arange(h, dtype=np.int64) * row_sums).sum())
                     px = w * h
-                    vals = (True, w, h, sums[0] / px, sums[1] / px, sums[2] / px)
+                    vals = (
+                        True, w, h,
+                        sums[0] / px, sums[1] / px, sums[2] / px,
+                        row_moment,
+                    )
                 except ValueError:
-                    vals = (False, None, None, None, None, None)
+                    vals = (False, None, None, None, None, None, None)
                 out["media_id"].append(mid)
                 for k, v in zip(
-                    ("decode_ok", "width", "height", "mean_r", "mean_g", "mean_b"),
+                    (
+                        "decode_ok", "width", "height",
+                        "mean_r", "mean_g", "mean_b", "row_moment",
+                    ),
                     vals,
                 ):
                     out[k].append(v)
@@ -2050,6 +2205,53 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                     payloads.append(
                         encode_png(w, h, idx, ctype=3, palette=plte)
                     )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_bmp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic BMP payloads keyed by doc id — REAL BMP
+    bytes (file + info headers, BGR rows, 4-byte row padding via
+    ``encode_bmp``) whose pixel content a SQL oracle can derive.
+    ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``; the variant
+    cycles ``doc_id % 3`` so one relation exercises both bit depths and
+    both row orders (padding is non-zero whenever width*3 % 4 != 0, so
+    the stride math is genuinely under test):
+
+    * 0 → 24-bit bottom-up: pixel ``p`` channel ``c`` =
+      ``(doc_id*43 + p*3 + c) % 256``;
+    * 1 → 24-bit TOP-DOWN (negative biHeight): same logical raster — a
+      row-order bug flips the image, which every per-channel MEAN is
+      blind to; the decoder's order-sensitive ``row_moment`` feature
+      exists exactly to catch this case by hash;
+    * 2 → 8-bit palette bottom-up: index at ``p`` =
+      ``(doc_id*43 + p) % 64``, palette entry ``k`` channel ``c`` =
+      ``(doc_id*47 + k*3 + c) % 256``.
+
+    Multipliers 43/47 are distinct from the PPM (31), PNG (37/41), and
+    GIF fixtures so a codec mix-up cannot silently hash-match."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                variant = did % 3
+                if variant in (0, 1):
+                    raster = bytes(
+                        (did * 43 + i) % 256 for i in range(w * h * 3)
+                    )
+                    payloads.append(
+                        encode_bmp(w, h, raster, top_down=(variant == 1))
+                    )
+                else:
+                    idx = bytes((did * 43 + p) % 64 for p in range(w * h))
+                    pal = bytes((did * 47 + b) % 256 for b in range(64 * 3))
+                    payloads.append(encode_bmp(w, h, idx, palette=pal))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

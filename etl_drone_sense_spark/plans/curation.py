@@ -524,6 +524,60 @@ def table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC.read_table_pruned(spark, root, "o_orderkey", 1, hi)
 
 
+_TIMETRAVEL_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "table_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+    tags=("lake", "time-travel", "snapshot"),
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation time travel (sources/table_commit.read_table's
+    ``version=`` arg): the table lives through three commits — v1 = the
+    even-keyed half of orders, v2 = append of the odd-keyed half (so v2
+    is exactly the source table), v3 = overwrite with every price bumped
+    — and the query reads **v2 back while v3 is current**. The oracle is
+    a plain scan of the source: correct iff the v2 manifest still names
+    exactly its original immutable files, untouched by the later
+    overwrite. The query asserts current_version == 3 and that v3's file
+    list actually diverged (the travel is real, not a read of current).
+
+    This is the Delta/Iceberg `VERSION AS OF` read path: versions are
+    file LISTS, so an old version costs one manifest read and scans only
+    its own files — no log replay, no copy-on-read. At 100 TB the
+    overwrite wrote new files and left v2's bytes in place; retention
+    (vacuum) is the only thing that can break a pinned read, exactly as
+    in the production lakehouses. Built once per source generation
+    (fingerprint-keyed), re-read lazily afterwards."""
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    root = _TIMETRAVEL_TABLES.get(key)
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="sg_travel_")
+        TC.commit(base.filter(F.col("o_orderkey") % 2 == 0), root)
+        TC.commit(
+            base.filter(F.col("o_orderkey") % 2 == 1), root, mode="append"
+        )
+        TC.commit(
+            base.withColumn("o_totalprice", F.col("o_totalprice") + 1.0), root
+        )
+        _TIMETRAVEL_TABLES[key] = root
+    assert TC.current_version(root) == 3, "expected three committed versions"
+    v2, v3 = TC.read_snapshot(root, 2), TC.read_snapshot(root, 3)
+    assert set(v2.files) != set(v3.files), (
+        "overwrite did not change the file list — time travel untestable"
+    )
+    return TC.read_table(spark, root, version=2)
+
+
 # ---------------------------------------------------------------------------
 # CDC changelog derivation (snapshot diff)
 # ---------------------------------------------------------------------------

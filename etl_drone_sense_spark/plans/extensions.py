@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TXT
 from ..functions import vectors as V
 from ..operators import dedup, multimodal, sessionize, similarity
-from .registry import register, t
+from .registry import dsum, dsum_sql, register, t
 
 # LSH configuration shared by Spark and oracle sides.
 MH_K = 12
@@ -1888,6 +1888,69 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_decode_bmp",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+               doc_id % 3 AS variant
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, variant, unnest(range(0, w * h)) AS p FROM dims
+    ),
+    ch AS (
+        SELECT doc_id, w, h, p, unnest([0, 1, 2]) AS c, variant FROM px
+    ),
+    val AS (
+        SELECT doc_id, w, h, p, c,
+               CASE WHEN variant IN (0, 1)
+                    THEN (doc_id * 43 + p * 3 + c) % 256
+                    ELSE (doc_id * 47 + ((doc_id * 43 + p) % 64) * 3 + c) % 256
+               END AS v
+        FROM ch
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_r,
+           round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_g,
+           round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_b,
+           CAST(sum((p // w) * v) AS BIGINT) AS row_moment
+    FROM val GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode end-to-end (r9): the uncompressed Windows DIB
+    format every OS screenshot/export tool emits — file + info headers,
+    bottom-up AND top-down row orders, BGR channel order, 4-byte row
+    padding, 8-bit palette (BGRX quads) and 24-bit tiers
+    (operators/multimodal.encode_bmp / parse_bmp), decoded through the
+    same Arrow mapInPandas path as PPM/PNG/JPEG/GIF (parse_image
+    dispatches on the 'BM' magic). Pixel content is an arithmetic
+    function of doc_id, so the oracle derives every feature in pure SQL;
+    the order-sensitive ``row_moment`` (Σ row_index · row byte-sum)
+    catches the vertical-flip bug class that per-channel means are
+    mathematically blind to (a mishandled negative biHeight preserves
+    all three means). RLE/BITFIELDS/16-bit/V5-header variants quarantine
+    via the shared decode_ok=false contract."""
+    media = multimodal.synth_bmp_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "row_moment",
     )
 
 
@@ -3803,6 +3866,82 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive-hierarchy flattening (r9): the WITH RECURSIVE class
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE pars AS (
+        SELECT CAST(c_custkey + 1 AS BIGINT) AS key,
+               (('0x' || substr(md5(CAST(c_custkey + 1 AS VARCHAR)), 1, 8))::BIGINT
+                % CAST(c_custkey + 1 AS BIGINT)) AS par
+        FROM customer
+    ),
+    walk AS (
+        SELECT key, key AS cur, par, 0 AS depth FROM pars
+      UNION ALL
+        SELECT w.key, w.par AS cur, p.par AS par, w.depth + 1
+        FROM walk w JOIN pars p ON p.key = w.par
+        WHERE w.par <> 0
+    )
+    SELECT key - 1 AS c_custkey, CAST(cur - 1 AS BIGINT) AS root_key,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk WHERE par = 0
+    """,
+    tags=("graph", "iterative", "recursive", "join"),
+    bench=True,
+)
+def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor-walk flattening of a parent-pointer forest — the
+    ``WITH RECURSIVE`` query class (org charts, category trees, BOM
+    explosions) the DataFrame API has no primitive for, computed by
+    POINTER DOUBLING (operators/graph.flatten_hierarchy) and hash-checked
+    against DuckDB's native recursive CTE: the first registry entry where
+    the oracle itself is recursive SQL.
+
+    The forest is derived deterministically from the fixture: node
+    k = c_custkey + 1 (1-based — the fixture's keys start at 0) has
+    parent ``md5_32(k) mod k`` (strictly less than k → acyclic by
+    construction; 0 → root), giving a random-recursive-tree shape whose
+    expected depth is O(log n) with varied roots and fan-out. Output per
+    node (shifted back to custkey space): its root's key and the exact
+    edge-count depth.
+
+    Scale: a naive walk is O(max_depth) shuffles; doubling is
+    ceil(log2(max_depth)) self-joins of the node-scale state on a bigint
+    pointer — ~6 rounds for a 50-deep hierarchy at any corpus size, each
+    round one equi-shuffle with lineage truncated. DuckDB's recursion
+    does O(n · avg_depth) total row visits for the same answer; the
+    doubling trades that for log-many passes over n rows — the shape
+    that survives a 100 TB dimension."""
+    from ..operators.graph import flatten_hierarchy
+
+    shifted = (F.col("c_custkey") + 1).cast("long")
+    pars = t(spark, sf_dir, "customer").select(
+        shifted.alias("key"),
+        (
+            F.conv(F.substring(F.md5(shifted.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % shifted
+        ).alias("par"),
+    )
+    nodes = pars.select(
+        "key",
+        F.when(F.col("par") == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("par"))
+        .alias("parent"),
+    )
+    flat = flatten_hierarchy(nodes)
+    return flat.select(
+        (F.col("key") - 1).alias("c_custkey"),
+        (F.col("root_key") - 1).alias("root_key"),
+        F.col("depth").alias("depth"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Slowly-changing dimensions (r8): type-2 history build + point-in-time join
 # ---------------------------------------------------------------------------
 
@@ -4193,4 +4332,233 @@ def multimodal_decode_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_s",
         "mean_abs",
         "peak",
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-SQL machine learning (r9): closed-form OLS via the normal equations
+# ---------------------------------------------------------------------------
+
+# The per-group moment aggregates (one shuffle, map-side combinable) and
+# the coefficient arithmetic on top. The coefficient expressions are ONE
+# shared text parsed by BOTH engines (Spark F.expr and the DuckDB oracle),
+# so the IEEE double evaluation tree is identical and the driver's exact
+# hash gate applies to a regression fit: every +,-,*,/ is correctly
+# rounded, so identical inputs + identical tree = identical bits.
+_OLS_COEF_EXPRS = [
+    ("n_rows", "n_rows"),
+    ("b1", "round((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12), 6)"),
+    ("b2", "round((s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12), 6)"),
+    (
+        "b0",
+        "round((sy - ((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12)) * sx1"
+        " - ((s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12)) * sx2)"
+        " / n_rows, 6)",
+    ),
+    (
+        "r2",
+        "round((((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12)) * s1y"
+        " + ((s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12)) * s2y)"
+        " / syy, 6)",
+    ),
+]
+
+# Centered second moments from the raw fixed-point sums — again one text,
+# two engines.
+_OLS_CENTER_EXPRS = [
+    ("s11", "sx1x1 - sx1 * sx1 / n_rows"),
+    ("s12", "sx1x2 - sx1 * sx2 / n_rows"),
+    ("s22", "sx2x2 - sx2 * sx2 / n_rows"),
+    ("s1y", "sx1y - sx1 * sy / n_rows"),
+    ("s2y", "sx2y - sx2 * sy / n_rows"),
+    ("syy", "syy_raw - sy * sy / n_rows"),
+]
+
+
+@register(
+    "ml_ols_regression",
+    oracle=f"""
+    WITH moments AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n_rows,
+               {dsum_sql("l_extendedprice", "sx1")},
+               {dsum_sql("l_discount", "sx2")},
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "sy")},
+               {dsum_sql("l_extendedprice * l_extendedprice", "sx1x1")},
+               {dsum_sql("l_extendedprice * l_discount", "sx1x2")},
+               {dsum_sql("l_discount * l_discount", "sx2x2")},
+               {dsum_sql("l_extendedprice * (l_extendedprice * (1 - l_discount))", "sx1y")},
+               {dsum_sql("l_discount * (l_extendedprice * (1 - l_discount))", "sx2y")},
+               {dsum_sql("(l_extendedprice * (1 - l_discount)) * (l_extendedprice * (1 - l_discount))", "syy_raw")}
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    centered AS (
+        SELECT l_returnflag, n_rows, sx1, sx2, sy,
+               {", ".join(f"{e} AS {a}" for a, e in _OLS_CENTER_EXPRS)}
+        FROM moments
+    )
+    SELECT l_returnflag,
+           {", ".join(f"{e} AS {a}" for a, e in _OLS_COEF_EXPRS)}
+    FROM centered
+    ORDER BY l_returnflag
+    """,
+    tags=("ml", "agg", "regression"),
+)
+def ml_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression INSIDE the engine — the
+    training-pipeline fit (net revenue ~ gross price + discount, per
+    return-flag segment — a target with real signal, R^2 > 0.99) expressed as the normal equations over distributed moment
+    aggregates: ONE map-side-combinable shuffle computes the 10
+    second-order moments per group, and the 2-feature system is solved
+    in closed form (Cramer's rule on the centered Gram matrix) in a
+    driverless projection. No gradient loop, no collect: at 100 TB the
+    fit costs exactly one aggregation pass, the textbook scale shape for
+    low-dimensional GLMs (the same moments also yield R^2).
+
+    Exactness: moments ride the registry's dsum fixed-point contract
+    (per-row IEEE-identical quantization, exact DECIMAL(38,0) sums), and
+    the coefficient arithmetic is ONE expression text parsed by both
+    engines, so even float division parities bit-for-bit — a regression
+    FIT certified by the exact-hash gate, not a tolerance check.
+    Per-row domain: l_extendedprice^2 < ~1e10, six orders under the
+    dsum per-row ceiling."""
+    li = t(spark, sf_dir, "lineitem")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        dsum(F.expr("l_extendedprice"), "sx1"),
+        dsum(F.expr("l_discount"), "sx2"),
+        dsum(F.expr("l_extendedprice * (1 - l_discount)"), "sy"),
+        dsum(F.expr("l_extendedprice * l_extendedprice"), "sx1x1"),
+        dsum(F.expr("l_extendedprice * l_discount"), "sx1x2"),
+        dsum(F.expr("l_discount * l_discount"), "sx2x2"),
+        dsum(F.expr("l_extendedprice * (l_extendedprice * (1 - l_discount))"), "sx1y"),
+        dsum(F.expr("l_discount * (l_extendedprice * (1 - l_discount))"), "sx2y"),
+        dsum(F.expr("(l_extendedprice * (1 - l_discount)) * (l_extendedprice * (1 - l_discount))"), "syy_raw"),
+    )
+    centered = moments.select(
+        "l_returnflag",
+        "n_rows",
+        "sx1",
+        "sx2",
+        "sy",
+        *[F.expr(e).alias(a) for a, e in _OLS_CENTER_EXPRS],
+    )
+    return centered.select(
+        "l_returnflag",
+        *[F.expr(e).alias(a) for a, e in _OLS_COEF_EXPRS],
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (r9): per-key exact median / MAD
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, value FROM events),
+    ranked AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM ev
+    ),
+    med AS (
+        SELECT user_id, avg(value) AS med
+        FROM ranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS dev
+        FROM ev e JOIN med m USING (user_id)
+    ),
+    ranked2 AS (
+        SELECT user_id, event_id, dev,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY dev, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT user_id, avg(dev) AS mad
+        FROM ranked2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY user_id
+    )
+    SELECT d.user_id,
+           count(*) AS n_events,
+           max(d.med) AS med,
+           max(a.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad a USING (user_id)
+    GROUP BY d.user_id
+    """,
+    tags=("anomaly", "window", "robust-stats"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key robust anomaly detection — median / MAD (median absolute
+    deviation), the outlier scheme that survives the outliers it hunts
+    (mean/stddev gets dragged by the anomaly itself; the 50% breakdown
+    point of the median does not). Flags events whose absolute deviation
+    exceeds 3x the key's MAD.
+
+    Exactness: medians are RANK-SELECTED, not interpolated — row_number
+    over (value, event_id) picks the one or two middle elements and
+    averages them, so both engines perform the identical IEEE (a+b)/2
+    instead of each engine's own percentile interpolation (the reason
+    approx_percentile-style medians can never ride the hash gate). The
+    event_id tie-break makes the selection total-ordered under
+    duplicate values.
+
+    Scale: everything shuffles on user_id — two window sorts (value
+    rank, deviation rank) and the final rollup, all the same key, no
+    row-count blowup anywhere; per-key state is the key's own event
+    list, the natural partition grain. The med/dev join is keyed on the
+    same column, co-partitioned with the windows."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def exact_median(df: DataFrame, col: str, alias: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(col, "event_id")
+        wp = Window.partitionBy("user_id")
+        ranked = df.select(
+            "user_id",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        return (
+            ranked.filter(
+                (F.col("rn") == F.expr("(n + 1) div 2"))
+                | (F.col("rn") == F.expr("n div 2 + 1"))
+            )
+            .groupBy("user_id")
+            .agg(F.avg(col).alias(alias))
+        )
+
+    med = exact_median(ev, "value", "med")
+    dev = ev.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = exact_median(dev, "dev", "mad")
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
     )

@@ -667,6 +667,25 @@ RETIRED: frozenset[str] = frozenset({"dedup_simhash"})
 # * text_boilerplate_strip / sample_importance — constant-factor rework
 #   (scoped-persist + folded aggregates; r7 VERDICT item 3) — hashes
 #   must be unchanged.
+# Round 9 head tier. NOTE: no CORRECTNESS_r08.json ever landed on disk, so
+# round 8's additions have no driver evidence at all — they stay in-window
+# automatically via the never-checked rule. This tuple is the r9 TOUCHED
+# set: the five NEW queries, plus the four image-decode queries whose
+# shared decode path changed this round (decode_image_features now emits
+# the order-sensitive row_moment column — outputs unchanged, but changed
+# code needs fresh driver evidence).
+TOUCHED_R09: tuple[str, ...] = (
+    "hierarchy_flatten",  # NEW r9: WITH RECURSIVE class via pointer doubling
+    "table_time_travel",  # NEW r9: VERSION AS OF snapshot read
+    "ml_ols_regression",  # NEW r9: closed-form OLS, exact-hash certified
+    "multimodal_decode_bmp",  # NEW r9: real BMP codec (both row orders)
+    "events_anomaly_mad",  # NEW r9: exact median/MAD outlier detection
+    "multimodal_decode",
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_gif",
+)
+
 TOUCHED_R08: tuple[str, ...] = (
     "table_pruned_read",
     "table_incremental_agg",  # NEW r8: materialized-view maintenance
@@ -687,29 +706,38 @@ TOUCHED_R08: tuple[str, ...] = (
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
-    about old code is still stale evidence). After r7's fold the stalest
-    surviving evidence is the 13-query round-4 tier (scalar-function and
-    window-function primitives whose last driver row is four rounds old —
-    r7 VERDICT item 4); then round-5 → round-6 → round-7 (freshest)."""
+    about old code is still stale evidence). r9 note: round 8 produced no
+    CORRECTNESS file, so everything added in r8 (the TOUCHED_R08 names and
+    the late-r8 tier) still has NO driver evidence — the never-checked
+    rule keeps all of it inside the window, right after TOUCHED_R09. The
+    stalest surviving evidence remains the 13-query round-4 tier; then
+    round-1/2 → ... → round-7 (freshest)."""
 
-    head = {n: i for i, n in enumerate(TOUCHED_R08)}
+    head9 = {n: i for i, n in enumerate(TOUCHED_R09)}
+    head8 = {n: i for i, n in enumerate(TOUCHED_R08)}
 
     def tier(s: QuerySpec) -> tuple[int, int]:
-        if s.name in head:
-            return (0, head[s.name])
+        if s.name in head9:
+            return (0, head9[s.name])
+        if s.name in head8:
+            # r8-touched: their newest driver row (r7 or older) predates
+            # the r8 code change, and r8 recorded no CORRECTNESS file —
+            # stale evidence about changed code outranks every
+            # fresh-evidence tier.
+            return (2, head8[s.name])
         if s.name in DRIVER_CHECKED_R07:
-            return (7, 0)
+            return (9, 0)
         if s.name in DRIVER_CHECKED_R06:
-            return (6, 0)
+            return (8, 0)
         if s.name in DRIVER_CHECKED_R05:
-            return (5, 0)
+            return (7, 0)
         if s.name in DRIVER_CHECKED_R04:
-            return (4, 0)
+            return (6, 0)
         if s.name in DRIVER_CHECKED_R03:
-            return (3, 0)
+            return (5, 0)
         if s.name in DRIVER_CHECKED_R02 or s.name in DRIVER_CHECKED_R01:
-            return (1, 0)
-        return (0, len(head))  # never-checked: head of window, after touched
+            return (4, 0)
+        return (1, 0)  # never-checked: right after the r9 touched head
 
     specs = list(REGISTRY.values())
     return sorted(specs, key=tier)  # sorted() is stable → registration order kept

@@ -145,3 +145,63 @@ def test_sf1_harness_unionfind_matches_suite_reference():
             for _ in range(rng.randrange(1, 600))
         ]
         assert harness_uf(edges) == _union_find(edges)
+
+
+# ---------------------------------------------------------------------------
+# flatten_hierarchy (r9): pointer doubling vs a driver-side walk
+# ---------------------------------------------------------------------------
+
+
+def _walk_all(parents):
+    """Ground truth: per-node (root, depth) by sequential parent walk."""
+    out = {}
+    for k in parents:
+        cur, d = k, 0
+        while parents[cur] is not None:
+            cur = parents[cur]
+            d += 1
+        out[k] = (cur, d)
+    return out
+
+
+def test_flatten_hierarchy_matches_sequential_walk(spark):
+    from etl_drone_sense_spark.operators.graph import flatten_hierarchy
+
+    # a 20-deep chain (forces 5 doublings), a star, and singletons
+    parents = {i: i - 1 for i in range(2, 21)}
+    parents[1] = None
+    parents.update({100 + i: 50 for i in range(5)})
+    parents[50] = None
+    parents[999] = None
+    nodes = spark.createDataFrame(
+        [(k, v) for k, v in parents.items()], "key long, parent long"
+    )
+    got = {
+        r["key"]: (r["root_key"], r["depth"])
+        for r in flatten_hierarchy(nodes).collect()
+    }
+    assert got == _walk_all(parents)
+
+
+def test_flatten_hierarchy_cycle_warns(spark):
+    import warnings as W
+
+    from etl_drone_sense_spark.operators.graph import flatten_hierarchy
+
+    nodes = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, None)], "key long, parent long"
+    )
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        flatten_hierarchy(nodes, max_doublings=3).collect()
+    assert any("did not converge" in str(w.message) for w in rec)
+
+
+def test_flatten_hierarchy_restores_shuffle_conf(spark):
+    from etl_drone_sense_spark.operators.graph import flatten_hierarchy
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    nodes = spark.createDataFrame([(1, None), (2, 1)], "key long, parent long")
+    flatten_hierarchy(nodes).collect()
+    assert spark.conf.get(key) == before
