@@ -4562,3 +4562,242 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (r9): rank selection, no interpolation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_exact_quantiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    hits AS (
+        SELECT l_returnflag, l_extendedprice, n, q
+        FROM ranked,
+             unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                     CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                     CAST(0.99 AS DOUBLE)]) AS u(q)
+        WHERE rn = CAST(ceil(q * n) AS BIGINT)
+    )
+    SELECT l_returnflag,
+           max(n) AS n_rows,
+           max(CASE WHEN q = 0.25 THEN l_extendedprice END) AS q25,
+           max(CASE WHEN q = 0.5  THEN l_extendedprice END) AS q50,
+           max(CASE WHEN q = 0.75 THEN l_extendedprice END) AS q75,
+           max(CASE WHEN q = 0.95 THEN l_extendedprice END) AS q95,
+           max(CASE WHEN q = 0.99 THEN l_extendedprice END) AS q99
+    FROM hits GROUP BY l_returnflag
+    """,
+    tags=("agg", "quantile", "window"),
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles at scale — the deterministic complement
+    of agg_approx_percentile: type-1 (rank-selected) quantiles pick the
+    value at row_number == ceil(q·n) under one per-group sort, so there
+    is NO interpolation step and the result is a value that exists in
+    the data — bit-identical across engines by construction (each
+    engine's own percentile_cont interpolates differently; selection
+    cannot). The ceil argument is the same IEEE double product in both
+    engines, so even a q·n that lands epsilon off an integer boundary
+    selects the same rank everywhere.
+
+    Scale: ONE shuffle on the group key feeds one window sort shared by
+    all five quantiles (the explode multiplies rows AFTER ranking, and
+    the rank filter collapses them immediately); no per-quantile passes,
+    no driver collection. For groups too large to sort per-partition the
+    same rank-selection composes with range-partitioned global sort —
+    the quantile stays exact, unlike sketch merges."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    qarr = F.array([F.lit(q) for q in (0.25, 0.5, 0.75, 0.95, 0.99)])
+    hits = (
+        ranked.select("l_returnflag", "l_extendedprice", "rn", "n",
+                      F.explode(qarr).alias("q"))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")).cast("long"))
+    )
+    return hits.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        *[
+            F.max(
+                F.when(F.col("q") == F.lit(q), F.col("l_extendedprice"))
+            ).alias(alias)
+            for q, alias in [
+                (0.25, "q25"), (0.5, "q50"), (0.75, "q75"),
+                (0.95, "q95"), (0.99, "q99"),
+            ]
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable theta/KMV sketches (r9): distinct + intersection estimates
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+# The sketched entity is a USER-DAY (user_id | activity date): the
+# fixture's per-type plain user sets are all identical (every user does
+# everything), so sketching them would estimate five equal sets — the
+# user-day grain differs genuinely per type and the intersection
+# estimates a real overlap.
+_KMV_SKETCH_SQL = f"""
+    hashes AS (
+        SELECT DISTINCT event_type,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' ||
+                                    CAST(CAST(ts AS DATE) AS VARCHAR)),
+                                1, 8))::BIGINT) AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashes
+    ),
+    sketch AS (SELECT event_type, h, rn FROM sk WHERE rn <= {_KMV_K})
+"""
+
+
+def _kmv_sketch(events: DataFrame, k: int) -> DataFrame:
+    """(event_type, h, rn) — the k minimum distinct user-day hashes per
+    type. The rank filter sits directly on the window so Catalyst plans
+    it as WindowGroupLimit (k-smallest selected inside each partial
+    sort, no full per-group sort materializes) — pinned in
+    tests/test_plans.py. Callers checkpoint the ~k·|types|-row result
+    before fanning out over it."""
+    from pyspark.sql.window import Window
+
+    user_day = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.col("ts").cast("date").cast("string"),
+    )
+    hashes = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(user_day), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    return hashes.select(
+        "event_type", "h", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+
+
+@register(
+    "sketch_theta_kmv",
+    oracle=f"""
+    WITH {_KMV_SKETCH_SQL},
+    per_type AS (
+        SELECT event_type AS set_name,
+               max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash,
+               round(({_KMV_K} - 1) * 4294967296.0
+                     / max(CASE WHEN rn = {_KMV_K} THEN h END), 6) AS est_distinct
+        FROM sketch GROUP BY event_type
+    ),
+    ab AS (
+        SELECT h FROM sketch WHERE event_type = 'click'
+        UNION SELECT h FROM sketch WHERE event_type = 'purchase'
+    ),
+    union_k AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ab
+    ),
+    theta_u AS (SELECT h AS th FROM union_k WHERE rn = {_KMV_K}),
+    common AS (
+        SELECT count(*) AS n_common
+        FROM sketch a JOIN sketch b ON a.h = b.h
+        CROSS JOIN theta_u
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+          AND a.h <= theta_u.th
+    )
+    SELECT set_name, kth_hash, est_distinct FROM per_type
+    UNION ALL
+    SELECT 'click&purchase' AS set_name,
+           CAST(n_common AS BIGINT) AS kth_hash,
+           round(n_common * (({_KMV_K} - 1) * 4294967296.0 / th)
+                 / {_KMV_K}, 6) AS est_distinct
+    FROM common CROSS JOIN theta_u
+    """,
+    tags=("sketch", "approx", "agg"),
+)
+def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable theta/KMV sketches — the set-OPERATION sketch family HLL
+    cannot provide (HLL unions; theta sketches intersect): per event
+    type, keep the k=64 MINIMUM distinct 32-bit key hashes; the
+    k-th smallest estimates the distinct count ((k-1)/theta), and two
+    sketches intersect by counting common hashes under the UNION's
+    theta. Sketches are tiny (k hashes), mergeable associatively, and
+    the estimate arithmetic is fixed — so unlike probabilistic-seed
+    sketches this is DETERMINISTIC given the hash function, and the
+    whole pipeline rides the exact-hash gate (the oracle reproduces
+    hash, selection, and estimator bit-for-bit).
+
+    Scale: one distinct-shuffle on (type, hash) then a per-type top-k
+    window (WindowGroupLimit pushes the k-smallest selection into each
+    partial sort — no full sort materializes); the intersection math
+    touches only the k-row sketches. At 100 TB the sketch relation is
+    KB-sized regardless of corpus: that is the entire point — count
+    distinct over a repartition-free union of shards, estimated overlap
+    between two billion-key sets, no exact distinct pass anywhere."""
+    from pyspark.sql.window import Window
+
+    K = _KMV_K
+    sketch = _kmv_sketch(t(spark, sf_dir, "events"), K).localCheckpoint(
+        eager=True
+    )
+    per_type = sketch.groupBy(F.col("event_type").alias("set_name")).agg(
+        F.max(F.when(F.col("rn") == K, F.col("h"))).alias("kth_hash"),
+        F.round(
+            F.lit(float(K - 1))
+            * F.lit(4294967296.0)
+            / F.max(F.when(F.col("rn") == K, F.col("h"))),
+            6,
+        ).alias("est_distinct"),
+    )
+    a = sketch.filter(F.col("event_type") == "click").select("h")
+    b = sketch.filter(F.col("event_type") == "purchase").select("h")
+    union_k = (
+        a.union(b)
+        .distinct()
+        .select(
+            "h", F.row_number().over(Window.orderBy("h")).alias("rn")
+        )
+    )
+    theta_u = union_k.filter(F.col("rn") == K).select(
+        F.col("h").alias("th")
+    )
+    # LEFT join FROM theta keeps the intersection row (count 0) even when
+    # the sketches share nothing; when the union never reaches k rows
+    # (k > |union|, only possible on toy data) theta is empty and both
+    # engines agree on emitting no intersection row at all.
+    common = (
+        F.broadcast(theta_u)
+        .join(a.join(b, "h"), F.col("h") <= F.col("th"), "left")
+        .groupBy("th")
+        .agg(F.count(F.col("h")).alias("n_common"))
+    )
+    inter = common.select(
+        F.lit("click&purchase").alias("set_name"),
+        F.col("n_common").cast("long").alias("kth_hash"),
+        F.round(
+            F.col("n_common")
+            * (F.lit(float(K - 1)) * F.lit(4294967296.0) / F.col("th"))
+            / F.lit(float(K)),
+            6,
+        ).alias("est_distinct"),
+    )
+    return per_type.unionByName(inter)

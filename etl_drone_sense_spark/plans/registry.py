@@ -680,6 +680,8 @@ TOUCHED_R09: tuple[str, ...] = (
     "ml_ols_regression",  # NEW r9: closed-form OLS, exact-hash certified
     "multimodal_decode_bmp",  # NEW r9: real BMP codec (both row orders)
     "events_anomaly_mad",  # NEW r9: exact median/MAD outlier detection
+    "agg_exact_quantiles",  # NEW r9: rank-selected per-group quantiles
+    "sketch_theta_kmv",  # NEW r9: mergeable KMV distinct/intersection
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",

@@ -607,3 +607,48 @@ def test_pagerank_loop_narrows_shuffle_width(spark, sf_dir):
     # partitioning reflects it
     assert ranks.rdd.getNumPartitions() <= 2
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_exact_quantiles_single_exchange(spark, sf_dir):
+    """One shuffle on the group key serves the window sort AND the final
+    rollup (same key → partitioning reused); the quantile explode happens
+    after ranking and collapses immediately — no per-quantile pass."""
+    plan = plan_of(spark, sf_dir, "agg_exact_quantiles", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_kmv_sketch_is_window_group_limit(spark, sf_dir):
+    """The k-minimum selection must plan as WindowGroupLimit (rank filter
+    pushed into each sort partial) — a full per-group sort would
+    materialize the whole distinct-hash relation at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.plans.extensions import _KMV_K, _kmv_sketch
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    df = _kmv_sketch(read_table(spark, sf_dir, "events"), _KMV_K)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_anomaly_mad_shuffles_only_on_user(spark, sf_dir):
+    """Every exchange in the median/MAD pipeline must hash on user_id —
+    any other key means an accidental re-distribution of the event
+    relation."""
+    plan = plan_of(spark, sf_dir, "events_anomaly_mad")
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+    assert parts, plan
+    assert all(p.strip().startswith("user_id") for p in parts), parts
+
+
+def test_ols_is_single_aggregation_pass(spark, sf_dir):
+    """The regression fit is ONE partial-aggregable shuffle: moments
+    aggregate with map-side combine, coefficients are a projection."""
+    plan = plan_of(spark, sf_dir, "ml_ols_regression", mode="simple")
+    assert plan.count("Exchange") <= 2, plan  # agg shuffle + final sort
+    assert "HashAggregate" in plan, plan
