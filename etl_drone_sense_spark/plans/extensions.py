@@ -4698,9 +4698,7 @@ def _kmv_sketch(events: DataFrame, k: int) -> DataFrame:
     ).filter(F.col("rn") <= k)
 
 
-@register(
-    "sketch_theta_kmv",
-    oracle=f"""
+_KMV_ORACLE = f"""
     WITH {_KMV_SKETCH_SQL},
     per_type AS (
         SELECT event_type AS set_name,
@@ -4731,7 +4729,12 @@ def _kmv_sketch(events: DataFrame, k: int) -> DataFrame:
            round(n_common * (({_KMV_K} - 1) * 4294967296.0 / th)
                  / {_KMV_K}, 6) AS est_distinct
     FROM common CROSS JOIN theta_u
-    """,
+    """
+
+
+@register(
+    "sketch_theta_kmv",
+    oracle=_KMV_ORACLE,
     tags=("sketch", "approx", "agg"),
 )
 def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4753,12 +4756,20 @@ def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB-sized regardless of corpus: that is the entire point — count
     distinct over a repartition-free union of shards, estimated overlap
     between two billion-key sets, no exact distinct pass anywhere."""
-    from pyspark.sql.window import Window
-
-    K = _KMV_K
-    sketch = _kmv_sketch(t(spark, sf_dir, "events"), K).localCheckpoint(
+    sketch = _kmv_sketch(t(spark, sf_dir, "events"), _KMV_K).localCheckpoint(
         eager=True
     )
+    return _kmv_estimates(sketch, _KMV_K)
+
+
+def _kmv_estimates(sketch: DataFrame, K: int) -> DataFrame:
+    """(set_name, kth_hash, est_distinct) from a ranked sketch relation
+    (event_type, h, rn): per-type distinct estimates plus the
+    click&purchase intersection row — shared by the batch query above
+    and the incremental streaming twin (whose merged state re-ranks to
+    the same shape)."""
+    from pyspark.sql.window import Window
+
     per_type = sketch.groupBy(F.col("event_type").alias("set_name")).agg(
         F.max(F.when(F.col("rn") == K, F.col("h"))).alias("kth_hash"),
         F.round(
@@ -4801,3 +4812,196 @@ def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_distinct"),
     )
     return per_type.unionByName(inter)
+
+
+_STREAM_KMV_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "stream_sketch_kmv",
+    oracle=_KMV_ORACLE,
+    tags=("streaming", "sketch", "approx"),
+)
+def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sketch maintenance — the streaming reason the KMV/theta
+    family exists: the event feed drains in four micro-batches
+    (``maxFilesPerTrigger=1``), each batch computes its own k-minimum
+    partial sketch and MERGES it into a committed state table
+    (union -> distinct -> re-rank -> keep k; txn-stamped commit, so a
+    retried batch is a no-op), and the final state feeds the same
+    estimator as the batch query.
+
+    THE ORACLE IS THE BATCH SKETCH over all events at once
+    (sketch_theta_kmv's exact SQL): k-min merge is exactly associative —
+    every member of the global k-minimum is in its own batch's k-minimum
+    — so incremental maintenance must converge BIT-FOR-BIT to the batch
+    answer. The hash gate is therefore the mergeability proof itself,
+    the property that lets a 100 TB/day feed keep distinct counts and
+    set overlaps in KB of state with no exact-distinct pass and no
+    rescan of history.
+
+    Scale: per batch, one distinct-shuffle of the BATCH (not the
+    corpus), a WindowGroupLimit top-k, and a merge against k·|types|
+    state rows; the commit is a pointer swap. Built once per source
+    generation (fingerprint-keyed); later calls scan the state table."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/events.parquet"))
+    root = _STREAM_KMV_TABLES.get(key)
+    if root is None:
+        work = tempfile.mkdtemp(prefix="sg_kmv_")
+        root, feed, ckpt = (
+            _os.path.join(work, d) for d in ("tbl", "feed", "ckpt")
+        )
+        TC.commit(
+            spark.createDataFrame([], "event_type string, h bigint"), root
+        )
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        # four arbitrary chunks (set semantics — order is irrelevant to a
+        # sketch, unlike the SCD2 feed's time-cutoff chunks)
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            sp = bdf.sparkSession
+            partial = _kmv_sketch(bdf, _KMV_K).select("event_type", "h")
+            cur = TC.read_table(sp, root)
+            merged = cur.unionByName(partial).distinct()
+            w = Window.partitionBy("event_type").orderBy("h")
+            topk = (
+                merged.select(
+                    "event_type", "h", F.row_number().over(w).alias("rn")
+                )
+                .filter(F.col("rn") <= _KMV_K)
+                .select("event_type", "h")
+            )
+            TC.commit(
+                topk,
+                root,
+                mode="overwrite",
+                _operation="kmv_merge",
+                txn=("stream_kmv", batch_id),
+            )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_KMV_TABLES[key] = root
+    from pyspark.sql.window import Window as W2
+
+    state = TC.read_table(spark, root)
+    sketch = state.select(
+        "event_type",
+        "h",
+        F.row_number()
+        .over(W2.partitionBy("event_type").orderBy("h"))
+        .alias("rn"),
+    ).localCheckpoint(eager=True)
+    return _kmv_estimates(sketch, _KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (r9): oriented wedge join over the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT pa, pb FROM pairs WHERE sup >= 2),
+    tri AS (
+        SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.pa = e1.pb
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    roles AS (
+        SELECT x AS p FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL
+        SELECT z FROM tri
+    )
+    SELECT p AS l_partkey, count(*) AS n_triangles
+    FROM roles GROUP BY p
+    ORDER BY n_triangles DESC, l_partkey
+    LIMIT 20
+    """,
+    tags=("graph", "join", "agg"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the graph-analytics primitive behind cluster
+    coefficients and community detection — over the part CO-OCCURRENCE
+    graph (two parts adjacent when they ship together in ≥2 orders: the
+    support threshold prunes the long tail of one-off pairings). Each
+    triangle is materialized exactly once via the x<y<z ORIENTATION:
+    edges stored small-endpoint-first, wedges e1(x,y)+e2(y,z) closed by
+    probing e3(x,z) — two equi-shuffles, no DISTINCT-based dedup pass,
+    no cartesian anywhere. Top-20 parts by triangle participation with a
+    deterministic (count desc, key) tie-break.
+
+    Scale: the pair derivation is bounded by basket size (a k-item order
+    emits k(k-1)/2 pairs, k ≤ ~7 here), so pairs = O(orders); the wedge
+    join's cost is Σ deg(v)², bounded by the support threshold — the
+    known upgrade for adversarial degree distributions is orienting by
+    (degree, id) instead of raw id (cuts the hot-vertex wedge count to
+    O(m^1.5) worst-case), a drop-in change to the same plan shape. The
+    edges relation is built once and scope-persisted across its three
+    join roles."""
+    from ..caching import scoped_persist
+
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = scoped_persist(
+        "triangle_edges",
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    roles = (
+        tri.select(F.col("x").alias("p"))
+        .unionByName(tri.select(F.col("y").alias("p")))
+        .unionByName(tri.select(F.col("z").alias("p")))
+    )
+    return (
+        roles.groupBy(F.col("p").alias("l_partkey"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "l_partkey")
+        .limit(20)
+    )

@@ -682,6 +682,8 @@ TOUCHED_R09: tuple[str, ...] = (
     "events_anomaly_mad",  # NEW r9: exact median/MAD outlier detection
     "agg_exact_quantiles",  # NEW r9: rank-selected per-group quantiles
     "sketch_theta_kmv",  # NEW r9: mergeable KMV distinct/intersection
+    "graph_triangle_count",  # NEW r9: oriented wedge-join triangles
+    "stream_sketch_kmv",  # NEW r9: incremental KMV merge vs batch oracle
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
