@@ -44,6 +44,17 @@ BUDGETS_S: dict[str, float] = {
     "hierarchy_flatten": 4.13,  # r9: 1.8 x 1.96 s quiet median + 0.6 floor
     # (5 doubling rounds, barrier-bound at sf0.1 — the node relation is
     # dimension-scale, so wall is ~fixed checkpoint latency x rounds)
+    "events_anomaly_mad": 3.28,  # r9: 1.8 x 1.82 s quiet median
+    "agg_exact_quantiles": 1.64,  # r9: 1.8 x 0.91 s quiet median
+    "sketch_theta_kmv": 1.78,  # r9: 1.8 x 0.99 s quiet median
+    "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
+    # fixed-point moment aggregates over lineitem in one pass)
+    "multimodal_decode_bmp": 1.12,  # r9: 0.52 s quiet median + 0.6 floor
+    "graph_triangle_count": 4.03,  # r9: 1.8 x 2.24 s quiet median
+    "table_time_travel": 0.75,  # r9: 0.15 s quiet median + 0.6 floor
+    # (reads the cached committed table; the build is first-call-only)
+    "stream_sketch_kmv": 1.11,  # r9: 0.51 s quiet median + 0.6 floor
+    # (reads the drained state table; the 4-batch drain is first-call-only)
     "dedup_editdistance": 1.53,  # r8: 1.8 x 0.85 s quiet median
     "graph_pagerank": 6.50,  # r8: 1.8 x 3.61 s quiet median (5 fixed
     # rounds; checkpoint every 4th + final — overhead-bound at sf0.1)

@@ -487,6 +487,15 @@ def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
         w = bytes([ch])
     if w:
         emit(table[w], width)
+        # The tail emit has no insert, but the DECODER still inserts an
+        # entry while processing this code — if that insert lands exactly
+        # on 2^width, the decoder reads EOI one bit wider. The in-loop
+        # check is `next_code > (1 << width)` AFTER incrementing, which
+        # equals `>=` on the un-incremented count used here (found by a
+        # hypothesis roundtrip example whose final data code sits exactly
+        # on the boundary).
+        if next_code >= (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -871,6 +880,10 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     hdr_size = struct.unpack_from("<I", buf, 14)[0]
     if hdr_size != 40:
         raise ValueError(f"bmp: unsupported header size {hdr_size}")
+    if data_offset < 14 + hdr_size:
+        # an offset pointing back into the headers would silently decode
+        # header bytes as pixels — quarantine, don't guess
+        raise ValueError("bmp: pixel offset overlaps headers")
     w, h_raw, planes, bitcount, compression = struct.unpack_from(
         "<iiHHI", buf, 18
     )

@@ -533,6 +533,7 @@ _TIMETRAVEL_TABLES: dict[tuple, str] = {}
     SELECT o_orderkey, o_totalprice FROM orders
     """,
     tags=("lake", "time-travel", "snapshot"),
+    bench=True,
 )
 def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation time travel (sources/table_commit.read_table's

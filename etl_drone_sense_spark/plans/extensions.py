@@ -1926,6 +1926,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM val GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "pandas_udf"),
+    bench=True,
 )
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMP decode end-to-end (r9): the uncompressed Windows DIB
@@ -4403,6 +4404,7 @@ _OLS_CENTER_EXPRS = [
     ORDER BY l_returnflag
     """,
     tags=("ml", "agg", "regression"),
+    bench=True,
 )
 def ml_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form multiple linear regression INSIDE the engine — the
@@ -4497,6 +4499,7 @@ def ml_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.user_id
     """,
     tags=("anomaly", "window", "robust-stats"),
+    bench=True,
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key robust anomaly detection — median / MAD (median absolute
@@ -4513,32 +4516,61 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id tie-break makes the selection total-ordered under
     duplicate values.
 
-    Scale: everything shuffles on user_id — two window sorts (value
-    rank, deviation rank) and the final rollup, all the same key, no
-    row-count blowup anywhere; per-key state is the key's own event
-    list, the natural partition grain. The med/dev join is keyed on the
-    same column, co-partitioned with the windows."""
+    Scale — the hot-key answer: a naive per-key ROW sort makes one hot
+    user a straggler task holding its whole event list (an exact median
+    is a global property of the key's distribution, so salting can't
+    split it). Instead the median is WEIGHTED selection over value
+    COUNTS: collapse to (user, value, count) first (map-side
+    combinable), then rank by cumulative count — per-key state shrinks
+    from event count to DISTINCT-value count, so a hot key with a
+    billion events over a bounded value domain costs what a cold key
+    costs. The selected middle values are averaged exactly like the
+    row formulation (the oracle keeps the row form — the hash gate is
+    the equivalence proof). Continuous unbounded domains would need
+    quantized pre-binning to get the same bound; this fixture's values
+    are 2-decimal quantized, the discrete case. Deviation ranking and
+    the final rollup reuse the same shapes, all keyed on user_id."""
     from pyspark.sql.window import Window
 
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def exact_median(df: DataFrame, col: str, alias: str) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(col, "event_id")
+        vc = df.groupBy("user_id", col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         wp = Window.partitionBy("user_id")
-        ranked = df.select(
+        cum = vc.select(
             "user_id",
             col,
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wp).alias("n"),
+            "c",
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(wp).alias("n"),
         )
-        return (
-            ranked.filter(
-                (F.col("rn") == F.expr("(n + 1) div 2"))
-                | (F.col("rn") == F.expr("n div 2 + 1"))
+        # the two middle ranks land inside (cum-c, cum]; for odd n both
+        # ranks hit the same value row, emitted twice so avg divides by
+        # 2 — (v+v)/2 == v exactly, bit-identical to the row-selection
+        # formulation the oracle uses
+        hits = (
+            cum.select(
+                "user_id",
+                col,
+                "c",
+                "cum",
+                F.explode(
+                    F.array(
+                        F.expr("(n + 1) div 2"), F.expr("n div 2 + 1")
+                    )
+                ).alias("r"),
             )
-            .groupBy("user_id")
-            .agg(F.avg(col).alias(alias))
+            .filter(
+                (F.col("cum") - F.col("c") < F.col("r"))
+                & (F.col("r") <= F.col("cum"))
+            )
         )
+        return hits.groupBy("user_id").agg(F.avg(col).alias(alias))
 
     med = exact_median(ev, "value", "med")
     dev = ev.join(med, "user_id").select(
@@ -4597,6 +4629,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hits GROUP BY l_returnflag
     """,
     tags=("agg", "quantile", "window"),
+    bench=True,
 )
 def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-group quantiles at scale — the deterministic complement
@@ -4736,6 +4769,7 @@ _KMV_ORACLE = f"""
     "sketch_theta_kmv",
     oracle=_KMV_ORACLE,
     tags=("sketch", "approx", "agg"),
+    bench=True,
 )
 def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable theta/KMV sketches — the set-OPERATION sketch family HLL
@@ -4821,6 +4855,7 @@ _STREAM_KMV_TABLES: dict[tuple, str] = {}
     "stream_sketch_kmv",
     oracle=_KMV_ORACLE,
     tags=("streaming", "sketch", "approx"),
+    bench=True,
 )
 def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL sketch maintenance — the streaming reason the KMV/theta
@@ -4952,6 +4987,7 @@ def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("graph", "join", "agg"),
+    bench=True,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting — the graph-analytics primitive behind cluster
@@ -5004,4 +5040,72 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy(F.col("n_triangles").desc(), "l_partkey")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavior modeling (r9): first-order Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    """,
+    tags=("events", "window", "ml"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavior model a session-prediction or
+    next-action pipeline trains on: P(next event type | current type),
+    estimated from every consecutive pair in (ts, event_id) order.
+
+    Exactness: counts are integers; each probability is ONE double
+    division of two exact integers (identical in both engines), rounded
+    to 6 per the registry convention. Scale: one shuffle on user_id for
+    the lead() window (pairs are derived per partition, no self-join on
+    the sequence), one map-side-combinable rollup on the (from, to)
+    pair — 25 output rows regardless of corpus size; the normalizing
+    sum runs over the 5-row from-groups of the AGGREGATED matrix, not
+    the events."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    cnt = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp), 6
+        ).alias("p"),
     )

@@ -684,10 +684,13 @@ TOUCHED_R09: tuple[str, ...] = (
     "sketch_theta_kmv",  # NEW r9: mergeable KMV distinct/intersection
     "graph_triangle_count",  # NEW r9: oriented wedge-join triangles
     "stream_sketch_kmv",  # NEW r9: incremental KMV merge vs batch oracle
+    "events_markov_transitions",  # NEW r9: transition-matrix estimation
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "multimodal_decode_gif",
+    # r9 GIF-LZW encoder fix (tail-emit width sync) also touches:
+    "multimodal_gif_frame_sample",
 )
 
 TOUCHED_R08: tuple[str, ...] = (

@@ -1135,3 +1135,16 @@ def test_bmp_end_to_end_decode_matches_formula(spark):
         assert r["row_moment"] == int(
             (np.arange(h, dtype=np.int64) * rows.sum(axis=1)).sum()
         )
+
+
+def test_bmp_header_overlapping_pixel_offset_quarantines():
+    import struct
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    good = bytearray(encode_bmp(4, 3, bytes(4 * 3 * 3)))
+    struct.pack_into("<I", good, 10, 10)  # data offset inside the header
+    with pytest.raises(ValueError):
+        parse_bmp(bytes(good))
