@@ -668,3 +668,53 @@ def pq_topk_adc(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def gram_matrix_fixed(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(i, j, g) — the exact integer Gram matrix of the quantized corpus:
+    entries are per-coordinate fixed-point values floor(e*1e6 + 0.5)
+    (the registry's IEEE-identical quantization), G = Q^T Q summed as
+    exact integers, so the result is order-independent and bit-identical
+    to any engine computing the same sums.
+
+    Scale shape: each Arrow batch contributes ONE d x d numpy int64
+    matmul (the BLAS-shaped partial — same discipline as the SemDeDup
+    Gram cells), so the shuffle carries partitions x d^2 partial rows,
+    never corpus x d^2 exploded rows. int64 headroom: |q| <= ~1e6+
+    so a product is ~1e12 and a 100k-row batch partial ~1e17, inside
+    int64; the cross-partition sum rides DECIMAL(38,0) so the TOTAL has
+    no corpus ceiling."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            # floor(x*1e6 + 0.5): the registry's per-row quantization,
+            # reproduced with the identical IEEE ops (NOT np.rint, whose
+            # banker's rounding diverges on exact halves)
+            q = np.floor(
+                np.stack(pdf[vec_col].to_numpy()) * 1e6 + 0.5
+            ).astype(np.int64)
+            g = q.T @ q  # d x d int64 partial
+            d = g.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(d, dtype=np.int64),
+                np.arange(d, dtype=np.int64),
+                indexing="ij",
+            )
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "partial": g.ravel()}
+            )
+
+    from pyspark.sql import functions as F
+
+    partials = emb.select(vec_col).mapInPandas(
+        batches, schema="i int, j int, partial long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("g")
+    )

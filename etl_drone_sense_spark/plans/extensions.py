@@ -5109,3 +5109,148 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wp), 6
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear algebra (r9): exact-integer PCA power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 5
+
+
+def _pca_oracle(rounds: int) -> str:
+    """The SAME integer recurrence as ml_pca_power_iteration, as chained
+    CTEs: Gram by zipped-unnest self-join (an INDEPENDENT formulation of
+    the engine's Arrow partial matmuls), the digit-count rescale of G,
+    then ``rounds`` matrix-vector products with `//` — DuckDB's
+    truncate-toward-zero integral division, the exact counterpart of
+    Spark SQL's `div` (both follow C semantics on negatives; verified
+    (-7)//2 == -3 in both)."""
+    ctes = [
+        """q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              e -> CAST(floor(e * 1000000 + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    )""",
+        """e1 AS (
+        SELECT vec_id, unnest(qv) AS v,
+               unnest(range(0, len(qv))) AS i
+        FROM q
+    )""",
+        """gram AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(CAST(a.v * b.v AS DECIMAL(38,0))) AS BIGINT) AS g
+        FROM e1 a JOIN e1 b USING (vec_id)
+        GROUP BY 1, 2
+    )""",
+        """sc AS (
+        SELECT CAST('1' || repeat('0',
+                   greatest(length(CAST(max(abs(g)) AS VARCHAR)) - 9, 0))
+                   AS BIGINT) AS d10
+        FROM gram
+    )""",
+        "gp AS (SELECT i, j, g // sc.d10 AS g FROM gram, sc)",
+        """x0 AS (
+        SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS x FROM gram
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""y{r} AS (
+        SELECT gp.i AS i, CAST(sum(gp.g * x{r - 1}.x) AS BIGINT) AS y
+        FROM gp JOIN x{r - 1} ON x{r - 1}.i = gp.j
+        GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+        SELECT greatest(max(abs(y)) // 1000000, 1) AS m FROM y{r}
+    )"""
+        )
+        ctes.append(
+            f"x{r} AS (SELECT i, y // m AS x FROM y{r}, m{r})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT i AS dim_idx, x AS component_fixed FROM x{rounds} ORDER BY i
+    """
+    )
+
+
+@register(
+    "ml_pca_power_iteration",
+    oracle=_pca_oracle(_PCA_ROUNDS),
+    tags=("ml", "iterative", "linear-algebra"),
+)
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    in exact integer arithmetic — distributed linear algebra certified by
+    hash, the PCA-whitening first step of an embedding-curation pipeline
+    (dominant-direction removal is standard post-processing for
+    similarity search).
+
+    The pipeline splits exactly where scale demands: the corpus-sized
+    work is ONE pass building the d x d Gram matrix from per-batch numpy
+    int64 matmuls (operators/similarity.gram_matrix_fixed — partials
+    shuffle as partitions x d^2 rows, never corpus x d^2); the iteration
+    then runs on the d^2-row relation with five tiny keyed joins — data
+    size d^2 regardless of corpus. Every step is integer arithmetic
+    (fixed-point quantization, digit-count rescale of G into div-safe
+    range, per-round renormalization by max|y| div 1e6 with a floor of
+    1), so a fixed iteration count is bit-identical to ANY engine
+    executing the same recurrence — the oracle derives the Gram matrix
+    via a zipped-unnest SELF-JOIN (a genuinely independent formulation)
+    and unrolls the same five rounds as CTEs. Headroom audit: |q|<=~1e6,
+    rescaled |G'|<1e9, per-round products <=1e15 summed over d=64 →
+    6.4e16, all inside int64; the Gram sums ride DECIMAL(38,0) so the
+    corpus has no ceiling. No collect() anywhere — the direction stays a
+    relation."""
+    from ..operators.similarity import gram_matrix_fixed
+
+    emb = t(spark, sf_dir, "embeddings")
+    gram = gram_matrix_fixed(emb).localCheckpoint(eager=True)
+
+    d10 = gram.agg(
+        F.concat(
+            F.lit("1"),
+            F.expr(
+                "repeat('0', greatest(length(CAST(max(abs(g)) AS STRING))"
+                " - 9, 0))"
+            ),
+        )
+        .cast("long")
+        .alias("d10")
+    )
+    gp = (
+        gram.crossJoin(F.broadcast(d10))
+        .select("i", "j", F.expr("g div d10").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    x = gp.select("i").distinct().select(
+        "i", F.lit(1_000_000).cast("long").alias("x")
+    )
+    for _ in range(_PCA_ROUNDS):
+        y = (
+            gp.join(x.select(F.col("i").alias("j"), "x"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("g").cast("decimal(38,0)") * F.col("x"))
+                .cast("long")
+                .alias("y")
+            )
+        )
+        m = y.agg(
+            F.greatest(
+                F.expr("max(abs(y)) div 1000000"), F.lit(1).cast("long")
+            ).alias("m")
+        )
+        x = (
+            y.crossJoin(F.broadcast(m))
+            .select("i", F.expr("y div m").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return x.select(
+        F.col("i").alias("dim_idx"), F.col("x").alias("component_fixed")
+    ).orderBy("dim_idx")

@@ -685,6 +685,8 @@ TOUCHED_R09: tuple[str, ...] = (
     "graph_triangle_count",  # NEW r9: oriented wedge-join triangles
     "stream_sketch_kmv",  # NEW r9: incremental KMV merge vs batch oracle
     "events_markov_transitions",  # NEW r9: transition-matrix estimation
+    "ml_pca_power_iteration",  # NEW r9: exact-integer PCA top component
+    "join_asof_tolerance",  # NEW r9: staleness-bounded as-of enrichment
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",

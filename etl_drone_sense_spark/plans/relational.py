@@ -2316,6 +2316,69 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
+                    WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+              WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT c.user_id, c.event_id, c.ts, c.value,
+           CASE WHEN p.ts >= c.ts - INTERVAL 48 HOUR
+                THEN p.purchase_value END AS purchase_value_asof,
+           CASE WHEN p.ts >= c.ts - INTERVAL 48 HOUR
+                THEN p.ts END AS ts_asof
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "temporal"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance``): the latest at-or-before purchase enriches a click
+    only when it is at most 48 hours old (the fixture's events are
+    month-spread, so ~58% of matches survive — a real split, not a
+    vacuous all-null column) — older state is noise, the
+    sensor-fusion/feature-freshness rule every training pipeline needs
+    (join_asof's unbounded backward fill would happily attach a
+    week-old value). Unmatched and too-stale clicks keep NULLs, same
+    row count as the left side.
+
+    The Spark side is the union+window formulation with the tolerance
+    applied as a post-projection NULL-out (the match itself is still
+    the latest-at-or-before row — tolerance FILTERS, it never picks an
+    older row); the oracle is DuckDB's NATIVE ASOF JOIN plus the same
+    CASE — two independently-derived formulations, not a transcription.
+    Scale: identical to join_asof — one shuffle on the key, no
+    candidate-pair explosion, the projection is free."""
+    from ..operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    j = asof_join(
+        clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_value"],
+    )
+    fresh = F.col("ts_asof") >= F.col("ts") - F.expr("INTERVAL 48 HOUR")
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("purchase_value_asof")).alias(
+            "purchase_value_asof"
+        ),
+        F.when(fresh, F.col("ts_asof")).alias("ts_asof"),
+    )
+
+
+@register(
     "events_gapfill",
     oracle="""
     WITH bounds AS (
