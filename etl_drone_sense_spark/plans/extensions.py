@@ -10,7 +10,7 @@ so both sides execute the same math on the same hash family (salted md5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -5254,3 +5254,125 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         F.col("i").alias("dim_idx"), F.col("x").alias("component_fixed")
     ).orderBy("dim_idx")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus split (r9): split by duplicate CLUSTER, not document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {{SIG}},
+    {{PAIRS}},
+    edges AS (
+        SELECT p.id_a AS u, p.id_b AS v
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE ({{AGREE}}) / {{K}} >= 0.2
+    ),
+    sym AS (
+        SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ),
+    reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    comp AS (
+        SELECT node, min(lab) AS component FROM reach GROUP BY node
+    ),
+    labeled AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    coins AS (
+        SELECT doc_id, component,
+               CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)
+                         )::BIGINT % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         )::BIGINT % 10 < 8
+                    THEN 'train' ELSE 'test' END AS naive_split
+        FROM labeled
+    ),
+    leaky AS (
+        SELECT component,
+               CAST(count(DISTINCT naive_split) > 1 AS INTEGER) AS leaks
+        FROM coins GROUP BY component
+    )
+    SELECT c.split,
+           count(*) AS n_docs,
+           count(DISTINCT c.component) AS n_clusters,
+           CAST(sum(l.leaks) AS BIGINT) AS naive_leak_doc_count
+    FROM coins c JOIN leaky l USING (component)
+    GROUP BY c.split
+    """.replace("{SIG}", _minhash_sig_cte())
+       .replace("{PAIRS}", _lsh_pairs_cte())
+       .replace("{AGREE}", _MH_AGREE)
+       .replace("{K}", str(float(MH_K))),
+    tags=("corpus", "dedup", "split", "graph"),
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split — the dedup-aware answer to the
+    classic evaluation bug: a doc-level hash split puts near-duplicates
+    of training documents into the TEST set (memorized text graded as
+    generalization). The split coin is thrown on the duplicate CLUSTER
+    label (LSH pairs → connected components; singletons are their own
+    cluster), so a whole near-dup family lands on one side by
+    construction. The output quantifies the counterfactual: per split,
+    document and cluster counts plus how many docs sit in clusters a
+    NAIVE doc-level coin would have straddled across the boundary (the
+    leak the cluster split prevents).
+
+    Scale: the pair generation is the banded-LSH equi-join (never
+    all-pairs), component formation is the O(diameter) min-label loop,
+    and the split itself is one md5 coin per cluster — no new shuffle
+    shapes beyond the certified dedup family; the oracle reuses the
+    recursive-CTE transitive closure from dedup_cluster_stats."""
+    from ..operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
+    )
+    comp = connected_components(pairs)
+    labeled = docs.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+
+    def coin(col: str) -> Column:
+        return F.when(
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 10
+            < 8,
+            F.lit("train"),
+        ).otherwise(F.lit("test"))
+
+    coins = labeled.select(
+        "doc_id",
+        "component",
+        coin("component").alias("split"),
+        coin("doc_id").alias("naive_split"),
+    )
+    leaky = coins.groupBy("component").agg(
+        (F.count_distinct("naive_split") > 1).cast("int").alias("leaks")
+    )
+    return (
+        coins.join(leaky, "component")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("component").alias("n_clusters"),
+            F.sum("leaks").cast("long").alias("naive_leak_doc_count"),
+        )
+    )

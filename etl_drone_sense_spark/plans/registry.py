@@ -687,6 +687,7 @@ TOUCHED_R09: tuple[str, ...] = (
     "events_markov_transitions",  # NEW r9: transition-matrix estimation
     "ml_pca_power_iteration",  # NEW r9: exact-integer PCA top component
     "join_asof_tolerance",  # NEW r9: staleness-bounded as-of enrichment
+    "corpus_split_leakage_safe",  # NEW r9: cluster-level train/test split
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",

@@ -36,6 +36,15 @@ COMMENTARY = {
     "q21_waiting_suppliers": "EXISTS/NOT-EXISTS decorrelated to a two-level pair aggregate (no Expand, no lineitem self-joins; 4 scans total); top-100 heap.",
     "graph_pagerank": "Edge derivation collapses to catalog cardinality before the loop; 5 integer rounds, lineage truncated per round (plan shows only the final round reading checkpointed RDDs).",
     "scd2_point_in_time": "lag + lead + row_number share one (user_id, ts) sort; PIT join is equi on user with the validity-interval residual.",
+    "hierarchy_flatten": "Pointer doubling: the plan shows the final doubled state reading checkpointed RDDs — each round was ONE equi-shuffle of the node relation on the ancestor pointer.",
+    "events_anomaly_mad": "Weighted median: (user, value) count collapse first (map-side combinable), cumulative-rank selection on the compressed relation; every exchange hashes user_id first.",
+    "agg_exact_quantiles": "ONE exchange serves the window sort and the final rollup; the quantile explode happens after ranking and collapses immediately.",
+    "sketch_theta_kmv": "WindowGroupLimit pushes the k-minimum selection into each sort partial (asserted on the pre-checkpoint sketch build); downstream math touches only k-row sketches.",
+    "ml_ols_regression": "One partial-aggregable shuffle computes all 10 fixed-point moments; coefficients are a projection (<=2 exchanges incl. the output sort).",
+    "multimodal_decode_bmp": "Arrow mapInPandas decode; binary column shed after feature extraction like the other codec tiers.",
+    "graph_triangle_count": "Edges scope-persisted across three join roles; wedge join + closing probe are equi-shuffles on part keys; top-20 via TakeOrderedAndProject.",
+    "table_time_travel": "Reads exactly the v2 manifest's files — the plan is a plain pruned parquet scan; no log replay.",
+    "stream_sketch_kmv": "Post-drain read of the committed k*|types|-row state table + re-rank; the streaming merges happened at write time.",
     "dedup_editdistance": "Deletion-variant explode, self equi-join on the variant string, distinct before the levenshtein filter — no pair-space product.",
     "multimodal_decode_gif": "Rebalanced synthesis, one Arrow mapInPandas pass; the binary column dies at the feature boundary.",
     "multimodal_decode_ulaw": "Same Arrow audio path as PCM; mu-law expands via a 256-entry table lookup inside the batch.",

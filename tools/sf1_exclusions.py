@@ -110,6 +110,75 @@ def check_cluster_stats(spark) -> dict:
     }
 
 
+def check_split_leakage(spark) -> dict:
+    """corpus_split_leakage_safe at sf1 — same oracle-cost exclusion class
+    as dedup_cluster_stats (its DuckDB side IS the recursive closure):
+    ground truth = the same driver union-find over the sf1-hash-certified
+    pair relation, plus the md5 coins replayed in python (hashlib md5 of
+    the decimal string, first 8 hex digits, mod 10 — the engines' exact
+    arithmetic)."""
+    import hashlib
+    from collections import defaultdict
+
+    from etl_drone_sense_spark.operators import dedup
+    from etl_drone_sense_spark.plans.extensions import (
+        MH_BANDS,
+        MH_K,
+        SHINGLE_N,
+    )
+    from etl_drone_sense_spark.plans.registry import get, t
+
+    t0 = time.time()
+    docs = (
+        t(spark, SF1, "documents").select("doc_id").toPandas()["doc_id"]
+        .astype(int).tolist()
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        t(spark, SF1, "documents"), "doc_id", "text",
+        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
+    )
+    edge_rows = pairs.select("id_a", "id_b").toPandas()
+    comp = union_find(
+        list(zip(edge_rows["id_a"].tolist(), edge_rows["id_b"].tolist()))
+    )
+
+    def coin(x: int) -> str:
+        h = int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+        return "train" if h % 10 < 8 else "test"
+
+    members: dict[int, list[int]] = defaultdict(list)
+    for d in docs:
+        members[comp.get(d, d)].append(d)
+    agg: dict[str, list[int]] = {
+        "train": [0, 0, 0], "test": [0, 0, 0]
+    }  # n_docs, n_clusters, naive_leak_doc_count
+    for label, mem in members.items():
+        sp = coin(label)
+        naive = {coin(d) for d in mem}
+        leaks = 1 if len(naive) > 1 else 0
+        agg[sp][0] += len(mem)
+        agg[sp][1] += 1
+        agg[sp][2] += leaks * len(mem)
+    want = sorted(
+        (sp, v[0], v[1], v[2]) for sp, v in agg.items() if v[0]
+    )
+
+    got_rows = get("corpus_split_leakage_safe").fn(spark, SF1).toPandas()
+    got = sorted(
+        (str(r.split), int(r.n_docs), int(r.n_clusters),
+         int(r.naive_leak_doc_count))
+        for r in got_rows.itertuples()
+    )
+    return {
+        "match": got == want,
+        "docs": len(docs),
+        "splits": got,
+        "wall_s": round(time.time() - t0, 1),
+        "method": "driver union-find + python md5 coins over the "
+                  "sf1-hash-certified pair relation",
+    }
+
+
 def check_geo_radius(spark, con) -> dict:
     from etl_drone_sense_spark.functions.geodesy import haversine_sql
     from etl_drone_sense_spark.plans.drone import _RADIUS_M
@@ -205,6 +274,7 @@ def main() -> int:
     report = {}
     for name, fn in (
         ("dedup_cluster_stats", lambda: check_cluster_stats(spark)),
+        ("corpus_split_leakage_safe", lambda: check_split_leakage(spark)),
         ("geo_radius_join", lambda: check_geo_radius(spark, con)),
         ("dedup_simhash_adaptive", lambda: check_simhash_adaptive(spark, con)),
     ):
