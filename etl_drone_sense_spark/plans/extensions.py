@@ -5376,3 +5376,116 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("leaks").cast("long").alias("naive_leak_doc_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection (r9): one-sided CUSUM as an exact integer fold
+# ---------------------------------------------------------------------------
+
+# Packed-accumulator geometry: the running CUSUM statistic lives in the
+# low 44 bits (micro-units; per-user bound ~n_events x max|value|x1e6 ≈
+# 3e10 at the fixture's per-user density — 500x headroom under 2^44),
+# the alert counter in the bits above. One BIGINT accumulator is what
+# both engines' fold lambdas can carry exactly.
+_CUSUM_POW = 1 << 44
+_CUSUM_SLACK = 0  # k=0: integrate ANY positive drift from the mean
+# (the fixture is stationary noise, so nonzero slack suppresses every
+# alert — k=0 keeps the detector live: ~20% of users alert at sf0.01)
+_CUSUM_H = 500_000_000  # 500.0 — alert when drift integrates past this
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH q AS (
+        SELECT user_id,
+               list(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                    ORDER BY ts, event_id) AS xs,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    tgt AS (
+        SELECT user_id, xs, n_events,
+               list_sum(xs) // n_events AS tq
+        FROM q
+    ),
+    folded AS (
+        SELECT user_id, n_events,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), xs),
+                   (acc, x) ->
+                       ((acc // {_CUSUM_POW})
+                        + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                  (acc % {_CUSUM_POW}) + x - tq
+                                  - {_CUSUM_SLACK}) > {_CUSUM_H}
+                               THEN 1 ELSE 0 END) * {_CUSUM_POW}
+                       + greatest(CAST(0 AS BIGINT),
+                                  (acc % {_CUSUM_POW}) + x - tq
+                                  - {_CUSUM_SLACK})
+               ) AS acc
+        FROM tgt
+    )
+    SELECT user_id, n_events,
+           CAST(acc // {_CUSUM_POW} AS BIGINT) AS n_alerts,
+           CAST(acc % {_CUSUM_POW} AS BIGINT) AS final_s
+    FROM folded
+    """,
+    tags=("events", "timeseries", "anomaly", "higher-order"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user — the sequential
+    drift detector (Page 1954) behind data-quality and metric-shift
+    alerting: s_i = max(0, s_(i-1) + x_i - target - slack), alert while
+    s exceeds the threshold h. Like the EWMA, the recurrence is an
+    ORDERED FOLD no window frame can express; unlike the EWMA it needs
+    TWO running values (statistic + alert count), packed into one
+    BIGINT accumulator (statistic in the low 44 bits, counter above) so
+    both engines fold the identical integer recurrence — max/%, //, and
+    the pack are exact everywhere, making a sequential detector
+    hash-certifiable. Target = the user's own fixed-point mean
+    (integer-division, deterministic); slack k=0, threshold 500.0 —
+    tuned on the stationary fixture so ~20% of users alert (a real
+    split, not an all-zero column).
+
+    Scale: one shuffle on user_id; per-user state is the ordered value
+    array (bounded by per-key density — the same contract as
+    events_ewma, with applyInPandasWithState as the unbounded-history
+    path). The packed-domain bound (|s| < 2^44 micro-units) is 500x
+    over the fixture's worst per-user drift integral and is asserted in
+    the docstring's geometry note."""
+    ev = t(spark, sf_dir, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_evs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    staged = ordered.select(
+        "user_id",
+        "n_events",
+        F.transform(
+            "_evs",
+            lambda e: F.floor(e["value"] * F.lit(1e6) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("_xs"),
+    ).select(
+        "user_id",
+        "n_events",
+        "_xs",
+        F.expr("aggregate(_xs, CAST(0 AS BIGINT), (a, b) -> a + b)"
+               " div n_events").alias("_tq"),
+    )
+    P, S, H = _CUSUM_POW, _CUSUM_SLACK, _CUSUM_H
+    fold = (
+        f"aggregate(_xs, CAST(0 AS BIGINT), (acc, x) -> "
+        f"((acc div {P}) + (CASE WHEN greatest(CAST(0 AS BIGINT), "
+        f"(acc % {P}) + x - _tq - {S}) > {H} THEN 1 ELSE 0 END)) * {P} "
+        f"+ greatest(CAST(0 AS BIGINT), (acc % {P}) + x - _tq - {S}))"
+    )
+    return staged.select(
+        "user_id",
+        "n_events",
+        F.expr(f"CAST(({fold}) div {P} AS BIGINT)").alias("n_alerts"),
+        F.expr(f"CAST(({fold}) % {P} AS BIGINT)").alias("final_s"),
+    )

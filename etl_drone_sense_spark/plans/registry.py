@@ -688,6 +688,7 @@ TOUCHED_R09: tuple[str, ...] = (
     "ml_pca_power_iteration",  # NEW r9: exact-integer PCA top component
     "join_asof_tolerance",  # NEW r9: staleness-bounded as-of enrichment
     "corpus_split_leakage_safe",  # NEW r9: cluster-level train/test split
+    "events_cusum_changepoint",  # NEW r9: CUSUM drift detector fold
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",

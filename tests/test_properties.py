@@ -405,3 +405,29 @@ def test_gif_image_roundtrip_exact(dims, seed):
     got_w, got_h, rgb = parse_gif(encode_gif(w, h, idx.tobytes(), pal.tobytes()))
     assert (got_w, got_h) == (w, h)
     assert rgb == pal.reshape(-1, 3)[idx].reshape(-1).tobytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.integers(1, 5),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_bmp_roundtrip_and_mutation_quarantine(w, h, top_down, rnd):
+    """Any 24-bit raster roundtrips through encode_bmp/parse_bmp in both
+    row orders; any single-byte mutation of the container either still
+    decodes to SOMETHING or raises ValueError — never escapes as another
+    exception type (the quarantine contract the PNG/JPEG fuzz pins)."""
+    from etl_drone_sense_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    raster = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    payload = encode_bmp(w, h, raster, top_down=top_down)
+    assert parse_bmp(payload) == (w, h, raster)
+    mutated = bytearray(payload)
+    pos = rnd.randrange(len(mutated))
+    mutated[pos] = (mutated[pos] + 1 + rnd.randrange(255)) % 256
+    try:
+        parse_bmp(bytes(mutated))
+    except ValueError:
+        pass
