@@ -46,6 +46,9 @@ BUDGETS_S: dict[str, float] = {
     # dimension-scale, so wall is ~fixed checkpoint latency x rounds)
     "events_anomaly_mad": 3.28,  # r9: 1.8 x 1.82 s quiet median
     "agg_exact_quantiles": 1.64,  # r9: 1.8 x 0.91 s quiet median
+    "agg_exact_quantiles_binned": 2.92,  # r9: 1.8 x 1.62 s quiet median
+    # (3 linear passes: pays ~0.3 s more fixed overhead than the sorted
+    # twin at sf0.1, and is 2.2x FASTER at sf1 — slope 1.5x vs 3.9x)
     "sketch_theta_kmv": 1.78,  # r9: 1.8 x 0.99 s quiet median
     "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
     # fixed-point moment aggregates over lineitem in one pass)

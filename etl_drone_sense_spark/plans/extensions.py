@@ -4601,9 +4601,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "agg_exact_quantiles",
-    oracle="""
+_EXACT_QUANTILES_ORACLE = """
     WITH ranked AS (
         SELECT l_returnflag, l_extendedprice,
                row_number() OVER (PARTITION BY l_returnflag
@@ -4627,7 +4625,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(CASE WHEN q = 0.95 THEN l_extendedprice END) AS q95,
            max(CASE WHEN q = 0.99 THEN l_extendedprice END) AS q99
     FROM hits GROUP BY l_returnflag
-    """,
+    """
+
+
+@register(
+    "agg_exact_quantiles",
+    oracle=_EXACT_QUANTILES_ORACLE,
     tags=("agg", "quantile", "window"),
     bench=True,
 )
@@ -5488,4 +5491,108 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.expr(f"CAST(({fold}) div {P} AS BIGINT)").alias("n_alerts"),
         F.expr(f"CAST(({fold}) % {P} AS BIGINT)").alias("final_s"),
+    )
+
+
+@register(
+    "agg_exact_quantiles_binned",
+    oracle=_EXACT_QUANTILES_ORACLE,
+    tags=("agg", "quantile", "selection"),
+    bench=True,
+)
+def agg_exact_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact quantiles as agg_exact_quantiles, by 3-pass BINNED
+    SELECTION instead of a per-group sort — the plan that survives when
+    the group no longer fits a sort spill: (1) per-group min/max/n,
+    (2) per-(group, bin) counts over 1024 equi-width bins (map-side
+    combinable), cumulative counts over the TINY bin relation locate the
+    bin holding each target rank and the in-bin offset, (3) one filtered
+    re-scan sorts only the ~n/1024-row target bins and picks the offset.
+    Three linear scans, no full-relation sort anywhere; bin geometry is
+    engine-internal (equal values share a bin, so in-bin rank = global
+    rank minus the prior bins' cumulative count — exact regardless of
+    where IEEE bin edges land).
+
+    The oracle is agg_exact_quantiles' rank-selection SQL, shared
+    verbatim: the driver's hash gate is therefore the equivalence proof
+    between the sort plan and the selection plan."""
+    from pyspark.sql.window import Window
+
+    NBINS = 1024
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("_lo"),
+        F.max("l_extendedprice").alias("_hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.least(
+            F.lit(NBINS - 1),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("_lo"))
+                / F.greatest(
+                    (F.col("_hi") - F.col("_lo")) / F.lit(float(NBINS)),
+                    F.lit(1e-12),
+                )
+            ).cast("int"),
+        ).alias("_bin"),
+    )
+    bin_counts = binned.groupBy("l_returnflag", "_bin").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bin_counts.join(
+        F.broadcast(stats.select("l_returnflag", "n")), "l_returnflag"
+    ).select(
+        "l_returnflag",
+        "_bin",
+        "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        "n",
+    )
+    qarr = F.array([F.lit(q) for q in (0.25, 0.5, 0.75, 0.95, 0.99)])
+    targets = (
+        cum.select(
+            "l_returnflag", "_bin", "_c", "_cum", "n",
+            F.explode(qarr).alias("q"),
+        )
+        .withColumn("_r", F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .filter(
+            (F.col("_cum") - F.col("_c") < F.col("_r"))
+            & (F.col("_r") <= F.col("_cum"))
+        )
+        .select(
+            "l_returnflag", "_bin", "q", "n",
+            (F.col("_r") - (F.col("_cum") - F.col("_c"))).alias("_off"),
+        )
+    )
+    hits = binned.join(
+        F.broadcast(targets), ["l_returnflag", "_bin"]
+    )
+    wsel = Window.partitionBy("l_returnflag", "q").orderBy(
+        "l_extendedprice"
+    )
+    picked = hits.select(
+        "l_returnflag", "q", "n", "l_extendedprice", "_off",
+        F.row_number().over(wsel).alias("_rn"),
+    ).filter(F.col("_rn") == F.col("_off"))
+    return picked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        *[
+            F.max(
+                F.when(F.col("q") == F.lit(q), F.col("l_extendedprice"))
+            ).alias(alias)
+            for q, alias in [
+                (0.25, "q25"), (0.5, "q50"), (0.75, "q75"),
+                (0.95, "q95"), (0.99, "q99"),
+            ]
+        ],
     )
