@@ -579,6 +579,51 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC.read_table(spark, root, version=2)
 
 
+_ROLLBACK_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "table_rollback_read",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+    tags=("lake", "rollback", "snapshot"),
+)
+def table_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback as a FORWARD commit (sources/table_commit.rollback,
+    Iceberg ``rollback_to_snapshot`` style): v1 = the clean orders
+    relation, v2 = a bad write (every price zeroed — the fat-finger
+    deploy), rollback(v1) mints v3 whose file list IS v1's. The query
+    reads CURRENT after the rollback; the oracle is the clean source, so
+    the hash gate proves the table recovered bit-exactly. Asserts the
+    pointer is monotonic (current_version == 3, never a rewind), that
+    v3 shares v1's immutable files byte-for-byte, and that the bad v2
+    stays time-travel-readable (audit trail, not erasure).
+
+    At 100 TB a rollback is one manifest write — no data movement, no
+    copy-back; the bad version's files await vacuum. Built once per
+    source generation (fingerprint-keyed)."""
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    root = _ROLLBACK_TABLES.get(key)
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="sg_rollback_")
+        TC.commit(base, root)
+        TC.commit(base.withColumn("o_totalprice", F.lit(0.0)), root)
+        TC.rollback(root, 1)
+        _ROLLBACK_TABLES[key] = root
+    assert TC.current_version(root) == 3, "rollback must move FORWARD"
+    v1, v3 = TC.read_snapshot(root, 1), TC.read_snapshot(root, 3)
+    assert list(v3.files) == list(v1.files), "rollback must reuse v1 files"
+    assert TC.read_snapshot(root, 2).files, "bad version must stay readable"
+    return TC.read_table(spark, root)
+
+
 # ---------------------------------------------------------------------------
 # CDC changelog derivation (snapshot diff)
 # ---------------------------------------------------------------------------

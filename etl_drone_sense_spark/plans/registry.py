@@ -690,6 +690,7 @@ TOUCHED_R09: tuple[str, ...] = (
     "corpus_split_leakage_safe",  # NEW r9: cluster-level train/test split
     "events_cusum_changepoint",  # NEW r9: CUSUM drift detector fold
     "agg_exact_quantiles_binned",  # NEW r9: 3-pass selection twin
+    "table_rollback_read",  # NEW r9: forward-commit rollback recovery
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
