@@ -285,6 +285,11 @@ SKEW_QUERIES = [
     "stream_interval_join",
     # the explicit-salting query (its 90%-hot derived key is intrinsic)
     "join_skewed_salted",
+    # exact median/MAD where one user owns 20% of all events — the r9
+    # WEIGHTED-selection rework exists precisely for this shape (per-key
+    # state = distinct values, not event count); an unweighted per-key
+    # row sort would make the hot user a straggler task
+    "events_anomaly_mad",
 ]
 
 # Under the hot key, a CORRECT interval join's OUTPUT is the hot pair
