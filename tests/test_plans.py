@@ -652,3 +652,51 @@ def test_ols_is_single_aggregation_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ml_ols_regression", mode="simple")
     assert plan.count("Exchange") <= 2, plan  # agg shuffle + final sort
     assert "HashAggregate" in plan, plan
+
+
+def test_triangle_count_no_cartesian_and_persisted_edges(spark, sf_dir):
+    """Wedge join + closing probe must stay equi-joins; the edge relation
+    feeds three join roles from ONE persisted build."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_pca_gram_is_arrow_partials_not_explode(spark, sf_dir):
+    """The Gram matrix must come from mapInPandas partials (partitions x
+    d^2 rows), never a corpus x d^2 explode."""
+    from etl_drone_sense_spark.operators.similarity import gram_matrix_fixed
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    df = gram_matrix_fixed(read_table(spark, sf_dir, "embeddings"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan, plan
+    assert "Generate" not in plan, plan  # no explode anywhere
+
+
+def test_split_leakage_safe_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_split_leakage_safe", mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_binned_quantiles_never_sorts_the_full_relation(spark, sf_dir):
+    """The selection twin's only full-relation shuffles are hash
+    aggregations; every Sort in the plan operates on the tiny bin
+    relation or the filtered target-bin rows (both downstream of a
+    selective join), never directly on the scan."""
+    plan = plan_of(spark, sf_dir, "agg_exact_quantiles_binned")
+    # formatted mode details: the sorted twin shows
+    # "Sort ... Scan parquet" adjacency via one exchange; here every
+    # Sort must sit above a Filter/Join, and a window over the raw scan
+    # would show as Window directly consuming the first exchange.
+    lines = plan.splitlines()
+    tree = [ln for ln in lines if ln.strip().startswith(("+-", ":-", "Sort", "AdaptiveSparkPlan"))]
+    txt = "\n".join(tree)
+    # the full-relation window sort of the sorted twin is absent:
+    assert "WindowGroupLimit" not in txt
+    # sanity: the plan still contains the two windows (cum + in-bin pick)
+    assert plan.count("Window") >= 2, plan
