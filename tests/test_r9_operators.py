@@ -115,3 +115,44 @@ def test_split_coin_matches_python_md5(spark):
     for k in range(500):
         h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
         assert got[k] == (h % 10 < 8)
+
+
+def test_binned_quantiles_equal_sorted_on_adversarial_distributions(
+    spark, tmp_path
+):
+    """The selection twin must equal the sort twin on shapes the fixture
+    never shows: a CONSTANT group (bin width 0 → the 1e-12 guard), heavy
+    ties straddling bin edges, negative values, and a 1-row group."""
+    import random
+
+    from etl_drone_sense_spark.plans.registry import get, all_queries
+
+    all_queries()
+    rnd = random.Random(23)
+    rows = []
+    # group A: all identical (hi == lo)
+    rows += [("A", 42.5)] * 37
+    # group B: three distinct values, massive ties
+    rows += [("B", v) for v in ([1.0] * 40 + [2.0] * 40 + [3.0] * 40)]
+    # group C: negatives + spread
+    rows += [("C", round(rnd.uniform(-500, 500), 2)) for _ in range(123)]
+    # group D: single row
+    rows += [("D", -7.25)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double"
+    )
+    d = str(tmp_path / "advq")
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    a = (
+        get("agg_exact_quantiles").fn(spark, d).toPandas()
+        .sort_values("l_returnflag").reset_index(drop=True)
+    )
+    b = (
+        get("agg_exact_quantiles_binned").fn(spark, d).toPandas()
+        .sort_values("l_returnflag").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert a.loc[a.l_returnflag == "A", "q99"].iloc[0] == 42.5
+    assert a.loc[a.l_returnflag == "D", "q25"].iloc[0] == -7.25
