@@ -166,35 +166,27 @@ def pagerank_fixed_point(
 
     Scale: the out-degree is joined into the edge list ONCE before the
     loop (the adjacency (u, v, d) is static across rounds — joining it
-    per round would redo the same degree aggregation five times), so
-    each round is one rank join on u + one incoming sum on v (map-side
-    combinable); the rank relation is node-scale, orders smaller than
-    edges. Lineage is truncated with an eager localCheckpoint every
-    ``checkpoint_every`` rounds — NOT every round: each checkpoint is a
-    full materialize-and-launch barrier (~0.3 s of fixed latency in
-    local mode), while an unchecked round only deepens the plan by two
-    joins, so short stretches are cheaper to re-analyze than to
-    materialize; every-round truncation measured ~20% slower at 5
-    rounds, and a bounded stretch keeps round N's plan O(checkpoint_
-    every), never O(N). The loop also narrows the session shuffle width
-    to the measured edge count — the same narrow-shuffle discipline
-    (and the same session-global conf caveat) as connected_components
-    above. Rounds are a fixed count (PageRank runs 10-50 rounds in
-    practice), so there is no convergence probe."""
+    per round would redo the same degree aggregation five times), and
+    that join runs AT THE LOOP'S SHUFFLE WIDTH so the checkpointed
+    adjacency is hash-partitioned on u at exactly the width every round
+    joins at (localCheckpoint preserves outputPartitioning through the
+    LogicalRDD): the edge list is shuffled ONCE for the whole run, and
+    each round exchanges only the node-scale rank relation — without
+    the width match the planner re-shuffles the edges every round,
+    which at sf0.1 was five ~1M-row exchanges of pure waste and at
+    100 TB would make each round cost as much as the build. Lineage is
+    truncated with an eager localCheckpoint every ``checkpoint_every``
+    rounds — NOT every round: each checkpoint is a full materialize-
+    and-launch barrier (~0.3 s of fixed latency in local mode), while
+    an unchecked round only deepens the plan by two joins, so short
+    stretches are cheaper to re-analyze than to materialize; a
+    mid-loop checkpoint that would land within checkpoint_every-1
+    rounds of the final (always-materialized) one is skipped — two
+    barriers one round apart truncate nothing the final one doesn't.
+    Rounds are a fixed count (PageRank runs 10-50 rounds in practice),
+    so there is no convergence probe."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.localCheckpoint(eager=True)
-
-    adj = (
-        sym.join(sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        sym.select(F.col("u").alias("node"))
-        .unionByName(sym.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
 
     contrib_expr = F.expr(
         f"(rank * {damping_num}) div ({damping_den} * d)"
@@ -204,9 +196,22 @@ def pagerank_fixed_point(
     prev_parts = spark.conf.get(conf_key)
     try:
         loop_parts = max(
-            1, min(int(prev_parts), adj.count() // 50_000 + 1)
+            1, min(int(prev_parts), sym.count() // 50_000 + 1)
         )
         spark.conf.set(conf_key, str(loop_parts))
+        adj = (
+            sym.join(sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            sym.select(F.col("u").alias("node"))
+            .unionByName(sym.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ranks = nodes.select(
+            "node", F.lit(1_000_000).cast("long").alias("rank")
+        )
         for i in range(1, iters + 1):
             incoming = (
                 adj.join(ranks, adj.u == ranks.node)
@@ -224,7 +229,7 @@ def pagerank_fixed_point(
             # The FINAL round always materializes here too: the narrow
             # conf is restored on exit, so a lazy tail would re-plan its
             # shuffles at the session width outside the loop's scope.
-            if i % checkpoint_every == 0 or i == iters:
+            if i == iters or (i % checkpoint_every == 0 and iters - i >= 2):
                 ranks = ranks.localCheckpoint(eager=True)
     finally:
         spark.conf.set(conf_key, prev_parts)

@@ -3855,9 +3855,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # Symmetrize with an in-row explode, not a self-union: a union reads
+    # the (unpersisted) fact-join twice, the explode emits both
+    # orientations in the same narrow pass.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     ranks = pagerank_fixed_point(sym, iters=PR_ITERS)
     return (
         ranks.select("node", F.col("rank").alias("rank_micro"))
@@ -5004,30 +5014,44 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count desc, key) tie-break.
 
     Scale: the pair derivation is bounded by basket size (a k-item order
-    emits k(k-1)/2 pairs, k ≤ ~7 here), so pairs = O(orders); the wedge
-    join's cost is Σ deg(v)², bounded by the support threshold — the
-    known upgrade for adversarial degree distributions is orienting by
-    (degree, id) instead of raw id (cuts the hot-vertex wedge count to
-    O(m^1.5) worst-case), a drop-in change to the same plan shape. The
-    edges relation is built once and scope-persisted across its three
-    join roles."""
+    emits k(k-1)/2 pairs, k ≤ ~7 here), so pairs = O(orders); it is ONE
+    shuffle — baskets collect_set per order, pairs expand inside the
+    array (sorted, upper-triangle) with no self-join of the fact — where
+    the equivalent distinct + self-join costs three (distinct, then both
+    join sides re-keyed on the order). The wedge join's cost is
+    Σ deg(v)², bounded by the support threshold — the known upgrade for
+    adversarial degree distributions is orienting by (degree, id)
+    instead of raw id (cuts the hot-vertex wedge count to O(m^1.5)
+    worst-case), a drop-in change to the same plan shape. The edges
+    relation is built once and scope-persisted across its three join
+    roles."""
     from ..caching import scoped_persist
 
-    op = (
+    baskets = (
         t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
+        .filter(F.size("_ps") >= 2)
     )
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ps"), i + F.lit(2), F.size("_ps")),
+                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("_e")
+    ).select("_e.pa", "_e.pb")
     edges = scoped_persist(
         "triangle_edges",
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
+        .select("pa", "pb"),
     )
     e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))

@@ -1235,40 +1235,47 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: instead of two self-joins of lineitem (the naive EXISTS /
     NOT EXISTS transliteration — two extra shuffles of the biggest
-    table), a TWO-LEVEL aggregate computes n_suppliers and
-    n_flagged_suppliers: first (orderkey, suppkey) with an any-R flag,
-    then per orderkey — expressing it as two countDistincts instead
-    makes Spark plan an Expand (2× the rows through the first shuffle)
-    and measured 1.8× slower at sf0.1. A flagged line qualifies iff the
-    order has ≥2 suppliers and exactly 1 flagged supplier (necessarily
-    its own — it is flagged itself). The oracle keeps the EXISTS /
-    NOT EXISTS formulation, so the driver's hash gate doubles as an
-    equivalence proof of the decorrelation. Top-100 heap with
-    (numwait desc, s_name) total order."""
+    table), ONE scan feeds a two-level aggregate: (orderkey, suppkey)
+    with the supplier's flagged-LINE count, then per orderkey —
+    expressing it as two countDistincts instead makes Spark plan an
+    Expand (2× the rows through the first shuffle) and measured 1.8×
+    slower at sf0.1. A flagged supplier-pair qualifies iff its order
+    has ≥2 suppliers and exactly 1 flagged supplier (necessarily
+    itself), and numwait is the sum of its per-pair flagged-line counts
+    — so the fact table is never re-scanned or re-joined at line grain;
+    every relation past the first shuffle is order- or pair-grain. The
+    oracle keeps the EXISTS / NOT EXISTS formulation, so the driver's
+    hash gate doubles as an equivalence proof of the decorrelation.
+    Top-100 heap with (numwait desc, s_name) total order."""
     li = t(spark, sf_dir, "lineitem")
     per_pair = li.groupBy(
         F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
     ).agg(
-        F.max(
+        F.sum(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).alias("_has_r")
+        ).alias("_n_r")
     )
     per_order = per_pair.groupBy("_ok").agg(
         F.count(F.lit(1)).alias("_n_supp"),
-        F.sum("_has_r").alias("_n_flagged"),
+        F.sum(F.when(F.col("_n_r") > 0, 1).otherwise(0)).alias("_n_flagged"),
     )
     orders_f = t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    qualifying = (
+        per_order.filter(
+            (F.col("_n_supp") >= 2) & (F.col("_n_flagged") == 1)
+        )
+        .join(orders_f, F.col("_ok") == F.col("o_orderkey"), "left_semi")
+        .select("_ok")
     )
-    flagged = li.filter(F.col("l_returnflag") == "R")
     supp = t(spark, sf_dir, "supplier")
     return (
-        flagged.join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(per_order, F.col("_ok") == F.col("l_orderkey"))
-        .filter((F.col("_n_supp") >= 2) & (F.col("_n_flagged") == 1))
-        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        per_pair.filter(F.col("_n_r") > 0)
+        .join(qualifying, "_ok", "left_semi")
+        .join(supp, F.col("s_suppkey") == F.col("_sk"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_r").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

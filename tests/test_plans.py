@@ -530,9 +530,10 @@ def test_q4_exists_is_semi_join_not_aggregate_dedup(spark, sf_dir):
 def test_q21_decorrelates_to_one_lineitem_aggregate(spark, sf_dir):
     """The EXISTS/NOT-EXISTS pair must collapse into ONE per-order
     aggregate over lineitem — the naive transliteration self-joins the
-    biggest table twice more. Plan check: exactly 3 lineitem scans total
-    (flagged lines + the per-order aggregate... and none beyond), and at
-    least one count(DISTINCT) aggregate."""
+    biggest table twice more. Plan check: the fact is never re-joined at
+    line grain — lineitem feeds only the (orderkey, suppkey) aggregate
+    (appearing at most twice as a scan when the exchange is not reused),
+    plus one orders scan and one supplier scan."""
     plan = plan_of(spark, sf_dir, "q21_waiting_suppliers", mode="simple")
     assert plan.count("Scan parquet") <= 4  # lineitem x2 + orders + supplier
     assert "CartesianProduct" not in plan
