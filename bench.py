@@ -53,6 +53,8 @@ BUDGETS_S: dict[str, float] = {
     "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
     # fixed-point moment aggregates over lineitem in one pass)
     "multimodal_decode_bmp": 1.12,  # r9: 0.52 s quiet median + 0.6 floor
+    "multimodal_decode_tiff": 1.25,  # r10: 0.65 s quiet median + 0.6 floor
+    # (multi-strip assembly + packbits in the same Arrow pass as BMP)
     "graph_triangle_count": 4.03,  # r9: 1.8 x 2.24 s quiet median
     "table_time_travel": 0.75,  # r9: 0.15 s quiet median + 0.6 floor
     # (reads the cached committed table; the build is first-call-only)
@@ -75,6 +77,8 @@ BUDGETS_S: dict[str, float] = {
     "dedup_minhash": 1.87,
     "dedup_simhash_adaptive": 6.35,  # r7: 1.8 × 3.53 s median (48-bit
     # fingerprint pass dominates; the knob under test is pair emission)
+    "dedup_simhash_adaptive_capped": 6.90,  # r10 provisional: the same
+    # fingerprint pass + a WindowGroupLimit per bucket — retime quiet
     "dedup_paragraph": 1.64,
     "dedup_semantic": 2.01,
     "drone_features_flat": 1.22,

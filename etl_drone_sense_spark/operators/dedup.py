@@ -26,7 +26,7 @@ Implementation notes for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
@@ -226,6 +226,7 @@ def simhash_pairs(
     nbits: int = 16,
     blocks: int = 4,
     key_bits: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -241,6 +242,18 @@ def simhash_pairs(
     Σ|bucket|²: bucket count per slice is 2^key_bits, so callers hold
     occupancy constant by deriving ``key_bits`` from the corpus count
     (see plans/extensions.dedup_simhash_adaptive).
+
+    ``bucket_cap`` (r10 — r9 VERDICT item 3: the dup-heavy quadratic
+    output class) keeps only the ``bucket_cap`` LOWEST ids per
+    (slice_idx, slice_key) bucket before pairing, bounding per-bucket
+    emission at cap·(cap−1)/2 regardless of how duplicate-heavy the
+    corpus is. The truncation is deterministic (id-ordered), so an
+    oracle encoding the same cap hash-matches exactly. Recall bound:
+    the output is EXACT for every pair whose agreeing bucket holds
+    ≤ cap members; a pair survives iff in at least one agreeing slice
+    both ids rank within that bucket's lowest ``bucket_cap``. The
+    row_number+filter shape plans as WindowGroupLimit (per-partition
+    top-k, no full bucket sort materialization).
     """
     if max_hamming >= blocks:
         # the pigeonhole guarantee needs more blocks than allowed
@@ -266,6 +279,15 @@ def simhash_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
+    if bucket_cap is not None:
+        if bucket_cap < 2:
+            raise ValueError(f"bucket_cap {bucket_cap} must be >= 2")
+        w = Window.partitionBy("block_idx", "block_val").orderBy(id_col)
+        exploded = (
+            exploded.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+        )
     # both sides of the self-join
     exploded = scoped_persist("dedup.simhash_blocks", exploded)
     a, b = exploded.alias("a"), exploded.alias("b")

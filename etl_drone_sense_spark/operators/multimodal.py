@@ -931,6 +931,270 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, np.ascontiguousarray(rgb).tobytes()
 
 
+def _packbits_encode(row: bytes) -> bytes:
+    """PackBits-compress one row (TIFF spec: compression restarts at
+    every row boundary, so callers pack row-by-row). Any run of >= 2
+    identical bytes becomes a repeat record; everything else is a
+    literal record of <= 128 bytes."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.append((257 - run) & 0xFF)
+            out.append(row[i])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and row[j] == row[j + 1])
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out.extend(row[i:j])
+            i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits-decompress ``data`` into exactly ``expected`` bytes;
+    anything structurally off (truncated record, over/under-run) raises
+    ``ValueError`` so the payload quarantines."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected:
+        if i >= n:
+            raise ValueError("tiff: truncated packbits stream")
+        ctl = data[i]
+        i += 1
+        if ctl < 128:
+            end = i + ctl + 1
+            if end > n:
+                raise ValueError("tiff: truncated packbits literal")
+            out += data[i:end]
+            i = end
+        elif ctl == 128:
+            continue  # spec: no-op
+        else:
+            if i >= n:
+                raise ValueError("tiff: truncated packbits repeat")
+            out += bytes((data[i],)) * (257 - ctl)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("tiff: packbits output overruns strip size")
+    return bytes(out)
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    raster: bytes,
+    gray: bool = False,
+    compression: str = "none",
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal baseline-TIFF writer — the fixture side of the codec
+    pair, exactly like encode_png. ``raster`` is RGB bytes (24-bit,
+    ``gray=False``) or 8-bit grayscale samples; strips of
+    ``rows_per_strip`` rows (default: one strip), optionally
+    PackBits-compressed row-by-row, either byte order (II/MM). The IFD
+    is written after the strip data with spec-ordered ascending tags;
+    BitsPerSample and multi-strip offset/count arrays go to an external
+    value area when they outgrow the 4-byte inline field."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    spp = 1 if gray else 3
+    row_bytes = width * spp
+    if len(raster) != row_bytes * height:
+        raise ValueError("tiff: raster length mismatch")
+    if compression not in ("none", "packbits"):
+        raise ValueError(f"tiff: unsupported encoder compression {compression}")
+    rps = rows_per_strip or height
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        strip = raster[y0 * row_bytes : min(y0 + rps, height) * row_bytes]
+        if compression == "packbits":
+            strips.append(
+                b"".join(
+                    _packbits_encode(strip[r * row_bytes : (r + 1) * row_bytes])
+                    for r in range(len(strip) // row_bytes)
+                )
+            )
+        else:
+            strips.append(strip)
+    pos = 8
+    strip_offsets: list[int] = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    ext = bytearray()
+    ext_base = pos  # external value area sits between strips and the IFD
+
+    def ext_put(fmt: str, values: tuple[int, ...]) -> int:
+        off = ext_base + len(ext)
+        ext.extend(struct.pack(e + fmt * len(values), *values))
+        return off
+
+    SHORT, LONG = 3, 4
+
+    def entry(tag: int, typ: int, values: tuple[int, ...]) -> bytes:
+        count = len(values)
+        fmt = "H" if typ == SHORT else "I"
+        size = (2 if typ == SHORT else 4) * count
+        if size <= 4:
+            inline = struct.pack(e + fmt * count, *values)
+            inline += b"\x00" * (4 - len(inline))
+            tail = inline
+        else:
+            tail = struct.pack(e + "I", ext_put(fmt, values))
+        return struct.pack(e + "HHI", tag, typ, count) + tail
+
+    entries = [
+        entry(256, SHORT, (width,)),
+        entry(257, SHORT, (height,)),
+        entry(258, SHORT, (8,) * spp),
+        entry(259, SHORT, (1 if compression == "none" else 32773,)),
+        entry(262, SHORT, (1 if gray else 2,)),
+        entry(273, LONG, tuple(strip_offsets)),
+        entry(277, SHORT, (spp,)),
+        entry(278, SHORT, (rps,)),
+        entry(279, LONG, tuple(len(s) for s in strips)),
+        entry(284, SHORT, (1,)),
+    ]
+    ifd_off = ext_base + len(ext)
+    ifd = (
+        struct.pack(e + "H", len(entries))
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)
+    )
+    header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
+    return header + b"".join(strips) + bytes(ext) + ifd
+
+
+_TIFF_TILE_TAGS = frozenset({322, 323, 324, 325})
+
+
+def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
+    """TIFF → (width, height, raw RGB raster), parse_png's interface.
+
+    Accepts the dependency-free baseline tiers (r9 VERDICT item 4 — the
+    last image format feasible without entropy-coding libraries): 8-bit
+    grayscale and 24-bit chunky RGB, strip layout, uncompressed
+    (Compression=1) or PackBits (32773), either byte order, multi-strip.
+    Everything else — LZW/Deflate/JPEG-in-TIFF compression, tiled
+    layout, planar configuration 2, palette color, non-8-bit depths,
+    non-default orientation, and every malformed-structure case
+    (truncated IFD, strip overflow, packbits over/under-run) — raises
+    ``ValueError`` so one bad blob quarantines instead of killing the
+    Arrow task."""
+    import struct
+
+    buf = bytes(payload or b"")
+    if len(buf) < 8:
+        raise ValueError("tiff: too short")
+    if buf[:2] == b"II":
+        e = "<"
+    elif buf[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("tiff: bad byte-order mark")
+    magic, ifd_off = struct.unpack_from(e + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError("tiff: bad magic")
+    if ifd_off + 2 > len(buf):
+        raise ValueError("tiff: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(e + "H", buf, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(buf):
+        raise ValueError("tiff: truncated IFD")
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, tuple[int, ...]] = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
+        if tag in _TIFF_TILE_TAGS:
+            raise ValueError("tiff: tiled layout unsupported")
+        if typ not in type_size:
+            continue  # rational/ascii metadata tags are irrelevant here
+        size = type_size[typ] * count
+        if count > 1 << 20:
+            raise ValueError("tiff: unreasonable tag count")
+        if size <= 4:
+            src = off + 8
+        else:
+            (src,) = struct.unpack_from(e + "I", buf, off + 8)
+            if src + size > len(buf):
+                raise ValueError("tiff: tag value out of range")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = struct.unpack_from(e + fmt * count, buf, src)
+
+    def one(tag: int, default: int | None = None) -> int:
+        vals = tags.get(tag)
+        if vals is None:
+            if default is None:
+                raise ValueError(f"tiff: missing required tag {tag}")
+            return default
+        if len(vals) != 1:
+            raise ValueError(f"tiff: tag {tag} must be scalar")
+        return vals[0]
+
+    w, h = one(256), one(257)
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
+        raise ValueError("tiff: unreasonable dimensions")
+    compression = one(259, 1)
+    if compression not in (1, 32773):
+        raise ValueError(f"tiff: unsupported compression {compression}")
+    photometric = one(262)
+    spp = one(277, 1)
+    if (photometric, spp) not in ((1, 1), (2, 3)):
+        raise ValueError(
+            f"tiff: unsupported photometric/samples {photometric}/{spp}"
+        )
+    bits = tags.get(258, (8,) * spp)
+    if len(bits) != spp or any(b != 8 for b in bits):
+        raise ValueError(f"tiff: unsupported bit depths {bits}")
+    if one(284, 1) != 1:
+        raise ValueError("tiff: planar configuration 2 unsupported")
+    if one(274, 1) != 1:
+        raise ValueError("tiff: non-default orientation unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("tiff: bad strip tables")
+    rps = one(278, h)
+    if rps <= 0:
+        raise ValueError("tiff: bad rows-per-strip")
+    if len(offsets) != (h + rps - 1) // rps:
+        raise ValueError("tiff: strip count does not cover image")
+    row_bytes = w * spp
+    parts: list[bytes] = []
+    rows_left = h
+    for so, sc in zip(offsets, counts):
+        if so + sc > len(buf):
+            raise ValueError("tiff: strip out of range")
+        strip_rows = min(rps, rows_left)
+        rows_left -= strip_rows
+        expected = strip_rows * row_bytes
+        raw = buf[so : so + sc]
+        if compression == 1:
+            if len(raw) != expected:
+                raise ValueError("tiff: strip size mismatch")
+            parts.append(raw)
+        else:
+            parts.append(_packbits_decode(raw, expected))
+    samples = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    if spp == 1:
+        rgb = np.repeat(samples.reshape(h, w, 1), 3, axis=2)
+    else:
+        rgb = samples.reshape(h, w, 3)
+    return w, h, np.ascontiguousarray(rgb).tobytes()
+
+
 def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
     """Minimal RIFF/WAVE writer (PCM, 16-bit LE) — the fixture side of
     the audio codec pair, exactly like encode_png. ``samples`` is the
@@ -1780,7 +2044,8 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
     PNG signature → PNG, SOI → baseline JPEG, GIF87a/89a → GIF-LZW,
-    BM → BMP; anything else raises ``ValueError`` (H.264/VP9-class video
+    BM → BMP, II*/MM* → baseline TIFF (uncompressed/PackBits strips);
+    anything else raises ``ValueError`` (H.264/VP9-class video
     remains the declared import-gated extension — MJPEG-in-AVI is real,
     see parse_avi)."""
     buf = bytes(payload or b"")
@@ -1792,6 +2057,8 @@ def parse_image(payload: bytes) -> tuple[int, int, bytes]:
         return parse_gif(buf)
     if buf[:2] == b"BM":
         return parse_bmp(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return parse_tiff(buf)
     return parse_ppm(buf)
 
 
@@ -2265,6 +2532,61 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
                     idx = bytes((did * 43 + p) % 64 for p in range(w * h))
                     pal = bytes((did * 47 + b) % 256 for b in range(64 * 3))
                     payloads.append(encode_bmp(w, h, idx, palette=pal))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_tiff_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic TIFF payloads keyed by doc id — REAL
+    baseline-TIFF bytes (IFD walk, strip assembly, PackBits, both byte
+    orders via ``encode_tiff``) whose pixel content a SQL oracle can
+    derive. ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``,
+    ``rows_per_strip = 2`` (every image is MULTI-strip, so strip
+    offset/count arrays always spill to the external value area and the
+    strip-boundary math is genuinely under test); the variant cycles
+    ``doc_id % 4`` so one relation exercises both compressions, both
+    byte orders, and both color models:
+
+    * 0 → 24-bit RGB, uncompressed, little-endian: pixel ``p`` channel
+      ``c`` = ``(doc_id*53 + p*3 + c) % 256``;
+    * 1 → 24-bit RGB, PackBits, big-endian: same raster formula — a
+      byte-order or packbits bug shifts values and hash-fails;
+    * 2 → 8-bit grayscale, uncompressed, big-endian: sample at ``p`` =
+      ``(doc_id*59 + p) % 256`` (decode expands to equal RGB channels);
+    * 3 → 8-bit grayscale, PackBits, little-endian: same samples.
+
+    Multipliers 53/59 are distinct from the PPM (31), PNG (37/41),
+    BMP/GIF (43/47), and JPEG (7/13) fixtures so a codec mix-up cannot
+    silently hash-match."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                variant = did % 4
+                gray = variant >= 2
+                if gray:
+                    raster = bytes((did * 59 + p) % 256 for p in range(w * h))
+                else:
+                    raster = bytes(
+                        (did * 53 + i) % 256 for i in range(w * h * 3)
+                    )
+                payloads.append(
+                    encode_tiff(
+                        w,
+                        h,
+                        raster,
+                        gray=gray,
+                        compression="packbits" if variant in (1, 3) else "none",
+                        big_endian=variant in (1, 2),
+                        rows_per_strip=2,
+                    )
+                )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

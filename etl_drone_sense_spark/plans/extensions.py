@@ -352,6 +352,95 @@ def dedup_simhash_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_capped_oracle(
+    nbits: int, blocks: int, max_hamming: int, cap: int
+) -> str:
+    """The capped adaptive oracle: derives the SAME key width as
+    ``_adaptive_simhash_bits`` with exact integer math —
+    ``length(bin(n-1))`` IS ``(n-1).bit_length()`` (no float log2 ULP) —
+    then keeps the ``cap`` lowest doc_ids per (block, prefix-key) bucket
+    before pairing. Unlike the uncapped adaptive twin, the CAP makes the
+    output width-DEPENDENT (truncation depends on bucket membership), so
+    the oracle must encode the width rule itself instead of relying on
+    prefix-superset invariance; deriving it from count(*) keeps one
+    static SQL string correct at every SF."""
+    width = nbits // blocks
+    return f"""
+    WITH {_simhash_sig_cte(nbits)},
+    kb AS (
+        SELECT GREATEST(4, LEAST({width},
+               length(bin(GREATEST(count(*), 2) - 1)) - 2)) AS key_bits
+        FROM sig
+    ),
+    blocks AS (
+        SELECT doc_id, simhash,
+               unnest([{", ".join(str(b) for b in range(blocks))}]) AS block_idx,
+               unnest([{", ".join(f"substr(simhash, {b * width + 1}, key_bits)" for b in range(blocks))}]) AS block_val
+        FROM sig CROSS JOIN kb
+    ),
+    capped AS (
+        SELECT doc_id, simhash, block_idx, block_val
+        FROM blocks
+        QUALIFY row_number() OVER (
+            PARTITION BY block_idx, block_val ORDER BY doc_id
+        ) <= {cap}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM capped a JOIN capped b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {TXT.hamming_bits_sql('sh_a', 'sh_b', nbits)} AS hamming
+    FROM pairs
+    WHERE {TXT.hamming_bits_sql('sh_a', 'sh_b', nbits)} <= {max_hamming}
+    """
+
+
+SIM_BUCKET_CAP = 8  # per-bucket id cap for the _capped twin: bounds
+# per-bucket pair emission at 28 (= 8·7/2) while sf0.01's hottest
+# adaptive bucket holds 57+ members — the cap path is genuinely
+# truncating at every certified SF, never vacuous
+
+
+@register(
+    "dedup_simhash_adaptive_capped",
+    oracle=_simhash_capped_oracle(48, SIM_BLOCKS, 3, SIM_BUCKET_CAP),
+    tags=("dedup", "simhash"),
+    bench=True,
+)
+def dedup_simhash_adaptive_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-emission simhash twin (r10 — r9 VERDICT item 3):
+    same adaptive pigeonhole width as dedup_simhash_adaptive, plus a
+    per-bucket cap that keeps only the SIM_BUCKET_CAP lowest doc_ids in
+    each (block, key) bucket before pairing. The raw adaptive config's
+    output is the corpus's true hamming≤3 pair set — on dup-heavy data
+    that set itself grows quadratically (149× the pairs at 10× the r9
+    skew fixture), so no plan change can bound it; the cap bounds the
+    OUTPUT CLASS instead: ≤ cap·(cap−1)/2 pairs per bucket, with exact
+    recall for every pair whose agreeing bucket holds ≤ cap members
+    (operators/dedup.simhash_pairs bucket_cap). Truncation is
+    deterministic (id-ordered), so the oracle encodes the identical cap
+    and the result is hash-certified, not approximate-trusted. In
+    an over-cap bucket the kept members stay mutually connected; members
+    beyond the cap lose THAT bucket's edges (they can still pair through
+    their other blocks' buckets) — the documented trade for bounding the
+    quadratic class."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    return dedup.simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        nbits=48,
+        blocks=SIM_BLOCKS,
+        key_bits=_adaptive_simhash_bits(n),
+        bucket_cap=SIM_BUCKET_CAP,
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -1943,6 +2032,73 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three means). RLE/BITFIELDS/16-bit/V5-header variants quarantine
     via the shared decode_ok=false contract."""
     media = multimodal.synth_bmp_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "row_moment",
+    )
+
+
+@register(
+    "multimodal_decode_tiff",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+               doc_id % 4 AS variant
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, variant, unnest(range(0, w * h)) AS p FROM dims
+    ),
+    ch AS (
+        SELECT doc_id, w, h, p, unnest([0, 1, 2]) AS c, variant FROM px
+    ),
+    val AS (
+        SELECT doc_id, w, h, p, c,
+               CASE WHEN variant <= 1
+                    THEN (doc_id * 53 + p * 3 + c) % 256
+                    ELSE (doc_id * 59 + p) % 256
+               END AS v
+        FROM ch
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_r,
+           round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_g,
+           round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+                 / (w * h), 6) AS mean_b,
+           CAST(sum((p // w) * v) AS BIGINT) AS row_moment
+    FROM val GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "pandas_udf"),
+    bench=True,
+)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end (r10 — r9 VERDICT item 4: the last
+    image format feasible dependency-free, since its baseline tiers
+    carry no entropy coding): IFD walk with spec-ordered tags and
+    external value areas, MULTI-strip assembly (rows_per_strip=2, so
+    strip offset/count arrays and boundary math are always under test),
+    PackBits decompression with per-row restart, BOTH byte orders
+    (II and MM), 8-bit grayscale AND 24-bit chunky RGB
+    (operators/multimodal.encode_tiff / parse_tiff), decoded through
+    the same Arrow mapInPandas path as PPM/PNG/JPEG/GIF/BMP
+    (parse_image dispatches on the II*/MM* magic). Pixel content is an
+    arithmetic function of doc_id, so the oracle derives every feature
+    in pure SQL; the order-sensitive ``row_moment`` catches
+    vertical-flip/strip-reorder bugs that per-channel means are blind
+    to. LZW/Deflate/JPEG-in-TIFF compression, tiles, planar-2, palette
+    color, and non-8-bit depths quarantine via the shared
+    decode_ok=false contract."""
+    media = multimodal.synth_tiff_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
     return feats.filter(F.col("decode_ok")).select(
         "media_id",

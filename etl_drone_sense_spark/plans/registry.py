@@ -715,42 +715,120 @@ TOUCHED_R08: tuple[str, ...] = (
     "multimodal_decode_wav",
 )
 
+# Round 9 DID land driver artifacts (CORRECTNESS_r09.json: 50/50 green) —
+# this is that file's exact key set, folded in per the r9 handoff. It
+# covers every TOUCHED_R08/TOUCHED_R09 name plus the late-r8 additions,
+# so after this fold the stalest surviving evidence is the 13-query
+# round-4 scalar/window/set-op/subquery tier (r9 VERDICT item 1), which
+# the r10 rotation puts right after the r10-touched head.
+DRIVER_CHECKED_R09: frozenset[str] = frozenset(
+    {
+        "agg_exact_quantiles",
+        "agg_exact_quantiles_binned",
+        "avro_scan",
+        "avro_sink_roundtrip",
+        "basket_pair_counts",
+        "corpus_split_leakage_safe",
+        "dedup_editdistance",
+        "dedup_editdistance_k2",
+        "events_anomaly_mad",
+        "events_cusum_changepoint",
+        "events_markov_transitions",
+        "graph_pagerank",
+        "graph_triangle_count",
+        "hierarchy_flatten",
+        "join_asof_tolerance",
+        "join_bloom_prefiltered",
+        "ml_ols_regression",
+        "ml_pca_power_iteration",
+        "multimodal_decode",
+        "multimodal_decode_bmp",
+        "multimodal_decode_gif",
+        "multimodal_decode_jpeg",
+        "multimodal_decode_png",
+        "multimodal_decode_ulaw",
+        "multimodal_decode_video",
+        "multimodal_decode_wav",
+        "multimodal_gif_frame_sample",
+        "multimodal_video_frame_sample",
+        "q11_important_stock",
+        "q12_line_class_priority",
+        "q16_supplier_part_counts",
+        "q20_concentrated_suppliers",
+        "q21_waiting_suppliers",
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q9_product_profit",
+        "sample_importance",
+        "scd2_point_in_time",
+        "sketch_theta_kmv",
+        "stream_avro_scan",
+        "stream_interval_join",
+        "stream_scd2_apply",
+        "stream_sketch_kmv",
+        "table_incremental_agg",
+        "table_pruned_read",
+        "table_rollback_read",
+        "table_time_travel",
+        "text_boilerplate_strip",
+        "unpivot_priority_status",
+        "window_distribution_funcs",
+    }
+)
+
+# Queries whose Spark code OR oracle changed in round 10, plus new
+# registrations — all need a fresh driver row. Populated as r10 work
+# lands; ordering within the tuple is the order the driver checks them.
+TOUCHED_R10: tuple[str, ...] = (
+    "csv_scan",  # NEW r10: CSV scan with explicit schema + oracle row
+    "orc_scan",  # NEW r10: ORC roundtrip scan + oracle row
+    "multimodal_decode_tiff",  # NEW r10: uncompressed/PackBits TIFF codec
+    "dedup_simhash_adaptive_capped",  # NEW r10: per-bucket pair-emission cap
+    "events_anomaly_mad",  # r10: deviation median → binned 3-pass selection
+    "text_boilerplate_strip",  # r10: no-repeated-lines pre-filter
+    "sample_importance",  # r10: hashed-unigram counts staged once
+    "graph_pagerank",  # r10: iterative loops moved onto a private session
+    "hierarchy_flatten",  # r10: same (scoped shuffle-width) + dangling warn
+    "dedup_cluster_stats",  # r10: connected components on private session
+    "corpus_split_leakage_safe",  # r10: same CC path
+)
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
-    about old code is still stale evidence). r9 note: round 8 produced no
-    CORRECTNESS file, so everything added in r8 (the TOUCHED_R08 names and
-    the late-r8 tier) still has NO driver evidence — the never-checked
-    rule keeps all of it inside the window, right after TOUCHED_R09. The
-    stalest surviving evidence remains the 13-query round-4 tier; then
-    round-1/2 → ... → round-7 (freshest)."""
+    about old code is still stale evidence). After the r9 fold every
+    registered query has at least one green driver row, so the order is:
+    TOUCHED_R10, then any never-checked stragglers (new r10 names not in
+    TOUCHED_R10 — should be none), then by newest-evidence round
+    ascending: the 13-query round-4 tier first, round-1/2, round-3, …,
+    round-9 (freshest) last."""
 
-    head9 = {n: i for i, n in enumerate(TOUCHED_R09)}
-    head8 = {n: i for i, n in enumerate(TOUCHED_R08)}
+    head10 = {n: i for i, n in enumerate(TOUCHED_R10)}
+
+    # Newest round in which each name earned a driver row, oldest-first
+    # search order below relies on checking the NEWEST sets first.
+    newest_first: tuple[tuple[int, frozenset[str]], ...] = (
+        (9, DRIVER_CHECKED_R09),
+        (7, DRIVER_CHECKED_R07),
+        (6, DRIVER_CHECKED_R06),
+        (5, DRIVER_CHECKED_R05),
+        (4, DRIVER_CHECKED_R04),
+        (3, DRIVER_CHECKED_R03),
+        (2, DRIVER_CHECKED_R02),
+        (1, DRIVER_CHECKED_R01),
+    )
 
     def tier(s: QuerySpec) -> tuple[int, int]:
-        if s.name in head9:
-            return (0, head9[s.name])
-        if s.name in head8:
-            # r8-touched: their newest driver row (r7 or older) predates
-            # the r8 code change, and r8 recorded no CORRECTNESS file —
-            # stale evidence about changed code outranks every
-            # fresh-evidence tier.
-            return (2, head8[s.name])
-        if s.name in DRIVER_CHECKED_R07:
-            return (9, 0)
-        if s.name in DRIVER_CHECKED_R06:
-            return (8, 0)
-        if s.name in DRIVER_CHECKED_R05:
-            return (7, 0)
-        if s.name in DRIVER_CHECKED_R04:
-            return (6, 0)
-        if s.name in DRIVER_CHECKED_R03:
-            return (5, 0)
-        if s.name in DRIVER_CHECKED_R02 or s.name in DRIVER_CHECKED_R01:
-            return (4, 0)
-        return (1, 0)  # never-checked: right after the r9 touched head
+        if s.name in head10:
+            return (0, head10[s.name])
+        for rnd, names in newest_first:
+            if s.name in names:
+                # staleness rank: newest-evidence round ascending, so
+                # r4-newest (rank 5) sorts before r9-newest (rank 10);
+                # +1 keeps every checked tier after the never-checked slot.
+                return (1 + rnd, 0)
+        return (1, 0)  # never-checked: right after the r10 touched head
 
     specs = list(REGISTRY.values())
     return sorted(specs, key=tier)  # sorted() is stable → registration order kept

@@ -3343,3 +3343,127 @@ def avro_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         AL.write_avro_records(src, out, codec="snappy")
         _AVRO_SINK_DIRS[key] = out
     return read_avro_records(spark, out)
+
+
+_CSV_LANDINGS: dict[tuple, str] = {}
+_ORC_LANDINGS: dict[tuple, str] = {}
+
+
+@register(
+    "csv_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 11 = 4
+    """,
+    tags=("source", "csv"),
+)
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV file-format scan end-to-end, driver-certified (r9 VERDICT
+    item 2 — the scan category's oracle evidence was parquet/Avro-only;
+    csv/orc had tests but no driver row). An orders slice is written as
+    headered CSV through Spark's native writer (executor-parallel, one
+    file per partition) and read back with an EXPLICIT schema in
+    FAILFAST mode — the reference's typed-decode posture (task.ts:66-72
+    validates every record against the flow schema and fails loudly);
+    schema inference is never trusted. Microsecond ``timestampFormat``
+    on BOTH sides makes the timestamp roundtrip exact regardless of
+    sub-second components, and doubles survive because Spark writes
+    shortest-roundtrip representations. The readback must equal the
+    plain SQL projection of the same source rows — any quoting, escape,
+    null-marker, or timestamp-format bug shifts values and hash-fails.
+
+    Scale posture: CSV decode is executor-side and splittable
+    (uncompressed files split by byte ranges, newline-aligned); the
+    explicit schema means no inference pre-pass over the data. The
+    fixture is built once per source generation; later calls are a lazy
+    scan with pushed column pruning."""
+    import os as _os
+    import tempfile
+
+    from ..sources.readers import fixture_fingerprint
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    landing = _CSV_LANDINGS.get(key)
+    if landing is None:
+        landing = _os.path.join(tempfile.mkdtemp(prefix="sg_csv_"), "orders")
+        (
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 11 == 4)
+            .select(*cols)
+            .write.option("header", "true")
+            .option("timestampFormat", ts_fmt)
+            .csv(landing)
+        )
+        _CSV_LANDINGS[key] = landing
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderstatus STRING, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .option("mode", "FAILFAST")
+        .csv(landing)
+        .select(*cols)
+    )
+
+
+@register(
+    "orc_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 11 = 7
+    """,
+    tags=("source", "orc"),
+)
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC file-format scan end-to-end, driver-certified (r9 VERDICT
+    item 2, the columnar sibling of csv_scan): an orders slice is
+    written as ORC through Spark's native writer and read back through
+    the vectorized ORC reader. ORC is a typed columnar format, so the
+    roundtrip is exact by construction; the driver row certifies the
+    engine's wiring (write → footer/stripe metadata → vectorized read)
+    against the plain SQL projection of the same source rows.
+
+    Scale posture: ORC scans split by stripe, carry min/max stripe
+    statistics for predicate pushdown, and decode executor-side into
+    columnar batches (``spark.sql.orc.enableVectorizedReader`` defaults
+    on) — at 100 TB this is the same scan class as parquet. Fixture
+    built once per source generation; later calls are a lazy scan."""
+    import os as _os
+    import tempfile
+
+    from ..sources.readers import fixture_fingerprint
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    landing = _ORC_LANDINGS.get(key)
+    if landing is None:
+        landing = _os.path.join(tempfile.mkdtemp(prefix="sg_orc_"), "orders")
+        (
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 11 == 7)
+            .select(*cols)
+            .write.orc(landing)
+        )
+        _ORC_LANDINGS[key] = landing
+    return spark.read.orc(landing).select(*cols)

@@ -156,3 +156,71 @@ def test_simhash_pigeonhole_precondition_enforced(spark, sf_dir):
         dedup.simhash_pairs(
             docs, "doc_id", "text", max_hamming=4, nbits=48, blocks=4
         )
+
+
+def test_simhash_bucket_cap_contract(spark, sf_dir):
+    """The bounded-emission twin (r10 — r9 VERDICT item 3): the capped
+    pair set must be a strict SUBSET of the uncapped truth on a fixture
+    whose hottest bucket exceeds the cap (non-vacuous truncation), must
+    be EXACT when the cap exceeds every bucket (the documented recall
+    bound's boundary case), and must refuse a degenerate cap."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.operators import dedup
+    from etl_drone_sense_spark.plans.extensions import (
+        SIM_BUCKET_CAP,
+        _adaptive_simhash_bits,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kb = _adaptive_simhash_bits(docs.count())
+    kw = dict(max_hamming=3, nbits=48, blocks=4, key_bits=kb)
+
+    truth = set(
+        map(tuple, dedup.simhash_pairs(docs, "doc_id", "text", **kw).collect())
+    )
+    capped = set(
+        map(
+            tuple,
+            dedup.simhash_pairs(
+                docs, "doc_id", "text", bucket_cap=SIM_BUCKET_CAP, **kw
+            ).collect(),
+        )
+    )
+    assert capped < truth, "cap must truncate on the dup-heavy fixture"
+    assert len(capped) > 0, "cap must not empty the result"
+
+    # a cap larger than any bucket is a no-op: recall is exact
+    wide_cap = set(
+        map(
+            tuple,
+            dedup.simhash_pairs(
+                docs, "doc_id", "text", bucket_cap=10_000_000, **kw
+            ).collect(),
+        )
+    )
+    assert wide_cap == truth
+
+    with _pytest.raises(ValueError, match="bucket_cap"):
+        dedup.simhash_pairs(docs, "doc_id", "text", bucket_cap=1, **kw)
+
+
+def test_simhash_bucket_cap_plans_window_group_limit(spark, sf_dir):
+    """The cap's row_number+filter must compile to WindowGroupLimit
+    (per-partition top-k below the window sort — no full bucket
+    materialization), and the candidate join must stay a hashed-key
+    equi-join, never a cartesian product."""
+    from etl_drone_sense_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        dedup.simhash_pairs(
+            docs, "doc_id", "text",
+            max_hamming=3, nbits=48, blocks=4, key_bits=7, bucket_cap=8,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -1148,3 +1148,134 @@ def test_bmp_header_overlapping_pixel_offset_quarantines():
     struct.pack_into("<I", good, 10, 10)  # data offset inside the header
     with pytest.raises(ValueError):
         parse_bmp(bytes(good))
+
+
+# --- TIFF (r10) --------------------------------------------------------------
+
+
+def test_tiff_roundtrip_all_tiers():
+    """Every (color model × compression × byte order × strip height)
+    combination must roundtrip bit-exactly — the baseline TIFF tiers
+    carry no entropy coding, so decode is exact by construction."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_tiff,
+        parse_image,
+        parse_tiff,
+    )
+
+    rng = random.Random(11)
+    for w, h, gray, comp, be, rps in itertools.product(
+        [1, 4, 7], [1, 3, 6], [False, True], ["none", "packbits"],
+        [False, True], [None, 1, 2],
+    ):
+        n = w * h * (1 if gray else 3)
+        raster = bytes(rng.randrange(256) for _ in range(n))
+        blob = encode_tiff(
+            w, h, raster, gray=gray, compression=comp,
+            big_endian=be, rows_per_strip=rps,
+        )
+        w2, h2, rgb = parse_tiff(blob)
+        assert (w2, h2) == (w, h)
+        if gray:
+            g = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            assert (a == g[:, :, None]).all()
+        else:
+            assert rgb == raster
+        # magic-byte dispatch must route both byte orders
+        assert parse_image(blob) == (w2, h2, rgb)
+
+
+def test_tiff_packbits_runs_and_row_restart():
+    """PackBits must survive 128+-byte runs (two repeat records) and the
+    per-row restart discipline (a run crossing a row boundary must not
+    be merged — the decoder counts bytes per strip, so a merged run
+    over-runs and quarantines)."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        encode_tiff,
+        parse_tiff,
+    )
+
+    row = b"\x05" * 300
+    assert _packbits_decode(_packbits_encode(row), 300) == row
+    # constant image: every row packs to a repeat record; multi-strip
+    w, h = 100, 5
+    blob = encode_tiff(w, h, b"\x07" * (w * h), gray=True, compression="packbits", rows_per_strip=2)
+    w2, h2, rgb = parse_tiff(blob)
+    assert (w2, h2) == (w, h) and set(rgb) == {7}
+
+
+def test_tiff_unsupported_tiers_quarantine():
+    """LZW compression, tiled layout, 16-bit depth, planar-2, and
+    structural damage must raise ValueError (decode_ok=false), never
+    escape as a different exception or wrong pixels."""
+    import struct
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_tiff,
+        parse_tiff,
+    )
+
+    good = encode_tiff(4, 3, bytes(36), rows_per_strip=2)
+
+    def patch_tag(blob: bytes, tag: int, new_value: int) -> bytes:
+        buf = bytearray(blob)
+        ifd = struct.unpack_from("<I", buf, 4)[0]
+        n = struct.unpack_from("<H", buf, ifd)[0]
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            if struct.unpack_from("<H", buf, off)[0] == tag:
+                struct.pack_into("<H", buf, off + 8, new_value)
+        return bytes(buf)
+
+    for bad in (
+        b"",
+        b"II\x2a\x00",
+        b"XX\x2a\x00\x08\x00\x00\x00",
+        good[:-10],  # truncated IFD
+        patch_tag(good, 259, 5),  # LZW
+        patch_tag(good, 284, 2),  # planar
+        patch_tag(good, 258, 16),  # bit depth
+    ):
+        with pytest.raises(ValueError):
+            parse_tiff(bad)
+    # orientation: the encoder never writes tag 274, so REWRITE the
+    # planar entry (tag 284, scalar SHORT 1) into orientation=3
+    buf = bytearray(good)
+    ifd = struct.unpack_from("<I", buf, 4)[0]
+    n = struct.unpack_from("<H", buf, ifd)[0]
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, off)[0] == 284:
+            struct.pack_into("<H", buf, off, 274)
+            struct.pack_into("<H", buf, off + 8, 3)
+    with pytest.raises(ValueError):
+        parse_tiff(bytes(buf))
+    # a tile tag anywhere in the IFD forces the tiled-layout refusal
+    buf = bytearray(good)
+    ifd = struct.unpack_from("<I", buf, 4)[0]
+    struct.pack_into("<H", buf, ifd + 2, 322)  # first entry tag → TileWidth
+    with pytest.raises(ValueError):
+        parse_tiff(bytes(buf))
+
+
+def test_tiff_packbits_overrun_quarantines():
+    """A packbits stream decoding to MORE bytes than the strip expects
+    must quarantine (the overrun guard), as must one that starves."""
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import _packbits_decode
+
+    with pytest.raises(ValueError):
+        _packbits_decode(b"\x81\x07", 3)  # 128-byte repeat into a 3-byte strip
+    with pytest.raises(ValueError):
+        _packbits_decode(b"\x00\x07", 3)  # 1 literal byte, then starvation

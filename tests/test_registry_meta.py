@@ -32,11 +32,13 @@ def test_every_bench_query_has_a_budget():
 def test_touched_and_checked_names_exist():
     known = set(RG.REGISTRY) | set(RG.RETIRED)
     for group in (
+        RG.TOUCHED_R10,
         RG.TOUCHED_R09,
         RG.TOUCHED_R08,
         RG.TOUCHED_R07,
         RG.TOUCHED_R06,
         RG.TOUCHED_R05,
+        RG.DRIVER_CHECKED_R09,
         RG.DRIVER_CHECKED_R07,
         RG.DRIVER_CHECKED_R06,
         RG.DRIVER_CHECKED_R05,
@@ -56,14 +58,8 @@ def test_retired_names_stay_retired():
     assert not ghosts, f"retired names re-registered: {sorted(ghosts)}"
 
 
-def test_window_head_covers_everything_unverified_or_touched():
-    """The driver checks the FIRST ~50 names: every touched-this-round,
-    every never-driver-checked query, AND every r8-touched query (r8
-    recorded no CORRECTNESS file, so their newest row predates their r8
-    code change) must sort inside that window."""
-    order = list(RG.all_queries())
-    head = set(order[:50])
-    ever_checked = (
+def _ever_checked() -> set[str]:
+    return (
         set(RG.DRIVER_CHECKED_R01)
         | set(RG.DRIVER_CHECKED_R02)
         | set(RG.DRIVER_CHECKED_R03)
@@ -71,11 +67,29 @@ def test_window_head_covers_everything_unverified_or_touched():
         | set(RG.DRIVER_CHECKED_R05)
         | set(RG.DRIVER_CHECKED_R06)
         | set(RG.DRIVER_CHECKED_R07)
+        | set(RG.DRIVER_CHECKED_R09)
     )
-    must_be_in_head = (
-        set(RG.TOUCHED_R09)
-        | set(RG.TOUCHED_R08)
-        | (set(order) - ever_checked)
+
+
+def test_r9_fold_covers_the_r8_gap():
+    """CORRECTNESS_r08.json never landed, so DRIVER_CHECKED_R09 (the r9
+    artifact's exact key set) must cover every r8- and r9-touched name —
+    otherwise some changed code still has only pre-change evidence."""
+    uncovered = (set(RG.TOUCHED_R08) | set(RG.TOUCHED_R09)) - set(
+        RG.DRIVER_CHECKED_R09
+    )
+    assert not uncovered, f"touched r8/r9 names without an r9 row: {uncovered}"
+
+
+def test_window_head_covers_everything_unverified_or_touched():
+    """The driver checks the FIRST ~50 names: every touched-this-round and
+    every never-driver-checked query must sort inside that window. After
+    the r9 fold the never-checked set should be empty — every registered
+    name has at least one green driver row."""
+    order = list(RG.all_queries())
+    head = set(order[:50])
+    must_be_in_head = set(RG.TOUCHED_R10) & set(order) | (
+        set(order) - _ever_checked()
     )
     missing = must_be_in_head - head
     assert not missing, f"outside the driver window: {sorted(missing)}"
@@ -84,18 +98,17 @@ def test_window_head_covers_everything_unverified_or_touched():
 def test_window_head_leads_with_stalest_tier():
     """After the touched/never-checked block, remaining window slots must
     fill with the stalest-evidence tier — the 13 scalar/window-function
-    primitives whose last driver row is round 4 — not with
-    freshly-certified queries. r9 note: the touched+never-checked block
-    (39 names) leaves only 11 slots, so the r4 tier can only PARTIALLY
-    fit; the assertion is ordering (r4 tier sorts before every r5+
-    name), not full inclusion."""
+    primitives whose NEWEST driver row is round 4 (r9 VERDICT item 1).
+    r10's touched head is small enough that the full tier must fit inside
+    the 50-name window this time."""
     order = list(RG.all_queries())
     fresher = (
         set(RG.DRIVER_CHECKED_R05)
         | set(RG.DRIVER_CHECKED_R06)
         | set(RG.DRIVER_CHECKED_R07)
+        | set(RG.DRIVER_CHECKED_R09)
     )
-    touched = set(RG.TOUCHED_R09) | set(RG.TOUCHED_R08)
+    touched = set(RG.TOUCHED_R10)
     stale_tier = [
         n
         for n in RG.REGISTRY
@@ -120,6 +133,7 @@ def test_window_head_leads_with_stalest_tier():
     }, "stale-tier membership drifted — re-derive the rotation plan"
     pos = {n: i for i, n in enumerate(order)}
     worst_stale = max(pos[n] for n in stale_tier)
+    assert worst_stale < 50, "r4 stale tier does not fit in the driver window"
     fresh_only = fresher - set(RG.DRIVER_CHECKED_R04) - touched
     first_fresh = min(pos[n] for n in fresh_only)
     assert worst_stale < first_fresh, (
