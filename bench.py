@@ -112,6 +112,24 @@ BUDGETS_S: dict[str, float] = {
 
 
 def main() -> None:
+    # Pre-flight load check (r10 VERDICT item 4): this host's background
+    # load is the documented source of phantom budget violations — an
+    # elevated 1-min loadavg at launch means the timings below measure
+    # contention, not code. Warn loudly and stamp the JSON so a noisy
+    # run is distinguishable from a regression after the fact.
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        load1 = -1.0
+    if load1 > 1.0:
+        print(
+            f"WARNING: 1-min loadavg {load1:.2f} > 1.0 at bench launch — "
+            "timings may be contaminated by background load; re-measure "
+            "violations individually on a quiet machine before believing "
+            "them",
+            file=sys.stderr,
+        )
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -193,6 +211,25 @@ def main() -> None:
                 "budget_violations": violations,
                 "oracle_s": oracle_s,
                 "oracle_ratio": oracle_ratio,
+            }
+        )
+    )
+    # The driver records only the TAIL of stdout (last ~2000 chars), and
+    # the full line above ends with the per-query oracle dicts — so the
+    # verdict-critical gates (headline total, violations, launch load)
+    # were unrecoverable from BENCH_r10.json (r10 VERDICT item 4). This
+    # trailing compact line guarantees the tail always carries them.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "loadavg_at_launch": load1,
+                "n_queries": len(timings),
+                "n_violations": len(violations),
+                "budget_violations": violations,
             }
         )
     )

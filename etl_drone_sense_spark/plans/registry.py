@@ -777,38 +777,118 @@ DRIVER_CHECKED_R09: frozenset[str] = frozenset(
 )
 
 # Queries whose Spark code OR oracle changed in round 10, plus new
-# registrations — all need a fresh driver row. Populated as r10 work
-# lands; ordering within the tuple is the order the driver checks them.
+# registrations. CORRECTION (r11, per r10 VERDICT "What's wrong" #1):
+# round 10 actually landed only the four NEW queries below; the seven
+# rework annotations this tuple used to carry (binned MAD median,
+# boilerplate pre-filter, sample_importance staging, private-session
+# iterative loops) described PLANNED work that was not in the code —
+# those reworks landed in round 11 and live in TOUCHED_R11 where their
+# fresh driver evidence belongs. The extra r10 names are kept (commented)
+# only as a record of what the r10 driver window checked; the r10 rows
+# for them certified UNCHANGED code.
 TOUCHED_R10: tuple[str, ...] = (
     "csv_scan",  # NEW r10: CSV scan with explicit schema + oracle row
     "orc_scan",  # NEW r10: ORC roundtrip scan + oracle row
     "multimodal_decode_tiff",  # NEW r10: uncompressed/PackBits TIFF codec
     "dedup_simhash_adaptive_capped",  # NEW r10: per-bucket pair-emission cap
-    "events_anomaly_mad",  # r10: deviation median → binned 3-pass selection
-    "text_boilerplate_strip",  # r10: no-repeated-lines pre-filter
-    "sample_importance",  # r10: hashed-unigram counts staged once
-    "graph_pagerank",  # r10: iterative loops moved onto a private session
-    "hierarchy_flatten",  # r10: same (scoped shuffle-width) + dangling warn
-    "dedup_cluster_stats",  # r10: connected components on private session
-    "corpus_split_leakage_safe",  # r10: same CC path
+    # events_anomaly_mad / text_boilerplate_strip / sample_importance /
+    # graph_pagerank / hierarchy_flatten / dedup_cluster_stats /
+    # corpus_split_leakage_safe were checked in the r10 window but NOT
+    # changed in r10 — their reworks are TOUCHED_R11.
+)
+
+# Round 10 DID land driver artifacts (CORRECTNESS_r10.json: 50/50 green)
+# — this is that file's exact key set, folded per the r10 handoff. It
+# covers every TOUCHED_R10 name, the full 13-query r4-stale tier, and
+# the r10 rotation slice of the r5/r6 tiers; after this fold the stalest
+# surviving evidence is the 18-query r5 tier, then the r6 tier.
+DRIVER_CHECKED_R10: frozenset[str] = frozenset(
+    {
+        "agg_approx_distinct",
+        "agg_heavy_hitters",
+        "agg_hll_mergeable",
+        "array_funcs",
+        "case_bucketing",
+        "corpus_chunking",
+        "corpus_contamination",
+        "corpus_prepare_pipeline",
+        "corpus_split_leakage_safe",
+        "csv_scan",
+        "date_funcs",
+        "dedup_cluster_stats",
+        "dedup_embedding_lsh_wide",
+        "dedup_exact_substring",
+        "dedup_incremental",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_semantic",
+        "dedup_simhash_adaptive_capped",
+        "events_anomaly_mad",
+        "events_ewma",
+        "geo_radius_join",
+        "graph_pagerank",
+        "hierarchy_flatten",
+        "json_funcs",
+        "math_funcs",
+        "multimodal_decode_tiff",
+        "orc_scan",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q18_large_volume",
+        "sample_importance",
+        "schema_evolution_read",
+        "set_ops",
+        "sim_kmeans_ivf_topk",
+        "stream_interval_join_full",
+        "stream_merge_apply",
+        "stream_static_enrich",
+        "string_funcs",
+        "subquery_exists_notin",
+        "subquery_scalar_correlated",
+        "table_incremental_feed",
+        "text_boilerplate_strip",
+        "text_html_strip",
+        "text_winnowing",
+        "window_lag_lead",
+        "window_rank_navigation",
+        "window_running_sum",
+        "window_topk_per_group",
+    }
+)
+
+# Queries whose Spark code OR oracle changed in round 11, plus new
+# registrations — all need a fresh driver row. Populated as r11 work
+# lands; ordering within the tuple is the order the driver checks them.
+TOUCHED_R11: tuple[str, ...] = (
+    "events_anomaly_mad",  # r11: deviation median → binned 3-pass selection
+    "text_boilerplate_strip",  # r11: clean-docs bypass of the rebuild agg
+    "sample_importance",  # r11: bucket LR table collected, scoring join-free
+    "dedup_paragraph",  # r11: no-duplicate-paragraph docs bypass the window
+    "graph_pagerank",  # r11: iterative loop on a private session (conf scoped)
+    "hierarchy_flatten",  # r11: same private-session loop scope
+    "dedup_cluster_stats",  # r11: connected components on private session
+    "corpus_split_leakage_safe",  # r11: same CC path
 )
 
 
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
-    about old code is still stale evidence). After the r9 fold every
+    about old code is still stale evidence). After the r10 fold every
     registered query has at least one green driver row, so the order is:
-    TOUCHED_R10, then any never-checked stragglers (new r10 names not in
-    TOUCHED_R10 — should be none), then by newest-evidence round
-    ascending: the 13-query round-4 tier first, round-1/2, round-3, …,
-    round-9 (freshest) last."""
+    TOUCHED_R11, then any never-checked stragglers (new r11 names not in
+    TOUCHED_R11 — should be none), then by newest-evidence round
+    ascending — the r5-newest 18-query tier first, then r6-newest, …,
+    round-10 (freshest) last. (The r1–r4-newest tiers are currently
+    empty: every such name was re-certified in a later round.)"""
 
-    head10 = {n: i for i, n in enumerate(TOUCHED_R10)}
+    head11 = {n: i for i, n in enumerate(TOUCHED_R11)}
 
     # Newest round in which each name earned a driver row, oldest-first
     # search order below relies on checking the NEWEST sets first.
     newest_first: tuple[tuple[int, frozenset[str]], ...] = (
+        (10, DRIVER_CHECKED_R10),
         (9, DRIVER_CHECKED_R09),
         (7, DRIVER_CHECKED_R07),
         (6, DRIVER_CHECKED_R06),
@@ -820,15 +900,15 @@ def _ordered_specs() -> list[QuerySpec]:
     )
 
     def tier(s: QuerySpec) -> tuple[int, int]:
-        if s.name in head10:
-            return (0, head10[s.name])
+        if s.name in head11:
+            return (0, head11[s.name])
         for rnd, names in newest_first:
             if s.name in names:
                 # staleness rank: newest-evidence round ascending, so
-                # r4-newest (rank 5) sorts before r9-newest (rank 10);
+                # r5-newest (rank 6) sorts before r10-newest (rank 11);
                 # +1 keeps every checked tier after the never-checked slot.
                 return (1 + rnd, 0)
-        return (1, 0)  # never-checked: right after the r10 touched head
+        return (1, 0)  # never-checked: right after the r11 touched head
 
     specs = list(REGISTRY.values())
     return sorted(specs, key=tier)  # sorted() is stable → registration order kept

@@ -32,12 +32,14 @@ def test_every_bench_query_has_a_budget():
 def test_touched_and_checked_names_exist():
     known = set(RG.REGISTRY) | set(RG.RETIRED)
     for group in (
+        RG.TOUCHED_R11,
         RG.TOUCHED_R10,
         RG.TOUCHED_R09,
         RG.TOUCHED_R08,
         RG.TOUCHED_R07,
         RG.TOUCHED_R06,
         RG.TOUCHED_R05,
+        RG.DRIVER_CHECKED_R10,
         RG.DRIVER_CHECKED_R09,
         RG.DRIVER_CHECKED_R07,
         RG.DRIVER_CHECKED_R06,
@@ -68,6 +70,7 @@ def _ever_checked() -> set[str]:
         | set(RG.DRIVER_CHECKED_R06)
         | set(RG.DRIVER_CHECKED_R07)
         | set(RG.DRIVER_CHECKED_R09)
+        | set(RG.DRIVER_CHECKED_R10)
     )
 
 
@@ -81,14 +84,26 @@ def test_r9_fold_covers_the_r8_gap():
     assert not uncovered, f"touched r8/r9 names without an r9 row: {uncovered}"
 
 
+def test_r10_fold_covers_the_r10_touched_names():
+    """Every r10-touched name must have an r10 driver row (the fold is the
+    exact CORRECTNESS_r10.json key set, 50/50 green)."""
+    uncovered = set(RG.TOUCHED_R10) - set(RG.DRIVER_CHECKED_R10)
+    assert not uncovered, f"touched r10 names without an r10 row: {uncovered}"
+
+
 def test_window_head_covers_everything_unverified_or_touched():
     """The driver checks the FIRST ~50 names: every touched-this-round and
     every never-driver-checked query must sort inside that window. After
-    the r9 fold the never-checked set should be empty — every registered
+    the r10 fold the never-checked set should be empty — every registered
     name has at least one green driver row."""
     order = list(RG.all_queries())
     head = set(order[:50])
-    must_be_in_head = set(RG.TOUCHED_R10) & set(order) | (
+    # A touched name that is not registered must be an explicit retirement
+    # (r10 ADVICE: otherwise a typo in TOUCHED silently drops the
+    # must-be-in-head requirement for the query it meant to name).
+    ghosts = set(RG.TOUCHED_R11) - set(order)
+    assert ghosts <= RG.RETIRED, f"touched names neither registered nor retired: {ghosts}"
+    must_be_in_head = set(RG.TOUCHED_R11) & set(order) | (
         set(order) - _ever_checked()
     )
     missing = must_be_in_head - head
@@ -97,45 +112,50 @@ def test_window_head_covers_everything_unverified_or_touched():
 
 def test_window_head_leads_with_stalest_tier():
     """After the touched/never-checked block, remaining window slots must
-    fill with the stalest-evidence tier — the 13 scalar/window-function
-    primitives whose NEWEST driver row is round 4 (r9 VERDICT item 1).
-    r10's touched head is small enough that the full tier must fit inside
-    the 50-name window this time."""
+    fill with the stalest-evidence tier — after the r10 fold that is the
+    18-query tier whose NEWEST driver row is round 5 (r10 VERDICT item 2).
+    The r11 touched head (8) plus the full r5 tier (18) must fit inside
+    the 50-name window, ahead of anything r6-or-fresher."""
     order = list(RG.all_queries())
     fresher = (
-        set(RG.DRIVER_CHECKED_R05)
-        | set(RG.DRIVER_CHECKED_R06)
+        set(RG.DRIVER_CHECKED_R06)
         | set(RG.DRIVER_CHECKED_R07)
         | set(RG.DRIVER_CHECKED_R09)
+        | set(RG.DRIVER_CHECKED_R10)
     )
-    touched = set(RG.TOUCHED_R10)
+    touched = set(RG.TOUCHED_R11)
     stale_tier = [
         n
         for n in RG.REGISTRY
-        if n in RG.DRIVER_CHECKED_R04
+        if n in RG.DRIVER_CHECKED_R05
         and n not in fresher
         and n not in touched
     ]
     assert set(stale_tier) == {
-        "array_funcs",
-        "case_bucketing",
-        "date_funcs",
-        "json_funcs",
-        "math_funcs",
-        "set_ops",
-        "string_funcs",
-        "subquery_exists_notin",
-        "subquery_scalar_correlated",
-        "window_lag_lead",
-        "window_rank_navigation",
-        "window_running_sum",
-        "window_topk_per_group",
+        "agg_approx_percentile",
+        "agg_percentiles",
+        "agg_skew_salted",
+        "events_gapfill",
+        "join_asof",
+        "json_variant_agg",
+        "map_funcs",
+        "profile_columns",
+        "profile_drift_psi",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "q19_bracket_disjunction",
+        "q22_dormant_balance",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "validate_expectations",
+        "window_range_frame",
     }, "stale-tier membership drifted — re-derive the rotation plan"
     pos = {n: i for i, n in enumerate(order)}
     worst_stale = max(pos[n] for n in stale_tier)
-    assert worst_stale < 50, "r4 stale tier does not fit in the driver window"
-    fresh_only = fresher - set(RG.DRIVER_CHECKED_R04) - touched
+    assert worst_stale < 50, "r5 stale tier does not fit in the driver window"
+    fresh_only = fresher - set(RG.DRIVER_CHECKED_R05) - touched
     first_fresh = min(pos[n] for n in fresh_only)
     assert worst_stale < first_fresh, (
-        "a freshly-certified query sorts ahead of the r4 stale tier"
+        "a freshly-certified query sorts ahead of the r5 stale tier"
     )
