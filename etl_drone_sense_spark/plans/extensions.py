@@ -1405,21 +1405,24 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nav, cookie banners, footers), not content — strip every occurrence
     and reassemble each document in original line order.
 
-    Scale shape (r8 rework — r7 VERDICT item 3): the exploded ``lines``
-    relation is scoped-persisted (the split+trim+filter explode is the
-    dominant narrow cost and feeds BOTH the boiler census and the
-    reassembly — same discipline as the dedup signature relations), the
-    boiler set marks survivors via a left join that AQE converts to
-    broadcast at runtime when the set is small (the usual case; an
-    unconditional hint would be wrong for template-heavy crawls), and
-    ONE doc-keyed aggregation produces totals, removals, and the
-    reassembled text together — the old plan's separate ``totals``
-    aggregate and second doc join are folded away. Net: one shuffle on
-    the line key, one on doc_id, per-doc state bounded by document size
-    (sort_array on (pos, line) restores order without a global sort);
-    work is corpus-linear throughout. Seeded shared-header/footer docs
-    (BOILER_SEEDS) make the strip non-vacuous; their unique bodies must
-    survive."""
+    Scale shape (r11 rework — r9 VERDICT item 6, the clean-docs bypass):
+    the exploded ``lines`` relation is scoped-persisted (the
+    split+trim+filter explode feeds the boiler census, the affected-doc
+    probe, and the dirty-path reassembly — same discipline as the dedup
+    signature relations). The expensive collect_list reassembly now runs
+    ONLY for docs that actually contain a boiler line: a semi join of
+    the exploded lines against the (small) boiler set yields the
+    AFFECTED doc ids; every other document — the overwhelming majority
+    of a real crawl, and ~all of this fixture — takes a PURE COLUMN
+    bypass (trim/filter/array_join on the line array, no explode
+    output, no aggregation, no shuffle) because stripping removes
+    nothing from it: clean_text is just its normalized lines rejoined.
+    Net: one shuffle on the line key (census), one tiny semi-join probe,
+    and a doc_id-keyed rebuild over only the affected sliver; per-doc
+    state bounded by document size (sort_array on (pos, line) restores
+    order without a global sort); work is corpus-linear throughout.
+    Seeded shared-header/footer docs (BOILER_SEEDS) make the strip
+    non-vacuous; their unique bodies must survive."""
     from ..caching import scoped_persist
 
     docs = (
@@ -1429,17 +1432,13 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.createDataFrame(list(BOILER_SEEDS), "doc_id long, text string")
         )
     )
+    lns = F.filter(
+        F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
     lines = scoped_persist(
         "text.boiler_lines",
-        docs.select(
-            "doc_id",
-            F.posexplode(
-                F.filter(
-                    F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
-                    lambda l: F.length(l) > 0,
-                )
-            ).alias("pos", "line"),
-        ),
+        docs.select("doc_id", F.posexplode(lns).alias("pos", "line")),
     )
     boiler = (
         lines.groupBy("line")
@@ -1447,8 +1446,23 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= BOILER_MIN_DOCS)
         .select("line", F.lit(True).alias("_boiler"))
     )
-    per_doc = (
-        lines.join(boiler, "line", "left")
+    # Docs holding at least one boiler line — the only ones whose output
+    # differs from their normalized input. distinct() over a relation
+    # already shrunk by the semi join; AQE broadcasts it back.
+    affected = (
+        lines.join(boiler.select("line"), "line", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = docs.join(affected, "doc_id", "anti").select(
+        "doc_id",
+        F.size(lns).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.array_join(lns, "\n").alias("clean_text"),
+    )
+    dirty = (
+        lines.join(affected, "doc_id", "semi")
+        .join(boiler, "line", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -1471,16 +1485,10 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
-            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
-    )
+    # Every doc is in exactly one branch (affected partitions docs), and
+    # zero-line docs fall through to the clean branch with n_lines 0 and
+    # clean_text '' — the union IS the old final left join.
+    return clean.unionByName(dirty)
 
 
 @register(
@@ -4685,17 +4693,31 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale — the hot-key answer: a naive per-key ROW sort makes one hot
     user a straggler task holding its whole event list (an exact median
     is a global property of the key's distribution, so salting can't
-    split it). Instead the median is WEIGHTED selection over value
+    split it). The VALUE median is WEIGHTED selection over value
     COUNTS: collapse to (user, value, count) first (map-side
     combinable), then rank by cumulative count — per-key state shrinks
     from event count to DISTINCT-value count, so a hot key with a
     billion events over a bounded value domain costs what a cold key
-    costs. The selected middle values are averaged exactly like the
-    row formulation (the oracle keeps the row form — the hash gate is
-    the equivalence proof). Continuous unbounded domains would need
-    quantized pre-binning to get the same bound; this fixture's values
-    are 2-decimal quantized, the discrete case. Deviation ranking and
-    the final rollup reuse the same shapes, all keyed on user_id."""
+    costs (this fixture's values are 2-decimal quantized, the discrete
+    case).
+
+    The DEVIATION median (r11 — r9 VERDICT item 5) cannot lean on that
+    bound: ``abs(value - med)`` is a CONTINUOUS per-key domain (med is
+    the average of two middles, so deviations need not re-quantize),
+    and a weighted selection over it degenerates back to per-key row
+    state. It instead uses the BINNED 3-PASS SELECTION of
+    agg_exact_quantiles_binned, partitioned per user: (1) per-user
+    min/max/count of dev, (2) per-(user, bin) counts over 1024
+    equi-width bins (map-side combinable; per-key state ≤ 1024 rows
+    REGARDLESS of distinct deviations), cumulative bin counts locate
+    the bin holding each of the two middle ranks plus the in-bin
+    offset, (3) one filtered re-scan sorts only the ~n/1024-row target
+    bins and picks the offsets. The two selected middles are averaged
+    exactly like the row formulation — selection never interpolates,
+    so the oracle keeps the row form verbatim and the driver's hash
+    gate is the equivalence proof between the three plans (row sort /
+    weighted selection / binned selection). Deviation ranking and the
+    final rollup reuse the same shapes, all keyed on user_id."""
     from pyspark.sql.window import Window
 
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
@@ -4738,14 +4760,91 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return hits.groupBy("user_id").agg(F.avg(col).alias(alias))
 
+    def binned_median(df: DataFrame, col: str, alias: str) -> DataFrame:
+        NBINS = 1024
+        stats = df.groupBy("user_id").agg(
+            F.min(col).alias("_lo"),
+            F.max(col).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        binned = df.select("user_id", col).join(stats, "user_id").select(
+            "user_id",
+            col,
+            "_n",
+            F.least(
+                F.lit(NBINS - 1),
+                F.floor(
+                    (F.col(col) - F.col("_lo"))
+                    / F.greatest(
+                        (F.col("_hi") - F.col("_lo")) / F.lit(float(NBINS)),
+                        F.lit(1e-12),
+                    )
+                ).cast("int"),
+            ).alias("_bin"),
+        )
+        bin_counts = binned.groupBy("user_id", "_bin").agg(
+            F.count(F.lit(1)).alias("_c"), F.max("_n").alias("_n")
+        )
+        wcum = (
+            Window.partitionBy("user_id")
+            .orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = bin_counts.select(
+            "user_id", "_bin", "_c", "_n", F.sum("_c").over(wcum).alias("_cum")
+        )
+        # two middle ranks, tagged with an index so odd-n (both ranks
+        # equal) still yields TWO selected rows — avg then divides by 2
+        # and (v+v)/2 == v, bit-identical to the oracle's row selection
+        targets = cum.select(
+            "user_id",
+            "_bin",
+            "_c",
+            "_cum",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("_i"),
+                        F.expr("(_n + 1) div 2").alias("_r"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("_i"),
+                        F.expr("_n div 2 + 1").alias("_r"),
+                    ),
+                )
+            ).alias("_t"),
+        ).filter(
+            (F.col("_cum") - F.col("_c") < F.col("_t._r"))
+            & (F.col("_t._r") <= F.col("_cum"))
+        ).select(
+            "user_id",
+            "_bin",
+            F.col("_t._i").alias("_i"),
+            (F.col("_t._r") - (F.col("_cum") - F.col("_c"))).alias("_off"),
+        )
+        hits = binned.join(targets, ["user_id", "_bin"])
+        wsel = Window.partitionBy("user_id", "_i").orderBy(col)
+        picked = hits.select(
+            "user_id", col, "_off", F.row_number().over(wsel).alias("_rn")
+        ).filter(F.col("_rn") == F.col("_off"))
+        return picked.groupBy("user_id").agg(F.avg(col).alias(alias))
+
     med = exact_median(ev, "value", "med")
-    dev = ev.join(med, "user_id").select(
-        "user_id",
-        "event_id",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    # dev feeds all three selection passes plus the final rollup — the
+    # ev⨝med join is the dominant derived relation, so stage it once
+    # (same scoped-persist discipline as the dedup signature relations).
+    from ..caching import scoped_persist
+
+    dev = scoped_persist(
+        "ext.mad_dev",
+        ev.join(med, "user_id").select(
+            "user_id",
+            "event_id",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("dev"),
+        ),
     )
-    mad = exact_median(dev, "dev", "mad")
+    mad = binned_median(dev, "dev", "mad")
     return (
         dev.join(mad, "user_id")
         .groupBy("user_id")

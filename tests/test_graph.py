@@ -77,10 +77,13 @@ def test_nonconvergence_warns(spark):
     assert {r["component"] for r in labels.collect()} == {0}
 
 
-def test_connected_components_restores_shuffle_conf(spark):
-    """The loop narrows spark.sql.shuffle.partitions for its own rounds;
-    the session conf must come back even though the loop exits early on
-    convergence (and via the finally on errors)."""
+def test_connected_components_private_session_scoping(spark):
+    """r10 VERDICT item 1d: the loop's narrow shuffle width lives on a
+    PRIVATE session — the caller's conf is never mutated (the old design
+    set-and-restored the session-global value, leaking the narrow width
+    to queries planned concurrently), while the loop's own exchanges
+    still run narrow (observable in the returned labels' partitioning:
+    the final checkpoint happened at the private width)."""
     from etl_drone_sense_spark.operators.graph import connected_components
 
     key = "spark.sql.shuffle.partitions"
@@ -88,9 +91,20 @@ def test_connected_components_restores_shuffle_conf(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
-    out = {r.node: r.component for r in connected_components(edges).collect()}
+    labels = connected_components(edges)
+    out = {r.node: r.component for r in labels.collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert spark.conf.get(key) == before
+    # tiny graph → loop width 1; the re-homed result keeps the private
+    # session's physical partitioning (RDD-backed, no re-shuffle)
+    assert labels.rdd.getNumPartitions() <= 2
+    # the handoff views must not linger in the shared global_temp db
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables("global_temp")
+        if t.name.startswith("_iter_loop_")
+    ]
+    assert not leftover, leftover
 
 
 def test_no_sizing_count_job_when_not_narrowing(spark, monkeypatch):
@@ -197,7 +211,9 @@ def test_flatten_hierarchy_cycle_warns(spark):
     assert any("did not converge" in str(w.message) for w in rec)
 
 
-def test_flatten_hierarchy_restores_shuffle_conf(spark):
+def test_flatten_hierarchy_never_mutates_caller_conf(spark):
+    """Same private-session scoping as connected_components: the caller's
+    shuffle width is untouched (not restored — untouched)."""
     from etl_drone_sense_spark.operators.graph import flatten_hierarchy
 
     key = "spark.sql.shuffle.partitions"

@@ -352,6 +352,39 @@ def test_boilerplate_strip_no_pair_explosion(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_boilerplate_strip_clean_docs_bypass(spark, sf_dir):
+    """r11 rework: docs holding no boiler line take a pure column path —
+    the plan is a Union whose clean branch carries no aggregation, and
+    exactly ONE collect_list reassembly exists (the dirty branch)."""
+    plan = plan_of(spark, sf_dir, "text_boilerplate_strip", mode="simple")
+    assert "Union" in plan, plan
+    assert "LeftAnti" in plan, plan
+    # one reassembly aggregation only (partial + final = 2 mentions)
+    assert plan.count("collect_list") == 2, plan
+
+
+def test_paragraph_dedup_clean_docs_bypass(spark, sf_dir):
+    """Same bypass shape for the C4 paragraph dedup: one Union, one
+    collect_list rebuild (dirty branch only), no first-occurrence window
+    over the clean majority."""
+    plan = plan_of(spark, sf_dir, "dedup_paragraph", mode="simple")
+    assert "Union" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("collect_list") == 2, plan
+
+
+def test_sample_importance_scoring_is_join_free(spark, sf_dir):
+    """r11 rework (r9 VERDICT item 7): the bucket log-ratio table enters
+    the scoring plan as a collected constant array — the final query must
+    contain NO join and no cached token relation, and the top-N must be
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "sample_importance", mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "InMemoryTableScan"):
+        assert node not in plan, f"{node} in scoring plan:\n{plan}"
+
+
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     """A partitioned fact joined to a selectively-filtered dim must plan a
     dynamic-pruning subquery on the fact scan's PartitionFilters — at
@@ -594,7 +627,8 @@ def test_scd2_windows_share_one_sort(spark, sf_dir):
 
 def test_pagerank_loop_narrows_shuffle_width(spark, sf_dir):
     """The per-round relations are graph-scale, not corpus-scale: the loop
-    must narrow the session shuffle width (and restore it afterwards)."""
+    must narrow its own (private-session) shuffle width while leaving the
+    caller's conf untouched."""
     from pyspark.sql import functions as F
 
     from etl_drone_sense_spark.operators.graph import pagerank_fixed_point
