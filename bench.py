@@ -79,7 +79,12 @@ BUDGETS_S: dict[str, float] = {
     # fingerprint pass dominates; the knob under test is pair emission)
     "dedup_simhash_adaptive_capped": 6.90,  # r10 provisional: the same
     # fingerprint pass + a WindowGroupLimit per bucket — retime quiet
-    "dedup_paragraph": 1.64,
+    "dedup_paragraph": 3.44,  # r11: 1.8 x 1.91 s median — the clean-docs
+    # bypass adds probe stages (fixed scheduler latency at sf0.1's
+    # 5000-doc fixture) to avoid reassembling every document at scale;
+    # the old 2-shuffle every-doc plan measured 1.19 s here but its
+    # collect_list volume grows with the whole corpus, the bypass's with
+    # the duplicated sliver
     "dedup_semantic": 2.01,
     "drone_features_flat": 1.22,
     "events_gapfill": 1.14,

@@ -989,6 +989,144 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_compress_tiff(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13) — the GIF coder's close cousin
+    with three deltas: codes pack MSB-FIRST into the byte stream, the
+    root width is fixed (ClearCode=256, EOI=257, first entry 258,
+    initial width 9), and the notorious "EarlyChange" off-by-one: the
+    encoder widens when the NEXT code to assign is 2^w - 1 (one code
+    early), so the decoder widens at 2^w - 2. One stream per strip."""
+    CLEAR, EOI = 256, 257
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(CLEAR)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # EarlyChange: widen when the next assignable code equals
+        # 2^width - 1 (the spec reserves the top slot a code early)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            # table nearly full (early change reserves the 12-bit top
+            # slot): reset; the pending char survives as the new prefix
+            # (single bytes are in every fresh table). The decoder skips
+            # its lagging insert on CLEAR — that entry was never emitted.
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+        # mirror of the GIF tail-emit width sync: the decoder inserts an
+        # entry while processing this code — if that insert lands on its
+        # 2^width - 2 boundary it reads EOI one bit wider
+        if next_code + 1 == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_tiff(data: bytes, expected: int) -> bytes:
+    """Inverse of ``_lzw_compress_tiff`` into exactly ``expected`` bytes
+    (the strip size bounds the quadratic LZW expansion, same defense as
+    the GIF decoder); structural violations raise ValueError."""
+    CLEAR, EOI = 256, 257
+    width = 9
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+
+    out = bytearray()
+    bitpos = 0
+    total = len(data) * 8
+    prev: bytes | None = None
+    while True:
+        if bitpos + width > total:
+            raise ValueError("tiff: truncated LZW stream")
+        code = 0
+        for k in range(width):
+            code = (code << 1) | (
+                data[(bitpos + k) >> 3] >> (7 - ((bitpos + k) & 7)) & 1
+            )
+        bitpos += width
+        if code == CLEAR:
+            table = {i: bytes([i]) for i in range(256)}
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("tiff: first LZW code not a literal")
+        elif code < next_code:
+            entry = table[code] if code in table else None
+            if entry is None:
+                raise ValueError("tiff: LZW code references empty slot")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # decoder lags the encoder by one insert, so its EarlyChange
+            # boundary is 2^w - 2 where the encoder's is 2^w - 1
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        else:
+            raise ValueError("tiff: LZW code beyond table")
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("tiff: LZW stream overruns strip size")
+    if len(out) != expected:
+        raise ValueError("tiff: LZW strip size mismatch")
+    return bytes(out)
+
+
+def _predictor2_apply(strip: bytes, row_bytes: int, spp: int, encode: bool) -> bytes:
+    """TIFF Predictor 2 (horizontal differencing, tag 317): each sample
+    stores the mod-256 delta to the previous sample of the SAME channel
+    in the row. uint8 numpy arithmetic wraps natively, so encode is a
+    per-row channel-strided diff and decode a cumulative sum — exact
+    integer both ways."""
+    rows = len(strip) // row_bytes
+    a = np.frombuffer(strip, dtype=np.uint8).reshape(rows, row_bytes // spp, spp)
+    if encode:
+        out = a.copy()
+        out[:, 1:, :] -= a[:, :-1, :]  # uint8 wraparound == mod-256 delta
+    else:
+        out = np.add.accumulate(a, axis=1, dtype=np.uint8)
+    return np.ascontiguousarray(out).tobytes()
+
+
 def encode_tiff(
     width: int,
     height: int,
@@ -997,28 +1135,41 @@ def encode_tiff(
     compression: str = "none",
     big_endian: bool = False,
     rows_per_strip: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """Minimal baseline-TIFF writer — the fixture side of the codec
     pair, exactly like encode_png. ``raster`` is RGB bytes (24-bit,
     ``gray=False``) or 8-bit grayscale samples; strips of
     ``rows_per_strip`` rows (default: one strip), optionally
-    PackBits-compressed row-by-row, either byte order (II/MM). The IFD
-    is written after the strip data with spec-ordered ascending tags;
-    BitsPerSample and multi-strip offset/count arrays go to an external
-    value area when they outgrow the 4-byte inline field."""
+    PackBits- (row-by-row), LZW-, or Deflate-compressed (per strip),
+    either byte order (II/MM), optionally horizontally-differenced
+    (``predictor=2``, tag 317). The IFD is written after the strip data
+    with spec-ordered ascending tags; BitsPerSample and multi-strip
+    offset/count arrays go to an external value area when they outgrow
+    the 4-byte inline field; the value area and IFD are padded to even
+    offsets (TIFF requires word alignment — r10 ADVICE)."""
     import struct
+    import zlib
 
     e = ">" if big_endian else "<"
     spp = 1 if gray else 3
     row_bytes = width * spp
     if len(raster) != row_bytes * height:
         raise ValueError("tiff: raster length mismatch")
-    if compression not in ("none", "packbits"):
+    if compression not in ("none", "packbits", "lzw", "deflate"):
         raise ValueError(f"tiff: unsupported encoder compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"tiff: unsupported predictor {predictor}")
     rps = rows_per_strip or height
+    # dimension tags are written as SHORT — reject what they can't hold
+    # instead of letting struct.pack explode (r10 ADVICE)
+    if max(width, height, rps) > 0xFFFF:
+        raise ValueError("tiff: dimensions exceed SHORT tag range")
     strips: list[bytes] = []
     for y0 in range(0, height, rps):
         strip = raster[y0 * row_bytes : min(y0 + rps, height) * row_bytes]
+        if predictor == 2:
+            strip = _predictor2_apply(strip, row_bytes, spp, encode=True)
         if compression == "packbits":
             strips.append(
                 b"".join(
@@ -1026,6 +1177,10 @@ def encode_tiff(
                     for r in range(len(strip) // row_bytes)
                 )
             )
+        elif compression == "lzw":
+            strips.append(_lzw_compress_tiff(strip))
+        elif compression == "deflate":
+            strips.append(zlib.compress(strip))
         else:
             strips.append(strip)
     pos = 8
@@ -1033,6 +1188,11 @@ def encode_tiff(
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
+    # pad the strip region to an even length: TIFF requires word-aligned
+    # value offsets and IFD (r10 ADVICE — a 3-byte packbits strip used
+    # to put the IFD at an odd offset)
+    pad = b"\x00" if pos % 2 else b""
+    pos += len(pad)
     ext = bytearray()
     ext_base = pos  # external value area sits between strips and the IFD
 
@@ -1055,11 +1215,14 @@ def encode_tiff(
             tail = struct.pack(e + "I", ext_put(fmt, values))
         return struct.pack(e + "HHI", tag, typ, count) + tail
 
+    comp_tag = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
+        compression
+    ]
     entries = [
         entry(256, SHORT, (width,)),
         entry(257, SHORT, (height,)),
         entry(258, SHORT, (8,) * spp),
-        entry(259, SHORT, (1 if compression == "none" else 32773,)),
+        entry(259, SHORT, (comp_tag,)),
         entry(262, SHORT, (1 if gray else 2,)),
         entry(273, LONG, tuple(strip_offsets)),
         entry(277, SHORT, (spp,)),
@@ -1067,6 +1230,8 @@ def encode_tiff(
         entry(279, LONG, tuple(len(s) for s in strips)),
         entry(284, SHORT, (1,)),
     ]
+    if predictor == 2:
+        entries.append(entry(317, SHORT, (2,)))
     ifd_off = ext_base + len(ext)
     ifd = (
         struct.pack(e + "H", len(entries))
@@ -1074,7 +1239,7 @@ def encode_tiff(
         + struct.pack(e + "I", 0)
     )
     header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
-    return header + b"".join(strips) + bytes(ext) + ifd
+    return header + b"".join(strips) + pad + bytes(ext) + ifd
 
 
 _TIFF_TILE_TAGS = frozenset({322, 323, 324, 325})
@@ -1083,16 +1248,19 @@ _TIFF_TILE_TAGS = frozenset({322, 323, 324, 325})
 def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     """TIFF → (width, height, raw RGB raster), parse_png's interface.
 
-    Accepts the dependency-free baseline tiers (r9 VERDICT item 4 — the
-    last image format feasible without entropy-coding libraries): 8-bit
-    grayscale and 24-bit chunky RGB, strip layout, uncompressed
-    (Compression=1) or PackBits (32773), either byte order, multi-strip.
-    Everything else — LZW/Deflate/JPEG-in-TIFF compression, tiled
-    layout, planar configuration 2, palette color, non-8-bit depths,
-    non-default orientation, and every malformed-structure case
-    (truncated IFD, strip overflow, packbits over/under-run) — raises
-    ``ValueError`` so one bad blob quarantines instead of killing the
-    Arrow task."""
+    Accepts the dependency-free tiers (r9 VERDICT item 4; LZW and
+    Deflate joined in r11 — LZW is a table decoder like the GIF one,
+    MSB-first with TIFF's EarlyChange; Deflate is the PNG machinery's
+    stdlib zlib): 8-bit grayscale and 24-bit chunky RGB, strip layout,
+    uncompressed (Compression=1), PackBits (32773), LZW (5), or
+    Deflate (8 / legacy 32946), horizontal-differencing predictor
+    (tag 317 = 2), either byte order, multi-strip. Everything else —
+    JPEG-in-TIFF compression, tiled layout, planar configuration 2,
+    palette color, non-8-bit depths, non-default orientation, the
+    floating-point predictor 3, and every malformed-structure case
+    (truncated IFD, strip overflow, packbits/LZW/zlib over/under-run)
+    — raises ``ValueError`` so one bad blob quarantines instead of
+    killing the Arrow task."""
     import struct
 
     buf = bytes(payload or b"")
@@ -1147,8 +1315,11 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
         raise ValueError("tiff: unreasonable dimensions")
     compression = one(259, 1)
-    if compression not in (1, 32773):
+    if compression not in (1, 32773, 5, 8, 32946):
         raise ValueError(f"tiff: unsupported compression {compression}")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"tiff: unsupported predictor {predictor}")
     photometric = one(262)
     spp = one(277, 1)
     if (photometric, spp) not in ((1, 1), (2, 3)):
@@ -1184,9 +1355,23 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
         if compression == 1:
             if len(raw) != expected:
                 raise ValueError("tiff: strip size mismatch")
-            parts.append(raw)
-        else:
-            parts.append(_packbits_decode(raw, expected))
+            part = raw
+        elif compression == 32773:
+            part = _packbits_decode(raw, expected)
+        elif compression == 5:
+            part = _lzw_decompress_tiff(raw, expected)
+        else:  # 8 / 32946: zip-in-TIFF, one zlib stream per strip
+            import zlib
+
+            try:
+                part = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"tiff: bad deflate strip ({exc})") from None
+            if len(part) != expected:
+                raise ValueError("tiff: deflate strip size mismatch")
+        if predictor == 2:
+            part = _predictor2_apply(part, row_bytes, spp, encode=False)
+        parts.append(part)
     samples = np.frombuffer(b"".join(parts), dtype=np.uint8)
     if spp == 1:
         rgb = np.repeat(samples.reshape(h, w, 1), 3, axis=2)
@@ -2547,8 +2732,8 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
     ``rows_per_strip = 2`` (every image is MULTI-strip, so strip
     offset/count arrays always spill to the external value area and the
     strip-boundary math is genuinely under test); the variant cycles
-    ``doc_id % 4`` so one relation exercises both compressions, both
-    byte orders, and both color models:
+    ``doc_id % 6`` so one relation exercises all four compressions, both
+    byte orders, both color models, and the horizontal predictor:
 
     * 0 → 24-bit RGB, uncompressed, little-endian: pixel ``p`` channel
       ``c`` = ``(doc_id*53 + p*3 + c) % 256``;
@@ -2556,7 +2741,11 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
       byte-order or packbits bug shifts values and hash-fails;
     * 2 → 8-bit grayscale, uncompressed, big-endian: sample at ``p`` =
       ``(doc_id*59 + p) % 256`` (decode expands to equal RGB channels);
-    * 3 → 8-bit grayscale, PackBits, little-endian: same samples.
+    * 3 → 8-bit grayscale, PackBits, little-endian: same samples;
+    * 4 → 24-bit RGB, LZW + predictor 2, little-endian (r11): the RGB
+      formula again — an EarlyChange/bit-order/differencing bug shifts
+      values and hash-fails;
+    * 5 → 8-bit grayscale, Deflate, big-endian (r11): the gray formula.
 
     Multipliers 53/59 are distinct from the PPM (31), PNG (37/41),
     BMP/GIF (43/47), and JPEG (7/13) fixtures so a codec mix-up cannot
@@ -2568,23 +2757,28 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 4
-                gray = variant >= 2
+                variant = did % 6
+                gray = variant in (2, 3, 5)
                 if gray:
                     raster = bytes((did * 59 + p) % 256 for p in range(w * h))
                 else:
                     raster = bytes(
                         (did * 53 + i) % 256 for i in range(w * h * 3)
                     )
+                comp = {
+                    0: "none", 1: "packbits", 2: "none",
+                    3: "packbits", 4: "lzw", 5: "deflate",
+                }[variant]
                 payloads.append(
                     encode_tiff(
                         w,
                         h,
                         raster,
                         gray=gray,
-                        compression="packbits" if variant in (1, 3) else "none",
-                        big_endian=variant in (1, 2),
+                        compression=comp,
+                        big_endian=variant in (1, 2, 5),
                         rows_per_strip=2,
+                        predictor=2 if variant == 4 else 1,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})

@@ -1218,50 +1218,68 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    staged = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.transform(
-            TXT.tokens(F.col("text")),
-            lambda tok: (
-                F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
-                % _DSIR_BUCKETS
-            ),
-        ).alias("bs"),
+    from pyspark.sql.window import Window
+
+    from ..caching import scoped_persist
+
+    bucket = lambda c: (  # noqa: E731 — shared by census and scoring
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
     )
-    dist = (
-        staged.select(F.col("source"), F.explode("bs").alias("b"))
+    # The hashed-unigram bucket arrays are STAGED ONCE: tokenize+hash is
+    # the dominant narrow cost and feeds both the census and the scoring
+    # pass (the text normalizer's regex work would otherwise run twice).
+    staged = scoped_persist(
+        "curation.dsir_bs",
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.transform(TXT.tokens(F.col("text")), bucket).alias("bs"),
+        ),
+    )
+    # Census + log-ratio in ONE collected job: the totals are unpartitioned
+    # window sums over the ≤ _DSIR_BUCKETS aggregated rows, so the float
+    # log arithmetic stays a JVM expression over exact integer inputs and
+    # no second pass (or broadcast-side recompute) ever touches the corpus.
+    half = _DSIR_BUCKETS / 2
+    wall = Window.partitionBy()
+    lr = (
+        staged.select("source", F.explode("bs").alias("b"))
         .groupBy("b")
         .agg(
             F.count(F.lit(1)).alias("s_n"),
             F.count(F.when(F.col("source") == "tgt_seed", 1)).alias("t_n"),
         )
-    )
-    tot = dist.agg(
-        F.sum("s_n").alias("s_tot"),
-        F.coalesce(F.sum("t_n"), F.lit(0)).alias("t_tot"),
-    )
-    half = _DSIR_BUCKETS / 2
-    lr = dist.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.floor(
-            (
-                F.log((F.col("t_n") + 0.5) / (F.col("t_tot") + half))
-                - F.log((F.col("s_n") + 0.5) / (F.col("s_tot") + half))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("t_n") + 0.5)
+                        / (F.sum("t_n").over(wall) + half)
+                    )
+                    - F.log(
+                        (F.col("s_n") + 0.5)
+                        / (F.sum("s_n").over(wall) + half)
+                    )
+                )
+                * 1e9
             )
-            * 1e9
+            .cast("bigint")
+            .alias("lr_q"),
         )
-        .cast("bigint")
-        .alias("lr_q"),
+        .collect()
     )
     # ≤ _DSIR_BUCKETS integer rows — a constant-bounded driver action.
     # Unobserved buckets can never be indexed (bs only contains observed
-    # buckets by construction), so the filler 0 is dead.
+    # buckets by construction), so the filler 0 is dead. One F.lit on the
+    # whole list: per-element lit() calls are 1024 py4j round trips (~2 s
+    # of pure driver latency, measured).
     lut = [0] * _DSIR_BUCKETS
-    for row in lr.collect():
+    for row in lr:
         lut[row["b"]] = row["lr_q"]
-    lr_arr = F.array([F.lit(int(v)).cast("bigint") for v in lut])
+    lr_arr = F.lit([int(v) for v in lut])
     return (
         staged.select(
             "doc_id",

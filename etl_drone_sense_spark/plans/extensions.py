@@ -2057,7 +2057,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 4 AS variant
+               doc_id % 6 AS variant
         FROM documents
     ),
     px AS (
@@ -2068,7 +2068,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     val AS (
         SELECT doc_id, w, h, p, c,
-               CASE WHEN variant <= 1
+               CASE WHEN variant IN (0, 1, 4)
                     THEN (doc_id * 53 + p * 3 + c) % 256
                     ELSE (doc_id * 59 + p) % 256
                END AS v
@@ -2090,21 +2090,24 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL TIFF decode end-to-end (r10 — r9 VERDICT item 4: the last
-    image format feasible dependency-free, since its baseline tiers
-    carry no entropy coding): IFD walk with spec-ordered tags and
-    external value areas, MULTI-strip assembly (rows_per_strip=2, so
-    strip offset/count arrays and boundary math are always under test),
-    PackBits decompression with per-row restart, BOTH byte orders
-    (II and MM), 8-bit grayscale AND 24-bit chunky RGB
-    (operators/multimodal.encode_tiff / parse_tiff), decoded through
-    the same Arrow mapInPandas path as PPM/PNG/JPEG/GIF/BMP
-    (parse_image dispatches on the II*/MM* magic). Pixel content is an
-    arithmetic function of doc_id, so the oracle derives every feature
-    in pure SQL; the order-sensitive ``row_moment`` catches
-    vertical-flip/strip-reorder bugs that per-channel means are blind
-    to. LZW/Deflate/JPEG-in-TIFF compression, tiles, planar-2, palette
-    color, and non-8-bit depths quarantine via the shared
+    """REAL TIFF decode end-to-end (r10, LZW + Deflate tiers r11 — r10
+    VERDICT item 5): IFD walk with spec-ordered tags and external value
+    areas, MULTI-strip assembly (rows_per_strip=2, so strip offset/count
+    arrays and boundary math are always under test), PackBits
+    decompression with per-row restart, TIFF-LZW (MSB-first bit order +
+    the EarlyChange off-by-one — a sibling of the repo's GIF LZW
+    decoder), zlib Deflate (the PNG machinery), the horizontal-
+    differencing predictor (tag 317), BOTH byte orders (II and MM),
+    8-bit grayscale AND 24-bit chunky RGB (operators/multimodal.
+    encode_tiff / parse_tiff), decoded through the same Arrow
+    mapInPandas path as PPM/PNG/JPEG/GIF/BMP (parse_image dispatches on
+    the II*/MM* magic). Pixel content is an arithmetic function of
+    doc_id, so the oracle derives every feature in pure SQL —
+    compression is feature-invariant, so the SAME pixel-arithmetic
+    oracle certifies all six variants; the order-sensitive
+    ``row_moment`` catches vertical-flip/strip-reorder bugs that
+    per-channel means are blind to. JPEG-in-TIFF, tiles, planar-2,
+    palette color, and non-8-bit depths quarantine via the shared
     decode_ok=false contract."""
     media = multimodal.synth_tiff_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)

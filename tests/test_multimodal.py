@@ -1154,11 +1154,13 @@ def test_bmp_header_overlapping_pixel_offset_quarantines():
 
 
 def test_tiff_roundtrip_all_tiers():
-    """Every (color model × compression × byte order × strip height)
-    combination must roundtrip bit-exactly — the baseline TIFF tiers
-    carry no entropy coding, so decode is exact by construction."""
+    """Every (color model × compression × byte order × strip height ×
+    predictor) combination must roundtrip bit-exactly — none of the
+    supported tiers is lossy (LZW and Deflate are exact entropy coders,
+    the predictor is exact mod-256 integer differencing)."""
     import itertools
     import random
+    import struct
 
     import numpy as np
 
@@ -1169,16 +1171,19 @@ def test_tiff_roundtrip_all_tiers():
     )
 
     rng = random.Random(11)
-    for w, h, gray, comp, be, rps in itertools.product(
-        [1, 4, 7], [1, 3, 6], [False, True], ["none", "packbits"],
-        [False, True], [None, 1, 2],
+    for w, h, gray, comp, be, rps, pred in itertools.product(
+        [1, 4, 7], [1, 3, 6], [False, True],
+        ["none", "packbits", "lzw", "deflate"],
+        [False, True], [None, 1, 2], [1, 2],
     ):
         n = w * h * (1 if gray else 3)
         raster = bytes(rng.randrange(256) for _ in range(n))
         blob = encode_tiff(
             w, h, raster, gray=gray, compression=comp,
-            big_endian=be, rows_per_strip=rps,
+            big_endian=be, rows_per_strip=rps, predictor=pred,
         )
+        # word alignment (r10 ADVICE): the IFD offset must be even
+        assert struct.unpack_from((">" if be else "<") + "I", blob, 4)[0] % 2 == 0
         w2, h2, rgb = parse_tiff(blob)
         assert (w2, h2) == (w, h)
         if gray:
@@ -1213,9 +1218,10 @@ def test_tiff_packbits_runs_and_row_restart():
 
 
 def test_tiff_unsupported_tiers_quarantine():
-    """LZW compression, tiled layout, 16-bit depth, planar-2, and
-    structural damage must raise ValueError (decode_ok=false), never
-    escape as a different exception or wrong pixels."""
+    """JPEG-in-TIFF compression, tiled layout, 16-bit depth, planar-2,
+    the floating-point predictor, and structural damage must raise
+    ValueError (decode_ok=false), never escape as a different exception
+    or wrong pixels."""
     import struct
 
     import pytest
@@ -1242,7 +1248,7 @@ def test_tiff_unsupported_tiers_quarantine():
         b"II\x2a\x00",
         b"XX\x2a\x00\x08\x00\x00\x00",
         good[:-10],  # truncated IFD
-        patch_tag(good, 259, 5),  # LZW
+        patch_tag(good, 259, 7),  # JPEG-in-TIFF
         patch_tag(good, 284, 2),  # planar
         patch_tag(good, 258, 16),  # bit depth
     ):
@@ -1266,6 +1272,89 @@ def test_tiff_unsupported_tiers_quarantine():
     struct.pack_into("<H", buf, ifd + 2, 322)  # first entry tag → TileWidth
     with pytest.raises(ValueError):
         parse_tiff(bytes(buf))
+
+
+def test_tiff_lzw_matches_spec_vector():
+    """TIFF 6.0 §13 semantics pinned on a hand-computed stream: input
+    7 7 7 8 8 7 7 6 6 must emit exactly the 9-bit MSB-first codes
+    Clear, 7, 258, 8, 8, 258, 6, 6, EOI — any bit-order or EarlyChange
+    slip changes the code sequence."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        _lzw_compress_tiff,
+        _lzw_decompress_tiff,
+    )
+
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    z = _lzw_compress_tiff(data)
+    bits = "".join(f"{b:08b}" for b in z)
+    codes = [int(bits[i : i + 9], 2) for i in range(0, 81, 9)]
+    assert codes == [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    assert _lzw_decompress_tiff(z, len(data)) == data
+
+
+def test_tiff_lzw_width_bumps_and_table_reset():
+    """Roundtrips across every EarlyChange width boundary (low-entropy
+    data grows the table fast) and across the 4094-entry table reset;
+    truncated and over-long streams quarantine."""
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        _lzw_compress_tiff,
+        _lzw_decompress_tiff,
+    )
+
+    for n in list(range(500, 530)) + [5000, 30000]:
+        data = bytes((k % 3) for k in range(n))
+        assert _lzw_decompress_tiff(_lzw_compress_tiff(data), n) == data
+    kwk = b"\x00" * 20000  # exercises the code == next_code (KwKwK) path
+    assert _lzw_decompress_tiff(_lzw_compress_tiff(kwk), 20000) == kwk
+    z = _lzw_compress_tiff(b"abcabcabc")
+    with pytest.raises(ValueError):
+        _lzw_decompress_tiff(z[:3], 9)  # truncated
+    with pytest.raises(ValueError):
+        _lzw_decompress_tiff(z, 4)  # output overruns the strip size
+
+
+def test_tiff_deflate_and_predictor_quarantines():
+    """Bad zlib bytes, a deflate strip of the wrong decoded size, and
+    predictor values outside {1, 2} must all quarantine as ValueError."""
+    import struct
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_tiff,
+        parse_tiff,
+    )
+
+    good = encode_tiff(4, 3, bytes(36), compression="deflate")
+    ifd = struct.unpack_from("<I", good, 4)[0]
+
+    def patched(blob, tag, val):
+        buf = bytearray(blob)
+        n = struct.unpack_from("<H", buf, ifd)[0]
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            if struct.unpack_from("<H", buf, off)[0] == tag:
+                struct.pack_into("<H", buf, off + 8, val)
+        return bytes(buf)
+
+    # corrupt the zlib stream (strip data starts at byte 8)
+    bad = bytearray(good)
+    bad[8] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_tiff(bytes(bad))
+    # predictor 3 (floating point) quarantines; predictor tag comes from
+    # an encode with predictor=2, rewritten
+    pred2 = encode_tiff(4, 3, bytes(36), compression="deflate", predictor=2)
+    ifd = struct.unpack_from("<I", pred2, 4)[0]
+    with pytest.raises(ValueError):
+        parse_tiff(patched(pred2, 317, 3))
+    # encoder guards
+    with pytest.raises(ValueError):
+        encode_tiff(70000, 1, bytes(70000 * 3))
+    with pytest.raises(ValueError):
+        encode_tiff(2, 2, bytes(12), predictor=3)
 
 
 def test_tiff_packbits_overrun_quarantines():

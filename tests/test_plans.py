@@ -374,15 +374,17 @@ def test_paragraph_dedup_clean_docs_bypass(spark, sf_dir):
 
 
 def test_sample_importance_scoring_is_join_free(spark, sf_dir):
-    """r11 rework (r9 VERDICT item 7): the bucket log-ratio table enters
-    the scoring plan as a collected constant array — the final query must
-    contain NO join and no cached token relation, and the top-N must be
-    TakeOrderedAndProject."""
+    """r11 rework (r9 VERDICT item 7): the hashed-unigram bucket arrays
+    are staged once (scoring reads the SAME cached relation the census
+    consumed — InMemoryTableScan), the bucket log-ratio table enters the
+    scoring plan as a collected constant array, so the final query has NO
+    join and no shuffle besides the TakeOrderedAndProject top-N."""
     plan = plan_of(spark, sf_dir, "sample_importance", mode="simple")
     assert "TakeOrderedAndProject" in plan, plan
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-                 "InMemoryTableScan"):
+    assert "InMemoryTableScan" in plan, plan  # the staged bucket arrays
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert node not in plan, f"{node} in scoring plan:\n{plan}"
+    assert "Exchange" not in plan, plan
 
 
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
