@@ -53,6 +53,9 @@ BUDGETS_S: dict[str, float] = {
     "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
     # fixed-point moment aggregates over lineitem in one pass)
     "multimodal_decode_bmp": 1.12,  # r9: 0.52 s quiet median + 0.6 floor
+    "multimodal_decode_adpcm": 2.06,  # r11: 1.8 x 1.15 s quiet median
+    # (per-nibble predictor walk is a Python loop inside the Arrow batch
+    # — ~650k sequential steps at sf0.1; inherently serial per clip)
     "multimodal_decode_tiff": 1.25,  # r10: 0.65 s quiet median + 0.6 floor
     # (multi-strip assembly + packbits in the same Arrow pass as BMP)
     "graph_triangle_count": 4.03,  # r9: 1.8 x 2.24 s quiet median

@@ -1433,6 +1433,78 @@ def linear_to_ulaw(x: int) -> int:
     return ~(sign | (exp << 4) | mant) & 0xFF
 
 
+# IMA/DVI ADPCM (WAV format 17) tables — IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility" (1992); the same tables every
+# conforming decoder ships. 89 quantizer steps, 8 index deltas.
+_IMA_STEP_TABLE: tuple[int, ...] = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE: tuple[int, ...] = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_step(pred: int, idx: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM expansion step — table-driven exact integers (the
+    µ-law playbook): diff accumulates step>>3 plus the step halvings the
+    three magnitude bits select, bit 3 is the sign; predictor clamps to
+    int16, index to the 89-step table."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[code & 7]))
+    return pred, idx
+
+
+def encode_wav_adpcm(
+    sample_rate: int, pred0: int, index0: int, nibbles: bytes
+) -> bytes:
+    """RIFF/WAVE writer for MONO IMA ADPCM (format 17, 4-bit) — the
+    fixture side of the codec pair. One block: the 4-byte header carries
+    the initial predictor (which IS output sample 0) and step index,
+    then two 4-bit codes per byte, LOW nibble first. ``nibbles`` is the
+    code sequence (values 0-15, even count); a ``fact`` chunk records
+    the decoded frame count per the non-PCM WAV requirement."""
+    import struct
+
+    if len(nibbles) % 2:
+        raise ValueError("adpcm: nibble count must be even")
+    if any(c > 15 for c in nibbles):
+        raise ValueError("adpcm: nibble out of range")
+    if not (-32768 <= pred0 <= 32767 and 0 <= index0 <= 88):
+        raise ValueError("adpcm: bad initial state")
+    data = struct.pack("<hBB", pred0, index0, 0) + bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    block_align = len(data)
+    frames = len(nibbles) + 1
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, sample_rate,
+        # byte rate for a single block per second is nominal; decoders
+        # key on block_align, not byte rate
+        sample_rate, block_align, 4, 2, frames,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_ulaw(sample_rate: int, channels: int, ulaw: bytes) -> bytes:
     """RIFF/WAVE writer for G.711 mu-law (format 7, 8-bit) — one byte
     per sample, block align = channels."""
@@ -1454,9 +1526,12 @@ def encode_wav_ulaw(sample_rate: int, channels: int, ulaw: bytes) -> bytes:
 def parse_wav(payload: bytes):
     """Decode a RIFF/WAVE payload — dependency-free chunk walk per the
     RIFF spec (unknown chunks skipped, word-aligned). Supports the
-    interchange common cases: PCM (format 1, 16-bit) and G.711 mu-law
+    interchange common cases: PCM (format 1, 16-bit), G.711 mu-law
     (format 7, 8-bit — telephony; expanded to int16 via the CCITT
-    table). Anything else — float/ADPCM/24-bit, truncated data — raises
+    table), and MONO IMA ADPCM (format 17, 4-bit — r11: table-driven
+    exact-integer expansion, block headers restart the predictor/index
+    state, low nibble first, ``fact``-chunk frame trim). Anything else —
+    float/Microsoft-ADPCM/24-bit, stereo ADPCM, truncated data — raises
     ``ValueError``, keeping the decode operators' per-row quarantine
     contract. Returns ``(sample_rate, channels, int16 numpy array of
     interleaved samples)``."""
@@ -1471,26 +1546,35 @@ def parse_wav(payload: bytes):
     i, n = 12, min(len(buf), riff_size + 8)
     rate = channels = bits = None
     pcm = None
+    block_align = fact_frames = None
     while i + 8 <= n:
         cid = buf[i : i + 4]
         (clen,) = struct.unpack_from("<I", buf, i + 4)
         data = buf[i + 8 : i + 8 + clen]
         if len(data) < clen:
             raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fact" and clen >= 4:
+            (fact_frames,) = struct.unpack_from("<I", data)
         if cid == b"fmt ":
             if clen < 16:
                 raise ValueError("malformed WAV fmt chunk")
-            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+            audio_fmt, channels, rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", data
             )
             if not (
                 (audio_fmt == 1 and bits == 16)
                 or (audio_fmt == 7 and bits == 8)
+                or (audio_fmt == 17 and bits == 4)
             ):
                 raise ValueError(
-                    "unsupported WAV variant: need 16-bit PCM or 8-bit "
-                    f"G.711 mu-law, got format={audio_fmt} bits={bits}"
+                    "unsupported WAV variant: need 16-bit PCM, 8-bit "
+                    "G.711 mu-law, or 4-bit IMA ADPCM, got "
+                    f"format={audio_fmt} bits={bits}"
                 )
+            if audio_fmt == 17 and channels != 1:
+                # stereo IMA interleaves 4-byte channel groups — the
+                # honest unsupported subset, like planar-2 for TIFF
+                raise ValueError("adpcm: only mono supported")
             if channels < 1 or rate < 1:
                 # zero channels would divide-by-zero the frame-alignment
                 # check below (ZeroDivisionError escapes the ValueError
@@ -1505,6 +1589,26 @@ def parse_wav(payload: bytes):
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("WAV missing fmt /data chunk")
+    if audio_fmt == 17:  # IMA ADPCM: block-structured 4-bit codes
+        if block_align is None or block_align < 5:
+            raise ValueError("adpcm: bad block alignment")
+        if len(pcm) % block_align:
+            raise ValueError("adpcm: data not block-aligned")
+        samples: list[int] = []
+        for b0 in range(0, len(pcm), block_align):
+            pred, idx, rsv = struct.unpack_from("<hBB", pcm, b0)
+            if idx > 88:
+                raise ValueError("adpcm: step index out of range")
+            samples.append(pred)
+            for byte in pcm[b0 + 4 : b0 + block_align]:
+                for code in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                    pred, idx = _ima_adpcm_step(pred, idx, code)
+                    samples.append(pred)
+        if fact_frames is not None:
+            if fact_frames > len(samples):
+                raise ValueError("adpcm: fact frames exceed decoded data")
+            samples = samples[:fact_frames]
+        return rate, 1, np.asarray(samples, dtype=np.int16)
     if audio_fmt == 7:  # G.711 mu-law: one byte per sample
         if len(pcm) % channels:
             raise ValueError("WAV data not frame-aligned")
@@ -1613,6 +1717,43 @@ def synth_ulaw_media(docs: DataFrame) -> DataFrame:
 
     # one row per doc but kilobytes of codec work each: spread an
     # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_adpcm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic IMA ADPCM WAV payloads keyed by doc id —
+    REAL format-17 RIFF bytes (r11): ``rate = 11025``, mono, one block;
+    ``n_nibbles = 64 + (doc_id % 48) * 2`` (even → whole data bytes;
+    frames = n_nibbles + 1 including the header sample), 4-bit code at
+    step ``i`` = ``(doc_id * 13 + i * 7) % 16`` (every code point
+    exercised), initial predictor ``((doc_id * 37) % 256 - 128) * 16``,
+    initial step index ``doc_id % 89`` (every table row exercised), so a
+    SQL oracle derives the EXPANDED int16 stream by transcribing the IMA
+    step/index recurrence as a recursive CTE. Multipliers 13/7·37/29
+    collide with no other audio fixture."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nibs = 64 + (did % 48) * 2
+                codes = bytes((did * 13 + i * 7) % 16 for i in range(nibs))
+                payloads.append(
+                    encode_wav_adpcm(
+                        11025,
+                        ((did * 37) % 256 - 128) * 16,
+                        did % 89,
+                        codes,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from ..sources.readers import rebalance_for_compute
+
     docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"

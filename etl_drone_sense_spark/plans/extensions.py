@@ -4513,6 +4513,82 @@ def multimodal_decode_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMA_STEPS_SQL = ", ".join(str(v) for v in multimodal._IMA_STEP_TABLE)
+
+
+@register(
+    "multimodal_decode_adpcm",
+    oracle=f"""
+    WITH RECURSIVE dims AS (
+        SELECT doc_id, 64 + (doc_id % 48) * 2 AS nibs FROM documents
+    ),
+    st(doc_id, nibs, i, pred, idx) AS (
+        SELECT doc_id, nibs, 0,
+               CAST(((doc_id * 37) % 256 - 128) * 16 AS BIGINT),
+               CAST(doc_id % 89 AS BIGINT)
+        FROM dims
+        UNION ALL
+        SELECT doc_id, nibs, i + 1,
+               greatest(-32768, least(32767,
+                   pred + CASE WHEN code >= 8 THEN -diff ELSE diff END)),
+               greatest(0, least(88,
+                   idx + list_extract([-1, -1, -1, -1, 2, 4, 6, 8],
+                                      (code % 8) + 1)))
+        FROM (
+            SELECT doc_id, nibs, i, pred, idx, code,
+                   (step // 8)
+                   + CASE WHEN code % 2 = 1 THEN step // 4 ELSE 0 END
+                   + CASE WHEN (code // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                   + CASE WHEN (code // 4) % 2 = 1 THEN step ELSE 0 END
+                       AS diff
+            FROM (
+                SELECT doc_id, nibs, i, pred, idx,
+                       (doc_id * 13 + i * 7) % 16 AS code,
+                       list_extract([{_IMA_STEPS_SQL}], idx + 1) AS step
+                FROM st WHERE i < nibs
+            )
+        )
+    )
+    SELECT doc_id AS media_id,
+           11025 AS sample_rate,
+           1 AS channels,
+           CAST(nibs + 1 AS BIGINT) AS n_frames,
+           floor((nibs + 1) * 1.0 / 11025 * 1000000 + 0.5) / 1000000
+               AS duration_s,
+           floor(sum(abs(pred)) * 1.0 / (nibs + 1) * 1000000 + 0.5)
+               / 1000000 AS mean_abs,
+           CAST(max(abs(pred)) AS BIGINT) AS peak
+    FROM st GROUP BY doc_id, nibs
+    """,
+    tags=("multimodal", "audio", "pandas_udf"),
+    bench=True,
+)
+def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode end-to-end, tier 2 (r11 — r10 VERDICT
+    item 8): MONO IMA ADPCM (format-17 WAV, 4-bit differential — the
+    dependency-free ADPCM playbook: table-driven exact-integer
+    expansion, exactly like µ-law) decoded through the same Arrow
+    decode_audio_features path as PCM. The code stream covers every
+    4-bit code point and every initial step-index; the ORACLE
+    TRANSCRIBES THE IMA RECURRENCE ITSELF (step-table lookup, the three
+    magnitude-bit halvings, sign bit, int16 predictor clamp, index
+    clamp) as a recursive CTE over (doc_id, i) — a table row, clamp, or
+    nibble-order bug diverges the predictor walk and hash-fails.
+    MP3/AAC/FLAC remain honestly import-gated; stereo ADPCM and
+    Microsoft ADPCM (format 2) quarantine."""
+    media = multimodal.synth_adpcm_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_audio_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        "mean_abs",
+        "peak",
+    )
+
+
 # ---------------------------------------------------------------------------
 # In-SQL machine learning (r9): closed-form OLS via the normal equations
 # ---------------------------------------------------------------------------

@@ -973,6 +973,89 @@ def test_ulaw_wav_end_to_end(spark):
         assert r["peak"] == int(np.abs(vals.astype(np.int64)).max())
 
 
+def test_adpcm_roundtrip_and_reference_walk():
+    """IMA ADPCM decode must reproduce a pure-Python reference walk of
+    the spec recurrence for arbitrary code streams and initial states,
+    across multiple blocks (state restarts per block header)."""
+    import struct
+
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        _ima_adpcm_step,
+        encode_wav_adpcm,
+        parse_wav,
+    )
+
+    for did in (0, 1, 7, 88, 123):
+        nibs = 64 + (did % 48) * 2
+        codes = bytes((did * 13 + i * 7) % 16 for i in range(nibs))
+        p0, i0 = ((did * 37) % 256 - 128) * 16, did % 89
+        rate, ch, samples = parse_wav(encode_wav_adpcm(11025, p0, i0, codes))
+        assert (rate, ch) == (11025, 1)
+        exp = [p0]
+        pred, idx = p0, i0
+        for c in codes:
+            pred, idx = _ima_adpcm_step(pred, idx, c)
+            exp.append(pred)
+        assert samples.tolist() == exp
+        assert samples.dtype == np.int16
+    # two blocks: concatenated data decodes with a state restart
+    one = parse_wav(encode_wav_adpcm(8000, 100, 5, bytes([3, 12] * 4)))[2]
+    blob = encode_wav_adpcm(8000, 100, 5, bytes([3, 12] * 4))
+    # splice the data chunk twice, fix sizes and fact
+    data_off = blob.index(b"data")
+    (dlen,) = struct.unpack_from("<I", blob, data_off + 4)
+    data = blob[data_off + 8 : data_off + 8 + dlen]
+    head = blob[:data_off]
+    two = (
+        head[: head.index(b"fact") + 8]
+        + struct.pack("<I", 18)
+        + head[head.index(b"fact") + 12 :]
+        + b"data" + struct.pack("<I", 2 * dlen) + data + data
+    )
+    two = b"RIFF" + struct.pack("<I", len(two) - 8) + two[8:]
+    rate, ch, samples = parse_wav(two)
+    assert samples.tolist() == one.tolist() + one.tolist()
+
+
+def test_adpcm_quarantines():
+    """Stereo ADPCM, bad block alignment, out-of-range step index, and a
+    fact chunk promising more frames than the data decodes must all
+    quarantine as ValueError."""
+    import struct
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_wav_adpcm,
+        parse_wav,
+    )
+
+    good = encode_wav_adpcm(11025, 0, 0, bytes([1, 2, 3, 4]))
+
+    def patch(blob: bytes, off: int, fmt: str, val: int) -> bytes:
+        buf = bytearray(blob)
+        struct.pack_into(fmt, buf, off, val)
+        return bytes(buf)
+
+    fmt_off = good.index(b"fmt ") + 8
+    with pytest.raises(ValueError, match="only mono"):
+        parse_wav(patch(good, fmt_off + 2, "<H", 2))  # channels=2
+    with pytest.raises(ValueError, match="block"):
+        parse_wav(patch(good, fmt_off + 12, "<H", 4))  # block_align < 5
+    data_off = good.index(b"data") + 8
+    with pytest.raises(ValueError, match="step index"):
+        parse_wav(patch(good, data_off + 2, "<B", 89))
+    fact_off = good.index(b"fact") + 8
+    with pytest.raises(ValueError, match="fact frames"):
+        parse_wav(patch(good, fact_off, "<I", 99))
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(8000, 0, 0, bytes([1, 2, 3]))  # odd nibbles
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(8000, 0, 89, bytes([1, 2]))  # bad index
+
+
 def test_gif_fuzz_only_valueerror_escapes():
     """Random and bit-flipped payloads must only ever raise ValueError —
     any other exception class escapes the Arrow-task quarantine."""
