@@ -3347,6 +3347,25 @@ def avro_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CSV_LANDINGS: dict[tuple, str] = {}
 _ORC_LANDINGS: dict[tuple, str] = {}
+# Guards the check-then-write on the landing caches (r10 ADVICE): two
+# concurrent first calls would otherwise each write a full landing (one
+# leaked). Entries for superseded fingerprints are dropped under the
+# same lock — the old dirs are tempfile-owned and reaped with the OS
+# tmpdir, but the map should not grow unboundedly across regenerations.
+import threading as _threading
+
+_LANDINGS_LOCK = _threading.Lock()
+
+
+def _landing_for(cache: dict, key: tuple, build) -> str:
+    with _LANDINGS_LOCK:
+        landing = cache.get(key)
+        if landing is None:
+            landing = build()
+            for stale in [k for k in cache if k[0] == key[0] and k != key]:
+                del cache[stale]  # fingerprint rotated: fixture regenerated
+            cache[key] = landing
+    return landing
 
 
 @register(
@@ -3393,8 +3412,8 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
-    landing = _CSV_LANDINGS.get(key)
-    if landing is None:
+
+    def _build_csv() -> str:
         landing = _os.path.join(tempfile.mkdtemp(prefix="sg_csv_"), "orders")
         (
             t(spark, sf_dir, "orders")
@@ -3404,7 +3423,9 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("timestampFormat", ts_fmt)
             .csv(landing)
         )
-        _CSV_LANDINGS[key] = landing
+        return landing
+
+    landing = _landing_for(_CSV_LANDINGS, key, _build_csv)
     schema = (
         "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
         "o_orderstatus STRING, o_orderdate TIMESTAMP, o_orderpriority STRING"
@@ -3456,8 +3477,8 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ]
     key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
-    landing = _ORC_LANDINGS.get(key)
-    if landing is None:
+
+    def _build_orc() -> str:
         landing = _os.path.join(tempfile.mkdtemp(prefix="sg_orc_"), "orders")
         (
             t(spark, sf_dir, "orders")
@@ -3465,5 +3486,7 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*cols)
             .write.orc(landing)
         )
-        _ORC_LANDINGS[key] = landing
+        return landing
+
+    landing = _landing_for(_ORC_LANDINGS, key, _build_orc)
     return spark.read.orc(landing).select(*cols)

@@ -60,7 +60,16 @@ MAX_SLOPE_FACTOR = 1.5
 # limit. Everything else keeps the raw slope gate. (dedup_minhash's raw
 # slope stays under the limit because its sf0.1 output is already
 # replica-pair-dominated; it is listed for the same honest metric.)
-PAIR_EMITTERS = {"dedup_simhash_adaptive", "dedup_minhash"}
+PAIR_EMITTERS = {
+    "dedup_simhash_adaptive",
+    "dedup_minhash",
+    # r11 (r10 VERDICT item 3): the capped twin exists precisely for the
+    # dup-heavy case — its per-bucket cap bounds the output class, so its
+    # output ratio should sit FAR below the uncapped twin's ~149× while
+    # time-per-output-row stays linear; measuring both here is the
+    # evidence the cap delivers what it promises.
+    "dedup_simhash_adaptive_capped",
+}
 
 
 def synthesize(spark, scale: int) -> str:
@@ -373,6 +382,15 @@ def main() -> int:
         "(r5 VERDICT item 1); writes BENCH_sf1.json in full mode",
     )
     ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated bench-query names: probe ONLY these against "
+        "the full fixture and MERGE their rows into the existing "
+        "BENCH_sf1.json (other queries keep their recorded slopes) — the "
+        "per-round re-certification path for new/changed queries; implies "
+        "--full fixtures",
+    )
+    ap.add_argument(
         "--skewed",
         action="store_true",
         help="hot-key probe (r6 VERDICT item 8): remap ~20%% of events to "
@@ -492,7 +510,16 @@ def main() -> int:
 
     scaled_fn_override = {"dedup_embedding_lsh": lsh_scaled}
 
-    if args.full:
+    if args.only:
+        from etl_drone_sense_spark.plans.registry import bench_queries
+
+        probe_names = sorted(args.only.split(","))
+        unknown = set(probe_names) - set(bench_queries())
+        if unknown:
+            print(f"not bench queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        scaled_dir = synthesize_full(spark, args.scale)
+    elif args.full:
         from etl_drone_sense_spark.plans.registry import bench_queries
 
         probe_names = sorted(bench_queries())
@@ -548,11 +575,20 @@ def main() -> int:
     def effective_slope(r: dict) -> float:
         return r.get("work_slope", r["slope"])
 
+    if args.only:
+        # merge into the recorded full-mode report: re-measured rows
+        # replace their old entries, everything else keeps its evidence
+        with open(os.path.join(REPO, "BENCH_sf1.json")) as f:
+            prior = json.load(f)
+        merged = dict(prior.get("queries", {}))
+        merged.update(results)
+        results = merged
+
     max_slope = max(effective_slope(r) for r in results.values())
     report = {
         "sf_base": 0.1,
         "scale": args.scale,
-        "mode": "full" if args.full else "top-cost",
+        "mode": "full" if (args.full or args.only) else "top-cost",
         "queries": results,
         "max_slope": max_slope,
         "slope_metric": "work_slope (time per output row) for declared "
@@ -561,7 +597,8 @@ def main() -> int:
         # full mode holds every query to LINEAR (slope <= scale: 10x data
         # may take at most 10x time); the top-cost probe keeps its original
         # headroom for parallelism warm-up effects on the heaviest plans.
-        "limit": args.scale * (1.0 if args.full else MAX_SLOPE_FACTOR),
+        "limit": args.scale
+        * (1.0 if (args.full or args.only) else MAX_SLOPE_FACTOR),
     }
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
         json.dump(report, f, indent=1)
