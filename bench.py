@@ -111,7 +111,11 @@ BUDGETS_S: dict[str, float] = {
     "sessionize_events": 0.98,
     "sim_topk_bruteforce": 0.83,
     "text_bigram_lm": 3.34,
-    "text_boilerplate_strip": 2.47,
+    "text_boilerplate_strip": 2.92,  # r11: 1.8 x 1.62 s isolated median —
+    # same re-derivation as dedup_paragraph: the clean-docs bypass adds
+    # probe stages (fixed scheduler latency on the 5000-doc fixture) to
+    # avoid reassembling every document at corpus scale; the old budget
+    # was derived from the reassemble-everything plan
     "text_repetition": 2.95,
     "text_token_freq": 0.93,
     "text_winnowing": 1.01,
