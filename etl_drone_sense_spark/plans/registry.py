@@ -861,6 +861,7 @@ DRIVER_CHECKED_R10: frozenset[str] = frozenset(
 # registrations — all need a fresh driver row. Populated as r11 work
 # lands; ordering within the tuple is the order the driver checks them.
 TOUCHED_R11: tuple[str, ...] = (
+    "xml_scan",  # NEW r11: native Spark-4 XML roundtrip scan + oracle row
     "multimodal_decode_adpcm",  # NEW r11: IMA ADPCM expansion, CTE oracle
     "multimodal_decode_tiff",  # r11: LZW + Deflate + predictor-2 tiers
     # (fixture variant cycle 4 → 6, oracle variant math updated in step)

@@ -3490,3 +3490,78 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     landing = _landing_for(_ORC_LANDINGS, key, _build_orc)
     return spark.read.orc(landing).select(*cols)
+
+
+_XML_LANDINGS: dict[tuple, str] = {}
+
+
+@register(
+    "xml_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 11 = 9
+    """,
+    tags=("source", "xml"),
+)
+def xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML file-format scan end-to-end (r11 — completes the text-format
+    matrix: parquet/JSON/CSV/ORC/text/Avro/XML): an orders slice is
+    written as row-tagged XML through Spark 4's NATIVE xml source
+    (the spark-xml package was merged upstream in Spark 4.0) and read
+    back with an EXPLICIT schema in FAILFAST mode — the same
+    typed-decode posture as csv_scan (task.ts:66-72; inference never
+    trusted). Entity escaping (&, <, >) is the writer's job and the
+    reader's to undo — the priority strings and any markup-significant
+    bytes roundtrip exactly; microsecond ``timestampFormat`` on both
+    sides pins the timestamp encoding. The readback must equal the
+    plain SQL projection of the same source rows.
+
+    Scale posture: XML rows are parsed executor-side per file split
+    (rowTag framing); the explicit schema means no sampling inference
+    pass. Fixture built once per source generation under the shared
+    landing lock."""
+    import os as _os
+    import tempfile
+
+    from ..sources.readers import fixture_fingerprint
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+
+    def _build_xml() -> str:
+        landing = _os.path.join(tempfile.mkdtemp(prefix="sg_xml_"), "orders")
+        (
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 11 == 9)
+            .select(*cols)
+            .write.option("rootTag", "orders")
+            .option("rowTag", "order")
+            .option("timestampFormat", ts_fmt)
+            .format("xml")
+            .save(landing)
+        )
+        return landing
+
+    landing = _landing_for(_XML_LANDINGS, key, _build_xml)
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderstatus STRING, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", "order")
+        .option("timestampFormat", ts_fmt)
+        .option("mode", "FAILFAST")
+        .format("xml")
+        .load(landing)
+        .select(*cols)
+    )
