@@ -53,11 +53,15 @@ BUDGETS_S: dict[str, float] = {
     "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
     # fixed-point moment aggregates over lineitem in one pass)
     "multimodal_decode_bmp": 1.12,  # r9: 0.52 s quiet median + 0.6 floor
-    "multimodal_decode_adpcm": 2.06,  # r11: 1.8 x 1.15 s quiet median
+    "multimodal_decode_adpcm": 2.19,  # r11: 1.8 x 1.22 s quiet median
     # (per-nibble predictor walk is a Python loop inside the Arrow batch
-    # — ~650k sequential steps at sf0.1; inherently serial per clip)
-    "multimodal_decode_tiff": 1.25,  # r10: 0.65 s quiet median + 0.6 floor
-    # (multi-strip assembly + packbits in the same Arrow pass as BMP)
+    # — ~650k sequential steps at sf0.1, stereo on odd doc ids;
+    # inherently serial per clip)
+    "multimodal_decode_tiff": 3.35,  # r11: 1.8 x 1.86 s median — the
+    # variant cycle grew 4 -> 7 (LZW, Deflate, TILED): the tiled variant
+    # decodes a full padded 16x16 tile per image, 3-8x the pixel area of
+    # the strip variants at fixture image sizes, and two new variants
+    # run entropy decoders; the r10 budget measured the 4-variant fixture
     "graph_triangle_count": 4.03,  # r9: 1.8 x 2.24 s quiet median
     "table_time_travel": 0.75,  # r9: 0.15 s quiet median + 0.6 floor
     # (reads the cached committed table; the build is first-call-only)

@@ -1136,6 +1136,7 @@ def encode_tiff(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Minimal baseline-TIFF writer — the fixture side of the codec
     pair, exactly like encode_png. ``raster`` is RGB bytes (24-bit,
@@ -1165,24 +1166,47 @@ def encode_tiff(
     # instead of letting struct.pack explode (r10 ADVICE)
     if max(width, height, rps) > 0xFFFF:
         raise ValueError("tiff: dimensions exceed SHORT tag range")
-    strips: list[bytes] = []
-    for y0 in range(0, height, rps):
-        strip = raster[y0 * row_bytes : min(y0 + rps, height) * row_bytes]
+    if tile is not None:
+        tw, th = tile
+        # the spec requires tile dimensions to be multiples of 16
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16 or max(tw, th) > 0xFFFF:
+            raise ValueError("tiff: tile dims must be positive multiples of 16")
+
+    def pack_chunk(chunk: bytes, chunk_row_bytes: int) -> bytes:
         if predictor == 2:
-            strip = _predictor2_apply(strip, row_bytes, spp, encode=True)
+            chunk = _predictor2_apply(chunk, chunk_row_bytes, spp, encode=True)
         if compression == "packbits":
+            return b"".join(
+                _packbits_encode(chunk[r * chunk_row_bytes : (r + 1) * chunk_row_bytes])
+                for r in range(len(chunk) // chunk_row_bytes)
+            )
+        if compression == "lzw":
+            return _lzw_compress_tiff(chunk)
+        if compression == "deflate":
+            return zlib.compress(chunk)
+        return chunk
+
+    strips: list[bytes] = []
+    if tile is not None:
+        # tile grid, row-major; edge tiles are PADDED to the full tile
+        # size (zero fill) per the spec — every tile compresses to the
+        # same decoded geometry
+        img = np.frombuffer(raster, dtype=np.uint8).reshape(height, width * spp)
+        for y0 in range(0, height, th):
+            for x0 in range(0, width, tw):
+                pad = np.zeros((th, tw * spp), dtype=np.uint8)
+                ys = min(th, height - y0)
+                xs = min(tw, width - x0) * spp
+                pad[:ys, :xs] = img[y0 : y0 + ys, x0 * spp : x0 * spp + xs]
+                strips.append(pack_chunk(pad.tobytes(), tw * spp))
+    else:
+        for y0 in range(0, height, rps):
             strips.append(
-                b"".join(
-                    _packbits_encode(strip[r * row_bytes : (r + 1) * row_bytes])
-                    for r in range(len(strip) // row_bytes)
+                pack_chunk(
+                    raster[y0 * row_bytes : min(y0 + rps, height) * row_bytes],
+                    row_bytes,
                 )
             )
-        elif compression == "lzw":
-            strips.append(_lzw_compress_tiff(strip))
-        elif compression == "deflate":
-            strips.append(zlib.compress(strip))
-        else:
-            strips.append(strip)
     pos = 8
     strip_offsets: list[int] = []
     for s in strips:
@@ -1224,14 +1248,26 @@ def encode_tiff(
         entry(258, SHORT, (8,) * spp),
         entry(259, SHORT, (comp_tag,)),
         entry(262, SHORT, (1 if gray else 2,)),
-        entry(273, LONG, tuple(strip_offsets)),
-        entry(277, SHORT, (spp,)),
-        entry(278, SHORT, (rps,)),
-        entry(279, LONG, tuple(len(s) for s in strips)),
-        entry(284, SHORT, (1,)),
     ]
+    if tile is None:
+        entries.append(entry(273, LONG, tuple(strip_offsets)))
+    entries.append(entry(277, SHORT, (spp,)))
+    if tile is None:
+        entries.append(entry(278, SHORT, (rps,)))
+    entries.append(entry(279 if tile is None else 325, LONG,
+                         tuple(len(s) for s in strips)))
+    entries.append(entry(284, SHORT, (1,)))
     if predictor == 2:
         entries.append(entry(317, SHORT, (2,)))
+    if tile is not None:
+        entries.extend(
+            [
+                entry(322, SHORT, (tile[0],)),
+                entry(323, SHORT, (tile[1],)),
+                entry(324, LONG, tuple(strip_offsets)),
+            ]
+        )
+        entries.sort(key=lambda e: int.from_bytes(e[:2], "big" if big_endian else "little"))
     ifd_off = ext_base + len(ext)
     ifd = (
         struct.pack(e + "H", len(entries))
@@ -1254,13 +1290,15 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     stdlib zlib): 8-bit grayscale and 24-bit chunky RGB, strip layout,
     uncompressed (Compression=1), PackBits (32773), LZW (5), or
     Deflate (8 / legacy 32946), horizontal-differencing predictor
-    (tag 317 = 2), either byte order, multi-strip. Everything else —
-    JPEG-in-TIFF compression, tiled layout, planar configuration 2,
-    palette color, non-8-bit depths, non-default orientation, the
-    floating-point predictor 3, and every malformed-structure case
-    (truncated IFD, strip overflow, packbits/LZW/zlib over/under-run)
-    — raises ``ValueError`` so one bad blob quarantines instead of
-    killing the Arrow task."""
+    (tag 317 = 2), either byte order, multi-strip, and the TILED
+    layout (r11: row-major 16-multiple tile grid, padded edge tiles
+    clipped on placement; strip and tile tables are mutually
+    exclusive). Everything else — JPEG-in-TIFF compression, planar
+    configuration 2, palette color, non-8-bit depths, non-default
+    orientation, the floating-point predictor 3, and every
+    malformed-structure case (truncated IFD, strip/tile overflow,
+    packbits/LZW/zlib over/under-run) — raises ``ValueError`` so one
+    bad blob quarantines instead of killing the Arrow task."""
     import struct
 
     buf = bytes(payload or b"")
@@ -1285,8 +1323,6 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     for k in range(n_entries):
         off = ifd_off + 2 + 12 * k
         tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
-        if tag in _TIFF_TILE_TAGS:
-            raise ValueError("tiff: tiled layout unsupported")
         if typ not in type_size:
             continue  # rational/ascii metadata tags are irrelevant here
         size = type_size[typ] * count
@@ -1333,24 +1369,13 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("tiff: planar configuration 2 unsupported")
     if one(274, 1) != 1:
         raise ValueError("tiff: non-default orientation unsupported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("tiff: bad strip tables")
-    rps = one(278, h)
-    if rps <= 0:
-        raise ValueError("tiff: bad rows-per-strip")
-    if len(offsets) != (h + rps - 1) // rps:
-        raise ValueError("tiff: strip count does not cover image")
-    row_bytes = w * spp
-    parts: list[bytes] = []
-    rows_left = h
-    for so, sc in zip(offsets, counts):
+    tiled = any(tag in tags for tag in _TIFF_TILE_TAGS)
+    if tiled and (273 in tags or 279 in tags):
+        raise ValueError("tiff: both strip and tile tables present")
+
+    def unpack_chunk(so: int, sc: int, expected: int, chunk_row_bytes: int) -> bytes:
         if so + sc > len(buf):
-            raise ValueError("tiff: strip out of range")
-        strip_rows = min(rps, rows_left)
-        rows_left -= strip_rows
-        expected = strip_rows * row_bytes
+            raise ValueError("tiff: chunk out of range")
         raw = buf[so : so + sc]
         if compression == 1:
             if len(raw) != expected:
@@ -1360,7 +1385,7 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
             part = _packbits_decode(raw, expected)
         elif compression == 5:
             part = _lzw_decompress_tiff(raw, expected)
-        else:  # 8 / 32946: zip-in-TIFF, one zlib stream per strip
+        else:  # 8 / 32946: zip-in-TIFF, one zlib stream per chunk
             import zlib
 
             try:
@@ -1370,9 +1395,51 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
             if len(part) != expected:
                 raise ValueError("tiff: deflate strip size mismatch")
         if predictor == 2:
-            part = _predictor2_apply(part, row_bytes, spp, encode=False)
-        parts.append(part)
-    samples = np.frombuffer(b"".join(parts), dtype=np.uint8)
+            part = _predictor2_apply(part, chunk_row_bytes, spp, encode=False)
+        return part
+
+    row_bytes = w * spp
+    if tiled:
+        # r11: tile-grid layout — row-major full-size tiles, edge tiles
+        # padded to (tw, th) in the file and CLIPPED on placement
+        tw, th = one(322), one(323)
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("tiff: bad tile dimensions")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: bad tile tables")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offsets) != across * down:
+            raise ValueError("tiff: tile count does not cover image")
+        out = np.zeros((h, w * spp), dtype=np.uint8)
+        for k, (so, sc) in enumerate(zip(offsets, counts)):
+            part = unpack_chunk(so, sc, tw * th * spp, tw * spp)
+            tarr = np.frombuffer(part, dtype=np.uint8).reshape(th, tw * spp)
+            y0 = (k // across) * th
+            x0 = (k % across) * tw
+            ys = min(th, h - y0)
+            xs = min(tw, w - x0) * spp
+            out[y0 : y0 + ys, x0 * spp : x0 * spp + xs] = tarr[:ys, :xs]
+        samples = out.reshape(-1)
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: bad strip tables")
+        rps = one(278, h)
+        if rps <= 0:
+            raise ValueError("tiff: bad rows-per-strip")
+        if len(offsets) != (h + rps - 1) // rps:
+            raise ValueError("tiff: strip count does not cover image")
+        parts: list[bytes] = []
+        rows_left = h
+        for so, sc in zip(offsets, counts):
+            strip_rows = min(rps, rows_left)
+            rows_left -= strip_rows
+            parts.append(unpack_chunk(so, sc, strip_rows * row_bytes, row_bytes))
+        samples = np.frombuffer(b"".join(parts), dtype=np.uint8)
     if spp == 1:
         rgb = np.repeat(samples.reshape(h, w, 1), 3, axis=2)
     else:
@@ -1468,29 +1535,56 @@ def _ima_adpcm_step(pred: int, idx: int, code: int) -> tuple[int, int]:
 
 
 def encode_wav_adpcm(
-    sample_rate: int, pred0: int, index0: int, nibbles: bytes
+    sample_rate: int, pred0, index0, nibbles
 ) -> bytes:
-    """RIFF/WAVE writer for MONO IMA ADPCM (format 17, 4-bit) — the
-    fixture side of the codec pair. One block: the 4-byte header carries
-    the initial predictor (which IS output sample 0) and step index,
-    then two 4-bit codes per byte, LOW nibble first. ``nibbles`` is the
-    code sequence (values 0-15, even count); a ``fact`` chunk records
-    the decoded frame count per the non-PCM WAV requirement."""
+    """RIFF/WAVE writer for IMA ADPCM (format 17, 4-bit), MONO or STEREO
+    — the fixture side of the codec pair. One block: a 4-byte header PER
+    CHANNEL carries that channel's initial predictor (which IS its
+    output sample 0) and step index; the data region is 4-byte channel
+    groups (8 codes for channel 0, then 8 for channel 1, ...), two 4-bit
+    codes per byte, LOW nibble first — the IMA interleave. For mono,
+    pass scalars and an even-length code sequence; for stereo, pass
+    2-sequences for ``pred0``/``index0`` and a pair of equal-length
+    code sequences whose length is a multiple of 8 (the group size). A
+    ``fact`` chunk records the decoded frame count per the non-PCM WAV
+    requirement."""
     import struct
 
-    if len(nibbles) % 2:
-        raise ValueError("adpcm: nibble count must be even")
-    if any(c > 15 for c in nibbles):
+    if isinstance(pred0, (tuple, list)):
+        preds, idxs = list(pred0), list(index0)
+        chans = [bytes(n) for n in nibbles]
+    else:
+        preds, idxs, chans = [pred0], [index0], [bytes(nibbles)]
+    ch = len(preds)
+    if ch not in (1, 2) or len(idxs) != ch or len(chans) != ch:
+        raise ValueError("adpcm: 1 or 2 channels with matching state")
+    n = len(chans[0])
+    if any(len(c) != n for c in chans):
+        raise ValueError("adpcm: channels must carry equal code counts")
+    if (ch == 1 and n % 2) or (ch == 2 and n % 8):
+        raise ValueError("adpcm: code count must fill whole data groups")
+    if any(c > 15 for cc in chans for c in cc):
         raise ValueError("adpcm: nibble out of range")
-    if not (-32768 <= pred0 <= 32767 and 0 <= index0 <= 88):
-        raise ValueError("adpcm: bad initial state")
-    data = struct.pack("<hBB", pred0, index0, 0) + bytes(
-        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    for p0, i0 in zip(preds, idxs):
+        if not (-32768 <= p0 <= 32767 and 0 <= i0 <= 88):
+            raise ValueError("adpcm: bad initial state")
+
+    def pack8(codes: bytes) -> bytes:
+        return bytes(
+            codes[i] | (codes[i + 1] << 4) for i in range(0, len(codes), 2)
+        )
+
+    data = b"".join(
+        struct.pack("<hBB", p0, i0, 0) for p0, i0 in zip(preds, idxs)
     )
+    group = 8 if ch == 2 else n  # mono: one run; stereo: 8-code groups
+    for g in range(0, n, group):
+        for c in range(ch):
+            data += pack8(chans[c][g : g + group])
     block_align = len(data)
-    frames = len(nibbles) + 1
+    frames = n + 1
     fmt = struct.pack(
-        "<HHIIHHHH", 17, 1, sample_rate,
+        "<HHIIHHHH", 17, ch, sample_rate,
         # byte rate for a single block per second is nominal; decoders
         # key on block_align, not byte rate
         sample_rate, block_align, 4, 2, frames,
@@ -1571,10 +1665,8 @@ def parse_wav(payload: bytes):
                     "G.711 mu-law, or 4-bit IMA ADPCM, got "
                     f"format={audio_fmt} bits={bits}"
                 )
-            if audio_fmt == 17 and channels != 1:
-                # stereo IMA interleaves 4-byte channel groups — the
-                # honest unsupported subset, like planar-2 for TIFF
-                raise ValueError("adpcm: only mono supported")
+            if audio_fmt == 17 and channels not in (1, 2):
+                raise ValueError("adpcm: 1 or 2 channels supported")
             if channels < 1 or rate < 1:
                 # zero channels would divide-by-zero the frame-alignment
                 # check below (ZeroDivisionError escapes the ValueError
@@ -1590,25 +1682,52 @@ def parse_wav(payload: bytes):
     if rate is None or pcm is None:
         raise ValueError("WAV missing fmt /data chunk")
     if audio_fmt == 17:  # IMA ADPCM: block-structured 4-bit codes
-        if block_align is None or block_align < 5:
+        header = 4 * channels
+        if block_align is None or block_align < header + 1:
             raise ValueError("adpcm: bad block alignment")
         if len(pcm) % block_align:
             raise ValueError("adpcm: data not block-aligned")
-        samples: list[int] = []
+        frames: list[list[int]] = []  # interleaved frame-major samples
         for b0 in range(0, len(pcm), block_align):
-            pred, idx, rsv = struct.unpack_from("<hBB", pcm, b0)
-            if idx > 88:
-                raise ValueError("adpcm: step index out of range")
-            samples.append(pred)
-            for byte in pcm[b0 + 4 : b0 + block_align]:
-                for code in (byte & 0x0F, byte >> 4):  # LOW nibble first
-                    pred, idx = _ima_adpcm_step(pred, idx, code)
-                    samples.append(pred)
+            preds, idxs = [], []
+            for c in range(channels):
+                pred, idx, _rsv = struct.unpack_from("<hBB", pcm, b0 + 4 * c)
+                if idx > 88:
+                    raise ValueError("adpcm: step index out of range")
+                preds.append(pred)
+                idxs.append(idx)
+            frames.append(list(preds))
+            data = pcm[b0 + header : b0 + block_align]
+            if channels == 1:
+                # mono: a flat code stream, two codes per byte
+                for byte in data:
+                    for code in (byte & 0x0F, byte >> 4):  # LOW first
+                        preds[0], idxs[0] = _ima_adpcm_step(
+                            preds[0], idxs[0], code
+                        )
+                        frames.append([preds[0]])
+                continue
+            if len(data) % (4 * channels):
+                raise ValueError("adpcm: data not group-aligned")
+            for g0 in range(0, len(data), 4 * channels):
+                # one 4-byte group (8 codes) per channel, channel-major
+                block_frames = [[0] * channels for _ in range(8)]
+                for c in range(channels):
+                    k = 0
+                    for byte in data[g0 + 4 * c : g0 + 4 * c + 4]:
+                        for code in (byte & 0x0F, byte >> 4):  # LOW first
+                            preds[c], idxs[c] = _ima_adpcm_step(
+                                preds[c], idxs[c], code
+                            )
+                            block_frames[k][c] = preds[c]
+                            k += 1
+                frames.extend(block_frames)
         if fact_frames is not None:
-            if fact_frames > len(samples):
+            if fact_frames > len(frames):
                 raise ValueError("adpcm: fact frames exceed decoded data")
-            samples = samples[:fact_frames]
-        return rate, 1, np.asarray(samples, dtype=np.int16)
+            frames = frames[:fact_frames]
+        flat = [v for fr in frames for v in fr]
+        return rate, channels, np.asarray(flat, dtype=np.int16)
     if audio_fmt == 7:  # G.711 mu-law: one byte per sample
         if len(pcm) % channels:
             raise ValueError("WAV data not frame-aligned")
@@ -1725,29 +1844,41 @@ def synth_ulaw_media(docs: DataFrame) -> DataFrame:
 
 def synth_adpcm_media(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic IMA ADPCM WAV payloads keyed by doc id —
-    REAL format-17 RIFF bytes (r11): ``rate = 11025``, mono, one block;
-    ``n_nibbles = 64 + (doc_id % 48) * 2`` (even → whole data bytes;
-    frames = n_nibbles + 1 including the header sample), 4-bit code at
-    step ``i`` = ``(doc_id * 13 + i * 7) % 16`` (every code point
-    exercised), initial predictor ``((doc_id * 37) % 256 - 128) * 16``,
-    initial step index ``doc_id % 89`` (every table row exercised), so a
-    SQL oracle derives the EXPANDED int16 stream by transcribing the IMA
-    step/index recurrence as a recursive CTE. Multipliers 13/7·37/29
-    collide with no other audio fixture."""
+    REAL format-17 RIFF bytes (r11): ``rate = 11025``, one block,
+    alternating MONO (even doc_id) and STEREO (odd doc_id — 4-byte
+    channel-group interleave). Per-channel code count: mono
+    ``64 + (doc_id % 48) * 2`` (even → whole data bytes), stereo
+    ``64 + (doc_id % 12) * 8`` (multiple of the 8-code group); frames =
+    codes + 1 including the header sample. 4-bit code for channel ``c``
+    at step ``i`` = ``(doc_id*13 + c*5 + i*7) % 16`` (every code point
+    exercised), initial predictor ``((doc_id*37 + c*11) % 256 - 128) *
+    16``, initial step index ``(doc_id + c*7) % 89`` (every table row
+    exercised), so a SQL oracle derives the EXPANDED int16 stream by
+    transcribing the IMA step/index recurrence as a recursive CTE over
+    (doc, channel). Multipliers 13/7·37/29 collide with no other audio
+    fixture."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                nibs = 64 + (did % 48) * 2
-                codes = bytes((did * 13 + i * 7) % 16 for i in range(nibs))
+                ch = 1 if did % 2 == 0 else 2
+                nibs = (
+                    64 + (did % 48) * 2 if ch == 1 else 64 + (did % 12) * 8
+                )
+                chans = [
+                    bytes((did * 13 + c * 5 + i * 7) % 16 for i in range(nibs))
+                    for c in range(ch)
+                ]
+                preds = [((did * 37 + c * 11) % 256 - 128) * 16 for c in range(ch)]
+                idxs = [(did + c * 7) % 89 for c in range(ch)]
                 payloads.append(
                     encode_wav_adpcm(
                         11025,
-                        ((did * 37) % 256 - 128) * 16,
-                        did % 89,
-                        codes,
+                        preds[0] if ch == 1 else preds,
+                        idxs[0] if ch == 1 else idxs,
+                        chans[0] if ch == 1 else chans,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
@@ -2873,8 +3004,9 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
     ``rows_per_strip = 2`` (every image is MULTI-strip, so strip
     offset/count arrays always spill to the external value area and the
     strip-boundary math is genuinely under test); the variant cycles
-    ``doc_id % 6`` so one relation exercises all four compressions, both
-    byte orders, both color models, and the horizontal predictor:
+    ``doc_id % 7`` so one relation exercises all four compressions, both
+    byte orders, both color models, the horizontal predictor, and the
+    TILED layout:
 
     * 0 → 24-bit RGB, uncompressed, little-endian: pixel ``p`` channel
       ``c`` = ``(doc_id*53 + p*3 + c) % 256``;
@@ -2886,7 +3018,10 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
     * 4 → 24-bit RGB, LZW + predictor 2, little-endian (r11): the RGB
       formula again — an EarlyChange/bit-order/differencing bug shifts
       values and hash-fails;
-    * 5 → 8-bit grayscale, Deflate, big-endian (r11): the gray formula.
+    * 5 → 8-bit grayscale, Deflate, big-endian (r11): the gray formula;
+    * 6 → 8-bit grayscale, TILED 16x16 + LZW, little-endian (r11): one
+      padded edge-clipped tile covers the whole fixture image, so the
+      tile-grid assembly and zero-pad clipping are always under test.
 
     Multipliers 53/59 are distinct from the PPM (31), PNG (37/41),
     BMP/GIF (43/47), and JPEG (7/13) fixtures so a codec mix-up cannot
@@ -2898,8 +3033,8 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 6
-                gray = variant in (2, 3, 5)
+                variant = did % 7
+                gray = variant in (2, 3, 5, 6)
                 if gray:
                     raster = bytes((did * 59 + p) % 256 for p in range(w * h))
                 else:
@@ -2908,7 +3043,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                     )
                 comp = {
                     0: "none", 1: "packbits", 2: "none",
-                    3: "packbits", 4: "lzw", 5: "deflate",
+                    3: "packbits", 4: "lzw", 5: "deflate", 6: "lzw",
                 }[variant]
                 payloads.append(
                     encode_tiff(
@@ -2920,6 +3055,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                         big_endian=variant in (1, 2, 5),
                         rows_per_strip=2,
                         predictor=2 if variant == 4 else 1,
+                        tile=(16, 16) if variant == 6 else None,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})

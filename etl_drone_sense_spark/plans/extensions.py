@@ -2057,7 +2057,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 6 AS variant
+               doc_id % 7 AS variant
         FROM documents
     ),
     px AS (
@@ -2090,10 +2090,12 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL TIFF decode end-to-end (r10, LZW + Deflate tiers r11 — r10
-    VERDICT item 5): IFD walk with spec-ordered tags and external value
-    areas, MULTI-strip assembly (rows_per_strip=2, so strip offset/count
-    arrays and boundary math are always under test), PackBits
+    """REAL TIFF decode end-to-end (r10; LZW + Deflate + TILED tiers
+    r11 — r10 VERDICT item 5): IFD walk with spec-ordered tags and
+    external value areas, MULTI-strip assembly (rows_per_strip=2, so
+    strip offset/count arrays and boundary math are always under test),
+    TILE-GRID assembly (variant 6: padded 16x16 tiles clipped on
+    placement), PackBits
     decompression with per-row restart, TIFF-LZW (MSB-first bit order +
     the EarlyChange off-by-one — a sibling of the repo's GIF LZW
     decoder), zlib Deflate (the PNG machinery), the horizontal-
@@ -2106,8 +2108,8 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression is feature-invariant, so the SAME pixel-arithmetic
     oracle certifies all six variants; the order-sensitive
     ``row_moment`` catches vertical-flip/strip-reorder bugs that
-    per-channel means are blind to. JPEG-in-TIFF, tiles, planar-2,
-    palette color, and non-8-bit depths quarantine via the shared
+    per-channel means are blind to. JPEG-in-TIFF, planar-2, palette
+    color, and non-8-bit depths quarantine via the shared
     decode_ok=false contract."""
     media = multimodal.synth_tiff_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
@@ -4520,30 +4522,37 @@ _IMA_STEPS_SQL = ", ".join(str(v) for v in multimodal._IMA_STEP_TABLE)
     "multimodal_decode_adpcm",
     oracle=f"""
     WITH RECURSIVE dims AS (
-        SELECT doc_id, 64 + (doc_id % 48) * 2 AS nibs FROM documents
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch,
+               CASE WHEN doc_id % 2 = 0 THEN 64 + (doc_id % 48) * 2
+                    ELSE 64 + (doc_id % 12) * 8 END AS nibs
+        FROM documents
     ),
-    st(doc_id, nibs, i, pred, idx) AS (
-        SELECT doc_id, nibs, 0,
-               CAST(((doc_id * 37) % 256 - 128) * 16 AS BIGINT),
-               CAST(doc_id % 89 AS BIGINT)
-        FROM dims
+    chans AS (
+        SELECT doc_id, ch, nibs, unnest(range(0, ch)) AS c FROM dims
+    ),
+    st(doc_id, ch, nibs, c, i, pred, idx) AS (
+        SELECT doc_id, ch, nibs, c, 0,
+               CAST(((doc_id * 37 + c * 11) % 256 - 128) * 16 AS BIGINT),
+               CAST((doc_id + c * 7) % 89 AS BIGINT)
+        FROM chans
         UNION ALL
-        SELECT doc_id, nibs, i + 1,
+        SELECT doc_id, ch, nibs, c, i + 1,
                greatest(-32768, least(32767,
                    pred + CASE WHEN code >= 8 THEN -diff ELSE diff END)),
                greatest(0, least(88,
                    idx + list_extract([-1, -1, -1, -1, 2, 4, 6, 8],
                                       (code % 8) + 1)))
         FROM (
-            SELECT doc_id, nibs, i, pred, idx, code,
+            SELECT doc_id, ch, nibs, c, i, pred, idx, code,
                    (step // 8)
                    + CASE WHEN code % 2 = 1 THEN step // 4 ELSE 0 END
                    + CASE WHEN (code // 2) % 2 = 1 THEN step // 2 ELSE 0 END
                    + CASE WHEN (code // 4) % 2 = 1 THEN step ELSE 0 END
                        AS diff
             FROM (
-                SELECT doc_id, nibs, i, pred, idx,
-                       (doc_id * 13 + i * 7) % 16 AS code,
+                SELECT doc_id, ch, nibs, c, i, pred, idx,
+                       (doc_id * 13 + c * 5 + i * 7) % 16 AS code,
                        list_extract([{_IMA_STEPS_SQL}], idx + 1) AS step
                 FROM st WHERE i < nibs
             )
@@ -4551,12 +4560,12 @@ _IMA_STEPS_SQL = ", ".join(str(v) for v in multimodal._IMA_STEP_TABLE)
     )
     SELECT doc_id AS media_id,
            11025 AS sample_rate,
-           1 AS channels,
+           CAST(max(ch) AS INTEGER) AS channels,
            CAST(nibs + 1 AS BIGINT) AS n_frames,
            floor((nibs + 1) * 1.0 / 11025 * 1000000 + 0.5) / 1000000
                AS duration_s,
-           floor(sum(abs(pred)) * 1.0 / (nibs + 1) * 1000000 + 0.5)
-               / 1000000 AS mean_abs,
+           floor(sum(abs(pred)) * 1.0 / (max(ch) * (nibs + 1)) * 1000000
+                 + 0.5) / 1000000 AS mean_abs,
            CAST(max(abs(pred)) AS BIGINT) AS peak
     FROM st GROUP BY doc_id, nibs
     """,
@@ -4565,17 +4574,20 @@ _IMA_STEPS_SQL = ", ".join(str(v) for v in multimodal._IMA_STEP_TABLE)
 )
 def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED audio decode end-to-end, tier 2 (r11 — r10 VERDICT
-    item 8): MONO IMA ADPCM (format-17 WAV, 4-bit differential — the
+    item 8): IMA ADPCM (format-17 WAV, 4-bit differential — the
     dependency-free ADPCM playbook: table-driven exact-integer
-    expansion, exactly like µ-law) decoded through the same Arrow
-    decode_audio_features path as PCM. The code stream covers every
-    4-bit code point and every initial step-index; the ORACLE
-    TRANSCRIBES THE IMA RECURRENCE ITSELF (step-table lookup, the three
-    magnitude-bit halvings, sign bit, int16 predictor clamp, index
-    clamp) as a recursive CTE over (doc_id, i) — a table row, clamp, or
-    nibble-order bug diverges the predictor walk and hash-fails.
-    MP3/AAC/FLAC remain honestly import-gated; stereo ADPCM and
-    Microsoft ADPCM (format 2) quarantine."""
+    expansion, exactly like µ-law), MONO and STEREO (4-byte
+    channel-group interleave; the fixture alternates by doc parity),
+    decoded through the same Arrow decode_audio_features path as PCM.
+    The code streams cover every 4-bit code point and every initial
+    step-index; the ORACLE TRANSCRIBES THE IMA RECURRENCE ITSELF
+    (step-table lookup, the three magnitude-bit halvings, sign bit,
+    int16 predictor clamp, index clamp) as a recursive CTE over
+    (doc_id, channel, i) — a table row, clamp, or nibble-order bug
+    diverges the predictor walk and hash-fails (group-interleave order
+    is aggregate-invisible, so it is pinned by the reference-walk unit
+    test instead). MP3/AAC/FLAC remain honestly import-gated;
+    Microsoft ADPCM (format 2) and >2-channel streams quarantine."""
     media = multimodal.synth_adpcm_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_audio_features(media)
     return feats.filter(F.col("decode_ok")).select(

@@ -1019,6 +1019,33 @@ def test_adpcm_roundtrip_and_reference_walk():
     assert samples.tolist() == one.tolist() + one.tolist()
 
 
+def test_adpcm_stereo_interleave_reference_walk():
+    """Stereo IMA: two headers, then 4-byte channel groups (8 codes for
+    L, 8 for R, ...). The decoded stream must interleave frame-major —
+    aggregate features can't see a swapped-group bug, so this test is
+    the interleave's pin (the oracle certifies the per-channel walks)."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        _ima_adpcm_step,
+        encode_wav_adpcm,
+        parse_wav,
+    )
+
+    nl = bytes((7 * i + 1) % 16 for i in range(24))
+    nr = bytes((5 * i + 3) % 16 for i in range(24))
+    rate, ch, smp = parse_wav(
+        encode_wav_adpcm(8000, (100, -200), (10, 20), (nl, nr))
+    )
+    assert (rate, ch) == (8000, 2)
+    walks = []
+    for p0, i0, codes in ((100, 10, nl), (-200, 20, nr)):
+        out, (p, i) = [p0], (p0, i0)
+        for c in codes:
+            p, i = _ima_adpcm_step(p, i, c)
+            out.append(p)
+        walks.append(out)
+    assert smp.tolist() == [v for fr in zip(*walks) for v in fr]
+
+
 def test_adpcm_quarantines():
     """Stereo ADPCM, bad block alignment, out-of-range step index, and a
     fact chunk promising more frames than the data decodes must all
@@ -1040,8 +1067,8 @@ def test_adpcm_quarantines():
         return bytes(buf)
 
     fmt_off = good.index(b"fmt ") + 8
-    with pytest.raises(ValueError, match="only mono"):
-        parse_wav(patch(good, fmt_off + 2, "<H", 2))  # channels=2
+    with pytest.raises(ValueError, match="1 or 2 channels"):
+        parse_wav(patch(good, fmt_off + 2, "<H", 3))  # channels=3
     with pytest.raises(ValueError, match="block"):
         parse_wav(patch(good, fmt_off + 12, "<H", 4))  # block_align < 5
     data_off = good.index(b"data") + 8
@@ -1349,11 +1376,61 @@ def test_tiff_unsupported_tiers_quarantine():
             struct.pack_into("<H", buf, off + 8, 3)
     with pytest.raises(ValueError):
         parse_tiff(bytes(buf))
-    # a tile tag anywhere in the IFD forces the tiled-layout refusal
+    # rewriting the first entry's tag (ImageWidth → TileWidth) both
+    # drops a required tag and mixes strip/tile tables — still ValueError
     buf = bytearray(good)
     ifd = struct.unpack_from("<I", buf, 4)[0]
     struct.pack_into("<H", buf, ifd + 2, 322)  # first entry tag → TileWidth
     with pytest.raises(ValueError):
+        parse_tiff(bytes(buf))
+
+
+def test_tiff_tiled_layout_roundtrip_and_quarantines():
+    """r11: the tile-grid tier — padded edge tiles must clip exactly on
+    placement across every compression/predictor/byte-order combo and
+    multi-tile grids; non-16-multiple tile dims and files carrying BOTH
+    strip and tile tables quarantine."""
+    import itertools
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_tiff,
+        parse_tiff,
+    )
+
+    for gray, comp, pred, (w, h) in itertools.product(
+        (False, True), ("none", "packbits", "lzw", "deflate"), (1, 2),
+        [(7, 5), (16, 16), (20, 33)],
+    ):
+        spp = 1 if gray else 3
+        raster = bytes((i * 31 + 5) % 256 for i in range(w * h * spp))
+        blob = encode_tiff(
+            w, h, raster, gray=gray, compression=comp,
+            predictor=pred, tile=(16, 16),
+        )
+        w2, h2, rgb = parse_tiff(blob)
+        assert (w2, h2) == (w, h)
+        if gray:
+            g = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            assert (a == g[:, :, None]).all(), (comp, pred, w, h)
+        else:
+            assert rgb == raster, (comp, pred, w, h)
+    with pytest.raises(ValueError):
+        encode_tiff(4, 3, bytes(36), tile=(15, 16))  # not a 16-multiple
+    # inject a StripByteCounts tag into a tiled file → mutual exclusion
+    tiled = encode_tiff(4, 3, bytes(36), tile=(16, 16))
+    buf = bytearray(tiled)
+    ifd = struct.unpack_from("<I", buf, 4)[0]
+    n = struct.unpack_from("<H", buf, ifd)[0]
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, off)[0] == 284:  # planar (dflt 1)
+            struct.pack_into("<H", buf, off, 279)  # → StripByteCounts
+    with pytest.raises(ValueError, match="both strip and tile"):
         parse_tiff(bytes(buf))
 
 
