@@ -227,6 +227,7 @@ def simhash_pairs(
     blocks: int = 4,
     key_bits: int | None = None,
     bucket_cap: int | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -254,6 +255,20 @@ def simhash_pairs(
     both ids rank within that bucket's lowest ``bucket_cap``. The
     row_number+filter shape plans as WindowGroupLimit (per-partition
     top-k, no full bucket sort materialization).
+
+    ``pair_budget`` (r12 — r11 VERDICT item 3: the uncapped emitter as a
+    deployment hazard) is an occupancy GUARD for the exact/audit config:
+    before the pair self-join runs, one aggregate over the (persisted)
+    bucket relation computes the exact candidate-pair count
+    Σ |bucket|·(|bucket|−1)/2; if it exceeds the budget the call raises
+    ``ValueError`` naming the count and the hottest bucket, instead of
+    launching a shuffle that would emit billions of rows. The guard job
+    reuses the persisted bucket relation the join needs anyway, so its
+    cost is one node-scale aggregate. Deployment guidance: at corpus
+    scale prefer ``bucket_cap`` (bounded output class, still
+    hash-exact); use ``pair_budget`` when the run must be
+    definition-exact but an unbounded pair set would be an OOM/runtime
+    hazard — the raise is the circuit breaker, not a fallback.
     """
     if max_hamming >= blocks:
         # the pigeonhole guarantee needs more blocks than allowed
@@ -290,6 +305,29 @@ def simhash_pairs(
         )
     # both sides of the self-join
     exploded = scoped_persist("dedup.simhash_blocks", exploded)
+    if pair_budget is not None:
+        if pair_budget < 1:
+            raise ValueError(f"pair_budget {pair_budget} must be >= 1")
+        occ = (
+            exploded.groupBy("block_idx", "block_val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(
+                    (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+                ).alias("cand"),
+                F.max("c").alias("hot"),
+            )
+            .first()
+        )
+        cand = int(occ["cand"] or 0)
+        if cand > pair_budget:
+            raise ValueError(
+                f"simhash candidate-pair count {cand} exceeds "
+                f"pair_budget {pair_budget} (hottest bucket holds "
+                f"{int(occ['hot'])} members) — the corpus is too "
+                "dup-heavy for the uncapped exact emitter; rerun with "
+                "bucket_cap or raise the budget"
+            )
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(
@@ -542,8 +580,15 @@ def paragraph_dedup(
 
     from ..caching import scoped_persist
 
+    # Coalesce NULL text to '' BEFORE splitting: split(NULL) is NULL, and
+    # the clean-branch bypass would then emit NULL/NULL/NULL where the
+    # operator's contract (and the pre-r11 left-join+coalesce plan, and
+    # the SQL oracle) says a no-text doc gets 0/0/''.
     lns = F.filter(
-        F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+            lambda p: F.trim(p),
+        ),
         lambda p: p != "",
     )
     nonblank = scoped_persist(

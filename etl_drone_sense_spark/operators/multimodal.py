@@ -1622,13 +1622,14 @@ def parse_wav(payload: bytes):
     RIFF spec (unknown chunks skipped, word-aligned). Supports the
     interchange common cases: PCM (format 1, 16-bit), G.711 mu-law
     (format 7, 8-bit — telephony; expanded to int16 via the CCITT
-    table), and MONO IMA ADPCM (format 17, 4-bit — r11: table-driven
-    exact-integer expansion, block headers restart the predictor/index
-    state, low nibble first, ``fact``-chunk frame trim). Anything else —
-    float/Microsoft-ADPCM/24-bit, stereo ADPCM, truncated data — raises
-    ``ValueError``, keeping the decode operators' per-row quarantine
-    contract. Returns ``(sample_rate, channels, int16 numpy array of
-    interleaved samples)``."""
+    table), and MONO or STEREO IMA ADPCM (format 17, 4-bit — r11:
+    table-driven exact-integer expansion, per-channel block headers
+    restart the predictor/index state, low nibble first, channels
+    interleaved per 4-byte word group, ``fact``-chunk frame trim).
+    Anything else — float/Microsoft-ADPCM/24-bit, >2-channel ADPCM,
+    truncated data — raises ``ValueError``, keeping the decode
+    operators' per-row quarantine contract. Returns ``(sample_rate,
+    channels, int16 numpy array of interleaved samples)``."""
     import struct
 
     buf = bytes(payload or b"")

@@ -1280,8 +1280,13 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in lr:
         lut[row["b"]] = row["lr_q"]
     lr_arr = F.lit([int(v) for v in lut])
+    # Zero-token docs are EXCLUDED, not scored: sum/size divides by 0 →
+    # NULL, and a NULL score must never enter the top-N tail (the old
+    # explode+groupBy plan excluded such docs structurally; the r11
+    # join-free rewrite has to do it explicitly).
     return (
-        staged.select(
+        staged.filter(F.size("bs") > 0)
+        .select(
             "doc_id",
             "lang",
             F.size("bs").cast("long").alias("n_tokens"),

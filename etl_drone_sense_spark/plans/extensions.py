@@ -338,7 +338,19 @@ def dedup_simhash_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUPERSET and the exact hamming ≤ 3 filter makes the output invariant
     to the derived width — the full-block oracle certifies every width
     (the property tests pin the invariance; the driver rows pin two
-    concrete widths)."""
+    concrete widths).
+
+    DEPLOYMENT DEFAULT (r12 — r11 VERDICT item 3): this uncapped entry
+    is the DEFINITION-EXACT AUDIT config — its output is the corpus's
+    true hamming≤3 pair set, which on dup-heavy data grows quadratically
+    BY DEFINITION (149× pairs at 10× the dup-deepened sf1 fixture,
+    133 s raw — no plan change can bound an output class). The 100 TB
+    deployment default is ``dedup_simhash_adaptive_capped`` (raw 10×
+    slope 1.42×): identical width rule, per-bucket cap bounding
+    emission, still hash-exact. Run the uncapped audit only with
+    ``operators/dedup.simhash_pairs(pair_budget=...)`` set — the
+    occupancy guard that raises BEFORE the pair shuffle when the exact
+    candidate count exceeds the declared budget."""
     docs = t(spark, sf_dir, "documents")
     n = docs.count()
     return dedup.simhash_pairs(
@@ -1432,8 +1444,14 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.createDataFrame(list(BOILER_SEEDS), "doc_id long, text string")
         )
     )
+    # NULL-text coalesce: split(NULL) is NULL and the clean-branch bypass
+    # would emit NULL/0/NULL instead of the 0/0/'' the operator contract
+    # (and the oracle) defines for no-text docs.
     lns = F.filter(
-        F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+            lambda l: F.trim(l),
+        ),
         lambda l: F.length(l) > 0,
     )
     lines = scoped_persist(

@@ -875,23 +875,94 @@ TOUCHED_R11: tuple[str, ...] = (
     "corpus_split_leakage_safe",  # r11: same CC path
 )
 
+# Round 11 landed driver artifacts (CORRECTNESS_r11.json: 50/50 green) —
+# this is that file's exact key set, folded per the r11 handoff. It
+# covers every TOUCHED_R11 name plus the full 18-query r5-stale tier and
+# a slice of the r6 tier; after this fold the stalest surviving evidence
+# is the 20-query r6 tier (agg_distinct … unpivot_metrics), which the
+# r12 rotation puts right after the r12-touched head.
+DRIVER_CHECKED_R11: frozenset[str] = frozenset(
+    {
+        "agg_approx_percentile",
+        "agg_percentiles",
+        "agg_skew_salted",
+        "corpus_sample_per_lang",
+        "corpus_split_leakage_safe",
+        "corpus_split_stats",
+        "dedup_cluster_stats",
+        "dedup_embedding_lsh_adaptive",
+        "dedup_keep_rows",
+        "dedup_paragraph",
+        "events_anomaly_mad",
+        "events_funnel",
+        "events_gapfill",
+        "graph_pagerank",
+        "grouped_map_centroids",
+        "hierarchy_flatten",
+        "join_asof",
+        "json_variant_agg",
+        "map_funcs",
+        "merge_upsert",
+        "multimodal_decode_adpcm",
+        "multimodal_decode_tiff",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "profile_columns",
+        "profile_drift_psi",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "q19_bracket_disjunction",
+        "q22_dormant_balance",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "sample_importance",
+        "sample_stratified",
+        "sessionize_events",
+        "sim_ivf_topk_frozen",
+        "stream_tumbling_counts",
+        "stream_watermark_eviction",
+        "text_boilerplate_strip",
+        "text_fingerprint",
+        "text_repetition",
+        "text_tfidf_topk",
+        "text_unigram_logprob",
+        "validate_expectations",
+        "vector_normalize_quantize",
+        "window_range_frame",
+        "window_sliding_events",
+        "window_tumbling_events",
+        "xml_scan",
+    }
+)
+
+# Queries whose Spark code OR oracle changed in round 12, plus new
+# registrations — all need a fresh driver row. Populated as r12 work
+# lands; ordering within the tuple is the order the driver checks them.
+TOUCHED_R12: tuple[str, ...] = (
+    "dedup_paragraph",  # r12: NULL-text coalesce in the clean-doc bypass
+    "text_boilerplate_strip",  # r12: same NULL-text coalesce (ADVICE r11)
+    "sample_importance",  # r12: zero-token docs excluded before scoring
+)
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
-    about old code is still stale evidence). After the r10 fold every
+    about old code is still stale evidence). After the r11 fold every
     registered query has at least one green driver row, so the order is:
-    TOUCHED_R11, then any never-checked stragglers (new r11 names not in
-    TOUCHED_R11 — should be none), then by newest-evidence round
-    ascending — the r5-newest 18-query tier first, then r6-newest, …,
-    round-10 (freshest) last. (The r1–r4-newest tiers are currently
+    TOUCHED_R12, then any never-checked stragglers (new r12 names not in
+    TOUCHED_R12 — should be none), then by newest-evidence round
+    ascending — the r6-newest 20-query tier first, then r7-newest, …,
+    round-11 (freshest) last. (The r1–r5-newest tiers are currently
     empty: every such name was re-certified in a later round.)"""
 
-    head11 = {n: i for i, n in enumerate(TOUCHED_R11)}
+    head12 = {n: i for i, n in enumerate(TOUCHED_R12)}
 
     # Newest round in which each name earned a driver row, oldest-first
     # search order below relies on checking the NEWEST sets first.
     newest_first: tuple[tuple[int, frozenset[str]], ...] = (
+        (11, DRIVER_CHECKED_R11),
         (10, DRIVER_CHECKED_R10),
         (9, DRIVER_CHECKED_R09),
         (7, DRIVER_CHECKED_R07),
@@ -904,15 +975,15 @@ def _ordered_specs() -> list[QuerySpec]:
     )
 
     def tier(s: QuerySpec) -> tuple[int, int]:
-        if s.name in head11:
-            return (0, head11[s.name])
+        if s.name in head12:
+            return (0, head12[s.name])
         for rnd, names in newest_first:
             if s.name in names:
                 # staleness rank: newest-evidence round ascending, so
-                # r5-newest (rank 6) sorts before r10-newest (rank 11);
+                # r6-newest (rank 7) sorts before r11-newest (rank 12);
                 # +1 keeps every checked tier after the never-checked slot.
                 return (1 + rnd, 0)
-        return (1, 0)  # never-checked: right after the r11 touched head
+        return (1, 0)  # never-checked: right after the r12 touched head
 
     specs = list(REGISTRY.values())
     return sorted(specs, key=tier)  # sorted() is stable → registration order kept

@@ -205,6 +205,44 @@ def test_simhash_bucket_cap_contract(spark, sf_dir):
         dedup.simhash_pairs(docs, "doc_id", "text", bucket_cap=1, **kw)
 
 
+def test_simhash_pair_budget_guard(spark, sf_dir):
+    """The uncapped-audit circuit breaker (r12 — r11 VERDICT item 3):
+    a pair_budget below the corpus's exact candidate count must raise
+    BEFORE the pair shuffle (naming the count and the hottest bucket),
+    a budget at-or-above it must pass the call through unchanged, and a
+    degenerate budget must be refused."""
+    import pytest as _pytest
+
+    from etl_drone_sense_spark.operators import dedup
+    from etl_drone_sense_spark.plans.extensions import _adaptive_simhash_bits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kb = _adaptive_simhash_bits(docs.count())
+    kw = dict(max_hamming=3, nbits=48, blocks=4, key_bits=kb)
+
+    # The fixture's hottest bucket has > 2 members, so budget=1 must trip.
+    with _pytest.raises(ValueError, match="exceeds\\s+pair_budget"):
+        dedup.simhash_pairs(
+            docs, "doc_id", "text", pair_budget=1, **kw
+        ).collect()
+
+    truth = set(
+        map(tuple, dedup.simhash_pairs(docs, "doc_id", "text", **kw).collect())
+    )
+    guarded = set(
+        map(
+            tuple,
+            dedup.simhash_pairs(
+                docs, "doc_id", "text", pair_budget=10_000_000_000, **kw
+            ).collect(),
+        )
+    )
+    assert guarded == truth, "an under-budget guard must not change output"
+
+    with _pytest.raises(ValueError, match="pair_budget"):
+        dedup.simhash_pairs(docs, "doc_id", "text", pair_budget=0, **kw)
+
+
 def test_simhash_bucket_cap_plans_window_group_limit(spark, sf_dir):
     """The cap's row_number+filter must compile to WindowGroupLimit
     (per-partition top-k below the window sort — no full bucket

@@ -32,6 +32,7 @@ def test_every_bench_query_has_a_budget():
 def test_touched_and_checked_names_exist():
     known = set(RG.REGISTRY) | set(RG.RETIRED)
     for group in (
+        RG.TOUCHED_R12,
         RG.TOUCHED_R11,
         RG.TOUCHED_R10,
         RG.TOUCHED_R09,
@@ -39,6 +40,7 @@ def test_touched_and_checked_names_exist():
         RG.TOUCHED_R07,
         RG.TOUCHED_R06,
         RG.TOUCHED_R05,
+        RG.DRIVER_CHECKED_R11,
         RG.DRIVER_CHECKED_R10,
         RG.DRIVER_CHECKED_R09,
         RG.DRIVER_CHECKED_R07,
@@ -71,7 +73,15 @@ def _ever_checked() -> set[str]:
         | set(RG.DRIVER_CHECKED_R07)
         | set(RG.DRIVER_CHECKED_R09)
         | set(RG.DRIVER_CHECKED_R10)
+        | set(RG.DRIVER_CHECKED_R11)
     )
+
+
+def test_r11_fold_covers_the_r11_touched_names():
+    """Every r11-touched name must have an r11 driver row (the fold is the
+    exact CORRECTNESS_r11.json key set, 50/50 green)."""
+    uncovered = set(RG.TOUCHED_R11) - set(RG.DRIVER_CHECKED_R11)
+    assert not uncovered, f"touched r11 names without an r11 row: {uncovered}"
 
 
 def test_r9_fold_covers_the_r8_gap():
@@ -101,9 +111,9 @@ def test_window_head_covers_everything_unverified_or_touched():
     # A touched name that is not registered must be an explicit retirement
     # (r10 ADVICE: otherwise a typo in TOUCHED silently drops the
     # must-be-in-head requirement for the query it meant to name).
-    ghosts = set(RG.TOUCHED_R11) - set(order)
+    ghosts = set(RG.TOUCHED_R12) - set(order)
     assert ghosts <= RG.RETIRED, f"touched names neither registered nor retired: {ghosts}"
-    must_be_in_head = set(RG.TOUCHED_R11) & set(order) | (
+    must_be_in_head = set(RG.TOUCHED_R12) & set(order) | (
         set(order) - _ever_checked()
     )
     missing = must_be_in_head - head
@@ -112,50 +122,59 @@ def test_window_head_covers_everything_unverified_or_touched():
 
 def test_window_head_leads_with_stalest_tier():
     """After the touched/never-checked block, remaining window slots must
-    fill with the stalest-evidence tier — after the r10 fold that is the
-    18-query tier whose NEWEST driver row is round 5 (r10 VERDICT item 2).
-    The r11 touched head (8) plus the full r5 tier (18) must fit inside
-    the 50-name window, ahead of anything r6-or-fresher."""
+    fill with the stalest-evidence tier — after the r11 fold that is the
+    20-query tier whose NEWEST driver row is round 6 (r11 VERDICT item 2).
+    The r12 touched head plus the full r6 tier (20) must fit inside
+    the 50-name window, ahead of anything r7-or-fresher."""
     order = list(RG.all_queries())
     fresher = (
-        set(RG.DRIVER_CHECKED_R06)
-        | set(RG.DRIVER_CHECKED_R07)
+        set(RG.DRIVER_CHECKED_R07)
         | set(RG.DRIVER_CHECKED_R09)
         | set(RG.DRIVER_CHECKED_R10)
+        | set(RG.DRIVER_CHECKED_R11)
     )
-    touched = set(RG.TOUCHED_R11)
+    touched = set(RG.TOUCHED_R12)
     stale_tier = [
         n
         for n in RG.REGISTRY
-        if n in RG.DRIVER_CHECKED_R05
+        if n in RG.DRIVER_CHECKED_R06
         and n not in fresher
         and n not in touched
     ]
     assert set(stale_tier) == {
-        "agg_approx_percentile",
-        "agg_percentiles",
-        "agg_skew_salted",
-        "events_gapfill",
-        "join_asof",
-        "json_variant_agg",
-        "map_funcs",
-        "profile_columns",
-        "profile_drift_psi",
-        "q15_top_supplier",
-        "q17_small_quantity",
-        "q19_bracket_disjunction",
-        "q22_dormant_balance",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "validate_expectations",
-        "window_range_frame",
+        "agg_distinct",
+        "agg_stats",
+        "cube_status_priority",
+        "governance_quarantine_split",
+        "grouping_sets",
+        "having_filter",
+        "join_range_binned",
+        "join_skewed_salted",
+        "null_semantics",
+        "pivot_priority_status",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "rollup_region_nation",
+        "set_ops_all",
+        "sim_pq_topk",
+        "stream_running_totals_tws",
+        "string_distance",
+        "table_bloom_probe",
+        "unpivot_metrics",
     }, "stale-tier membership drifted — re-derive the rotation plan"
+    assert len(touched & set(order)) + len(stale_tier) <= 50, (
+        "touched head + r6 stale tier overflow the driver window"
+    )
     pos = {n: i for i, n in enumerate(order)}
     worst_stale = max(pos[n] for n in stale_tier)
-    assert worst_stale < 50, "r5 stale tier does not fit in the driver window"
-    fresh_only = fresher - set(RG.DRIVER_CHECKED_R05) - touched
+    assert worst_stale < 50, "r6 stale tier does not fit in the driver window"
+    # Restrict to registered names: retired queries (dedup_simhash) keep
+    # their historical driver-checked rows but have no registry position.
+    fresh_only = (
+        fresher & set(RG.REGISTRY) - set(RG.DRIVER_CHECKED_R06) - touched
+    )
     first_fresh = min(pos[n] for n in fresh_only)
     assert worst_stale < first_fresh, (
-        "a freshly-certified query sorts ahead of the r5 stale tier"
+        "a freshly-certified query sorts ahead of the r6 stale tier"
     )
