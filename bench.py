@@ -54,6 +54,8 @@ BUDGETS_S: dict[str, float] = {
     # fixed-point moment aggregates over lineitem in one pass)
     "multimodal_decode_bmp": 1.12,  # r9: 0.52 s quiet median + 0.6 floor
     "multimodal_decode_adpcm": 2.19,  # r11: 1.8 x 1.22 s quiet median
+    "multimodal_decode_msadpcm": 2.20,  # r12: provisional, same per-nibble
+    # Python-walk shape as the IMA tier (refine from a quiet median)
     # (per-nibble predictor walk is a Python loop inside the Arrow batch
     # — ~650k sequential steps at sf0.1, stereo on odd doc ids;
     # inherently serial per clip)

@@ -1599,6 +1599,108 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# Microsoft ADPCM (WAV format 2) tables — the MSDN "Microsoft ADPCM
+# Algorithm" reference (also RFC 2361 / libsndfile ms_adpcm): 7 standard
+# predictor-coefficient pairs (files carry them in the fmt extension and
+# conforming decoders read them FROM THE FILE, like JPEG Huffman tables)
+# and the 16-entry delta-adaptation table indexed by the unsigned code.
+_MSADPCM_COEF1: tuple[int, ...] = (256, 512, 0, 192, 240, 460, 392)
+_MSADPCM_COEF2: tuple[int, ...] = (0, -256, 0, 64, 0, -208, -232)
+_MSADPCM_ADAPT: tuple[int, ...] = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _msadpcm_step(
+    s1: int, s2: int, delta: int, c1: int, c2: int, code: int
+) -> tuple[int, int, int]:
+    """One MS ADPCM expansion step — exact integers. The linear predictor
+    ``(s1·c1 + s2·c2) >> 8`` uses Python's arithmetic right shift, which
+    is FLOOR division by 256 exactly like C's ``>>`` on a negative signed
+    int (the oracle transcribes it as floor()); the 4-bit code applies
+    SIGNED (two's complement nibble: 8..15 ≡ −8..−1) scaled by the
+    current delta; the new sample clamps to int16; delta adapts by the
+    unsigned-code table entry over 256 with the spec's floor of 16.
+    Returns (new_s1, new_s2, new_delta) — s2 takes the old s1."""
+    signed = code - 16 if code & 8 else code
+    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = max(16, (_MSADPCM_ADAPT[code] * delta) >> 8)
+    return pred, s1, delta
+
+
+def encode_wav_msadpcm(
+    sample_rate: int, bpred, delta0, samp1, samp2, nibbles
+) -> bytes:
+    """RIFF/WAVE writer for Microsoft ADPCM (format 2, 4-bit), MONO or
+    STEREO — the fixture side of the codec pair. One block: per-channel
+    header fields grouped FIELD-major (all bpredictors, then all int16
+    initial deltas, then all sample1, then all sample2 — 7 bytes per
+    channel total); the data region packs codes HIGH nibble first (the
+    opposite of IMA), mono sequential, stereo alternating channels per
+    nibble (high→L, low→R). The fmt chunk carries the required
+    extension: wSamplesPerBlock, wNumCoef=7 and the 7 standard
+    coefficient pairs (decoders read the table from the file). sample2
+    is the OLDER sample and plays FIRST; frames = codes-per-channel + 2.
+    A ``fact`` chunk records the frame count per the non-PCM WAV rule."""
+    import struct
+
+    if isinstance(bpred, (tuple, list)):
+        preds, deltas = list(bpred), list(delta0)
+        s1s, s2s = list(samp1), list(samp2)
+        chans = [bytes(n) for n in nibbles]
+    else:
+        preds, deltas = [bpred], [delta0]
+        s1s, s2s, chans = [samp1], [samp2], [bytes(nibbles)]
+    ch = len(preds)
+    if ch not in (1, 2) or not (
+        len(deltas) == len(s1s) == len(s2s) == len(chans) == ch
+    ):
+        raise ValueError("msadpcm: 1 or 2 channels with matching state")
+    n = len(chans[0])
+    if any(len(c) != n for c in chans):
+        raise ValueError("msadpcm: channels must carry equal code counts")
+    if ch == 1 and n % 2:
+        raise ValueError("msadpcm: mono code count must fill whole bytes")
+    if any(c > 15 for cc in chans for c in cc):
+        raise ValueError("msadpcm: nibble out of range")
+    for p, d, a, b in zip(preds, deltas, s1s, s2s):
+        if not 0 <= p <= 6:
+            raise ValueError("msadpcm: predictor index out of range")
+        if not (16 <= d <= 32767 and -32768 <= a <= 32767 and -32768 <= b <= 32767):
+            raise ValueError("msadpcm: bad initial state")
+
+    data = bytes(preds)
+    data += b"".join(struct.pack("<h", d) for d in deltas)
+    data += b"".join(struct.pack("<h", s) for s in s1s)
+    data += b"".join(struct.pack("<h", s) for s in s2s)
+    if ch == 1:
+        data += bytes(
+            (chans[0][i] << 4) | chans[0][i + 1] for i in range(0, n, 2)
+        )
+    else:
+        data += bytes((chans[0][i] << 4) | chans[1][i] for i in range(n))
+    block_align = len(data)
+    frames = n + 2
+    coefs = b"".join(
+        struct.pack("<hh", c1, c2)
+        for c1, c2 in zip(_MSADPCM_COEF1, _MSADPCM_COEF2)
+    )
+    ext = struct.pack("<HH", frames, 7) + coefs
+    fmt = struct.pack(
+        "<HHIIHHH", 2, ch, sample_rate, sample_rate, block_align, 4, len(ext)
+    ) + ext
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_ulaw(sample_rate: int, channels: int, ulaw: bytes) -> bytes:
     """RIFF/WAVE writer for G.711 mu-law (format 7, 8-bit) — one byte
     per sample, block align = channels."""
@@ -1622,14 +1724,18 @@ def parse_wav(payload: bytes):
     RIFF spec (unknown chunks skipped, word-aligned). Supports the
     interchange common cases: PCM (format 1, 16-bit), G.711 mu-law
     (format 7, 8-bit — telephony; expanded to int16 via the CCITT
-    table), and MONO or STEREO IMA ADPCM (format 17, 4-bit — r11:
+    table), MONO or STEREO IMA ADPCM (format 17, 4-bit — r11:
     table-driven exact-integer expansion, per-channel block headers
     restart the predictor/index state, low nibble first, channels
-    interleaved per 4-byte word group, ``fact``-chunk frame trim).
-    Anything else — float/Microsoft-ADPCM/24-bit, >2-channel ADPCM,
-    truncated data — raises ``ValueError``, keeping the decode
-    operators' per-row quarantine contract. Returns ``(sample_rate,
-    channels, int16 numpy array of interleaved samples)``."""
+    interleaved per 4-byte word group, ``fact``-chunk frame trim), and
+    MONO or STEREO Microsoft ADPCM (format 2, 4-bit — r12: 2-tap linear
+    predictor with the coefficient table read from the file's fmt
+    extension, high nibble first, per-nibble channel interleave, block
+    headers restart the (sample1, sample2, delta) state). Anything
+    else — float/24-bit PCM, >2-channel ADPCM, truncated data — raises
+    ``ValueError``, keeping the decode operators' per-row quarantine
+    contract. Returns ``(sample_rate, channels, int16 numpy array of
+    interleaved samples)``."""
     import struct
 
     buf = bytes(payload or b"")
@@ -1642,6 +1748,7 @@ def parse_wav(payload: bytes):
     rate = channels = bits = None
     pcm = None
     block_align = fact_frames = None
+    ms_coefs = None
     while i + 8 <= n:
         cid = buf[i : i + 4]
         (clen,) = struct.unpack_from("<I", buf, i + 4)
@@ -1660,14 +1767,29 @@ def parse_wav(payload: bytes):
                 (audio_fmt == 1 and bits == 16)
                 or (audio_fmt == 7 and bits == 8)
                 or (audio_fmt == 17 and bits == 4)
+                or (audio_fmt == 2 and bits == 4)
             ):
                 raise ValueError(
                     "unsupported WAV variant: need 16-bit PCM, 8-bit "
-                    "G.711 mu-law, or 4-bit IMA ADPCM, got "
+                    "G.711 mu-law, or 4-bit IMA/Microsoft ADPCM, got "
                     f"format={audio_fmt} bits={bits}"
                 )
-            if audio_fmt == 17 and channels not in (1, 2):
+            if audio_fmt in (2, 17) and channels not in (1, 2):
                 raise ValueError("adpcm: 1 or 2 channels supported")
+            if audio_fmt == 2:
+                # WAVEFORMATEX extension: cbSize, wSamplesPerBlock,
+                # wNumCoef, then the coefficient pairs — conforming
+                # decoders take the table FROM THE FILE (first 7 are
+                # the standard pairs; extras are writer-defined).
+                if clen < 22:
+                    raise ValueError("msadpcm: fmt extension missing")
+                (_cb, _spb, ncoef) = struct.unpack_from("<HHH", data, 16)
+                if ncoef < 1 or clen < 22 + 4 * ncoef:
+                    raise ValueError("msadpcm: coefficient table truncated")
+                ms_coefs = [
+                    struct.unpack_from("<hh", data, 22 + 4 * k)
+                    for k in range(ncoef)
+                ]
             if channels < 1 or rate < 1:
                 # zero channels would divide-by-zero the frame-alignment
                 # check below (ZeroDivisionError escapes the ValueError
@@ -1682,6 +1804,59 @@ def parse_wav(payload: bytes):
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("WAV missing fmt /data chunk")
+    if audio_fmt == 2:  # Microsoft ADPCM: block-structured 4-bit codes
+        header = 7 * channels
+        if block_align is None or block_align < header + 1:
+            raise ValueError("msadpcm: bad block alignment")
+        if len(pcm) % block_align:
+            raise ValueError("msadpcm: data not block-aligned")
+        if ms_coefs is None:
+            raise ValueError("msadpcm: fmt extension missing")
+        frames = []  # interleaved frame-major samples
+        for b0 in range(0, len(pcm), block_align):
+            bpred = [pcm[b0 + c] for c in range(channels)]
+            if any(p >= len(ms_coefs) for p in bpred):
+                raise ValueError("msadpcm: predictor index out of range")
+            deltas = [
+                struct.unpack_from("<h", pcm, b0 + channels + 2 * c)[0]
+                for c in range(channels)
+            ]
+            s1 = [
+                struct.unpack_from("<h", pcm, b0 + 3 * channels + 2 * c)[0]
+                for c in range(channels)
+            ]
+            s2 = [
+                struct.unpack_from("<h", pcm, b0 + 5 * channels + 2 * c)[0]
+                for c in range(channels)
+            ]
+            c1 = [ms_coefs[p][0] for p in bpred]
+            c2 = [ms_coefs[p][1] for p in bpred]
+            # sample2 is the OLDER sample: it plays first
+            frames.append(list(s2))
+            frames.append(list(s1))
+            data = pcm[b0 + header : b0 + block_align]
+            if channels == 1:
+                for byte in data:
+                    for code in (byte >> 4, byte & 0x0F):  # HIGH first
+                        s1[0], s2[0], deltas[0] = _msadpcm_step(
+                            s1[0], s2[0], deltas[0], c1[0], c2[0], code
+                        )
+                        frames.append([s1[0]])
+            else:
+                for byte in data:
+                    fr = [0, 0]
+                    for c, code in ((0, byte >> 4), (1, byte & 0x0F)):
+                        s1[c], s2[c], deltas[c] = _msadpcm_step(
+                            s1[c], s2[c], deltas[c], c1[c], c2[c], code
+                        )
+                        fr[c] = s1[c]
+                    frames.append(fr)
+        if fact_frames is not None:
+            if fact_frames > len(frames):
+                raise ValueError("msadpcm: fact frames exceed decoded data")
+            frames = frames[:fact_frames]
+        flat = [v for fr in frames for v in fr]
+        return rate, channels, np.asarray(flat, dtype=np.int16)
     if audio_fmt == 17:  # IMA ADPCM: block-structured 4-bit codes
         header = 4 * channels
         if block_align is None or block_align < header + 1:
@@ -1879,6 +2054,76 @@ def synth_adpcm_media(docs: DataFrame) -> DataFrame:
                         11025,
                         preds[0] if ch == 1 else preds,
                         idxs[0] if ch == 1 else idxs,
+                        chans[0] if ch == 1 else chans,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from ..sources.readers import rebalance_for_compute
+
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_msadpcm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic Microsoft ADPCM WAV payloads keyed by doc
+    id — REAL format-2 RIFF bytes (r12): ``rate = 11025``, one block,
+    alternating MONO (even doc_id) and STEREO (odd doc_id — per-nibble
+    channel interleave, high→L). Per-channel code count: mono
+    ``64 + (doc_id % 48) * 2`` (even → whole data bytes), stereo
+    ``64 + (doc_id % 24) * 4``; frames = codes + 2 (sample2 and sample1
+    from the header play first). The code stream is SHRINK-HEAVY by
+    design: every 8th step carries a full-range code
+    ``(doc_id*19 + c*5 + (i//8)*7) % 16`` and the steps between carry
+    small codes ``(doc_id + c + i) % 4`` — across the corpus every code
+    point (and so every adaptation-table row) is exercised, while the
+    delta stays bounded (measured max 1464 over 3000 docs). A UNIFORM
+    code stream is adversarial for MS ADPCM: the adaptation table's
+    geometric mean is ×1.35 per step, so delta grows EXPONENTIALLY on
+    uniform codes (real encoders emit mostly-small codes precisely
+    because delta tracks the residual) — unbounded delta overflows any
+    fixed-width decoder and the SQL oracle's int64. Predictor index
+    ``(doc_id + c) % 7`` (every standard coefficient pair exercised),
+    initial delta ``16 + (doc_id*7 + c*13) % 480``, initial samples
+    ``s1 = ((doc_id*31 + c*17) % 256 - 128) * 16`` and
+    ``s2 = ((doc_id*23 + c*19) % 256 - 128) * 16``, so a SQL oracle
+    derives the EXPANDED int16 stream by transcribing the MS ADPCM
+    recurrence (floor predictor, signed nibble, int16 clamp, delta
+    adaptation with the 16 floor) as a recursive CTE over (doc,
+    channel). Multipliers 19/5/3·31/23 collide with no other audio
+    fixture (IMA uses 13/5/7·37, µ-law 29/11)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = 1 if did % 2 == 0 else 2
+                nibs = (
+                    64 + (did % 48) * 2 if ch == 1 else 64 + (did % 24) * 4
+                )
+                chans = [
+                    bytes(
+                        (did * 19 + c * 5 + (i // 8) * 7) % 16
+                        if i % 8 == 0
+                        else (did + c + i) % 4
+                        for i in range(nibs)
+                    )
+                    for c in range(ch)
+                ]
+                bpred = [(did + c) % 7 for c in range(ch)]
+                deltas = [16 + (did * 7 + c * 13) % 480 for c in range(ch)]
+                s1s = [((did * 31 + c * 17) % 256 - 128) * 16 for c in range(ch)]
+                s2s = [((did * 23 + c * 19) % 256 - 128) * 16 for c in range(ch)]
+                payloads.append(
+                    encode_wav_msadpcm(
+                        11025,
+                        bpred[0] if ch == 1 else bpred,
+                        deltas[0] if ch == 1 else deltas,
+                        s1s[0] if ch == 1 else s1s,
+                        s2s[0] if ch == 1 else s2s,
                         chans[0] if ch == 1 else chans,
                     )
                 )

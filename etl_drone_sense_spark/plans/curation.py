@@ -869,6 +869,132 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-domain token budgets (FineWeb-style domain capping)
+# ---------------------------------------------------------------------------
+
+# Token budget per domain: at sf0.01 every source-domain holds ~1.2k
+# tokens, so rates land ~0.6 (the truncating regime), while the seeded
+# URL domains hold a handful of tokens and cap at rate 1 (the pass-
+# through regime) — both branches of least() exercised at the gate SF.
+_DOMAIN_BUDGET_TOKENS = 800
+
+_DOMAIN_HOST_RE = r"^https?://([^/:?#]+)"
+
+
+def _domain_budget_oracle() -> str:
+    from .extensions import HTML_SEEDS
+
+    seed_vals = ", ".join(
+        f"({i}, '" + s.replace("'", "''") + "', 'seed')" for i, s in HTML_SEEDS
+    )
+    first_url = f"list_extract({TXT.extract_urls_sql('text')}, 1)"
+    return f"""
+    WITH seed(doc_id, text, source) AS (VALUES {seed_vals}),
+    docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT doc_id, text, source FROM seed
+    ),
+    base AS (
+        SELECT doc_id,
+               CASE WHEN len({TXT.extract_urls_sql('text')}) > 0
+                    THEN regexp_extract(
+                        {TXT.canonicalize_url_sql(first_url)},
+                        '{_DOMAIN_HOST_RE}', 1)
+                    ELSE source END AS domain,
+               CAST({TXT.token_count_sql('text')} AS BIGINT) AS n_tokens
+        FROM docs
+    ),
+    rates AS (
+        SELECT domain,
+               least(1000000,
+                     (1000000 * {_DOMAIN_BUDGET_TOKENS}) // sum(n_tokens))
+                   AS rate_ppm
+        FROM base GROUP BY domain
+    )
+    SELECT b.doc_id, b.domain, b.n_tokens,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+    FROM base b JOIN rates r USING (domain)
+    WHERE (('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000) < r.rate_ppm
+    """
+
+
+@register(
+    "corpus_domain_budget",
+    oracle=_domain_budget_oracle(),
+    tags=("sampling", "corpus", "domain"),
+)
+def corpus_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-domain token capping (Penedo et al. 2024 use
+    per-domain limits to stop a single crawl host from dominating the
+    corpus): derive each document's DOMAIN — the host of its first
+    canonical URL (functions/text.canonicalize_url, the same key
+    text_html_strip emits) when the text carries one, else its ``source``
+    label — then cap every domain at ``_DOMAIN_BUDGET_TOKENS`` expected
+    tokens by converting the cap into a per-domain acceptance rate,
+    rate = min(1, budget / domain_tokens), quantized to integer ppm and
+    applied with the registry's deterministic md5(doc_id) coin.
+
+    Rate-based capping (rather than a running-sum cutoff) is the
+    100 TB shape on purpose: a per-domain cumulative window would make
+    every hot crawl domain a single sequential window partition, while
+    the rate form is one |domains|-row aggregate (map-side combine)
+    broadcast back over a scalar predicate — the corpus itself never
+    shuffles, and the kept-token expectation per domain equals the
+    budget. Integer ppm + integer floor division keep the accept/reject
+    decision bit-identical across engines. The HTML_SEEDS docs ride
+    along so the URL-derived-domain branch is exercised non-vacuously
+    (fixture text is URL-free)."""
+    from .extensions import HTML_SEEDS
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, s, "seed") for i, s in HTML_SEEDS],
+                "doc_id long, text string, source string",
+            )
+        )
+    )
+    urls = TXT.extract_urls(F.col("text"))
+    domain = F.when(
+        F.size(urls) > 0,
+        F.regexp_extract(
+            TXT.canonicalize_url(F.get(urls, 0)), _DOMAIN_HOST_RE, 1
+        ),
+    ).otherwise(F.col("source"))
+    base = docs.select(
+        "doc_id",
+        domain.alias("domain"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    rates = (
+        base.groupBy("domain")
+        .agg(F.sum("n_tokens").alias("dom_tokens"))
+        .select(
+            "domain",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.expr(
+                    f"(1000000L * {_DOMAIN_BUDGET_TOKENS}) div dom_tokens"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    u_ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    return (
+        base.join(F.broadcast(rates), "domain")
+        .filter(u_ppm < F.col("rate_ppm"))
+        .select("doc_id", "domain", "n_tokens", "rate_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequential pattern matching (MATCH_RECOGNIZE-shape, window-only)
 # ---------------------------------------------------------------------------
 

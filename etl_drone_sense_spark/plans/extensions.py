@@ -4055,7 +4055,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_e")
     ).select("_e.src", "_e.dst")
-    ranks = pagerank_fixed_point(sym, iters=PR_ITERS)
+    ranks = pagerank_fixed_point(sym, iters=PR_ITERS, assume_symmetric=True)
     return (
         ranks.select("node", F.col("rank").alias("rank_micro"))
         .orderBy(F.col("rank_micro").desc(), "node")
@@ -4605,8 +4605,110 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverges the predictor walk and hash-fails (group-interleave order
     is aggregate-invisible, so it is pinned by the reference-walk unit
     test instead). MP3/AAC/FLAC remain honestly import-gated;
-    Microsoft ADPCM (format 2) and >2-channel streams quarantine."""
+    >2-channel streams quarantine (Microsoft ADPCM landed r12 —
+    multimodal_decode_msadpcm below)."""
     media = multimodal.synth_adpcm_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_audio_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        "mean_abs",
+        "peak",
+    )
+
+
+_MS_COEF1_SQL = ", ".join(str(v) for v in multimodal._MSADPCM_COEF1)
+_MS_COEF2_SQL = ", ".join(str(v) for v in multimodal._MSADPCM_COEF2)
+_MS_ADAPT_SQL = ", ".join(str(v) for v in multimodal._MSADPCM_ADAPT)
+
+
+@register(
+    "multimodal_decode_msadpcm",
+    oracle=f"""
+    WITH RECURSIVE dims AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch,
+               CASE WHEN doc_id % 2 = 0 THEN 64 + (doc_id % 48) * 2
+                    ELSE 64 + (doc_id % 24) * 4 END AS nibs
+        FROM documents
+    ),
+    chans AS (
+        SELECT doc_id, ch, nibs, unnest(range(0, ch)) AS c FROM dims
+    ),
+    init AS (
+        SELECT doc_id, ch, nibs, c,
+               list_extract([{_MS_COEF1_SQL}], ((doc_id + c) % 7) + 1) AS c1,
+               list_extract([{_MS_COEF2_SQL}], ((doc_id + c) % 7) + 1) AS c2
+        FROM chans
+    ),
+    st(doc_id, ch, nibs, c, c1, c2, i, s1, s2, delta) AS (
+        SELECT doc_id, ch, nibs, c, c1, c2, 0,
+               CAST(((doc_id * 31 + c * 17) % 256 - 128) * 16 AS BIGINT),
+               CAST(((doc_id * 23 + c * 19) % 256 - 128) * 16 AS BIGINT),
+               CAST(16 + (doc_id * 7 + c * 13) % 480 AS BIGINT)
+        FROM init
+        UNION ALL
+        SELECT doc_id, ch, nibs, c, c1, c2, i + 1,
+               greatest(-32768, least(32767,
+                   CAST(floor((s1 * c1 + s2 * c2) / 256.0) AS BIGINT)
+                   + (CASE WHEN code >= 8 THEN code - 16 ELSE code END)
+                     * delta)),
+               s1,
+               greatest(16, (list_extract([{_MS_ADAPT_SQL}], code + 1)
+                             * delta) // 256)
+        FROM (
+            SELECT doc_id, ch, nibs, c, c1, c2, i, s1, s2, delta,
+                   CASE WHEN i % 8 = 0
+                        THEN (doc_id * 19 + c * 5 + (i // 8) * 7) % 16
+                        ELSE (doc_id + c + i) % 4 END AS code
+            FROM st WHERE i < nibs
+        )
+    ),
+    samples AS (
+        SELECT doc_id, ch, nibs, abs(s2) AS a FROM st WHERE i = 0
+        UNION ALL
+        SELECT doc_id, ch, nibs, abs(s1) AS a FROM st
+    )
+    SELECT doc_id AS media_id,
+           11025 AS sample_rate,
+           CAST(max(ch) AS INTEGER) AS channels,
+           CAST(nibs + 2 AS BIGINT) AS n_frames,
+           floor((nibs + 2) * 1.0 / 11025 * 1000000 + 0.5) / 1000000
+               AS duration_s,
+           floor(sum(a) * 1.0 / (max(ch) * (nibs + 2)) * 1000000 + 0.5)
+               / 1000000 AS mean_abs,
+           CAST(max(a) AS BIGINT) AS peak
+    FROM samples GROUP BY doc_id, nibs
+    """,
+    tags=("multimodal", "audio", "pandas_udf"),
+    bench=True,
+)
+def multimodal_decode_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode end-to-end, tier 3 (r12 — r11 VERDICT
+    item 4): Microsoft ADPCM (format-2 WAV, 4-bit linear-predictive —
+    the other ADPCM every legacy Windows corpus carries), MONO and
+    STEREO (per-nibble channel interleave, high→L; the fixture
+    alternates by doc parity), decoded through the same Arrow
+    decode_audio_features path as PCM. Unlike IMA's table-driven step,
+    MS ADPCM runs a 2-tap linear predictor whose coefficient pairs ride
+    IN THE FILE's fmt extension (the decoder reads them from the chunk,
+    like JPEG Huffman tables); the fixture exercises all 7 standard
+    pairs and — corpus-wide, via a shrink-heavy code stream that keeps
+    the exponentially-adaptive delta bounded like real encoders do —
+    every 4-bit code point and so every adaptation-table row.
+    The ORACLE TRANSCRIBES THE MS RECURRENCE ITSELF (floor((s1·c1 +
+    s2·c2)/256) predictor — Python's >> 8 IS floor division — signed
+    nibble × delta, int16 clamp, delta adaptation over 256 with the
+    spec's floor of 16, header samples s2/s1 playing first) as a
+    recursive CTE over (doc_id, channel, i) — a coefficient, clamp,
+    sign, or adaptation bug diverges the predictor walk and hash-fails
+    (nibble order is aggregate-invisible and pinned by the
+    reference-walk unit test instead). Remaining honest quarantines:
+    MP3/AAC/FLAC (import-gated), >2-channel ADPCM, float/24-bit PCM."""
+    media = multimodal.synth_msadpcm_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_audio_features(media)
     return feats.filter(F.col("decode_ok")).select(
         "media_id",

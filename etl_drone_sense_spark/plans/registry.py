@@ -943,6 +943,13 @@ TOUCHED_R12: tuple[str, ...] = (
     "dedup_paragraph",  # r12: NULL-text coalesce in the clean-doc bypass
     "text_boilerplate_strip",  # r12: same NULL-text coalesce (ADVICE r11)
     "sample_importance",  # r12: zero-token docs excluded before scoring
+    "corpus_domain_budget",  # NEW r12: FineWeb-style per-domain token caps
+    "multimodal_decode_msadpcm",  # NEW r12: MS ADPCM (format 2), CTE oracle
+    "graph_pagerank",  # r12: pinned-adjacency loop (AQE-off private session,
+    # explicit repartition, SHJ rounds) — slope 5.78 -> 2.46
+    "hierarchy_flatten",  # r12: same AQE-off private-session change
+    "dedup_cluster_stats",  # r12: same (connected components loop)
+    "corpus_split_leakage_safe",  # r12: same CC path
 )
 
 

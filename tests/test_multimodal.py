@@ -1083,6 +1083,140 @@ def test_adpcm_quarantines():
         encode_wav_adpcm(8000, 0, 89, bytes([1, 2]))  # bad index
 
 
+def test_msadpcm_roundtrip_and_reference_walk():
+    """Microsoft ADPCM decode must reproduce a pure-Python reference walk
+    of the spec recurrence (floor predictor, signed nibble, int16 clamp,
+    delta adaptation with the 16 floor) for arbitrary states, across
+    multiple blocks (state restarts per block header), with the header's
+    sample2 playing FIRST."""
+    import struct
+
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        _MSADPCM_COEF1,
+        _MSADPCM_COEF2,
+        _msadpcm_step,
+        encode_wav_msadpcm,
+        parse_wav,
+    )
+
+    for did in (0, 6, 88, 122):  # mono fixture shapes
+        nibs = 64 + (did % 48) * 2
+        codes = bytes(
+            (did * 19 + (i // 8) * 7) % 16 if i % 8 == 0 else (did + i) % 4
+            for i in range(nibs)
+        )
+        bp, d0 = did % 7, 16 + (did * 7) % 480
+        a0 = ((did * 31) % 256 - 128) * 16
+        b0 = ((did * 23) % 256 - 128) * 16
+        rate, ch, samples = parse_wav(
+            encode_wav_msadpcm(11025, bp, d0, a0, b0, codes)
+        )
+        assert (rate, ch) == (11025, 1)
+        exp = [b0, a0]
+        s1, s2, d = a0, b0, d0
+        c1, c2 = _MSADPCM_COEF1[bp], _MSADPCM_COEF2[bp]
+        for c in codes:
+            s1, s2, d = _msadpcm_step(s1, s2, d, c1, c2, c)
+            exp.append(s1)
+        assert samples.tolist() == exp
+        assert samples.dtype == np.int16
+    # two blocks: concatenated data decodes with a state restart
+    blob = encode_wav_msadpcm(8000, 2, 40, 100, -50, bytes([3, 0, 1, 2]))
+    one = parse_wav(blob)[2]
+    data_off = blob.index(b"data")
+    (dlen,) = struct.unpack_from("<I", blob, data_off + 4)
+    data = blob[data_off + 8 : data_off + 8 + dlen]
+    head = blob[:data_off]
+    two = (
+        head[: head.index(b"fact") + 8]
+        + struct.pack("<I", 12)
+        + head[head.index(b"fact") + 12 :]
+        + b"data" + struct.pack("<I", 2 * dlen) + data + data
+    )
+    two = b"RIFF" + struct.pack("<I", len(two) - 8) + two[8:]
+    rate, ch, samples = parse_wav(two)
+    assert samples.tolist() == one.tolist() + one.tolist()
+
+
+def test_msadpcm_stereo_interleave_reference_walk():
+    """Stereo MS ADPCM: field-major headers, then one byte per frame —
+    HIGH nibble is the left channel's code, LOW the right's. The decoded
+    stream must interleave frame-major with sample2/sample1 first —
+    aggregate features can't see a swapped-nibble bug, so this test is
+    the interleave's pin (the oracle certifies the per-channel walks)."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        _MSADPCM_COEF1,
+        _MSADPCM_COEF2,
+        _msadpcm_step,
+        encode_wav_msadpcm,
+        parse_wav,
+    )
+
+    nl = bytes((7 * i + 1) % 4 if i % 8 else (3 * i + 9) % 16 for i in range(24))
+    nr = bytes((5 * i + 3) % 4 if i % 8 else (5 * i + 2) % 16 for i in range(24))
+    rate, ch, smp = parse_wav(
+        encode_wav_msadpcm(
+            8000, (1, 4), (30, 60), (100, -200), (-300, 400), (nl, nr)
+        )
+    )
+    assert (rate, ch) == (8000, 2)
+    walks = []
+    for bp, d0, a0, b0, codes in (
+        (1, 30, 100, -300, nl),
+        (4, 60, -200, 400, nr),
+    ):
+        out, (s1, s2, d) = [b0, a0], (a0, b0, d0)
+        c1, c2 = _MSADPCM_COEF1[bp], _MSADPCM_COEF2[bp]
+        for c in codes:
+            s1, s2, d = _msadpcm_step(s1, s2, d, c1, c2, c)
+            out.append(s1)
+        walks.append(out)
+    assert smp.tolist() == [v for fr in zip(*walks) for v in fr]
+
+
+def test_msadpcm_quarantines():
+    """>2 channels, bad block alignment, out-of-range predictor index, a
+    truncated coefficient table, and a fact chunk promising more frames
+    than the data decodes must all quarantine as ValueError."""
+    import struct
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_wav_msadpcm,
+        parse_wav,
+    )
+
+    good = encode_wav_msadpcm(11025, 0, 20, 10, -10, bytes([1, 2, 3, 4]))
+
+    def patch(blob: bytes, off: int, fmt: str, val: int) -> bytes:
+        buf = bytearray(blob)
+        struct.pack_into(fmt, buf, off, val)
+        return bytes(buf)
+
+    fmt_off = good.index(b"fmt ") + 8
+    with pytest.raises(ValueError, match="1 or 2 channels"):
+        parse_wav(patch(good, fmt_off + 2, "<H", 3))  # channels=3
+    with pytest.raises(ValueError, match="block"):
+        parse_wav(patch(good, fmt_off + 12, "<H", 5))  # block_align < 8
+    with pytest.raises(ValueError, match="coefficient"):
+        parse_wav(patch(good, fmt_off + 20, "<H", 99))  # wNumCoef too big
+    data_off = good.index(b"data") + 8
+    with pytest.raises(ValueError, match="predictor index"):
+        parse_wav(patch(good, data_off, "<B", 7))
+    fact_off = good.index(b"fact") + 8
+    with pytest.raises(ValueError, match="fact frames"):
+        parse_wav(patch(good, fact_off, "<I", 99))
+    with pytest.raises(ValueError):
+        encode_wav_msadpcm(8000, 0, 20, 0, 0, bytes([1, 2, 3]))  # odd mono
+    with pytest.raises(ValueError):
+        encode_wav_msadpcm(8000, 7, 20, 0, 0, bytes([1, 2]))  # bad bpred
+    with pytest.raises(ValueError):
+        encode_wav_msadpcm(8000, 0, 5, 0, 0, bytes([1, 2]))  # delta < 16
+
+
 def test_gif_fuzz_only_valueerror_escapes():
     """Random and bit-flipped payloads must only ever raise ValueError —
     any other exception class escapes the Arrow-task quarantine."""
