@@ -1137,23 +1137,34 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    palette: bytes | None = None,
 ) -> bytes:
     """Minimal baseline-TIFF writer — the fixture side of the codec
     pair, exactly like encode_png. ``raster`` is RGB bytes (24-bit,
-    ``gray=False``) or 8-bit grayscale samples; strips of
+    ``gray=False``), 8-bit grayscale samples, or — with ``palette``
+    (768 RGB8 bytes, the PNG-PLTE convention) — 8-bit palette INDICES
+    (photometric 3; the ColorMap tag carries the spec's 16-bit
+    component-major values, written as ``v * 257`` so an 8-bit read
+    via ``>> 8`` roundtrips exactly); strips of
     ``rows_per_strip`` rows (default: one strip), optionally
     PackBits- (row-by-row), LZW-, or Deflate-compressed (per strip),
     either byte order (II/MM), optionally horizontally-differenced
     (``predictor=2``, tag 317). The IFD is written after the strip data
-    with spec-ordered ascending tags; BitsPerSample and multi-strip
-    offset/count arrays go to an external value area when they outgrow
-    the 4-byte inline field; the value area and IFD are padded to even
-    offsets (TIFF requires word alignment — r10 ADVICE)."""
+    with spec-ordered ascending tags; BitsPerSample, ColorMap, and
+    multi-strip offset/count arrays go to an external value area when
+    they outgrow the 4-byte inline field; the value area and IFD are
+    padded to even offsets (TIFF requires word alignment — r10
+    ADVICE)."""
     import struct
     import zlib
 
     e = ">" if big_endian else "<"
-    spp = 1 if gray else 3
+    if palette is not None:
+        if gray:
+            raise ValueError("tiff: palette and gray are exclusive")
+        if len(palette) != 256 * 3:
+            raise ValueError("tiff: palette must be 256 RGB entries")
+    spp = 1 if (gray or palette is not None) else 3
     row_bytes = width * spp
     if len(raster) != row_bytes * height:
         raise ValueError("tiff: raster length mismatch")
@@ -1242,12 +1253,13 @@ def encode_tiff(
     comp_tag = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
         compression
     ]
+    photometric = 3 if palette is not None else (1 if gray else 2)
     entries = [
         entry(256, SHORT, (width,)),
         entry(257, SHORT, (height,)),
         entry(258, SHORT, (8,) * spp),
         entry(259, SHORT, (comp_tag,)),
-        entry(262, SHORT, (1 if gray else 2,)),
+        entry(262, SHORT, (photometric,)),
     ]
     if tile is None:
         entries.append(entry(273, LONG, tuple(strip_offsets)))
@@ -1259,6 +1271,15 @@ def encode_tiff(
     entries.append(entry(284, SHORT, (1,)))
     if predictor == 2:
         entries.append(entry(317, SHORT, (2,)))
+    if palette is not None:
+        # ColorMap (tag 320): 3·256 SHORTs, component-major (all R,
+        # then G, then B), scaled v*257 for an exact 8-bit roundtrip.
+        cmap = tuple(
+            palette[j * 3 + comp] * 257
+            for comp in range(3)
+            for j in range(256)
+        )
+        entries.append(entry(320, SHORT, cmap))
     if tile is not None:
         entries.extend(
             [
@@ -1290,11 +1311,13 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     stdlib zlib): 8-bit grayscale and 24-bit chunky RGB, strip layout,
     uncompressed (Compression=1), PackBits (32773), LZW (5), or
     Deflate (8 / legacy 32946), horizontal-differencing predictor
-    (tag 317 = 2), either byte order, multi-strip, and the TILED
+    (tag 317 = 2), either byte order, multi-strip, the TILED
     layout (r11: row-major 16-multiple tile grid, padded edge tiles
     clipped on placement; strip and tile tables are mutually
-    exclusive). Everything else — JPEG-in-TIFF compression, planar
-    configuration 2, palette color, non-8-bit depths, non-default
+    exclusive), and 8-bit PALETTE color (r12: photometric 3 with the
+    3x256 16-bit ColorMap mapped to RGB8 via >> 8 — the PNG-PLTE
+    analogue). Everything else — JPEG-in-TIFF compression, planar
+    configuration 2, non-8-bit depths, non-default
     orientation, the floating-point predictor 3, and every
     malformed-structure case (truncated IFD, strip/tile overflow,
     packbits/LZW/zlib over/under-run) — raises ``ValueError`` so one
@@ -1358,10 +1381,15 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"tiff: unsupported predictor {predictor}")
     photometric = one(262)
     spp = one(277, 1)
-    if (photometric, spp) not in ((1, 1), (2, 3)):
+    if (photometric, spp) not in ((1, 1), (2, 3), (3, 1)):
         raise ValueError(
             f"tiff: unsupported photometric/samples {photometric}/{spp}"
         )
+    cmap = None
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("tiff: palette image needs a 3x256 ColorMap")
     bits = tags.get(258, (8,) * spp)
     if len(bits) != spp or any(b != 8 for b in bits):
         raise ValueError(f"tiff: unsupported bit depths {bits}")
@@ -1440,7 +1468,14 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
             rows_left -= strip_rows
             parts.append(unpack_chunk(so, sc, strip_rows * row_bytes, row_bytes))
         samples = np.frombuffer(b"".join(parts), dtype=np.uint8)
-    if spp == 1:
+    if cmap is not None:
+        # ColorMap is 16-bit component-major; the 8-bit read is >> 8
+        lut = (np.asarray(cmap, dtype=np.uint16).reshape(3, 256) >> 8).astype(
+            np.uint8
+        )
+        idx = samples.reshape(h, w)
+        rgb = np.stack([lut[0][idx], lut[1][idx], lut[2][idx]], axis=2)
+    elif spp == 1:
         rgb = np.repeat(samples.reshape(h, w, 1), 3, axis=2)
     else:
         rgb = samples.reshape(h, w, 3)
@@ -3250,9 +3285,9 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
     ``rows_per_strip = 2`` (every image is MULTI-strip, so strip
     offset/count arrays always spill to the external value area and the
     strip-boundary math is genuinely under test); the variant cycles
-    ``doc_id % 7`` so one relation exercises all four compressions, both
-    byte orders, both color models, the horizontal predictor, and the
-    TILED layout:
+    ``doc_id % 8`` so one relation exercises all four compressions, both
+    byte orders, all three color models, the horizontal predictor, and
+    the TILED layout:
 
     * 0 → 24-bit RGB, uncompressed, little-endian: pixel ``p`` channel
       ``c`` = ``(doc_id*53 + p*3 + c) % 256``;
@@ -3267,9 +3302,14 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
     * 5 → 8-bit grayscale, Deflate, big-endian (r11): the gray formula;
     * 6 → 8-bit grayscale, TILED 16x16 + LZW, little-endian (r11): one
       padded edge-clipped tile covers the whole fixture image, so the
-      tile-grid assembly and zero-pad clipping are always under test.
+      tile-grid assembly and zero-pad clipping are always under test;
+    * 7 → 8-bit PALETTE + PackBits, little-endian (r12): index at ``p``
+      = ``(doc_id*53 + p) % 64``, palette byte ``b`` =
+      ``(doc_id*61 + b) % 256`` — pixel ``p`` channel ``c`` decodes to
+      ``(doc_id*61 + ((doc_id*53 + p) % 64)*3 + c) % 256``; a ColorMap
+      scale/order bug shifts every channel and hash-fails.
 
-    Multipliers 53/59 are distinct from the PPM (31), PNG (37/41),
+    Multipliers 53/59/61 are distinct from the PPM (31), PNG (37/41),
     BMP/GIF (43/47), and JPEG (7/13) fixtures so a codec mix-up cannot
     silently hash-match."""
 
@@ -3279,9 +3319,13 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 7
+                variant = did % 8
                 gray = variant in (2, 3, 5, 6)
-                if gray:
+                pal = None
+                if variant == 7:
+                    raster = bytes((did * 53 + p) % 64 for p in range(w * h))
+                    pal = bytes((did * 61 + b) % 256 for b in range(256 * 3))
+                elif gray:
                     raster = bytes((did * 59 + p) % 256 for p in range(w * h))
                 else:
                     raster = bytes(
@@ -3290,6 +3334,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                 comp = {
                     0: "none", 1: "packbits", 2: "none",
                     3: "packbits", 4: "lzw", 5: "deflate", 6: "lzw",
+                    7: "packbits",
                 }[variant]
                 payloads.append(
                     encode_tiff(
@@ -3302,6 +3347,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                         rows_per_strip=2,
                         predictor=2 if variant == 4 else 1,
                         tile=(16, 16) if variant == 6 else None,
+                        palette=pal,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})

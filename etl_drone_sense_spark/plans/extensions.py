@@ -2075,7 +2075,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 7 AS variant
+               doc_id % 8 AS variant
         FROM documents
     ),
     px AS (
@@ -2088,6 +2088,8 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, w, h, p, c,
                CASE WHEN variant IN (0, 1, 4)
                     THEN (doc_id * 53 + p * 3 + c) % 256
+                    WHEN variant = 7
+                    THEN (doc_id * 61 + ((doc_id * 53 + p) % 64) * 3 + c) % 256
                     ELSE (doc_id * 59 + p) % 256
                END AS v
         FROM ch
@@ -2109,7 +2111,8 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF decode end-to-end (r10; LZW + Deflate + TILED tiers
-    r11 — r10 VERDICT item 5): IFD walk with spec-ordered tags and
+    r11; PALETTE tier r12 — r11 VERDICT item 7): IFD walk with
+    spec-ordered tags and
     external value areas, MULTI-strip assembly (rows_per_strip=2, so
     strip offset/count arrays and boundary math are always under test),
     TILE-GRID assembly (variant 6: padded 16x16 tiles clipped on
@@ -2118,16 +2121,20 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EarlyChange off-by-one — a sibling of the repo's GIF LZW
     decoder), zlib Deflate (the PNG machinery), the horizontal-
     differencing predictor (tag 317), BOTH byte orders (II and MM),
-    8-bit grayscale AND 24-bit chunky RGB (operators/multimodal.
-    encode_tiff / parse_tiff), decoded through the same Arrow
+    8-bit grayscale, 24-bit chunky RGB, AND 8-bit PALETTE color
+    (variant 7: photometric 3, the 3x256 16-bit ColorMap read from the
+    external value area and mapped to RGB8 via >> 8 — the PNG-PLTE
+    analogue; operators/multimodal.encode_tiff / parse_tiff), decoded
+    through the same Arrow
     mapInPandas path as PPM/PNG/JPEG/GIF/BMP (parse_image dispatches on
     the II*/MM* magic). Pixel content is an arithmetic function of
     doc_id, so the oracle derives every feature in pure SQL —
     compression is feature-invariant, so the SAME pixel-arithmetic
-    oracle certifies all six variants; the order-sensitive
+    oracle certifies all eight variants (the palette variant adds its
+    LUT composition to the oracle's CASE); the order-sensitive
     ``row_moment`` catches vertical-flip/strip-reorder bugs that
-    per-channel means are blind to. JPEG-in-TIFF, planar-2, palette
-    color, and non-8-bit depths quarantine via the shared
+    per-channel means are blind to. JPEG-in-TIFF, planar-2, and
+    non-8-bit depths quarantine via the shared
     decode_ok=false contract."""
     media = multimodal.synth_tiff_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
@@ -3567,6 +3574,121 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
     )
     return _clusters(pairs)
+
+
+# One shared text for the composite quality score (the text_quality
+# formula) so dedup_keep_best's Spark expression and its oracle evaluate
+# the identical IEEE tree — the hash gate then applies to a float ORDER BY.
+_QUALITY_SCORE_SQL = f"""0.5 * least({TXT.token_count_sql('text')} / 100.0, 1.0)
+             + 0.3 * (1.0 - {TXT.stopword_ratio_sql('text')})
+             + 0.2 * least(length(replace({TXT.normalize_sql('text')}, ' ', '')) * 1.0
+                           / greatest({TXT.token_count_sql('text')}, 1) / 8.0, 1.0)"""
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_sig_cte()},
+    {_lsh_pairs_cte()},
+    edges AS (
+        SELECT p.id_a AS u, p.id_b AS v
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE ({_MH_AGREE}) / {float(MH_K)} >= 0.2
+    ),
+    sym AS (
+        SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ),
+    reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    comp AS (
+        SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id,
+               {_QUALITY_SCORE_SQL}
+                   AS quality_score
+        FROM documents
+    ),
+    m AS (
+        SELECT c.node AS doc_id, c.cluster, q.quality_score
+        FROM comp c JOIN q ON q.doc_id = c.node
+    )
+    SELECT doc_id, cluster,
+           count(*) OVER (PARTITION BY cluster) AS n_members,
+           quality_score,
+           (row_number() OVER (PARTITION BY cluster
+                               ORDER BY quality_score DESC, doc_id) = 1)
+               AS kept
+    FROM m
+    """,
+    tags=("dedup", "graph", "quality", "iterative"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (r12 — r11 VERDICT item 6): the keep
+    rule production training pipelines actually run. dedup_cluster_stats
+    keeps each near-dup cluster's LOWEST id — cheap but arbitrary; real
+    curation keeps the argmax-QUALITY member (FineWeb/RefinedWeb keep the
+    best-scoring duplicate, not the first-crawled one). Composition:
+    LSH pairs → connected components (the same iterative min-label loop
+    dedup_cluster_stats certifies) → per-member composite quality score
+    (the text_quality formula, one shared expression text so the float
+    ORDER BY is bit-identical across engines) → per-cluster argmax with
+    a (quality DESC, doc_id) total-order tie-break. Output is one row
+    per clustered member: (doc_id, cluster, n_members, quality_score,
+    kept) — the drop-list is ``kept = false``, and singletons (docs in
+    no pair) are trivially kept by omission, exactly like
+    dedup_cluster_stats.
+
+    Scale: the cluster label relation is member-scale (near-dup members
+    only, far below corpus scale); the quality join is one doc_id equi
+    shuffle; both windows (count + row_number) share ONE cluster-keyed
+    exchange — Spark plans them over the same Window partitioning. The
+    oracle replays the closure as a recursive CTE (oracle-scale only;
+    the engine side stays O(n·diameter) label propagation)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    c = F.col("text")
+    n_tok = TXT.token_count(c)
+    avg_len = (
+        F.length(F.regexp_replace(TXT.normalize(c), " ", "")) * F.lit(1.0)
+    ) / F.greatest(n_tok, F.lit(1))
+    score = (
+        0.5 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - TXT.stopword_ratio(c))
+        + 0.2 * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+    quality = docs.select("doc_id", score.alias("quality_score"))
+    members = comp.join(
+        quality, comp.node == quality.doc_id
+    ).select(
+        F.col("doc_id"),
+        F.col("component").alias("cluster"),
+        F.col("quality_score"),
+    )
+    w = Window.partitionBy("cluster")
+    wo = Window.partitionBy("cluster").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return members.select(
+        "doc_id",
+        "cluster",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        "quality_score",
+        (F.row_number().over(wo) == 1).alias("kept"),
+    )
 
 
 # ---------------------------------------------------------------------------

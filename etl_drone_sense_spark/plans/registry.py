@@ -945,11 +945,27 @@ TOUCHED_R12: tuple[str, ...] = (
     "sample_importance",  # r12: zero-token docs excluded before scoring
     "corpus_domain_budget",  # NEW r12: FineWeb-style per-domain token caps
     "multimodal_decode_msadpcm",  # NEW r12: MS ADPCM (format 2), CTE oracle
+    "dedup_keep_best",  # NEW r12: quality-argmax cluster keep rule
+    "multimodal_decode_tiff",  # r12: palette tier (fixture cycle 7 -> 8,
+    # oracle variant math updated in step)
     "graph_pagerank",  # r12: pinned-adjacency loop (AQE-off private session,
     # explicit repartition, SHJ rounds) — slope 5.78 -> 2.46
     "hierarchy_flatten",  # r12: same AQE-off private-session change
-    "dedup_cluster_stats",  # r12: same (connected components loop)
-    "corpus_split_leakage_safe",  # r12: same CC path
+    "dedup_cluster_stats",  # r12: same (connected components loop) + the
+    # zip_with shingle rework below (its LSH pair input)
+    "corpus_split_leakage_safe",  # r12: same CC path + shingle rework
+    # r12 shingle/winnow rework (zip_with chains replace the per-element
+    # slice+join / array_min(slice) interpreted lambdas — output strings
+    # bit-identical, ~2x on the 10x fixture): every query whose plan
+    # embeds shingle_hashes_from_tokens / winnow_from_hashes.
+    "text_winnowing",
+    "dedup_minhash",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_exact_substring",
+    "corpus_contamination",
+    "dedup_keep_rows",
+    "corpus_prepare_pipeline",
 )
 
 

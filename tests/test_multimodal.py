@@ -1440,6 +1440,59 @@ def test_tiff_roundtrip_all_tiers():
         assert parse_image(blob) == (w2, h2, rgb)
 
 
+def test_tiff_palette_roundtrip_and_quarantines():
+    """Palette tier (r12): indices map through the 3x256 16-bit ColorMap
+    exactly (v*257 write, >> 8 read); composes with compression, byte
+    order, and multi-strip. A missing/short ColorMap, a palette with a
+    gray flag, and a non-256-entry palette must ValueError."""
+    import random
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_tiff,
+        parse_image,
+        parse_tiff,
+    )
+
+    rng = random.Random(12)
+    pal = bytes(rng.randrange(256) for _ in range(256 * 3))
+    for comp, be, rps in (
+        ("none", False, None), ("packbits", True, 2), ("lzw", False, 1),
+        ("deflate", True, 2),
+    ):
+        w, h = 5, 4
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        blob = encode_tiff(
+            w, h, idx, compression=comp, big_endian=be,
+            rows_per_strip=rps, palette=pal,
+        )
+        w2, h2, rgb = parse_tiff(blob)
+        assert (w2, h2) == (w, h)
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h * w, 3)
+        for p, i in enumerate(idx):
+            assert tuple(arr[p]) == tuple(pal[i * 3 : i * 3 + 3]), p
+        assert parse_image(blob) == (w2, h2, rgb)
+
+    good = encode_tiff(4, 3, bytes(12), palette=pal, rows_per_strip=2)
+    # drop the ColorMap by renaming tag 320 to an ignored metadata tag
+    buf = bytearray(good)
+    ifd = struct.unpack_from("<I", buf, 4)[0]
+    n = struct.unpack_from("<H", buf, ifd)[0]
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, off)[0] == 320:
+            struct.pack_into("<H", buf, off, 999)
+    with pytest.raises(ValueError, match="ColorMap"):
+        parse_tiff(bytes(buf))
+    with pytest.raises(ValueError, match="exclusive"):
+        encode_tiff(4, 3, bytes(12), gray=True, palette=pal)
+    with pytest.raises(ValueError, match="256"):
+        encode_tiff(4, 3, bytes(12), palette=pal[:30])
+
+
 def test_tiff_packbits_runs_and_row_restart():
     """PackBits must survive 128+-byte runs (two repeat records) and the
     per-row restart discipline (a run crossing a row boundary must not
