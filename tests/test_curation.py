@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from etl_drone_sense_spark.operators.merge import merge_into, snapshot_diff
 from etl_drone_sense_spark.plans.curation import (
+    _DOMAIN_BUDGET_TOKENS,
     _MIXTURE_WEIGHTS,
     cdc_snapshot_diff,
+    corpus_domain_budget,
     corpus_mixture_sample,
     dedup_semantic,
     events_pattern_match,
@@ -162,6 +164,66 @@ def test_mixture_sample_hits_targets(spark, sf_dir):
     capped = {r.lang for r in out if r.rate_ppm == 1_000_000}
     for lang in capped:
         assert by_lang[lang] == src[lang]
+
+
+def test_domain_budget_caps_expected_tokens(spark, sf_dir):
+    """Per-domain kept-token expectation must track the budget for
+    truncated domains (rate < 1: binomial mean = budget, so within ~35%
+    at fixture scale), rate-1 domains must keep every row (the seeded
+    URL domains — which also pins the canonical-URL host derivation),
+    and both regimes must be present (non-vacuity)."""
+    out = corpus_domain_budget(spark, sf_dir).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    rates = {d: rows[0].rate_ppm for d, rows in by_dom.items()}
+    capped = {d for d, p in rates.items() if p == 1_000_000}
+    truncated = {d for d, p in rates.items() if p < 1_000_000}
+    assert capped and truncated, "both rate regimes must be exercised"
+    # URL-derived domains from the HTML seeds survive whole
+    assert {"example.com", "mirror.test.org"} <= capped
+    for d in truncated:
+        kept_tokens = sum(r.n_tokens for r in by_dom[d])
+        assert abs(kept_tokens - _DOMAIN_BUDGET_TOKENS) < (
+            0.35 * _DOMAIN_BUDGET_TOKENS
+        ), (d, kept_tokens)
+
+
+def test_keep_best_matches_unionfind_argmax(spark, sf_dir):
+    """dedup_keep_best re-derived independently: union-find over the LSH
+    pair relation + python argmax by (quality DESC, doc_id) — pins the
+    composition (cluster labels, member counts, the keep flag) without
+    trusting either engine's window machinery."""
+    from etl_drone_sense_spark.operators.dedup import minhash_lsh_pairs
+    from etl_drone_sense_spark.plans.extensions import (
+        MH_BANDS,
+        MH_K,
+        SHINGLE_N,
+        dedup_keep_best,
+    )
+    from etl_drone_sense_spark.sources.readers import read_table
+    from .test_graph import _union_find
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
+    )
+    raw = [(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()]
+    comp = _union_find(raw)
+
+    got = dedup_keep_best(spark, sf_dir).collect()
+    quality = {r.doc_id: r.quality_score for r in got}
+    members: dict[int, list[int]] = {}
+    for node, lab in comp.items():
+        members.setdefault(lab, []).append(node)
+    want = set()
+    for lab, mem in members.items():
+        best = min(mem, key=lambda d: (-quality[d], d))
+        for d in mem:
+            want.add((d, lab, len(mem), d == best))
+    assert {(r.doc_id, r.cluster, r.n_members, r.kept) for r in got} == want
+    assert any(not r.kept for r in got), "fixture must have droppable dups"
 
 
 def test_pattern_match_against_bruteforce(spark, sf_dir):

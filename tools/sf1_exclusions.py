@@ -179,6 +179,66 @@ def check_split_leakage(spark) -> dict:
     }
 
 
+def check_keep_best(spark, con) -> dict:
+    """dedup_keep_best at sf1 (r12) — same oracle-cost exclusion class as
+    dedup_cluster_stats (its DuckDB side embeds the same recursive
+    closure): ground truth = the driver union-find over the
+    sf1-hash-certified pair relation, composed with per-doc quality
+    scores computed by DUCKDB from the shared score-expression text (the
+    quality relation is itself hash-certified through this query's
+    sf0.01 driver row), argmax per cluster with the (quality DESC, id)
+    tie-break replayed in python."""
+    from collections import defaultdict
+
+    from etl_drone_sense_spark.operators import dedup
+    from etl_drone_sense_spark.plans.extensions import (
+        MH_BANDS,
+        MH_K,
+        SHINGLE_N,
+        _QUALITY_SCORE_SQL,
+    )
+    from etl_drone_sense_spark.plans.registry import get, t
+
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(
+        t(spark, SF1, "documents"), "doc_id", "text",
+        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
+    )
+    edge_rows = pairs.select("id_a", "id_b").toPandas()
+    comp = union_find(
+        list(zip(edge_rows["id_a"].tolist(), edge_rows["id_b"].tolist()))
+    )
+    qdf = con.execute(
+        f"SELECT doc_id, {_QUALITY_SCORE_SQL} AS q FROM documents"
+    ).fetchdf()
+    quality = dict(zip(qdf["doc_id"].astype(int), qdf["q"].astype(float)))
+    members: dict[int, list[int]] = defaultdict(list)
+    for node, lab in comp.items():
+        members[lab].append(node)
+    want = []
+    for lab, mem in members.items():
+        best = min(mem, key=lambda d: (-quality[d], d))
+        for d in mem:
+            want.append((d, lab, len(mem), str(quality[d]), d == best))
+    want.sort()
+
+    got_rows = get("dedup_keep_best").fn(spark, SF1).toPandas()
+    got = sorted(
+        (int(r.doc_id), int(r.cluster), int(r.n_members),
+         str(float(r.quality_score)), bool(r.kept))
+        for r in got_rows.itertuples()
+    )
+    return {
+        "match": got == want,
+        "members": len(got),
+        "clusters": len(members),
+        "wall_s": round(time.time() - t0, 1),
+        "method": "driver union-find over the sf1-hash-certified pair "
+        "relation + DuckDB-evaluated shared quality expression, argmax "
+        "replayed in python",
+    }
+
+
 def check_geo_radius(spark, con) -> dict:
     from etl_drone_sense_spark.functions.geodesy import haversine_sql
     from etl_drone_sense_spark.plans.drone import _RADIUS_M
@@ -271,17 +331,32 @@ def main() -> int:
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t_} AS SELECT * FROM '{src}'")
 
+    checks = {
+        "dedup_cluster_stats": lambda: check_cluster_stats(spark),
+        "corpus_split_leakage_safe": lambda: check_split_leakage(spark),
+        "geo_radius_join": lambda: check_geo_radius(spark, con),
+        "dedup_simhash_adaptive": lambda: check_simhash_adaptive(spark, con),
+        "dedup_keep_best": lambda: check_keep_best(spark, con),
+    }
+    only = set(sys.argv[1:])
+    unknown = only - set(checks)
+    if unknown:
+        print(f"unknown check names: {sorted(unknown)}", file=sys.stderr)
+        return 2
+    # named-subset runs MERGE into the existing report (same convention
+    # as scale_probe --only) so a targeted re-cert keeps the others
     report = {}
-    for name, fn in (
-        ("dedup_cluster_stats", lambda: check_cluster_stats(spark)),
-        ("corpus_split_leakage_safe", lambda: check_split_leakage(spark)),
-        ("geo_radius_join", lambda: check_geo_radius(spark, con)),
-        ("dedup_simhash_adaptive", lambda: check_simhash_adaptive(spark, con)),
-    ):
+    out_path = os.path.join(REPO, "SF1_EXCLUSIONS.json")
+    if only and os.path.isfile(out_path):
+        with open(out_path) as f:
+            report = json.load(f)
+    for name, fn in checks.items():
+        if only and name not in only:
+            continue
         report[name] = fn()
         print(f"{name}: {report[name]}", flush=True)
 
-    with open(os.path.join(REPO, "SF1_EXCLUSIONS.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     ok = all(r["match"] for r in report.values())
     print("ALL MATCHED" if ok else "MISMATCH", flush=True)

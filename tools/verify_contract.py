@@ -60,6 +60,15 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     only = set(sys.argv[1:])
+    # Unknown names fail LOUDLY: a typo'd (or flag-style) argument used
+    # to silently select NOTHING and print a vacuous ALL GREEN — the
+    # worst possible failure mode for a verification tool.
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        print("usage: verify_contract.py [name ...]  "
+              "(fixture dir via VERIFY_SF_DIR)", file=sys.stderr)
+        return 2
     failed = []
     for name in sorted(qs):
         if only and name not in only:
