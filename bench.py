@@ -54,8 +54,9 @@ BUDGETS_S: dict[str, float] = {
     # fixed-point moment aggregates over lineitem in one pass)
     "multimodal_decode_bmp": 1.12,  # r9: 0.52 s quiet median + 0.6 floor
     "multimodal_decode_adpcm": 2.19,  # r11: 1.8 x 1.22 s quiet median
-    "multimodal_decode_msadpcm": 2.20,  # r12: provisional, same per-nibble
-    # Python-walk shape as the IMA tier (refine from a quiet median)
+    "multimodal_decode_msadpcm": 2.98,  # r12: 1.8 x 1.65 s quiet median
+    # (per-nibble predictor walk is a Python loop inside the Arrow
+    # batch, like the IMA tier — inherently serial per clip)
     # (per-nibble predictor walk is a Python loop inside the Arrow batch
     # — ~650k sequential steps at sf0.1, stereo on odd doc ids;
     # inherently serial per clip)
@@ -70,8 +71,11 @@ BUDGETS_S: dict[str, float] = {
     "stream_sketch_kmv": 1.11,  # r9: 0.51 s quiet median + 0.6 floor
     # (reads the drained state table; the 4-batch drain is first-call-only)
     "dedup_editdistance": 1.53,  # r8: 1.8 x 0.85 s quiet median
-    "graph_pagerank": 6.50,  # r8: 1.8 x 3.61 s quiet median (5 fixed
-    # rounds; checkpoint every 4th + final — overhead-bound at sf0.1)
+    "graph_pagerank": 9.57,  # r12: 1.8 x 5.31 s quiet median — the
+    # pinned-adjacency rework trades one extra fixture-scale barrier
+    # (explicit repartition(W, u) checkpoint) for never moving the edge
+    # relation in the loop: sf0.1 3.5 -> 5.3 s, 10x 20.4 -> 11.2 s
+    # (slope 5.78x -> 2.11x) — the right direction for 100 TB
     "q2_min_cost_supplier": 1.93,  # r8: 1.8 x 1.07 s quiet median
     # (rank-1 WindowGroupLimit — was 1.32 s as agg + equality probe)
     "q9_product_profit": 1.97,  # r8: 1.8 x 1.10 s quiet median

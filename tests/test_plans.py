@@ -646,6 +646,50 @@ def test_pagerank_loop_narrows_shuffle_width(spark, sf_dir):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+def test_pagerank_rounds_never_move_the_adjacency(spark, sf_dir):
+    """The r12 scale fix's regression pin: in the final multi-round loop
+    job the checkpointed adjacency must be consumed IN PLACE — no
+    Exchange and no Sort above any edge-relation scan, every loop join a
+    ShuffledHashJoin, and exactly ONE exchange per round (the
+    map-combined contribution shuffle, which IS the recurrence's message
+    exchange). AQE used to discard the checkpointed partitioning and the
+    rounds re-shuffled AND re-sorted the full edge list — the entire
+    5.78x slope (BENCH_sf1 r11). The graph is sized so the measured loop
+    width is > 1: at width 1 the planner does not recognize the
+    checkpointed hash(u, 1) partitioning and re-exchanges (harmless —
+    single-partition data — but it would fail the counts below)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from etl_drone_sense_spark.operators import graph as G
+
+    edges = spark.range(60000).select(
+        (F.col("id") % 5000).alias("src"),
+        ((F.col("id") * 37) % 5000).alias("dst"),
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    plans = []
+    orig = _CDF.localCheckpoint
+
+    def spy(self, eager=True):
+        plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager=eager)
+
+    _CDF.localCheckpoint = spy
+    try:
+        G.pagerank_fixed_point(sym, iters=3, assume_symmetric=True)
+    finally:
+        _CDF.localCheckpoint = orig
+    final = plans[-1]  # the 3-round final checkpoint job
+    assert "SortMergeJoin" not in final, final
+    assert final.count("ShuffledHashJoin") == 3 * 3, final
+    # one contribution exchange per round — nothing else moves
+    assert final.count("Exchange") == 3, final
+    assert "+- Sort" not in final and "- Sort " not in final, final
+
+
 def test_exact_quantiles_single_exchange(spark, sf_dir):
     """One shuffle on the group key serves the window sort AND the final
     rollup (same key → partitioning reused); the quantile explode happens
