@@ -995,6 +995,213 @@ def corpus_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL-level crawl dedup (FineWeb stage 1)
+# ---------------------------------------------------------------------------
+
+# Synthetic per-doc URL, embedded in TEXT so the extraction + the
+# canonicalization pipeline (lowercase host, utm strip) is genuinely
+# exercised corpus-wide: every 3 consecutive doc ids share a canonical
+# URL (the //3 block), while the RAW urls all differ (mixed host case +
+# a per-doc utm parameter) — the dedup key only collides AFTER
+# canonicalization, which is exactly the bug class this query certifies.
+_URL_RAW_SQL = (
+    "('https://Src' || CAST((doc_id // 3) % 5 AS VARCHAR)"
+    " || '.Example.org/p/' || CAST(doc_id // 3 AS VARCHAR)"
+    " || '?utm_t=' || CAST(doc_id AS VARCHAR))"
+)
+
+
+@register(
+    "dedup_url",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id, text || ' ' || {_URL_RAW_SQL} AS text FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               {TXT.canonicalize_url_sql(
+                   f"list_extract({TXT.extract_urls_sql('text')}, 1)")}
+                   AS url_canon
+        FROM enriched
+    )
+    SELECT doc_id, url_canon,
+           count(*) OVER (PARTITION BY url_canon) AS n_dupes,
+           (doc_id = min(doc_id) OVER (PARTITION BY url_canon)) AS kept
+    FROM keyed
+    """,
+    tags=("dedup", "url", "corpus"),
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (r12): the FIRST stage of every web-corpus
+    pipeline (FineWeb/CCNet dedup by canonical URL before any content
+    hashing — refetches and tracking-parameter variants of one page must
+    collapse to one document). Key = the canonicalized first URL
+    (functions/text.canonicalize_url: lowercase scheme+host, default
+    ports, fragments, utm params, trailing slash); keep = lowest doc_id
+    per key. The fixture embeds a synthetic URL per document whose RAW
+    form is unique (mixed host case + per-doc utm parameter) but whose
+    CANONICAL form collides across every 3-id block — the dedup key only
+    works if the canonicalization is exact, so a case/utm/port bug
+    changes the group structure and hash-fails.
+
+    Scale shape: one narrow extraction+canonicalization map, then one
+    url-keyed exchange shared by both window functions (count + min over
+    the same partitioning) — the same single-shuffle posture as
+    dedup_exact, with the canonical string as the content key."""
+    from pyspark.sql.window import Window
+
+    url_raw = F.concat(
+        F.lit("https://Src"),
+        ((F.col("doc_id") / 3).cast("long") % 5).cast("string"),
+        F.lit(".Example.org/p/"),
+        (F.col("doc_id") / 3).cast("long").cast("string"),
+        F.lit("?utm_t="),
+        F.col("doc_id").cast("string"),
+    )
+    enriched = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), url_raw).alias("text")
+    )
+    keyed = enriched.select(
+        "doc_id",
+        TXT.canonicalize_url(
+            F.get(TXT.extract_urls(F.col("text")), 0)
+        ).alias("url_canon"),
+    )
+    w = Window.partitionBy("url_canon")
+    return keyed.select(
+        "doc_id",
+        "url_canon",
+        F.count(F.lit(1)).over(w).alias("n_dupes"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style page/line cleaning (Raffel et al. 2020)
+# ---------------------------------------------------------------------------
+
+# Multi-line seeds: the fixture text is single-line unpunctuated word
+# salad (it exercises the DROP paths), so seeded pages cover the KEEP
+# paths — real sentences, a javascript-warning line, a short line, a
+# lorem-ipsum page, a brace page.
+C4_SEEDS: tuple[tuple[int, str], ...] = (
+    (
+        -501,
+        "This page has a real first sentence.\n"
+        "It also has a second sentence with enough words!\n"
+        "short line\n"
+        "Please enable JavaScript to view the comments.\n"
+        'A third proper sentence ends with a quote."\n'
+        "And a fourth one closes the page?",
+    ),
+    (-502, "Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+    (-503, "function f() { return 1; }\nReal sentence trapped in code."),
+    (
+        -504,
+        "Only two sentences live here today.\n"
+        "So the page-level sentence rule drops it.",
+    ),
+)
+
+
+@register(
+    "text_c4_filters",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {", ".join(
+        f"({i}, '" + s.replace("'", "''").replace(chr(10), "' || chr(10) || '") + "')"
+        for i, s in C4_SEEDS
+    )}),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    ),
+    staged AS (
+        SELECT doc_id, text,
+               list_filter(
+                   list_transform(string_split(coalesce(text, ''), chr(10)),
+                                  l -> trim(l)),
+                   l -> len(l) > 0) AS lns
+        FROM docs
+    ),
+    kept AS (
+        SELECT doc_id, text, lns,
+               list_filter(lns,
+                   l -> regexp_matches(l, '[.!?"]$')
+                        AND len(string_split(l, ' ')) >= 5
+                        AND NOT contains(lower(l), 'javascript')) AS keep
+        FROM staged
+    )
+    SELECT doc_id,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(keep) AS BIGINT) AS n_kept_lines,
+           coalesce(array_to_string(keep, chr(10)), '') AS clean_text,
+           contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,
+           contains(coalesce(text, ''), '{{') AS has_brace,
+           (NOT contains(lower(coalesce(text, '')), 'lorem ipsum')
+            AND NOT contains(coalesce(text, ''), '{{')
+            AND len(regexp_extract_all(
+                    coalesce(array_to_string(keep, chr(10)), ''),
+                    '[.!?]')) >= 3) AS keep_page
+    FROM kept
+    """,
+    tags=("text", "quality", "corpus"),
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page and line cleaning (r12; Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning" §2.2 — the rules behind
+    the C4 corpus): per LINE keep only lines that end in terminal
+    punctuation ([.!?"]), carry ≥ 5 words, and do not mention
+    'javascript'; per PAGE flag lorem-ipsum placeholders and curly
+    braces (code), and drop pages whose cleaned text has fewer than 3
+    sentences. Emits the per-doc line counts, the rebuilt clean text,
+    and the page verdict — the drop-list is ``keep_page = false``.
+
+    Unlike boilerplate-strip (whose census is corpus-wide), every C4
+    rule is a PURE per-line predicate, so the whole operator is one
+    narrow map — no shuffle, no census, no state: filter/transform over
+    the split line array and scalar regexes, exactly what survives a
+    100 TB scan untouched. The fixture's word-salad docs exercise the
+    drop paths; the seeded pages cover kept sentences, the javascript
+    and short-line rules, and both page-level flags."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(list(C4_SEEDS), "doc_id long, text string")
+        )
+    )
+    lns = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+            lambda l: F.trim(l),
+        ),
+        lambda l: F.length(l) > 0,
+    )
+    keep = F.filter(
+        lns,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= 5)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    has_lorem = F.contains(low, F.lit("lorem ipsum"))
+    has_brace = F.contains(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("{")
+    )
+    clean = F.array_join(keep, "\n")
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit("[.!?]"), 0))
+    return docs.select(
+        "doc_id",
+        F.size(lns).cast("long").alias("n_lines"),
+        F.size(keep).cast("long").alias("n_kept_lines"),
+        clean.alias("clean_text"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace & (n_sentences >= 3)).alias("keep_page"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequential pattern matching (MATCH_RECOGNIZE-shape, window-only)
 # ---------------------------------------------------------------------------
 

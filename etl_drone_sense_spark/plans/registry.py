@@ -946,6 +946,9 @@ TOUCHED_R12: tuple[str, ...] = (
     "corpus_domain_budget",  # NEW r12: FineWeb-style per-domain token caps
     "multimodal_decode_msadpcm",  # NEW r12: MS ADPCM (format 2), CTE oracle
     "dedup_keep_best",  # NEW r12: quality-argmax cluster keep rule
+    "dedup_url",  # NEW r12: canonical-URL crawl dedup (FineWeb stage 1)
+    "text_c4_filters",  # NEW r12: C4 page/line cleaning rules
+    "arrowipc_scan",  # NEW r12: Arrow IPC / Feather V2 Python DataSource
     "multimodal_decode_tiff",  # r12: palette tier (fixture cycle 7 -> 8,
     # oracle variant math updated in step)
     "graph_pagerank",  # r12: pinned-adjacency loop (AQE-off private session,
