@@ -949,6 +949,8 @@ TOUCHED_R12: tuple[str, ...] = (
     "dedup_url",  # NEW r12: canonical-URL crawl dedup (FineWeb stage 1)
     "text_c4_filters",  # NEW r12: C4 page/line cleaning rules
     "arrowipc_scan",  # NEW r12: Arrow IPC / Feather V2 Python DataSource
+    "stream_arrowipc_scan",  # NEW r12: the landing as a micro-batch stream
+    "arrowipc_sink_roundtrip",  # NEW r12: mapInArrow executor-parallel sink
     "multimodal_decode_tiff",  # r12: palette tier (fixture cycle 7 -> 8,
     # oracle variant math updated in step)
     "graph_pagerank",  # r12: pinned-adjacency loop (AQE-off private session,

@@ -3374,6 +3374,83 @@ def arrowipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_arrowipc_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate
+    FROM orders WHERE o_orderkey % 5 = 3
+    """,
+    tags=("source", "arrow", "streaming"),
+)
+def stream_arrowipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow IPC landing zone as a REAL micro-batch STREAM (r12):
+    ``spark.readStream.format("arrowipc")`` over the same three-codec
+    landing as arrowipc_scan, drained AvailableNow to a memory sink —
+    the AppendOnlyLandingStreamReader offset protocol (checkpointed
+    file-count offsets, prefix-hash enforcement) carried by the Arrow
+    source, exactly the avrolite/dronesense pattern. Decode is
+    invocation-agnostic, so the BATCH oracle is the streaming oracle."""
+    import uuid
+
+    from ..sources import arrowipc as AI
+    from ..streaming.pipeline import run_to_memory
+
+    landing = _arrow_landing(sf_dir)
+    AI.register(spark)
+    stream = spark.readStream.format("arrowipc").load(landing)
+    name = f"reg_arrow_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(stream, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_ARROW_SINK_DIRS: dict[tuple, str] = {}
+
+
+@register(
+    "arrowipc_sink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate
+    FROM orders WHERE o_orderkey % 7 = 4
+    """,
+    tags=("sink", "arrow"),
+)
+def arrowipc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC WRITE path end-to-end, driver-certified (r12 — the sink
+    twin of arrowipc_scan): an orders slice flows through the
+    executor-parallel ``write_arrow_ipc_records`` sink — built on
+    ``mapInArrow``, so rows cross to Python as Arrow batches and are
+    written as Arrow batches with ZSTD buffer compression, one file per
+    partition with an atomic rename publish — and is read back through
+    ``format("arrowipc")``. The readback must equal the plain SQL
+    projection of the same source rows: a schema-mapping, batch-write,
+    codec, or timestamp-unit bug on EITHER side of the roundtrip shifts
+    values and hash-fails. Built once per source generation
+    (fingerprint-keyed); later calls are a lazy scan."""
+    import os as _os
+    import tempfile
+
+    from ..sources import arrowipc as AI
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    out = _ARROW_SINK_DIRS.get(key)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="sg_arrow_sink_")
+        sliced = (
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 7 == 4)
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderstatus", "o_orderdate",
+            )
+        )
+        AI.write_arrow_ipc_records(sliced, out, compression="zstd")
+        _ARROW_SINK_DIRS[key] = out
+    AI.register(spark)
+    return spark.read.format("arrowipc").load(out)
+
+
 _AVRO_SINK_DIRS: dict[tuple, str] = {}
 
 

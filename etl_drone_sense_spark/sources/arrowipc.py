@@ -128,6 +128,61 @@ def iter_arrow_batches(path: str, start: int, end: int):
             yield reader.get_batch(i)
 
 
+def iter_arrow_rows(path: str):
+    """Yield TUPLES (schema field order) from an IPC file — the
+    streaming-partition row path (the micro-batch stream base yields
+    rows, not batches). Memory is bounded by one record batch."""
+    with_batches = iter_arrow_batches(path, 0, 1 << 62)
+    for batch in with_batches:
+        cols = [c.to_pylist() for c in batch.columns]
+        yield from zip(*cols)
+
+
+def write_arrow_ipc_records(
+    df, path: str, compression: str | None = None
+) -> int:
+    """Executor-PARALLEL Arrow IPC sink: each input partition streams its
+    record batches to one file ``part-<idx>.arrows`` under ``path`` —
+    the write twin of the ``format("arrowipc")`` scan, built on
+    ``mapInArrow`` so rows cross to Python as Arrow batches and are
+    written as Arrow batches (no row materialization; executor memory is
+    bounded by one batch). Each file publishes with an atomic rename, so
+    a failed task can never leave a partial file for a scan to pick up.
+    Empty partitions write nothing. Returns the number of rows written.
+
+    Same filesystem honesty note as the Avro sink: files are written
+    with plain ``open()``, so executors must share the filesystem with
+    the reader (local mode, NFS, fuse-mounted object stores)."""
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batches):
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        n = 0
+        writer = None
+        tmp = os.path.join(path, f".part-{idx:06d}.arrows.tmp")
+        final = os.path.join(path, f"part-{idx:06d}.arrows")
+        sink = None
+        opts = pa.ipc.IpcWriteOptions(compression=compression)
+        for batch in batches:
+            if writer is None:
+                sink = pa.OSFile(tmp, "wb")
+                writer = pa.ipc.new_file(sink, batch.schema, options=opts)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+            sink.close()
+            os.replace(tmp, final)
+            yield pa.RecordBatch.from_pydict({"n": [n]})
+
+    counts = df.mapInArrow(write_part, "n long").collect()
+    return int(sum(r["n"] for r in counts))
+
+
 def make_datasource():
     """Build the DataSource class lazily (pyspark import kept out of the
     pure-pyarrow layer, mirroring avrolite)."""
@@ -136,6 +191,8 @@ def make_datasource():
         DataSourceReader,
         InputPartition,
     )
+
+    from .datasource import AppendOnlyLandingStreamReader
 
     class _IpcPartition(InputPartition):
         def __init__(self, path: str, start: int, end: int):
@@ -170,9 +227,30 @@ def make_datasource():
                 partition.path, partition.start, partition.end
             )
 
+    class ArrowIpcStreamReader(AppendOnlyLandingStreamReader):
+        """Arrow IPC landing zone as a micro-batch STREAM — the shared
+        append-only offset protocol (prefix-hash enforced, exactly-once
+        via checkpointed file-count offsets) over ``.arrows`` files; one
+        partition per new file, executor-side decode. Streaming keeps
+        whole-file partitions (a landing file arrives as one object);
+        the record-batch split index is the BATCH scan's
+        multi-GB-file path."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("arrowipc source requires a path")
+
+        def _list(self) -> list[str]:
+            return _arrow_files(self.path)
+
+        def _rows(self, path: str):
+            yield from iter_arrow_rows(path)
+
     class ArrowIpcDataSource(DataSource):
         """``format("arrowipc")`` — Arrow IPC / Feather V2 files, batch
-        scan with footer-indexed record-batch splits."""
+        scan with footer-indexed record-batch splits, and an append-only
+        landing STREAM."""
 
         @classmethod
         def name(cls) -> str:
@@ -189,6 +267,9 @@ def make_datasource():
 
         def reader(self, schema):
             return ArrowIpcReader(self.options)
+
+        def streamReader(self, schema):
+            return ArrowIpcStreamReader(self.options)
 
     return ArrowIpcDataSource
 
