@@ -5246,9 +5246,17 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE shuffle on the group key feeds one window sort shared by
     all five quantiles (the explode multiplies rows AFTER ranking, and
     the rank filter collapses them immediately); no per-quantile passes,
-    no driver collection. For groups too large to sort per-partition the
-    same rank-selection composes with range-partitioned global sort —
-    the quantile stays exact, unlike sketch merges."""
+    no driver collection.
+
+    DEPLOYMENT DEFAULT (r12, the simhash-twin convention): this entry
+    is the definition-transparent AUDIT config — with a LOW-cardinality
+    group key (3 return flags) the per-group window sort concentrates
+    the whole fact table on |groups| cores, which is the 10× slope
+    (3.97×, BENCH_sf1) and at 100 TB a parallelism collapse. The 100 TB
+    path is ``agg_exact_quantiles_binned`` (slope 1.04× — the binned
+    3-pass selection whose per-group state is ≤1024 bins and whose
+    exact final sort touches only the target bins); identical results,
+    also hash-certified."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")

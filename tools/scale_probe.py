@@ -63,6 +63,12 @@ MAX_SLOPE_FACTOR = 1.5
 PAIR_EMITTERS = {
     "dedup_simhash_adaptive",
     "dedup_minhash",
+    # r12: the edit-distance join keys on the first 24 chars of the
+    # text, and the dup-deepened replicas differ only in their SUFFIX —
+    # every replica of a doc shares the key exactly, so the true ≤1-edit
+    # pair set grows quadratically in replica depth by construction;
+    # time-per-output-row is the honest gate, same as the LSH emitters.
+    "dedup_editdistance",
     # r11 (r10 VERDICT item 3): the capped twin exists precisely for the
     # dup-heavy case — its per-bucket cap bounds the output class, so its
     # output ratio should sit FAR below the uncapped twin's ~149× while
