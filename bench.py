@@ -71,6 +71,9 @@ BUDGETS_S: dict[str, float] = {
     "stream_sketch_kmv": 1.11,  # r9: 0.51 s quiet median + 0.6 floor
     # (reads the drained state table; the 4-batch drain is first-call-only)
     "dedup_editdistance": 1.53,  # r8: 1.8 x 0.85 s quiet median
+    "graph_sssp": 14.18,  # r12: 1.8 x 7.88 s quiet median (6 min-plus
+    # rounds over the pinned adjacency — two more rounds than pagerank's
+    # five plus the weighted-edge build; slope 2.11x at 10x)
     "graph_pagerank": 9.57,  # r12: 1.8 x 5.31 s quiet median — the
     # pinned-adjacency rework trades one extra fixture-scale barrier
     # (explicit repartition(W, u) checkpoint) for never moving the edge

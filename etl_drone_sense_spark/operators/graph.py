@@ -447,6 +447,73 @@ def flatten_hierarchy(
     )
 
 
+def sssp_fixed_rounds(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 6,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, dist) after ``rounds`` synchronous Bellman-Ford relaxations
+    from ``source`` — single-source shortest paths over INTEGER weights,
+    the min-plus sibling of pagerank_fixed_point.
+
+    Exactness contract: a fixed-round min-plus recurrence over integers
+    is bit-identical in any engine (min is order-independent; integer
+    adds never round), so the registry query's DuckDB oracle is the same
+    ``rounds`` relaxations as unrolled CTEs and the driver's hash gate
+    certifies the distributed loop. After round k the relation holds the
+    exact shortest distance for every node within k hops of the source
+    (the standard Bellman-Ford invariant); nodes not yet reached are
+    ABSENT, not +inf — the frontier relation stays reached-node-scale,
+    which on high-diameter graphs is far smaller than the node set.
+
+    Scale shape — the r12 pagerank discipline, reused verbatim: the loop
+    runs on an AQE-off private session sized to the measured edge count;
+    the weighted adjacency is pinned ONCE with an explicit
+    ``repartition(W, u)`` + localCheckpoint; each round SHUFFLE_HASH
+    joins the (node-scale) distance relation against the stationary
+    adjacency and min-aggregates — per round the only data movement is
+    the map-combined relaxation exchange. Lineage truncates every
+    ``checkpoint_every`` rounds plus the final round."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=True)
+
+    caller = edges.sparkSession
+    priv = _narrow_private_session(caller, sym.count())
+    loop_w = int(priv.conf.get("spark.sql.shuffle.partitions"))
+    sym = _on_session(sym, priv)
+    adj = sym.repartition(loop_w, "u").localCheckpoint(eager=True)
+
+    dist = adj.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist long"
+    ).repartition(loop_w, "node")
+    for i in range(1, rounds + 1):
+        a_i = f"_sssp_a{i}"
+        relaxed = (
+            adj.alias(a_i)
+            .join(
+                dist.hint("shuffle_hash"),
+                F.col(f"{a_i}.u") == F.col("node"),
+            )
+            .select(
+                F.col(f"{a_i}.v").alias("node"),
+                (F.col("dist") + F.col(f"{a_i}.w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if i == rounds or (i % checkpoint_every == 0 and rounds - i >= 2):
+            dist = dist.localCheckpoint(eager=True)
+    return _on_session(dist, caller)
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

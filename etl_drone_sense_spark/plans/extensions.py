@@ -4185,6 +4185,94 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SSSP_ROUNDS = 6
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled min-plus CTE chain — the same fixed recurrence the
+    distributed loop executes, like the pagerank oracle."""
+    ctes = [
+        """pairs AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 100000000 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        """wedges AS (
+        SELECT src, dst, CAST(1 + (src + dst) % 9 AS BIGINT) AS w FROM pairs
+    )""",
+        """sym AS MATERIALIZED (
+        SELECT src AS u, dst AS v, w FROM wedges
+        UNION ALL SELECT dst, src, w FROM wedges
+    )""",
+        "d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        # AS MATERIALIZED is load-bearing: d_{i-1} is referenced TWICE
+        # (carry + relax), and an inlined CTE would re-evaluate the
+        # whole chain per reference — 2^rounds blowup (measured: the
+        # sf1 oracle ran >30 min inlined, seconds materialized).
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT s.v, d.dist + s.w
+            FROM d{i - 1} d JOIN sym s ON s.u = d.node
+        ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, dist FROM d{rounds}"
+    )
+
+
+@register(
+    "graph_sssp",
+    oracle=_sssp_oracle(SSSP_ROUNDS),
+    tags=("graph", "iterative", "join", "agg"),
+    bench=True,
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths over the customer↔supplier trade
+    graph (r12) — the registry's third ITERATIVE operator, and the
+    min-plus sibling of graph_pagerank: 6 synchronous Bellman-Ford
+    relaxations from customer 1 over integer edge weights
+    ``1 + (src + dst) % 9``. A fixed-round integer min-plus recurrence
+    is bit-identical between engines (min is order-independent, integer
+    adds never round), so the unrolled-CTE oracle makes the distributed
+    loop ride the exact-hash gate, like pagerank's chained CTEs.
+
+    Scale: the r12 pinned-adjacency discipline end-to-end
+    (operators/graph.sssp_fixed_rounds) — AQE-off private session sized
+    to the measured edge count, one explicit repartition(W, u) +
+    checkpoint for the weighted adjacency, SHUFFLE_HASH rounds whose
+    only exchange is the map-combined relaxation shuffle; the distance
+    relation stays reached-node-scale (absent ≠ +inf), so a
+    high-diameter graph's early rounds move only the frontier."""
+    from ..operators.graph import sssp_fixed_rounds
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(100_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    wedges = pairs.select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") + F.col("dst")) % 9).cast("long").alias("w"),
+    )
+    sym = wedges.select("src", "dst", "w").unionByName(
+        wedges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return sssp_fixed_rounds(sym, source=1, rounds=SSSP_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # Recursive-hierarchy flattening (r9): the WITH RECURSIVE class
 # ---------------------------------------------------------------------------

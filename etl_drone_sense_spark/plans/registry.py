@@ -951,6 +951,7 @@ TOUCHED_R12: tuple[str, ...] = (
     "arrowipc_scan",  # NEW r12: Arrow IPC / Feather V2 Python DataSource
     "stream_arrowipc_scan",  # NEW r12: the landing as a micro-batch stream
     "arrowipc_sink_roundtrip",  # NEW r12: mapInArrow executor-parallel sink
+    "graph_sssp",  # NEW r12: fixed-round Bellman-Ford, unrolled-CTE oracle
     "multimodal_decode_tiff",  # r12: palette tier (fixture cycle 7 -> 8,
     # oracle variant math updated in step)
     "graph_pagerank",  # r12: pinned-adjacency loop (AQE-off private session,

@@ -40,6 +40,40 @@ def test_pagerank_matches_sequential_reference(spark):
     assert got == _reference_pagerank(edges, 4)
 
 
+def test_sssp_matches_sequential_bellman_ford(spark):
+    """sssp_fixed_rounds must reproduce a sequential K-round Bellman-Ford
+    over the same weighted edges, including the reached-only contract
+    (absent ≠ +inf) and the round horizon (a node k hops away appears
+    only once rounds ≥ k)."""
+    from etl_drone_sense_spark.operators.graph import sssp_fixed_rounds
+
+    edges = [
+        (1, 2, 4), (1, 3, 1), (3, 2, 1), (2, 4, 2), (4, 5, 3), (5, 6, 1),
+        (6, 7, 1), (3, 7, 50),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+
+    def reference(k):
+        dist = {1: 0}
+        for _ in range(k):
+            new = dict(dist)
+            for u, v, w in edges:
+                if u in dist and dist[u] + w < new.get(v, 1 << 60):
+                    new[v] = dist[u] + w
+            dist = new
+        return dist
+
+    for rounds in (1, 2, 6):
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_fixed_rounds(df, source=1, rounds=rounds).collect()
+        }
+        assert got == reference(rounds), rounds
+    # the long cheap path must beat the direct heavy edge once enough
+    # rounds have run: dist(7) via 1-3-2-4-5-6-7 = 1+1+2+3+1+1 = 9 < 51
+    assert got[7] == 9
+
+
 def test_pagerank_dangling_node_receives_but_never_contributes(spark):
     # 2 is a sink: it accumulates 1's mass but sends none back.
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
