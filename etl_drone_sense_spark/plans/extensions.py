@@ -4941,6 +4941,147 @@ def multimodal_decode_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the IEEE double evaluation tree is identical and the driver's exact
 # hash gate applies to a regression fit: every +,-,*,/ is correctly
 # rounded, so identical inputs + identical tree = identical bits.
+# ---------------------------------------------------------------------------
+# In-SQL iterative ML (r12): logistic regression by IRLS
+# ---------------------------------------------------------------------------
+
+# Every arithmetic op below is ONE text parsed by both engines, the OLS
+# convention extended to an ITERATIVE fit: per-row terms quantize through
+# the dsum fixed-point contract (order-independent exact sums), the 3x3
+# weighted normal equations solve in closed form (Cramer on the symmetric
+# Gram matrix), and the betas are rounded to 9 dp between rounds so each
+# round's state is a short exact decimal — the recurrence is then the
+# identical IEEE tree in Spark and DuckDB and the exact-hash gate applies
+# to an iteratively-reweighted fit. exp() itself must agree between the
+# JVM and DuckDB's libm on this host — the same empirical contract the
+# geodesy (sin/cos/atan2) and log-prob (ln) oracles already ride.
+_IRLS_Y = "(CASE WHEN day(l_shipdate) > 15 THEN 1.0 ELSE 0.0 END)"
+_IRLS_X1 = "(l_quantity / 50.0)"
+_IRLS_X2 = "(l_discount * 10.0)"
+_IRLS_ETA = "(b0 + b1 * x1 + b2 * x2)"
+_IRLS_MU = f"(1.0 / (1.0 + exp(-{_IRLS_ETA})))"
+_IRLS_W = f"({_IRLS_MU} * (1.0 - {_IRLS_MU}))"
+# w·z with z = eta + (y-mu)/w, multiplied through: no division by w, so
+# saturated rows (w → 0) cannot blow up the working response.
+_IRLS_WZ = f"({_IRLS_W} * {_IRLS_ETA} + (y - {_IRLS_MU}))"
+_IRLS_TERMS = [
+    ("m00", _IRLS_W),
+    ("m01", f"({_IRLS_W} * x1)"),
+    ("m02", f"({_IRLS_W} * x2)"),
+    ("m11", f"({_IRLS_W} * x1 * x1)"),
+    ("m12", f"({_IRLS_W} * x1 * x2)"),
+    ("m22", f"({_IRLS_W} * x2 * x2)"),
+    ("v0", _IRLS_WZ),
+    ("v1", f"({_IRLS_WZ} * x1)"),
+    ("v2", f"({_IRLS_WZ} * x2)"),
+]
+_IRLS_DET = (
+    "(m00 * (m11 * m22 - m12 * m12)"
+    " - m01 * (m01 * m22 - m12 * m02)"
+    " + m02 * (m01 * m12 - m11 * m02))"
+)
+_IRLS_BETAS = [
+    (
+        "b0",
+        f"round((v0 * (m11 * m22 - m12 * m12)"
+        f" - m01 * (v1 * m22 - m12 * v2)"
+        f" + m02 * (v1 * m12 - m11 * v2)) / {_IRLS_DET}, 9)",
+    ),
+    (
+        "b1",
+        f"round((m00 * (v1 * m22 - m12 * v2)"
+        f" - v0 * (m01 * m22 - m12 * m02)"
+        f" + m02 * (m01 * v2 - v1 * m02)) / {_IRLS_DET}, 9)",
+    ),
+    (
+        "b2",
+        f"round((m00 * (m11 * v2 - m12 * v1)"
+        f" - m01 * (m01 * v2 - v1 * m02)"
+        f" + v0 * (m01 * m12 - m11 * m02)) / {_IRLS_DET}, 9)",
+    ),
+]
+_IRLS_ROUNDS = 3
+
+
+def _irls_oracle(rounds: int) -> str:
+    ctes = [
+        f"""feats AS MATERIALIZED (
+        SELECT {_IRLS_Y} AS y, {_IRLS_X1} AS x1, {_IRLS_X2} AS x2
+        FROM lineitem
+    )""",
+        "beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,"
+        " CAST(0.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2)",
+    ]
+    for i in range(1, rounds + 1):
+        moms = ", ".join(dsum_sql(e, a) for a, e in _IRLS_TERMS)
+        ctes.append(
+            f"""mom{i} AS (
+        SELECT count(*) AS n_rows, {moms}
+        FROM feats CROSS JOIN beta{i - 1}
+    )"""
+        )
+        bexprs = ", ".join(f"{e} AS {a}" for a, e in _IRLS_BETAS)
+        ctes.append(
+            f"beta{i} AS (SELECT n_rows, {bexprs} FROM mom{i})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(n_rows AS BIGINT) AS n_rows, b0, b1, b2"
+        f" FROM beta{rounds}"
+    )
+
+
+@register(
+    "ml_logistic_irls",
+    oracle=_irls_oracle(_IRLS_ROUNDS),
+    tags=("ml", "agg", "iterative", "regression"),
+)
+def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression INSIDE the engine by iteratively-reweighted
+    least squares (r12) — the ITERATIVE complement of the closed-form
+    OLS fit: P(late shipment) ~ sigmoid(b0 + b1·qty + b2·discount) over
+    lineitem, three fixed Newton/IRLS rounds. Each round is ONE
+    map-side-combinable aggregation pass (9 weighted moments + count)
+    followed by a driverless 3×3 closed-form solve — at 100 TB the fit
+    costs exactly ``rounds`` aggregation scans of the feature relation
+    and nothing else (no gradient loop, no collect, no per-row state).
+
+    Exactness: the per-row weighted terms quantize through the dsum
+    fixed-point contract (order-independent exact sums), every formula —
+    sigmoid, working response, Cramer solve — is one expression text
+    parsed by both engines, betas round to 9 dp between rounds so the
+    carried state is a short exact decimal, and the working response is
+    ``w·z = w·eta + (y − mu)`` (multiplied through — no division by w,
+    so saturated rows cannot blow up). The oracle unrolls the same three
+    rounds as chained CTEs (MATERIALIZED feature relation — referenced
+    once per round, but DuckDB re-evaluates inlined CTEs per reference).
+    The 1-row beta relation re-enters each Spark round as a broadcast
+    cross join, exactly the mixture-rates pattern."""
+    from ..caching import scoped_persist
+
+    feats = scoped_persist(
+        "ml.irls_feats",
+        t(spark, sf_dir, "lineitem").selectExpr(
+            f"{_IRLS_Y} AS y", f"{_IRLS_X1} AS x1", f"{_IRLS_X2} AS x2"
+        ),
+    )
+    betas = spark.createDataFrame(
+        [(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double"
+    )
+    for _ in range(_IRLS_ROUNDS):
+        j = feats.crossJoin(F.broadcast(betas))
+        mom = j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[dsum(F.expr(e), a) for a, e in _IRLS_TERMS],
+        )
+        betas = mom.select(
+            "n_rows", *[F.expr(e).alias(a) for a, e in _IRLS_BETAS]
+        )
+    return betas.select(
+        F.col("n_rows").cast("long").alias("n_rows"), "b0", "b1", "b2"
+    )
+
+
 _OLS_COEF_EXPRS = [
     ("n_rows", "n_rows"),
     ("b1", "round((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12), 6)"),

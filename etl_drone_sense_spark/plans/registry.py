@@ -952,6 +952,7 @@ TOUCHED_R12: tuple[str, ...] = (
     "stream_arrowipc_scan",  # NEW r12: the landing as a micro-batch stream
     "arrowipc_sink_roundtrip",  # NEW r12: mapInArrow executor-parallel sink
     "graph_sssp",  # NEW r12: fixed-round Bellman-Ford, unrolled-CTE oracle
+    "ml_logistic_irls",  # NEW r12: iterative logistic fit, unrolled IRLS
     "multimodal_decode_tiff",  # r12: palette tier (fixture cycle 7 -> 8,
     # oracle variant math updated in step)
     "graph_pagerank",  # r12: pinned-adjacency loop (AQE-off private session,
