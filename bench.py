@@ -136,16 +136,20 @@ BUDGETS_S: dict[str, float] = {
 }
 
 
+def _load1() -> float:
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        return -1.0
+
+
 def main() -> None:
     # Pre-flight load check (r10 VERDICT item 4): this host's background
     # load is the documented source of phantom budget violations — an
     # elevated 1-min loadavg at launch means the timings below measure
     # contention, not code. Warn loudly and stamp the JSON so a noisy
     # run is distinguishable from a regression after the fact.
-    try:
-        load1 = float(open("/proc/loadavg").read().split()[0])
-    except OSError:
-        load1 = -1.0
+    load1 = _load1()
     if load1 > 1.0:
         print(
             f"WARNING: 1-min loadavg {load1:.2f} > 1.0 at bench launch — "
@@ -224,6 +228,43 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Contamination self-description (r12 VERDICT item 4): two rounds
+    # running, the driver's BENCH artifact launched into background load
+    # and the clean numbers lived only in SURVEY prose. Make the JSON
+    # self-describing instead: sample loadavg at launch AND at end
+    # (interference on this host is documented to arrive MID-run with a
+    # clean launch load — the fingerprint is several unrelated queries
+    # violating at once), and when any budget is breached, re-measure
+    # each violating query INDIVIDUALLY right here (fresh 3-sample
+    # median, loadavg stamped per retest) so the artifact itself records
+    # whether the violation survives isolation. Tooling reads `retest_s`
+    # vs `budget`; no SURVEY prose required.
+    load1_end = _load1()
+    contaminated = load1 > 1.0 or load1_end > 1.0
+    if violations:
+        for name in sorted(violations):
+            v = violations[name]
+            v["retest_loadavg"] = _load1()
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run(queries[name], sf_dir)
+                samples.append(time.perf_counter() - t0)
+            v["retest_s"] = round(statistics.median(samples), 3)
+            v["retest_within_budget"] = v["retest_s"] <= v["budget"]
+            if v["retest_within_budget"]:
+                print(
+                    f"RETEST OK: {name} isolated median {v['retest_s']:.3f}s"
+                    f" within budget {v['budget']:.2f}s — main-loop breach"
+                    " was contention, not code",
+                    file=sys.stderr,
+                )
+        # A breach that vanishes under isolated re-measurement IS the
+        # contamination fingerprint even when both loadavg samples were
+        # clean (the interference window closed before we re-sampled).
+        if any(v["retest_within_budget"] for v in violations.values()):
+            contaminated = True
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -234,6 +275,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "budget_violations": violations,
+                "contaminated": contaminated,
+                "loadavg_at_launch": load1,
+                "loadavg_at_end": load1_end,
                 "oracle_s": oracle_s,
                 "oracle_ratio": oracle_ratio,
             }
@@ -252,6 +296,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "loadavg_at_launch": load1,
+                "loadavg_at_end": load1_end,
+                "contaminated": contaminated,
                 "n_queries": len(timings),
                 "n_violations": len(violations),
                 "budget_violations": violations,

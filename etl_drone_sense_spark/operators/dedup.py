@@ -313,7 +313,11 @@ def simhash_pairs(
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(
                 F.sum(
-                    (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+                    # integer DIV, not float /: the guard's whole promise is an
+                    # EXACT candidate count, and huge buckets (c*(c-1) > 2^53,
+                    # where a double quotient loses integer precision) are
+                    # precisely when it must fire correctly.
+                    F.expr("(c * (c - 1)) DIV 2")
                 ).alias("cand"),
                 F.max("c").alias("hot"),
             )

@@ -1050,11 +1050,14 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact, with the canonical string as the content key."""
     from pyspark.sql.window import Window
 
+    # integer DIV on the Spark side to match the oracle's doc_id // 3 exactly:
+    # double true-division + cast truncates (and rounds at large magnitudes),
+    # which diverges from integer floor division off the fixture's id range.
     url_raw = F.concat(
         F.lit("https://Src"),
-        ((F.col("doc_id") / 3).cast("long") % 5).cast("string"),
+        (F.expr("doc_id DIV 3") % 5).cast("string"),
         F.lit(".Example.org/p/"),
-        (F.col("doc_id") / 3).cast("long").cast("string"),
+        F.expr("doc_id DIV 3").cast("string"),
         F.lit("?utm_t="),
         F.col("doc_id").cast("string"),
     )

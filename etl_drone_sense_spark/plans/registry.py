@@ -956,7 +956,9 @@ TOUCHED_R12: tuple[str, ...] = (
     "multimodal_decode_tiff",  # r12: palette tier (fixture cycle 7 -> 8,
     # oracle variant math updated in step)
     "graph_pagerank",  # r12: pinned-adjacency loop (AQE-off private session,
-    # explicit repartition, SHJ rounds) — slope 5.78 -> 2.46
+    # explicit repartition, SHJ rounds) — slope 5.78 -> 2.11 (final r12
+    # BENCH_sf1 measurement; an interim 2.46 reading predated the
+    # node-side contribution change)
     "hierarchy_flatten",  # r12: same AQE-off private-session change
     "dedup_cluster_stats",  # r12: same (connected components loop) + the
     # zip_with shingle rework below (its LSH pair input)

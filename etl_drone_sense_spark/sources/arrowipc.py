@@ -89,7 +89,18 @@ def spark_ddl_for(schema) -> str:
         if s in _SPARK_TYPES:
             return _SPARK_TYPES[s]
         if pt.is_timestamp(t):
-            return "timestamp"
+            # Enforce the documented timestamp[us|ms|s] subset explicitly.
+            # ns would silently truncate through Spark's microsecond
+            # representation, and a tz-NAIVE Arrow timestamp read as Spark
+            # TIMESTAMP (= TIMESTAMP_LTZ) is reinterpreted in the session
+            # timezone — a silent value shift. Naive → timestamp_ntz;
+            # tz-aware (any zone: Arrow stores UTC micros) → timestamp.
+            if t.unit not in ("s", "ms", "us"):
+                raise ValueError(
+                    f"arrowipc: unsupported timestamp unit {t.unit!r} "
+                    "(only s/ms/us map losslessly to Spark timestamps)"
+                )
+            return "timestamp" if t.tz is not None else "timestamp_ntz"
         if pt.is_decimal(t):
             return f"decimal({t.precision},{t.scale})"
         if pt.is_list(t) or pt.is_large_list(t):

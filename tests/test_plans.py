@@ -148,14 +148,32 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
 def test_q5_falls_back_to_shuffle_join_when_dims_exceed_threshold(spark, sf_dir):
     """The no-hint design claim: customer/supplier broadcast only via the
     size threshold. With the threshold off, the same query must plan their
-    joins as shuffle joins instead of forcing a broadcast."""
+    joins as shuffle joins instead of forcing a broadcast.
+
+    r13 (r12 VERDICT item 9) strengthened this from "≥1 shuffle join" to
+    the full transition shape: ALL FOUR scale-dependent joins (dims⨝c,
+    ⨝orders, ⨝lineitem, ⨝supplier) must land on KEYED shuffle joins, and
+    the fallback must never be a BroadcastNestedLoopJoin or cartesian —
+    the supplier join's compound equi-condition (s_suppkey AND s_nationkey)
+    is the one a planner regression would most plausibly degrade to BNLJ.
+    (Re-verified r13: the EXECUTED sf1 final adaptive plan is still
+    all-broadcast — customer at sf1 is 2.4 MB, far under the 64 MB engine
+    threshold — so the r12 slope-5.46× narrative's "threshold crossing at
+    10×" was wrong about the mechanism; the slope is 10× probe volume on
+    fixed cores. This threshold-off pin is therefore the ONLY enforcement
+    of the eventual transition shape, which is why it pins all four.)"""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = plan_of(spark, sf_dir, "q5_region_revenue")
+        # simple mode: one line per node (formatted repeats each node in
+        # its detail section, which double-counts joins)
+        plan = plan_of(spark, sf_dir, "q5_region_revenue", mode="simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    n_keyed = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_keyed == 4, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     # the explicit region⋈nation hint still broadcasts — hints ignore the
     # threshold, which is exactly why SF-dependent dims must not carry one
     assert "BroadcastHashJoin" in plan
