@@ -129,6 +129,9 @@ BUDGETS_S: dict[str, float] = {
     # probe stages (fixed scheduler latency on the 5000-doc fixture) to
     # avoid reassembling every document at corpus scale; the old budget
     # was derived from the reassemble-everything plan
+    "text_bpe_tokenize": 3.51,  # r13: 1.8 x 1.95 s quiet median (41
+    # plain replaces over the doc state string, one narrow projection;
+    # single task at sf0.1 — the fixture is one parquet file)
     "text_repetition": 2.95,
     "text_token_freq": 0.93,
     "text_winnowing": 1.01,

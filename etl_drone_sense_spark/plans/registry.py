@@ -936,6 +936,33 @@ DRIVER_CHECKED_R11: frozenset[str] = frozenset(
     }
 )
 
+# The round-12 driver window (CORRECTNESS_r12.json — the exact 50-key
+# artifact set, all green): every TOUCHED_R12 name plus the 24
+# stalest-tier fills the r12 rotation mandated.
+DRIVER_CHECKED_R12: frozenset[str] = frozenset(
+    {
+        "agg_distinct", "agg_stats", "arrowipc_scan",
+        "arrowipc_sink_roundtrip", "corpus_contamination",
+        "corpus_domain_budget", "corpus_pack_sequences",
+        "corpus_prepare_pipeline", "corpus_split_leakage_safe",
+        "cube_status_priority", "dedup_cluster_stats", "dedup_exact",
+        "dedup_exact_substring", "dedup_incremental", "dedup_keep_best",
+        "dedup_keep_rows", "dedup_minhash", "dedup_ngram_jaccard",
+        "dedup_paragraph", "dedup_simhash_adaptive", "dedup_simhash_wide",
+        "dedup_url", "governance_quarantine_split", "graph_pagerank",
+        "graph_sssp", "grouping_sets", "having_filter",
+        "hierarchy_flatten", "join_range_binned", "join_skewed_salted",
+        "ml_logistic_irls", "multimodal_decode_msadpcm",
+        "multimodal_decode_tiff", "null_semantics",
+        "pivot_priority_status", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_region_revenue",
+        "rollup_region_nation", "sample_importance", "set_ops_all",
+        "sim_pq_topk", "stream_arrowipc_scan", "stream_running_totals_tws",
+        "string_distance", "table_bloom_probe", "text_boilerplate_strip",
+        "text_c4_filters", "text_winnowing", "unpivot_metrics",
+    }
+)
+
 # Queries whose Spark code OR oracle changed in round 12, plus new
 # registrations — all need a fresh driver row. Populated as r12 work
 # lands; ordering within the tuple is the order the driver checks them.
@@ -977,23 +1004,36 @@ TOUCHED_R12: tuple[str, ...] = (
     "corpus_prepare_pipeline",
 )
 
+# Queries whose Spark code OR oracle changed in round 13, plus new
+# registrations — all need a fresh driver row. Populated as r13 work
+# lands; ordering within the tuple is the order the driver checks them.
+TOUCHED_R13: tuple[str, ...] = (
+    "dedup_url",  # r13: integer DIV block key (ADVICE r12), oracle parity
+    "arrowipc_scan",  # r13: naive timestamps now read as timestamp_ntz
+    "stream_arrowipc_scan",  # r13: same ntz mapping (shared DDL path)
+    "arrowipc_sink_roundtrip",  # r13: same ntz mapping
+    "dedup_simhash_adaptive",  # r13: exact integer pair_budget count
+    "dedup_simhash_adaptive_capped",  # r13: same guard path
+    "text_bpe_tokenize",  # NEW r13: frozen-merges BPE encoder
+    "corpus_pack_sequences_bpe",  # NEW r13: packing in real BPE tokens
+)
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
-    about old code is still stale evidence). After the r11 fold every
-    registered query has at least one green driver row, so the order is:
-    TOUCHED_R12, then any never-checked stragglers (new r12 names not in
-    TOUCHED_R12 — should be none), then by newest-evidence round
-    ascending — the r6-newest 20-query tier first, then r7-newest, …,
-    round-11 (freshest) last. (The r1–r5-newest tiers are currently
-    empty: every such name was re-certified in a later round.)"""
+    about old code is still stale evidence). Every registered query has at
+    least one green driver row, so the order is: TOUCHED_R13, then any
+    never-checked stragglers (new r13 names not in TOUCHED_R13 — should be
+    none), then by newest-evidence round ascending — the stalest tier
+    (post-r12: the r7-newest block) first, round-12 (freshest) last."""
 
-    head12 = {n: i for i, n in enumerate(TOUCHED_R12)}
+    head13 = {n: i for i, n in enumerate(TOUCHED_R13)}
 
     # Newest round in which each name earned a driver row, oldest-first
     # search order below relies on checking the NEWEST sets first.
     newest_first: tuple[tuple[int, frozenset[str]], ...] = (
+        (12, DRIVER_CHECKED_R12),
         (11, DRIVER_CHECKED_R11),
         (10, DRIVER_CHECKED_R10),
         (9, DRIVER_CHECKED_R09),
@@ -1007,15 +1047,15 @@ def _ordered_specs() -> list[QuerySpec]:
     )
 
     def tier(s: QuerySpec) -> tuple[int, int]:
-        if s.name in head12:
-            return (0, head12[s.name])
+        if s.name in head13:
+            return (0, head13[s.name])
         for rnd, names in newest_first:
             if s.name in names:
                 # staleness rank: newest-evidence round ascending, so
-                # r6-newest (rank 7) sorts before r11-newest (rank 12);
+                # r7-newest (rank 8) sorts before r12-newest (rank 13);
                 # +1 keeps every checked tier after the never-checked slot.
                 return (1 + rnd, 0)
-        return (1, 0)  # never-checked: right after the r12 touched head
+        return (1, 0)  # never-checked: right after the r13 touched head
 
     specs = list(REGISTRY.values())
     return sorted(specs, key=tier)  # sorted() is stable → registration order kept

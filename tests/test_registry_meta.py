@@ -32,6 +32,8 @@ def test_every_bench_query_has_a_budget():
 def test_touched_and_checked_names_exist():
     known = set(RG.REGISTRY) | set(RG.RETIRED)
     for group in (
+        RG.TOUCHED_R13,
+        RG.DRIVER_CHECKED_R12,
         RG.TOUCHED_R12,
         RG.TOUCHED_R11,
         RG.TOUCHED_R10,
@@ -74,7 +76,15 @@ def _ever_checked() -> set[str]:
         | set(RG.DRIVER_CHECKED_R09)
         | set(RG.DRIVER_CHECKED_R10)
         | set(RG.DRIVER_CHECKED_R11)
+        | set(RG.DRIVER_CHECKED_R12)
     )
+
+
+def test_r12_fold_covers_the_r12_touched_names():
+    """Every r12-touched name must have an r12 driver row (the fold is the
+    exact CORRECTNESS_r12.json key set, 50/50 green)."""
+    uncovered = set(RG.TOUCHED_R12) - set(RG.DRIVER_CHECKED_R12)
+    assert not uncovered, f"touched r12 names without an r12 row: {uncovered}"
 
 
 def test_r11_fold_covers_the_r11_touched_names():
@@ -111,9 +121,9 @@ def test_window_head_covers_everything_unverified_or_touched():
     # A touched name that is not registered must be an explicit retirement
     # (r10 ADVICE: otherwise a typo in TOUCHED silently drops the
     # must-be-in-head requirement for the query it meant to name).
-    ghosts = set(RG.TOUCHED_R12) - set(order)
+    ghosts = set(RG.TOUCHED_R13) - set(order)
     assert ghosts <= RG.RETIRED, f"touched names neither registered nor retired: {ghosts}"
-    must_be_in_head = set(RG.TOUCHED_R12) & set(order) | (
+    must_be_in_head = set(RG.TOUCHED_R13) & set(order) | (
         set(order) - _ever_checked()
     )
     missing = must_be_in_head - head
@@ -122,59 +132,78 @@ def test_window_head_covers_everything_unverified_or_touched():
 
 def test_window_head_leads_with_stalest_tier():
     """After the touched/never-checked block, remaining window slots must
-    fill with the stalest-evidence tier — after the r11 fold that is the
-    20-query tier whose NEWEST driver row is round 6 (r11 VERDICT item 2).
-    The r12 touched head plus the full r6 tier (20) must fit inside
-    the 50-name window, ahead of anything r7-or-fresher."""
+    fill with the stalest-evidence tier — after the r12 fold that is the
+    38-query tier whose NEWEST driver row is round 7 (the r6 tier emptied:
+    every r6-newest name was re-certified in r12). The r13 touched head
+    (8) plus the full r7 tier (38) fits in the 50-name window with 4
+    slots spilling into the next-stalest (r9) tier."""
     order = list(RG.all_queries())
     fresher = (
-        set(RG.DRIVER_CHECKED_R07)
-        | set(RG.DRIVER_CHECKED_R09)
+        set(RG.DRIVER_CHECKED_R09)
         | set(RG.DRIVER_CHECKED_R10)
         | set(RG.DRIVER_CHECKED_R11)
+        | set(RG.DRIVER_CHECKED_R12)
     )
-    touched = set(RG.TOUCHED_R12)
+    touched = set(RG.TOUCHED_R13)
     stale_tier = [
         n
         for n in RG.REGISTRY
-        if n in RG.DRIVER_CHECKED_R06
+        if n in RG.DRIVER_CHECKED_R07
         and n not in fresher
         and n not in touched
     ]
     assert set(stale_tier) == {
-        "agg_distinct",
-        "agg_stats",
-        "cube_status_priority",
-        "governance_quarantine_split",
-        "grouping_sets",
-        "having_filter",
-        "join_range_binned",
-        "join_skewed_salted",
-        "null_semantics",
-        "pivot_priority_status",
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "rollup_region_nation",
-        "set_ops_all",
-        "sim_pq_topk",
-        "stream_running_totals_tws",
-        "string_distance",
-        "table_bloom_probe",
-        "unpivot_metrics",
+        "cdc_snapshot_diff",
+        "corpus_mixture_sample",
+        "dedup_embedding",
+        "dedup_embedding_lsh",
+        "drone_features_flat",
+        "drone_features_multivideo",
+        "events_pattern_match",
+        "events_retention_cohorts",
+        "filter_in_between_like",
+        "geo_bearing_distance",
+        "join_anti",
+        "join_cross",
+        "join_full_outer",
+        "join_left_count",
+        "join_range_nonequi",
+        "join_semi",
+        "layout_zorder",
+        "multimodal_bytes",
+        "multimodal_features",
+        "sample_reservoir_group",
+        "sim_ivf_topk",
+        "sim_topk_batch",
+        "sim_topk_bruteforce",
+        "sort_limit",
+        "stream_dedup_exact",
+        "stream_drone_features_flat",
+        "stream_interval_join_outer",
+        "stream_running_totals",
+        "stream_session_counts",
+        "text_bigram_lm",
+        "text_gopher_quality",
+        "text_langid",
+        "text_langid_predict",
+        "text_quality",
+        "text_redact_pii",
+        "text_token_freq",
+        "udaf_weighted_price",
+        "udtf_sentences",
     }, "stale-tier membership drifted — re-derive the rotation plan"
     assert len(touched & set(order)) + len(stale_tier) <= 50, (
-        "touched head + r6 stale tier overflow the driver window"
+        "touched head + r7 stale tier overflow the driver window"
     )
     pos = {n: i for i, n in enumerate(order)}
     worst_stale = max(pos[n] for n in stale_tier)
-    assert worst_stale < 50, "r6 stale tier does not fit in the driver window"
+    assert worst_stale < 50, "r7 stale tier does not fit in the driver window"
     # Restrict to registered names: retired queries (dedup_simhash) keep
     # their historical driver-checked rows but have no registry position.
     fresh_only = (
-        fresher & set(RG.REGISTRY) - set(RG.DRIVER_CHECKED_R06) - touched
+        fresher & set(RG.REGISTRY) - set(RG.DRIVER_CHECKED_R07) - touched
     )
     first_fresh = min(pos[n] for n in fresh_only)
     assert worst_stale < first_fresh, (
-        "a freshly-certified query sorts ahead of the r6 stale tier"
+        "a freshly-certified query sorts ahead of the r7 stale tier"
     )
