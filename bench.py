@@ -54,6 +54,9 @@ BUDGETS_S: dict[str, float] = {
     # fixed-point moment aggregates over lineitem in one pass)
     "multimodal_decode_bmp": 1.12,  # r9: 0.52 s quiet median + 0.6 floor
     "multimodal_decode_adpcm": 2.19,  # r11: 1.8 x 1.22 s quiet median
+    "multimodal_decode_flac": 3.22,  # r13: 1.8 x 1.79 s quiet median
+    # (Rice decode is a per-sample Python walk inside the Arrow batch,
+    # like the ADPCM tiers — ~675k samples at sf0.1)
     "multimodal_decode_msadpcm": 2.98,  # r12: 1.8 x 1.65 s quiet median
     # (per-nibble predictor walk is a Python loop inside the Arrow
     # batch, like the IMA tier — inherently serial per clip)
@@ -71,9 +74,14 @@ BUDGETS_S: dict[str, float] = {
     "stream_sketch_kmv": 1.11,  # r9: 0.51 s quiet median + 0.6 floor
     # (reads the drained state table; the 4-batch drain is first-call-only)
     "dedup_editdistance": 1.53,  # r8: 1.8 x 0.85 s quiet median
-    "graph_sssp": 14.18,  # r12: 1.8 x 7.88 s quiet median (6 min-plus
-    # rounds over the pinned adjacency — two more rounds than pagerank's
-    # five plus the weighted-edge build; slope 2.11x at 10x)
+    "graph_sssp": 7.88,  # r13: 1.8 x 4.38 s quiet median — delta
+    # (frontier) relaxation: each round joins only the nodes whose
+    # distance improved last round against the pinned adjacency, one
+    # tagged-union merge aggregation (the round's ONLY exchange) and a
+    # per-round state checkpoint (load-bearing: the state has two
+    # next-round consumers, so lazy rounds recompute exponentially).
+    # Was 7.88 s quiet MEDIAN with full-relation relaxation (r12) —
+    # the old budget 14.18 was 1.8x that.
     "graph_pagerank": 9.57,  # r12: 1.8 x 5.31 s quiet median — the
     # pinned-adjacency rework trades one extra fixture-scale barrier
     # (explicit repartition(W, u) checkpoint) for never moving the edge

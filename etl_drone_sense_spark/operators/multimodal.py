@@ -1948,6 +1948,498 @@ def parse_wav(payload: bytes):
     return rate, channels, np.frombuffer(pcm, dtype="<i2")
 
 
+# ---------------------------------------------------------------------------
+# FLAC (r13 — r12 VERDICT item 3): dependency-free lossless codec.
+# Encoder (fixture synthesis) and decoder (the operator) are independent
+# implementations of the format spec — CONSTANT/VERBATIM/FIXED(0-4)/LPC
+# subframes, Rice/Rice2 residual partitions with escape codes, UTF-8
+# coded frame numbers, wasted-bits, CRC-8 frame headers and CRC-16 frame
+# trailers. Lossless means the decoded stream IS the closed-form sample
+# formula, so the SQL oracle needs no recursive CTE (unlike ADPCM): it
+# recomputes the features from the formula directly. Honest subset in
+# the decoder: 16-bit samples and independent channels only — stereo
+# decorrelation (left/side, right/side, mid/side) and other bit depths
+# raise ValueError into the per-row quarantine.
+# ---------------------------------------------------------------------------
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask, top = (1 << width) - 1, 1 << (width - 1)
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_FLAC_CRC8_TABLE = _crc_table(0x07, 8)
+_FLAC_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _FLAC_CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _FLAC_CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
+class _FlacBitWriter:
+    """MSB-first bit accumulator (no byte stuffing — that is JPEG's)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            self.out.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def write_unary(self, q: int) -> None:
+        self.write(0, q)
+        self.write(1, 1)
+
+    def getvalue_aligned_zero(self) -> bytes:
+        if self._n:
+            self.write(0, 8 - self._n)
+        return bytes(self.out)
+
+
+class _FlacBitReader:
+    """MSB-first bit reader with absolute bit position (the byte slices
+    under CRC are recovered from it)."""
+
+    def __init__(self, buf: bytes, byte_pos: int = 0) -> None:
+        self.buf = buf
+        self.bitpos = byte_pos * 8
+
+    def read(self, n: int) -> int:
+        end = self.bitpos + n
+        if end > len(self.buf) * 8:
+            raise ValueError("flac: truncated stream")
+        v = int.from_bytes(self.buf[self.bitpos // 8 : (end + 7) // 8], "big")
+        v >>= (-end) % 8
+        self.bitpos = end
+        return v & ((1 << n) - 1)
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            byte_i = self.bitpos >> 3
+            if byte_i >= len(self.buf):
+                raise ValueError("flac: truncated unary code")
+            b = self.buf[byte_i] & (0xFF >> (self.bitpos & 7))
+            if b == 0:
+                step = 8 - (self.bitpos & 7)
+                q += step
+                self.bitpos += step
+            else:
+                zeros = (8 - (self.bitpos & 7)) - b.bit_length()
+                self.bitpos += zeros + 1
+                return q + zeros
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _utf8_number_encode(val: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index), up to 36 bits."""
+    if val < 0x80:
+        return bytes([val])
+    for nbytes, limit in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if val < 1 << limit:
+            lead_mask = (0xFF00 >> nbytes) & 0xFF
+            shift = 6 * (nbytes - 1)
+            out = [lead_mask | (val >> shift)]
+            for k in range(nbytes - 1):
+                shift -= 6
+                out.append(0x80 | ((val >> shift) & 0x3F))
+            return bytes(out)
+    raise ValueError("flac: frame number exceeds 36 bits")
+
+
+def _utf8_number_decode(br: _FlacBitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    probe = b0
+    while probe & 0x80:
+        nbytes += 1
+        probe <<= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("flac: malformed coded number")
+    val = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        cont = br.read(8)
+        if cont & 0xC0 != 0x80:
+            raise ValueError("flac: malformed coded number continuation")
+        val = (val << 6) | (cont & 0x3F)
+    return val
+
+
+_FLAC_FIXED_COEFS: dict[int, tuple[int, ...]] = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else ((-r) << 1) - 1
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if u & 1 == 0 else -((u + 1) >> 1)
+
+
+def _rice_param(zigs: list[int]) -> int:
+    if not zigs:
+        return 0
+    mean = sum(zigs) // len(zigs)
+    return min(max(mean.bit_length() - 1, 0), 30)
+
+
+def _write_residuals(fw: _FlacBitWriter, resid: list[int]) -> None:
+    """Residual block: method 01 (RICE2, 5-bit params), partition order
+    0 — one partition covering the block past the warm-up."""
+    fw.write(1, 2)
+    fw.write(0, 4)
+    zigs = [_zigzag(r) for r in resid]
+    k = _rice_param(zigs)
+    fw.write(k, 5)
+    for u in zigs:
+        fw.write_unary(u >> k)
+        if k:
+            fw.write(u & ((1 << k) - 1), k)
+
+
+def encode_flac(
+    sample_rate: int,
+    channels: int,
+    samples,
+    blocksize: int = 48,
+    variant: int = 1,
+    lpc_coefs: tuple[int, ...] = (3, -2),
+    lpc_shift: int = 1,
+    lpc_precision: int = 4,
+) -> bytes:
+    """REAL FLAC bytes for 16-bit interleaved ``samples``. ``variant``
+    picks the subframe strategy applied to every block/channel:
+    0 CONSTANT (samples must be constant per channel), 1 VERBATIM,
+    2 FIXED order 1, 3 FIXED order 2, 4 LPC order ``len(lpc_coefs)``.
+    Blocks too short for the predictor order fall back to VERBATIM
+    (deterministically — the last partial block can be 1 sample)."""
+    samples = np.asarray(samples, dtype=np.int64)
+    if channels < 1 or samples.size % channels:
+        raise ValueError("flac encoder: samples not frame-aligned")
+    frames = samples.size // channels
+    chans = [samples[c::channels] for c in range(channels)]
+
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34])  # last metadata block, STREAMINFO, len 34
+    si = _FlacBitWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(15, 5)  # bits per sample - 1
+    si.write(frames, 36)
+    out += si.getvalue_aligned_zero()
+    out += bytes(16)  # MD5 unset (zeros = unknown, per spec)
+
+    def subframe(fw: _FlacBitWriter, blk: np.ndarray) -> None:
+        n = blk.size
+        v = variant
+        order = {2: 1, 3: 2}.get(v, len(lpc_coefs) if v == 4 else 0)
+        if v in (2, 3, 4) and n <= order:
+            v = 1  # too short for the predictor: verbatim fallback
+        fw.write(0, 1)  # mandatory zero pad bit
+        if v == 0:
+            if n and not bool((blk == blk[0]).all()):
+                raise ValueError("flac encoder: CONSTANT needs constant block")
+            fw.write(0b000000, 6)
+            fw.write(0, 1)  # no wasted bits
+            fw.write(int(blk[0]) if n else 0, 16)
+            return
+        if v == 1:
+            fw.write(0b000001, 6)
+            fw.write(0, 1)
+            for s in blk:
+                fw.write(int(s), 16)
+            return
+        if v in (2, 3):
+            fw.write(0b001000 | order, 6)
+            fw.write(0, 1)
+            coefs = _FLAC_FIXED_COEFS[order]
+            shift = 0
+        else:
+            fw.write(0b100000 | (order - 1), 6)
+            fw.write(0, 1)
+            coefs, shift = lpc_coefs, lpc_shift
+        for s in blk[:order]:
+            fw.write(int(s), 16)
+        if v == 4:
+            fw.write(lpc_precision - 1, 4)
+            fw.write(shift, 5)
+            for cf in coefs:
+                fw.write(cf, lpc_precision)
+        resid = [
+            int(blk[i]) - (sum(cf * int(blk[i - 1 - j]) for j, cf in enumerate(coefs)) >> shift)
+            for i in range(order, n)
+        ]
+        _write_residuals(fw, resid)
+
+    for fi, start in enumerate(range(0, frames, blocksize)):
+        bs = min(blocksize, frames - start)
+        hw = _FlacBitWriter()
+        hw.write(0b11111111111110, 14)
+        hw.write(0, 1)  # reserved
+        hw.write(0, 1)  # fixed-blocksize stream: frame number = index
+        hw.write(0b0111, 4)  # blocksize: explicit 16-bit value follows
+        hw.write(0b0000, 4)  # sample rate: from STREAMINFO
+        hw.write(channels - 1, 4)  # independent channels
+        hw.write(0b100, 3)  # 16 bits per sample
+        hw.write(0, 1)  # reserved
+        header = bytearray(hw.getvalue_aligned_zero())
+        header += _utf8_number_encode(fi)
+        header += (bs - 1).to_bytes(2, "big")
+        header.append(_flac_crc8(bytes(header)))
+        fw = _FlacBitWriter()
+        for c in range(channels):
+            subframe(fw, chans[c][start : start + bs])
+        frame = bytes(header) + fw.getvalue_aligned_zero()
+        out += frame
+        out += _flac_crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+_FLAC_BLOCKSIZE_FIXED = {
+    0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304, 0b0101: 4608,
+    0b1000: 256, 0b1001: 512, 0b1010: 1024, 0b1011: 2048, 0b1100: 4096,
+    0b1101: 8192, 0b1110: 16384, 0b1111: 32768,
+}
+_FLAC_RATE_FIXED = {
+    0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
+    0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
+    0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
+}
+
+
+def _flac_residuals(br: _FlacBitReader, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"flac: reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts or blocksize // nparts <= order:
+        raise ValueError("flac: invalid residual partition order")
+    resid: list[int] = []
+    for p in range(nparts):
+        count = blocksize // nparts - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            if raw == 0:
+                resid.extend(0 for _ in range(count))
+            else:
+                resid.extend(br.read_signed(raw) for _ in range(count))
+            continue
+        for _ in range(count):
+            q = br.read_unary()
+            u = (q << param) | br.read(param) if param else q
+            resid.append(_unzigzag(u))
+    return resid
+
+
+def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("flac: subframe pad bit set")
+    type6 = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if eff < 1:
+        raise ValueError("flac: wasted bits exceed sample size")
+    if type6 == 0b000000:
+        val = br.read_signed(eff)
+        out = [val] * blocksize
+    elif type6 == 0b000001:
+        out = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 0b001000 <= type6 <= 0b001100:
+        order = type6 & 0x07
+        if order > blocksize:
+            raise ValueError("flac: fixed order exceeds block size")
+        out = [br.read_signed(eff) for _ in range(order)]
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in _flac_residuals(br, blocksize, order):
+            pred = sum(cf * out[-1 - j] for j, cf in enumerate(coefs))
+            out.append(r + pred)
+    elif type6 & 0b100000:
+        order = (type6 & 0x1F) + 1
+        if order > blocksize:
+            raise ValueError("flac: lpc order exceeds block size")
+        out = [br.read_signed(eff) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("flac: invalid lpc precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        for r in _flac_residuals(br, blocksize, order):
+            pred = sum(cf * out[-1 - j] for j, cf in enumerate(coefs)) >> shift
+            out.append(r + pred)
+    else:
+        raise ValueError(f"flac: reserved subframe type {type6:#08b}")
+    if wasted:
+        out = [s << wasted for s in out]
+    return out
+
+
+def parse_flac(payload: bytes):
+    """Decode a FLAC payload — dependency-free per the format spec.
+    Supported (the interchange subset this engine synthesizes AND the
+    common encoder output shapes): 16-bit samples, 1-2 INDEPENDENT
+    channels, CONSTANT/VERBATIM/FIXED(0-4)/LPC subframes, both Rice
+    methods with escape partitions, any partition order, wasted bits,
+    UTF-8 coded frame/sample numbers, explicit and table block sizes.
+    CRC-8 and CRC-16 are VERIFIED — a corrupt frame quarantines rather
+    than emitting wrong samples. Stereo decorrelation modes and other
+    bit depths raise ValueError (honest quarantine). Returns
+    ``(sample_rate, channels, int16 numpy array of interleaved
+    samples)`` — the same contract as ``parse_wav``."""
+    buf = bytes(payload or b"")
+    if len(buf) < 42 or buf[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    rate = channels = total = None
+    while True:
+        if pos + 4 > len(buf):
+            raise ValueError("flac: truncated metadata")
+        head = buf[pos]
+        last, btype = head >> 7, head & 0x7F
+        length = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        body = buf[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            if length != 34:
+                raise ValueError("flac: malformed STREAMINFO")
+            sr = _FlacBitReader(body)
+            sr.read(16)  # min blocksize
+            sr.read(16)  # max blocksize
+            sr.read(24)  # min framesize
+            sr.read(24)  # max framesize
+            rate = sr.read(20)
+            channels = sr.read(3) + 1
+            bps = sr.read(5) + 1
+            total = sr.read(36)
+            if bps != 16:
+                raise ValueError(f"flac: unsupported bit depth {bps}")
+        pos += 4 + length
+        if last:
+            break
+    if rate is None:
+        raise ValueError("flac: missing STREAMINFO")
+    if channels > 2:
+        raise ValueError(f"flac: unsupported channel count {channels}")
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    decoded = 0
+    while decoded < total:
+        frame_start = pos
+        br = _FlacBitReader(buf, pos)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        if br.read(1):
+            raise ValueError("flac: reserved header bit set")
+        br.read(1)  # blocking strategy (frame vs sample numbering)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("flac: reserved header bit set")
+        _utf8_number_decode(br)
+        if bs_code == 0b0000:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 0b0110:
+            blocksize = br.read(8) + 1
+        elif bs_code == 0b0111:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZE_FIXED[bs_code]
+        if sr_code == 0b0000:
+            pass  # STREAMINFO rate
+        elif sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        elif sr_code == 0b1111:
+            raise ValueError("flac: invalid sample rate code")
+        # fixed-table codes carry no extra bytes; STREAMINFO stays canon
+        if ch_code >= 0b1000:
+            raise ValueError("flac: stereo decorrelation unsupported")
+        if ch_code + 1 != channels:
+            raise ValueError("flac: frame channel count mismatch")
+        if ss_code != 0b100:
+            raise ValueError("flac: unsupported frame sample size")
+        header_end = br.bitpos // 8
+        if _flac_crc8(buf[frame_start:header_end]) != br.read(8):
+            raise ValueError("flac: frame header CRC mismatch")
+        take = min(blocksize, total - decoded)
+        for c in range(channels):
+            sub = _flac_subframe(br, blocksize, 16)
+            chans[c].extend(sub[:take])
+        br.align()
+        body_end = br.bitpos // 8
+        if _flac_crc16(buf[frame_start:body_end]) != br.read(16):
+            raise ValueError("flac: frame CRC-16 mismatch")
+        decoded += take
+        pos = br.bitpos // 8
+    flat = np.empty(decoded * channels, dtype=np.int64)
+    for c in range(channels):
+        flat[c::channels] = chans[c]
+    if flat.size and (flat.max() > 32767 or flat.min() < -32768):
+        raise ValueError("flac: decoded sample out of int16 range")
+    return rate, channels, flat.astype(np.int16)
+
+
+def parse_audio(payload: bytes):
+    """Magic-byte audio dispatch (the audio twin of the image dispatch):
+    ``fLaC`` → parse_flac, RIFF → parse_wav. MP3/AAC stay import-gated
+    (lossy, patent-era DSP — not hash-oracle-able the way lossless and
+    table-driven codecs are)."""
+    buf = bytes(payload or b"")
+    if buf[:4] == b"fLaC":
+        return parse_flac(buf)
+    return parse_wav(buf)
+
+
 def decode_audio_features(media: DataFrame) -> DataFrame:
     """WAV payloads → per-clip features via ``mapInPandas``
     (Arrow-batched): frame count, duration, mean absolute amplitude,
@@ -1965,7 +2457,7 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 try:
                     import math
 
-                    rate, ch, samples = parse_wav(payload)
+                    rate, ch, samples = parse_audio(payload)
                     a = np.abs(samples.astype(np.int64))
                     frames = samples.size // ch
                     # fixed-point half-up (floor(x*1e6+0.5)/1e6), NOT
@@ -2161,6 +2653,58 @@ def synth_msadpcm_media(docs: DataFrame) -> DataFrame:
                         s2s[0] if ch == 1 else s2s,
                         chans[0] if ch == 1 else chans,
                     )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from ..sources.readers import rebalance_for_compute
+
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_flac_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic FLAC payloads keyed by doc id — REAL
+    ``fLaC`` streams (r13): ``rate = 16000``, alternating MONO (even
+    doc_id) and STEREO (odd — independent channels), ``frames = 60 +
+    doc_id % 60`` over 48-sample blocks (2-3 frames per file, partial
+    tail always present), subframe strategy cycling ``doc_id % 5``:
+    CONSTANT / VERBATIM / FIXED-1 / FIXED-2 / LPC-2 (coefs (3, -2),
+    shift 1). Sample ``i`` of channel ``c`` =
+    ``(doc_id*47 + c*31 + i*9) % 65536 - 32768`` (full int16 range, the
+    mod-wrap spikes exercise long Rice quotients), except the CONSTANT
+    variant which drops the ``i`` term. FLAC is LOSSLESS, so the SQL
+    oracle recomputes features from this closed form directly — no
+    recurrence transcription needed; any codec bug (Rice overlap, CRC,
+    predictor, warm-up, block split) changes decoded samples and
+    hash-fails. Multipliers 47/31/9 collide with no other audio
+    fixture."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = 1 + did % 2
+                frames = 60 + did % 60
+                variant = did % 5
+                i = np.arange(frames, dtype=np.int64)
+                chans = []
+                for c in range(ch):
+                    if variant == 0:
+                        s = np.full(
+                            frames, (did * 47 + c * 31) % 65536 - 32768,
+                            dtype=np.int64,
+                        )
+                    else:
+                        s = (did * 47 + c * 31 + i * 9) % 65536 - 32768
+                    chans.append(s)
+                interleaved = np.empty(frames * ch, dtype=np.int64)
+                for c in range(ch):
+                    interleaved[c::ch] = chans[c]
+                payloads.append(
+                    encode_flac(16000, ch, interleaved, variant=variant)
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 

@@ -1016,6 +1016,9 @@ TOUCHED_R13: tuple[str, ...] = (
     "dedup_simhash_adaptive_capped",  # r13: same guard path
     "text_bpe_tokenize",  # NEW r13: frozen-merges BPE encoder
     "corpus_pack_sequences_bpe",  # NEW r13: packing in real BPE tokens
+    "graph_sssp",  # r13: delta (frontier) relaxation — 7.88 -> 4.38 s
+    # quiet at sf0.1, hash unchanged (same synchronous-BF relation)
+    "multimodal_decode_flac",  # NEW r13: lossless FLAC codec tier
 )
 
 

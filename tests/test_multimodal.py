@@ -1715,3 +1715,208 @@ def test_tiff_packbits_overrun_quarantines():
         _packbits_decode(b"\x81\x07", 3)  # 128-byte repeat into a 3-byte strip
     with pytest.raises(ValueError):
         _packbits_decode(b"\x00\x07", 3)  # 1 literal byte, then starvation
+
+
+# --- FLAC (r13) -------------------------------------------------------------
+
+
+def test_flac_roundtrip_all_variants():
+    """Every subframe strategy × mono/stereo × partial-tail sizes must
+    roundtrip bit-exactly — losslessness IS the format contract."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_flac,
+        parse_flac,
+    )
+
+    for did in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 37, 49, 96, 97, 118, 119):
+        ch = 1 + did % 2
+        frames = 60 + did % 60
+        variant = did % 5
+        i = np.arange(frames, dtype=np.int64)
+        inter = np.empty(frames * ch, dtype=np.int64)
+        for c in range(ch):
+            if variant == 0:
+                inter[c::ch] = (did * 47 + c * 31) % 65536 - 32768
+            else:
+                inter[c::ch] = (did * 47 + c * 31 + i * 9) % 65536 - 32768
+        rate, ch2, out = parse_flac(
+            encode_flac(16000, ch, inter, variant=variant)
+        )
+        assert (rate, ch2) == (16000, ch)
+        assert np.array_equal(out.astype(np.int64), inter), (did, variant)
+
+
+def test_flac_crc_corruption_quarantines():
+    """A flipped payload bit must raise (CRC verified), never emit wrong
+    samples silently."""
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_flac,
+        parse_flac,
+    )
+
+    base = encode_flac(
+        16000, 1, np.arange(100, dtype=np.int64) * 9 % 65536 - 32768,
+        variant=3,
+    )
+    # flip one bit in every byte of the frame region; each must either
+    # raise or (never) decode to the original — count silent successes
+    silent = 0
+    for pos in range(42, len(base)):
+        buf = bytearray(base)
+        buf[pos] ^= 0x10
+        try:
+            parse_flac(bytes(buf))
+            silent += 1
+        except ValueError:
+            pass
+    assert silent == 0, f"{silent} corrupted payloads decoded without error"
+
+
+def test_flac_decoder_extras_escape_partitions_wasted_bits():
+    """Decoder completeness beyond what the fixture encoder emits:
+    escape (verbatim-residual) partitions, partition order > 0, wasted
+    bits, and 8-bit explicit blocksize — hand-assembled frames."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        _flac_crc8,
+        _flac_crc16,
+        _FlacBitWriter,
+        parse_flac,
+    )
+
+    def stream(frames_samples, encode_subframe):
+        frames = sum(len(s) for s in frames_samples)
+        out = bytearray(b"fLaC")
+        out += bytes([0x80, 0, 0, 34])
+        si = _FlacBitWriter()
+        si.write(len(frames_samples[0]), 16)
+        si.write(len(frames_samples[0]), 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(16000, 20)
+        si.write(0, 3)  # mono
+        si.write(15, 5)
+        si.write(frames, 36)
+        out += si.getvalue_aligned_zero()
+        out += bytes(16)
+        for fi, blk in enumerate(frames_samples):
+            hw = _FlacBitWriter()
+            hw.write(0b11111111111110, 14)
+            hw.write(0, 2)
+            hw.write(0b0110, 4)  # 8-bit blocksize follows
+            hw.write(0b0000, 4)
+            hw.write(0, 4)
+            hw.write(0b100, 3)
+            hw.write(0, 1)
+            header = bytearray(hw.getvalue_aligned_zero())
+            header += bytes([fi])
+            header += bytes([len(blk) - 1])
+            header.append(_flac_crc8(bytes(header)))
+            fw = _FlacBitWriter()
+            encode_subframe(fw, blk)
+            frame = bytes(header) + fw.getvalue_aligned_zero()
+            out += frame
+            out += _flac_crc16(frame).to_bytes(2, "big")
+        return bytes(out)
+
+    # escape partitions at partition order 1, FIXED order 1
+    blk = [100, 107, 93, 200, 150, 40, 7, -8]  # blocksize 8, 2 partitions
+
+    def sub_escape(fw, blk):
+        fw.write(0, 1)
+        fw.write(0b001001, 6)  # FIXED order 1
+        fw.write(0, 1)
+        fw.write(blk[0], 16)
+        resid = [blk[i] - blk[i - 1] for i in range(1, len(blk))]
+        fw.write(0, 2)  # method 00 (4-bit params)
+        fw.write(1, 4)  # partition order 1 -> 2 partitions
+        # partition 1: 8/2 - order = 3 residuals, ESCAPE raw 9 bits
+        fw.write(0b1111, 4)
+        fw.write(9, 5)
+        for r in resid[:3]:
+            fw.write(r, 9)
+        # partition 2: 4 residuals, rice k=4
+        fw.write(4, 4)
+        for r in resid[3:]:
+            u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            fw.write_unary(u >> 4)
+            fw.write(u & 15, 4)
+
+    rate, ch, out = parse_flac(stream([blk], sub_escape))
+    assert list(out) == blk
+
+    # wasted bits: samples all multiples of 4 -> 2 wasted bits, CONSTANT
+    blk2 = [-1024] * 6
+
+    def sub_wasted(fw, blk):
+        fw.write(0, 1)
+        fw.write(0b000000, 6)
+        fw.write(1, 1)  # wasted-bits flag
+        fw.write_unary(1)  # unary 1 -> wasted = 2
+        fw.write(blk[0] >> 2, 14)  # effective bps = 16 - 2
+
+    rate, ch, out = parse_flac(stream([blk2], sub_wasted))
+    assert list(out) == blk2
+
+
+def test_flac_unsupported_shapes_quarantine():
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_flac,
+        parse_flac,
+        parse_audio,
+    )
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        parse_flac(b"fLaX" + bytes(60))
+    # stereo decorrelation channel codes (left/side = 0b1000) quarantine
+    base = bytearray(encode_flac(16000, 2, np.zeros(16, dtype=np.int64)))
+    # frame starts right after 4 magic + 4 header + 34 streaminfo
+    fo = 42
+    # channel bits live in header byte 3 bits 4-7 (after 16-bit sync+res,
+    # bs/sr nibbles byte 2): byte fo+3 = cccc sss r
+    base[fo + 3] = (0b1000 << 4) | (base[fo + 3] & 0x0F)
+    with pytest.raises(ValueError, match="decorrelation|CRC"):
+        parse_flac(bytes(base))
+    # dispatch: RIFF still routes to parse_wav
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_audio(b"RIFX" + bytes(20))
+
+
+def test_flac_spark_features_match_direct_decode(spark):
+    """End-to-end through the Arrow path on a small doc set: the decoded
+    features must equal a driver-side decode of the same payloads."""
+    import math
+
+    import numpy as np
+
+    from etl_drone_sense_spark.operators import multimodal
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    media = multimodal.synth_flac_media(docs)
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.decode_audio_features(media).collect()
+    }
+    payloads = {r["media_id"]: r["payload"] for r in media.collect()}
+    assert len(feats) == 12
+    for mid, row in feats.items():
+        rate, ch, samples = multimodal.parse_flac(payloads[mid])
+        assert row["decode_ok"]
+        a = np.abs(samples.astype(np.int64))
+        frames = samples.size // ch
+        assert row["sample_rate"] == rate == 16000
+        assert row["channels"] == ch
+        assert row["n_frames"] == frames
+        assert row["peak"] == int(a.max())
+        assert row["mean_abs"] == (
+            math.floor(int(a.sum()) * 1.0 / samples.size * 1e6 + 0.5) / 1e6
+        )

@@ -799,3 +799,47 @@ def test_binned_quantiles_never_sorts_the_full_relation(spark, sf_dir):
     assert "WindowGroupLimit" not in txt
     # sanity: the plan still contains the two windows (cum + in-bin pick)
     assert plan.count("Window") >= 2, plan
+
+
+def test_sssp_rounds_frontier_only_one_exchange(spark, sf_dir):
+    """r13 delta-relaxation pin: every per-round SSSP checkpoint job must
+    (a) SHUFFLE_HASH both loop joins (the frontier relax and the
+    dist⟗cand merge) with no sorts, (b) move data exactly ONCE — the
+    map-combined message aggregation; the relax join is co-partitioned
+    (state hash(node, W) against adjacency hash(u, W)) and the merge
+    joins two node-partitioned relations. Graph sized so loop width > 1
+    (width-1 partitioning is not recognized and would re-exchange)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from etl_drone_sense_spark.operators import graph as G
+
+    edges = spark.range(60000).select(
+        (F.col("id") % 5000).alias("src"),
+        ((F.col("id") * 37) % 5000).alias("dst"),
+        (1 + F.col("id") % 9).alias("w"),
+    )
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    plans = []
+    orig = _CDF.localCheckpoint
+
+    def spy(self, eager=True):
+        plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager=eager)
+
+    _CDF.localCheckpoint = spy
+    try:
+        G.sssp_fixed_rounds(sym, source=1, rounds=3)
+    finally:
+        _CDF.localCheckpoint = orig
+    # plans: edge checkpoint, adjacency pin, state init, 3 round states
+    rounds = plans[-3:]
+    for rp in rounds:
+        assert "SortMergeJoin" not in rp, rp
+        assert rp.count("ShuffledHashJoin") == 1, rp
+        assert rp.count("Exchange") == 1, rp
+        assert "+- Sort" not in rp and "- Sort " not in rp, rp
