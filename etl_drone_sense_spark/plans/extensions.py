@@ -5862,6 +5862,101 @@ def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmv_estimates(sketch, _KMV_K)
 
 
+_STREAM_MINHASH_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "stream_minhash_index",
+    oracle=f"""
+    WITH {_minhash_sig_cte()},
+    {_bands_cte()}
+    SELECT doc_id, band_idx, bucket FROM bands
+    """,
+    tags=("streaming", "dedup", "lake"),
+)
+def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL LSH-index maintenance (r13 — r12 VERDICT item 7): the
+    streaming reason operators/dedup.minhash_index exists. The document
+    feed drains in four micro-batches (``maxFilesPerTrigger=1``); each
+    batch minhashes ONLY ITS OWN documents — once, ever — and APPENDS
+    its (doc, band) signature rows to the committed ``minhash_index``
+    table (txn-stamped, so a retried batch is a no-op and the append is
+    exactly-once). This closes the loop between the dedup family and
+    the lake family: the corpus side of every future near-dup probe
+    (dedup_incremental's shape) is a stored scan of this table, not a
+    recompute of history.
+
+    THE ORACLE IS THE BATCH-BUILT INDEX (dedup_minhash's own sig+bands
+    CTEs): band signatures are a pure per-document map, so per-batch
+    hashing ∪ append must equal the one-shot build ROW FOR ROW — the
+    same mergeability-proof shape as stream_sketch_kmv, here for the
+    index relation itself. A hash-family drift between the streaming
+    and batch paths (seed, shingle width, band split) changes bucket
+    strings and hash-fails.
+
+    Scale: per batch one narrow Arrow-free map over the batch's docs
+    (md5 shingles → k min-components → band buckets, zero joins), an
+    append commit (pointer swap; history files untouched). The final
+    read is a plain scan of the committed table."""
+    import os as _os
+    import tempfile
+
+    from ..operators import dedup as D
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/documents.parquet"))
+    root = _STREAM_MINHASH_TABLES.get(key)
+    if root is None:
+        work = tempfile.mkdtemp(prefix="sg_mhidx_")
+        root, feed, ckpt = (
+            _os.path.join(work, d) for d in ("tbl", "feed", "ckpt")
+        )
+        TC.commit(
+            spark.createDataFrame(
+                [], "doc_id bigint, band_idx int, bucket string"
+            ),
+            root,
+        )
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        # four arbitrary chunks: the index build is a per-doc pure map,
+        # so the final table must be chop-invariant (pinned in tests)
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            idx = D.minhash_index(
+                bdf, "doc_id", "text", k=MH_K, bands=MH_BANDS,
+                shingle_n=SHINGLE_N,
+            ).select("doc_id", "band_idx", "bucket")
+            TC.commit(
+                idx,
+                root,
+                mode="append",
+                _operation="minhash_index_append",
+                txn=("stream_minhash", batch_id),
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_MINHASH_TABLES[key] = root
+    from ..sources import table_commit as TC2
+
+    return TC2.read_table(spark, root).select("doc_id", "band_idx", "bucket")
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting (r9): oriented wedge join over the co-occurrence graph
 # ---------------------------------------------------------------------------

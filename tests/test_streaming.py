@@ -538,3 +538,84 @@ def test_stream_scd2_apply_is_multi_batch_and_idempotent(spark, sf_dir):
     assert ops.count("scd2_apply") >= 2, ops
     last = TC.read_snapshot(root, version)
     assert last.txn_map.get("stream_scd2") == 1, last.txn
+
+
+def test_minhash_index_stream_chop_invariance(spark, sf_dir, tmp_path):
+    """r13 (stream_minhash_index): the committed LSH index must be
+    IDENTICAL however the document feed is chopped into micro-batches —
+    band signatures are a per-doc pure map, so per-batch hashing ∪
+    append = the one-shot batch build, row for row. Builds the index
+    through the real foreachBatch+commit machinery with a 2-chop and a
+    3-chop of the same 60 docs and compares against the direct batch
+    operator output."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.operators import dedup as D
+    from etl_drone_sense_spark.plans.extensions import (
+        MH_BANDS,
+        MH_K,
+        SHINGLE_N,
+    )
+    from etl_drone_sense_spark.sources import table_commit as TC
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+
+    def build(nchop: int, tag: str) -> list:
+        root = str(tmp_path / f"tbl_{tag}")
+        feed = str(tmp_path / f"feed_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        TC.commit(
+            spark.createDataFrame(
+                [], "doc_id bigint, band_idx int, bucket string"
+            ),
+            root,
+        )
+        for i in range(nchop):
+            docs.filter(F.col("doc_id") % nchop == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            idx = D.minhash_index(
+                bdf, "doc_id", "text", k=MH_K, bands=MH_BANDS,
+                shingle_n=SHINGLE_N,
+            ).select("doc_id", "band_idx", "bucket")
+            TC.commit(
+                idx, root, mode="append",
+                _operation="minhash_index_append",
+                txn=(f"chop_{tag}", batch_id),
+            )
+
+        q = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["doc_id"], r["band_idx"], r["bucket"])
+            for r in TC.read_table(spark, root).collect()
+        )
+
+    two = build(2, "two")
+    three = build(3, "three")
+    batch = sorted(
+        (r["doc_id"], r["band_idx"], r["bucket"])
+        for r in D.minhash_index(
+            docs, "doc_id", "text", k=MH_K, bands=MH_BANDS,
+            shingle_n=SHINGLE_N,
+        )
+        .select("doc_id", "band_idx", "bucket")
+        .collect()
+    )
+    assert two == three == batch
+    assert len(batch) == 60 * MH_BANDS
