@@ -616,13 +616,18 @@ def encode_gif(
 def encode_gif_animated(
     width: int,
     height: int,
-    frames: list[bytes],
+    frames: list,
     palette: bytes,
     delay_cs: int = 10,
+    background: int = 0,
 ) -> bytes:
-    """GIF89a animation writer: every frame full-rect over the global
-    color table, a Graphic Control Extension (delay, no transparency)
-    before each — the full-frame subset parse_gif_frames decodes."""
+    """GIF89a animation writer over the global color table, a Graphic
+    Control Extension before each frame. Each entry of ``frames`` is
+    either ``bytes`` (a FULL-RECT frame, disposal 0, no transparency —
+    the pre-r13 subset, kept bit-identical) or a tuple
+    ``(indices, left, top, w, h, disposal, transparent_idx)`` for a
+    SUB-RECT frame with an explicit disposal method (0/1/2) and an
+    optional transparent index (None = opaque)."""
     if not frames:
         raise ValueError("gif: animation needs at least one frame")
     if len(palette) != 256 * 3:
@@ -630,15 +635,30 @@ def encode_gif_animated(
     out = bytearray(b"GIF89a")
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
     out.append(0xF7)
-    out += b"\x00\x00"
+    out.append(background & 0xFF)
+    out += b"\x00"
     out += palette
-    for indices in frames:
-        if len(indices) != width * height:
+    for entry in frames:
+        if isinstance(entry, (bytes, bytearray)):
+            indices, left, top, fw, fh = bytes(entry), 0, 0, width, height
+            disposal, transparent = 0, None
+        else:
+            indices, left, top, fw, fh, disposal, transparent = entry
+        if len(indices) != fw * fh:
             raise ValueError("gif: raster size mismatch")
-        out += b"\x21\xf9\x04\x00"  # GCE: no disposal, no transparency
-        out += delay_cs.to_bytes(2, "little") + b"\x00\x00"
-        out += b"\x2c" + b"\x00\x00\x00\x00"
-        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        packed = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            packed |= 0x01
+            tidx = transparent & 0xFF
+        out += b"\x21\xf9\x04"
+        out.append(packed)
+        out += delay_cs.to_bytes(2, "little")
+        out.append(tidx)
+        out += b"\x00"
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
         out.append(0x00)
         out.append(8)
         comp = _lzw_compress_gif(bytes(indices), 8)
@@ -652,19 +672,23 @@ def encode_gif_animated(
 
 
 def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
-    """Decode a GIF87a/89a to (width, height, [raw RGB per frame]) —
-    single images AND full-frame animations.
+    """Decode a GIF87a/89a to (width, height, [full-canvas RGB per
+    frame]) — single images, full-frame animations, AND (r13 — r12
+    VERDICT item 8) PARTIAL-RECT animations with disposal compositing.
 
     Supported: global or local color tables, any LZW min code size,
     INTERLACED frames (four-pass row reorder), any number of frames,
-    extension blocks skipped (GCE transparency/disposal is IGNORED —
-    every supported frame is a full-rect replacement, so there is
-    nothing to compose; the feature extractor reads opaque RGB like the
-    PNG alpha-drop path). Quarantined as ValueError (the one-corrupt-
-    blob-must-not-kill-the-scan contract): PARTIAL-RECT animation
-    frames (sub-rectangle updates need disposal compositing — the
-    honest unsupported subset), missing color tables, truncated or
-    over-long LZW streams."""
+    sub-rectangle frames composited onto a retained logical-screen
+    canvas, GCE TRANSPARENCY (transparent pixels leave the underlying
+    canvas pixel), disposal methods 0/1 (keep) and 2 (restore the
+    frame's rect to the background color — the GCT entry named by the
+    screen descriptor, black without one). Each emitted frame is the
+    CANVAS SNAPSHOT after drawing, so full-rect streams decode exactly
+    as before. Quarantined as ValueError (the one-corrupt-blob-must-
+    not-kill-the-scan contract): disposal 3 (restore-to-previous — the
+    honest remaining subset: it needs a second retained canvas and no
+    mainstream encoder emits it), rects outside the canvas, missing
+    color tables, truncated or over-long LZW streams."""
     buf = bytes(payload or b"")
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
@@ -675,6 +699,7 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
     sh = int.from_bytes(buf[pos + 2 : pos + 4], "little")
     pos += 4
     packed = buf[pos]
+    bg_index = buf[pos + 1]
     pos += 3
     gct = b""
     if packed & 0x80:
@@ -683,9 +708,23 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
         if len(gct) < 3 * n:
             raise ValueError("gif: truncated global color table")
         pos += 3 * n
+    bg_rgb = (0, 0, 0)
+    if gct and bg_index < len(gct) // 3:
+        bg_rgb = tuple(gct[3 * bg_index : 3 * bg_index + 3])
+    # Canvas allocation is DEFERRED to the first image descriptor and
+    # capped: the screen dims are two unvalidated header shorts, so a
+    # fuzzed 65535x65535 header would otherwise commit 12.8 GB before
+    # any pixel data is even read (the one-corrupt-blob contract again —
+    # allocation is work too). 64M pixels ≈ 8K x 8K, far above any real
+    # animation this pipeline ingests.
+    if sw * sh > 64_000_000:
+        raise ValueError("gif: canvas exceeds the 64M-pixel decode cap")
 
     frames: list[bytes] = []
-    size: tuple[int, int] | None = None
+    canvas: np.ndarray | None = None
+    # pending GCE state — applies to the NEXT image only, per spec
+    disposal = 0
+    transparent: int | None = None
     while True:
         if pos >= len(buf):
             raise ValueError("gif: missing trailer")
@@ -694,14 +733,21 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: label + sub-blocks
+            label = buf[pos] if pos < len(buf) else -1
             pos += 1
+            sub = bytearray()
             while True:
                 if pos >= len(buf):
                     raise ValueError("gif: truncated extension")
                 n = buf[pos]
+                if n:
+                    sub += buf[pos + 1 : pos + 1 + n]
                 pos += 1 + n
                 if n == 0:
                     break
+            if label == 0xF9 and len(sub) >= 4:  # Graphic Control
+                disposal = (sub[0] >> 2) & 0x07
+                transparent = sub[3] if sub[0] & 0x01 else None
             continue
         if b0 != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b0:02x}")
@@ -713,13 +759,25 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
         h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
         ipacked = buf[pos + 8]
         pos += 9
-        if (left, top) != (0, 0) or (sw and sh and (w, h) != (sw, sh)):
+        if canvas is None:
+            if not (sw and sh):
+                # headerless screen size (sw=sh=0): the first frame
+                # defines the canvas, so it must anchor at the origin
+                if (left, top) != (0, 0):
+                    raise ValueError("gif: no screen size and offset frame")
+                sw, sh = w, h
+                if sw * sh > 64_000_000:
+                    raise ValueError(
+                        "gif: canvas exceeds the 64M-pixel decode cap"
+                    )
+            canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+            canvas[:, :] = bg_rgb
+        if left + w > sw or top + h > sh:
+            raise ValueError("gif: frame rect outside the canvas")
+        if disposal >= 3:
             raise ValueError(
-                "gif: partial-rect animation frames unsupported "
-                "(disposal compositing needed)"
+                "gif: disposal method 3 (restore-to-previous) unsupported"
             )
-        if size is not None and (w, h) != size:
-            raise ValueError("gif: frame size changed mid-animation")
         interlaced = bool(ipacked & 0x40)
         ct = gct
         if ipacked & 0x80:
@@ -765,15 +823,23 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
             out_rows[_gif_interlace_order(h)] = rows
             indices = out_rows.tobytes()
         n_colors = len(ct) // 3
-        arr = np.frombuffer(indices, dtype=np.uint8)
-        if int(arr.max(initial=0)) >= n_colors:
+        arr = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+        opaque = (
+            arr != transparent if transparent is not None
+            else np.ones((h, w), dtype=bool)
+        )
+        if int(arr[opaque].max(initial=0)) >= n_colors:
             raise ValueError("gif: index beyond color table")
         pal = np.frombuffer(ct[: 3 * n_colors], dtype=np.uint8).reshape(-1, 3)
-        frames.append(pal[arr].reshape(-1).tobytes())
-        size = (w, h)
+        rect = canvas[top : top + h, left : left + w]
+        rect[opaque] = pal[arr % n_colors][opaque]
+        frames.append(canvas.reshape(-1).tobytes())
+        if disposal == 2:
+            rect[:, :] = bg_rgb
+        disposal, transparent = 0, None  # GCE applies to one image only
     if not frames:
         raise ValueError("gif: no image frame before trailer")
-    return size[0], size[1], frames
+    return sw, sh, frames
 
 
 def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
@@ -3935,10 +4001,17 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
 
 def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic ANIMATED GIF payloads keyed by doc id —
-    REAL multi-frame GIF89a (GCE + full-rect frames, encode_gif_animated):
-    ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``,
-    ``n_frames = 2 + doc_id % 4``; frame ``f`` index at pixel ``p`` =
-    ``(doc_id*53 + f*17 + p) % 64``, palette byte ``b`` =
+    REAL multi-frame GIF89a with PARTIAL-RECT disposal compositing
+    (r13): ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``,
+    ``n_frames = 2 + doc_id % 4``, background index 7. Frame 0 is
+    full-rect with index ``(doc_id*53 + p) % 64`` at pixel ``p``; every
+    later frame ``g`` is a SINGLE-ROW sub-rect over row ``g-1`` (rows
+    are distinct, so each canvas pixel is painted by at most one
+    sub-rect — the closed form the SQL oracle needs) with content index
+    ``(doc_id*53 + g*17 + x) % 64`` at column ``x``, TRANSPARENT index
+    63 (those pixels keep the frame-0 canvas underneath), disposal 2 on
+    frame 1 (its row restores to background in every later snapshot)
+    and disposal 1 on the rest. Palette byte ``b`` =
     ``(doc_id*59 + b) % 256``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3948,11 +4021,18 @@ def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
                 pal = bytes((did * 59 + b) % 256 for b in range(256 * 3))
-                frames = [
-                    bytes((did * 53 + f * 17 + p) % 64 for p in range(w * h))
-                    for f in range(2 + did % 4)
+                nf = 2 + did % 4
+                frames: list = [
+                    bytes((did * 53 + p) % 64 for p in range(w * h))
                 ]
-                payloads.append(encode_gif_animated(w, h, frames, pal))
+                for g in range(1, nf):
+                    row = bytes((did * 53 + g * 17 + x) % 64 for x in range(w))
+                    frames.append(
+                        (row, 0, g - 1, w, 1, 2 if g == 1 else 1, 63)
+                    )
+                payloads.append(
+                    encode_gif_animated(w, h, frames, pal, background=7)
+                )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     from ..sources.readers import rebalance_for_compute

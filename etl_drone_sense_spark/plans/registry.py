@@ -1019,6 +1019,10 @@ TOUCHED_R13: tuple[str, ...] = (
     "graph_sssp",  # r13: delta (frontier) relaxation — 7.88 -> 4.38 s
     # quiet at sf0.1, hash unchanged (same synchronous-BF relation)
     "multimodal_decode_flac",  # NEW r13: lossless FLAC codec tier
+    "stream_minhash_index",  # NEW r13: incremental LSH-index appends
+    "multimodal_gif_frame_sample",  # r13: partial-rect disposal
+    # compositing — fixture now sub-rect rows + transparency + disposal
+    # 1/2; quarantine narrowed to disposal 3 only
 )
 
 

@@ -869,7 +869,7 @@ def test_gif_animation_roundtrip_and_partial_rect_quarantine():
         exp = palv[np.frombuffer(fr, np.uint8)].reshape(-1).tobytes()
         assert got[f] == exp
 
-    # partial-rect frame: shift the second descriptor's left offset
+    # r13 quarantines: a rect past the canvas edge, and disposal 3
     payload = bytearray(encode_gif_animated(w, h, frames, pal))
     first = payload.index(b"\x2c", 13 + 768)
     second = payload.index(b"\x2c", first + 1)
@@ -877,9 +877,84 @@ def test_gif_animation_roundtrip_and_partial_rect_quarantine():
     # preceded by the GCE terminator \x00
     while payload[second - 1] != 0:
         second = payload.index(b"\x2c", second + 1)
-    payload[second + 1] = 1  # left = 1
-    with pytest.raises(ValueError, match="partial-rect"):
+    payload[second + 1] = 1  # left = 1 -> 1 + w > sw
+    with pytest.raises(ValueError, match="outside the canvas"):
         parse_gif_frames(bytes(payload))
+    bad = encode_gif_animated(
+        w, h,
+        [frames[0], (frames[1], 0, 0, w, h, 3, None)],  # disposal 3
+        pal,
+    )
+    with pytest.raises(ValueError, match="disposal method 3"):
+        parse_gif_frames(bad)
+    with pytest.raises(ValueError, match="64M-pixel"):
+        parse_gif_frames(
+            b"GIF89a" + (60000).to_bytes(2, "little") * 2 + b"\x00\x00\x00;"
+        )
+
+
+def test_gif_partial_rect_disposal_compositing():
+    """r13 (r12 VERDICT item 8): sub-rect frames composite onto the
+    retained canvas — disposal 1 persists, disposal 2 restores the rect
+    to the background color, transparent pixels leave the underlying
+    canvas pixel. Reference canvases computed independently with plain
+    Python loops."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_gif_animated,
+        parse_gif_frames,
+    )
+
+    w, h = 6, 5
+    pal = bytes((k * 7 + c * 3) % 256 for k in range(256) for c in range(3))
+    palv = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    bg = 9
+    base = bytes((3 + p) % 64 for p in range(w * h))  # frame 0 full-rect
+    # frame 1: row 1, disposal 2, index 17 everywhere, transparent 63
+    row1 = bytes([17, 63, 17, 63, 17, 17])
+    # frame 2: rows 2-3 cols 1-4 (2x4 rect), disposal 1, transparent 63
+    rect2 = bytes([63, 20, 21, 63, 22, 63, 63, 23])
+    payload = encode_gif_animated(
+        w, h,
+        [
+            base,
+            (row1, 0, 1, w, 1, 2, 63),
+            (rect2, 1, 2, 4, 2, 1, 63),
+        ],
+        pal,
+        background=bg,
+    )
+    gw, gh, got = parse_gif_frames(payload)
+    assert (gw, gh, len(got)) == (w, h, 3)
+
+    canvas = [[base[r * w + c] for c in range(w)] for r in range(h)]
+
+    def rgb(cv):
+        flat = bytearray()
+        for r in range(h):
+            for c in range(w):
+                flat += bytes(palv[cv[r][c]])
+        return bytes(flat)
+
+    # snapshot 0: frame 0
+    assert got[0] == rgb(canvas)
+    # snapshot 1: row 1 gets 17 where opaque, keeps base where transparent
+    snap1 = [row[:] for row in canvas]
+    for c in range(w):
+        if row1[c] != 63:
+            snap1[1][c] = row1[c]
+    assert got[1] == rgb(snap1)
+    # disposal 2: row 1 restored to BACKGROUND before frame 2 draws
+    snap2 = [row[:] for row in canvas]
+    for c in range(w):
+        snap2[1][c] = bg
+    for rr in range(2):
+        for cc in range(4):
+            v = rect2[rr * 4 + cc]
+            if v != 63:
+                snap2[2 + rr][1 + cc] = v
+    assert got[2] == rgb(snap2)
 
 
 def test_video_features_dispatch_gif(spark):
