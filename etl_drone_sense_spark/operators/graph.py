@@ -575,6 +575,108 @@ def sssp_fixed_rounds(
     return _on_session(state.select("node", "dist"), caller)
 
 
+def connected_components_contract(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component) by ALTERNATING STAR CONTRACTION (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — component =
+    min reachable id, the same output contract as
+    ``connected_components``, computed by a STRUCTURALLY INDEPENDENT
+    recurrence: where min-label propagation keeps the topology fixed
+    and floods labels (O(diameter) rounds), star contraction REWIRES
+    the edge set every round (large-star hooks every bigger neighbor of
+    u onto u's neighborhood minimum, small-star collapses the
+    smaller-pointing edges), converging in O(log²) rounds to stars
+    whose centers are the component minima.
+
+    This operator exists for CROSS-VERIFICATION (r13 — r12 VERDICT
+    item 5): two in-engine algorithms that share no recurrence, no
+    join shape, and no intermediate relation agreeing on the same pair
+    relation is the sf1-scale replacement for the driver-side
+    sequential union-find harness (tools/sf1_exclusions.py) — the
+    verification itself now runs distributed. It is NOT the registry
+    hot path (connected_components' diameter-bound rounds beat log²
+    rewiring on the shallow clusters LSH emits); plans keep using the
+    propagation loop.
+
+    Only nodes appearing in an edge are returned (singletons label
+    themselves by omission), matching ``connected_components``."""
+    base = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    caller = edges.sparkSession
+    priv = _narrow_private_session(caller, base.count())
+    cur = _on_session(base, priv)
+
+    converged = False
+    for _ in range(max_rounds):
+        # ---- large-star over the symmetric view: for every node u,
+        # hook each LARGER neighbor onto m = min(N(u) ∪ {u}); output
+        # edges are oriented larger→smaller by construction.
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star on the oriented relation (every v < u): each
+        # node u re-points its smaller neighbors AND itself at
+        # m = min(N(u)) — no symmetric view needed since edges already
+        # run larger→smaller.
+        minsd = large.groupBy("u").agg(F.min("v").alias("_mn"))
+        part_nbrs = (
+            large.join(minsd, "u")
+            .filter(F.col("v") != F.col("_mn"))
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+        )
+        part_self = minsd.select("u", F.col("_mn").alias("v"))
+        nxt = (
+            part_nbrs.unionByName(part_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # exact set-equality convergence probe (both sides distinct +
+        # materialized): same count and empty difference
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        ):
+            converged = True
+            cur = nxt
+            break
+        cur = nxt
+    if not converged:
+        warnings.warn(
+            f"connected_components_contract did not converge after "
+            f"{max_rounds} rounds — labels may be partial",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    labels = cur.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).unionByName(
+        cur.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    ).distinct()
+    return _on_session(labels.localCheckpoint(eager=True), caller)
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -139,26 +139,20 @@ def test_no_sizing_count_job_when_not_narrowing(spark, monkeypatch):
     )
 
 
-def test_sf1_harness_unionfind_matches_suite_reference():
-    """tools/sf1_exclusions.py carries its own union-find (the sf1
-    compare harness must not import from tests/); pin the two
-    implementations identical on adversarial edge sets so the harness's
-    ground truth IS the suite's ground truth."""
-    import random
-    import sys
+def test_sf1_harness_carries_no_driver_side_closure():
+    """r13 (r12 VERDICT item 5): tools/sf1_exclusions.py no longer
+    contains a driver-side sequential union-find — the cluster-closure
+    family's sf1 certs run as two independent IN-ENGINE CC algorithms
+    through the queries' own pipelines. The union-find ground truth
+    lives here in the unit suite (test_contract_cc_* pins the
+    contraction verifier against _union_find directly)."""
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-    from sf1_exclusions import union_find as harness_uf
-
-    rng = random.Random(19)
-    for _ in range(5):
-        n = rng.randrange(2, 400)
-        edges = [
-            (rng.randrange(n), rng.randrange(n))
-            for _ in range(rng.randrange(1, 600))
-        ]
-        assert harness_uf(edges) == _union_find(edges)
+    src = (
+        Path(__file__).resolve().parents[1] / "tools" / "sf1_exclusions.py"
+    ).read_text()
+    assert "union_find" not in src
+    assert "connected_components_contract" in src
 
 
 # ---------------------------------------------------------------------------
@@ -221,3 +215,47 @@ def test_flatten_hierarchy_never_mutates_caller_conf(spark):
     nodes = spark.createDataFrame([(1, None), (2, 1)], "key long, parent long")
     flatten_hierarchy(nodes).collect()
     assert spark.conf.get(key) == before
+
+
+def test_contract_cc_matches_union_find_and_propagation(spark):
+    """r13 cross-verifier (connected_components_contract): the star-
+    contraction recurrence must agree with BOTH the sequential
+    union-find reference and the propagation loop on adversarial
+    shapes — a deep chain (diameter stress), a star, a triangle with a
+    tail, singleton-free random graphs, and a two-component mix."""
+    import random
+
+    from etl_drone_sense_spark.operators.graph import (
+        connected_components,
+        connected_components_contract,
+    )
+
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)
+    ]
+    rand_edges = [(a, b) for a, b in rand_edges if a != b]
+    shapes = {
+        "chain": [(i, i + 1) for i in range(25)],
+        "star": [(100, 100 + i) for i in range(1, 12)],
+        "triangle_tail": [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+        "two_comp": [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        "random": rand_edges,
+    }
+    for name, edges in shapes.items():
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = _union_find(edges)
+        got_contract = {
+            r["node"]: r["component"]
+            for r in connected_components_contract(df).collect()
+        }
+        # max_iters=40: the 25-deep chain exceeds the propagation
+        # loop's default diameter budget (it warns + returns partial —
+        # the documented contract); contraction needs no such bump, its
+        # rounds are O(log² n) regardless of diameter.
+        got_prop = {
+            r["node"]: r["component"]
+            for r in connected_components(df, max_iters=40).collect()
+        }
+        assert got_contract == want, name
+        assert got_prop == want, name

@@ -1,17 +1,24 @@
-"""Close the three sf1 oracle exclusions (r6 VERDICT item 2).
+"""Close the sf1 oracle exclusions (r6 VERDICT item 2; reworked r13).
 
 SF1_CERT.md certified 145/148 queries by direct hash compare at the 10×
-fixture; three were excluded for ORACLE/COMPARE-side cost, not engine
-failures. This harness certifies each with the alternative the r6
-verdict prescribed:
+fixture; the rest were excluded for ORACLE/COMPARE-side cost, not engine
+failures. This harness certifies each with an alternative:
 
-* ``dedup_cluster_stats`` — the DuckDB recursive-CTE closure times out
-  at sf1 (Σ|component|² tuples). Here the ground truth is a DRIVER-SIDE
-  sequential union-find over the engine's own pair relation — legitimate
-  because that pair relation is itself hash-certified at sf1
-  (``dedup_minhash``, 4.25M rows, SF1_CERT.md) and the union-find is the
-  same independent implementation the unit suite uses
-  (tests/test_graph.py).
+* ``dedup_cluster_stats`` / ``corpus_split_leakage_safe`` /
+  ``dedup_keep_best`` — the DuckDB recursive-CTE closure times out at
+  sf1 (Σ|component|² tuples). r13 (r12 VERDICT item 5): each query runs
+  TWICE in-engine — once as registered (min-label PROPAGATION
+  connected components) and once with the CC step swapped for the
+  structurally independent STAR-CONTRACTION implementation
+  (operators/graph.connected_components_contract: different recurrence,
+  different join shapes, edge rewiring instead of label flooding) — and
+  the full outputs must match canonically. Everything downstream of the
+  CC swap (LSH pairs, md5 coins, quality scores, windows) is the
+  query's own certified code, so a disagreement isolates the closure.
+  This replaces the pre-r13 DRIVER-SIDE sequential union-find harness
+  (319-429 s single-threaded walls) with distributed verification; the
+  union-find ground truth lives on in tests/test_graph.py at unit
+  scale, where the contraction operator is pinned against it directly.
 * ``geo_radius_join`` — the registered oracle is the DELIBERATE
   quadratic join (1.5×10⁹ candidates at sf1). Here DuckDB runs an
   INDEPENDENT latitude-band blocked formulation; with the
@@ -52,191 +59,55 @@ def canon(df_):
     return sorted(tuple(c(r[col]) for col in cols) for r in df_.to_dict("records"))
 
 
-def union_find(pairs):
-    # same algorithm as tests/test_graph.py::_union_find (kept in sync by
-    # test_sf1_harness_unionfind_matches below importing THIS one there)
-    parent: dict[int, int] = {}
+def _two_path_cc(spark, name: str) -> dict:
+    """Run registry query ``name`` twice — propagation CC (as
+    registered) vs star-contraction CC (the independent verifier) — and
+    compare the full outputs canonically. See the module docstring."""
+    from etl_drone_sense_spark.operators import graph as G
+    from etl_drone_sense_spark.plans.registry import get
 
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    t0 = time.time()
+    a = get(name).fn(spark, SF1).toPandas()
+    t_prop = round(time.time() - t0, 1)
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
+    orig = G.connected_components
+
+    def contract_cc(edges, src="id_a", dst="id_b", **_ignored):
+        # same (node, component) contract; max_iters/narrow_shuffle are
+        # propagation-loop knobs the contraction path has no use for
+        return G.connected_components_contract(edges, src, dst)
+
+    t1 = time.time()
+    G.connected_components = contract_cc
+    try:
+        b = get(name).fn(spark, SF1).toPandas()
+    finally:
+        G.connected_components = orig
+    t_contract = round(time.time() - t1, 1)
+    return {
+        "match": sorted(a.columns) == sorted(b.columns)
+        and canon(a) == canon(b),
+        "rows": int(len(a)),
+        "rows_contract": int(len(b)),
+        "wall_s": round(time.time() - t0, 1),
+        "wall_propagation_s": t_prop,
+        "wall_contraction_s": t_contract,
+        "method": "two independent in-engine CC algorithms (min-label "
+        "propagation vs star contraction) through the query's own "
+        "downstream pipeline; full canonical output compare",
+    }
 
 
 def check_cluster_stats(spark) -> dict:
-    from collections import Counter
-
-    from etl_drone_sense_spark.operators import dedup
-    from etl_drone_sense_spark.plans.extensions import (
-        MH_BANDS,
-        MH_K,
-        SHINGLE_N,
-    )
-    from etl_drone_sense_spark.plans.registry import get, t
-
-    t0 = time.time()
-    pairs = dedup.minhash_lsh_pairs(
-        t(spark, SF1, "documents"), "doc_id", "text",
-        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
-    )
-    edge_rows = pairs.select("id_a", "id_b").toPandas()
-    comp = union_find(
-        list(zip(edge_rows["id_a"].tolist(), edge_rows["id_b"].tolist()))
-    )
-    sizes = Counter(comp.values())
-    want = sorted(
-        (lab, n, lab) for lab, n in sizes.items()
-    )  # (component, n_members, keep_id): keep = min member = label
-
-    got_rows = get("dedup_cluster_stats").fn(spark, SF1).toPandas()
-    got = sorted(
-        (int(r.component), int(r.n_members), int(r.keep_id))
-        for r in got_rows.itertuples()
-    )
-    return {
-        "match": got == want,
-        "edges": int(len(edge_rows)),
-        "clusters": int(len(got)),
-        "wall_s": round(time.time() - t0, 1),
-        "method": "driver union-find over the sf1-hash-certified pair relation",
-    }
+    return _two_path_cc(spark, "dedup_cluster_stats")
 
 
 def check_split_leakage(spark) -> dict:
-    """corpus_split_leakage_safe at sf1 — same oracle-cost exclusion class
-    as dedup_cluster_stats (its DuckDB side IS the recursive closure):
-    ground truth = the same driver union-find over the sf1-hash-certified
-    pair relation, plus the md5 coins replayed in python (hashlib md5 of
-    the decimal string, first 8 hex digits, mod 10 — the engines' exact
-    arithmetic)."""
-    import hashlib
-    from collections import defaultdict
-
-    from etl_drone_sense_spark.operators import dedup
-    from etl_drone_sense_spark.plans.extensions import (
-        MH_BANDS,
-        MH_K,
-        SHINGLE_N,
-    )
-    from etl_drone_sense_spark.plans.registry import get, t
-
-    t0 = time.time()
-    docs = (
-        t(spark, SF1, "documents").select("doc_id").toPandas()["doc_id"]
-        .astype(int).tolist()
-    )
-    pairs = dedup.minhash_lsh_pairs(
-        t(spark, SF1, "documents"), "doc_id", "text",
-        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
-    )
-    edge_rows = pairs.select("id_a", "id_b").toPandas()
-    comp = union_find(
-        list(zip(edge_rows["id_a"].tolist(), edge_rows["id_b"].tolist()))
-    )
-
-    def coin(x: int) -> str:
-        h = int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
-        return "train" if h % 10 < 8 else "test"
-
-    members: dict[int, list[int]] = defaultdict(list)
-    for d in docs:
-        members[comp.get(d, d)].append(d)
-    agg: dict[str, list[int]] = {
-        "train": [0, 0, 0], "test": [0, 0, 0]
-    }  # n_docs, n_clusters, naive_leak_doc_count
-    for label, mem in members.items():
-        sp = coin(label)
-        naive = {coin(d) for d in mem}
-        leaks = 1 if len(naive) > 1 else 0
-        agg[sp][0] += len(mem)
-        agg[sp][1] += 1
-        agg[sp][2] += leaks * len(mem)
-    want = sorted(
-        (sp, v[0], v[1], v[2]) for sp, v in agg.items() if v[0]
-    )
-
-    got_rows = get("corpus_split_leakage_safe").fn(spark, SF1).toPandas()
-    got = sorted(
-        (str(r.split), int(r.n_docs), int(r.n_clusters),
-         int(r.naive_leak_doc_count))
-        for r in got_rows.itertuples()
-    )
-    return {
-        "match": got == want,
-        "docs": len(docs),
-        "splits": got,
-        "wall_s": round(time.time() - t0, 1),
-        "method": "driver union-find + python md5 coins over the "
-                  "sf1-hash-certified pair relation",
-    }
+    return _two_path_cc(spark, "corpus_split_leakage_safe")
 
 
-def check_keep_best(spark, con) -> dict:
-    """dedup_keep_best at sf1 (r12) — same oracle-cost exclusion class as
-    dedup_cluster_stats (its DuckDB side embeds the same recursive
-    closure): ground truth = the driver union-find over the
-    sf1-hash-certified pair relation, composed with per-doc quality
-    scores computed by DUCKDB from the shared score-expression text (the
-    quality relation is itself hash-certified through this query's
-    sf0.01 driver row), argmax per cluster with the (quality DESC, id)
-    tie-break replayed in python."""
-    from collections import defaultdict
-
-    from etl_drone_sense_spark.operators import dedup
-    from etl_drone_sense_spark.plans.extensions import (
-        MH_BANDS,
-        MH_K,
-        SHINGLE_N,
-        _QUALITY_SCORE_SQL,
-    )
-    from etl_drone_sense_spark.plans.registry import get, t
-
-    t0 = time.time()
-    pairs = dedup.minhash_lsh_pairs(
-        t(spark, SF1, "documents"), "doc_id", "text",
-        k=MH_K, bands=MH_BANDS, threshold=0.2, shingle_n=SHINGLE_N,
-    )
-    edge_rows = pairs.select("id_a", "id_b").toPandas()
-    comp = union_find(
-        list(zip(edge_rows["id_a"].tolist(), edge_rows["id_b"].tolist()))
-    )
-    qdf = con.execute(
-        f"SELECT doc_id, {_QUALITY_SCORE_SQL} AS q FROM documents"
-    ).fetchdf()
-    quality = dict(zip(qdf["doc_id"].astype(int), qdf["q"].astype(float)))
-    members: dict[int, list[int]] = defaultdict(list)
-    for node, lab in comp.items():
-        members[lab].append(node)
-    want = []
-    for lab, mem in members.items():
-        best = min(mem, key=lambda d: (-quality[d], d))
-        for d in mem:
-            want.append((d, lab, len(mem), str(quality[d]), d == best))
-    want.sort()
-
-    got_rows = get("dedup_keep_best").fn(spark, SF1).toPandas()
-    got = sorted(
-        (int(r.doc_id), int(r.cluster), int(r.n_members),
-         str(float(r.quality_score)), bool(r.kept))
-        for r in got_rows.itertuples()
-    )
-    return {
-        "match": got == want,
-        "members": len(got),
-        "clusters": len(members),
-        "wall_s": round(time.time() - t0, 1),
-        "method": "driver union-find over the sf1-hash-certified pair "
-        "relation + DuckDB-evaluated shared quality expression, argmax "
-        "replayed in python",
-    }
+def check_keep_best(spark) -> dict:
+    return _two_path_cc(spark, "dedup_keep_best")
 
 
 def check_geo_radius(spark, con) -> dict:
@@ -336,7 +207,7 @@ def main() -> int:
         "corpus_split_leakage_safe": lambda: check_split_leakage(spark),
         "geo_radius_join": lambda: check_geo_radius(spark, con),
         "dedup_simhash_adaptive": lambda: check_simhash_adaptive(spark, con),
-        "dedup_keep_best": lambda: check_keep_best(spark, con),
+        "dedup_keep_best": lambda: check_keep_best(spark),
     }
     only = set(sys.argv[1:])
     unknown = only - set(checks)
