@@ -242,16 +242,18 @@ def main() -> None:
     # Contamination self-description (r12 VERDICT item 4): two rounds
     # running, the driver's BENCH artifact launched into background load
     # and the clean numbers lived only in SURVEY prose. Make the JSON
-    # self-describing instead: sample loadavg at launch AND at end
-    # (interference on this host is documented to arrive MID-run with a
-    # clean launch load — the fingerprint is several unrelated queries
-    # violating at once), and when any budget is breached, re-measure
-    # each violating query INDIVIDUALLY right here (fresh 3-sample
-    # median, loadavg stamped per retest) so the artifact itself records
-    # whether the violation survives isolation. Tooling reads `retest_s`
-    # vs `budget`; no SURVEY prose required.
+    # self-describing instead: sample loadavg at launch AND at end, and
+    # when any budget is breached, re-measure each violating query
+    # INDIVIDUALLY right here (fresh 3-sample median, loadavg stamped
+    # per retest) so the artifact itself records whether the violation
+    # survives isolation. Tooling reads `retest_s` vs `budget`; no
+    # SURVEY prose required. loadavg_at_end is recorded for forensics
+    # but does NOT feed the verdict — right after our own local[32] run
+    # it is always elevated by our own worker threads; the mid-run
+    # interference fingerprint is instead "violations that vanish under
+    # isolated retest", which is exactly what the retest loop detects.
     load1_end = _load1()
-    contaminated = load1 > 1.0 or load1_end > 1.0
+    contaminated = load1 > 1.0
     if violations:
         for name in sorted(violations):
             v = violations[name]
