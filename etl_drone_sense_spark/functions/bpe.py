@@ -262,3 +262,49 @@ def encode_word_reference(word: str) -> list[str]:
             break
         toks[best_i : best_i + 2] = [toks[best_i] + toks[best_i + 1]]
     return toks
+
+
+# ---------------------------------------------------------------------------
+# Training-side helpers (r13, text_bpe_train): extract the token lists
+# and adjacent-pair relation back out of a state string, in both
+# dialects, so the learner can count pair frequencies per round.
+# ---------------------------------------------------------------------------
+
+# token extraction: every marker-wrapped run; group 1 is the token text
+_TOKEN_RE = f"{O}([^{C}]*){C}"
+
+
+def initial_state(col: Column) -> Column:
+    """A document's UNMERGED state (every char its own token) — the
+    round-0 input to BPE training."""
+    interspersed = F.transform(
+        words(col),
+        lambda w: F.regexp_replace(w, "(.)", f"{O}$1{C}"),
+    )
+    return F.array_join(interspersed, " ")
+
+
+def initial_state_sql(col: str) -> str:
+    inter = (
+        f"list_transform({words_sql(col)}, "
+        f"w -> regexp_replace(w, '(.)', chr({ord(O)}) || '\\1' || "
+        f"chr({ord(C)}), 'g'))"
+    )
+    return f"coalesce(array_to_string({inter}, ' '), '')"
+
+
+def word_tokens(word_state: Column) -> Column:
+    """Token list of ONE word's state string."""
+    return F.regexp_extract_all(word_state, F.lit(_TOKEN_RE), F.lit(1))
+
+
+def word_tokens_sql(word_state: str) -> str:
+    return (
+        f"regexp_extract_all({word_state}, chr({ord(O)}) || '([^' || "
+        f"chr({ord(C)}) || ']*)' || chr({ord(C)}), 1)"
+    )
+
+
+def merge_pattern(a: str, b: str) -> tuple[str, str]:
+    """(search, replace) strings applying merge (a, b) to a state."""
+    return f"{O}{a}{C}{O}{b}{C}", f"{O}{a + b}{C}"

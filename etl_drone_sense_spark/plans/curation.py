@@ -2399,3 +2399,125 @@ def corpus_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.alias("pack_id"),
         (pack != end_pack).alias("crosses_boundary"),
     )
+
+
+BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """K unrolled training rounds in DuckDB: state_k → pair counts →
+    deterministic argmax (count DESC, a, b) → state_{k+1} via the same
+    single-replace merge application the encoder uses. An empty corpus
+    propagates empty best relations, so both engines emit fewer rows in
+    lockstep rather than diverging on a stop condition."""
+    o, c = ord(BPE.O), ord(BPE.C)
+    ctes = [
+        f"s1 AS (SELECT doc_id, {BPE.initial_state_sql('text')} AS state"
+        "  FROM documents)"
+    ]
+    outs = []
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+    p{k} AS (
+        SELECT pr.a AS a, pr.b AS b, count(*) AS cnt
+        FROM (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> struct_pack(a := tk[i], b := tk[i + 1])))
+                   AS pr
+            FROM (SELECT {BPE.word_tokens_sql('ws')} AS tk
+                  FROM (SELECT unnest(string_split(state, ' ')) AS ws
+                        FROM s{k}))
+            WHERE len(tk) >= 2
+        )
+        GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if k < rounds:
+            ctes.append(f"""
+    s{k + 1} AS (
+        SELECT doc_id,
+               replace(state,
+                       chr({o}) || a || chr({c}) || chr({o}) || b || chr({c}),
+                       chr({o}) || a || b || chr({c})) AS state
+        FROM s{k} CROSS JOIN b{k}
+    )""")
+        outs.append(
+            f"SELECT {k} AS merge_rank, a, b, a || b AS merged, cnt FROM b{k}"
+        )
+    return (
+        "WITH " + ",".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(outs)
+    )
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(),
+    tags=("text", "tokenize", "iterative", "corpus"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING in-engine (r13): learn the merges table from the
+    corpus itself — the iterative sibling of text_bpe_tokenize's frozen
+    table, and the registry's fourth bounded-round recurrence (with
+    pagerank, SSSP, IRLS). Each round: (1) extract every adjacent token
+    pair from the current state strings (word-local — pairs never span
+    words), (2) count pair frequencies corpus-wide (the textbook
+    definition counts overlapping occurrences: token run ``a a a``
+    contributes (a,a) twice), (3) take the deterministic argmax
+    (count DESC, then lexicographic (a, b) — a TOTAL order, so the
+    learned table is reproducible), (4) apply the winning merge with
+    the encoder's own single-replace rule. Output: one row per learned
+    merge (merge_rank, a, b, merged, cnt). The DuckDB oracle unrolls
+    the same K rounds as chained CTEs, so the driver's exact-hash gate
+    certifies the TRAINER, not just the encoder.
+
+    Scale shape: per round ONE map-combined pair-count exchange over
+    the corpus plus a scalar argmax collected to the driver (a bounded
+    1-row aggregate, the IRLS/centroid pattern) folded into the next
+    round's replace as literals; the state relation itself never
+    shuffles. K passes over the corpus is BPE training's nature — real
+    tokenizer training runs on a corpus SAMPLE with pair-delta updates;
+    this is the reference fixed-round form, bounded like the IRLS
+    loop. The initial state is persisted once so round k evaluates k
+    cheap replaces, not the word extraction, per pass."""
+    from ..caching import scoped_persist
+
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", BPE.initial_state(F.col("text")).alias("state")
+    )
+    base = scoped_persist("bpe.train_initial_state", base)
+
+    state = F.col("state")
+    learned: list[tuple[int, str, str, str, int]] = []
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        # generators must be top-level select expressions: explode the
+        # word states first, extract token lists second
+        ws_df = base.select(F.explode(F.split(state, " ")).alias("ws"))
+        tk = ws_df.select(
+            BPE.word_tokens(F.col("ws")).alias("tk")
+        ).filter(F.size("tk") >= 2)
+        pairs = tk.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) AS a, "
+                    "element_at(tk, i + 1) AS b))"
+                )
+            ).alias("pr")
+        ).select("pr.a", "pr.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        learned.append((k, a, b, a + b, cnt))
+        pat, rep = BPE.merge_pattern(a, b)
+        state = F.replace(state, F.lit(pat), F.lit(rep))
+    return spark.createDataFrame(
+        learned, "merge_rank int, a string, b string, merged string, cnt bigint"
+    )

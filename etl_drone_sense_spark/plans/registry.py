@@ -1023,6 +1023,7 @@ TOUCHED_R13: tuple[str, ...] = (
     "multimodal_gif_frame_sample",  # r13: partial-rect disposal
     # compositing — fixture now sub-rect rows + transparency + disposal
     # 1/2; quarantine narrowed to disposal 3 only
+    "text_bpe_train",  # NEW r13: in-engine BPE training (learned merges)
 )
 
 

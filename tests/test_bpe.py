@@ -133,3 +133,63 @@ def test_pack_twin_shuffles_once_on_source(spark, sf_dir):
     plan = buf.getvalue()
     assert plan.count("Exchange") == 1, plan
     assert _re.search(r"hashpartitioning\(source#", plan), plan
+
+
+def _train_reference(texts, rounds):
+    """Independent sequential BPE trainer: count adjacent pairs
+    (overlapping, word-local), merge the (count DESC, lexicographic)
+    argmax leftmost-exhaustively, repeat."""
+    from collections import Counter
+
+    words_lists = [
+        list(w)
+        for t in texts
+        for w in re.findall("[a-z0-9]+", (t or "").lower())
+    ]
+    merges = []
+    for k in range(1, rounds + 1):
+        counts: Counter = Counter()
+        for toks in words_lists:
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += 1
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, a, b, a + b, cnt))
+        for toks in words_lists:
+            i = 0
+            while i < len(toks) - 1:
+                if toks[i] == a and toks[i + 1] == b:
+                    toks[i : i + 2] = [a + b]
+                i += 1
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark, sf_dir):
+    """text_bpe_train vs an independent sequential trainer over the
+    real fixture corpus — counts, tie-breaks, and the leftmost merge
+    application must all agree for the learned tables to be equal."""
+    from etl_drone_sense_spark.plans.curation import BPE_TRAIN_ROUNDS
+    from etl_drone_sense_spark.plans.registry import get
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    texts = [
+        r["text"]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    want = _train_reference(texts, BPE_TRAIN_ROUNDS)
+    got = sorted(
+        (r["merge_rank"], r["a"], r["b"], r["merged"], r["cnt"])
+        for r in get("text_bpe_train").fn(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_bpe_train_degenerate_corpora():
+    """Leftmost-exhaustive application inside one round: 'aaaa' counts
+    (a,a) x3, merges to [aa, aa]; next round counts (aa,aa) x1."""
+    want = _train_reference(["aaaa"], 2)
+    assert want == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+    assert _train_reference(["", "   "], 4) == []
