@@ -680,15 +680,16 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
     INTERLACED frames (four-pass row reorder), any number of frames,
     sub-rectangle frames composited onto a retained logical-screen
     canvas, GCE TRANSPARENCY (transparent pixels leave the underlying
-    canvas pixel), disposal methods 0/1 (keep) and 2 (restore the
-    frame's rect to the background color — the GCT entry named by the
-    screen descriptor, black without one). Each emitted frame is the
-    CANVAS SNAPSHOT after drawing, so full-rect streams decode exactly
-    as before. Quarantined as ValueError (the one-corrupt-blob-must-
-    not-kill-the-scan contract): disposal 3 (restore-to-previous — the
-    honest remaining subset: it needs a second retained canvas and no
-    mainstream encoder emits it), rects outside the canvas, missing
-    color tables, truncated or over-long LZW streams."""
+    canvas pixel), and ALL FOUR disposal methods — 0/1 keep the canvas,
+    2 restores the frame's rect to the background color (the GCT entry
+    named by the screen descriptor, black without one), 3 restores the
+    rect to its pre-render pixels (r13 — per spec only the graphic's
+    area reverts, so a rect-sized copy suffices). Each emitted frame is
+    the CANVAS SNAPSHOT after drawing, so full-rect streams decode
+    exactly as before. Quarantined as ValueError (the one-corrupt-blob-
+    must-not-kill-the-scan contract): reserved disposal codes >3, rects
+    outside the canvas, missing color tables, truncated or over-long
+    LZW streams."""
     buf = bytes(payload or b"")
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
@@ -774,10 +775,8 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
             canvas[:, :] = bg_rgb
         if left + w > sw or top + h > sh:
             raise ValueError("gif: frame rect outside the canvas")
-        if disposal >= 3:
-            raise ValueError(
-                "gif: disposal method 3 (restore-to-previous) unsupported"
-            )
+        if disposal > 3:
+            raise ValueError(f"gif: reserved disposal method {disposal}")
         interlaced = bool(ipacked & 0x40)
         ct = gct
         if ipacked & 0x80:
@@ -832,10 +831,17 @@ def parse_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
             raise ValueError("gif: index beyond color table")
         pal = np.frombuffer(ct[: 3 * n_colors], dtype=np.uint8).reshape(-1, 3)
         rect = canvas[top : top + h, left : left + w]
+        # disposal 3 (restore-to-previous, r13): revert the frame's RECT
+        # to its pre-render pixels after the snapshot — per spec only
+        # the area used by the graphic is restored, so a rect-sized copy
+        # suffices (no second full canvas retained)
+        prev_rect = rect.copy() if disposal == 3 else None
         rect[opaque] = pal[arr % n_colors][opaque]
         frames.append(canvas.reshape(-1).tobytes())
         if disposal == 2:
             rect[:, :] = bg_rgb
+        elif disposal == 3:
+            rect[:, :] = prev_rect
         disposal, transparent = 0, None  # GCE applies to one image only
     if not frames:
         raise ValueError("gif: no image frame before trailer")
@@ -2208,18 +2214,44 @@ def encode_flac(
     lpc_coefs: tuple[int, ...] = (3, -2),
     lpc_shift: int = 1,
     lpc_precision: int = 4,
+    channel_mode: str = "independent",
 ) -> bytes:
     """REAL FLAC bytes for 16-bit interleaved ``samples``. ``variant``
     picks the subframe strategy applied to every block/channel:
     0 CONSTANT (samples must be constant per channel), 1 VERBATIM,
     2 FIXED order 1, 3 FIXED order 2, 4 LPC order ``len(lpc_coefs)``.
     Blocks too short for the predictor order fall back to VERBATIM
-    (deterministically — the last partial block can be 1 sample)."""
+    (deterministically — the last partial block can be 1 sample).
+    ``channel_mode`` (stereo only) selects the spec's inter-channel
+    decorrelation: independent / left_side / right_side / mid_side —
+    the side channel carries ``left - right`` at 17 bits, mid is the
+    floor average with the dropped parity bit recovered from side."""
     samples = np.asarray(samples, dtype=np.int64)
     if channels < 1 or samples.size % channels:
         raise ValueError("flac encoder: samples not frame-aligned")
+    if channel_mode != "independent" and channels != 2:
+        raise ValueError("flac encoder: decorrelation needs 2 channels")
     frames = samples.size // channels
     chans = [samples[c::channels] for c in range(channels)]
+    # per-subframe stored streams + bit widths + frame-header code
+    if channel_mode == "independent":
+        stored = chans
+        sub_bits = [16] * channels
+        ch_code = channels - 1
+    elif channel_mode == "left_side":
+        stored = [chans[0], chans[0] - chans[1]]
+        sub_bits = [16, 17]
+        ch_code = 0b1000
+    elif channel_mode == "right_side":
+        stored = [chans[0] - chans[1], chans[1]]
+        sub_bits = [17, 16]
+        ch_code = 0b1001
+    elif channel_mode == "mid_side":
+        stored = [(chans[0] + chans[1]) >> 1, chans[0] - chans[1]]
+        sub_bits = [16, 17]
+        ch_code = 0b1010
+    else:
+        raise ValueError(f"flac encoder: unknown channel mode {channel_mode}")
 
     out = bytearray(b"fLaC")
     out += bytes([0x80, 0, 0, 34])  # last metadata block, STREAMINFO, len 34
@@ -2235,7 +2267,7 @@ def encode_flac(
     out += si.getvalue_aligned_zero()
     out += bytes(16)  # MD5 unset (zeros = unknown, per spec)
 
-    def subframe(fw: _FlacBitWriter, blk: np.ndarray) -> None:
+    def subframe(fw: _FlacBitWriter, blk: np.ndarray, bits: int) -> None:
         n = blk.size
         v = variant
         order = {2: 1, 3: 2}.get(v, len(lpc_coefs) if v == 4 else 0)
@@ -2247,13 +2279,13 @@ def encode_flac(
                 raise ValueError("flac encoder: CONSTANT needs constant block")
             fw.write(0b000000, 6)
             fw.write(0, 1)  # no wasted bits
-            fw.write(int(blk[0]) if n else 0, 16)
+            fw.write(int(blk[0]) if n else 0, bits)
             return
         if v == 1:
             fw.write(0b000001, 6)
             fw.write(0, 1)
             for s in blk:
-                fw.write(int(s), 16)
+                fw.write(int(s), bits)
             return
         if v in (2, 3):
             fw.write(0b001000 | order, 6)
@@ -2265,7 +2297,7 @@ def encode_flac(
             fw.write(0, 1)
             coefs, shift = lpc_coefs, lpc_shift
         for s in blk[:order]:
-            fw.write(int(s), 16)
+            fw.write(int(s), bits)
         if v == 4:
             fw.write(lpc_precision - 1, 4)
             fw.write(shift, 5)
@@ -2285,7 +2317,7 @@ def encode_flac(
         hw.write(0, 1)  # fixed-blocksize stream: frame number = index
         hw.write(0b0111, 4)  # blocksize: explicit 16-bit value follows
         hw.write(0b0000, 4)  # sample rate: from STREAMINFO
-        hw.write(channels - 1, 4)  # independent channels
+        hw.write(ch_code, 4)  # channel assignment (indep or decorrelated)
         hw.write(0b100, 3)  # 16 bits per sample
         hw.write(0, 1)  # reserved
         header = bytearray(hw.getvalue_aligned_zero())
@@ -2293,8 +2325,8 @@ def encode_flac(
         header += (bs - 1).to_bytes(2, "big")
         header.append(_flac_crc8(bytes(header)))
         fw = _FlacBitWriter()
-        for c in range(channels):
-            subframe(fw, chans[c][start : start + bs])
+        for c in range(len(stored)):
+            subframe(fw, stored[c][start : start + bs], sub_bits[c])
         frame = bytes(header) + fw.getvalue_aligned_zero()
         out += frame
         out += _flac_crc16(frame).to_bytes(2, "big")
@@ -2390,15 +2422,18 @@ def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int) -> list[int]:
 def parse_flac(payload: bytes):
     """Decode a FLAC payload — dependency-free per the format spec.
     Supported (the interchange subset this engine synthesizes AND the
-    common encoder output shapes): 16-bit samples, 1-2 INDEPENDENT
-    channels, CONSTANT/VERBATIM/FIXED(0-4)/LPC subframes, both Rice
-    methods with escape partitions, any partition order, wasted bits,
-    UTF-8 coded frame/sample numbers, explicit and table block sizes.
-    CRC-8 and CRC-16 are VERIFIED — a corrupt frame quarantines rather
-    than emitting wrong samples. Stereo decorrelation modes and other
-    bit depths raise ValueError (honest quarantine). Returns
-    ``(sample_rate, channels, int16 numpy array of interleaved
-    samples)`` — the same contract as ``parse_wav``."""
+    common encoder output shapes): 16-bit samples, mono/stereo with ALL
+    FOUR channel assignments (independent, left/side, right/side,
+    mid/side — the side channel reads at 17 bits and mid's dropped
+    parity bit is recovered from side, r13),
+    CONSTANT/VERBATIM/FIXED(0-4)/LPC subframes, both Rice methods with
+    escape partitions, any partition order, wasted bits, UTF-8 coded
+    frame/sample numbers, explicit and table block sizes. CRC-8 and
+    CRC-16 are VERIFIED — a corrupt frame quarantines rather than
+    emitting wrong samples. Other bit depths and reserved channel codes
+    raise ValueError (honest quarantine). Returns ``(sample_rate,
+    channels, int16 numpy array of interleaved samples)`` — the same
+    contract as ``parse_wav``."""
     buf = bytes(payload or b"")
     if len(buf) < 42 or buf[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
@@ -2468,9 +2503,10 @@ def parse_flac(payload: bytes):
         elif sr_code == 0b1111:
             raise ValueError("flac: invalid sample rate code")
         # fixed-table codes carry no extra bytes; STREAMINFO stays canon
-        if ch_code >= 0b1000:
-            raise ValueError("flac: stereo decorrelation unsupported")
-        if ch_code + 1 != channels:
+        if ch_code > 0b1010:
+            raise ValueError(f"flac: reserved channel assignment {ch_code}")
+        decorrelated = ch_code >= 0b1000
+        if (2 if decorrelated else ch_code + 1) != channels:
             raise ValueError("flac: frame channel count mismatch")
         if ss_code != 0b100:
             raise ValueError("flac: unsupported frame sample size")
@@ -2478,9 +2514,30 @@ def parse_flac(payload: bytes):
         if _flac_crc8(buf[frame_start:header_end]) != br.read(8):
             raise ValueError("flac: frame header CRC mismatch")
         take = min(blocksize, total - decoded)
-        for c in range(channels):
-            sub = _flac_subframe(br, blocksize, 16)
-            chans[c].extend(sub[:take])
+        if decorrelated:
+            # the SIDE channel (left-right) needs one extra bit; which
+            # subframe is the side depends on the assignment
+            side_slot = 0 if ch_code == 0b1001 else 1
+            s0 = _flac_subframe(br, blocksize, 17 if side_slot == 0 else 16)
+            s1 = _flac_subframe(br, blocksize, 17 if side_slot == 1 else 16)
+            if ch_code == 0b1000:  # left/side
+                left = s0
+                right = [x - s for x, s in zip(s0, s1)]
+            elif ch_code == 0b1001:  # side/right
+                right = s1
+                left = [r + s for r, s in zip(s1, s0)]
+            else:  # mid/side: recover the parity bit mid dropped
+                left, right = [], []
+                for m, s in zip(s0, s1):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+            chans[0].extend(left[:take])
+            chans[1].extend(right[:take])
+        else:
+            for c in range(channels):
+                sub = _flac_subframe(br, blocksize, 16)
+                chans[c].extend(sub[:take])
         br.align()
         body_end = br.bitpos // 8
         if _flac_crc16(buf[frame_start:body_end]) != br.read(16):
@@ -2733,7 +2790,10 @@ def synth_msadpcm_media(docs: DataFrame) -> DataFrame:
 def synth_flac_media(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic FLAC payloads keyed by doc id — REAL
     ``fLaC`` streams (r13): ``rate = 16000``, alternating MONO (even
-    doc_id) and STEREO (odd — independent channels), ``frames = 60 +
+    doc_id) and STEREO (odd — channel assignment cycling
+    ``(doc_id // 2) % 4``: independent / left-side / right-side /
+    mid-side, so every decorrelation mode is corpus-exercised;
+    losslessness makes the oracle mode-blind), ``frames = 60 +
     doc_id % 60`` over 48-sample blocks (2-3 frames per file, partial
     tail always present), subframe strategy cycling ``doc_id % 5``:
     CONSTANT / VERBATIM / FIXED-1 / FIXED-2 / LPC-2 (coefs (3, -2),
@@ -2769,8 +2829,17 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
                 interleaved = np.empty(frames * ch, dtype=np.int64)
                 for c in range(ch):
                     interleaved[c::ch] = chans[c]
+                mode = (
+                    "independent" if ch == 1 else
+                    ("independent", "left_side", "right_side", "mid_side")[
+                        (did // 2) % 4
+                    ]
+                )
                 payloads.append(
-                    encode_flac(16000, ch, interleaved, variant=variant)
+                    encode_flac(
+                        16000, ch, interleaved, variant=variant,
+                        channel_mode=mode,
+                    )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
@@ -4010,9 +4079,10 @@ def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
     sub-rect — the closed form the SQL oracle needs) with content index
     ``(doc_id*53 + g*17 + x) % 64`` at column ``x``, TRANSPARENT index
     63 (those pixels keep the frame-0 canvas underneath), disposal 2 on
-    frame 1 (its row restores to background in every later snapshot)
-    and disposal 1 on the rest. Palette byte ``b`` =
-    ``(doc_id*59 + b) % 256``."""
+    frame 1 (its row restores to BACKGROUND in every later snapshot),
+    disposal 3 on frame 2 (its row restores to the PRE-RENDER canvas —
+    frame 0's content — in every later snapshot), disposal 1 on the
+    rest. Palette byte ``b`` = ``(doc_id*59 + b) % 256``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4027,9 +4097,8 @@ def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
                 ]
                 for g in range(1, nf):
                     row = bytes((did * 53 + g * 17 + x) % 64 for x in range(w))
-                    frames.append(
-                        (row, 0, g - 1, w, 1, 2 if g == 1 else 1, 63)
-                    )
+                    disposal = {1: 2, 2: 3}.get(g, 1)
+                    frames.append((row, 0, g - 1, w, 1, disposal, 63))
                 payloads.append(
                     encode_gif_animated(w, h, frames, pal, background=7)
                 )

@@ -4650,14 +4650,18 @@ def dedup_editdistance_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     shown AS (
         -- the composited canvas at snapshot f: row r is painted by
         -- sub-rect frame g = r+1 (single-row rects, rows distinct);
-        -- disposal 2 on frame 1 restores its row to background 7 in
-        -- every later snapshot; content index 63 is TRANSPARENT and
-        -- keeps frame 0's canvas pixel underneath
+        -- disposal 2 on frame 1 restores its row to BACKGROUND 7 in
+        -- every later snapshot; disposal 3 on frame 2 restores its row
+        -- to the PRE-RENDER canvas (frame 0's content) in every later
+        -- snapshot; content index 63 is TRANSPARENT and keeps frame 0's
+        -- canvas pixel underneath
         SELECT doc_id, w, h, nf, f,
                CASE
                    WHEN f = 0 OR (p // w) + 1 > least(f, nf - 1)
                        THEN (doc_id * 53 + p) % 64
                    WHEN (p // w) = 0 AND f > 1 THEN 7
+                   WHEN (p // w) = 1 AND f > 2
+                       THEN (doc_id * 53 + p) % 64
                    WHEN (doc_id * 53 + ((p // w) + 1) * 17 + (p % w)) % 64
                         = 63
                        THEN (doc_id * 53 + p) % 64
@@ -4685,17 +4689,18 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED-GIF strided frame sampling (late r8, r13 compositing):
     real multi-frame GIF89a payloads — frame 0 full-rect, every later
     frame a PARTIAL-RECT single-row update with transparency, disposal
-    2 on the first update (restore-to-background) and disposal 1 on the
-    rest (operators/multimodal.synth_gif_anim_media) — through the SAME
+    2 on the first update (restore-to-background), disposal 3 on the
+    second (restore-to-previous), disposal 1 on the rest
+    (operators/multimodal.synth_gif_anim_media) — through the SAME
     ``decode_video_features(every_n=2)`` path as the MJPEG-AVI twin;
     the container dispatch is per payload on magic bytes, so one decode
     operator serves both video tiers. The decoder composites each frame
     onto the retained canvas, and every snapshot is a closed form of
     (doc_id, frame, pixel), so the oracle derives the sampled frames'
-    means in SQL: a compositing-order, disposal-restore, transparency,
-    GCE-scope, per-frame LZW reset, or stride bug changes a mean and
-    hash-fails. Disposal 3 (restore-to-previous) quarantines — the
-    honest remaining subset, like H.264 for AVI."""
+    means in SQL: a compositing-order, disposal-restore (either kind),
+    transparency, GCE-scope, per-frame LZW reset, or stride bug changes
+    a mean and hash-fails. All four disposal methods decode; only
+    reserved codes >3 quarantine."""
     media = multimodal.synth_gif_anim_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_video_features(media, every_n=2)
     return feats.filter(F.col("decode_ok")).select(

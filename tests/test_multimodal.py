@@ -880,13 +880,6 @@ def test_gif_animation_roundtrip_and_partial_rect_quarantine():
     payload[second + 1] = 1  # left = 1 -> 1 + w > sw
     with pytest.raises(ValueError, match="outside the canvas"):
         parse_gif_frames(bytes(payload))
-    bad = encode_gif_animated(
-        w, h,
-        [frames[0], (frames[1], 0, 0, w, h, 3, None)],  # disposal 3
-        pal,
-    )
-    with pytest.raises(ValueError, match="disposal method 3"):
-        parse_gif_frames(bad)
     with pytest.raises(ValueError, match="64M-pixel"):
         parse_gif_frames(
             b"GIF89a" + (60000).to_bytes(2, "little") * 2 + b"\x00\x00\x00;"
@@ -896,9 +889,10 @@ def test_gif_animation_roundtrip_and_partial_rect_quarantine():
 def test_gif_partial_rect_disposal_compositing():
     """r13 (r12 VERDICT item 8): sub-rect frames composite onto the
     retained canvas — disposal 1 persists, disposal 2 restores the rect
-    to the background color, transparent pixels leave the underlying
-    canvas pixel. Reference canvases computed independently with plain
-    Python loops."""
+    to the background color, disposal 3 restores the rect to its
+    pre-render pixels, transparent pixels leave the underlying canvas
+    pixel. Reference canvases computed independently with plain Python
+    loops."""
     import numpy as np
 
     from etl_drone_sense_spark.operators.multimodal import (
@@ -913,20 +907,23 @@ def test_gif_partial_rect_disposal_compositing():
     base = bytes((3 + p) % 64 for p in range(w * h))  # frame 0 full-rect
     # frame 1: row 1, disposal 2, index 17 everywhere, transparent 63
     row1 = bytes([17, 63, 17, 63, 17, 17])
-    # frame 2: rows 2-3 cols 1-4 (2x4 rect), disposal 1, transparent 63
+    # frame 2: rows 2-3 cols 1-4 (2x4 rect), disposal 3, transparent 63
     rect2 = bytes([63, 20, 21, 63, 22, 63, 63, 23])
+    # frame 3: row 4, disposal 1, opaque
+    row3 = bytes([30, 31, 32, 33, 34, 35])
     payload = encode_gif_animated(
         w, h,
         [
             base,
             (row1, 0, 1, w, 1, 2, 63),
-            (rect2, 1, 2, 4, 2, 1, 63),
+            (rect2, 1, 2, 4, 2, 3, 63),
+            (row3, 0, 4, w, 1, 1, None),
         ],
         pal,
         background=bg,
     )
     gw, gh, got = parse_gif_frames(payload)
-    assert (gw, gh, len(got)) == (w, h, 3)
+    assert (gw, gh, len(got)) == (w, h, 4)
 
     canvas = [[base[r * w + c] for c in range(w)] for r in range(h)]
 
@@ -945,7 +942,8 @@ def test_gif_partial_rect_disposal_compositing():
         if row1[c] != 63:
             snap1[1][c] = row1[c]
     assert got[1] == rgb(snap1)
-    # disposal 2: row 1 restored to BACKGROUND before frame 2 draws
+    # disposal 2: row 1 restored to BACKGROUND before frame 2 draws;
+    # frame 2's 2x4 rect composites with transparency
     snap2 = [row[:] for row in canvas]
     for c in range(w):
         snap2[1][c] = bg
@@ -955,6 +953,15 @@ def test_gif_partial_rect_disposal_compositing():
             if v != 63:
                 snap2[2 + rr][1 + cc] = v
     assert got[2] == rgb(snap2)
+    # disposal 3: frame 2's rect reverts to its pre-render pixels (the
+    # base content — row 1 stays background from disposal 2), then
+    # frame 3 draws row 4 opaque
+    snap3 = [row[:] for row in canvas]
+    for c in range(w):
+        snap3[1][c] = bg
+    for c in range(w):
+        snap3[4][c] = row3[c]
+    assert got[3] == rgb(snap3)
 
 
 def test_video_features_dispatch_gif(spark):
@@ -1796,8 +1803,9 @@ def test_tiff_packbits_overrun_quarantines():
 
 
 def test_flac_roundtrip_all_variants():
-    """Every subframe strategy × mono/stereo × partial-tail sizes must
-    roundtrip bit-exactly — losslessness IS the format contract."""
+    """Every subframe strategy × mono/stereo × every channel assignment
+    (independent, left/side, right/side, mid/side) × partial-tail sizes
+    must roundtrip bit-exactly — losslessness IS the format contract."""
     import numpy as np
 
     from etl_drone_sense_spark.operators.multimodal import (
@@ -1805,6 +1813,7 @@ def test_flac_roundtrip_all_variants():
         parse_flac,
     )
 
+    modes = ("independent", "left_side", "right_side", "mid_side")
     for did in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 37, 49, 96, 97, 118, 119):
         ch = 1 + did % 2
         frames = 60 + did % 60
@@ -1816,11 +1825,16 @@ def test_flac_roundtrip_all_variants():
                 inter[c::ch] = (did * 47 + c * 31) % 65536 - 32768
             else:
                 inter[c::ch] = (did * 47 + c * 31 + i * 9) % 65536 - 32768
-        rate, ch2, out = parse_flac(
-            encode_flac(16000, ch, inter, variant=variant)
-        )
-        assert (rate, ch2) == (16000, ch)
-        assert np.array_equal(out.astype(np.int64), inter), (did, variant)
+        for mode in (modes if ch == 2 else ("independent",)):
+            rate, ch2, out = parse_flac(
+                encode_flac(
+                    16000, ch, inter, variant=variant, channel_mode=mode
+                )
+            )
+            assert (rate, ch2) == (16000, ch)
+            assert np.array_equal(out.astype(np.int64), inter), (
+                did, variant, mode,
+            )
 
 
 def test_flac_crc_corruption_quarantines():
