@@ -35,7 +35,9 @@ COMMENTARY = {
     "q9_product_profit": "LIKE-filtered part broadcast into lineitem; supplier/nation broadcast; profit expression one codegen'd project; dsum partials before the 2-key exchange.",
     "q21_waiting_suppliers": "EXISTS/NOT-EXISTS decorrelated to a two-level pair aggregate (no Expand, no lineitem self-joins; 4 scans total); top-100 heap.",
     "graph_pagerank": "Edge derivation collapses to catalog cardinality before the loop; the 5-round job (r12 pinned adjacency) plans every loop join as ShuffledHashJoin with ONE exchange per round — the checkpointed edge relation is consumed in place, no per-round sort (pinned by tests/test_plans.py).",
-    "graph_sssp": "The min-plus sibling of pagerank on the same pinned-adjacency discipline: 6 Bellman-Ford rounds, each a ShuffledHashJoin against the stationary weighted adjacency plus one map-combined relaxation exchange.",
+    "graph_sssp": "Delta Bellman-Ford (r13): each round SHUFFLE_HASH joins only the improved-node frontier against the stationary weighted adjacency; the dist/messages merge is one tagged-union map-combined groupBy — exactly ONE exchange per round, plan-pinned.",
+    "text_bpe_tokenize": "One narrow projection: 41 nested replace() calls over the marker-encoded doc state — no Exchange, no Python, the whole encoder inside whole-stage codegen.",
+    "multimodal_decode_flac": "Arrow mapInPandas decode pipeline — scan, rebalance-if-undersplit, one Python stage; CRC-verified lossless decode inside the batch.",
     "multimodal_decode_msadpcm": "Arrow mapInPandas decode pipeline — scan, rebalance-if-undersplit, one Python stage; no shuffle after the spread.",
     "scd2_point_in_time": "lag + lead + row_number share one (user_id, ts) sort; PIT join is equi on user with the validity-interval residual.",
     "hierarchy_flatten": "Pointer doubling: the plan shows the final doubled state reading checkpointed RDDs — each round was ONE equi-shuffle of the node relation on the ancestor pointer.",
