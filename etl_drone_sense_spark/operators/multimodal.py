@@ -1210,6 +1210,7 @@ def encode_tiff(
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
     palette: bytes | None = None,
+    planar: bool = False,
 ) -> bytes:
     """Minimal baseline-TIFF writer — the fixture side of the codec
     pair, exactly like encode_png. ``raster`` is RGB bytes (24-bit,
@@ -1244,6 +1245,8 @@ def encode_tiff(
         raise ValueError(f"tiff: unsupported encoder compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"tiff: unsupported predictor {predictor}")
+    if planar and (spp != 3 or tile is not None):
+        raise ValueError("tiff: planar needs chunky RGB strips")
     rps = rows_per_strip or height
     # dimension tags are written as SHORT — reject what they can't hold
     # instead of letting struct.pack explode (r10 ADVICE)
@@ -1255,9 +1258,9 @@ def encode_tiff(
         if tw <= 0 or th <= 0 or tw % 16 or th % 16 or max(tw, th) > 0xFFFF:
             raise ValueError("tiff: tile dims must be positive multiples of 16")
 
-    def pack_chunk(chunk: bytes, chunk_row_bytes: int) -> bytes:
+    def pack_chunk(chunk: bytes, chunk_row_bytes: int, chunk_spp: int = spp) -> bytes:
         if predictor == 2:
-            chunk = _predictor2_apply(chunk, chunk_row_bytes, spp, encode=True)
+            chunk = _predictor2_apply(chunk, chunk_row_bytes, chunk_spp, encode=True)
         if compression == "packbits":
             return b"".join(
                 _packbits_encode(chunk[r * chunk_row_bytes : (r + 1) * chunk_row_bytes])
@@ -1282,6 +1285,22 @@ def encode_tiff(
                 xs = min(tw, width - x0) * spp
                 pad[:ys, :xs] = img[y0 : y0 + ys, x0 * spp : x0 * spp + xs]
                 strips.append(pack_chunk(pad.tobytes(), tw * spp))
+    elif planar:
+        # PlanarConfiguration=2: the strip tables carry spp x
+        # strips-per-plane entries — ALL of channel 0's strips, then
+        # channel 1's, then channel 2's; each strip holds single-channel
+        # rows, and the predictor differences within the plane (spp=1)
+        img = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+        for c in range(3):
+            plane = np.ascontiguousarray(img[:, :, c])
+            for y0 in range(0, height, rps):
+                strips.append(
+                    pack_chunk(
+                        plane[y0 : min(y0 + rps, height)].tobytes(),
+                        width,
+                        1,
+                    )
+                )
     else:
         for y0 in range(0, height, rps):
             strips.append(
@@ -1340,7 +1359,7 @@ def encode_tiff(
         entries.append(entry(278, SHORT, (rps,)))
     entries.append(entry(279 if tile is None else 325, LONG,
                          tuple(len(s) for s in strips)))
-    entries.append(entry(284, SHORT, (1,)))
+    entries.append(entry(284, SHORT, (2 if planar else 1,)))
     if predictor == 2:
         entries.append(entry(317, SHORT, (2,)))
     if palette is not None:
@@ -1388,8 +1407,10 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     clipped on placement; strip and tile tables are mutually
     exclusive), and 8-bit PALETTE color (r12: photometric 3 with the
     3x256 16-bit ColorMap mapped to RGB8 via >> 8 — the PNG-PLTE
-    analogue). Everything else — JPEG-in-TIFF compression, planar
-    configuration 2, non-8-bit depths, non-default
+    analogue), and PLANAR configuration 2 for strip RGB (r13: plane-major
+    strip tables, per-plane predictor differencing, planes interleaved
+    back to chunky on decode). Everything else — JPEG-in-TIFF
+    compression, planar TILED layouts, non-8-bit depths, non-default
     orientation, the floating-point predictor 3, and every
     malformed-structure case (truncated IFD, strip/tile overflow,
     packbits/LZW/zlib over/under-run) — raises ``ValueError`` so one
@@ -1465,8 +1486,11 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     bits = tags.get(258, (8,) * spp)
     if len(bits) != spp or any(b != 8 for b in bits):
         raise ValueError(f"tiff: unsupported bit depths {bits}")
-    if one(284, 1) != 1:
-        raise ValueError("tiff: planar configuration 2 unsupported")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"tiff: unsupported planar configuration {planar}")
+    if planar == 2 and (spp != 3 or photometric != 2):
+        raise ValueError("tiff: planar supported for strip RGB only")
     if one(274, 1) != 1:
         raise ValueError("tiff: non-default orientation unsupported")
     tiled = any(tag in tags for tag in _TIFF_TILE_TAGS)
@@ -1495,7 +1519,10 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
             if len(part) != expected:
                 raise ValueError("tiff: deflate strip size mismatch")
         if predictor == 2:
-            part = _predictor2_apply(part, chunk_row_bytes, spp, encode=False)
+            part = _predictor2_apply(
+                part, chunk_row_bytes, 1 if planar == 2 else spp,
+                encode=False,
+            )
         return part
 
     row_bytes = w * spp
@@ -1531,15 +1558,39 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
         rps = one(278, h)
         if rps <= 0:
             raise ValueError("tiff: bad rows-per-strip")
-        if len(offsets) != (h + rps - 1) // rps:
-            raise ValueError("tiff: strip count does not cover image")
-        parts: list[bytes] = []
-        rows_left = h
-        for so, sc in zip(offsets, counts):
-            strip_rows = min(rps, rows_left)
-            rows_left -= strip_rows
-            parts.append(unpack_chunk(so, sc, strip_rows * row_bytes, row_bytes))
-        samples = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        strips_per_plane = (h + rps - 1) // rps
+        if planar == 2:
+            # spp x strips-per-plane entries, plane-major; each strip is
+            # single-channel rows — decode the three planes and
+            # interleave back to chunky RGB
+            if len(offsets) != 3 * strips_per_plane:
+                raise ValueError("tiff: planar strip count mismatch")
+            planes = []
+            for c in range(3):
+                parts: list[bytes] = []
+                rows_left = h
+                for k in range(strips_per_plane):
+                    so = offsets[c * strips_per_plane + k]
+                    sc = counts[c * strips_per_plane + k]
+                    strip_rows = min(rps, rows_left)
+                    rows_left -= strip_rows
+                    parts.append(unpack_chunk(so, sc, strip_rows * w, w))
+                planes.append(
+                    np.frombuffer(b"".join(parts), dtype=np.uint8).reshape(h, w)
+                )
+            samples = np.stack(planes, axis=2).reshape(-1)
+        else:
+            if len(offsets) != strips_per_plane:
+                raise ValueError("tiff: strip count does not cover image")
+            parts = []
+            rows_left = h
+            for so, sc in zip(offsets, counts):
+                strip_rows = min(rps, rows_left)
+                rows_left -= strip_rows
+                parts.append(
+                    unpack_chunk(so, sc, strip_rows * row_bytes, row_bytes)
+                )
+            samples = np.frombuffer(b"".join(parts), dtype=np.uint8)
     if cmap is not None:
         # ColorMap is 16-bit component-major; the 8-bit read is >> 8
         lut = (np.asarray(cmap, dtype=np.uint16).reshape(3, 256) >> 8).astype(
@@ -3964,9 +4015,9 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
     ``rows_per_strip = 2`` (every image is MULTI-strip, so strip
     offset/count arrays always spill to the external value area and the
     strip-boundary math is genuinely under test); the variant cycles
-    ``doc_id % 8`` so one relation exercises all four compressions, both
-    byte orders, all three color models, the horizontal predictor, and
-    the TILED layout:
+    ``doc_id % 9`` so one relation exercises all four compressions, both
+    byte orders, all three color models, the horizontal predictor, the
+    TILED layout, and the PLANAR configuration:
 
     * 0 → 24-bit RGB, uncompressed, little-endian: pixel ``p`` channel
       ``c`` = ``(doc_id*53 + p*3 + c) % 256``;
@@ -3986,7 +4037,12 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
       = ``(doc_id*53 + p) % 64``, palette byte ``b`` =
       ``(doc_id*61 + b) % 256`` — pixel ``p`` channel ``c`` decodes to
       ``(doc_id*61 + ((doc_id*53 + p) % 64)*3 + c) % 256``; a ColorMap
-      scale/order bug shifts every channel and hash-fails.
+      scale/order bug shifts every channel and hash-fails;
+    * 8 → 24-bit RGB PLANAR (PlanarConfiguration 2) + LZW + predictor
+      2, big-endian (r13): the RGB formula again — the strip tables
+      carry 3x the strips plane-major and each plane differences
+      independently, so a plane-order or per-plane-predictor bug
+      shuffles channels and hash-fails.
 
     Multipliers 53/59/61 are distinct from the PPM (31), PNG (37/41),
     BMP/GIF (43/47), and JPEG (7/13) fixtures so a codec mix-up cannot
@@ -3998,7 +4054,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 8
+                variant = did % 9
                 gray = variant in (2, 3, 5, 6)
                 pal = None
                 if variant == 7:
@@ -4013,7 +4069,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                 comp = {
                     0: "none", 1: "packbits", 2: "none",
                     3: "packbits", 4: "lzw", 5: "deflate", 6: "lzw",
-                    7: "packbits",
+                    7: "packbits", 8: "lzw",
                 }[variant]
                 payloads.append(
                     encode_tiff(
@@ -4022,11 +4078,12 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                         raster,
                         gray=gray,
                         compression=comp,
-                        big_endian=variant in (1, 2, 5),
+                        big_endian=variant in (1, 2, 5, 8),
                         rows_per_strip=2,
-                        predictor=2 if variant == 4 else 1,
+                        predictor=2 if variant in (4, 8) else 1,
                         tile=(16, 16) if variant == 6 else None,
                         palette=pal,
+                        planar=variant == 8,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})

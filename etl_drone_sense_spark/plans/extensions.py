@@ -2075,7 +2075,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 8 AS variant
+               doc_id % 9 AS variant
         FROM documents
     ),
     px AS (
@@ -2086,7 +2086,7 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     val AS (
         SELECT doc_id, w, h, p, c,
-               CASE WHEN variant IN (0, 1, 4)
+               CASE WHEN variant IN (0, 1, 4, 8)
                     THEN (doc_id * 53 + p * 3 + c) % 256
                     WHEN variant = 7
                     THEN (doc_id * 61 + ((doc_id * 53 + p) % 64) * 3 + c) % 256

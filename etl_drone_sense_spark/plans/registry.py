@@ -1024,6 +1024,8 @@ TOUCHED_R13: tuple[str, ...] = (
     # compositing — fixture now sub-rect rows + transparency + disposal
     # 1/2; quarantine narrowed to disposal 3 only
     "text_bpe_train",  # NEW r13: in-engine BPE training (learned merges)
+    "multimodal_decode_tiff",  # r13: PLANAR tier (fixture cycle 8 -> 9)
+    "multimodal_decode_flac",  # r13 (again): stereo decorrelation modes
 )
 
 

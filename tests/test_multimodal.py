@@ -2009,3 +2009,43 @@ def test_flac_spark_features_match_direct_decode(spark):
         assert row["mean_abs"] == (
             math.floor(int(a.sum()) * 1.0 / samples.size * 1e6 + 0.5) / 1e6
         )
+
+
+def test_tiff_planar_roundtrip_and_quarantines():
+    """r13: PlanarConfiguration=2 — plane-major strip tables, per-plane
+    predictor differencing; bit-exact roundtrip across compressions and
+    byte orders; planar gray/tiled stay quarantined."""
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_tiff,
+        parse_tiff,
+    )
+
+    w, h = 7, 5
+    raster = bytes((11 * i + 3) % 256 for i in range(w * h * 3))
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        for pred in (1, 2):
+            payload = encode_tiff(
+                w, h, raster, compression=comp, big_endian=(pred == 2),
+                rows_per_strip=2, predictor=pred, planar=True,
+            )
+            assert parse_tiff(payload) == (w, h, raster), (comp, pred)
+    with pytest.raises(ValueError, match="planar needs chunky RGB"):
+        encode_tiff(w, h, bytes(w * h), gray=True, planar=True)
+    with pytest.raises(ValueError, match="planar needs chunky RGB"):
+        encode_tiff(
+            16, 16, bytes(16 * 16 * 3), tile=(16, 16), planar=True
+        )
+    # a planar payload whose strip table is truncated to the chunky
+    # count must quarantine, not mis-assemble
+    good = bytearray(
+        encode_tiff(w, h, raster, rows_per_strip=2, planar=True)
+    )
+    # flip tag 284 back to 1: the 9-strip table no longer matches the
+    # 3-strip chunky expectation
+    i = good.find(b"\x1c\x01\x03\x00\x01\x00\x00\x00\x02\x00")
+    assert i != -1
+    good[i + 8] = 1
+    with pytest.raises(ValueError, match="strip count"):
+        parse_tiff(bytes(good))
