@@ -862,8 +862,9 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
 # top-down, via negative height) BGR rows padded to 4-byte multiples.
 # Supported tiers: 24-bit BI_RGB and 8-bit palette — the two layouts
 # that cover the overwhelming majority of real .bmp files. RLE4/RLE8,
-# BITFIELDS, 16/32-bit, and V4/V5 headers quarantine (ValueError), the
-# same honesty contract as the progressive-JPEG and animated-GIF gates.
+# BITFIELDS, 16/32-bit, and V4/V5 headers quarantine (ValueError) —
+# the honesty contract every codec tier keeps (progressive JPEG and
+# animated GIF, once examples of it, are decoded for real since r13).
 
 
 def encode_bmp(
@@ -3198,6 +3199,234 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    data: bytes,
+    ncomp: int = 3,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JFIF JPEG — REAL spec-conformant
+    bytes (r13). Quantized coefficients are computed with the IDENTICAL
+    math to ``encode_jpeg``, then emitted as a six-stage progression
+    per the spec's successive-approximation rules: an interleaved DC
+    first scan at Al=1, a DC refinement scan, and per component AC
+    first scans over two spectral bands (1-5, 6-63) at Al=1 followed by
+    their refinement scans — so a decode of this stream must equal a
+    decode of the baseline stream bit for bit (the identity the unit
+    suite pins on arbitrary content). DC point transform is an
+    arithmetic shift, AC truncates toward zero, newly-nonzero
+    refinement coefficients are ±1 with the correction-bit interleave,
+    and every block ends its first/refine AC scans with EOB0 (EOB runs
+    of length one keep the encoder simple and legal; the DECODER
+    handles arbitrary EOBn)."""
+    import struct
+
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 components")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("encode_jpeg supports 4:4:4 or 4:2:0")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size != width * height * ncomp:
+        raise ValueError("raster size mismatch")
+    if ncomp == 3:
+        rgb = arr.reshape(height, width, 3).astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        quants = [_JPEG_STD_QUANT_LUMA, _JPEG_STD_QUANT_CHROMA]
+        comp_q = [0, 1, 1]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "4:2:0" else [(1, 1)] * 3
+    else:
+        planes = [arr.reshape(height, width).astype(np.float64)]
+        quants = [_JPEG_STD_QUANT_LUMA]
+        comp_q = [0]
+        samp = [(1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def pad_to(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        ch, cw = p.shape
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:ch, :cw] = p
+        pp[ch:, :cw] = p[-1:, :]
+        pp[:, cw:] = pp[:, cw - 1 : cw]
+        return pp
+
+    coef_arrays: list[np.ndarray] = []
+    for ci, p in enumerate(planes):
+        hi, vi = samp[ci]
+        if (hi, vi) != (hmax, vmax):
+            fy, fx = vmax // vi, hmax // hi
+            p = pad_to(
+                p,
+                (p.shape[0] + fy - 1) // fy * fy,
+                (p.shape[1] + fx - 1) // fx * fx,
+            )
+            p = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        p = pad_to(p, mcus_y * vi * 8, mcus_x * hi * 8)
+        by_n, bx_n = p.shape[0] // 8, p.shape[1] // 8
+        zz_arr = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        qt = quants[comp_q[ci]]
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _DCT_C @ (blk - 128.0) @ _DCT_C.T
+                zz_arr[by, bx] = np.round(coef / qt).astype(np.int64).reshape(-1)[
+                    _ZIGZAG
+                ]
+        coef_arrays.append(zz_arr)
+
+    def scan_dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(len(planes)):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(coef_arrays[ci][my * vi + by, mx * hi + bx, 0]) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            cat = _jpeg_category(diff)
+                            code, nb = _DC_CODES[cat]
+                            bw.write(code, nb)
+                            if cat:
+                                bw.write(
+                                    diff if diff >= 0 else diff + (1 << cat) - 1,
+                                    cat,
+                                )
+        return bw.flush()
+
+    def scan_dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(len(planes)):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bw.write(
+                                (int(coef_arrays[ci][my * vi + by, mx * hi + bx, 0]) >> al) & 1,
+                                1,
+                            )
+        return bw.flush()
+
+    def comp_blocks(ci: int):
+        hi, vi = samp[ci]
+        cw = (width * hi + hmax - 1) // hmax
+        chh = (height * vi + vmax - 1) // vmax
+        for by in range((chh + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                yield coef_arrays[ci][by, bx]
+
+    def scan_ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        for zz in comp_blocks(ci):
+            run = 0
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                v = (abs(c) >> al) * (1 if c >= 0 else -1)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, nb = _AC_CODES[0xF0]
+                    bw.write(code, nb)
+                    run -= 16
+                size = _jpeg_category(v)
+                code, nb = _AC_CODES[(run << 4) | size]
+                bw.write(code, nb)
+                bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                code, nb = _AC_CODES[0x00]  # EOB0
+                bw.write(code, nb)
+        return bw.flush()
+
+    def scan_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        ah = al + 1
+        bw = _BitWriter()
+        for zz in comp_blocks(ci):
+            run = 0
+            pending: list[int] = []
+            emitted_any_tail = False
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                if abs(c) >> ah:  # history-nonzero: one correction bit
+                    pending.append((abs(c) >> al) & 1)
+                elif abs(c) >> al:  # newly nonzero: must be magnitude 1
+                    code, nb = _AC_CODES[(run << 4) | 1]
+                    bw.write(code, nb)
+                    bw.write(1 if c > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                else:
+                    run += 1
+                    if run == 16:
+                        code, nb = _AC_CODES[0xF0]  # ZRL
+                        bw.write(code, nb)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run = 0
+            if run or pending:
+                code, nb = _AC_CODES[0x00]  # EOB0 + tail correction bits
+                bw.write(code, nb)
+                for bit in pending:
+                    bw.write(bit, 1)
+        return bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qi, qt in enumerate(quants):
+        seg(0xDB, bytes([qi]) + bytes(qt.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
+    seg(0xC2, sof)  # SOF2 progressive
+    for tc in (0, 1):
+        bits, vals = (_DC_BITS, _DC_VALS) if tc == 0 else (_AC_BITS, _AC_VALS)
+        seg(0xC4, bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals))
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int,
+            entropy: bytes) -> None:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+        out.extend(entropy)
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    sos(all_ids, 0, 0, 0, 1, scan_dc_first(1))
+    sos(all_ids, 0, 0, 1, 0, scan_dc_refine(0))
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 5, 0, 1, scan_ac_first(ci, 1, 5, 1))
+        sos([ci + 1], 6, 63, 0, 1, scan_ac_first(ci, 6, 63, 1))
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 5, 1, 0, scan_ac_refine(ci, 1, 5, 0))
+        sos([ci + 1], 6, 63, 1, 0, scan_ac_refine(ci, 6, 63, 0))
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers.
     ``marker`` holds the pending marker byte once one is hit."""
@@ -3279,12 +3508,19 @@ def _receive_extend(br: _BitReader, size: int) -> int:
 
 
 def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JFIF JPEG — dependency-free. Returns
+    """Decode a JFIF JPEG — dependency-free. Returns
     ``(width, height, raster)``, interleaved RGB (grayscale replicates,
-    the parse_png grey convention). Supports SOF0 8-bit with 1 or 3
-    components, sampling factors up to 2×2, restart markers. Everything
-    else — progressive SOF2, arithmetic coding, 12-bit, unknown
-    markers mid-scan — raises ``ValueError`` (quarantine contract)."""
+    the parse_png grey convention). Supports 8-bit SOF0 (baseline) AND
+    SOF2 (PROGRESSIVE, r13 — spectral selection and successive
+    approximation: interleaved or single-component DC first/refine
+    scans, single-component AC first/refine scans with EOB runs and the
+    correction-bit interleave), 1 or 3 components, sampling factors up
+    to 2×2, restart markers in any scan. Coefficients accumulate across
+    scans and dequantize+IDCT once at EOI, so a progressive stream
+    decodes bit-identically to the baseline coding of the same
+    quantized coefficients. Everything else — arithmetic coding,
+    12-bit, lossless/hierarchical SOFs, unknown markers mid-scan —
+    raises ``ValueError`` (quarantine contract)."""
     import struct
 
     buf = bytes(payload)
@@ -3294,10 +3530,204 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, comps) ; comps = [(cid, hi, vi, tq)]
+    frame = None  # (h, w, comps, progressive) ; comps = [(cid, hi, vi, tq)]
+    coefs: list[np.ndarray] = []  # per comp: (blocks_y, blocks_x, 64) zigzag
     restart_interval = 0
+    scans_done = 0
+
+    def decode_scan(scan_comps, ss, se, ah, al, start: int) -> int:
+        """Entropy-decode one scan into ``coefs``; returns the byte
+        position of the next marker. ``scan_comps`` = [(ci, td, ta)]."""
+        nonlocal restart_interval
+        h, w, comps, progressive = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        br = _BitReader(buf, start)
+        preds = {ci: 0 for ci, _, _ in scan_comps}
+        eobrun = 0
+
+        def check_tables() -> None:
+            for ci, td, ta in scan_comps:
+                if ss == 0 and not (ah and progressive) and td not in huff_dc:
+                    raise ValueError("JPEG scan references missing huffman table")
+                if (not progressive or ss > 0) and ta not in huff_ac:
+                    raise ValueError("JPEG scan references missing huffman table")
+
+        check_tables()
+
+        def dc_first(zz, ci, td, shift):
+            cat = _huff_decode(br, huff_dc[td])
+            if cat > 11:
+                raise ValueError("corrupt JPEG DC category")
+            preds[ci] += _receive_extend(br, cat)
+            zz[0] = preds[ci] << shift
+
+        def dc_refine(zz):
+            if br.read_bit():
+                zz[0] |= 1 << al
+
+        def full_band(zz, ci, td, ta):
+            dc_first(zz, ci, td, 0)
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, huff_ac[ta])
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("corrupt JPEG AC run")
+                zz[k] = _receive_extend(br, size)
+                k += 1
+
+        def ac_first(zz, ta):
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _huff_decode(br, huff_ac[ta])
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += br.read_bits(run)
+                    return
+                k += run
+                if k > se:
+                    raise ValueError("corrupt JPEG AC run")
+                zz[k] = _receive_extend(br, size) << al
+                k += 1
+
+        def ac_refine(zz, ta):
+            # the correction-bit interleave from the spec (G.1.2.3):
+            # history-nonzero coefficients consume one magnitude bit
+            # whenever the position is crossed; newly-nonzero ±1<<al
+            # values place after skipping `run` zero-history positions
+            nonlocal eobrun
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(br, huff_ac[ta])
+                    run, size = rs >> 4, rs & 0x0F
+                    val = 0
+                    if size == 0:
+                        if run != 15:
+                            # EOBn covers the CURRENT block too: the
+                            # tail walk below consumes its correction
+                            # bits, then decrements
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += br.read_bits(run)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    elif size == 1:
+                        val = p1 if br.read_bit() else m1
+                    else:
+                        raise ValueError("corrupt JPEG refinement symbol")
+                    while k <= se:
+                        if zz[k]:
+                            if br.read_bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k]:
+                        if br.read_bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        def decode_unit(ci, td, ta, by, bx):
+            zz = coefs[ci][by, bx]
+            if not progressive:
+                full_band(zz, ci, td, ta)
+            elif ss == 0 and ah == 0:
+                dc_first(zz, ci, td, al)
+            elif ss == 0:
+                dc_refine(zz)
+            elif ah == 0:
+                ac_first(zz, ta)
+            else:
+                ac_refine(zz, ta)
+
+        def restart(unit_i: int) -> None:
+            nonlocal eobrun
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                br.align()
+                if br.pos + 2 <= len(buf) and buf[br.pos] == 0xFF and (
+                    0xD0 <= buf[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
+                for ci in preds:
+                    preds[ci] = 0
+                eobrun = 0
+
+        try:
+            if len(scan_comps) > 1:
+                unit = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        restart(unit)
+                        for ci, td, ta in scan_comps:
+                            _, hi, vi, _ = comps[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    decode_unit(
+                                        ci, td, ta, my * vi + by, mx * hi + bx
+                                    )
+                        unit += 1
+            else:
+                # non-interleaved: the scan covers the component's OWN
+                # block grid (ceil of its scaled dims), not MCU padding
+                ci, td, ta = scan_comps[0]
+                _, hi, vi, _ = comps[ci]
+                cw = (w * hi + hmax - 1) // hmax
+                chh = (h * vi + vmax - 1) // vmax
+                bx_n = (cw + 7) // 8
+                by_n = (chh + 7) // 8
+                unit = 0
+                for by in range(by_n):
+                    for bx in range(bx_n):
+                        restart(unit)
+                        decode_unit(ci, td, ta, by, bx)
+                        unit += 1
+        except ValueError as e:
+            if "ended at marker" not in str(e):
+                raise
+            raise ValueError(
+                "truncated JPEG scan (marker inside MCU)"
+            ) from None
+        # entropy data ends at a byte boundary; the next marker follows
+        # (optionally after 0xFF fill bytes)
+        p = br.pos
+        while p + 1 < len(buf) and not (
+            buf[p] == 0xFF and buf[p + 1] not in (0x00, 0xFF)
+        ):
+            p += 1
+        return p
+
     while True:
         if pos + 2 > len(buf):
+            if scans_done:
+                break  # tolerated: EOI missing but scans complete
             raise ValueError("truncated JPEG (no SOS)")
         if buf[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -3306,11 +3736,13 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         if marker == 0xFF:  # fill byte (spec allows 0xFF padding runs)
             pos -= 1
             continue
+        if marker == 0xD9:  # EOI
+            break
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers: stray SOI, TEM, RSTn
-        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError(
-                "unsupported JPEG variant: progressive/extended (SOF%d)"
+                "unsupported JPEG variant: extended/lossless (SOF%d)"
                 % (marker - 0xC0)
             )
         if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -3353,7 +3785,9 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 (huff_dc if tc == 0 else huff_ac)[th] = _decoder_huff(
                     bits, vals
                 )
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("JPEG: multiple frames")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("unsupported JPEG: %d-bit precision" % prec)
@@ -3366,95 +3800,69 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError("unsupported JPEG sampling factors")
                 comps.append((cid, hi, vi, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                for _, hi, vi, _ in comps
+            ]
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            h, w, comps, progressive = frame
             ns = body[0]
-            scan_tables = {}
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("corrupt JPEG SOS header")
+            cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            scan_comps = []
             for si in range(ns):
                 cs, tbl = body[1 + si * 2], body[2 + si * 2]
-                scan_tables[cs] = (tbl >> 4, tbl & 0x0F)
-            break
+                if cs not in cid_to_ci:
+                    raise ValueError("JPEG scan references unknown component")
+                scan_comps.append((cid_to_ci[cs], tbl >> 4, tbl & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("JPEG: baseline scan with progression")
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError("JPEG: progressive DC scan with Se>0")
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    raise ValueError("JPEG: bad progressive AC scan header")
+                if ah and ah != al + 1:
+                    raise ValueError("JPEG: non-successive approximation")
+            for _, hi, vi, tq in (comps[c[0]] for c in scan_comps):
+                if tq not in quant:
+                    raise ValueError("JPEG scan references missing quant table")
+            pos = decode_scan(scan_comps, ss, se, ah, al, pos)
+            scans_done += 1
         # APPn / COM / others: skipped
-    h, w, comps = frame
+    if frame is None or scans_done == 0:
+        raise ValueError("truncated JPEG (no SOS)")
+    h, w, comps, progressive = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    planes = []
-    for cid, hi, vi, tq in comps:
-        planes.append(
-            np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
-        )
-        if tq not in quant:
-            raise ValueError("JPEG scan references missing quant table")
-        if cid not in scan_tables:
-            raise ValueError("JPEG scan misses a frame component")
-        td, ta = scan_tables[cid]
-        if td not in huff_dc or ta not in huff_ac:
-            raise ValueError("JPEG scan references missing huffman table")
-
-    br = _BitReader(buf, pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    try:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if (
-                    restart_interval
-                    and mcu_count
-                    and mcu_count % restart_interval == 0
-                ):
-                    br.align()
-                    if br.pos + 2 <= len(buf) and buf[br.pos] == 0xFF and (
-                        0xD0 <= buf[br.pos + 1] <= 0xD7
-                    ):
-                        br.pos += 2
-                    preds = [0] * len(comps)
-                for ci, (cid, hi, vi, tq) in enumerate(comps):
-                    td, ta = scan_tables[cid]
-                    for by in range(vi):
-                        for bx in range(hi):
-                            zz = np.zeros(64, dtype=np.int64)
-                            cat = _huff_decode(br, huff_dc[td])
-                            if cat > 11:
-                                raise ValueError("corrupt JPEG DC category")
-                            preds[ci] += _receive_extend(br, cat)
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(br, huff_ac[ta])
-                                run, size = rs >> 4, rs & 0x0F
-                                if size == 0:
-                                    if run == 15:
-                                        k += 16  # ZRL
-                                        continue
-                                    break  # EOB
-                                k += run
-                                if k > 63:
-                                    raise ValueError("corrupt JPEG AC run")
-                                zz[k] = _receive_extend(br, size)
-                                k += 1
-                            coef = (
-                                zz[_UNZIGZAG].reshape(8, 8) * quant[tq]
-                            ).astype(np.float64)
-                            block = _DCT_C.T @ coef @ _DCT_C + 128.0
-                            py = (my * vi + by) * 8
-                            px = (mx * hi + bx) * 8
-                            planes[ci][py : py + 8, px : px + 8] = block
-                mcu_count += 1
-    except ValueError as e:
-        if "ended at marker" not in str(e):
-            raise
-        raise ValueError("truncated JPEG scan (marker inside MCU)") from None
-
     full = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
-        p = planes[ci]
+        by_n, bx_n, _ = coefs[ci].shape
+        qt = quant[tq]
+        zz = coefs[ci].reshape(by_n * bx_n, 64)
+        blocks = (
+            zz[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+            * qt[None, :, :]
+        )
+        spatial = np.einsum("ij,njk,kl->nil", _DCT_C.T, blocks, _DCT_C) + 128.0
+        p = (
+            spatial.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
         if hi != hmax or vi != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
@@ -3509,9 +3917,47 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic PROGRESSIVE JPEG payloads keyed by doc id
+    (r13) — REAL SOF2 bytes (six-scan spectral-selection + successive-
+    approximation progression, encode_jpeg_progressive) with the same
+    constant-block exactness trick as the baseline fixture: grayscale
+    constant 8x8 blocks at even offsets from 128 are DC-only and decode
+    bit-exactly, so the oracle derives the features in closed form.
+    ``w = 8*(1 + doc_id % 2)``, ``h = 8*(1 + doc_id % 3)``, block ``bi``
+    value ``128 + 2*((doc_id*11 + bi*19) % 81 - 40)`` — multipliers
+    11/19 distinct from the baseline fixture's 7/13, so a dispatch
+    mix-up between the two JPEG tiers cannot silently hash-match."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wb, hb = 1 + did % 2, 1 + did % 3
+                w, h = 8 * wb, 8 * hb
+                img = np.empty((h, w), dtype=np.uint8)
+                for bi in range(wb * hb):
+                    by, bx = divmod(bi, wb)
+                    v = 128 + 2 * ((did * 11 + bi * 19) % 81 - 40)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payloads.append(
+                    encode_jpeg_progressive(w, h, img.tobytes(), ncomp=1)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from ..sources.readers import rebalance_for_compute
+
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
-    PNG signature → PNG, SOI → baseline JPEG, GIF87a/89a → GIF-LZW,
+    PNG signature → PNG, SOI → JPEG (baseline AND progressive, r13),
+    GIF87a/89a → GIF-LZW,
     BM → BMP, II*/MM* → baseline TIFF (uncompressed/PackBits strips);
     anything else raises ``ValueError`` (H.264/VP9-class video
     remains the declared import-gated extension — MJPEG-in-AVI is real,

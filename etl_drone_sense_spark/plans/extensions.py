@@ -2189,9 +2189,68 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     features in pure SQL — a zigzag, dequant, huffman, IDCT, or
     level-shift bug anywhere in parse_jpeg shifts a mean and
     hash-fails. Color 4:4:4 / 4:2:0 round-trips are tolerance-tested in
-    tests/test_multimodal.py (lossy by nature); progressive/arithmetic/
-    12-bit variants quarantine. Video remains honestly import-gated."""
+    tests/test_multimodal.py (lossy by nature); PROGRESSIVE decodes for
+    real since r13 (multimodal_decode_jpeg_progressive below);
+    arithmetic/12-bit variants quarantine. Video remains honestly
+    import-gated."""
     media = multimodal.synth_jpeg_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_decode_jpeg_progressive",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 2 AS wb, 1 + doc_id % 3 AS hb
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS bi FROM dims
+    ),
+    val AS (
+        SELECT doc_id, wb, hb,
+               128 + 2 * ((doc_id * 11 + bi * 19) % 81 - 40) AS v
+        FROM blk
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_r,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_g,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_b
+    FROM val GROUP BY doc_id, wb, hb
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG decode end-to-end (r13 — the biggest remaining
+    image quarantine): REAL SOF2 payloads with a six-scan spectral-
+    selection + successive-approximation progression (interleaved DC
+    first/refine, per-band AC first/refine with the correction-bit
+    interleave — operators/multimodal.encode_jpeg_progressive), decoded
+    through the SAME Arrow path and magic-byte dispatch as every other
+    raster tier: parse_jpeg now accumulates coefficients across scans
+    and runs one IDCT at EOI. The fixture reuses the constant-block
+    exactness trick (DC-only blocks decode bit-exactly), so the oracle
+    derives features in closed form; a scan-sequencing, EOB-run,
+    point-transform, or correction-bit bug changes a mean and
+    hash-fails. AC-coefficient coding on arbitrary content is pinned
+    separately by the progressive==baseline identity test (both encode
+    the identical quantized coefficients, so their decodes must agree
+    bit for bit). Arithmetic/12-bit/lossless variants stay quarantined."""
+    media = multimodal.synth_jpeg_progressive_media(
+        t(spark, sf_dir, "documents")
+    )
     feats = multimodal.decode_image_features(media)
     return feats.filter(F.col("decode_ok")).select(
         "media_id",

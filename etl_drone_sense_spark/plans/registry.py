@@ -1026,6 +1026,9 @@ TOUCHED_R13: tuple[str, ...] = (
     "text_bpe_train",  # NEW r13: in-engine BPE training (learned merges)
     "multimodal_decode_tiff",  # r13: PLANAR tier (fixture cycle 8 -> 9)
     "multimodal_decode_flac",  # r13 (again): stereo decorrelation modes
+    "multimodal_decode_jpeg_progressive",  # NEW r13: SOF2 six-scan tier
+    "multimodal_decode_jpeg",  # r13: decoder restructured to
+    # coefficient-accumulation scans (baseline path byte-compatible)
 )
 
 

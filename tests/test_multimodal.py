@@ -2049,3 +2049,68 @@ def test_tiff_planar_roundtrip_and_quarantines():
     good[i + 8] = 1
     with pytest.raises(ValueError, match="strip count"):
         parse_tiff(bytes(good))
+
+
+# --- progressive JPEG (r13) ---------------------------------------------------
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The identity that certifies AC coding on ARBITRARY content: the
+    progressive encoder emits the identical quantized coefficients as
+    the baseline encoder, so the two decodes must agree bit for bit —
+    grayscale and color, 4:4:4 and 4:2:0, non-multiple-of-8 dims."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    cases = [
+        (1, "4:4:4", 8, 8), (1, "4:4:4", 37, 23), (3, "4:4:4", 16, 16),
+        (3, "4:2:0", 33, 18), (3, "4:2:0", 9, 40), (1, "4:4:4", 5, 5),
+    ]
+    for ncomp, sub, w, h in cases:
+        img = rng.integers(0, 256, w * h * ncomp, dtype=np.uint8).tobytes()
+        base = parse_jpeg(encode_jpeg(w, h, img, ncomp=ncomp, subsampling=sub))
+        prog = parse_jpeg(
+            encode_jpeg_progressive(w, h, img, ncomp=ncomp, subsampling=sub)
+        )
+        assert base == prog, (ncomp, sub, w, h)
+
+
+def test_jpeg_progressive_partial_stream_quarantines_cleanly():
+    """A progressive stream truncated mid-scan must raise, not emit a
+    half-refined raster."""
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    img = (np.arange(24 * 16, dtype=np.uint8) % 251).tobytes()
+    payload = encode_jpeg_progressive(24, 16, img, ncomp=1)
+    with pytest.raises(ValueError):
+        parse_jpeg(payload[: len(payload) * 2 // 3])
+
+
+def test_jpeg_still_quarantines_arithmetic_and_extended():
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    base = bytearray(encode_jpeg(8, 8, bytes(64), ncomp=1))
+    i = base.find(b"\xff\xc0")
+    assert i != -1
+    for marker, match in ((0xC9, "arithmetic"), (0xC3, "lossless|extended")):
+        bad = bytearray(base)
+        bad[i + 1] = marker
+        with pytest.raises(ValueError, match=match):
+            parse_jpeg(bytes(bad))
