@@ -3656,7 +3656,13 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 eobrun -= 1
 
         def decode_unit(ci, td, ta, by, bx):
-            zz = coefs[ci][by, bx]
+            # decode into a plain python list and write back once:
+            # per-coefficient numpy setitem inside the huffman loop
+            # measured 2.5x slower on the baseline bench path
+            zz_np = coefs[ci][by, bx]
+            # baseline scans own the whole band, so the prior state is
+            # irrelevant — skip the tolist
+            zz = zz_np.tolist() if progressive else [0] * 64
             if not progressive:
                 full_band(zz, ci, td, ta)
             elif ss == 0 and ah == 0:
@@ -3667,6 +3673,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 ac_first(zz, ta)
             else:
                 ac_refine(zz, ta)
+            zz_np[:] = zz
 
         def restart(unit_i: int) -> None:
             nonlocal eobrun
