@@ -52,7 +52,9 @@ BUDGETS_S: dict[str, float] = {
     "sketch_theta_kmv": 1.78,  # r9: 1.8 x 0.99 s quiet median
     "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
     # fixed-point moment aggregates over lineitem in one pass)
-    "multimodal_decode_bmp": 1.12,  # r9: 0.52 s quiet median + 0.6 floor
+    "multimodal_decode_bmp": 1.68,  # r13: 1.8 x 0.93 s quiet median —
+    # the BI_RLE8 tier (1/4 of docs) adds a per-image python cursor
+    # walk on both fixture and decode sides; was 0.52 + 0.6 floor (r9)
     "multimodal_decode_adpcm": 2.19,  # r11: 1.8 x 1.22 s quiet median
     "multimodal_decode_flac": 3.22,  # r13: 1.8 x 1.79 s quiet median
     # (Rice decode is a per-sample Python walk inside the Arrow batch,

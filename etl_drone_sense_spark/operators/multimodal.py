@@ -873,12 +873,20 @@ def encode_bmp(
     raster: bytes,
     palette: bytes | None = None,
     top_down: bool = False,
+    rle8: bool = False,
 ) -> bytes:
     """Minimal BMP writer — the fixture side of the codec pair, exactly
     like encode_png. ``raster`` is RGB bytes (24-bit) or palette indices
     (with ``palette`` = RGB triples, ≤256 entries); rows are emitted
-    bottom-up unless ``top_down`` (negative biHeight)."""
+    bottom-up unless ``top_down`` (negative biHeight). ``rle8`` (r13)
+    emits BI_RLE8 compression — 8-bit palette, bottom-up only (the
+    spec forbids RLE with negative heights): encoded runs, absolute-mode
+    literals of >=3 with word padding, EOL after every row, EOB at the
+    end."""
     import struct
+
+    if rle8 and (palette is None or top_down):
+        raise ValueError("bmp: RLE8 needs a bottom-up palette image")
 
     if palette is None:
         row_bytes = width * 3
@@ -903,17 +911,56 @@ def encode_bmp(
     pad = (-row_bytes) % 4
     rows = []
     order = range(height) if top_down else range(height - 1, -1, -1)
-    for y in order:
-        row = raster[y * row_bytes : (y + 1) * row_bytes]
-        if bitcount == 24:
-            # RGB → BGR per pixel
-            row = bytes(
-                b
-                for x in range(width)
-                for b in (row[3 * x + 2], row[3 * x + 1], row[3 * x])
-            )
-        rows.append(row + b"\x00" * pad)
-    pixel_data = b"".join(rows)
+    if rle8:
+        out_rle = bytearray()
+        for y in order:
+            row = raster[y * row_bytes : (y + 1) * row_bytes]
+            x = 0
+            while x < width:
+                run = 1
+                while (
+                    x + run < width and run < 255 and row[x + run] == row[x]
+                ):
+                    run += 1
+                if run >= 2:
+                    out_rle += bytes((run, row[x]))
+                    x += run
+                    continue
+                # literal stretch: collect until the next >=3-run
+                lit = x
+                while lit < width and (width - lit) >= 1:
+                    nr = 1
+                    while (
+                        lit + nr < width and nr < 3 and row[lit + nr] == row[lit]
+                    ):
+                        nr += 1
+                    if nr >= 3 or lit - x == 255:
+                        break
+                    lit += 1
+                n = lit - x
+                if n >= 3:
+                    out_rle += bytes((0, n)) + row[x:lit]
+                    if n % 2:
+                        out_rle += b"\x00"  # absolute runs pad to words
+                else:
+                    for k in range(n):
+                        out_rle += bytes((1, row[x + k]))
+                x = lit
+            out_rle += b"\x00\x00"  # EOL
+        out_rle[-2:] = b"\x00\x01"  # final EOL becomes EOB
+        pixel_data = bytes(out_rle)
+    else:
+        for y in order:
+            row = raster[y * row_bytes : (y + 1) * row_bytes]
+            if bitcount == 24:
+                # RGB → BGR per pixel
+                row = bytes(
+                    b
+                    for x in range(width)
+                    for b in (row[3 * x + 2], row[3 * x + 1], row[3 * x])
+                )
+            rows.append(row + b"\x00" * pad)
+        pixel_data = b"".join(rows)
     data_offset = 14 + 40 + len(pal_blob)
     info = struct.pack(
         "<IiiHHIIiiII",
@@ -922,7 +969,7 @@ def encode_bmp(
         -height if top_down else height,
         1,
         bitcount,
-        0,  # BI_RGB
+        1 if rle8 else 0,  # BI_RLE8 / BI_RGB
         len(pixel_data),
         2835,
         2835,
@@ -939,11 +986,14 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     """BMP → (width, height, raw RGB raster), parse_png's interface.
 
     Accepts 24-bit BI_RGB and 8-bit palette with a 40-byte
-    BITMAPINFOHEADER, both row orders. Everything else — RLE
-    compression, BITFIELDS, 1/4/16/32-bit depths, V4/V5 headers, and
-    every malformed-structure case (truncation, raster overflow,
-    out-of-range palette index) — raises ``ValueError`` so one bad blob
-    quarantines instead of killing the Arrow task."""
+    BITMAPINFOHEADER, both row orders, and BI_RLE8 compression (r13:
+    encoded runs, absolute mode with word padding, EOL/EOB escapes, and
+    delta moves — skipped pixels keep palette entry 0, the conventional
+    background). Everything else — RLE4, BITFIELDS, 1/4/16/32-bit
+    depths, V4/V5 headers, RLE on top-down images, and every
+    malformed-structure case (truncation, raster overflow, cursor
+    escape, out-of-range palette index) — raises ``ValueError`` so one
+    bad blob quarantines instead of killing the Arrow task."""
     import struct
 
     buf = bytes(payload or b"")
@@ -964,8 +1014,10 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     h = -h_raw if top_down else h_raw
     if planes != 1:
         raise ValueError("bmp: planes must be 1")
-    if compression != 0:
+    if compression not in (0, 1):
         raise ValueError(f"bmp: unsupported compression {compression}")
+    if compression == 1 and (bitcount != 8 or top_down):
+        raise ValueError("bmp: RLE8 requires 8-bit bottom-up")
     if bitcount not in (8, 24):
         raise ValueError(f"bmp: unsupported bit depth {bitcount}")
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
@@ -985,15 +1037,55 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
         row_bytes = w
     else:
         row_bytes = w * 3
-    stride = row_bytes + ((-row_bytes) % 4)
-    need = data_offset + stride * h
-    if need > len(buf):
-        raise ValueError("bmp: truncated pixel data")
-    rows = np.frombuffer(
-        buf[data_offset : data_offset + stride * h], dtype=np.uint8
-    ).reshape(h, stride)[:, :row_bytes]
-    if not top_down:
-        rows = rows[::-1]
+    if compression == 1:
+        # BI_RLE8 cursor walk: (x, y) in BOTTOM-UP coordinates; the
+        # canvas defaults to palette entry 0 (delta-skipped pixels)
+        idx_arr = np.zeros((h, w), dtype=np.uint8)
+        i = data_offset
+        x = y = 0
+        while True:
+            if i + 2 > len(buf):
+                raise ValueError("bmp: truncated RLE data")
+            n, v = buf[i], buf[i + 1]
+            i += 2
+            if n:
+                if y >= h or x + n > w:
+                    raise ValueError("bmp: RLE run escapes the raster")
+                idx_arr[y, x : x + n] = v
+                x += n
+            elif v == 0:  # EOL
+                x, y = 0, y + 1
+            elif v == 1:  # EOB
+                break
+            elif v == 2:  # delta
+                if i + 2 > len(buf):
+                    raise ValueError("bmp: truncated RLE delta")
+                x += buf[i]
+                y += buf[i + 1]
+                i += 2
+                if x > w or y > h:
+                    raise ValueError("bmp: RLE delta escapes the raster")
+            else:  # absolute mode: v literal indices, word-padded
+                if i + v > len(buf):
+                    raise ValueError("bmp: truncated RLE absolute run")
+                if y >= h or x + v > w:
+                    raise ValueError("bmp: RLE run escapes the raster")
+                idx_arr[y, x : x + v] = np.frombuffer(
+                    buf[i : i + v], dtype=np.uint8
+                )
+                x += v
+                i += v + (v % 2)
+        rows = idx_arr[::-1]  # bottom-up rows → image order
+    else:
+        stride = row_bytes + ((-row_bytes) % 4)
+        need = data_offset + stride * h
+        if need > len(buf):
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(
+            buf[data_offset : data_offset + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, :row_bytes]
+        if not top_down:
+            rows = rows[::-1]
     if bitcount == 8:
         idx = rows.reshape(h, w)
         if int(idx.max(initial=0)) >= n_colors:
@@ -4418,9 +4510,9 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
     bytes (file + info headers, BGR rows, 4-byte row padding via
     ``encode_bmp``) whose pixel content a SQL oracle can derive.
     ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``; the variant
-    cycles ``doc_id % 3`` so one relation exercises both bit depths and
-    both row orders (padding is non-zero whenever width*3 % 4 != 0, so
-    the stride math is genuinely under test):
+    cycles ``doc_id % 4`` so one relation exercises both bit depths,
+    both row orders, and RLE8 (padding is non-zero whenever
+    width*3 % 4 != 0, so the stride math is genuinely under test):
 
     * 0 → 24-bit bottom-up: pixel ``p`` channel ``c`` =
       ``(doc_id*43 + p*3 + c) % 256``;
@@ -4430,7 +4522,11 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
       exists exactly to catch this case by hash;
     * 2 → 8-bit palette bottom-up: index at ``p`` =
       ``(doc_id*43 + p) % 64``, palette entry ``k`` channel ``c`` =
-      ``(doc_id*47 + k*3 + c) % 256``.
+      ``(doc_id*47 + k*3 + c) % 256``;
+    * 3 → the SAME palette image BI_RLE8-compressed (r13): encoded
+      runs + absolute-mode literals + EOL/EOB — RLE is a lossless
+      re-coding, so variants 2 and 3 share the oracle formula and a
+      cursor/escape/padding bug hash-fails.
 
     Multipliers 43/47 are distinct from the PPM (31), PNG (37/41), and
     GIF fixtures so a codec mix-up cannot silently hash-match."""
@@ -4441,7 +4537,7 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 3
+                variant = did % 4
                 if variant in (0, 1):
                     raster = bytes(
                         (did * 43 + i) % 256 for i in range(w * h * 3)
@@ -4452,7 +4548,11 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
                 else:
                     idx = bytes((did * 43 + p) % 64 for p in range(w * h))
                     pal = bytes((did * 47 + b) % 256 for b in range(64 * 3))
-                    payloads.append(encode_bmp(w, h, idx, palette=pal))
+                    payloads.append(
+                        encode_bmp(
+                            w, h, idx, palette=pal, rle8=(variant == 3)
+                        )
+                    )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(

@@ -2011,7 +2011,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 3 AS variant
+               doc_id % 4 AS variant
         FROM documents
     ),
     px AS (
@@ -2024,6 +2024,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, w, h, p, c,
                CASE WHEN variant IN (0, 1)
                     THEN (doc_id * 43 + p * 3 + c) % 256
+                    -- variants 2 (plain palette) and 3 (RLE8) share the
+                    -- palette formula: RLE is lossless re-coding
                     ELSE (doc_id * 47 + ((doc_id * 43 + p) % 64) * 3 + c) % 256
                END AS v
         FROM ch

@@ -1029,6 +1029,7 @@ TOUCHED_R13: tuple[str, ...] = (
     "multimodal_decode_jpeg_progressive",  # NEW r13: SOF2 six-scan tier
     "multimodal_decode_jpeg",  # r13: decoder restructured to
     # coefficient-accumulation scans (baseline path byte-compatible)
+    "multimodal_decode_bmp",  # r13: BI_RLE8 tier (fixture cycle 3 -> 4)
 )
 
 

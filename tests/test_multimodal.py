@@ -1438,7 +1438,7 @@ def test_bmp_end_to_end_decode_matches_formula(spark):
     }
     for did in range(12):
         w, h = 4 + did % 5, 3 + did % 4
-        variant = did % 3
+        variant = did % 4  # r13: variant 3 = RLE8 over the palette formula
         if variant in (0, 1):
             vals = np.array(
                 [(did * 43 + i) % 256 for i in range(w * h * 3)], dtype=np.int64
@@ -2114,3 +2114,50 @@ def test_jpeg_still_quarantines_arithmetic_and_extended():
         bad[i + 1] = marker
         with pytest.raises(ValueError, match=match):
             parse_jpeg(bytes(bad))
+
+
+def test_bmp_rle8_roundtrip_and_escapes():
+    """r13: BI_RLE8 — runs, absolute mode with word padding, EOL/EOB,
+    and (decode-only) delta moves that leave skipped pixels at palette
+    entry 0; RLE on top-down images quarantines per spec."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_bmp,
+        parse_bmp,
+    )
+
+    rng = np.random.default_rng(23)
+    pal = bytes((b * 5 + 1) % 256 for b in range(64 * 3))
+    for t in range(12):
+        w = int(rng.integers(1, 25))
+        h = int(rng.integers(1, 12))
+        idx = bytes(
+            int(rng.integers(0, 4 if t % 2 else 64)) for _ in range(w * h)
+        )
+        plain = parse_bmp(encode_bmp(w, h, idx, palette=pal))
+        rle = parse_bmp(encode_bmp(w, h, idx, palette=pal, rle8=True))
+        assert plain == rle, (t, w, h)
+    with pytest.raises(ValueError, match="bottom-up"):
+        encode_bmp(4, 2, bytes(8), palette=pal, top_down=True, rle8=True)
+    # hand-assembled delta: run 2@v1, delta(+1,+1), run 1@v2, EOB over 4x2
+    base = bytearray(encode_bmp(4, 2, bytes(8), palette=pal, rle8=True))
+    off = struct.unpack_from("<I", base, 10)[0]
+    rle_data = bytes([2, 1, 0, 2, 1, 1, 1, 2, 0, 1])
+    out = bytearray(base[:off] + rle_data)
+    struct.pack_into("<I", out, 2, off + len(rle_data))
+    struct.pack_into("<I", out, 34, len(rle_data))
+    w, h, rgb = parse_bmp(bytes(out))
+    arr = np.frombuffer(rgb, np.uint8).reshape(2, 4, 3)
+    palv = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    # bottom-up: bottom row [1,1,0,0]; delta skips to (3,1): top row [0,0,0,2]
+    assert [list(v) for v in arr[1]] == [list(palv[i]) for i in (1, 1, 0, 0)]
+    assert [list(v) for v in arr[0]] == [list(palv[i]) for i in (0, 0, 0, 2)]
+    # a run escaping the raster quarantines
+    bad = bytearray(out)
+    bad[off] = 9  # run of 9 on a width-4 row
+    with pytest.raises(ValueError, match="escapes the raster"):
+        parse_bmp(bytes(bad))
