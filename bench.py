@@ -59,6 +59,8 @@ BUDGETS_S: dict[str, float] = {
     "multimodal_decode_flac": 3.22,  # r13: 1.8 x 1.79 s quiet median
     # (Rice decode is a per-sample Python walk inside the Arrow batch,
     # like the ADPCM tiers — ~675k samples at sf0.1)
+    "multimodal_decode_jpeg_progressive": 1.82,  # r13: 1.8 x 1.01 s
+    # quiet median (six-scan SOF2 decode through the Arrow path)
     "multimodal_decode_msadpcm": 2.98,  # r12: 1.8 x 1.65 s quiet median
     # (per-nibble predictor walk is a Python loop inside the Arrow
     # batch, like the IMA tier — inherently serial per clip)

@@ -2231,6 +2231,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM val GROUP BY doc_id, wb, hb
     """,
     tags=("multimodal", "pandas_udf"),
+    bench=True,
 )
 def multimodal_decode_jpeg_progressive(
     spark: SparkSession, sf_dir: str
