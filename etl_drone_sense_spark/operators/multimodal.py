@@ -2349,6 +2349,10 @@ def _write_residuals(fw: _FlacBitWriter, resid: list[int]) -> None:
             fw.write(u & ((1 << k) - 1), k)
 
 
+_FLAC_SS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+_FLAC_SS_BITS = {v: k for k, v in _FLAC_SS_CODE.items()}
+
+
 def encode_flac(
     sample_rate: int,
     channels: int,
@@ -2359,40 +2363,49 @@ def encode_flac(
     lpc_shift: int = 1,
     lpc_precision: int = 4,
     channel_mode: str = "independent",
+    bits: int = 16,
 ) -> bytes:
-    """REAL FLAC bytes for 16-bit interleaved ``samples``. ``variant``
-    picks the subframe strategy applied to every block/channel:
+    """REAL FLAC bytes for interleaved ``samples`` at ``bits`` per
+    sample (8/12/16/20/24 — the spec's fixed-depth frame codes; r13
+    closes the non-16-bit quarantine). ``variant`` picks the subframe
+    strategy applied to every block/channel:
     0 CONSTANT (samples must be constant per channel), 1 VERBATIM,
     2 FIXED order 1, 3 FIXED order 2, 4 LPC order ``len(lpc_coefs)``.
     Blocks too short for the predictor order fall back to VERBATIM
     (deterministically — the last partial block can be 1 sample).
     ``channel_mode`` (stereo only) selects the spec's inter-channel
     decorrelation: independent / left_side / right_side / mid_side —
-    the side channel carries ``left - right`` at 17 bits, mid is the
-    floor average with the dropped parity bit recovered from side."""
+    the side channel carries ``left - right`` at ``bits + 1`` bits, mid
+    is the floor average with the dropped parity bit recovered from
+    side."""
     samples = np.asarray(samples, dtype=np.int64)
     if channels < 1 or samples.size % channels:
         raise ValueError("flac encoder: samples not frame-aligned")
     if channel_mode != "independent" and channels != 2:
         raise ValueError("flac encoder: decorrelation needs 2 channels")
+    if bits not in _FLAC_SS_CODE:
+        raise ValueError(f"flac encoder: unsupported bit depth {bits}")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if samples.size and (samples.min() < lo or samples.max() > hi):
+        raise ValueError(f"flac encoder: sample outside int{bits} range")
     frames = samples.size // channels
     chans = [samples[c::channels] for c in range(channels)]
     # per-subframe stored streams + bit widths + frame-header code
     if channel_mode == "independent":
         stored = chans
-        sub_bits = [16] * channels
+        sub_bits = [bits] * channels
         ch_code = channels - 1
     elif channel_mode == "left_side":
         stored = [chans[0], chans[0] - chans[1]]
-        sub_bits = [16, 17]
+        sub_bits = [bits, bits + 1]
         ch_code = 0b1000
     elif channel_mode == "right_side":
         stored = [chans[0] - chans[1], chans[1]]
-        sub_bits = [17, 16]
+        sub_bits = [bits + 1, bits]
         ch_code = 0b1001
     elif channel_mode == "mid_side":
         stored = [(chans[0] + chans[1]) >> 1, chans[0] - chans[1]]
-        sub_bits = [16, 17]
+        sub_bits = [bits, bits + 1]
         ch_code = 0b1010
     else:
         raise ValueError(f"flac encoder: unknown channel mode {channel_mode}")
@@ -2406,7 +2419,7 @@ def encode_flac(
     si.write(0, 24)  # max frame size unknown
     si.write(sample_rate, 20)
     si.write(channels - 1, 3)
-    si.write(15, 5)  # bits per sample - 1
+    si.write(bits - 1, 5)
     si.write(frames, 36)
     out += si.getvalue_aligned_zero()
     out += bytes(16)  # MD5 unset (zeros = unknown, per spec)
@@ -2462,7 +2475,7 @@ def encode_flac(
         hw.write(0b0111, 4)  # blocksize: explicit 16-bit value follows
         hw.write(0b0000, 4)  # sample rate: from STREAMINFO
         hw.write(ch_code, 4)  # channel assignment (indep or decorrelated)
-        hw.write(0b100, 3)  # 16 bits per sample
+        hw.write(_FLAC_SS_CODE[bits], 3)  # bits per sample
         hw.write(0, 1)  # reserved
         header = bytearray(hw.getvalue_aligned_zero())
         header += _utf8_number_encode(fi)
@@ -2566,23 +2579,25 @@ def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int) -> list[int]:
 def parse_flac(payload: bytes):
     """Decode a FLAC payload — dependency-free per the format spec.
     Supported (the interchange subset this engine synthesizes AND the
-    common encoder output shapes): 16-bit samples, mono/stereo with ALL
-    FOUR channel assignments (independent, left/side, right/side,
-    mid/side — the side channel reads at 17 bits and mid's dropped
-    parity bit is recovered from side, r13),
-    CONSTANT/VERBATIM/FIXED(0-4)/LPC subframes, both Rice methods with
-    escape partitions, any partition order, wasted bits, UTF-8 coded
-    frame/sample numbers, explicit and table block sizes. CRC-8 and
-    CRC-16 are VERIFIED — a corrupt frame quarantines rather than
-    emitting wrong samples. Other bit depths and reserved channel codes
-    raise ValueError (honest quarantine). Returns ``(sample_rate,
-    channels, int16 numpy array of interleaved samples)`` — the same
-    contract as ``parse_wav``."""
+    common encoder output shapes): 8/12/16/20/24-bit samples (every
+    fixed-depth frame code the spec defines — r13 closed the
+    non-16-bit quarantine), mono/stereo with ALL FOUR channel
+    assignments (independent, left/side, right/side, mid/side — the
+    side channel reads at bps+1 bits and mid's dropped parity bit is
+    recovered from side, r13), CONSTANT/VERBATIM/FIXED(0-4)/LPC
+    subframes, both Rice methods with escape partitions, any partition
+    order, wasted bits, UTF-8 coded frame/sample numbers, explicit and
+    table block sizes. CRC-8 and CRC-16 are VERIFIED — a corrupt frame
+    quarantines rather than emitting wrong samples. 32-bit depth and
+    reserved channel codes raise ValueError (honest quarantine).
+    Returns ``(sample_rate, channels, numpy array of interleaved
+    samples)`` — int16 for depths ≤ 16, int32 above — the same contract
+    shape as ``parse_wav``."""
     buf = bytes(payload or b"")
     if len(buf) < 42 or buf[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4
-    rate = channels = total = None
+    rate = channels = total = bps = None
     while True:
         if pos + 4 > len(buf):
             raise ValueError("flac: truncated metadata")
@@ -2604,7 +2619,7 @@ def parse_flac(payload: bytes):
             channels = sr.read(3) + 1
             bps = sr.read(5) + 1
             total = sr.read(36)
-            if bps != 16:
+            if bps not in _FLAC_SS_CODE:
                 raise ValueError(f"flac: unsupported bit depth {bps}")
         pos += 4 + length
         if last:
@@ -2652,7 +2667,9 @@ def parse_flac(payload: bytes):
         decorrelated = ch_code >= 0b1000
         if (2 if decorrelated else ch_code + 1) != channels:
             raise ValueError("flac: frame channel count mismatch")
-        if ss_code != 0b100:
+        # 0b000 defers to STREAMINFO; a fixed code must AGREE with it —
+        # a depth flip mid-stream is corruption, not a feature
+        if ss_code and _FLAC_SS_BITS.get(ss_code) != bps:
             raise ValueError("flac: unsupported frame sample size")
         header_end = br.bitpos // 8
         if _flac_crc8(buf[frame_start:header_end]) != br.read(8):
@@ -2662,8 +2679,8 @@ def parse_flac(payload: bytes):
             # the SIDE channel (left-right) needs one extra bit; which
             # subframe is the side depends on the assignment
             side_slot = 0 if ch_code == 0b1001 else 1
-            s0 = _flac_subframe(br, blocksize, 17 if side_slot == 0 else 16)
-            s1 = _flac_subframe(br, blocksize, 17 if side_slot == 1 else 16)
+            s0 = _flac_subframe(br, blocksize, bps + (side_slot == 0))
+            s1 = _flac_subframe(br, blocksize, bps + (side_slot == 1))
             if ch_code == 0b1000:  # left/side
                 left = s0
                 right = [x - s for x, s in zip(s0, s1)]
@@ -2680,7 +2697,7 @@ def parse_flac(payload: bytes):
             chans[1].extend(right[:take])
         else:
             for c in range(channels):
-                sub = _flac_subframe(br, blocksize, 16)
+                sub = _flac_subframe(br, blocksize, bps)
                 chans[c].extend(sub[:take])
         br.align()
         body_end = br.bitpos // 8
@@ -2691,9 +2708,10 @@ def parse_flac(payload: bytes):
     flat = np.empty(decoded * channels, dtype=np.int64)
     for c in range(channels):
         flat[c::channels] = chans[c]
-    if flat.size and (flat.max() > 32767 or flat.min() < -32768):
-        raise ValueError("flac: decoded sample out of int16 range")
-    return rate, channels, flat.astype(np.int16)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if flat.size and (flat.max() > hi or flat.min() < lo):
+        raise ValueError(f"flac: decoded sample out of int{bps} range")
+    return rate, channels, flat.astype(np.int16 if bps <= 16 else np.int32)
 
 
 def parse_audio(payload: bytes):
@@ -2941,15 +2959,18 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
     doc_id % 60`` over 48-sample blocks (2-3 frames per file, partial
     tail always present), subframe strategy cycling ``doc_id % 5``:
     CONSTANT / VERBATIM / FIXED-1 / FIXED-2 / LPC-2 (coefs (3, -2),
-    shift 1). Sample ``i`` of channel ``c`` =
-    ``(doc_id*47 + c*31 + i*9) % 65536 - 32768`` (full int16 range, the
-    mod-wrap spikes exercise long Rice quotients), except the CONSTANT
-    variant which drops the ``i`` term. FLAC is LOSSLESS, so the SQL
-    oracle recomputes features from this closed form directly — no
-    recurrence transcription needed; any codec bug (Rice overlap, CRC,
-    predictor, warm-up, block split) changes decoded samples and
-    hash-fails. Multipliers 47/31/9 collide with no other audio
-    fixture."""
+    shift 1), BIT DEPTH cycling ``(doc_id // 3) % 3`` → 16 / 8 / 24
+    (r13 late: the non-16-bit quarantine closed — the depth only
+    changes the sample modulus, so one oracle certifies all three
+    depth tiers). Sample ``i`` of channel ``c`` =
+    ``(doc_id*47 + c*31 + i*9) % 2^bits - 2^(bits-1)`` (full dynamic
+    range at every depth, the mod-wrap spikes exercise long Rice
+    quotients), except the CONSTANT variant which drops the ``i``
+    term. FLAC is LOSSLESS, so the SQL oracle recomputes features from
+    this closed form directly — no recurrence transcription needed;
+    any codec bug (Rice overlap, CRC, predictor, warm-up, block split,
+    depth-code mapping) changes decoded samples and hash-fails.
+    Multipliers 47/31/9 collide with no other audio fixture."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2959,16 +2980,18 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
                 ch = 1 + did % 2
                 frames = 60 + did % 60
                 variant = did % 5
+                bits = (16, 8, 24)[(did // 3) % 3]
+                mod, half = 1 << bits, 1 << (bits - 1)
                 i = np.arange(frames, dtype=np.int64)
                 chans = []
                 for c in range(ch):
                     if variant == 0:
                         s = np.full(
-                            frames, (did * 47 + c * 31) % 65536 - 32768,
+                            frames, (did * 47 + c * 31) % mod - half,
                             dtype=np.int64,
                         )
                     else:
-                        s = (did * 47 + c * 31 + i * 9) % 65536 - 32768
+                        s = (did * 47 + c * 31 + i * 9) % mod - half
                     chans.append(s)
                 interleaved = np.empty(frames * ch, dtype=np.int64)
                 for c in range(ch):
@@ -2982,7 +3005,7 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
                 payloads.append(
                     encode_flac(
                         16000, ch, interleaved, variant=variant,
-                        channel_mode=mode,
+                        channel_mode=mode, bits=bits,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})

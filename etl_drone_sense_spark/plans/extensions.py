@@ -5030,19 +5030,21 @@ def multimodal_decode_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch,
                60 + doc_id % 60 AS frames,
-               doc_id % 5 AS variant
+               doc_id % 5 AS variant,
+               CASE (doc_id // 3) % 3 WHEN 0 THEN 65536
+                    WHEN 1 THEN 256 ELSE 16777216 END AS modw
         FROM documents
     ),
     chans AS (
-        SELECT doc_id, ch, frames, variant, unnest(range(0, ch)) AS c
+        SELECT doc_id, ch, frames, variant, modw, unnest(range(0, ch)) AS c
         FROM dims
     ),
     samples AS (
         SELECT doc_id, ch, frames,
                abs(CASE WHEN variant = 0
-                        THEN (doc_id * 47 + c * 31) % 65536 - 32768
+                        THEN (doc_id * 47 + c * 31) % modw - modw // 2
                         ELSE (doc_id * 47 + c * 31 + unnest(range(0, frames))
-                              * 9) % 65536 - 32768 END) AS a
+                              * 9) % modw - modw // 2 END) AS a
         FROM chans
     )
     SELECT doc_id AS media_id,
@@ -5067,9 +5069,12 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     — STREAMINFO, multi-frame with a partial tail block, CRC-8/CRC-16,
     UTF-8 frame numbers, Rice2 residual coding — cycling all five
     subframe strategies (CONSTANT / VERBATIM / FIXED-1 / FIXED-2 /
-    LPC-2) by doc id; the decoder (parse_flac, behind the parse_audio
-    magic-byte dispatch) is an independent spec implementation that
-    VERIFIES both CRCs. Because FLAC is lossless the decoded stream IS
+    LPC-2) and all three corpus bit depths (16 / 8 / 24 — r13 late,
+    the non-16-bit quarantine closed; depth only changes the sample
+    modulus so this one oracle certifies every tier) by doc id; the
+    decoder (parse_flac, behind the parse_audio magic-byte dispatch)
+    is an independent spec implementation that VERIFIES both CRCs.
+    Because FLAC is lossless the decoded stream IS
     the fixture's closed-form sample formula, so the oracle recomputes
     the features from that formula in plain SQL — no recurrence CTE.
     Any codec bug (Rice unary overlap, predictor sign, warm-up count,

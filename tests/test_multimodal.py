@@ -1804,8 +1804,9 @@ def test_tiff_packbits_overrun_quarantines():
 
 def test_flac_roundtrip_all_variants():
     """Every subframe strategy × mono/stereo × every channel assignment
-    (independent, left/side, right/side, mid/side) × partial-tail sizes
-    must roundtrip bit-exactly — losslessness IS the format contract."""
+    (independent, left/side, right/side, mid/side) × every corpus bit
+    depth (16/8/24 — r13 late) × partial-tail sizes must roundtrip
+    bit-exactly — losslessness IS the format contract."""
     import numpy as np
 
     from etl_drone_sense_spark.operators.multimodal import (
@@ -1818,23 +1819,34 @@ def test_flac_roundtrip_all_variants():
         ch = 1 + did % 2
         frames = 60 + did % 60
         variant = did % 5
+        bits = (16, 8, 24)[(did // 3) % 3]
+        mod, half = 1 << bits, 1 << (bits - 1)
         i = np.arange(frames, dtype=np.int64)
         inter = np.empty(frames * ch, dtype=np.int64)
         for c in range(ch):
             if variant == 0:
-                inter[c::ch] = (did * 47 + c * 31) % 65536 - 32768
+                inter[c::ch] = (did * 47 + c * 31) % mod - half
             else:
-                inter[c::ch] = (did * 47 + c * 31 + i * 9) % 65536 - 32768
+                inter[c::ch] = (did * 47 + c * 31 + i * 9) % mod - half
         for mode in (modes if ch == 2 else ("independent",)):
             rate, ch2, out = parse_flac(
                 encode_flac(
-                    16000, ch, inter, variant=variant, channel_mode=mode
+                    16000, ch, inter, variant=variant, channel_mode=mode,
+                    bits=bits,
                 )
             )
             assert (rate, ch2) == (16000, ch)
+            assert out.dtype == (np.int16 if bits <= 16 else np.int32)
             assert np.array_equal(out.astype(np.int64), inter), (
-                did, variant, mode,
+                did, variant, mode, bits,
             )
+    # 12- and 20-bit are spec codes the fixture never cycles; the codec
+    # still roundtrips them (depth support is the full fixed-code table)
+    for bits in (12, 20):
+        mod, half = 1 << bits, 1 << (bits - 1)
+        s = (np.arange(100, dtype=np.int64) * 97) % mod - half
+        _, _, out = parse_flac(encode_flac(8000, 1, s, variant=3, bits=bits))
+        assert np.array_equal(out.astype(np.int64), s)
 
 
 def test_flac_crc_corruption_quarantines():
@@ -1966,6 +1978,23 @@ def test_flac_unsupported_shapes_quarantine():
 
     with pytest.raises(ValueError, match="not a FLAC"):
         parse_flac(b"fLaX" + bytes(60))
+    # 32-bit depth stays an honest quarantine (encoder and decoder)
+    with pytest.raises(ValueError, match="unsupported bit depth"):
+        encode_flac(16000, 1, np.zeros(8, dtype=np.int64), bits=32)
+    base32 = bytearray(encode_flac(16000, 1, np.zeros(8, dtype=np.int64)))
+    # STREAMINFO bps-1 straddles bytes 20-21 of the block (bit offset
+    # 103): rewrite the 5-bit field from 15 (16-bit) to 31 (32-bit)
+    base32[8 + 12] |= 0x01
+    base32[8 + 13] |= 0xF0
+    with pytest.raises(ValueError, match="unsupported bit depth"):
+        parse_flac(bytes(base32))
+    # a fixed frame depth code that CONTRADICTS STREAMINFO quarantines
+    basem = bytearray(encode_flac(16000, 1, np.zeros(8, dtype=np.int64)))
+    fo = 42  # first frame after 4 magic + 4 header + 34 streaminfo
+    # header byte 3 = cccc sssr: flip sample-size bits 0b100 -> 0b001
+    basem[fo + 3] = (basem[fo + 3] & 0xF1) | (0b001 << 1)
+    with pytest.raises(ValueError, match="sample size|CRC"):
+        parse_flac(bytes(basem))
     # stereo decorrelation channel codes (left/side = 0b1000) quarantine
     base = bytearray(encode_flac(16000, 2, np.zeros(16, dtype=np.int64)))
     # frame starts right after 4 magic + 4 header + 34 streaminfo
