@@ -862,9 +862,10 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
 # top-down, via negative height) BGR rows padded to 4-byte multiples.
 # Supported tiers: 24-bit BI_RGB and 8-bit palette — the two layouts
 # that cover the overwhelming majority of real .bmp files. RLE4/RLE8,
-# BITFIELDS, 16/32-bit, and V4/V5 headers quarantine (ValueError) —
-# the honesty contract every codec tier keeps (progressive JPEG and
-# animated GIF, once examples of it, are decoded for real since r13).
+# 1-bit and V4/V5 headers quarantine (ValueError) — the honesty
+# contract every codec tier keeps (progressive JPEG, animated GIF,
+# RLE4/BITFIELDS/16/32-bit, once examples of it, decode for real
+# since r13).
 
 
 def encode_bmp(
@@ -874,6 +875,9 @@ def encode_bmp(
     palette: bytes | None = None,
     top_down: bool = False,
     rle8: bool = False,
+    rle4: bool = False,
+    bitfields565: bool = False,
+    rgb32: bool = False,
 ) -> bytes:
     """Minimal BMP writer — the fixture side of the codec pair, exactly
     like encode_png. ``raster`` is RGB bytes (24-bit) or palette indices
@@ -882,14 +886,31 @@ def encode_bmp(
     emits BI_RLE8 compression — 8-bit palette, bottom-up only (the
     spec forbids RLE with negative heights): encoded runs, absolute-mode
     literals of >=3 with word padding, EOL after every row, EOB at the
-    end."""
+    end. r13 late tiers: ``rle4`` (BI_RLE4 — ≤16-color palette, nibble
+    runs with alternating high/low pixels, nibble-packed absolute mode),
+    ``bitfields565`` (16-bit BI_BITFIELDS with the 5/6/5 masks in the
+    12 bytes after the info header; RGB input truncates to the field
+    widths), and ``rgb32`` (32-bit BI_RGB — BGRX quads, no row pad)."""
     import struct
 
     if rle8 and (palette is None or top_down):
         raise ValueError("bmp: RLE8 needs a bottom-up palette image")
+    if rle4 and (palette is None or top_down or len(palette) > 16 * 3):
+        raise ValueError("bmp: RLE4 needs a bottom-up <=16-color palette")
+    if (bitfields565 or rgb32) and palette is not None:
+        raise ValueError("bmp: bitfields/rgb32 are true-color tiers")
 
-    if palette is None:
-        row_bytes = width * 3
+    mask_blob = b""
+    if bitfields565:
+        bitcount, pal_blob, n_colors = 16, b"", 0
+        mask_blob = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+        if len(raster) != width * height * 3:
+            raise ValueError("bmp: raster length mismatch")
+    elif rgb32:
+        bitcount, pal_blob, n_colors = 32, b"", 0
+        if len(raster) != width * height * 3:
+            raise ValueError("bmp: raster length mismatch")
+    elif palette is None:
         bitcount, pal_blob, n_colors = 24, b"", 0
         if len(raster) != width * height * 3:
             raise ValueError("bmp: raster length mismatch")
@@ -902,19 +923,20 @@ def encode_bmp(
             bytes((palette[3 * k + 2], palette[3 * k + 1], palette[3 * k], 0))
             for k in range(n_colors)
         )
-        row_bytes = width
-        bitcount = 8
+        bitcount = 4 if rle4 else 8
         if len(raster) != width * height:
             raise ValueError("bmp: index raster length mismatch")
         if raster and max(raster) >= n_colors:
             raise ValueError("bmp: index out of palette range")
+    row_bytes = {24: width * 3, 16: width * 2, 32: width * 4,
+                 8: width, 4: (width + 1) // 2}[bitcount]
     pad = (-row_bytes) % 4
     rows = []
     order = range(height) if top_down else range(height - 1, -1, -1)
     if rle8:
         out_rle = bytearray()
         for y in order:
-            row = raster[y * row_bytes : (y + 1) * row_bytes]
+            row = raster[y * width : (y + 1) * width]
             x = 0
             while x < width:
                 run = 1
@@ -949,19 +971,83 @@ def encode_bmp(
             out_rle += b"\x00\x00"  # EOL
         out_rle[-2:] = b"\x00\x01"  # final EOL becomes EOB
         pixel_data = bytes(out_rle)
+    elif rle4:
+        # BI_RLE4: run records paint n pixels ALTERNATING the two
+        # nibbles of v (a solid run repeats one nibble); absolute mode
+        # packs literal pixels two per byte, word-padded
+        out_rle = bytearray()
+        for y in order:
+            row = raster[y * width : (y + 1) * width]
+            x = 0
+            while x < width:
+                run = 1
+                while (
+                    x + run < width and run < 255 and row[x + run] == row[x]
+                ):
+                    run += 1
+                if run >= 2:
+                    out_rle += bytes((run, (row[x] << 4) | row[x]))
+                    x += run
+                    continue
+                lit = x
+                while lit < width:
+                    nr = 1
+                    while (
+                        lit + nr < width and nr < 3 and row[lit + nr] == row[lit]
+                    ):
+                        nr += 1
+                    if nr >= 3 or lit - x == 254:
+                        break
+                    lit += 1
+                n = lit - x
+                if n >= 3:
+                    out_rle += bytes((0, n))
+                    nibs = row[x:lit] + b"\x00"  # even-length pad nibble
+                    packed = bytes(
+                        (nibs[2 * k] << 4) | nibs[2 * k + 1]
+                        for k in range((n + 1) // 2)
+                    )
+                    out_rle += packed + (b"\x00" * (len(packed) % 2))
+                else:
+                    for k in range(n):
+                        out_rle += bytes((1, row[x + k] << 4))
+                x = lit
+            out_rle += b"\x00\x00"  # EOL
+        out_rle[-2:] = b"\x00\x01"  # final EOL becomes EOB
+        pixel_data = bytes(out_rle)
     else:
         for y in order:
-            row = raster[y * row_bytes : (y + 1) * row_bytes]
             if bitcount == 24:
+                src = raster[y * width * 3 : (y + 1) * width * 3]
                 # RGB → BGR per pixel
                 row = bytes(
                     b
                     for x in range(width)
-                    for b in (row[3 * x + 2], row[3 * x + 1], row[3 * x])
+                    for b in (src[3 * x + 2], src[3 * x + 1], src[3 * x])
                 )
+            elif bitcount == 32:
+                src = raster[y * width * 3 : (y + 1) * width * 3]
+                row = bytes(
+                    b
+                    for x in range(width)
+                    for b in (src[3 * x + 2], src[3 * x + 1], src[3 * x], 0)
+                )
+            elif bitcount == 16:
+                src = raster[y * width * 3 : (y + 1) * width * 3]
+                words = bytearray()
+                for x in range(width):
+                    v = (
+                        ((src[3 * x] >> 3) << 11)
+                        | ((src[3 * x + 1] >> 2) << 5)
+                        | (src[3 * x + 2] >> 3)
+                    )
+                    words += v.to_bytes(2, "little")
+                row = bytes(words)
+            else:  # 8-bit indices
+                row = raster[y * width : (y + 1) * width]
             rows.append(row + b"\x00" * pad)
         pixel_data = b"".join(rows)
-    data_offset = 14 + 40 + len(pal_blob)
+    data_offset = 14 + 40 + len(mask_blob) + len(pal_blob)
     info = struct.pack(
         "<IiiHHIIiiII",
         40,
@@ -969,7 +1055,8 @@ def encode_bmp(
         -height if top_down else height,
         1,
         bitcount,
-        1 if rle8 else 0,  # BI_RLE8 / BI_RGB
+        # BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS
+        1 if rle8 else 2 if rle4 else 3 if bitfields565 else 0,
         len(pixel_data),
         2835,
         2835,
@@ -979,21 +1066,27 @@ def encode_bmp(
     file_header = struct.pack(
         "<2sIHHI", b"BM", data_offset + len(pixel_data), 0, 0, data_offset
     )
-    return file_header + info + pal_blob + pixel_data
+    return file_header + info + mask_blob + pal_blob + pixel_data
 
 
 def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     """BMP → (width, height, raw RGB raster), parse_png's interface.
 
-    Accepts 24-bit BI_RGB and 8-bit palette with a 40-byte
-    BITMAPINFOHEADER, both row orders, and BI_RLE8 compression (r13:
-    encoded runs, absolute mode with word padding, EOL/EOB escapes, and
-    delta moves — skipped pixels keep palette entry 0, the conventional
-    background). Everything else — RLE4, BITFIELDS, 1/4/16/32-bit
-    depths, V4/V5 headers, RLE on top-down images, and every
-    malformed-structure case (truncation, raster overflow, cursor
-    escape, out-of-range palette index) — raises ``ValueError`` so one
-    bad blob quarantines instead of killing the Arrow task."""
+    Accepts a 40-byte BITMAPINFOHEADER with: 24-bit BI_RGB, 32-bit
+    BI_RGB (BGRX — the padding byte is ignored per spec), 16-bit BI_RGB
+    (the spec's DEFAULT 5-5-5 masks), 16/32-bit BI_BITFIELDS with
+    arbitrary contiguous non-overlapping masks (each field scales to
+    8-bit by the floor ratio ``v*255 // field_max`` — r13 late, the
+    BITFIELDS quarantine closed), 4/8-bit palette, both row orders, and
+    BI_RLE8 + BI_RLE4 compression (encoded runs — RLE4 runs alternate
+    the two nibbles of the value byte — absolute mode with word
+    padding, EOL/EOB escapes, delta moves; skipped pixels keep palette
+    entry 0, the conventional background). Everything else — 1-bit,
+    V4/V5 headers, RLE on top-down images, overlapping or
+    non-contiguous masks, and every malformed-structure case
+    (truncation, raster overflow, cursor escape, out-of-range palette
+    index) — raises ``ValueError`` so one bad blob quarantines instead
+    of killing the Arrow task."""
     import struct
 
     buf = bytes(payload or b"")
@@ -1014,18 +1107,49 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     h = -h_raw if top_down else h_raw
     if planes != 1:
         raise ValueError("bmp: planes must be 1")
-    if compression not in (0, 1):
+    if compression not in (0, 1, 2, 3):
         raise ValueError(f"bmp: unsupported compression {compression}")
     if compression == 1 and (bitcount != 8 or top_down):
         raise ValueError("bmp: RLE8 requires 8-bit bottom-up")
-    if bitcount not in (8, 24):
+    if compression == 2 and (bitcount != 4 or top_down):
+        raise ValueError("bmp: RLE4 requires 4-bit bottom-up")
+    if compression == 3 and bitcount not in (16, 32):
+        raise ValueError("bmp: BITFIELDS requires 16/32-bit")
+    if bitcount not in (4, 8, 16, 24, 32):
         raise ValueError(f"bmp: unsupported bit depth {bitcount}")
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
         raise ValueError("bmp: unreasonable dimensions")
     n_colors = struct.unpack_from("<I", buf, 46)[0]
-    if bitcount == 8:
+    masks = None
+    if compression == 3:
+        if len(buf) < 54 + 12:
+            raise ValueError("bmp: truncated BITFIELDS masks")
+        masks = struct.unpack_from("<III", buf, 54)
+    elif bitcount == 16:
+        masks = (0x7C00, 0x03E0, 0x001F)  # BI_RGB 16-bit default 5-5-5
+    elif bitcount == 32:
+        masks = (0x00FF0000, 0x0000FF00, 0x000000FF)  # BGRX
+    if masks is not None:
+        limit = (1 << bitcount) - 1
+        shifts, maxes = [], []
+        union = 0
+        for m in masks:
+            if m == 0 or m > limit:
+                raise ValueError("bmp: invalid channel mask")
+            if union & m:
+                raise ValueError("bmp: overlapping channel masks")
+            union |= m
+            sh = (m & -m).bit_length() - 1
+            mx = m >> sh
+            if mx & (mx + 1):
+                raise ValueError("bmp: non-contiguous channel mask")
+            shifts.append(sh)
+            maxes.append(mx)
+    if bitcount in (4, 8):
         if n_colors == 0:
-            n_colors = 256
+            n_colors = 1 << bitcount
+        if n_colors > (1 << bitcount):
+            raise ValueError("bmp: palette larger than the index space")
         pal_off = 14 + 40
         pal_end = pal_off + 4 * n_colors
         if pal_end > len(buf) or pal_end > data_offset:
@@ -1034,11 +1158,10 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
             -1, 4
         )
         pal_rgb = quads[:, [2, 1, 0]]  # BGRX → RGB
-        row_bytes = w
-    else:
-        row_bytes = w * 3
-    if compression == 1:
-        # BI_RLE8 cursor walk: (x, y) in BOTTOM-UP coordinates; the
+    row_bytes = {4: (w + 1) // 2, 8: w, 16: w * 2, 24: w * 3,
+                 32: w * 4}[bitcount]
+    if compression in (1, 2):
+        # BI_RLE cursor walk: (x, y) in BOTTOM-UP coordinates; the
         # canvas defaults to palette entry 0 (delta-skipped pixels)
         idx_arr = np.zeros((h, w), dtype=np.uint8)
         i = data_offset
@@ -1051,7 +1174,12 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
             if n:
                 if y >= h or x + n > w:
                     raise ValueError("bmp: RLE run escapes the raster")
-                idx_arr[y, x : x + n] = v
+                if compression == 1:
+                    idx_arr[y, x : x + n] = v
+                else:
+                    # RLE4 runs alternate the byte's two nibbles
+                    pair = np.array([v >> 4, v & 0x0F], dtype=np.uint8)
+                    idx_arr[y, x : x + n] = np.tile(pair, (n + 1) // 2)[:n]
                 x += n
             elif v == 0:  # EOL
                 x, y = 0, y + 1
@@ -1066,16 +1194,25 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
                 if x > w or y > h:
                     raise ValueError("bmp: RLE delta escapes the raster")
             else:  # absolute mode: v literal indices, word-padded
-                if i + v > len(buf):
+                used = v if compression == 1 else (v + 1) // 2
+                if i + used > len(buf):
                     raise ValueError("bmp: truncated RLE absolute run")
                 if y >= h or x + v > w:
                     raise ValueError("bmp: RLE run escapes the raster")
-                idx_arr[y, x : x + v] = np.frombuffer(
-                    buf[i : i + v], dtype=np.uint8
-                )
+                if compression == 1:
+                    idx_arr[y, x : x + v] = np.frombuffer(
+                        buf[i : i + v], dtype=np.uint8
+                    )
+                else:
+                    packed = np.frombuffer(buf[i : i + used], dtype=np.uint8)
+                    nibs = np.empty(used * 2, dtype=np.uint8)
+                    nibs[0::2] = packed >> 4
+                    nibs[1::2] = packed & 0x0F
+                    idx_arr[y, x : x + v] = nibs[:v]
                 x += v
-                i += v + (v % 2)
+                i += used + (used % 2)
         rows = idx_arr[::-1]  # bottom-up rows → image order
+        idx = rows.reshape(h, w)
     else:
         stride = row_bytes + ((-row_bytes) % 4)
         need = data_offset + stride * h
@@ -1086,13 +1223,38 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
         ).reshape(h, stride)[:, :row_bytes]
         if not top_down:
             rows = rows[::-1]
-    if bitcount == 8:
-        idx = rows.reshape(h, w)
+        if bitcount == 4:
+            packed = rows.reshape(h, row_bytes)
+            nibs = np.empty((h, row_bytes * 2), dtype=np.uint8)
+            nibs[:, 0::2] = packed >> 4
+            nibs[:, 1::2] = packed & 0x0F
+            idx = nibs[:, :w]
+        elif bitcount == 8:
+            idx = rows.reshape(h, w)
+    if bitcount in (4, 8):
         if int(idx.max(initial=0)) >= n_colors:
             raise ValueError("bmp: palette index out of range")
         rgb = pal_rgb[idx]
-    else:
+    elif bitcount == 24:
         rgb = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    else:
+        # uint64: a full-width contiguous mask times the 255 scale
+        # factor overflows uint32
+        words = rows.reshape(h, w, bitcount // 8).astype(np.uint64)
+        if bitcount == 16:
+            vals = words[:, :, 0] | (words[:, :, 1] << 8)
+        else:
+            vals = (
+                words[:, :, 0]
+                | (words[:, :, 1] << 8)
+                | (words[:, :, 2] << 16)
+                | (words[:, :, 3] << 24)
+            )
+        chans = [
+            (((vals >> sh) & mx) * 255 // mx).astype(np.uint8)
+            for sh, mx in zip(shifts, maxes)
+        ]
+        rgb = np.stack(chans, axis=-1)
     return w, h, np.ascontiguousarray(rgb).tobytes()
 
 
@@ -4533,9 +4695,10 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
     bytes (file + info headers, BGR rows, 4-byte row padding via
     ``encode_bmp``) whose pixel content a SQL oracle can derive.
     ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``; the variant
-    cycles ``doc_id % 4`` so one relation exercises both bit depths,
-    both row orders, and RLE8 (padding is non-zero whenever
-    width*3 % 4 != 0, so the stride math is genuinely under test):
+    cycles ``doc_id % 7`` so one relation exercises every decoded bit
+    depth, both row orders, both RLE compressions, and BITFIELDS
+    (padding is non-zero whenever width*3 % 4 != 0, so the stride math
+    is genuinely under test):
 
     * 0 → 24-bit bottom-up: pixel ``p`` channel ``c`` =
       ``(doc_id*43 + p*3 + c) % 256``;
@@ -4549,7 +4712,18 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
     * 3 → the SAME palette image BI_RLE8-compressed (r13): encoded
       runs + absolute-mode literals + EOL/EOB — RLE is a lossless
       re-coding, so variants 2 and 3 share the oracle formula and a
-      cursor/escape/padding bug hash-fails.
+      cursor/escape/padding bug hash-fails;
+    * 4 → 16-bit BI_BITFIELDS 5-6-5 (r13 late): the variant-0 RGB
+      formula truncated to the field widths — channel ``c`` decodes to
+      ``(v >> (3 - c%2)) * 255 // field_max`` in closed form, so a
+      mask/shift/scale bug hash-fails;
+    * 5 → 32-bit BI_RGB (BGRX quads, r13 late): the variant-0 formula
+      bit-exactly — the padding byte must be ignored;
+    * 6 → 4-bit palette BI_RLE4-compressed (r13 late): index at ``p`` =
+      ``(doc_id*43 + p) % 16``, palette entry ``k`` channel ``c`` =
+      ``(doc_id*47 + k*3 + c) % 256`` — nibble runs alternate the value
+      byte's two halves and absolute mode nibble-packs, so an
+      alternation/packing bug hash-fails.
 
     Multipliers 43/47 are distinct from the PPM (31), PNG (37/41), and
     GIF fixtures so a codec mix-up cannot silently hash-match."""
@@ -4560,13 +4734,24 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 4
-                if variant in (0, 1):
+                variant = did % 7
+                if variant in (0, 1, 4, 5):
                     raster = bytes(
                         (did * 43 + i) % 256 for i in range(w * h * 3)
                     )
                     payloads.append(
-                        encode_bmp(w, h, raster, top_down=(variant == 1))
+                        encode_bmp(
+                            w, h, raster,
+                            top_down=(variant == 1),
+                            bitfields565=(variant == 4),
+                            rgb32=(variant == 5),
+                        )
+                    )
+                elif variant == 6:
+                    idx = bytes((did * 43 + p) % 16 for p in range(w * h))
+                    pal = bytes((did * 47 + b) % 256 for b in range(16 * 3))
+                    payloads.append(
+                        encode_bmp(w, h, idx, palette=pal, rle4=True)
                     )
                 else:
                     idx = bytes((did * 43 + p) % 64 for p in range(w * h))

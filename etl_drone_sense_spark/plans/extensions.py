@@ -2011,7 +2011,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 4 AS variant
+               doc_id % 7 AS variant
         FROM documents
     ),
     px AS (
@@ -2022,11 +2022,25 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     val AS (
         SELECT doc_id, w, h, p, c,
-               CASE WHEN variant IN (0, 1)
-                    THEN (doc_id * 43 + p * 3 + c) % 256
-                    -- variants 2 (plain palette) and 3 (RLE8) share the
-                    -- palette formula: RLE is lossless re-coding
-                    ELSE (doc_id * 47 + ((doc_id * 43 + p) % 64) * 3 + c) % 256
+               CASE
+                   -- 24-bit (both row orders) and 32-bit BGRX share the
+                   -- RGB formula bit-exactly
+                   WHEN variant IN (0, 1, 5)
+                   THEN (doc_id * 43 + p * 3 + c) % 256
+                   -- 16-bit BITFIELDS 5-6-5: truncate to the field
+                   -- width, then the decoder's floor rescale to 8-bit
+                   WHEN variant = 4
+                   THEN CASE c
+                        WHEN 1 THEN (((doc_id * 43 + p * 3 + 1) % 256)
+                                     // 4) * 255 // 63
+                        ELSE (((doc_id * 43 + p * 3 + c) % 256)
+                              // 8) * 255 // 31 END
+                   -- RLE4: 16-entry palette
+                   WHEN variant = 6
+                   THEN (doc_id * 47 + ((doc_id * 43 + p) % 16) * 3 + c) % 256
+                   -- variants 2 (plain palette) and 3 (RLE8) share the
+                   -- palette formula: RLE is lossless re-coding
+                   ELSE (doc_id * 47 + ((doc_id * 43 + p) % 64) * 3 + c) % 256
                END AS v
         FROM ch
     )
@@ -2046,10 +2060,16 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BMP decode end-to-end (r9): the uncompressed Windows DIB
-    format every OS screenshot/export tool emits — file + info headers,
-    bottom-up AND top-down row orders, BGR channel order, 4-byte row
-    padding, 8-bit palette (BGRX quads) and 24-bit tiers
+    """REAL BMP decode end-to-end (r9): the Windows DIB format every OS
+    screenshot/export tool emits — file + info headers, bottom-up AND
+    top-down row orders, BGR channel order, 4-byte row padding, 8-bit
+    palette (BGRX quads) and 24-bit tiers, BI_RLE8 (r13), and the r13
+    late tiers that closed the remaining DIB quarantines: 16-bit
+    BI_BITFIELDS 5-6-5 (arbitrary contiguous masks in the decoder, the
+    floor ``v*255 // field_max`` rescale transcribed by the oracle),
+    32-bit BI_RGB (BGRX quads — the pad byte must be ignored), and
+    4-bit palette BI_RLE4 (nibble runs alternating the value byte's two
+    halves, nibble-packed absolute mode)
     (operators/multimodal.encode_bmp / parse_bmp), decoded through the
     same Arrow mapInPandas path as PPM/PNG/JPEG/GIF (parse_image
     dispatches on the 'BM' magic). Pixel content is an arithmetic
@@ -2057,8 +2077,8 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-sensitive ``row_moment`` (Σ row_index · row byte-sum)
     catches the vertical-flip bug class that per-channel means are
     mathematically blind to (a mishandled negative biHeight preserves
-    all three means). RLE/BITFIELDS/16-bit/V5-header variants quarantine
-    via the shared decode_ok=false contract."""
+    all three means). 1-bit and V4/V5-header variants quarantine via
+    the shared decode_ok=false contract."""
     media = multimodal.synth_bmp_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
     return feats.filter(F.col("decode_ok")).select(

@@ -1402,10 +1402,10 @@ def test_bmp_quarantines_malformed_and_unsupported():
         mutate(14, "<I", 108),  # V4 header
         mutate(14, "<I", 124),  # V5 header
         mutate(26, "<H", 3),  # planes != 1
-        mutate(28, "<H", 16),  # 16-bit
-        mutate(28, "<H", 32),  # 32-bit
-        mutate(30, "<I", 1),  # BI_RLE8
-        mutate(30, "<I", 3),  # BI_BITFIELDS
+        mutate(28, "<H", 1),  # 1-bit stays quarantined
+        mutate(28, "<H", 32),  # 32-bit reread of a 24-bit body: truncated
+        mutate(30, "<I", 1),  # BI_RLE8 on a 24-bit image
+        mutate(30, "<I", 3),  # BI_BITFIELDS on a 24-bit image
         mutate(18, "<i", -4),  # negative width
         mutate(18, "<i", 1 << 24),  # absurd width
     ]
@@ -1424,6 +1424,74 @@ def test_bmp_quarantines_malformed_and_unsupported():
         encode_bmp(4, 3, bytes(5))  # raster length mismatch
 
 
+def test_bmp_bitfields_rgb32_rle4_roundtrip():
+    """r13 late tiers: 5-6-5 BITFIELDS (floor rescale), 32-bit BGRX
+    (bit-exact, pad byte ignored), RLE4 palette (nibble runs + packed
+    absolute mode), and generic-mask validation."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    for did in (4, 11, 18, 25, 32, 39, 46):  # variant-4/5/6 doc ids
+        w, h = 4 + did % 5, 3 + did % 4
+        variant = did % 7
+        if variant in (4, 5):
+            raster = bytes((did * 43 + i) % 256 for i in range(w * h * 3))
+            _, _, out = parse_bmp(
+                encode_bmp(
+                    w, h, raster,
+                    bitfields565=(variant == 4), rgb32=(variant == 5),
+                )
+            )
+            src = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+            if variant == 4:
+                px = src.reshape(-1, 3)
+                exp = np.stack(
+                    [
+                        (px[:, 0] >> 3) * 255 // 31,
+                        (px[:, 1] >> 2) * 255 // 63,
+                        (px[:, 2] >> 3) * 255 // 31,
+                    ],
+                    axis=-1,
+                ).ravel()
+            else:
+                exp = src
+            assert np.array_equal(
+                np.frombuffer(out, dtype=np.uint8).astype(np.int64), exp
+            ), did
+        elif variant == 6:
+            idx = bytes((did * 43 + p) % 16 for p in range(w * h))
+            pal = bytes((did * 47 + b) % 256 for b in range(16 * 3))
+            _, _, out = parse_bmp(encode_bmp(w, h, idx, palette=pal, rle4=True))
+            pr = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)
+            exp = pr[np.frombuffer(idx, dtype=np.uint8)].ravel()
+            assert np.array_equal(np.frombuffer(out, dtype=np.uint8), exp), did
+    # mask validation: zero, overlapping, and non-contiguous masks raise
+    base = bytearray(encode_bmp(4, 3, bytes(4 * 3 * 3), bitfields565=True))
+    for masks in (
+        (0, 0x07E0, 0x001F),          # zero mask
+        (0xF800, 0xFC00, 0x001F),     # overlap
+        (0xA800, 0x07E0, 0x001F),     # non-contiguous
+    ):
+        b = bytearray(base)
+        struct.pack_into("<III", b, 54, *masks)
+        with pytest.raises(ValueError, match="mask"):
+            parse_bmp(bytes(b))
+    # 16-bit BI_RGB defaults to 5-5-5 masks per spec
+    w, h = 2, 1
+    word = (10 << 10) | (21 << 5) | 31
+    row = struct.pack("<HH", word, 0)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, 0, len(row), 2835, 2835, 0, 0
+    )
+    fh = struct.pack("<2sIHHI", b"BM", 54 + len(row), 0, 0, 54)
+    _, _, out = parse_bmp(fh + info + row)
+    assert list(out[:3]) == [10 * 255 // 31, 21 * 255 // 31, 255]
+
+
 def test_bmp_end_to_end_decode_matches_formula(spark):
     """synth_bmp_media → decode_image_features equals the doc_id
     arithmetic, including the order-sensitive row moment."""
@@ -1431,17 +1499,38 @@ def test_bmp_end_to_end_decode_matches_formula(spark):
 
     from etl_drone_sense_spark.operators import multimodal as MM
 
-    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    docs = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
     got = {
         r["media_id"]: r
         for r in MM.decode_image_features(MM.synth_bmp_media(docs)).collect()
     }
-    for did in range(12):
+    for did in range(14):
         w, h = 4 + did % 5, 3 + did % 4
-        variant = did % 4  # r13: variant 3 = RLE8 over the palette formula
-        if variant in (0, 1):
+        variant = did % 7  # r13: RLE8 + BITFIELDS/32-bit/RLE4 late tiers
+        if variant in (0, 1, 5):
             vals = np.array(
                 [(did * 43 + i) % 256 for i in range(w * h * 3)], dtype=np.int64
+            )
+        elif variant == 4:
+            px = np.array(
+                [(did * 43 + i) % 256 for i in range(w * h * 3)], dtype=np.int64
+            ).reshape(-1, 3)
+            vals = np.stack(
+                [
+                    (px[:, 0] >> 3) * 255 // 31,
+                    (px[:, 1] >> 2) * 255 // 63,
+                    (px[:, 2] >> 3) * 255 // 31,
+                ],
+                axis=-1,
+            ).ravel()
+        elif variant == 6:
+            vals = np.array(
+                [
+                    (did * 47 + ((did * 43 + p) % 16) * 3 + c) % 256
+                    for p in range(w * h)
+                    for c in (0, 1, 2)
+                ],
+                dtype=np.int64,
             )
         else:
             vals = np.array(
