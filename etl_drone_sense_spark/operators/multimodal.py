@@ -1496,12 +1496,18 @@ def encode_tiff(
     row_bytes = width * spp
     if len(raster) != row_bytes * height:
         raise ValueError("tiff: raster length mismatch")
-    if compression not in ("none", "packbits", "lzw", "deflate"):
+    if compression not in ("none", "packbits", "lzw", "deflate", "jpeg"):
         raise ValueError(f"tiff: unsupported encoder compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"tiff: unsupported predictor {predictor}")
-    if planar and (spp != 3 or tile is not None):
-        raise ValueError("tiff: planar needs chunky RGB strips")
+    if planar and spp != 3:
+        raise ValueError("tiff: planar needs RGB")
+    if compression == "jpeg" and (
+        not gray or planar or tile is not None or predictor != 1
+    ):
+        # r13 late: new-style JPEG-in-TIFF — grayscale strip tier only
+        # (each strip is a COMPLETE baseline JPEG stream)
+        raise ValueError("tiff: jpeg compression is a grayscale strip tier")
     rps = rows_per_strip or height
     # dimension tags are written as SHORT — reject what they can't hold
     # instead of letting struct.pack explode (r10 ADVICE)
@@ -1528,7 +1534,21 @@ def encode_tiff(
         return chunk
 
     strips: list[bytes] = []
-    if tile is not None:
+    if tile is not None and planar:
+        # r13 late: planar TILED — the tile tables carry 3x the tiles
+        # plane-major (all of plane 0's row-major grid, then 1, then 2);
+        # each tile is single-channel, so the predictor runs with spp=1
+        img = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+        for c in range(3):
+            plane = np.ascontiguousarray(img[:, :, c])
+            for y0 in range(0, height, th):
+                for x0 in range(0, width, tw):
+                    pad = np.zeros((th, tw), dtype=np.uint8)
+                    ys = min(th, height - y0)
+                    xs = min(tw, width - x0)
+                    pad[:ys, :xs] = plane[y0 : y0 + ys, x0 : x0 + xs]
+                    strips.append(pack_chunk(pad.tobytes(), tw, 1))
+    elif tile is not None:
         # tile grid, row-major; edge tiles are PADDED to the full tile
         # size (zero fill) per the spec — every tile compresses to the
         # same decoded geometry
@@ -1540,6 +1560,19 @@ def encode_tiff(
                 xs = min(tw, width - x0) * spp
                 pad[:ys, :xs] = img[y0 : y0 + ys, x0 * spp : x0 * spp + xs]
                 strips.append(pack_chunk(pad.tobytes(), tw * spp))
+    elif compression == "jpeg":
+        # each strip is a COMPLETE grayscale baseline JPEG (no shared
+        # JPEGTables tag — self-contained streams per the new-style
+        # compression-7 convention)
+        for y0 in range(0, height, rps):
+            rows = min(rps, height - y0)
+            strips.append(
+                encode_jpeg(
+                    width, rows,
+                    raster[y0 * row_bytes : (y0 + rows) * row_bytes],
+                    ncomp=1,
+                )
+            )
     elif planar:
         # PlanarConfiguration=2: the strip tables carry spp x
         # strips-per-plane entries — ALL of channel 0's strips, then
@@ -1596,9 +1629,8 @@ def encode_tiff(
             tail = struct.pack(e + "I", ext_put(fmt, values))
         return struct.pack(e + "HHI", tag, typ, count) + tail
 
-    comp_tag = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
-        compression
-    ]
+    comp_tag = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
+                "jpeg": 7}[compression]
     photometric = 3 if palette is not None else (1 if gray else 2)
     entries = [
         entry(256, SHORT, (width,)),
@@ -1662,14 +1694,18 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     clipped on placement; strip and tile tables are mutually
     exclusive), and 8-bit PALETTE color (r12: photometric 3 with the
     3x256 16-bit ColorMap mapped to RGB8 via >> 8 — the PNG-PLTE
-    analogue), and PLANAR configuration 2 for strip RGB (r13: plane-major
-    strip tables, per-plane predictor differencing, planes interleaved
-    back to chunky on decode). Everything else — JPEG-in-TIFF
-    compression, planar TILED layouts, non-8-bit depths, non-default
-    orientation, the floating-point predictor 3, and every
-    malformed-structure case (truncated IFD, strip/tile overflow,
-    packbits/LZW/zlib over/under-run) — raises ``ValueError`` so one
-    bad blob quarantines instead of killing the Arrow task."""
+    analogue), PLANAR configuration 2 for RGB in BOTH layouts (r13:
+    plane-major strip tables with per-plane predictor differencing;
+    r13 late adds the planar TILED grid — 3x the tiles plane-major,
+    single-channel tiles), and new-style JPEG-in-TIFF (compression 7,
+    r13 late: each strip a COMPLETE grayscale baseline-JPEG stream
+    decoded by this engine's own parse_jpeg; color/tiled/planar JPEG
+    variants quarantine). Everything else — old-style compression 6,
+    non-8-bit depths, non-default orientation, the floating-point
+    predictor 3, and every malformed-structure case (truncated IFD,
+    strip/tile overflow, packbits/LZW/zlib over/under-run, JPEG strip
+    geometry mismatch) — raises ``ValueError`` so one bad blob
+    quarantines instead of killing the Arrow task."""
     import struct
 
     buf = bytes(payload or b"")
@@ -1722,7 +1758,7 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
         raise ValueError("tiff: unreasonable dimensions")
     compression = one(259, 1)
-    if compression not in (1, 32773, 5, 8, 32946):
+    if compression not in (1, 32773, 5, 8, 32946, 7):
         raise ValueError(f"tiff: unsupported compression {compression}")
     predictor = one(317, 1)
     if predictor not in (1, 2):
@@ -1745,17 +1781,37 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
     if planar not in (1, 2):
         raise ValueError(f"tiff: unsupported planar configuration {planar}")
     if planar == 2 and (spp != 3 or photometric != 2):
-        raise ValueError("tiff: planar supported for strip RGB only")
+        raise ValueError("tiff: planar supported for RGB only")
     if one(274, 1) != 1:
         raise ValueError("tiff: non-default orientation unsupported")
     tiled = any(tag in tags for tag in _TIFF_TILE_TAGS)
     if tiled and (273 in tags or 279 in tags):
         raise ValueError("tiff: both strip and tile tables present")
+    if compression == 7 and (
+        photometric != 1 or spp != 1 or planar != 1 or tiled
+        or predictor != 1
+    ):
+        # r13 late: new-style JPEG-in-TIFF, grayscale strip tier —
+        # color/tiled/planar JPEG variants stay honest quarantines
+        raise ValueError("tiff: jpeg compression supported for "
+                         "grayscale strips only")
 
     def unpack_chunk(so: int, sc: int, expected: int, chunk_row_bytes: int) -> bytes:
         if so + sc > len(buf):
             raise ValueError("tiff: chunk out of range")
         raw = buf[so : so + sc]
+        if compression == 7:
+            # each strip is a complete grayscale baseline-JPEG stream
+            jw, jh, rgb = parse_jpeg(raw)
+            if jw != chunk_row_bytes or jw * jh != expected:
+                raise ValueError("tiff: jpeg strip geometry mismatch")
+            arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+            if not (
+                np.array_equal(arr[:, 0], arr[:, 1])
+                and np.array_equal(arr[:, 1], arr[:, 2])
+            ):
+                raise ValueError("tiff: color jpeg strip in a gray image")
+            return arr[:, 0].tobytes()
         if compression == 1:
             if len(raw) != expected:
                 raise ValueError("tiff: strip size mismatch")
@@ -1793,18 +1849,40 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("tiff: bad tile tables")
         across = (w + tw - 1) // tw
         down = (h + th - 1) // th
-        if len(offsets) != across * down:
-            raise ValueError("tiff: tile count does not cover image")
-        out = np.zeros((h, w * spp), dtype=np.uint8)
-        for k, (so, sc) in enumerate(zip(offsets, counts)):
-            part = unpack_chunk(so, sc, tw * th * spp, tw * spp)
-            tarr = np.frombuffer(part, dtype=np.uint8).reshape(th, tw * spp)
-            y0 = (k // across) * th
-            x0 = (k % across) * tw
-            ys = min(th, h - y0)
-            xs = min(tw, w - x0) * spp
-            out[y0 : y0 + ys, x0 * spp : x0 * spp + xs] = tarr[:ys, :xs]
-        samples = out.reshape(-1)
+        if planar == 2:
+            # r13 late: planar TILED — 3x the tiles plane-major, each
+            # tile single-channel; predictor differences within the
+            # plane (spp=1), planes interleave back to chunky
+            if len(offsets) != 3 * across * down:
+                raise ValueError("tiff: planar tile count mismatch")
+            planes = []
+            for c in range(3):
+                pl = np.zeros((h, w), dtype=np.uint8)
+                for k in range(across * down):
+                    so = offsets[c * across * down + k]
+                    sc = counts[c * across * down + k]
+                    part = unpack_chunk(so, sc, tw * th, tw)
+                    tarr = np.frombuffer(part, dtype=np.uint8).reshape(th, tw)
+                    y0 = (k // across) * th
+                    x0 = (k % across) * tw
+                    ys = min(th, h - y0)
+                    xs = min(tw, w - x0)
+                    pl[y0 : y0 + ys, x0 : x0 + xs] = tarr[:ys, :xs]
+                planes.append(pl)
+            samples = np.stack(planes, axis=2).reshape(-1)
+        else:
+            if len(offsets) != across * down:
+                raise ValueError("tiff: tile count does not cover image")
+            out = np.zeros((h, w * spp), dtype=np.uint8)
+            for k, (so, sc) in enumerate(zip(offsets, counts)):
+                part = unpack_chunk(so, sc, tw * th * spp, tw * spp)
+                tarr = np.frombuffer(part, dtype=np.uint8).reshape(th, tw * spp)
+                y0 = (k // across) * th
+                x0 = (k % across) * tw
+                ys = min(th, h - y0)
+                xs = min(tw, w - x0) * spp
+                out[y0 : y0 + ys, x0 * spp : x0 * spp + xs] = tarr[:ys, :xs]
+            samples = out.reshape(-1)
     else:
         offsets = tags.get(273)
         counts = tags.get(279)
@@ -4776,9 +4854,9 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
     ``rows_per_strip = 2`` (every image is MULTI-strip, so strip
     offset/count arrays always spill to the external value area and the
     strip-boundary math is genuinely under test); the variant cycles
-    ``doc_id % 9`` so one relation exercises all four compressions, both
-    byte orders, all three color models, the horizontal predictor, the
-    TILED layout, and the PLANAR configuration:
+    ``doc_id % 11`` so one relation exercises all five compressions,
+    both byte orders, all three color models, the horizontal predictor,
+    the TILED layout, and the PLANAR configuration in both layouts:
 
     * 0 → 24-bit RGB, uncompressed, little-endian: pixel ``p`` channel
       ``c`` = ``(doc_id*53 + p*3 + c) % 256``;
@@ -4803,7 +4881,18 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
       2, big-endian (r13): the RGB formula again — the strip tables
       carry 3x the strips plane-major and each plane differences
       independently, so a plane-order or per-plane-predictor bug
-      shuffles channels and hash-fails.
+      shuffles channels and hash-fails;
+    * 9 → grayscale new-style JPEG-in-TIFF (compression 7, r13 late):
+      DIMENSION OVERRIDE ``w = 8*(1 + doc_id % 2)``, ``h = 8*(1 +
+      doc_id % 3)``, ``rows_per_strip = 8`` — each strip a COMPLETE
+      baseline-JPEG stream of one constant-block row, block ``bi``
+      value ``128 + 2*((doc_id*27 + bi*17) % 81 - 40)`` (the
+      encode_jpeg DC-only exactness trick, multipliers 27/17 distinct
+      from the standalone JPEG fixtures' 7/13 and 11/19);
+    * 10 → 24-bit RGB PLANAR **TILED** 16x16 + LZW + predictor 2,
+      big-endian (r13 late): the RGB formula — tile tables carry 3x
+      the tiles plane-major, each tile single-channel edge-padded, so
+      a plane/tile-order or clip bug shuffles pixels and hash-fails.
 
     Multipliers 53/59/61 are distinct from the PPM (31), PNG (37/41),
     BMP/GIF (43/47), and JPEG (7/13) fixtures so a codec mix-up cannot
@@ -4814,13 +4903,27 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 9
-                gray = variant in (2, 3, 5, 6)
+                variant = did % 11
+                if variant == 9:
+                    # JPEG-in-TIFF needs 8-multiple dims for the
+                    # constant-block exactness trick (one block row per
+                    # 8-row strip)
+                    wb, hb = 1 + did % 2, 1 + did % 3
+                    w, h = 8 * wb, 8 * hb
+                else:
+                    w, h = 4 + did % 5, 3 + did % 4
+                gray = variant in (2, 3, 5, 6, 9)
                 pal = None
                 if variant == 7:
                     raster = bytes((did * 53 + p) % 64 for p in range(w * h))
                     pal = bytes((did * 61 + b) % 256 for b in range(256 * 3))
+                elif variant == 9:
+                    img = np.empty((h, w), dtype=np.uint8)
+                    for bi in range(wb * hb):
+                        by, bx = divmod(bi, wb)
+                        v = 128 + 2 * ((did * 27 + bi * 17) % 81 - 40)
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                    raster = img.tobytes()
                 elif gray:
                     raster = bytes((did * 59 + p) % 256 for p in range(w * h))
                 else:
@@ -4830,7 +4933,7 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                 comp = {
                     0: "none", 1: "packbits", 2: "none",
                     3: "packbits", 4: "lzw", 5: "deflate", 6: "lzw",
-                    7: "packbits", 8: "lzw",
+                    7: "packbits", 8: "lzw", 9: "jpeg", 10: "lzw",
                 }[variant]
                 payloads.append(
                     encode_tiff(
@@ -4839,12 +4942,12 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                         raster,
                         gray=gray,
                         compression=comp,
-                        big_endian=variant in (1, 2, 5, 8),
-                        rows_per_strip=2,
-                        predictor=2 if variant in (4, 8) else 1,
-                        tile=(16, 16) if variant == 6 else None,
+                        big_endian=variant in (1, 2, 5, 8, 10),
+                        rows_per_strip=8 if variant == 9 else 2,
+                        predictor=2 if variant in (4, 8, 10) else 1,
+                        tile=(16, 16) if variant in (6, 10) else None,
                         palette=pal,
-                        planar=variant == 8,
+                        planar=variant in (8, 10),
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})

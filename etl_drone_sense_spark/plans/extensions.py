@@ -2096,8 +2096,12 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_tiff",
     oracle="""
     WITH dims AS (
-        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 9 AS variant
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 9 THEN 8 * (1 + doc_id % 2)
+                    ELSE 4 + doc_id % 5 END AS w,
+               CASE WHEN doc_id % 11 = 9 THEN 8 * (1 + doc_id % 3)
+                    ELSE 3 + doc_id % 4 END AS h,
+               doc_id % 11 AS variant
         FROM documents
     ),
     px AS (
@@ -2108,10 +2112,16 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     val AS (
         SELECT doc_id, w, h, p, c,
-               CASE WHEN variant IN (0, 1, 4, 8)
+               CASE WHEN variant IN (0, 1, 4, 8, 10)
                     THEN (doc_id * 53 + p * 3 + c) % 256
                     WHEN variant = 7
                     THEN (doc_id * 61 + ((doc_id * 53 + p) % 64) * 3 + c) % 256
+                    -- JPEG-in-TIFF: constant 8x8 blocks, block index
+                    -- from the pixel's (row//8, col//8) grid position
+                    WHEN variant = 9
+                    THEN 128 + 2 * ((doc_id * 27
+                                     + ((p // w) // 8 * (w // 8)
+                                        + (p % w) // 8) * 17) % 81 - 40)
                     ELSE (doc_id * 59 + p) % 256
                END AS v
         FROM ch
@@ -2152,11 +2162,18 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the II*/MM* magic). Pixel content is an arithmetic function of
     doc_id, so the oracle derives every feature in pure SQL —
     compression is feature-invariant, so the SAME pixel-arithmetic
-    oracle certifies all eight variants (the palette variant adds its
-    LUT composition to the oracle's CASE); the order-sensitive
+    oracle certifies all eleven variants (the palette variant adds its
+    LUT composition, the JPEG variant its constant-block closed form,
+    to the oracle's CASE); the order-sensitive
     ``row_moment`` catches vertical-flip/strip-reorder bugs that
-    per-channel means are blind to. JPEG-in-TIFF, planar-2, and
-    non-8-bit depths quarantine via the shared
+    per-channel means are blind to. r13 late closed the last two TIFF
+    layout quarantines: variant 9 is new-style JPEG-in-TIFF
+    (compression 7 — every strip a complete grayscale baseline-JPEG
+    stream decoded by this engine's own parse_jpeg, exact via the
+    encode_jpeg DC-only constant-block trick) and variant 10 is the
+    planar TILED grid (3x the tiles plane-major, single-channel
+    edge-padded tiles + LZW + per-plane predictor). Old-style
+    compression 6 and non-8-bit depths quarantine via the shared
     decode_ok=false contract."""
     media = multimodal.synth_tiff_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)

@@ -2132,7 +2132,8 @@ def test_flac_spark_features_match_direct_decode(spark):
 def test_tiff_planar_roundtrip_and_quarantines():
     """r13: PlanarConfiguration=2 — plane-major strip tables, per-plane
     predictor differencing; bit-exact roundtrip across compressions and
-    byte orders; planar gray/tiled stay quarantined."""
+    byte orders; planar gray stays quarantined; r13 late: planar TILED
+    roundtrips too (3x tiles plane-major, edge-padded)."""
     import pytest
 
     from etl_drone_sense_spark.operators.multimodal import (
@@ -2149,12 +2150,18 @@ def test_tiff_planar_roundtrip_and_quarantines():
                 rows_per_strip=2, predictor=pred, planar=True,
             )
             assert parse_tiff(payload) == (w, h, raster), (comp, pred)
-    with pytest.raises(ValueError, match="planar needs chunky RGB"):
+    with pytest.raises(ValueError, match="planar needs RGB"):
         encode_tiff(w, h, bytes(w * h), gray=True, planar=True)
-    with pytest.raises(ValueError, match="planar needs chunky RGB"):
-        encode_tiff(
-            16, 16, bytes(16 * 16 * 3), tile=(16, 16), planar=True
-        )
+    # r13 late: planar TILED — multi-tile grid with clipped edges
+    for tw, thh in ((16, 16), (16, 32)):
+        for ww, hh in ((20, 18), (16, 16), (33, 40)):
+            big = bytes((13 * i + 5) % 256 for i in range(ww * hh * 3))
+            for comp in ("none", "lzw"):
+                payload = encode_tiff(
+                    ww, hh, big, compression=comp, predictor=2,
+                    tile=(tw, thh), planar=True, big_endian=True,
+                )
+                assert parse_tiff(payload) == (ww, hh, big), (tw, thh, ww, hh)
     # a planar payload whose strip table is truncated to the chunky
     # count must quarantine, not mis-assemble
     good = bytearray(
@@ -2167,6 +2174,80 @@ def test_tiff_planar_roundtrip_and_quarantines():
     good[i + 8] = 1
     with pytest.raises(ValueError, match="strip count"):
         parse_tiff(bytes(good))
+    # the same table-mismatch hardening for the tiled grid
+    goodt = bytearray(
+        encode_tiff(20, 18, bytes((i * 3) % 256 for i in range(20 * 18 * 3)),
+                    tile=(16, 16), planar=True)
+    )
+    i = goodt.find(b"\x1c\x01\x03\x00\x01\x00\x00\x00\x02\x00")
+    assert i != -1
+    goodt[i + 8] = 1
+    with pytest.raises(ValueError, match="tile count"):
+        parse_tiff(bytes(goodt))
+
+
+def test_tiff_jpeg_in_tiff_roundtrip_and_quarantines():
+    """r13 late: compression 7 — every strip a complete grayscale
+    baseline-JPEG stream; constant 8x8 blocks decode bit-exactly, so
+    the whole TIFF roundtrips exactly; color/tiled/planar JPEG and
+    geometry mismatches quarantine."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_tiff,
+        parse_tiff,
+    )
+
+    for did in (0, 1, 2, 3, 4, 5):
+        wb, hb = 1 + did % 2, 1 + did % 3
+        w, h = 8 * wb, 8 * hb
+        img = np.empty((h, w), dtype=np.uint8)
+        for bi in range(wb * hb):
+            by, bx = divmod(bi, wb)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                128 + 2 * ((did * 27 + bi * 17) % 81 - 40)
+            )
+        payload = encode_tiff(
+            w, h, img.tobytes(), gray=True, compression="jpeg",
+            rows_per_strip=8,
+        )
+        w2, h2, rgb = parse_tiff(payload)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(got[:, :, 0], img)
+        assert np.array_equal(got[:, :, 1], img)
+    # encoder refuses non-grayscale / tiled / planar / predictor JPEG
+    with pytest.raises(ValueError, match="grayscale strip tier"):
+        encode_tiff(8, 8, bytes(8 * 8 * 3), compression="jpeg")
+    with pytest.raises(ValueError, match="grayscale strip tier"):
+        encode_tiff(16, 16, bytes(16 * 16), gray=True, compression="jpeg",
+                    tile=(16, 16))
+    with pytest.raises(ValueError, match="grayscale strip tier"):
+        encode_tiff(8, 8, bytes(8 * 8), gray=True, compression="jpeg",
+                    predictor=2)
+    # decoder: compression 7 with photometric 2 (color) quarantines —
+    # flip the photometric tag on a good payload
+    good = bytearray(
+        encode_tiff(8, 8, bytes(range(64)), gray=True, compression="jpeg")
+    )
+    i = good.find(b"\x06\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+    assert i != -1
+    good[i + 8] = 2
+    with pytest.raises(ValueError):
+        parse_tiff(bytes(good))
+    # a JPEG strip whose decoded geometry disagrees with the IFD
+    # quarantines: shrink the declared width
+    bad = bytearray(
+        encode_tiff(16, 8, bytes(range(128)), gray=True, compression="jpeg")
+    )
+    i = bad.find(b"\x00\x01\x03\x00\x01\x00\x00\x00\x10\x00")
+    assert i != -1
+    struct.pack_into("<H", bad, i + 8, 8)
+    with pytest.raises(ValueError):
+        parse_tiff(bytes(bad))
 
 
 # --- progressive JPEG (r13) ---------------------------------------------------
