@@ -2028,17 +2028,18 @@ def _ima_adpcm_step(pred: int, idx: int, code: int) -> tuple[int, int]:
 def encode_wav_adpcm(
     sample_rate: int, pred0, index0, nibbles
 ) -> bytes:
-    """RIFF/WAVE writer for IMA ADPCM (format 17, 4-bit), MONO or STEREO
-    — the fixture side of the codec pair. One block: a 4-byte header PER
-    CHANNEL carries that channel's initial predictor (which IS its
-    output sample 0) and step index; the data region is 4-byte channel
-    groups (8 codes for channel 0, then 8 for channel 1, ...), two 4-bit
-    codes per byte, LOW nibble first — the IMA interleave. For mono,
-    pass scalars and an even-length code sequence; for stereo, pass
-    2-sequences for ``pred0``/``index0`` and a pair of equal-length
-    code sequences whose length is a multiple of 8 (the group size). A
-    ``fact`` chunk records the decoded frame count per the non-PCM WAV
-    requirement."""
+    """RIFF/WAVE writer for IMA ADPCM (format 17, 4-bit), 1-8 CHANNELS
+    (r13 late: the >2-channel quarantine closed — the spec's block
+    layout is channel-count-generic) — the fixture side of the codec
+    pair. One block: a 4-byte header PER CHANNEL carries that channel's
+    initial predictor (which IS its output sample 0) and step index;
+    the data region is 4-byte channel groups (8 codes for channel 0,
+    then 8 for channel 1, ...), two 4-bit codes per byte, LOW nibble
+    first — the IMA interleave. For mono, pass scalars and an
+    even-length code sequence; for N>1 channels, pass N-sequences for
+    ``pred0``/``index0`` and N equal-length code sequences whose length
+    is a multiple of 8 (the group size). A ``fact`` chunk records the
+    decoded frame count per the non-PCM WAV requirement."""
     import struct
 
     if isinstance(pred0, (tuple, list)):
@@ -2047,12 +2048,12 @@ def encode_wav_adpcm(
     else:
         preds, idxs, chans = [pred0], [index0], [bytes(nibbles)]
     ch = len(preds)
-    if ch not in (1, 2) or len(idxs) != ch or len(chans) != ch:
-        raise ValueError("adpcm: 1 or 2 channels with matching state")
+    if not 1 <= ch <= 8 or len(idxs) != ch or len(chans) != ch:
+        raise ValueError("adpcm: 1-8 channels with matching state")
     n = len(chans[0])
     if any(len(c) != n for c in chans):
         raise ValueError("adpcm: channels must carry equal code counts")
-    if (ch == 1 and n % 2) or (ch == 2 and n % 8):
+    if (ch == 1 and n % 2) or (ch > 1 and n % 8):
         raise ValueError("adpcm: code count must fill whole data groups")
     if any(c > 15 for cc in chans for c in cc):
         raise ValueError("adpcm: nibble out of range")
@@ -2068,7 +2069,7 @@ def encode_wav_adpcm(
     data = b"".join(
         struct.pack("<hBB", p0, i0, 0) for p0, i0 in zip(preds, idxs)
     )
-    group = 8 if ch == 2 else n  # mono: one run; stereo: 8-code groups
+    group = 8 if ch > 1 else n  # mono: one run; multi: 8-code groups
     for g in range(0, n, group):
         for c in range(ch):
             data += pack8(chans[c][g : g + group])
@@ -2215,18 +2216,19 @@ def parse_wav(payload: bytes):
     RIFF spec (unknown chunks skipped, word-aligned). Supports the
     interchange common cases: PCM (format 1, 16-bit), G.711 mu-law
     (format 7, 8-bit — telephony; expanded to int16 via the CCITT
-    table), MONO or STEREO IMA ADPCM (format 17, 4-bit — r11:
-    table-driven exact-integer expansion, per-channel block headers
-    restart the predictor/index state, low nibble first, channels
-    interleaved per 4-byte word group, ``fact``-chunk frame trim), and
-    MONO or STEREO Microsoft ADPCM (format 2, 4-bit — r12: 2-tap linear
-    predictor with the coefficient table read from the file's fmt
-    extension, high nibble first, per-nibble channel interleave, block
-    headers restart the (sample1, sample2, delta) state). Anything
-    else — float/24-bit PCM, >2-channel ADPCM, truncated data — raises
-    ``ValueError``, keeping the decode operators' per-row quarantine
-    contract. Returns ``(sample_rate, channels, int16 numpy array of
-    interleaved samples)``."""
+    table), 1-8 CHANNEL IMA ADPCM (format 17, 4-bit — r11, channels >2
+    r13 late: table-driven exact-integer expansion, per-channel block
+    headers restart the predictor/index state, low nibble first,
+    channels interleaved per 4-byte word group, ``fact``-chunk frame
+    trim), and MONO or STEREO Microsoft ADPCM (format 2, 4-bit — r12:
+    2-tap linear predictor with the coefficient table read from the
+    file's fmt extension, high nibble first, per-nibble channel
+    interleave, block headers restart the (sample1, sample2, delta)
+    state; MS ADPCM is mono/stereo BY SPEC, so >2 channels stays a
+    quarantine there). Anything else — float/24-bit PCM, truncated
+    data — raises ``ValueError``, keeping the decode operators'
+    per-row quarantine contract. Returns ``(sample_rate, channels,
+    int16 numpy array of interleaved samples)``."""
     import struct
 
     buf = bytes(payload or b"")
@@ -2265,8 +2267,12 @@ def parse_wav(payload: bytes):
                     "G.711 mu-law, or 4-bit IMA/Microsoft ADPCM, got "
                     f"format={audio_fmt} bits={bits}"
                 )
-            if audio_fmt in (2, 17) and channels not in (1, 2):
-                raise ValueError("adpcm: 1 or 2 channels supported")
+            # IMA blocks are channel-count-generic (r13 late: up to 8);
+            # MS ADPCM is a mono/stereo format per its spec
+            if audio_fmt == 17 and not 1 <= channels <= 8:
+                raise ValueError("adpcm: 1-8 channels supported")
+            if audio_fmt == 2 and channels not in (1, 2):
+                raise ValueError("msadpcm: 1 or 2 channels supported")
             if audio_fmt == 2:
                 # WAVEFORMATEX extension: cbSize, wSamplesPerBlock,
                 # wNumCoef, then the coefficient pairs — conforming
@@ -2412,10 +2418,11 @@ def parse_wav(payload: bytes):
 # coded frame numbers, wasted-bits, CRC-8 frame headers and CRC-16 frame
 # trailers. Lossless means the decoded stream IS the closed-form sample
 # formula, so the SQL oracle needs no recursive CTE (unlike ADPCM): it
-# recomputes the features from the formula directly. Honest subset in
-# the decoder: 16-bit samples and independent channels only — stereo
-# decorrelation (left/side, right/side, mid/side) and other bit depths
-# raise ValueError into the per-row quarantine.
+# recomputes the features from the formula directly. Decoder scope
+# after the r13 closures: 8/12/16/20/24-bit depths, mono/stereo with
+# all four channel assignments (independent, left/side, right/side,
+# mid/side); 32-bit depth and reserved channel codes raise ValueError
+# into the per-row quarantine.
 # ---------------------------------------------------------------------------
 
 
@@ -3073,9 +3080,10 @@ def synth_ulaw_media(docs: DataFrame) -> DataFrame:
 def synth_adpcm_media(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic IMA ADPCM WAV payloads keyed by doc id —
     REAL format-17 RIFF bytes (r11): ``rate = 11025``, one block,
-    alternating MONO (even doc_id) and STEREO (odd doc_id — 4-byte
-    channel-group interleave). Per-channel code count: mono
-    ``64 + (doc_id % 48) * 2`` (even → whole data bytes), stereo
+    channel count cycling ``doc_id % 3`` → MONO / STEREO / QUAD (r13
+    late: the >2-channel quarantine closed; the 4-byte channel-group
+    interleave is channel-count-generic). Per-channel code count: mono
+    ``64 + (doc_id % 48) * 2`` (even → whole data bytes), multi
     ``64 + (doc_id % 12) * 8`` (multiple of the 8-code group); frames =
     codes + 1 including the header sample. 4-bit code for channel ``c``
     at step ``i`` = ``(doc_id*13 + c*5 + i*7) % 16`` (every code point
@@ -3091,7 +3099,7 @@ def synth_adpcm_media(docs: DataFrame) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                ch = 1 if did % 2 == 0 else 2
+                ch = (1, 2, 4)[did % 3]
                 nibs = (
                     64 + (did % 48) * 2 if ch == 1 else 64 + (did % 12) * 8
                 )

@@ -4880,8 +4880,8 @@ _IMA_STEPS_SQL = ", ".join(str(v) for v in multimodal._IMA_STEP_TABLE)
     oracle=f"""
     WITH RECURSIVE dims AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch,
-               CASE WHEN doc_id % 2 = 0 THEN 64 + (doc_id % 48) * 2
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS ch,
+               CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 48) * 2
                     ELSE 64 + (doc_id % 12) * 8 END AS nibs
         FROM documents
     ),
@@ -4933,9 +4933,11 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED audio decode end-to-end, tier 2 (r11 — r10 VERDICT
     item 8): IMA ADPCM (format-17 WAV, 4-bit differential — the
     dependency-free ADPCM playbook: table-driven exact-integer
-    expansion, exactly like µ-law), MONO and STEREO (4-byte
-    channel-group interleave; the fixture alternates by doc parity),
-    decoded through the same Arrow decode_audio_features path as PCM.
+    expansion, exactly like µ-law), MONO, STEREO, and QUAD (r13 late:
+    the >2-channel quarantine closed — the 4-byte channel-group
+    interleave is channel-count-generic, the fixture cycles 1/2/4 by
+    ``doc_id % 3``), decoded through the same Arrow
+    decode_audio_features path as PCM.
     The code streams cover every 4-bit code point and every initial
     step-index; the ORACLE TRANSCRIBES THE IMA RECURRENCE ITSELF
     (step-table lookup, the three magnitude-bit halvings, sign bit,
@@ -4943,9 +4945,9 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, channel, i) — a table row, clamp, or nibble-order bug
     diverges the predictor walk and hash-fails (group-interleave order
     is aggregate-invisible, so it is pinned by the reference-walk unit
-    test instead). MP3/AAC/FLAC remain honestly import-gated;
-    >2-channel streams quarantine (Microsoft ADPCM landed r12 —
-    multimodal_decode_msadpcm below)."""
+    test instead). MP3/AAC remain honestly import-gated; Microsoft
+    ADPCM (multimodal_decode_msadpcm below) stays mono/stereo BY ITS
+    SPEC."""
     media = multimodal.synth_adpcm_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_audio_features(media)
     return feats.filter(F.col("decode_ok")).select(

@@ -1128,6 +1128,31 @@ def test_adpcm_stereo_interleave_reference_walk():
     assert smp.tolist() == [v for fr in zip(*walks) for v in fr]
 
 
+def test_adpcm_quad_interleave_reference_walk():
+    """r13 late: >2-channel IMA — four headers, then 4-byte channel
+    groups cycling all four channels. Same reference-walk pin as the
+    stereo test, at the channel count the old decoder quarantined."""
+    from etl_drone_sense_spark.operators.multimodal import (
+        _ima_adpcm_step,
+        encode_wav_adpcm,
+        parse_wav,
+    )
+
+    codes = [bytes((7 * i + 3 * c + 1) % 16 for i in range(16)) for c in range(4)]
+    preds = [100, -200, 300, -400]
+    idxs = [10, 20, 30, 40]
+    rate, ch, smp = parse_wav(encode_wav_adpcm(8000, preds, idxs, codes))
+    assert (rate, ch) == (8000, 4)
+    walks = []
+    for p0, i0, cc in zip(preds, idxs, codes):
+        out, (p, i) = [p0], (p0, i0)
+        for c in cc:
+            p, i = _ima_adpcm_step(p, i, c)
+            out.append(p)
+        walks.append(out)
+    assert smp.tolist() == [v for fr in zip(*walks) for v in fr]
+
+
 def test_adpcm_quarantines():
     """Stereo ADPCM, bad block alignment, out-of-range step index, and a
     fact chunk promising more frames than the data decodes must all
@@ -1149,8 +1174,12 @@ def test_adpcm_quarantines():
         return bytes(buf)
 
     fmt_off = good.index(b"fmt ") + 8
-    with pytest.raises(ValueError, match="1 or 2 channels"):
-        parse_wav(patch(good, fmt_off + 2, "<H", 3))  # channels=3
+    with pytest.raises(ValueError, match="1-8 channels"):
+        parse_wav(patch(good, fmt_off + 2, "<H", 9))  # channels=9
+    with pytest.raises(ValueError):
+        # channels=3 on a mono-sized block: the per-channel headers
+        # alone exceed the block alignment — structural quarantine
+        parse_wav(patch(good, fmt_off + 2, "<H", 3))
     with pytest.raises(ValueError, match="block"):
         parse_wav(patch(good, fmt_off + 12, "<H", 4))  # block_align < 5
     data_off = good.index(b"data") + 8
