@@ -52,26 +52,31 @@ BUDGETS_S: dict[str, float] = {
     "sketch_theta_kmv": 1.78,  # r9: 1.8 x 0.99 s quiet median
     "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
     # fixed-point moment aggregates over lineitem in one pass)
-    "multimodal_decode_bmp": 1.68,  # r13: 1.8 x 0.93 s quiet median —
-    # the BI_RLE8 tier (1/4 of docs) adds a per-image python cursor
-    # walk on both fixture and decode sides; was 0.52 + 0.6 floor (r9)
-    "multimodal_decode_adpcm": 2.19,  # r11: 1.8 x 1.22 s quiet median
+    "multimodal_decode_bmp": 2.08,  # r13 late: 1.8 x 1.16 s quiet
+    # median — the BITFIELDS-565/32-bit/RLE4 tiers (cycle 4 -> 7) add
+    # per-pixel packing on the fixture side and the RLE4 cursor walk;
+    # was 1.8 x 0.93 with the RLE8-only cycle
+    "multimodal_decode_adpcm": 2.92,  # r13 late: 1.8 x 1.62 s quiet
+    # median — the QUAD tier doubles the per-doc code volume on 1/3 of
+    # docs (was 1.8 x 1.22 mono/stereo)
     "multimodal_decode_flac": 3.22,  # r13: 1.8 x 1.79 s quiet median
     # (Rice decode is a per-sample Python walk inside the Arrow batch,
-    # like the ADPCM tiers — ~675k samples at sf0.1)
+    # like the ADPCM tiers — ~675k samples at sf0.1; the r13-late
+    # depth tiers re-measured 1.73 s quiet — inside the same budget)
     "multimodal_decode_jpeg_progressive": 1.82,  # r13: 1.8 x 1.01 s
     # quiet median (six-scan SOF2 decode through the Arrow path)
+    "multimodal_decode_jpeg_lossless": 1.76,  # r13 late: 1.8 x 0.98 s
+    # quiet median (per-sample huffman+predictor walk, no DCT)
     "multimodal_decode_msadpcm": 2.98,  # r12: 1.8 x 1.65 s quiet median
     # (per-nibble predictor walk is a Python loop inside the Arrow
     # batch, like the IMA tier — inherently serial per clip)
     # (per-nibble predictor walk is a Python loop inside the Arrow batch
     # — ~650k sequential steps at sf0.1, stereo on odd doc ids;
     # inherently serial per clip)
-    "multimodal_decode_tiff": 3.35,  # r11: 1.8 x 1.86 s median — the
-    # variant cycle grew 4 -> 7 (LZW, Deflate, TILED): the tiled variant
-    # decodes a full padded 16x16 tile per image, 3-8x the pixel area of
-    # the strip variants at fixture image sizes, and two new variants
-    # run entropy decoders; the r10 budget measured the 4-variant fixture
+    "multimodal_decode_tiff": 5.06,  # r13 late: 1.8 x 2.81 s quiet
+    # median — the JPEG-in-TIFF tier (1/11 of docs) runs up to three
+    # full baseline-JPEG encodes+decodes per image and the planar-tiled
+    # tier assembles six 16x16 planes; was 1.8 x 1.86 (r11, 7-variant)
     "graph_triangle_count": 4.03,  # r9: 1.8 x 2.24 s quiet median
     "table_time_travel": 0.75,  # r9: 0.15 s quiet median + 0.6 floor
     # (reads the cached committed table; the build is first-call-only)

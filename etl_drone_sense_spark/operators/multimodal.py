@@ -3790,6 +3790,275 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def _jpeg_lossless_predict(
+    arr, y: int, x: int, sel: int, default: int
+) -> int:
+    """One spec-G.1.2.1 prediction: ``sel`` is the SOS Ss field (1-7).
+    Boundary rules: the very first sample predicts the default
+    ``2^(P-1)``; the rest of the first line predicts Ra; the first
+    column predicts Rb. Ra/Rb/Rc are RECONSTRUCTED neighbors, so
+    encoder and decoder walk identical state."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(arr[0, x - 1])
+    if x == 0:
+        return int(arr[y - 1, 0])
+    ra, rb, rc = int(arr[y, x - 1]), int(arr[y - 1, x]), int(arr[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    data: bytes,
+    ncomp: int = 1,
+    predictor: int = 1,
+) -> bytes:
+    """Encode a LOSSLESS (SOF3) JPEG — REAL spec-conformant bytes
+    (r13 late: the lossless member of the JPEG quarantine trio closed).
+    8-bit precision, 1 (grayscale) or 3 (RGB, stored as independent
+    components — lossless JPEG defines no color transform) components
+    at 1x1 sampling, one interleaved scan whose Ss field selects one of
+    the spec's SEVEN predictors. Differences are coded with DC-category
+    Huffman (ssss + extra bits) modulo 2^16 per G.1.2.1-2; there is no
+    DCT, no quantization, and no point transform (Al=0), so decode is
+    bit-exact on ARBITRARY content — the FLAC property, not the
+    constant-block trick. Fixture-side twin of the parse_jpeg SOF3
+    branch."""
+    import struct
+
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg_lossless supports 1 or 3 components")
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1-7")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size != width * height * ncomp:
+        raise ValueError("raster size mismatch")
+    planes = [
+        arr.reshape(height, width * ncomp)[:, ci::ncomp].astype(np.int64)
+        for ci in range(ncomp)
+    ]
+    bw = _BitWriter()
+    for y in range(height):
+        for x in range(width):
+            for p in planes:
+                px = _jpeg_lossless_predict(p, y, x, predictor, 128)
+                d = int(p[y, x]) - px
+                # modulo-2^16 difference, encoded as its signed rep
+                d16 = ((d + 32768) & 0xFFFF) - 32768
+                ssss = _jpeg_category(d16)
+                code, nbits = _DC_CODES[ssss]
+                bw.write(code, nbits)
+                if ssss:
+                    bw.write(
+                        d16 if d16 >= 0 else d16 + (1 << ssss) - 1, ssss
+                    )
+    scan = bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling; Tq unused
+    seg(0xC3, sof)
+    seg(0xC4, bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah=0, Al=0
+    seg(0xDA, sos)
+    out.extend(scan)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _parse_jpeg_lossless(buf: bytes) -> tuple[int, int, bytes]:
+    """Decode a LOSSLESS (SOF3) JPEG — the predictive process of
+    Annex H/G: no DCT, no quantization; each sample is a Huffman-coded
+    (DC-category) difference from one of seven neighbor predictors,
+    reconstructed modulo 2^16. Scope: 8-bit precision, 1-4 components
+    at 1x1 sampling in ONE interleaved scan, point transform 0; 12/16-
+    bit precision, subsampled or multi-scan lossless, and restart-
+    interval streams quarantine (ValueError) — the honesty contract.
+    A decoded sample outside the 8-bit range means a corrupt stream
+    and quarantines rather than wrapping silently."""
+    import struct
+
+    pos = 2  # caller verified SOI
+    huff: dict[int, dict] = {}
+    frame = None
+    scan_done = False
+    planes: list[np.ndarray] = []
+    while True:
+        if pos + 2 > len(buf):
+            if scan_done:
+                break
+            raise ValueError("truncated JPEG (no SOS)")
+        if buf[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG segment")
+        (seglen,) = struct.unpack_from(">H", buf, pos)
+        if seglen < 2 or pos + seglen > len(buf):
+            raise ValueError("truncated JPEG segment")
+        body = buf[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if i + 16 > len(body):
+                    raise ValueError("corrupt JPEG huffman table")
+                bits = list(body[i : i + 16])
+                i += 16
+                n = sum(bits)
+                vals = body[i : i + n]
+                if len(vals) != n:
+                    raise ValueError("corrupt JPEG huffman table")
+                i += n
+                if tc == 0:
+                    huff[th] = _decoder_huff(bits, vals)
+        elif marker == 0xC3:
+            if frame is not None:
+                raise ValueError("JPEG: multiple frames")
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(
+                    "unsupported lossless JPEG: %d-bit precision" % prec
+                )
+            if not 1 <= nc <= 4:
+                raise ValueError("unsupported JPEG: %d components" % nc)
+            comps = []
+            for ci in range(nc):
+                cid, hv, _tq = body[3 + 3 + ci * 3 : 3 + 6 + ci * 3]
+                if hv != 0x11:
+                    raise ValueError(
+                        "unsupported lossless JPEG: subsampled components"
+                    )
+                comps.append(cid)
+            if w <= 0 or h <= 0 or w * h > 1 << 26:
+                raise ValueError("jpeg: unreasonable dimensions")
+            frame = (h, w, comps)
+            planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise ValueError(
+                    "unsupported lossless JPEG: restart intervals"
+                )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if scan_done:
+                raise ValueError("unsupported lossless JPEG: multi-scan")
+            h, w, comps = frame
+            ns = body[0]
+            if ns != len(comps) or len(body) < 1 + 2 * ns + 3:
+                raise ValueError(
+                    "unsupported lossless JPEG: non-interleaved scan"
+                )
+            tds = []
+            cid_order = {cid: i for i, cid in enumerate(comps)}
+            order = []
+            for si in range(ns):
+                cs, tbl = body[1 + si * 2], body[2 + si * 2]
+                if cs not in cid_order:
+                    raise ValueError("JPEG scan references unknown component")
+                order.append(cid_order[cs])
+                tds.append(tbl >> 4)
+            sel = body[1 + 2 * ns]
+            al = body[3 + 2 * ns] & 0x0F
+            if not 1 <= sel <= 7:
+                raise ValueError("lossless JPEG: bad predictor selection")
+            if al != 0:
+                raise ValueError(
+                    "unsupported lossless JPEG: point transform"
+                )
+            for td in tds:
+                if td not in huff:
+                    raise ValueError("JPEG scan references missing table")
+            br = _BitReader(buf, pos)
+            try:
+                for y in range(h):
+                    for x in range(w):
+                        for k, ci in enumerate(order):
+                            p = planes[ci]
+                            s = _huff_decode(br, huff[tds[k]])
+                            if s > 16:
+                                raise ValueError(
+                                    "corrupt lossless JPEG category"
+                                )
+                            if s == 16:
+                                d = 32768
+                            elif s:
+                                v = br.read_bits(s)
+                                d = (
+                                    v
+                                    if v >= (1 << (s - 1))
+                                    else v - (1 << s) + 1
+                                )
+                            else:
+                                d = 0
+                            px = _jpeg_lossless_predict(p, y, x, sel, 128)
+                            val = (px + d) & 0xFFFF
+                            if val > 255:
+                                raise ValueError(
+                                    "lossless JPEG sample out of range"
+                                )
+                            p[y, x] = val
+            except ValueError as exc:
+                if "ended at marker" in str(exc):
+                    raise ValueError(
+                        "truncated lossless JPEG scan"
+                    ) from None
+                raise
+            scan_done = True
+            p2 = br.pos
+            while p2 + 1 < len(buf) and not (
+                buf[p2] == 0xFF and buf[p2 + 1] not in (0x00, 0xFF)
+            ):
+                p2 += 1
+            pos = p2
+        # APPn / COM / DQT (unused in lossless): skipped
+    if frame is None or not scan_done:
+        raise ValueError("truncated JPEG (no SOS)")
+    h, w, comps = frame
+    if len(planes) == 1:
+        grey = planes[0].astype(np.uint8)
+        return w, h, np.repeat(grey[..., None], 3, axis=2).tobytes()
+    if len(planes) == 3:
+        rgb = np.stack(planes, axis=2).astype(np.uint8)
+        return w, h, np.ascontiguousarray(rgb).tobytes()
+    raise ValueError("unsupported lossless JPEG: %d components" % len(planes))
+
+
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers.
     ``marker`` holds the pending marker byte once one is hit."""
@@ -4110,9 +4379,13 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             break
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers: stray SOI, TEM, RSTn
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+        if marker == 0xC3:
+            # r13 late: LOSSLESS (SOF3) decodes for real — predictive
+            # process, dedicated scanner (no DCT machinery to share)
+            return _parse_jpeg_lossless(buf)
+        if marker in (0xC1, 0xC5, 0xC6, 0xC7):
             raise ValueError(
-                "unsupported JPEG variant: extended/lossless (SOF%d)"
+                "unsupported JPEG variant: extended/hierarchical (SOF%d)"
                 % (marker - 0xC0)
             )
         if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -4324,10 +4597,43 @@ def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_lossless_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic LOSSLESS (SOF3) JPEG payloads keyed by
+    doc id (r13 late) — REAL predictive-process bytes on ARBITRARY
+    content: lossless means the constant-block trick is unnecessary
+    (the FLAC property). Grayscale, ``w = 5 + doc_id % 6``,
+    ``h = 4 + doc_id % 5`` (no MCU rounding in lossless — odd dims are
+    first-class), PREDICTOR cycling ``1 + doc_id % 7`` (all seven
+    spec predictors corpus-exercised; losslessness makes the oracle
+    predictor-blind), pixel ``p`` = ``(doc_id*83 + p*67) % 256``.
+    Multipliers 83/67 collide with no other image fixture."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 6, 4 + did % 5
+                img = bytes((did * 83 + p * 67) % 256 for p in range(w * h))
+                payloads.append(
+                    encode_jpeg_lossless(
+                        w, h, img, predictor=1 + did % 7
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from ..sources.readers import rebalance_for_compute
+
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
 def parse_image(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch over the supported raster codecs: P6 → PPM,
-    PNG signature → PNG, SOI → JPEG (baseline AND progressive, r13),
-    GIF87a/89a → GIF-LZW,
+    PNG signature → PNG, SOI → JPEG (baseline AND progressive, r13,
+    AND lossless SOF3, r13 late), GIF87a/89a → GIF-LZW,
     BM → BMP, II*/MM* → baseline TIFF (uncompressed/PackBits strips);
     anything else raises ``ValueError`` (H.264/VP9-class video
     remains the declared import-gated extension — MJPEG-in-AVI is real,

@@ -2287,7 +2287,9 @@ def multimodal_decode_jpeg_progressive(
     hash-fails. AC-coefficient coding on arbitrary content is pinned
     separately by the progressive==baseline identity test (both encode
     the identical quantized coefficients, so their decodes must agree
-    bit for bit). Arithmetic/12-bit/lossless variants stay quarantined."""
+    bit for bit). Arithmetic/12-bit variants stay quarantined (lossless
+    SOF3 decodes for real since r13 late —
+    multimodal_decode_jpeg_lossless below)."""
     media = multimodal.synth_jpeg_progressive_media(
         t(spark, sf_dir, "documents")
     )
@@ -2299,6 +2301,63 @@ def multimodal_decode_jpeg_progressive(
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
+    "multimodal_decode_jpeg_lossless",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims
+    ),
+    val AS (
+        SELECT doc_id, w, h, p, (doc_id * 83 + p * 67) % 256 AS v FROM px
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS mean_r,
+           round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS mean_g,
+           round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS mean_b,
+           CAST(sum((p // w) * 3 * v) AS BIGINT) AS row_moment
+    FROM val GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "pandas_udf"),
+    bench=True,
+)
+def multimodal_decode_jpeg_lossless(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOSSLESS (SOF3) JPEG decode end-to-end (r13 late — the lossless
+    member of the arithmetic/12-bit/lossless quarantine trio closed):
+    REAL predictive-process payloads (DC-category Huffman differences
+    modulo 2^16, no DCT/quantization — operators/multimodal.
+    encode_jpeg_lossless / the parse_jpeg SOF3 branch), decoded through
+    the same Arrow path and magic-byte dispatch as every raster tier.
+    The fixture cycles ALL SEVEN spec predictors on arbitrary-content
+    odd-dimension images — losslessness makes the oracle
+    predictor-blind (the FLAC property; no constant-block trick
+    needed), so a predictor, boundary-rule, EXTEND, or modulo bug at
+    any selection value changes decoded pixels and hash-fails; the
+    order-sensitive ``row_moment`` catches flips that means are blind
+    to. 12/16-bit precision, subsampled, multi-scan, point-transform,
+    and restart-interval lossless streams quarantine; arithmetic
+    coding stays the remaining (non-oracle-able) JPEG quarantine with
+    12-bit."""
+    media = multimodal.synth_jpeg_lossless_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "row_moment",
     )
 
 

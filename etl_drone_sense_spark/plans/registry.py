@@ -1029,7 +1029,15 @@ TOUCHED_R13: tuple[str, ...] = (
     "multimodal_decode_jpeg_progressive",  # NEW r13: SOF2 six-scan tier
     "multimodal_decode_jpeg",  # r13: decoder restructured to
     # coefficient-accumulation scans (baseline path byte-compatible)
-    "multimodal_decode_bmp",  # r13: BI_RLE8 tier (fixture cycle 3 -> 4)
+    "multimodal_decode_bmp",  # r13: BI_RLE8 tier (fixture cycle 3 -> 4);
+    # r13 late: BITFIELDS-565/32-bit/RLE4 tiers (cycle 4 -> 7)
+    "multimodal_decode_flac",  # r13 (3rd): 8/24-bit depth tiers
+    "multimodal_decode_tiff",  # r13 late: JPEG-in-TIFF + planar tiled
+    # (fixture cycle 9 -> 11)
+    "multimodal_decode_adpcm",  # r13 late: quad-channel tier (ch cycle
+    # mono/stereo -> mono/stereo/quad)
+    "multimodal_decode_jpeg_lossless",  # NEW r13 late: SOF3 predictive
+    # tier — all seven predictors on arbitrary content
 )
 
 

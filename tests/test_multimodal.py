@@ -2337,11 +2337,96 @@ def test_jpeg_still_quarantines_arithmetic_and_extended():
     base = bytearray(encode_jpeg(8, 8, bytes(64), ncomp=1))
     i = base.find(b"\xff\xc0")
     assert i != -1
-    for marker, match in ((0xC9, "arithmetic"), (0xC3, "lossless|extended")):
+    for marker, match in (
+        (0xC9, "arithmetic"),
+        (0xC5, "extended|hierarchical"),
+        (0xC7, "extended|hierarchical"),
+        # SOF3 now routes to the real lossless scanner, which rejects
+        # this baseline-shaped stream at its Ss=0 predictor selector
+        (0xC3, "predictor selection"),
+    ):
         bad = bytearray(base)
         bad[i + 1] = marker
         with pytest.raises(ValueError, match=match):
             parse_jpeg(bytes(bad))
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """r13 late: SOF3 — bit-exact roundtrip on arbitrary content for
+    every spec predictor, gray and 3-component, odd dimensions."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg_lossless,
+        parse_image,
+        parse_jpeg,
+    )
+
+    for did in range(21):
+        w, h = 5 + did % 6, 4 + did % 5
+        sel = 1 + did % 7
+        img = bytes((did * 83 + p * 67) % 256 for p in range(w * h))
+        w2, h2, rgb = parse_jpeg(
+            encode_jpeg_lossless(w, h, img, predictor=sel)
+        )
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        exp = np.frombuffer(img, dtype=np.uint8).reshape(h, w)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(got[:, :, 0], exp), (did, sel)
+        assert np.array_equal(got[:, :, 2], exp), (did, sel)
+    for sel in range(1, 8):
+        w, h = 9, 7
+        img = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+        assert parse_image(
+            encode_jpeg_lossless(w, h, img, ncomp=3, predictor=sel)
+        ) == (w, h, img), sel
+
+
+def test_jpeg_lossless_quarantines():
+    """12-bit precision, subsampling, point transform, restart
+    intervals, truncation, and out-of-range reconstruction all raise."""
+    import struct
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg_lossless,
+        parse_jpeg,
+    )
+
+    img = bytes((p * 7) % 256 for p in range(9 * 7))
+    good = bytearray(encode_jpeg_lossless(9, 7, img, predictor=4))
+    i = good.find(b"\xff\xc3")
+    assert i != -1
+    deep = bytearray(good)
+    deep[i + 4] = 12  # precision byte
+    with pytest.raises(ValueError, match="12-bit"):
+        parse_jpeg(bytes(deep))
+    sub = bytearray(good)
+    sub[i + 11] = 0x21  # first component 2x1 sampling
+    with pytest.raises(ValueError, match="subsampled"):
+        parse_jpeg(bytes(sub))
+    j = good.find(b"\xff\xda")
+    assert j != -1
+    # SOS tail = Ss, Se, AhAl: force a point transform
+    pt = bytearray(good)
+    pt[j + 9] = 0x02  # AhAl byte: Al=2
+    with pytest.raises(ValueError, match="point transform"):
+        parse_jpeg(bytes(pt))
+    badsel = bytearray(good)
+    badsel[j + 7] = 0  # Ss=0
+    with pytest.raises(ValueError, match="predictor selection"):
+        parse_jpeg(bytes(badsel))
+    # DRI with a nonzero interval quarantines (unsupported in the tier)
+    dri = bytes(good[: i]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(good[i:])
+    with pytest.raises(ValueError, match="restart"):
+        parse_jpeg(dri)
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(good[: len(good) - 8]))
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(4, 4, bytes(16), predictor=0)
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(4, 4, bytes(15))
 
 
 def test_bmp_rle8_roundtrip_and_escapes():
