@@ -3820,49 +3820,70 @@ def _jpeg_lossless_predict(
     return (ra + rb) >> 1  # sel == 7
 
 
+# Lossless-scan Huffman table: categories 0-16 (ssss 16 = the spec's
+# extra-bits-free 32768 difference, reachable at 16-bit precision) at a
+# fixed 5-bit length — a legal table; decoders rebuild from the DHT.
+_LL_BITS, _LL_VALS, _LL_CODES = _encoder_huff(list(range(17)), 5)
+
+
 def encode_jpeg_lossless(
     width: int,
     height: int,
-    data: bytes,
+    data,
     ncomp: int = 1,
     predictor: int = 1,
+    precision: int = 8,
 ) -> bytes:
     """Encode a LOSSLESS (SOF3) JPEG — REAL spec-conformant bytes
     (r13 late: the lossless member of the JPEG quarantine trio closed).
-    8-bit precision, 1 (grayscale) or 3 (RGB, stored as independent
-    components — lossless JPEG defines no color transform) components
-    at 1x1 sampling, one interleaved scan whose Ss field selects one of
-    the spec's SEVEN predictors. Differences are coded with DC-category
-    Huffman (ssss + extra bits) modulo 2^16 per G.1.2.1-2; there is no
-    DCT, no quantization, and no point transform (Al=0), so decode is
-    bit-exact on ARBITRARY content — the FLAC property, not the
-    constant-block trick. Fixture-side twin of the parse_jpeg SOF3
-    branch."""
+    2-16 bit precision (r13 late: 12/16-bit joins — the precisions
+    medical/raw corpora actually carry; ``data`` is uint8 bytes at
+    precision ≤ 8, uint16-LE bytes or a uint16 array above), 1
+    (grayscale) or 3 (RGB, stored as independent components — lossless
+    JPEG defines no color transform) components at 1x1 sampling, one
+    interleaved scan whose Ss field selects one of the spec's SEVEN
+    predictors. Differences are coded with DC-category Huffman (ssss +
+    extra bits, ssss 16 carrying none per the spec) modulo 2^16 per
+    G.1.2.1-2; there is no DCT, no quantization, and no point
+    transform (Al=0), so decode is bit-exact on ARBITRARY content —
+    the FLAC property, not the constant-block trick. Fixture-side twin
+    of the parse_jpeg SOF3 branch."""
     import struct
 
     if ncomp not in (1, 3):
         raise ValueError("encode_jpeg_lossless supports 1 or 3 components")
     if not 1 <= predictor <= 7:
         raise ValueError("lossless predictor must be 1-7")
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless precision must be 2-16")
+    if precision <= 8:
+        arr = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
+    elif isinstance(data, np.ndarray):
+        arr = data.astype(np.int64)
+    else:
+        arr = np.frombuffer(bytes(data), dtype="<u2").astype(np.int64)
     if arr.size != width * height * ncomp:
         raise ValueError("raster size mismatch")
-    planes = [
-        arr.reshape(height, width * ncomp)[:, ci::ncomp].astype(np.int64)
-        for ci in range(ncomp)
-    ]
+    if arr.size and (arr.min() < 0 or arr.max() >= (1 << precision)):
+        raise ValueError("sample outside the declared precision")
+    arr = arr.reshape(height, width * ncomp)
+    planes = [arr[:, ci::ncomp] for ci in range(ncomp)]
+    default = 1 << (precision - 1)
     bw = _BitWriter()
     for y in range(height):
         for x in range(width):
             for p in planes:
-                px = _jpeg_lossless_predict(p, y, x, predictor, 128)
+                px = _jpeg_lossless_predict(p, y, x, predictor, default)
                 d = int(p[y, x]) - px
                 # modulo-2^16 difference, encoded as its signed rep
                 d16 = ((d + 32768) & 0xFFFF) - 32768
-                ssss = _jpeg_category(d16)
-                code, nbits = _DC_CODES[ssss]
+                if d16 == -32768:
+                    ssss = 16  # the spec's no-extra-bits 32768 case
+                else:
+                    ssss = _jpeg_category(d16)
+                code, nbits = _LL_CODES[ssss]
                 bw.write(code, nbits)
-                if ssss:
+                if ssss and ssss != 16:
                     bw.write(
                         d16 if d16 >= 0 else d16 + (1 << ssss) - 1, ssss
                     )
@@ -3874,11 +3895,11 @@ def encode_jpeg_lossless(
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
         out.extend(body)
 
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sof = struct.pack(">BHHB", precision, height, width, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling; Tq unused
     seg(0xC3, sof)
-    seg(0xC4, bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    seg(0xC4, bytes([0x00]) + bytes(_LL_BITS[1:]) + bytes(_LL_VALS))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])
@@ -3893,12 +3914,31 @@ def _parse_jpeg_lossless(buf: bytes) -> tuple[int, int, bytes]:
     """Decode a LOSSLESS (SOF3) JPEG — the predictive process of
     Annex H/G: no DCT, no quantization; each sample is a Huffman-coded
     (DC-category) difference from one of seven neighbor predictors,
-    reconstructed modulo 2^16. Scope: 8-bit precision, 1-4 components
-    at 1x1 sampling in ONE interleaved scan, point transform 0; 12/16-
-    bit precision, subsampled or multi-scan lossless, and restart-
+    reconstructed modulo 2^16. Scope: 2-16 bit precision (r13 late —
+    12/16-bit lossless decodes for real; samples above 8 bits scale to
+    the 8-bit feature raster by ``>> (P-8)``, full precision pinned by
+    the roundtrip unit suite via decode_jpeg_lossless_planes), 1-4
+    components at 1x1 sampling in ONE interleaved scan, point
+    transform 0; subsampled or multi-scan lossless and restart-
     interval streams quarantine (ValueError) — the honesty contract.
-    A decoded sample outside the 8-bit range means a corrupt stream
-    and quarantines rather than wrapping silently."""
+    A decoded sample outside the declared precision means a corrupt
+    stream and quarantines rather than wrapping silently."""
+    w, h, prec, planes = decode_jpeg_lossless_planes(buf)
+    shift = max(0, prec - 8)
+    planes = [p >> shift for p in planes]
+    if len(planes) == 1:
+        grey = planes[0].astype(np.uint8)
+        return w, h, np.repeat(grey[..., None], 3, axis=2).tobytes()
+    if len(planes) == 3:
+        rgb = np.stack(planes, axis=2).astype(np.uint8)
+        return w, h, np.ascontiguousarray(rgb).tobytes()
+    raise ValueError("unsupported lossless JPEG: %d components" % len(planes))
+
+
+def decode_jpeg_lossless_planes(buf: bytes):
+    """The SOF3 scanner at FULL precision: returns ``(w, h, precision,
+    [int64 plane arrays])`` — the unit-testable core ``
+    _parse_jpeg_lossless`` scales for the 8-bit raster contract."""
     import struct
 
     pos = 2  # caller verified SOI
@@ -3949,7 +3989,7 @@ def _parse_jpeg_lossless(buf: bytes) -> tuple[int, int, bytes]:
             if frame is not None:
                 raise ValueError("JPEG: multiple frames")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if not 2 <= prec <= 16:
                 raise ValueError(
                     "unsupported lossless JPEG: %d-bit precision" % prec
                 )
@@ -3965,7 +4005,7 @@ def _parse_jpeg_lossless(buf: bytes) -> tuple[int, int, bytes]:
                 comps.append(cid)
             if w <= 0 or h <= 0 or w * h > 1 << 26:
                 raise ValueError("jpeg: unreasonable dimensions")
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
         elif marker == 0xDD:
             (ri,) = struct.unpack_from(">H", body, 0)
@@ -3978,7 +4018,7 @@ def _parse_jpeg_lossless(buf: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("JPEG SOS before SOF")
             if scan_done:
                 raise ValueError("unsupported lossless JPEG: multi-scan")
-            h, w, comps = frame
+            h, w, comps, prec = frame
             ns = body[0]
             if ns != len(comps) or len(body) < 1 + 2 * ns + 3:
                 raise ValueError(
@@ -4005,6 +4045,8 @@ def _parse_jpeg_lossless(buf: bytes) -> tuple[int, int, bytes]:
                 if td not in huff:
                     raise ValueError("JPEG scan references missing table")
             br = _BitReader(buf, pos)
+            default = 1 << (prec - 1)
+            limit = 1 << prec
             try:
                 for y in range(h):
                     for x in range(w):
@@ -4026,9 +4068,9 @@ def _parse_jpeg_lossless(buf: bytes) -> tuple[int, int, bytes]:
                                 )
                             else:
                                 d = 0
-                            px = _jpeg_lossless_predict(p, y, x, sel, 128)
+                            px = _jpeg_lossless_predict(p, y, x, sel, default)
                             val = (px + d) & 0xFFFF
-                            if val > 255:
+                            if val >= limit:
                                 raise ValueError(
                                     "lossless JPEG sample out of range"
                                 )
@@ -4049,14 +4091,8 @@ def _parse_jpeg_lossless(buf: bytes) -> tuple[int, int, bytes]:
         # APPn / COM / DQT (unused in lossless): skipped
     if frame is None or not scan_done:
         raise ValueError("truncated JPEG (no SOS)")
-    h, w, comps = frame
-    if len(planes) == 1:
-        grey = planes[0].astype(np.uint8)
-        return w, h, np.repeat(grey[..., None], 3, axis=2).tobytes()
-    if len(planes) == 3:
-        rgb = np.stack(planes, axis=2).astype(np.uint8)
-        return w, h, np.ascontiguousarray(rgb).tobytes()
-    raise ValueError("unsupported lossless JPEG: %d components" % len(planes))
+    h, w, comps, prec = frame
+    return w, h, prec, planes
 
 
 class _BitReader:
@@ -4605,8 +4641,13 @@ def synth_jpeg_lossless_media(docs: DataFrame) -> DataFrame:
     ``h = 4 + doc_id % 5`` (no MCU rounding in lossless — odd dims are
     first-class), PREDICTOR cycling ``1 + doc_id % 7`` (all seven
     spec predictors corpus-exercised; losslessness makes the oracle
-    predictor-blind), pixel ``p`` = ``(doc_id*83 + p*67) % 256``.
-    Multipliers 83/67 collide with no other image fixture."""
+    predictor-blind), PRECISION cycling ``(doc_id // 7) % 3`` →
+    8 / 12 / 16 bits (r13 late: the high-precision lossless tiers
+    medical/raw corpora carry), pixel ``p`` =
+    ``(doc_id*83 + p*67) % 2^prec`` with the feature raster reading
+    ``v >> (prec-8)`` (the decoder's 8-bit contract; full precision is
+    pinned by the roundtrip unit suite). Multipliers 83/67 collide
+    with no other image fixture."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4614,10 +4655,18 @@ def synth_jpeg_lossless_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 5 + did % 6, 4 + did % 5
-                img = bytes((did * 83 + p * 67) % 256 for p in range(w * h))
+                prec = (8, 12, 16)[(did // 7) % 3]
+                v = (did * 83 + np.arange(w * h, dtype=np.int64) * 67) % (
+                    1 << prec
+                )
+                data = (
+                    v.astype(np.uint8).tobytes()
+                    if prec == 8
+                    else v.astype("<u2").tobytes()
+                )
                 payloads.append(
                     encode_jpeg_lossless(
-                        w, h, img, predictor=1 + did % 7
+                        w, h, data, predictor=1 + did % 7, precision=prec
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})

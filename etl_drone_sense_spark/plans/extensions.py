@@ -2308,14 +2308,21 @@ def multimodal_decode_jpeg_progressive(
     "multimodal_decode_jpeg_lossless",
     oracle="""
     WITH dims AS (
-        SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+        SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+               -- precision cycle 8/12/16: the feature raster reads the
+               -- TOP 8 bits (v >> (prec-8)), so modulus and shift move
+               -- together
+               CASE (doc_id // 7) % 3 WHEN 0 THEN 256
+                    WHEN 1 THEN 4096 ELSE 65536 END AS modw
         FROM documents
     ),
     px AS (
-        SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims
+        SELECT doc_id, w, h, modw, unnest(range(0, w * h)) AS p FROM dims
     ),
     val AS (
-        SELECT doc_id, w, h, p, (doc_id * 83 + p * 67) % 256 AS v FROM px
+        SELECT doc_id, w, h, p,
+               ((doc_id * 83 + p * 67) % modw) // (modw // 256) AS v
+        FROM px
     )
     SELECT doc_id AS media_id,
            CAST(w AS INTEGER) AS width,
@@ -2338,16 +2345,19 @@ def multimodal_decode_jpeg_lossless(
     modulo 2^16, no DCT/quantization — operators/multimodal.
     encode_jpeg_lossless / the parse_jpeg SOF3 branch), decoded through
     the same Arrow path and magic-byte dispatch as every raster tier.
-    The fixture cycles ALL SEVEN spec predictors on arbitrary-content
-    odd-dimension images — losslessness makes the oracle
-    predictor-blind (the FLAC property; no constant-block trick
-    needed), so a predictor, boundary-rule, EXTEND, or modulo bug at
-    any selection value changes decoded pixels and hash-fails; the
-    order-sensitive ``row_moment`` catches flips that means are blind
-    to. 12/16-bit precision, subsampled, multi-scan, point-transform,
-    and restart-interval lossless streams quarantine; arithmetic
-    coding stays the remaining (non-oracle-able) JPEG quarantine with
-    12-bit."""
+    The fixture cycles ALL SEVEN spec predictors AND all three corpus
+    precisions (8/12/16-bit — high-precision samples scale to the
+    8-bit feature raster by ``>> (P-8)``, full precision pinned by the
+    roundtrip unit suite) on arbitrary-content odd-dimension images —
+    losslessness makes the oracle predictor-blind (the FLAC property;
+    no constant-block trick needed), so a predictor, boundary-rule,
+    EXTEND, ssss-16, or modulo bug at any selection value or depth
+    changes decoded pixels and hash-fails; the order-sensitive
+    ``row_moment`` catches flips that means are blind to. Subsampled,
+    multi-scan, point-transform, and restart-interval lossless streams
+    quarantine; arithmetic coding stays the remaining
+    (non-oracle-able) JPEG quarantine, now with 12-bit DCT (lossless
+    12/16-bit decodes here)."""
     media = multimodal.synth_jpeg_lossless_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
     return feats.filter(F.col("decode_ok")).select(

@@ -2382,6 +2382,51 @@ def test_jpeg_lossless_roundtrip_all_predictors():
         ) == (w, h, img), sel
 
 
+def test_jpeg_lossless_high_precision_roundtrip():
+    """r13 late: 2-16 bit precision — FULL-precision planes roundtrip
+    bit-exactly (decode_jpeg_lossless_planes); the 8-bit raster
+    contract reads the top 8 bits. 16-bit exercises the spec's
+    extra-bits-free ssss=16 difference."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_jpeg_lossless_planes,
+        encode_jpeg_lossless,
+        parse_jpeg,
+    )
+
+    for prec in (2, 4, 8, 12, 16):
+        for sel in (1, 4, 7):
+            w, h = 9, 7
+            lim = 1 << prec
+            img = (np.arange(w * h, dtype=np.int64) * 2311 + 17) % lim
+            data = (
+                img.astype(np.uint8).tobytes()
+                if prec <= 8
+                else img.astype("<u2").tobytes()
+            )
+            buf = encode_jpeg_lossless(
+                w, h, data, precision=prec, predictor=sel
+            )
+            w2, h2, p2, planes = decode_jpeg_lossless_planes(buf)
+            assert (w2, h2, p2) == (w, h, prec)
+            assert np.array_equal(planes[0].ravel(), img), (prec, sel)
+            _, _, rgb = parse_jpeg(buf)
+            got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            assert np.array_equal(
+                got[:, :, 0].ravel(),
+                (img >> max(0, prec - 8)).astype(np.uint8),
+            ), (prec, sel)
+    # a 16-bit stream hitting the modulo-32768 difference exactly:
+    # sample 0 = 0 predicts 32768-default, diff = -32768 -> ssss 16
+    img16 = np.zeros(4, dtype=np.int64)
+    buf = encode_jpeg_lossless(
+        2, 2, img16.astype("<u2").tobytes(), precision=16
+    )
+    _, _, p2, planes = decode_jpeg_lossless_planes(buf)
+    assert p2 == 16 and planes[0].sum() == 0
+
+
 def test_jpeg_lossless_quarantines():
     """12-bit precision, subsampling, point transform, restart
     intervals, truncation, and out-of-range reconstruction all raise."""
@@ -2399,8 +2444,11 @@ def test_jpeg_lossless_quarantines():
     i = good.find(b"\xff\xc3")
     assert i != -1
     deep = bytearray(good)
-    deep[i + 4] = 12  # precision byte
-    with pytest.raises(ValueError, match="12-bit"):
+    deep[i + 4] = 17  # precision byte beyond the 2-16 spec range
+    with pytest.raises(ValueError, match="precision"):
+        parse_jpeg(bytes(deep))
+    deep[i + 4] = 1
+    with pytest.raises(ValueError, match="precision"):
         parse_jpeg(bytes(deep))
     sub = bytearray(good)
     sub[i + 11] = 0x21  # first component 2x1 sampling
