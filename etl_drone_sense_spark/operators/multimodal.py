@@ -3391,11 +3391,16 @@ _AC_BITS, _AC_VALS, _AC_CODES = _encoder_huff(_AC_SYMBOLS, 9)
 
 
 def _encode_block(
-    bw: _BitWriter, block: np.ndarray, quant: np.ndarray, dc_pred: int
+    bw: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    dc_pred: int,
+    level: float = 128.0,
 ) -> int:
     """DCT → quantize → zigzag → huffman-encode one 8×8 sample block;
-    returns the new DC predictor."""
-    coef = _DCT_C @ (block.astype(np.float64) - 128.0) @ _DCT_C.T
+    returns the new DC predictor. ``level`` is the precision's level
+    shift (128 for 8-bit, 2048 for the 12-bit extended process)."""
+    coef = _DCT_C @ (block.astype(np.float64) - level) @ _DCT_C.T
     q = np.round(coef / quant).astype(np.int64)
     zz = q.reshape(-1)[_ZIGZAG]
     diff = int(zz[0]) - dc_pred
@@ -3428,16 +3433,20 @@ def _encode_block(
 def encode_jpeg(
     width: int,
     height: int,
-    data: bytes,
+    data,
     ncomp: int = 3,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode a baseline JFIF JPEG — REAL spec-conformant bytes any JPEG
     implementation decodes. ``data`` is interleaved RGB (``ncomp=3``,
     converted to YCbCr here; ``subsampling`` "4:4:4" or "4:2:0" — the
     latter mean-pools chroma 2×2 and interleaves 4 Y blocks per MCU, the
     dominant layout in real corpora) or a grayscale plane (``ncomp=1``).
+    ``precision=12`` (r13 late) emits the EXTENDED sequential process —
+    SOF1, a 2048 level shift, and Pq=1 (16-bit) quantization tables —
+    for a grayscale plane passed as uint16-LE bytes or a uint16 array.
     Dimensions that aren't multiples of the MCU are edge-replicated to
     the block grid (the decoder crops back). Fixture-side twin of
     ``parse_jpeg``, exactly like encode_png/parse_png."""
@@ -3447,7 +3456,19 @@ def encode_jpeg(
         raise ValueError("encode_jpeg supports 1 or 3 components")
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError("encode_jpeg supports 4:4:4 or 4:2:0")
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError("encode_jpeg supports 8- or 12-bit precision")
+    if precision == 12:
+        if ncomp != 1:
+            raise ValueError("12-bit encode is the grayscale tier")
+        if isinstance(data, np.ndarray):
+            arr = data.astype(np.int64)
+        else:
+            arr = np.frombuffer(bytes(data), dtype="<u2").astype(np.int64)
+        if arr.size and (arr.min() < 0 or arr.max() > 4095):
+            raise ValueError("sample outside 12-bit range")
+    else:
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
     if arr.size != width * height * ncomp:
         raise ValueError("raster size mismatch")
     if ncomp == 3:
@@ -3529,6 +3550,7 @@ def encode_jpeg(
                             p[py : py + 8, px : px + 8],
                             quants[comp_q[ci]],
                             preds[ci],
+                            level=float(1 << (precision - 1)),
                         )
             mcu_i += 1
     scan_parts.append(bw.flush())
@@ -3544,11 +3566,16 @@ def encode_jpeg(
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     for qi, qt in enumerate(quants):
-        seg(0xDB, bytes([qi]) + bytes(qt.reshape(-1)[_ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+        zzq = qt.reshape(-1)[_ZIGZAG]
+        if precision == 12:
+            # extended process: Pq=1, 16-bit big-endian table entries
+            seg(0xDB, bytes([0x10 | qi]) + zzq.astype(">u2").tobytes())
+        else:
+            seg(0xDB, bytes([qi]) + bytes(zzq.astype(np.uint8)))
+    sof = struct.pack(">BHHB", precision, height, width, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
-    seg(0xC0, sof)  # SOF0 baseline
+    seg(0xC0 if precision == 8 else 0xC1, sof)  # SOF0 / SOF1 extended
     for tc in (0, 1):  # DC=class 0, AC=class 1; one shared table each
         bits, vals = (_DC_BITS, _DC_VALS) if tc == 0 else (_AC_BITS, _AC_VALS)
         seg(0xC4, bytes([tc << 4]) + bytes(bits[1:]) + bytes(vals))
@@ -4198,7 +4225,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, comps, progressive) ; comps = [(cid, hi, vi, tq)]
+    frame = None  # (h, w, comps, progressive, prec); comps = [(cid, hi, vi, tq)]
     coefs: list[np.ndarray] = []  # per comp: (blocks_y, blocks_x, 64) zigzag
     restart_interval = 0
     scans_done = 0
@@ -4207,7 +4234,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         """Entropy-decode one scan into ``coefs``; returns the byte
         position of the next marker. ``scan_comps`` = [(ci, td, ta)]."""
         nonlocal restart_interval
-        h, w, comps, progressive = frame
+        h, w, comps, progressive, prec = frame
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -4419,9 +4446,9 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             # r13 late: LOSSLESS (SOF3) decodes for real — predictive
             # process, dedicated scanner (no DCT machinery to share)
             return _parse_jpeg_lossless(buf)
-        if marker in (0xC1, 0xC5, 0xC6, 0xC7):
+        if marker in (0xC5, 0xC6, 0xC7):
             raise ValueError(
-                "unsupported JPEG variant: extended/hierarchical (SOF%d)"
+                "unsupported JPEG variant: hierarchical/differential (SOF%d)"
                 % (marker - 0xC0)
             )
         if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -4438,15 +4465,19 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 i += 1
-                if pq != 0:
-                    raise ValueError("unsupported JPEG: 16-bit quant table")
-                if i + 64 > len(body):
+                if pq not in (0, 1):
+                    raise ValueError("corrupt JPEG quant table precision")
+                size = 64 * (pq + 1)
+                if i + size > len(body):
                     raise ValueError("corrupt JPEG quant table")
-                q = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(
-                    np.int32
-                )[_UNZIGZAG].reshape(8, 8)
+                raw = (
+                    np.frombuffer(body[i : i + 64], dtype=np.uint8)
+                    if pq == 0
+                    else np.frombuffer(body[i : i + 128], dtype=">u2")
+                )
+                q = raw.astype(np.int32)[_UNZIGZAG].reshape(8, 8)
                 quant[tq] = q
-                i += 64
+                i += size
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -4464,11 +4495,19 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 (huff_dc if tc == 0 else huff_ac)[th] = _decoder_huff(
                     bits, vals
                 )
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (r13 late: the
+            # 12-bit DCT tier) / SOF2 progressive
             if frame is not None:
                 raise ValueError("JPEG: multiple frames")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if marker == 0xC1:
+                if prec not in (8, 12):
+                    raise ValueError(
+                        "unsupported JPEG: %d-bit precision" % prec
+                    )
+            elif prec != 8:
+                # 12-bit is an EXTENDED process: SOF0/SOF2 stay 8-bit
                 raise ValueError("unsupported JPEG: %d-bit precision" % prec)
             if nc not in (1, 3):
                 raise ValueError("unsupported JPEG: %d components" % nc)
@@ -4479,7 +4518,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError("unsupported JPEG sampling factors")
                 comps.append((cid, hi, vi, tq))
-            frame = (h, w, comps, marker == 0xC2)
+            frame = (h, w, comps, marker == 0xC2, prec)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -4493,7 +4532,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            h, w, comps, progressive = frame
+            h, w, comps, progressive, prec = frame
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("corrupt JPEG SOS header")
@@ -4524,7 +4563,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         # APPn / COM / others: skipped
     if frame is None or scans_done == 0:
         raise ValueError("truncated JPEG (no SOS)")
-    h, w, comps, progressive = frame
+    h, w, comps, progressive, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     full = []
@@ -4536,7 +4575,8 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             zz[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
             * qt[None, :, :]
         )
-        spatial = np.einsum("ij,njk,kl->nil", _DCT_C.T, blocks, _DCT_C) + 128.0
+        level = float(1 << (prec - 1))
+        spatial = np.einsum("ij,njk,kl->nil", _DCT_C.T, blocks, _DCT_C) + level
         p = (
             spatial.reshape(by_n, bx_n, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -4547,15 +4587,22 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
             )
         full.append(p[:h, :w])
+    # high-precision samples clamp at full range, then the top 8 bits
+    # form the feature raster (the lossless tier's >> (P-8) contract)
+    top = float((1 << prec) - 1)
+    shift = prec - 8
     if len(full) == 1:
-        grey = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        grey = np.clip(np.round(full[0]), 0, top).astype(np.int64) >> shift
+        grey = grey.astype(np.uint8)
         return w, h, np.repeat(grey[..., None], 3, axis=2).tobytes()
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    level = float(1 << (prec - 1))
+    y, cb, cr = full[0], full[1] - level, full[2] - level
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+    out8 = np.clip(np.round(rgb), 0, top).astype(np.int64) >> shift
+    return w, h, out8.astype(np.uint8).tobytes()
 
 
 def synth_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -4568,7 +4615,13 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     the IDCT reconstructs v EXACTLY — lossless through a lossy pipe, by
     construction. ``w = 8·(1 + doc_id % 2)``, ``h = 8·(1 + doc_id % 3)``,
     block ``bi`` (row-major) value
-    ``v = 128 + 2·((doc_id·7 + bi·13) % 81 − 40)`` ∈ [48, 208]."""
+    ``v = 128 + 2·((doc_id·7 + bi·13) % 81 − 40)`` ∈ [48, 208].
+    r13 late: PRECISION cycles ``(doc_id // 6) % 2`` → 8-bit SOF0 /
+    12-bit SOF1 (the extended sequential process — 2048 level shift,
+    Pq=1 quant tables); the 12-bit block value is ``2048 + 32·m``
+    whose top-8-bit read is the SAME ``128 + 2·m``, so one oracle
+    certifies both processes and a 12-bit level-shift/Pq/DC bug still
+    hash-fails (wrong means or dropped rows)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4577,12 +4630,21 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 wb, hb = 1 + did % 2, 1 + did % 3
                 w, h = 8 * wb, 8 * hb
-                img = np.empty((h, w), dtype=np.uint8)
+                prec = (8, 12)[(did // 6) % 2]
+                img = np.empty((h, w), dtype=np.int64)
                 for bi in range(wb * hb):
                     by, bx = divmod(bi, wb)
-                    v = 128 + 2 * ((did * 7 + bi * 13) % 81 - 40)
+                    m = (did * 7 + bi * 13) % 81 - 40
+                    v = 128 + 2 * m if prec == 8 else 2048 + 32 * m
                     img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
-                payloads.append(encode_jpeg(w, h, img.tobytes(), ncomp=1))
+                data = (
+                    img.astype(np.uint8).tobytes()
+                    if prec == 8
+                    else img.astype("<u2").tobytes()
+                )
+                payloads.append(
+                    encode_jpeg(w, h, data, ncomp=1, precision=prec)
+                )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     from ..sources.readers import rebalance_for_compute

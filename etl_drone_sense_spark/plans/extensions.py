@@ -2227,10 +2227,15 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     q₀=16), so the decode is bit-exact and the oracle derives the
     features in pure SQL — a zigzag, dequant, huffman, IDCT, or
     level-shift bug anywhere in parse_jpeg shifts a mean and
-    hash-fails. Color 4:4:4 / 4:2:0 round-trips are tolerance-tested in
-    tests/test_multimodal.py (lossy by nature); PROGRESSIVE decodes for
-    real since r13 (multimodal_decode_jpeg_progressive below);
-    arithmetic/12-bit variants quarantine. Video remains honestly
+    hash-fails. r13 late: the fixture cycles 8-bit SOF0 with 12-BIT
+    SOF1 (the extended sequential process — 2048 level shift, Pq=1
+    16-bit quant tables, top-8-bit feature raster) so both DCT
+    processes ride this one oracle. Color 4:4:4 / 4:2:0 round-trips
+    are tolerance-tested in tests/test_multimodal.py (lossy by
+    nature); PROGRESSIVE decodes for real since r13
+    (multimodal_decode_jpeg_progressive below); LOSSLESS since r13
+    late (multimodal_decode_jpeg_lossless). Arithmetic coding is the
+    one remaining JPEG quarantine. Video remains honestly
     import-gated."""
     media = multimodal.synth_jpeg_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)

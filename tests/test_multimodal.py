@@ -2382,6 +2382,58 @@ def test_jpeg_lossless_roundtrip_all_predictors():
         ) == (w, h, img), sel
 
 
+def test_jpeg_12bit_extended_sequential():
+    """r13 late: SOF1 12-bit DCT — constant blocks at even-32 offsets
+    from 2048 decode exactly; the feature raster reads the top 8 bits.
+    SOF0/SOF2 at 12-bit stay quarantined (extended process only)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    for did in (0, 1, 2, 3, 4, 5):
+        wb, hb = 1 + did % 2, 1 + did % 3
+        w, h = 8 * wb, 8 * hb
+        img = np.empty((h, w), dtype=np.int64)
+        exp = np.empty((h, w), dtype=np.int64)
+        for bi in range(wb * hb):
+            by, bx = divmod(bi, wb)
+            m = (did * 7 + bi * 13) % 81 - 40
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 2048 + 32 * m
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (2048 + 32 * m) >> 4
+        buf = encode_jpeg(
+            w, h, img.astype("<u2").tobytes(), ncomp=1, precision=12
+        )
+        w2, h2, rgb = parse_jpeg(buf)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(got[:, :, 0].astype(np.int64), exp), did
+    # flipping the SOF1 marker to SOF0/SOF2 must quarantine at 12-bit
+    good = bytearray(
+        encode_jpeg(8, 8, np.full(64, 2048, dtype="<u2").tobytes(),
+                    ncomp=1, precision=12)
+    )
+    i = good.find(b"\xff\xc1")
+    assert i != -1
+    for marker in (0xC0, 0xC2):
+        bad = bytearray(good)
+        bad[i + 1] = marker
+        with pytest.raises(ValueError, match="precision"):
+            parse_jpeg(bytes(bad))
+    # encoder guards: color 12-bit and out-of-range samples refused
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg(8, 8, bytes(8 * 8 * 3 * 2), ncomp=3, precision=12)
+    with pytest.raises(ValueError, match="12-bit range"):
+        encode_jpeg(
+            8, 8, np.full(64, 4096, dtype=np.int64), ncomp=1, precision=12
+        )
+
+
 def test_jpeg_lossless_high_precision_roundtrip():
     """r13 late: 2-16 bit precision — FULL-precision planes roundtrip
     bit-exactly (decode_jpeg_lossless_planes); the 8-bit raster
