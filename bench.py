@@ -67,6 +67,10 @@ BUDGETS_S: dict[str, float] = {
     # quiet median (six-scan SOF2 decode through the Arrow path)
     "multimodal_decode_jpeg_lossless": 1.76,  # r13 late: 1.8 x 0.98 s
     # quiet median (per-sample huffman+predictor walk, no DCT)
+    "multimodal_decode_jpeg_arithmetic": 4.82,  # r13 late: 1.8 x 2.68 s
+    # quiet median — the QM coder is a per-decision Python walk on BOTH
+    # the fixture-encode and decode sides (~100 adaptive decisions per
+    # block), the most serial of the codec tiers by construction
     "multimodal_decode_msadpcm": 2.98,  # r12: 1.8 x 1.65 s quiet median
     # (per-nibble predictor walk is a Python loop inside the Arrow
     # batch, like the IMA tier — inherently serial per clip)

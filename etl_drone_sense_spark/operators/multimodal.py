@@ -4122,6 +4122,440 @@ def decode_jpeg_lossless_planes(buf: bytes):
     return w, h, prec, planes
 
 
+# --- arithmetic (QM) entropy coding, ITU-T T.81 Annex D ---------------------
+#
+# r13 late: the LAST JPEG quarantine closed. The probability-estimation
+# state machine is the spec's Table D.3 (Qe value, next-LPS, next-MPS,
+# MPS-switch per state) — public-standard constants, verified against
+# the system libjpeg's exported `jpeg_aritab` relocation and pinned by
+# the cross-decoder tests in tests/test_multimodal.py (the engine's
+# decoder must reproduce libjpeg's coefficients bit for bit, and
+# libjpeg must decode this engine's streams — the GIF width-sync
+# lesson applied to arithmetic coding).
+
+_QM_QE: tuple[int, ...] = (
+    0x5A1D, 0x2586, 0x1114, 0x080B, 0x03D8, 0x01DA, 0x00E5, 0x006F,
+    0x0036, 0x001A, 0x000D, 0x0006, 0x0003, 0x0001, 0x5A7F, 0x3F25,
+    0x2CF2, 0x207C, 0x17B9, 0x1182, 0x0CEF, 0x09A1, 0x072F, 0x055C,
+    0x0406, 0x0303, 0x0240, 0x01B1, 0x0144, 0x00F5, 0x00B7, 0x008A,
+    0x0068, 0x004E, 0x003B, 0x002C, 0x5AE1, 0x484C, 0x3A0D, 0x2EF1,
+    0x261F, 0x1F33, 0x19A8, 0x1518, 0x1177, 0x0E74, 0x0BFB, 0x09F8,
+    0x0861, 0x0706, 0x05CD, 0x04DE, 0x040F, 0x0363, 0x02D4, 0x025C,
+    0x01F8, 0x01A4, 0x0160, 0x0125, 0x00F6, 0x00CB, 0x00AB, 0x008F,
+    0x5B12, 0x4D04, 0x412C, 0x37D8, 0x2FE8, 0x293C, 0x2379, 0x1EDF,
+    0x1AA9, 0x174E, 0x1424, 0x119C, 0x0F6B, 0x0D51, 0x0BB6, 0x0A40,
+    0x5832, 0x4D1C, 0x438E, 0x3BDD, 0x34EE, 0x2EAE, 0x299A, 0x2516,
+    0x5570, 0x4CA9, 0x44D9, 0x3E22, 0x3824, 0x32B4, 0x2E17, 0x56A8,
+    0x4F46, 0x47E5, 0x41CF, 0x3C3D, 0x375E, 0x5231, 0x4C0F, 0x4639,
+    0x415E, 0x5627, 0x50E7, 0x4B85, 0x5597, 0x504F, 0x5A10, 0x5522,
+    0x59EB, 0x5A1D,
+)
+_QM_NLPS: tuple[int, ...] = (
+    1, 14, 16, 18, 20, 23, 25, 28, 30, 33, 35, 9, 10, 12, 15, 36,
+    38, 39, 40, 42, 43, 45, 46, 48, 49, 51, 52, 54, 56, 57, 59, 60,
+    62, 63, 32, 33, 37, 64, 65, 67, 68, 69, 70, 72, 73, 74, 75, 77,
+    78, 79, 48, 50, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 61, 61,
+    65, 80, 81, 82, 83, 84, 86, 87, 87, 72, 72, 74, 74, 75, 77, 77,
+    80, 88, 89, 90, 91, 92, 93, 86, 88, 95, 96, 97, 99, 99, 93, 95,
+    101, 102, 103, 104, 99, 105, 106, 107, 103, 105, 108, 109, 110,
+    111, 110, 112, 112, 113,
+)
+_QM_NMPS: tuple[int, ...] = (
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 13, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 9, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48,
+    49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 32,
+    65, 66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 77, 78, 79, 48,
+    81, 82, 83, 84, 85, 86, 87, 71, 89, 90, 91, 92, 93, 94, 86, 96,
+    97, 98, 99, 100, 93, 102, 103, 104, 99, 106, 107, 103, 109, 107,
+    111, 109, 111, 113,
+)
+_QM_SWITCH: tuple[int, ...] = (
+    1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0,
+    1, 0,
+)
+
+
+class _QMDecoder:
+    """T.81 Annex D arithmetic decoder over one entropy segment.
+    Convention notes (pinned by the libjpeg cross tests): the entropy
+    stream is 0x00-BYTE-stuffed after every 0xFF data byte (huffman's
+    rule — the stuffed zero is NOT code data); hitting a real marker
+    feeds zero bytes forever (decoder coasts to the end of the MCU
+    walk). Contexts are (index, mps) pairs stored in a bytearray as
+    ``index | mps << 7``, libjpeg's compact layout."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos  # next unread byte
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # force two byte-ins before the first decision
+        self.marker: int | None = None
+
+    def _byte_in(self) -> int:
+        if self.marker is not None:
+            return 0
+        buf, p = self.buf, self.pos
+        if p >= len(buf):
+            self.marker = 0xD9
+            return 0
+        b = buf[p]
+        if b == 0xFF:
+            nxt = buf[p + 1] if p + 1 < len(buf) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2  # stuffed literal 0xFF
+                return 0xFF
+            self.marker = nxt
+            return 0
+        self.pos = p + 1
+        return b
+
+    def decode(self, st: bytearray, i: int) -> int:
+        # renormalization + data feeding per F.2.2.5 (the two-byte
+        # warm-up rides the same loop via the ct init of -16)
+        a = self.a
+        while a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = ((self.c << 8) | self._byte_in()) & 0xFFFFFFFF
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        a = 0x8000  # two initial bytes in: re-init A
+            a <<= 1
+        sv = st[i]
+        idx = sv & 0x7F
+        qe = _QM_QE[idx]
+        a -= qe
+        temp = (a << self.ct) & 0xFFFFFFFF
+        if self.c < temp:
+            # MPS path
+            if a < 0x8000:
+                if a < qe:
+                    st[i] = (sv & 0x80) ^ (
+                        _QM_NLPS[idx] | (_QM_SWITCH[idx] << 7)
+                    )
+                    sv ^= 0x80
+                else:
+                    st[i] = (sv & 0x80) ^ _QM_NMPS[idx]
+            self.a = a
+            return sv >> 7
+        # LPS path (conditional exchange)
+        self.c -= temp
+        if a < qe:
+            st[i] = (sv & 0x80) ^ _QM_NMPS[idx]
+        else:
+            st[i] = (sv & 0x80) ^ (_QM_NLPS[idx] | (_QM_SWITCH[idx] << 7))
+            sv ^= 0x80
+        self.a = qe
+        return sv >> 7
+
+
+class _QMEncoder:
+    """T.81 Annex D arithmetic encoder — the fixture-side twin of
+    ``_QMDecoder`` (jcarith-shaped: carry propagation via a pending
+    byte + stacked-0xFF accounting, 0x00 byte stuffing after every
+    emitted 0xFF)."""
+
+    def __init__(self) -> None:
+        self.c = 0
+        self.a = 0x10000
+        self.sc = 0  # stacked 0xFF bytes that may still overflow
+        self.zc = 0  # pending zero bytes
+        self.ct = 11
+        self.buffer = -1  # last unemitted byte (-1 = none yet)
+        self.out = bytearray()
+
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+
+    def _byte_out(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:
+            # carry over the pending byte and all stacked 0xFFs
+            if self.buffer >= 0:
+                if self.zc:
+                    self.out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc  # carried 0xFFs become 0x00s
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1  # stack it: may still carry
+        else:
+            # flush: pending byte + stacked 0xFFs are final
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                if self.zc:
+                    self.out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                self._emit(self.buffer)
+            if self.sc:
+                if self.zc:
+                    self.out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                while self.sc:
+                    self._emit(0xFF)
+                    self._emit(0x00)  # byte stuffing
+                    self.sc -= 1
+            self.buffer = temp
+        self.c &= 0x7FFFF
+        self.ct += 8
+
+    def encode(self, st: bytearray, i: int, val: int) -> None:
+        sv = st[i]
+        idx = sv & 0x7F
+        qe = _QM_QE[idx]
+        self.a -= qe
+        if val != sv >> 7:
+            # LPS: code it in the bottom subinterval unless exchanged
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ (_QM_NLPS[idx] | (_QM_SWITCH[idx] << 7))
+        else:
+            # MPS
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ _QM_NMPS[idx]
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byte_out()
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # T.81 D.1.8: choose the in-interval code point with the most
+        # trailing zeros, then push the remaining bits out
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        if temp < self.c:
+            self.c = temp + 0x8000
+        else:
+            self.c = temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            # final carry
+            if self.buffer >= 0:
+                if self.zc:
+                    self.out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                if self.zc:
+                    self.out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                self._emit(self.buffer)
+            if self.sc:
+                if self.zc:
+                    self.out.extend(b"\x00" * self.zc)
+                    self.zc = 0
+                while self.sc:
+                    self._emit(0xFF)
+                    self._emit(0x00)
+                    self.sc -= 1
+        # emit the two remaining code bytes if nonzero (trailing zero
+        # bytes are discardable per the spec)
+        if self.c & 0x7FFF800:
+            if self.zc:
+                self.out.extend(b"\x00" * self.zc)
+                self.zc = 0
+            b = (self.c >> 19) & 0xFF
+            self._emit(b)
+            if b == 0xFF:
+                self._emit(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self._emit(b)
+                if b == 0xFF:
+                    self._emit(0x00)
+        return bytes(self.out)
+
+
+def _qm_encode_block(
+    enc: "_QMEncoder",
+    zz: list,
+    dc_stats: bytearray,
+    ac_stats: bytearray,
+    fixed: bytearray,
+    dc_context: int,
+    last_dc: int,
+    lo: int = 0,
+    up: int = 1,
+    kx: int = 5,
+) -> tuple[int, int]:
+    """Encode one block's DC difference + AC coefficients with the
+    T.81 Annex F statistics model (Figures F.4-F.9 — the encoder twin
+    of decode_arith_scan's trees). Returns the updated
+    ``(dc_context, last_dc)`` conditioning state."""
+    base = dc_context
+    v = int(zz[0]) - last_dc
+    if v == 0:
+        enc.encode(dc_stats, base, 0)
+        dc_context = 0
+    else:
+        last_dc = int(zz[0])
+        enc.encode(dc_stats, base, 1)
+        if v > 0:
+            enc.encode(dc_stats, base + 1, 0)
+            pos = base + 2
+            sign = 0
+        else:
+            v = -v
+            enc.encode(dc_stats, base + 1, 1)
+            pos = base + 3
+            sign = 1
+        m = 0
+        v1 = v - 1
+        if v1:
+            enc.encode(dc_stats, pos, 1)
+            m = 1
+            v2 = v1
+            pos = 20  # Table F.4: X1
+            while v2 >> 1:
+                v2 >>= 1
+                enc.encode(dc_stats, pos, 1)
+                m <<= 1
+                pos += 1
+        enc.encode(dc_stats, pos, 0)
+        if m < (1 << lo) >> 1:
+            dc_context = 0
+        elif m > (1 << up) >> 1:
+            dc_context = 12 + sign * 4
+        else:
+            dc_context = 4 + sign * 4
+        pos += 14
+        mm = m
+        while mm := mm >> 1:
+            enc.encode(dc_stats, pos, 1 if (mm & v1) else 0)
+    ke = 63
+    while ke > 0 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(ac_stats, base, 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(ac_stats, base + 1, 0)
+            base += 3
+            k += 1
+        enc.encode(ac_stats, base + 1, 1)
+        v = int(zz[k])
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+        else:
+            v = -v
+            enc.encode(fixed, 0, 1)
+        pos = base + 2
+        m = 0
+        v1 = v - 1
+        if v1:
+            enc.encode(ac_stats, pos, 1)
+            m = 1
+            v2 = v1
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(ac_stats, pos, 1)
+                m <<= 1
+                pos = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(ac_stats, pos, 1)
+                    m <<= 1
+                    pos += 1
+        enc.encode(ac_stats, pos, 0)
+        pos += 14
+        mm = m
+        while mm := mm >> 1:
+            enc.encode(ac_stats, pos, 1 if (mm & v1) else 0)
+        k += 1
+    if k <= 63:
+        enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
+    return dc_context, last_dc
+
+
+def encode_jpeg_arithmetic(width: int, height: int, data: bytes) -> bytes:
+    """Encode a sequential ARITHMETIC (SOF9) JPEG — REAL spec-conformant
+    bytes (r13 late: the LAST JPEG quarantine closed). Grayscale tier:
+    the same DCT/quantization math as ``encode_jpeg``, entropy-coded by
+    the T.81 QM coder instead of Huffman (DAC conditioning L=0/U=1/
+    Kx=5, the interchange defaults). The cross tests pin this encoder
+    BYTE-FOR-BYTE against the system libjpeg on identical quantized
+    coefficients and pin parse_jpeg's SOF9 branch against libjpeg's
+    decode — the GIF width-sync lesson: a symmetric convention bug
+    cannot round-trip invisibly."""
+    import struct
+
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size != width * height:
+        raise ValueError("raster size mismatch")
+    plane = arr.reshape(height, width).astype(np.float64)
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    padded = np.empty((by_n * 8, bx_n * 8), dtype=np.float64)
+    padded[:height, :width] = plane
+    padded[height:, :width] = plane[-1:, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+
+    enc = _QMEncoder()
+    dc_stats = bytearray(64)
+    ac_stats = bytearray(256)
+    fixed = bytearray([113])
+    dc_context = 0
+    last_dc = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+            q = np.round(coef / _JPEG_STD_QUANT_LUMA).astype(np.int64)
+            zz = q.reshape(-1)[_ZIGZAG].tolist()
+            dc_context, last_dc = _qm_encode_block(
+                enc, zz, dc_stats, ac_stats, fixed, dc_context, last_dc
+            )
+    scan = enc.flush()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    zzq = _JPEG_STD_QUANT_LUMA.reshape(-1)[_ZIGZAG]
+    seg(0xDB, bytes([0]) + bytes(zzq.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    seg(0xC9, sof)
+    # DAC: DC table 0 conditioning U<<4|L = 0x10; AC table 0 Kx = 5
+    seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out.extend(scan)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers.
     ``marker`` holds the pending marker byte once one is hit."""
@@ -4205,17 +4639,23 @@ def _receive_extend(br: _BitReader, size: int) -> int:
 def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a JFIF JPEG — dependency-free. Returns
     ``(width, height, raster)``, interleaved RGB (grayscale replicates,
-    the parse_png grey convention). Supports 8-bit SOF0 (baseline) AND
+    the parse_png grey convention). Supports 8-bit SOF0 (baseline),
     SOF2 (PROGRESSIVE, r13 — spectral selection and successive
     approximation: interleaved or single-component DC first/refine
     scans, single-component AC first/refine scans with EOB runs and the
-    correction-bit interleave), 1 or 3 components, sampling factors up
-    to 2×2, restart markers in any scan. Coefficients accumulate across
-    scans and dequantize+IDCT once at EOI, so a progressive stream
-    decodes bit-identically to the baseline coding of the same
-    quantized coefficients. Everything else — arithmetic coding,
-    12-bit, lossless/hierarchical SOFs, unknown markers mid-scan —
-    raises ``ValueError`` (quarantine contract)."""
+    correction-bit interleave), SOF1 at 8/12-bit (extended sequential,
+    r13 late — Pq=1 quant tables, top-8-bit feature raster), SOF3
+    (LOSSLESS predictive, r13 late, 2-16 bit), and SOF9 (sequential
+    ARITHMETIC, r13 late — the T.81 QM coder with DAC conditioning,
+    cross-pinned against the system libjpeg in the unit suite); 1 or 3
+    components, sampling factors up to 2×2, restart markers in any
+    huffman scan. Coefficients accumulate across scans and
+    dequantize+IDCT once at EOI, so a progressive stream decodes
+    bit-identically to the baseline coding of the same quantized
+    coefficients. Everything else — progressive/lossless ARITHMETIC
+    processes (SOF10/11/13-15), hierarchical SOFs, restart-interval
+    arithmetic streams, unknown markers mid-scan — raises
+    ``ValueError`` (quarantine contract)."""
     import struct
 
     buf = bytes(payload)
@@ -4225,7 +4665,9 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, comps, progressive, prec); comps = [(cid, hi, vi, tq)]
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: Tb -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: Tb -> Kx
+    frame = None  # (h, w, comps, progressive, prec, arith); comps = [(cid, hi, vi, tq)]
     coefs: list[np.ndarray] = []  # per comp: (blocks_y, blocks_x, 64) zigzag
     restart_interval = 0
     scans_done = 0
@@ -4234,7 +4676,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         """Entropy-decode one scan into ``coefs``; returns the byte
         position of the next marker. ``scan_comps`` = [(ci, td, ta)]."""
         nonlocal restart_interval
-        h, w, comps, progressive, prec = frame
+        h, w, comps, progressive, prec, arith = frame
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -4426,6 +4868,128 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             p += 1
         return p
 
+    def decode_arith_scan(scan_comps, start: int) -> int:
+        """Sequential ARITHMETIC scan (SOF9, r13 late) — the QM-coded
+        sibling of decode_scan's huffman full-band walk. Statistics
+        areas, conditioning contexts, and decision trees follow T.81
+        Annex F (Figures F.19-F.24); pinned bit-for-bit against the
+        system libjpeg by the cross tests."""
+        h, w, comps, progressive, prec, arith = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        if restart_interval:
+            raise ValueError(
+                "unsupported arithmetic JPEG: restart intervals"
+            )
+        dc_stats: dict[int, bytearray] = {}
+        ac_stats: dict[int, bytearray] = {}
+        for _ci, td, ta in scan_comps:
+            dc_stats.setdefault(td, bytearray(64))
+            ac_stats.setdefault(ta, bytearray(256))
+        fixed = bytearray([113])  # never-adapting equiprobable bin
+        dc_context = {ci: 0 for ci, _, _ in scan_comps}
+        last_dc = {ci: 0 for ci, _, _ in scan_comps}
+        qm = _QMDecoder(buf, start)
+
+        def decode_one(ci, td, ta, by, bx):
+            zz = [0] * 64
+            lo, up = dc_cond.get(td, (0, 1))
+            kx = ac_cond.get(ta, 5)
+            std = dc_stats[td]
+            base = dc_context[ci]
+            # Figures F.19-F.24: DC difference
+            if qm.decode(std, base) == 0:
+                dc_context[ci] = 0
+            else:
+                sign = qm.decode(std, base + 1)
+                p2 = base + 2 + sign
+                m = qm.decode(std, p2)
+                if m:
+                    p2 = 20  # Table F.4: X1
+                    while qm.decode(std, p2):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("corrupt arithmetic JPEG (DC)")
+                        p2 += 1
+                if m < (1 << lo) >> 1:
+                    dc_context[ci] = 0
+                elif m > (1 << up) >> 1:
+                    dc_context[ci] = 12 + sign * 4
+                else:
+                    dc_context[ci] = 4 + sign * 4
+                v = m
+                p2 += 14
+                while m := m >> 1:
+                    if qm.decode(std, p2):
+                        v |= m
+                v += 1
+                last_dc[ci] += -v if sign else v
+            zz[0] = last_dc[ci]
+            # Figure F.20 + F.21-F.24: AC coefficients
+            sta = ac_stats[ta]
+            k = 1
+            while k <= 63:
+                base = 3 * (k - 1)
+                if qm.decode(sta, base):
+                    break  # EOB
+                while qm.decode(sta, base + 1) == 0:
+                    base += 3
+                    k += 1
+                    if k > 63:
+                        raise ValueError(
+                            "corrupt arithmetic JPEG (AC run)"
+                        )
+                sign = qm.decode(fixed, 0)
+                p2 = base + 2
+                m = qm.decode(sta, p2)
+                if m:
+                    if qm.decode(sta, p2):
+                        m = 2
+                        p2 = 189 if k <= kx else 217
+                        while qm.decode(sta, p2):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError(
+                                    "corrupt arithmetic JPEG (AC)"
+                                )
+                            p2 += 1
+                v = m
+                p2 += 14
+                while m := m >> 1:
+                    if qm.decode(sta, p2):
+                        v |= m
+                v += 1
+                zz[k] = -v if sign else v
+                k += 1
+            coefs[ci][by, bx][:] = zz
+
+        if len(scan_comps) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, td, ta in scan_comps:
+                        _, hi, vi, _ = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                decode_one(
+                                    ci, td, ta, my * vi + by, mx * hi + bx
+                                )
+        else:
+            ci, td, ta = scan_comps[0]
+            _, hi, vi, _ = comps[ci]
+            cw = (w * hi + hmax - 1) // hmax
+            chh = (h * vi + vmax - 1) // vmax
+            for by in range((chh + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    decode_one(ci, td, ta, by, bx)
+        p = qm.pos
+        while p + 1 < len(buf) and not (
+            buf[p] == 0xFF and buf[p + 1] not in (0x00, 0xFF)
+        ):
+            p += 1
+        return p
+
     while True:
         if pos + 2 > len(buf):
             if scans_done:
@@ -4451,8 +5015,12 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 "unsupported JPEG variant: hierarchical/differential (SOF%d)"
                 % (marker - 0xC0)
             )
-        if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG variant: arithmetic coding")
+        if marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # progressive/lossless/differential arithmetic processes;
+            # SEQUENTIAL arithmetic (SOF9) decodes for real since r13
+            raise ValueError(
+                "unsupported JPEG variant: non-sequential arithmetic"
+            )
         if pos + 2 > len(buf):
             raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack_from(">H", buf, pos)
@@ -4495,9 +5063,10 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 (huff_dc if tc == 0 else huff_ac)[th] = _decoder_huff(
                     bits, vals
                 )
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             # SOF0 baseline / SOF1 extended sequential (r13 late: the
-            # 12-bit DCT tier) / SOF2 progressive
+            # 12-bit DCT tier) / SOF2 progressive / SOF9 sequential
+            # ARITHMETIC (r13 late: the final JPEG quarantine closed)
             if frame is not None:
                 raise ValueError("JPEG: multiple frames")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -4507,7 +5076,8 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                         "unsupported JPEG: %d-bit precision" % prec
                     )
             elif prec != 8:
-                # 12-bit is an EXTENDED process: SOF0/SOF2 stay 8-bit
+                # 12-bit is an EXTENDED huffman process: SOF0/SOF2/SOF9
+                # stay 8-bit (12-bit arithmetic quarantines)
                 raise ValueError("unsupported JPEG: %d-bit precision" % prec)
             if nc not in (1, 3):
                 raise ValueError("unsupported JPEG: %d components" % nc)
@@ -4518,7 +5088,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError("unsupported JPEG sampling factors")
                 comps.append((cid, hi, vi, tq))
-            frame = (h, w, comps, marker == 0xC2, prec)
+            frame = (h, w, comps, marker == 0xC2, prec, marker == 0xC9)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -4529,10 +5099,25 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             ]
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                cs = body[i + 1]
+                i += 2
+                if tc == 0:
+                    lo, up = cs & 0x0F, cs >> 4
+                    if up < lo:
+                        raise ValueError("corrupt JPEG DAC conditioning")
+                    dc_cond[tb] = (lo, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("corrupt JPEG DAC conditioning")
+                    ac_cond[tb] = cs
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            h, w, comps, progressive, prec = frame
+            h, w, comps, progressive, prec, arith = frame
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("corrupt JPEG SOS header")
@@ -4558,12 +5143,15 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             for _, hi, vi, tq in (comps[c[0]] for c in scan_comps):
                 if tq not in quant:
                     raise ValueError("JPEG scan references missing quant table")
-            pos = decode_scan(scan_comps, ss, se, ah, al, pos)
+            if arith:
+                pos = decode_arith_scan(scan_comps, pos)
+            else:
+                pos = decode_scan(scan_comps, ss, se, ah, al, pos)
             scans_done += 1
         # APPn / COM / others: skipped
     if frame is None or scans_done == 0:
         raise ValueError("truncated JPEG (no SOS)")
-    h, w, comps, progressive, prec = frame
+    h, w, comps, progressive, prec, arith = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     full = []
@@ -4685,6 +5273,42 @@ def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
                 payloads.append(
                     encode_jpeg_progressive(w, h, img.tobytes(), ncomp=1)
                 )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from ..sources.readers import rebalance_for_compute
+
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_jpeg_arith_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic ARITHMETIC (SOF9) JPEG payloads keyed by
+    doc id (r13 late) — REAL QM-coded bytes with the same
+    constant-block exactness trick as the baseline/progressive
+    fixtures: grayscale constant 8x8 blocks at even offsets from 128
+    are DC-only and decode bit-exactly, so the oracle derives the
+    features in closed form even though the entropy coder is adaptive.
+    ``w = 8*(1 + doc_id % 2)``, ``h = 8*(1 + doc_id % 3)``, block
+    ``bi`` value ``128 + 2*((doc_id*23 + bi*29) % 81 - 40)`` —
+    multipliers 23/29 distinct from the baseline (7/13), progressive
+    (11/19), and JPEG-in-TIFF (27/17) fixtures, so a dispatch mix-up
+    between JPEG tiers cannot silently hash-match."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wb, hb = 1 + did % 2, 1 + did % 3
+                w, h = 8 * wb, 8 * hb
+                img = np.empty((h, w), dtype=np.uint8)
+                for bi in range(wb * hb):
+                    by, bx = divmod(bi, wb)
+                    v = 128 + 2 * ((did * 23 + bi * 29) % 81 - 40)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payloads.append(encode_jpeg_arithmetic(w, h, img.tobytes()))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     from ..sources.readers import rebalance_for_compute

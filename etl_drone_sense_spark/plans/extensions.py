@@ -2310,6 +2310,64 @@ def multimodal_decode_jpeg_progressive(
 
 
 @register(
+    "multimodal_decode_jpeg_arithmetic",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 2 AS wb, 1 + doc_id % 3 AS hb
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS bi FROM dims
+    ),
+    val AS (
+        SELECT doc_id, wb, hb,
+               128 + 2 * ((doc_id * 23 + bi * 29) % 81 - 40) AS v
+        FROM blk
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_r,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_g,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_b
+    FROM val GROUP BY doc_id, wb, hb
+    """,
+    tags=("multimodal", "pandas_udf"),
+    bench=True,
+)
+def multimodal_decode_jpeg_arithmetic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ARITHMETIC (SOF9) JPEG decode end-to-end (r13 late — the FINAL
+    JPEG quarantine closed; every JPEG coding process the spec defines
+    for 8-bit sequential/progressive/lossless use now decodes for
+    real): REAL QM-coded payloads (the T.81 Annex D adaptive binary
+    arithmetic coder with the spec's 113-state probability-estimation
+    table, driven by the Annex F DC/AC decision trees —
+    operators/multimodal.encode_jpeg_arithmetic / the parse_jpeg SOF9
+    branch + DAC conditioning), decoded through the same Arrow path
+    and magic-byte dispatch as every raster tier. The fixture reuses
+    the constant-block exactness trick, so the oracle derives features
+    in closed form; a Qe-table, conditional-exchange, byte-stuffing,
+    or statistics-tree bug changes a mean and hash-fails. The coder
+    pair is additionally pinned against the SYSTEM libjpeg in the unit
+    suite (encoder byte-for-byte, decoder coefficient-for-coefficient,
+    gcc+jpeglib-gated) — a symmetric convention bug cannot round-trip
+    invisibly. Progressive/lossless ARITHMETIC variants (SOF10/SOF11)
+    and restart-interval arithmetic streams stay quarantined."""
+    media = multimodal.synth_jpeg_arith_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_decode_jpeg_lossless",
     oracle="""
     WITH dims AS (

@@ -1037,7 +1037,12 @@ TOUCHED_R13: tuple[str, ...] = (
     "multimodal_decode_adpcm",  # r13 late: quad-channel tier (ch cycle
     # mono/stereo -> mono/stereo/quad)
     "multimodal_decode_jpeg_lossless",  # NEW r13 late: SOF3 predictive
-    # tier — all seven predictors on arbitrary content
+    # tier — all seven predictors on arbitrary content; then 8/12/16-bit
+    # precision cycle
+    "multimodal_decode_jpeg",  # r13 late (again): 12-bit SOF1 tier
+    # folded into the fixture cycle (same oracle by construction)
+    "multimodal_decode_jpeg_arithmetic",  # NEW r13 late: SOF9 QM-coder
+    # tier, cross-pinned byte-for-byte against the system libjpeg
 )
 
 

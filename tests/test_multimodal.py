@@ -597,8 +597,10 @@ def test_jpeg_rejects_unsupported_and_corrupt():
     prog[i + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         parse_jpeg(bytes(prog))
+    # SOF9 sequential arithmetic decodes for real since r13 late; the
+    # progressive arithmetic process (SOF10) remains quarantined
     arith = bytearray(pay)
-    arith[i + 1] = 0xC9
+    arith[i + 1] = 0xCA
     with pytest.raises(ValueError, match="arithmetic"):
         parse_jpeg(bytes(arith))
     with pytest.raises(ValueError, match="truncated"):
@@ -2338,7 +2340,9 @@ def test_jpeg_still_quarantines_arithmetic_and_extended():
     i = base.find(b"\xff\xc0")
     assert i != -1
     for marker, match in (
-        (0xC9, "arithmetic"),
+        # SOF9 decodes for real since r13 late; the PROGRESSIVE
+        # arithmetic process is the remaining quarantine
+        (0xCA, "arithmetic"),
         (0xC5, "extended|hierarchical"),
         (0xC7, "extended|hierarchical"),
         # SOF3 now routes to the real lossless scanner, which rejects
@@ -2432,6 +2436,218 @@ def test_jpeg_12bit_extended_sequential():
         encode_jpeg(
             8, 8, np.full(64, 4096, dtype=np.int64), ncomp=1, precision=12
         )
+
+
+def _jpegref_binary():
+    """Build the libjpeg reference shim on demand; None if the
+    toolchain is absent (the cross tests skip, the roundtrip tests
+    still run)."""
+    import shutil
+    import subprocess
+    import tempfile
+    import os
+
+    if shutil.which("gcc") is None or not os.path.exists(
+        "/usr/include/jpeglib.h"
+    ):
+        return None
+    out = os.path.join(tempfile.gettempdir(), "jpegref_test_bin")
+    if not os.path.exists(out):
+        src = os.path.join(
+            os.path.dirname(__file__), "..", "tools", "jpegref.c"
+        )
+        r = subprocess.run(
+            ["gcc", "-O2", "-o", out, src, "-ljpeg"], capture_output=True
+        )
+        if r.returncode != 0:
+            return None
+    return out
+
+
+def test_jpeg_arithmetic_roundtrip_constant_blocks():
+    """r13 late: SOF9 — the QM coder + Annex F statistics trees;
+    constant blocks decode bit-exactly through the full pipeline."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg_arithmetic,
+        parse_image,
+    )
+
+    for did in range(12):
+        wb, hb = 1 + did % 2, 1 + did % 3
+        w, h = 8 * wb, 8 * hb
+        img = np.empty((h, w), dtype=np.uint8)
+        for bi in range(wb * hb):
+            by, bx = divmod(bi, wb)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                128 + 2 * ((did * 23 + bi * 29) % 81 - 40)
+            )
+        w2, h2, rgb = parse_image(encode_jpeg_arithmetic(w, h, img.tobytes()))
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(got[:, :, 0], img), did
+        assert np.array_equal(got[:, :, 2], img), did
+
+
+def test_jpeg_arithmetic_tolerance_on_arbitrary_content():
+    """Arbitrary content is lossy (DCT), but my arithmetic encode →
+    my decode must agree within the quantization error envelope, and
+    the QM entropy layer itself is EXACT (coefficients in == out) —
+    checked by encoding twice and comparing streams for determinism."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_arithmetic,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    pay = encode_jpeg_arithmetic(40, 24, img.tobytes())
+    assert pay == encode_jpeg_arithmetic(40, 24, img.tobytes())
+    w, h, rgb = parse_jpeg(pay)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(24, 40, 3)[:, :, 0]
+    # the arithmetic stream carries the SAME quantized coefficients as
+    # the huffman stream, so the decodes must be IDENTICAL pixels
+    wb, hb, rgb_h = parse_jpeg(encode_jpeg(40, 24, img.tobytes(), ncomp=1))
+    href = np.frombuffer(rgb_h, dtype=np.uint8).reshape(24, 40, 3)[:, :, 0]
+    assert np.array_equal(got, href)
+
+
+def test_jpeg_arithmetic_quarantines():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg_arithmetic,
+        parse_jpeg,
+    )
+
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    good = bytearray(encode_jpeg_arithmetic(8, 8, img.tobytes()))
+    i = good.find(b"\xff\xc9")
+    assert i != -1
+    # progressive/lossless arithmetic processes stay quarantined
+    for marker in (0xCA, 0xCB, 0xCE, 0xCF):
+        bad = bytearray(good)
+        bad[i + 1] = marker
+        with pytest.raises(ValueError, match="arithmetic"):
+            parse_jpeg(bytes(bad))
+    # 12-bit sequential arithmetic quarantines
+    deep = bytearray(good)
+    deep[i + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        parse_jpeg(bytes(deep))
+    # restart-interval arithmetic streams quarantine (DRI before SOS)
+    dri = bytes(good[:i]) + b"\xff\xdd\x00\x04\x00\x04" + bytes(good[i:])
+    with pytest.raises(ValueError, match="restart"):
+        parse_jpeg(dri)
+
+
+def test_jpeg_arithmetic_cross_pinned_against_libjpeg():
+    """THE interop pin (the GIF width-sync lesson for the QM coder):
+    my encoder must be BYTE-IDENTICAL to the system libjpeg on the
+    same quantized coefficients, and my parse_jpeg must reproduce
+    libjpeg's entropy decode exactly. Skips when gcc/jpeglib are
+    absent."""
+    import subprocess
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators import multimodal as MM
+
+    shim = _jpegref_binary()
+    if shim is None:
+        pytest.skip("gcc/jpeglib not available for the cross pin")
+
+    # encoder: byte parity on random coefficient blocks
+    rng = np.random.RandomState(123)
+    for _ in range(25):
+        nb = int(rng.randint(1, 5))
+        blocks = np.zeros((nb, 64), dtype=np.int64)
+        for bi in range(nb):
+            blocks[bi, 0] = rng.randint(-200, 200)
+            for _k in range(rng.randint(0, 20)):
+                blocks[bi, int(rng.randint(1, 64))] = rng.randint(-120, 120)
+        jpg = subprocess.run(
+            [shim, "encodec", str(nb), "1"],
+            input=blocks.astype("<i2").tobytes(),
+            capture_output=True, check=True,
+        ).stdout
+        i = 2
+        while True:
+            m = jpg[i + 1]
+            ln = int.from_bytes(jpg[i + 2 : i + 4], "big")
+            if m == 0xDA:
+                ref_ent = jpg[i + 2 + ln : -2]
+                break
+            i += 2 + ln
+        enc = MM._QMEncoder()
+        dc_stats = bytearray(64)
+        ac_stats = bytearray(256)
+        fixed = bytearray([113])
+        ctx, last = 0, 0
+        for bi in range(nb):
+            zz = blocks[bi][MM._ZIGZAG].tolist()
+            ctx, last = MM._qm_encode_block(
+                enc, zz, dc_stats, ac_stats, fixed, ctx, last
+            )
+        assert enc.flush() == ref_ent
+
+    # decoder: pixel parity with libjpeg's own entropy decode (exact
+    # integer coefficients; my float IDCT applied to both sides)
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        w = int(rng.randint(8, 48))
+        h = int(rng.randint(8, 48))
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        jpg = subprocess.run(
+            [shim, "encode", str(w), str(h)],
+            input=img.tobytes(), capture_output=True, check=True,
+        ).stdout
+        out = subprocess.run(
+            [shim, "coefs"], input=jpg, capture_output=True, check=True
+        ).stdout.decode()
+        lines = out.splitlines()
+        hdr = lines[0].split()
+        bw, bh = int(hdr[3]), int(hdr[5])
+        blocks = np.array(
+            [[int(x) for x in l.split()] for l in lines[1 : 1 + bw * bh]],
+            dtype=np.int64,
+        )
+        i = 2
+        qt = None
+        while i + 4 <= len(jpg):
+            m = jpg[i + 1]
+            ln = int.from_bytes(jpg[i + 2 : i + 4], "big")
+            body = jpg[i + 4 : i + 2 + ln]
+            if m == 0xDB:
+                qt = np.frombuffer(body[1:65], dtype=np.uint8).astype(
+                    np.int64
+                )
+            if m == 0xDA:
+                break
+            i += 2 + ln
+        qnat = qt[MM._UNZIGZAG]
+        deq = (blocks.astype(np.float64) * qnat[None, :]).reshape(-1, 8, 8)
+        spatial = (
+            np.einsum("ij,njk,kl->nil", MM._DCT_C.T, deq, MM._DCT_C) + 128.0
+        )
+        p = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        ref = np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8)
+        w2, h2, rgb = MM.parse_jpeg(jpg)
+        mine = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(mine, ref), seed
 
 
 def test_jpeg_lossless_high_precision_roundtrip():
