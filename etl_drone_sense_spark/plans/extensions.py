@@ -6772,6 +6772,117 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt linear-trend packing: level/trend in micro-units, biased by
+# 2^30 so both packed components stay nonnegative (events.value is
+# [0, ~500] -> |level|,|trend| < 2^29), packed as (l+B)*P + (b+B) with
+# P = 2^31 -> acc < 2^62, inside BIGINT. Halving is TRUNCATING integer
+# division by 2 — the one semantics Spark `div` and DuckDB `//` share
+# for negative operands (DuckDB // truncates, measured; floor-vs-trunc
+# would diverge on negative trends).
+_HOLT_P = 1 << 31
+_HOLT_B = 1 << 30
+
+
+def _holt_fold(div2: str, idiv: str) -> str:
+    """The Holt fold body with engine-local operators substituted:
+    ``div2(e)`` renders truncating halving, ``idiv`` the integer
+    division token for the unpack. One logical text, two renderings —
+    the IRLS/OLS shared-expression convention for an ordered fold."""
+    P, B = _HOLT_P, _HOLT_B
+    lv = f"((acc {idiv} {P}) - {B})"   # unpacked level
+    tr = f"((acc % {P}) - {B})"        # unpacked trend
+    l2 = div2.format(e=f"(x + {lv} + {tr})")
+    b2 = div2.format(e=f"({tr} + {l2} - {lv})")
+    return (
+        f"CASE WHEN acc < 0 THEN (x + {B}) * CAST({P} AS BIGINT) + {B} "
+        f"ELSE ({l2} + {B}) * CAST({P} AS BIGINT) + ({b2} + {B}) END"
+    )
+
+
+@register(
+    "events_holt_trend",
+    oracle=f"""
+    WITH q AS (
+        SELECT user_id,
+               list(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                    ORDER BY ts, event_id) AS xs,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, n_events,
+               list_reduce(
+                   list_prepend(CAST(-1 AS BIGINT), xs),
+                   (acc, x) -> {_holt_fold("(({e}) // 2)", "//")}
+               ) AS acc
+        FROM q
+    )
+    SELECT user_id, n_events,
+           CAST(acc // {_HOLT_P} - {_HOLT_B} AS BIGINT) AS level_micro,
+           CAST(acc % {_HOLT_P} - {_HOLT_B} AS BIGINT) AS trend_micro,
+           CAST((acc // {_HOLT_P} - {_HOLT_B})
+                + (acc % {_HOLT_P} - {_HOLT_B}) AS BIGINT) AS forecast_micro
+    FROM folded
+    """,
+    tags=("events", "timeseries", "anomaly", "higher-order"),
+)
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per user (the
+    level+trend sibling of events_ewma — what real metric pipelines run
+    when series drift instead of hovering): ``l_t = α·y_t +
+    (1-α)(l_(t-1)+b_(t-1))``, ``b_t = β(l_t-l_(t-1)) + (1-β)b_(t-1)``
+    at α=β=1/2, so every smoothing step is ONE truncating integer
+    halving in micro-units — exact in both engines (Spark ``div`` and
+    DuckDB ``//`` share truncation semantics on negative operands,
+    where floor-based halving would diverge on downward trends). Like
+    CUSUM, the two-variable recurrence is an ORDERED FOLD no window
+    frame expresses; level and trend pack into one BIGINT accumulator
+    ((l+2^30)·2^31 + (b+2^30) — both components provably nonnegative
+    for the fixture's [0, 500] value range) so the identical fold text
+    runs as Spark ``aggregate`` and DuckDB ``list_reduce`` and the
+    driver's hash gate certifies a sequential forecaster. Emits the
+    final level, trend, and one-step-ahead forecast (level+trend) in
+    exact micro-units.
+
+    Scale: one shuffle on user_id; per-user state is the ordered value
+    array — the same bounded-density contract as events_ewma/CUSUM,
+    with applyInPandasWithState as the unbounded-history path."""
+    ev = t(spark, sf_dir, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_evs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    staged = ordered.select(
+        "user_id",
+        "n_events",
+        F.transform(
+            "_evs",
+            lambda e: F.floor(e["value"] * F.lit(1e6) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("_xs"),
+    )
+    P, B = _HOLT_P, _HOLT_B
+    fold = (
+        f"aggregate(_xs, CAST(-1 AS BIGINT), (acc, x) -> "
+        f"{_holt_fold('(({e}) div 2)', 'div')})"
+    )
+    return staged.select(
+        "user_id",
+        "n_events",
+        F.expr(f"CAST(({fold}) div {P} - {B} AS BIGINT)").alias(
+            "level_micro"
+        ),
+        F.expr(f"CAST(({fold}) % {P} - {B} AS BIGINT)").alias("trend_micro"),
+        F.expr(
+            f"CAST((({fold}) div {P} - {B}) + (({fold}) % {P} - {B}) "
+            "AS BIGINT)"
+        ).alias("forecast_micro"),
+    )
+
+
 @register(
     "agg_exact_quantiles_binned",
     oracle=_EXACT_QUANTILES_ORACLE,

@@ -1043,6 +1043,8 @@ TOUCHED_R13: tuple[str, ...] = (
     # folded into the fixture cycle (same oracle by construction)
     "multimodal_decode_jpeg_arithmetic",  # NEW r13 late: SOF9 QM-coder
     # tier, cross-pinned byte-for-byte against the system libjpeg
+    "events_holt_trend",  # NEW r13 late: Holt linear-trend smoothing,
+    # the two-variable packed-BIGINT ordered fold (CUSUM's sibling)
 )
 
 

@@ -431,3 +431,51 @@ def test_bmp_roundtrip_and_mutation_quarantine(w, h, top_down, rnd):
         parse_bmp(bytes(mutated))
     except ValueError:
         pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=500.0,
+                       allow_nan=False, allow_infinity=False),
+             min_size=1, max_size=40),
+)
+def test_holt_fold_matches_reference_recurrence(values):
+    """The packed-BIGINT Holt fold (events_holt_trend) must equal an
+    independent plain-Python recurrence at every step — level and
+    trend both, including negative trends where the truncating-halving
+    convention is the load-bearing detail (floor-based halving WOULD
+    diverge there, which is why the fold uses `div 2`/`// 2`)."""
+    from etl_drone_sense_spark.plans.extensions import _HOLT_B, _HOLT_P
+
+    import math
+
+    xs = [math.floor(v * 1e6 + 0.5) for v in values]
+
+    def trunc_half(v: int) -> int:
+        # truncation toward zero — Spark `div 2` == DuckDB `// 2`
+        return -((-v) // 2) if v < 0 else v // 2
+
+    # reference recurrence, unpacked
+    l = xs[0]
+    b = 0
+    for x in xs[1:]:
+        l2 = trunc_half(x + l + b)
+        b = trunc_half(b + l2 - l)
+        l = l2
+
+    # the packed fold exactly as both engines evaluate it
+    acc = -1
+    for x in xs:
+        if acc < 0:
+            acc = (x + _HOLT_B) * _HOLT_P + _HOLT_B
+        else:
+            lv = (acc // _HOLT_P) - _HOLT_B  # acc >= 0: // == div
+            tr = (acc % _HOLT_P) - _HOLT_B
+            l2 = trunc_half(x + lv + tr)
+            b2 = trunc_half(tr + l2 - lv)
+            acc = (l2 + _HOLT_B) * _HOLT_P + (b2 + _HOLT_B)
+    assert (acc // _HOLT_P) - _HOLT_B == l
+    assert (acc % _HOLT_P) - _HOLT_B == b
+    # packing headroom: both components provably nonnegative
+    assert 0 <= l + _HOLT_B < _HOLT_P
+    assert 0 <= b + _HOLT_B < _HOLT_P
