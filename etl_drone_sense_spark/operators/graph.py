@@ -687,3 +687,95 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("keep_id"),
     )
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, label) after ``iters`` SYNCHRONOUS label-propagation
+    rounds — community detection (Raghavan et al. 2007) in its
+    hash-certifiable form: every node starts as its own label and each
+    round adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label. Both rules are exact integer
+    decisions, so a fixed-round run is bit-identical in any engine
+    executing the same recurrence (the registry oracle unrolls the
+    rounds as chained CTEs, the pagerank/SSSP convention).
+
+    The per-node argmax is ENCODED, not windowed: score =
+    ``cnt * 2^31 + (2^31-1 - label)`` makes (max count, then min
+    label) a single integer ``max()`` — one aggregate both engines
+    evaluate identically, no row_number/qualify dialect divergence.
+    (Bound: labels are node ids < 2^31 and counts are bounded by the
+    max degree, so scores stay far inside BIGINT.)
+
+    Semantics note: synchronous LPA on a BIPARTITE graph (like the
+    registry's customer↔supplier trade graph) oscillates rather than
+    converging — the classic two-coloring artifact; asynchronous or
+    semi-synchronous variants exist precisely to damp it. The
+    fixed-round synchronous form is still a well-defined deterministic
+    relation (labels after exactly R rounds), which is what an
+    exact-hash gate needs; deployments wanting converged communities
+    run the async variant and accept tolerance-based checks.
+
+    Scale — the pagerank discipline (pinned adjacency, AQE-off private
+    session, SHUFFLE_HASH rounds): the topology is repartitioned ONCE
+    to hash(u, W) and checkpointed; each round joins the node-scale
+    label relation against the stationary adjacency (labels hash in
+    place as the shuffle-hash build side), then moves data twice —
+    the message count groupBy(v, label) (edge-scale, map-side
+    combined: it IS the message exchange) and the per-node argmax
+    groupBy(v) over the count relation (<= message-scale in round 1,
+    shrinking as labels coalesce). Lineage truncates every
+    ``checkpoint_every`` rounds plus the final round."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.localCheckpoint(eager=True)
+
+    caller = edges.sparkSession
+    priv = _narrow_private_session(caller, sym.count())
+    loop_w = int(priv.conf.get("spark.sql.shuffle.partitions"))
+    sym = _on_session(sym, priv)
+    adj = sym.repartition(loop_w, "u").localCheckpoint(eager=True)
+    # symmetric input: every node appears as a source, so the label
+    # seed rides adj's pinned hash(u, W) partitioning (no exchange)
+    labels = (
+        adj.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    score = F.expr(
+        "_cnt * CAST(2147483648 AS BIGINT)"
+        " + (CAST(2147483647 AS BIGINT) - label)"
+    )
+    for i in range(1, iters + 1):
+        a_i = f"_lp_a{i}"
+        msgs = (
+            adj.alias(a_i)
+            .join(
+                labels.hint("shuffle_hash"),
+                F.col(f"{a_i}.u") == F.col("node"),
+            )
+            .select(F.col(f"{a_i}.v").alias("_v"), "label")
+        )
+        counts = msgs.groupBy("_v", "label").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        labels = (
+            counts.select("_v", score.alias("_s"))
+            .groupBy("_v")
+            .agg(F.max("_s").alias("_m"))
+            .select(
+                F.col("_v").alias("node"),
+                F.expr(
+                    "CAST(2147483647 AS BIGINT)"
+                    " - (_m % CAST(2147483648 AS BIGINT))"
+                ).alias("label"),
+            )
+        )
+        if i == iters or (i % checkpoint_every == 0 and iters - i >= 2):
+            labels = labels.localCheckpoint(eager=True)
+    return _on_session(labels, caller)

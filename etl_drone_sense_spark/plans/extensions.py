@@ -4416,6 +4416,119 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous label-propagation CTE chain — count
+    messages per (node, label), take the encoded (max count, min
+    label) argmax, exactly the distributed loop's recurrence."""
+    ctes = [
+        """pairs AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 100000000 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-04-01'
+    )""",
+        """sym AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM pairs
+        UNION ALL SELECT dst, src FROM pairs
+    )""",
+        """l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, u AS label FROM sym
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+        SELECT v AS node,
+               CAST(2147483647 AS BIGINT)
+                   - (max(_s) % CAST(2147483648 AS BIGINT)) AS label
+        FROM (
+            SELECT v, CAST(count(*) AS BIGINT)
+                       * CAST(2147483648 AS BIGINT)
+                   + (CAST(2147483647 AS BIGINT) - label) AS _s
+            FROM l{i - 1} l JOIN sym s ON s.u = l.node
+            GROUP BY v, label
+        ) GROUP BY v
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT label AS community, count(*) AS members
+    FROM l{rounds}
+    GROUP BY label
+    ORDER BY members DESC, community
+    LIMIT 25"""
+    )
+
+
+@register(
+    "graph_label_communities",
+    oracle=_lpa_oracle(LPA_ROUNDS),
+    tags=("graph", "iterative", "join", "agg"),
+)
+def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    customer↔supplier trade graph (Raghavan et al. 2007 — the
+    corpus-curation tool behind domain/source clustering), the
+    registry's fourth hash-certified ITERATIVE loop: each node adopts
+    its neighbors' most frequent label with a min-label tie-break, a
+    pure integer decision, so four fixed rounds are bit-identical
+    between the distributed loop (operators/graph.
+    label_propagation_fixed — pinned adjacency, AQE-off private
+    session, encoded single-max argmax) and the oracle's unrolled
+    chained CTEs. Synchronous LPA on this bipartite graph oscillates
+    by construction (the two-coloring artifact, documented in the
+    operator); the fixed-round relation is still deterministic, which
+    is exactly what the exact-hash gate certifies.
+
+    Scale: edge derivation is fact-scale and collapses to catalog
+    cardinality before the loop; each round moves the message relation
+    once (map-combined count exchange) plus a shrinking argmax
+    exchange, with the adjacency never leaving its hash(u, W) homes.
+    Output: top-25 communities by (size DESC, label) total order."""
+    from ..operators.graph import label_propagation_fixed
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    # one quarter of trade: the FULL bipartite graph is so dense that
+    # four LPA rounds coalesce it into two giant communities (a 2-row
+    # output certifies almost nothing); the seasonal slice keeps a
+    # real community-size distribution under the hash gate, and the
+    # filter is a pushed-down scan predicate, not a post-join one
+    pairs = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(100_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    labels = label_propagation_fixed(sym, iters=LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("members"))
+        .orderBy(F.col("members").desc(), "community")
+        .limit(25)
+    )
+
+
 SSSP_ROUNDS = 6
 
 

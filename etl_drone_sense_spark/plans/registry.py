@@ -1045,6 +1045,8 @@ TOUCHED_R13: tuple[str, ...] = (
     # tier, cross-pinned byte-for-byte against the system libjpeg
     "events_holt_trend",  # NEW r13 late: Holt linear-trend smoothing,
     # the two-variable packed-BIGINT ordered fold (CUSUM's sibling)
+    "graph_label_communities",  # NEW r13 late: synchronous label-
+    # propagation communities on the pinned-adjacency discipline
 )
 
 

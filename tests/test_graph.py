@@ -259,3 +259,42 @@ def test_contract_cc_matches_union_find_and_propagation(spark):
         }
         assert got_contract == want, name
         assert got_prop == want, name
+
+
+def test_label_propagation_fixed_reference(spark):
+    """Four synchronous LPA rounds on a hand-checkable graph: two
+    triangles joined by one bridge edge must partition into the two
+    triangles (the bridge is outvoted), with per-node labels matching
+    an independent Python evaluation of the same (max count, min
+    label) recurrence step for step."""
+    from etl_drone_sense_spark.operators.graph import label_propagation_fixed
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation_fixed(df, iters=4).collect()
+    }
+
+    # independent reference: plain dict recurrence
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n, nbrs in adj.items():
+            freq = {}
+            for m in nbrs:
+                freq[labels[m]] = freq.get(labels[m], 0) + 1
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    assert got == labels
+    # and the communities are the two triangles (whatever labels the
+    # synchronous dynamics settle on, the PARTITION is the invariant)
+    assert len(set(got.values())) == 2
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[4], got[5], got[6]}) == 1
+    assert got[1] != got[4]
