@@ -4396,66 +4396,78 @@ class _QMEncoder:
         return bytes(self.out)
 
 
-def _qm_encode_block(
+def _qm_enc_dc(
     enc: "_QMEncoder",
-    zz: list,
     dc_stats: bytearray,
-    ac_stats: bytearray,
-    fixed: bytearray,
     dc_context: int,
     last_dc: int,
+    value: int,
     lo: int = 0,
     up: int = 1,
-    kx: int = 5,
 ) -> tuple[int, int]:
-    """Encode one block's DC difference + AC coefficients with the
-    T.81 Annex F statistics model (Figures F.4-F.9 — the encoder twin
-    of decode_arith_scan's trees). Returns the updated
-    ``(dc_context, last_dc)`` conditioning state."""
+    """Encode one DC difference (Figures F.4/F.6-F.9) against the
+    running predictor; returns updated ``(dc_context, last_dc)``. Used
+    by the sequential block walk AND the progressive DC-first scan
+    (whose ``value`` is the point-transformed DC)."""
     base = dc_context
-    v = int(zz[0]) - last_dc
+    v = value - last_dc
     if v == 0:
         enc.encode(dc_stats, base, 0)
-        dc_context = 0
+        return 0, last_dc
+    last_dc = value
+    enc.encode(dc_stats, base, 1)
+    if v > 0:
+        enc.encode(dc_stats, base + 1, 0)
+        pos = base + 2
+        sign = 0
     else:
-        last_dc = int(zz[0])
-        enc.encode(dc_stats, base, 1)
-        if v > 0:
-            enc.encode(dc_stats, base + 1, 0)
-            pos = base + 2
-            sign = 0
-        else:
-            v = -v
-            enc.encode(dc_stats, base + 1, 1)
-            pos = base + 3
-            sign = 1
-        m = 0
-        v1 = v - 1
-        if v1:
+        v = -v
+        enc.encode(dc_stats, base + 1, 1)
+        pos = base + 3
+        sign = 1
+    m = 0
+    v1 = v - 1
+    if v1:
+        enc.encode(dc_stats, pos, 1)
+        m = 1
+        v2 = v1
+        pos = 20  # Table F.4: X1
+        while v2 >> 1:
+            v2 >>= 1
             enc.encode(dc_stats, pos, 1)
-            m = 1
-            v2 = v1
-            pos = 20  # Table F.4: X1
-            while v2 >> 1:
-                v2 >>= 1
-                enc.encode(dc_stats, pos, 1)
-                m <<= 1
-                pos += 1
-        enc.encode(dc_stats, pos, 0)
-        if m < (1 << lo) >> 1:
-            dc_context = 0
-        elif m > (1 << up) >> 1:
-            dc_context = 12 + sign * 4
-        else:
-            dc_context = 4 + sign * 4
-        pos += 14
-        mm = m
-        while mm := mm >> 1:
-            enc.encode(dc_stats, pos, 1 if (mm & v1) else 0)
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+            m <<= 1
+            pos += 1
+    enc.encode(dc_stats, pos, 0)
+    if m < (1 << lo) >> 1:
+        dc_context = 0
+    elif m > (1 << up) >> 1:
+        dc_context = 12 + sign * 4
+    else:
+        dc_context = 4 + sign * 4
+    pos += 14
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(dc_stats, pos, 1 if (mm & v1) else 0)
+    return dc_context, last_dc
+
+
+def _qm_enc_ac_band(
+    enc: "_QMEncoder",
+    ac_stats: bytearray,
+    fixed: bytearray,
+    zz: list,
+    k_lo: int,
+    k_hi: int,
+    kx: int = 5,
+) -> None:
+    """Encode the nonzero AC coefficients of ``zz`` over zigzag band
+    ``[k_lo, k_hi]`` (Figures F.5-F.9). The sequential walk is the
+    full band (1, 63); progressive AC-first scans pass the spectral
+    band with point-transformed values."""
+    ke = k_hi
+    while ke >= k_lo and zz[ke] == 0:
         ke -= 1
-    k = 1
+    k = k_lo
     while k <= ke:
         base = 3 * (k - 1)
         enc.encode(ac_stats, base, 0)  # not EOB
@@ -4493,8 +4505,29 @@ def _qm_encode_block(
         while mm := mm >> 1:
             enc.encode(ac_stats, pos, 1 if (mm & v1) else 0)
         k += 1
-    if k <= 63:
+    if k <= k_hi:
         enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
+
+
+def _qm_encode_block(
+    enc: "_QMEncoder",
+    zz: list,
+    dc_stats: bytearray,
+    ac_stats: bytearray,
+    fixed: bytearray,
+    dc_context: int,
+    last_dc: int,
+    lo: int = 0,
+    up: int = 1,
+    kx: int = 5,
+) -> tuple[int, int]:
+    """Encode one SEQUENTIAL block: DC difference + the full AC band
+    (the encoder twin of decode_arith_scan's sequential walk). Returns
+    the updated ``(dc_context, last_dc)`` conditioning state."""
+    dc_context, last_dc = _qm_enc_dc(
+        enc, dc_stats, dc_context, last_dc, int(zz[0]), lo, up
+    )
+    _qm_enc_ac_band(enc, ac_stats, fixed, zz, 1, 63, kx)
     return dc_context, last_dc
 
 
@@ -4552,6 +4585,139 @@ def encode_jpeg_arithmetic(width: int, height: int, data: bytes) -> bytes:
     seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
     seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out.extend(scan)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_arithmetic_progressive(
+    width: int, height: int, data: bytes
+) -> bytes:
+    """Encode a PROGRESSIVE ARITHMETIC (SOF10) JPEG — REAL bytes
+    (r13 late): the Annex G successive-approximation scan kinds
+    entropy-coded by the QM coder. Emits libjpeg's exact grayscale
+    ``jpeg_simple_progression`` script — DC first (Al=1), AC first
+    over bands 1-5 and 6-63 (Al=2), AC refine (Ah=2→Al=1), DC refine
+    (fixed-bin correction bits), AC refine (Ah=1→Al=0) — so the cross
+    tests can compare entropy segments byte-for-byte. Each scan gets
+    fresh statistics areas and its own QM flush, mirroring libjpeg's
+    per-scan start_pass/finish_pass."""
+    import struct
+
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if arr.size != width * height:
+        raise ValueError("raster size mismatch")
+    plane = arr.reshape(height, width).astype(np.float64)
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    padded = np.empty((by_n * 8, bx_n * 8), dtype=np.float64)
+    padded[:height, :width] = plane
+    padded[height:, :width] = plane[-1:, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+    blocks = []
+    for by in range(by_n):
+        for bx in range(bx_n):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+            q = np.round(coef / _JPEG_STD_QUANT_LUMA).astype(np.int64)
+            blocks.append(q.reshape(-1)[_ZIGZAG].tolist())
+
+    def scan_dc_first(al: int) -> bytes:
+        enc = _QMEncoder()
+        st = bytearray(64)
+        ctx, last = 0, 0
+        for zz in blocks:
+            ctx, last = _qm_enc_dc(enc, st, ctx, last, int(zz[0]) >> al)
+        return enc.flush()
+
+    def scan_dc_refine(al: int) -> bytes:
+        enc = _QMEncoder()
+        fixed = bytearray([113])
+        for zz in blocks:
+            enc.encode(fixed, 0, (int(zz[0]) >> al) & 1)
+        return enc.flush()
+
+    def scan_ac_first(ss: int, se: int, al: int) -> bytes:
+        enc = _QMEncoder()
+        sta = bytearray(256)
+        fixed = bytearray([113])
+        for zz in blocks:
+            # point transform: magnitude shift, sign preserved
+            band = list(zz)
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                band[k] = -((-v) >> al) if v < 0 else v >> al
+            _qm_enc_ac_band(enc, sta, fixed, band, ss, se)
+        return enc.flush()
+
+    def scan_ac_refine(ss: int, se: int, ah: int, al: int) -> bytes:
+        enc = _QMEncoder()
+        sta = bytearray(256)
+        fixed = bytearray([113])
+        for zz in blocks:
+            mags_al = [0] * 64
+            mags_ah = [0] * 64
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                a = -v if v < 0 else v
+                mags_al[k] = a >> al
+                mags_ah[k] = a >> ah
+            ke = se
+            while ke >= ss and mags_al[ke] == 0:
+                ke -= 1
+            kex = se
+            while kex >= ss and mags_ah[kex] == 0:
+                kex -= 1
+            k = ss
+            while k <= ke:
+                base = 3 * (k - 1)
+                if k > kex:
+                    enc.encode(sta, base, 0)  # not EOB yet
+                while True:
+                    t = mags_al[k]
+                    if t:
+                        if t >> 1:  # history-nonzero: correction bit
+                            enc.encode(sta, base + 2, t & 1)
+                        else:  # newly nonzero: place ±1
+                            enc.encode(sta, base + 1, 1)
+                            enc.encode(
+                                fixed, 0, 1 if int(zz[k]) < 0 else 0
+                            )
+                        break
+                    enc.encode(sta, base + 1, 0)
+                    base += 3
+                    k += 1
+                k += 1
+            if k <= se:
+                enc.encode(sta, 3 * (k - 1), 1)  # EOB
+        return enc.flush()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    zzq = _JPEG_STD_QUANT_LUMA.reshape(-1)[_ZIGZAG]
+    seg(0xDB, bytes([0]) + bytes(zzq.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    seg(0xCA, sof)  # SOF10: progressive arithmetic
+    dac = bytes([0x00, 0x10, 0x10, 0x05])
+
+    def sos(ss: int, se: int, ah: int, al: int, ent: bytes) -> None:
+        seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out.extend(ent)
+
+    seg(0xCC, dac)
+    sos(0, 0, 0, 1, scan_dc_first(1))
+    seg(0xCC, dac)
+    sos(1, 5, 0, 2, scan_ac_first(1, 5, 2))
+    seg(0xCC, dac)
+    sos(6, 63, 0, 2, scan_ac_first(6, 63, 2))
+    seg(0xCC, dac)
+    sos(1, 63, 2, 1, scan_ac_refine(1, 63, 2, 1))
+    sos(0, 0, 1, 0, scan_dc_refine(0))
+    seg(0xCC, dac)
+    sos(1, 63, 1, 0, scan_ac_refine(1, 63, 1, 0))
     out.extend(b"\xff\xd9")
     return bytes(out)
 
@@ -4868,12 +5034,16 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             p += 1
         return p
 
-    def decode_arith_scan(scan_comps, start: int) -> int:
-        """Sequential ARITHMETIC scan (SOF9, r13 late) — the QM-coded
-        sibling of decode_scan's huffman full-band walk. Statistics
-        areas, conditioning contexts, and decision trees follow T.81
-        Annex F (Figures F.19-F.24); pinned bit-for-bit against the
-        system libjpeg by the cross tests."""
+    def decode_arith_scan(scan_comps, ss, se, ah, al, start: int) -> int:
+        """ARITHMETIC scan (SOF9 sequential + SOF10 progressive, r13
+        late) — the QM-coded sibling of decode_scan. Statistics areas
+        (fresh per scan, like libjpeg's per-scan start_pass reset),
+        conditioning contexts, and decision trees follow T.81 Annex F
+        (Figures F.19-F.24) with the Annex G progressive variants
+        (DC/AC first at a point transform, fixed-bin DC refinement,
+        the correction-bit AC refinement walk over the previous-stage
+        EOB index); pinned bit-for-bit against the system libjpeg by
+        the cross tests."""
         h, w, comps, progressive, prec, arith = frame
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
@@ -4893,51 +5063,52 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         last_dc = {ci: 0 for ci, _, _ in scan_comps}
         qm = _QMDecoder(buf, start)
 
-        def decode_one(ci, td, ta, by, bx):
-            zz = [0] * 64
+        def dc_diff(ci, td) -> None:
+            # Figures F.19-F.24: DC difference into last_dc/dc_context
             lo, up = dc_cond.get(td, (0, 1))
-            kx = ac_cond.get(ta, 5)
             std = dc_stats[td]
             base = dc_context[ci]
-            # Figures F.19-F.24: DC difference
             if qm.decode(std, base) == 0:
                 dc_context[ci] = 0
+                return
+            sign = qm.decode(std, base + 1)
+            p2 = base + 2 + sign
+            m = qm.decode(std, p2)
+            if m:
+                p2 = 20  # Table F.4: X1
+                while qm.decode(std, p2):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic JPEG (DC)")
+                    p2 += 1
+            if m < (1 << lo) >> 1:
+                dc_context[ci] = 0
+            elif m > (1 << up) >> 1:
+                dc_context[ci] = 12 + sign * 4
             else:
-                sign = qm.decode(std, base + 1)
-                p2 = base + 2 + sign
-                m = qm.decode(std, p2)
-                if m:
-                    p2 = 20  # Table F.4: X1
-                    while qm.decode(std, p2):
-                        m <<= 1
-                        if m == 0x8000:
-                            raise ValueError("corrupt arithmetic JPEG (DC)")
-                        p2 += 1
-                if m < (1 << lo) >> 1:
-                    dc_context[ci] = 0
-                elif m > (1 << up) >> 1:
-                    dc_context[ci] = 12 + sign * 4
-                else:
-                    dc_context[ci] = 4 + sign * 4
-                v = m
-                p2 += 14
-                while m := m >> 1:
-                    if qm.decode(std, p2):
-                        v |= m
-                v += 1
-                last_dc[ci] += -v if sign else v
-            zz[0] = last_dc[ci]
-            # Figure F.20 + F.21-F.24: AC coefficients
+                dc_context[ci] = 4 + sign * 4
+            v = m
+            p2 += 14
+            while m := m >> 1:
+                if qm.decode(std, p2):
+                    v |= m
+            v += 1
+            last_dc[ci] += -v if sign else v
+
+        def ac_band(zz, ta, k_lo, k_hi, shift) -> None:
+            # Figure F.20 + F.21-F.24 over a spectral band; values
+            # place at << shift (sequential: full band, shift 0)
             sta = ac_stats[ta]
-            k = 1
-            while k <= 63:
+            kx = ac_cond.get(ta, 5)
+            k = k_lo
+            while k <= k_hi:
                 base = 3 * (k - 1)
                 if qm.decode(sta, base):
                     break  # EOB
                 while qm.decode(sta, base + 1) == 0:
                     base += 3
                     k += 1
-                    if k > 63:
+                    if k > k_hi:
                         raise ValueError(
                             "corrupt arithmetic JPEG (AC run)"
                         )
@@ -4961,9 +5132,62 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     if qm.decode(sta, p2):
                         v |= m
                 v += 1
-                zz[k] = -v if sign else v
+                zz[k] = (-v if sign else v) << shift
                 k += 1
-            coefs[ci][by, bx][:] = zz
+
+        def decode_one(ci, td, ta, by, bx):
+            zz_np = coefs[ci][by, bx]
+            if not progressive:
+                zz = [0] * 64
+                dc_diff(ci, td)
+                zz[0] = last_dc[ci]
+                ac_band(zz, ta, 1, 63, 0)
+                zz_np[:] = zz
+                return
+            # Annex G progressive scan kinds
+            if ss == 0 and ah == 0:  # DC first at Al
+                dc_diff(ci, td)
+                zz_np[0] = last_dc[ci] << al
+                return
+            if ss == 0:  # DC refinement: one fixed-bin decision
+                if qm.decode(fixed, 0):
+                    zz_np[0] |= 1 << al
+                return
+            if ah == 0:  # AC first over the band at Al
+                zz = zz_np.tolist()
+                ac_band(zz, ta, ss, se, al)
+                zz_np[:] = zz
+                return
+            # AC refinement (Figure G.10 mirror): correction bits for
+            # history-nonzero positions, ±1<<Al placements after the
+            # previous-stage EOB index kex
+            zz = zz_np.tolist()
+            sta = ac_stats[ta]
+            p1, m1 = 1 << al, (-1) << al
+            kex = se
+            while kex > 0 and zz[kex] == 0:
+                kex -= 1
+            k = ss
+            while k <= se:
+                base = 3 * (k - 1)
+                if k > kex and qm.decode(sta, base):
+                    break  # EOB
+                while True:
+                    if zz[k]:
+                        if qm.decode(sta, base + 2):
+                            zz[k] += m1 if zz[k] < 0 else p1
+                        break
+                    if qm.decode(sta, base + 1):
+                        zz[k] = m1 if qm.decode(fixed, 0) else p1
+                        break
+                    base += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError(
+                            "corrupt arithmetic JPEG (AC refine)"
+                        )
+                k += 1
+            zz_np[:] = zz
 
         if len(scan_comps) > 1:
             for my in range(mcus_y):
@@ -5015,11 +5239,13 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 "unsupported JPEG variant: hierarchical/differential (SOF%d)"
                 % (marker - 0xC0)
             )
-        if marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            # progressive/lossless/differential arithmetic processes;
-            # SEQUENTIAL arithmetic (SOF9) decodes for real since r13
+        if marker in (0xCB, 0xCD, 0xCE, 0xCF):
+            # lossless/differential arithmetic processes; SEQUENTIAL
+            # (SOF9) and PROGRESSIVE (SOF10) arithmetic decode for
+            # real since r13 late
             raise ValueError(
-                "unsupported JPEG variant: non-sequential arithmetic"
+                "unsupported JPEG variant: lossless/differential "
+                "arithmetic"
             )
         if pos + 2 > len(buf):
             raise ValueError("truncated JPEG segment")
@@ -5063,10 +5289,11 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 (huff_dc if tc == 0 else huff_ac)[th] = _decoder_huff(
                     bits, vals
                 )
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential (r13 late: the
-            # 12-bit DCT tier) / SOF2 progressive / SOF9 sequential
-            # ARITHMETIC (r13 late: the final JPEG quarantine closed)
+            # 12-bit DCT tier) / SOF2 progressive / SOF9+SOF10
+            # sequential and progressive ARITHMETIC (r13 late: the
+            # final JPEG entropy-coding quarantines closed)
             if frame is not None:
                 raise ValueError("JPEG: multiple frames")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -5088,7 +5315,10 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError("unsupported JPEG sampling factors")
                 comps.append((cid, hi, vi, tq))
-            frame = (h, w, comps, marker == 0xC2, prec, marker == 0xC9)
+            frame = (
+                h, w, comps, marker in (0xC2, 0xCA), prec,
+                marker in (0xC9, 0xCA),
+            )
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -5144,7 +5374,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 if tq not in quant:
                     raise ValueError("JPEG scan references missing quant table")
             if arith:
-                pos = decode_arith_scan(scan_comps, pos)
+                pos = decode_arith_scan(scan_comps, ss, se, ah, al, pos)
             else:
                 pos = decode_scan(scan_comps, ss, se, ah, al, pos)
             scans_done += 1
@@ -5309,6 +5539,42 @@ def synth_jpeg_arith_media(docs: DataFrame) -> DataFrame:
                     v = 128 + 2 * ((did * 23 + bi * 29) % 81 - 40)
                     img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
                 payloads.append(encode_jpeg_arithmetic(w, h, img.tobytes()))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from ..sources.readers import rebalance_for_compute
+
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def synth_jpeg_arith_prog_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic PROGRESSIVE ARITHMETIC (SOF10) JPEG
+    payloads keyed by doc id (r13 late) — REAL QM-coded six-scan
+    successive-approximation streams (libjpeg's exact grayscale
+    progression script) with the constant-block exactness trick.
+    ``w = 8*(1 + doc_id % 2)``, ``h = 8*(1 + doc_id % 3)``, block
+    ``bi`` value ``128 + 2*((doc_id*31 + bi*37) % 81 - 40)`` —
+    multipliers 31/37 distinct from the baseline (7/13), progressive-
+    huffman (11/19), sequential-arithmetic (23/29), and JPEG-in-TIFF
+    (27/17) fixtures."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wb, hb = 1 + did % 2, 1 + did % 3
+                w, h = 8 * wb, 8 * hb
+                img = np.empty((h, w), dtype=np.uint8)
+                for bi in range(wb * hb):
+                    by, bx = divmod(bi, wb)
+                    v = 128 + 2 * ((did * 31 + bi * 37) % 81 - 40)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payloads.append(
+                    encode_jpeg_arithmetic_progressive(w, h, img.tobytes())
+                )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     from ..sources.readers import rebalance_for_compute

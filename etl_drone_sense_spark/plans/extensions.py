@@ -2368,6 +2368,61 @@ def multimodal_decode_jpeg_arithmetic(
 
 
 @register(
+    "multimodal_decode_jpeg_arith_progressive",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 2 AS wb, 1 + doc_id % 3 AS hb
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS bi FROM dims
+    ),
+    val AS (
+        SELECT doc_id, wb, hb,
+               128 + 2 * ((doc_id * 31 + bi * 37) % 81 - 40) AS v
+        FROM blk
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_r,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_g,
+           round(CAST(sum(v) AS DOUBLE) / (wb * hb), 6) AS mean_b
+    FROM val GROUP BY doc_id, wb, hb
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_decode_jpeg_arith_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE ARITHMETIC (SOF10) JPEG decode end-to-end (r13 late
+    — the Annex G scan kinds under the QM coder: DC/AC first scans at
+    a point transform, fixed-bin DC refinement, and the correction-bit
+    AC refinement walk over the previous-stage EOB index). The fixture
+    (operators/multimodal.encode_jpeg_arithmetic_progressive) emits
+    libjpeg's exact grayscale six-scan progression script so the unit
+    suite pins EVERY scan kind byte-for-byte against the system
+    libjpeg encoder AND pins parse_jpeg's SOF10 path against libjpeg's
+    decode coefficient-for-coefficient; the constant-block trick makes
+    the oracle closed-form as usual. With this tier, BOTH entropy
+    coders run BOTH DCT scan disciplines — the only JPEG processes
+    left out are lossless-arithmetic (SOF11) and the hierarchical
+    family."""
+    media = multimodal.synth_jpeg_arith_prog_media(
+        t(spark, sf_dir, "documents")
+    )
+    feats = multimodal.decode_image_features(media)
+    return feats.filter(F.col("decode_ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_decode_jpeg_lossless",
     oracle="""
     WITH dims AS (

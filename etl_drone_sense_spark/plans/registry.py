@@ -1047,6 +1047,8 @@ TOUCHED_R13: tuple[str, ...] = (
     # the two-variable packed-BIGINT ordered fold (CUSUM's sibling)
     "graph_label_communities",  # NEW r13 late: synchronous label-
     # propagation communities on the pinned-adjacency discipline
+    "multimodal_decode_jpeg_arith_progressive",  # NEW r13 late: SOF10
+    # Annex G scan kinds under the QM coder, libjpeg cross-pinned
 )
 
 

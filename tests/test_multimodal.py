@@ -597,10 +597,10 @@ def test_jpeg_rejects_unsupported_and_corrupt():
     prog[i + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         parse_jpeg(bytes(prog))
-    # SOF9 sequential arithmetic decodes for real since r13 late; the
-    # progressive arithmetic process (SOF10) remains quarantined
+    # SOF9/SOF10 arithmetic decode for real since r13 late; the
+    # lossless arithmetic process (SOF11) remains quarantined
     arith = bytearray(pay)
-    arith[i + 1] = 0xCA
+    arith[i + 1] = 0xCB
     with pytest.raises(ValueError, match="arithmetic"):
         parse_jpeg(bytes(arith))
     with pytest.raises(ValueError, match="truncated"):
@@ -2340,9 +2340,9 @@ def test_jpeg_still_quarantines_arithmetic_and_extended():
     i = base.find(b"\xff\xc0")
     assert i != -1
     for marker, match in (
-        # SOF9 decodes for real since r13 late; the PROGRESSIVE
-        # arithmetic process is the remaining quarantine
-        (0xCA, "arithmetic"),
+        # SOF9/SOF10 decode for real since r13 late; the lossless
+        # arithmetic process is the remaining entropy quarantine
+        (0xCB, "arithmetic"),
         (0xC5, "extended|hierarchical"),
         (0xC7, "extended|hierarchical"),
         # SOF3 now routes to the real lossless scanner, which rejects
@@ -2452,10 +2452,10 @@ def _jpegref_binary():
     ):
         return None
     out = os.path.join(tempfile.gettempdir(), "jpegref_test_bin")
-    if not os.path.exists(out):
-        src = os.path.join(
-            os.path.dirname(__file__), "..", "tools", "jpegref.c"
-        )
+    src = os.path.join(os.path.dirname(__file__), "..", "tools", "jpegref.c")
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(
+        src
+    ):
         r = subprocess.run(
             ["gcc", "-O2", "-o", out, src, "-ljpeg"], capture_output=True
         )
@@ -2531,8 +2531,9 @@ def test_jpeg_arithmetic_quarantines():
     good = bytearray(encode_jpeg_arithmetic(8, 8, img.tobytes()))
     i = good.find(b"\xff\xc9")
     assert i != -1
-    # progressive/lossless arithmetic processes stay quarantined
-    for marker in (0xCA, 0xCB, 0xCE, 0xCF):
+    # lossless/differential arithmetic processes stay quarantined
+    # (SOF10 progressive-arithmetic decodes for real since r13 late)
+    for marker in (0xCB, 0xCE, 0xCF):
         bad = bytearray(good)
         bad[i + 1] = marker
         with pytest.raises(ValueError, match="arithmetic"):
@@ -2648,6 +2649,241 @@ def test_jpeg_arithmetic_cross_pinned_against_libjpeg():
         mine = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
         assert (w2, h2) == (w, h)
         assert np.array_equal(mine, ref), seed
+
+
+def test_jpeg_arith_progressive_roundtrip_and_quarantines():
+    """r13 late: SOF10 — the Annex G scan kinds under the QM coder;
+    constant blocks decode bit-exactly through the six-scan
+    progression; SOF11 (lossless arithmetic) stays quarantined."""
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg_arithmetic_progressive,
+        parse_image,
+        parse_jpeg,
+    )
+
+    for did in range(12):
+        wb, hb = 1 + did % 2, 1 + did % 3
+        w, h = 8 * wb, 8 * hb
+        img = np.empty((h, w), dtype=np.uint8)
+        for bi in range(wb * hb):
+            by, bx = divmod(bi, wb)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                128 + 2 * ((did * 31 + bi * 37) % 81 - 40)
+            )
+        w2, h2, rgb = parse_image(
+            encode_jpeg_arithmetic_progressive(w, h, img.tobytes())
+        )
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(got[:, :, 0], img), did
+    # and the SOF10 decode equals the SEQUENTIAL arithmetic decode of
+    # the same content (same quantized coefficients, different scan
+    # discipline) on arbitrary content
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg_arithmetic,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    _, _, seq = parse_jpeg(encode_jpeg_arithmetic(40, 24, img.tobytes()))
+    _, _, prog = parse_jpeg(
+        encode_jpeg_arithmetic_progressive(40, 24, img.tobytes())
+    )
+    assert seq == prog
+    # SOF11 quarantine
+    good = bytearray(encode_jpeg_arithmetic_progressive(8, 8, bytes(64)))
+    i = good.find(b"\xff\xca")
+    assert i != -1
+    bad = bytearray(good)
+    bad[i + 1] = 0xCB
+    with pytest.raises(ValueError, match="arithmetic"):
+        parse_jpeg(bytes(bad))
+
+
+def test_jpeg_arith_progressive_cross_pinned_against_libjpeg():
+    """Every Annex G scan kind byte-for-byte against libjpeg's
+    progressive-arithmetic encoder, and parse_jpeg's SOF10 path
+    coefficient-exact on libjpeg files. Skips without gcc/jpeglib."""
+    import subprocess
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators import multimodal as MM
+
+    shim = _jpegref_binary()
+    if shim is None:
+        pytest.skip("gcc/jpeglib not available for the cross pin")
+
+    def entropy_segments(jpg):
+        segs = []
+        i = 2
+        while i + 4 <= len(jpg):
+            if jpg[i] != 0xFF:
+                break
+            m = jpg[i + 1]
+            if m == 0xD9:
+                break
+            ln = int.from_bytes(jpg[i + 2 : i + 4], "big")
+            if m == 0xDA:
+                j = i + 2 + ln
+                k = j
+                while k + 1 < len(jpg) and not (
+                    jpg[k] == 0xFF and jpg[k + 1] not in (0, 0xFF)
+                ):
+                    k += 1
+                segs.append(jpg[j:k])
+                i = k
+            else:
+                i += 2 + ln
+        return segs
+
+    rng = np.random.RandomState(3)
+    for _trial in range(8):
+        nb = int(rng.randint(1, 5))
+        blocks = np.zeros((nb, 64), dtype=np.int64)
+        for bi in range(nb):
+            blocks[bi, 0] = rng.randint(-200, 200)
+            for _k in range(rng.randint(0, 16)):
+                blocks[bi, int(rng.randint(1, 64))] = rng.randint(-100, 100)
+        jpg = subprocess.run(
+            [shim, "encodecp", str(nb), "1"],
+            input=blocks.astype("<i2").tobytes(),
+            capture_output=True, check=True,
+        ).stdout
+        ref_segs = entropy_segments(jpg)
+        assert len(ref_segs) == 6
+        zzs = [blocks[bi][MM._ZIGZAG].tolist() for bi in range(nb)]
+
+        def dc_first(al):
+            enc = MM._QMEncoder()
+            st = bytearray(64)
+            ctx = last = 0
+            for zz in zzs:
+                ctx, last = MM._qm_enc_dc(
+                    enc, st, ctx, last, int(zz[0]) >> al
+                )
+            return enc.flush()
+
+        def dc_refine(al):
+            enc = MM._QMEncoder()
+            fixed = bytearray([113])
+            for zz in zzs:
+                enc.encode(fixed, 0, (int(zz[0]) >> al) & 1)
+            return enc.flush()
+
+        def ac_first(ss, se, al):
+            enc = MM._QMEncoder()
+            sta = bytearray(256)
+            fixed = bytearray([113])
+            for zz in zzs:
+                band = list(zz)
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    band[k] = -((-v) >> al) if v < 0 else v >> al
+                MM._qm_enc_ac_band(enc, sta, fixed, band, ss, se)
+            return enc.flush()
+
+        def ac_refine(ss, se, ah, al):
+            enc = MM._QMEncoder()
+            sta = bytearray(256)
+            fixed = bytearray([113])
+            for zz in zzs:
+                mal = [0] * 64
+                mah = [0] * 64
+                for k in range(ss, se + 1):
+                    a = abs(int(zz[k]))
+                    mal[k] = a >> al
+                    mah[k] = a >> ah
+                ke = se
+                while ke >= ss and mal[ke] == 0:
+                    ke -= 1
+                kex = se
+                while kex >= ss and mah[kex] == 0:
+                    kex -= 1
+                k = ss
+                while k <= ke:
+                    base = 3 * (k - 1)
+                    if k > kex:
+                        enc.encode(sta, base, 0)
+                    while True:
+                        t = mal[k]
+                        if t:
+                            if t >> 1:
+                                enc.encode(sta, base + 2, t & 1)
+                            else:
+                                enc.encode(sta, base + 1, 1)
+                                enc.encode(
+                                    fixed, 0, 1 if int(zz[k]) < 0 else 0
+                                )
+                            break
+                        enc.encode(sta, base + 1, 0)
+                        base += 3
+                        k += 1
+                    k += 1
+                if k <= se:
+                    enc.encode(sta, 3 * (k - 1), 1)
+            return enc.flush()
+
+        mine = [
+            dc_first(1),
+            ac_first(1, 5, 2),
+            ac_first(6, 63, 2),
+            ac_refine(1, 63, 2, 1),
+            dc_refine(0),
+            ac_refine(1, 63, 1, 0),
+        ]
+        assert mine == ref_segs
+
+        # decoder: my SOF10 decode of libjpeg's file == my IDCT of the
+        # shim's exact coefficient dump
+        out = subprocess.run(
+            [shim, "coefs"], input=jpg, capture_output=True, check=True
+        ).stdout.decode()
+        lines = out.splitlines()
+        hdr = lines[0].split()
+        bw, bh = int(hdr[3]), int(hdr[5])
+        ref_blocks = np.array(
+            [[int(x) for x in l.split()] for l in lines[1 : 1 + bw * bh]],
+            dtype=np.int64,
+        )
+        i = 2
+        qt = None
+        W = H = None
+        while i + 4 <= len(jpg):
+            m = jpg[i + 1]
+            ln = int.from_bytes(jpg[i + 2 : i + 4], "big")
+            body = jpg[i + 4 : i + 2 + ln]
+            if m == 0xDB:
+                qt = np.frombuffer(body[1:65], dtype=np.uint8).astype(
+                    np.int64
+                )
+            if m == 0xCA:
+                H = int.from_bytes(body[1:3], "big")
+                W = int.from_bytes(body[3:5], "big")
+            if m == 0xDA:
+                break
+            i += 2 + ln
+        qnat = qt[MM._UNZIGZAG]
+        deq = (ref_blocks.astype(np.float64) * qnat[None, :]).reshape(
+            -1, 8, 8
+        )
+        spatial = (
+            np.einsum("ij,njk,kl->nil", MM._DCT_C.T, deq, MM._DCT_C) + 128.0
+        )
+        p = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        ref_px = np.clip(np.round(p[:H, :W]), 0, 255).astype(np.uint8)
+        w2, h2, rgb = MM.parse_jpeg(jpg)
+        mine_px = np.frombuffer(rgb, dtype=np.uint8).reshape(H, W, 3)[:, :, 0]
+        assert (w2, h2) == (W, H)
+        assert np.array_equal(mine_px, ref_px)
 
 
 def test_jpeg_lossless_high_precision_roundtrip():

@@ -52,7 +52,7 @@ static int do_encode(int w, int h)
  * grayscale JPEG (quant table all ones so coefficients pass through)
  * to stdout. Lets the cross tests drive the entropy coder with an
  * arbitrary, minimal decision sequence. */
-static int do_encode_coefs(int wb, int hb, int rsti)
+static int do_encode_coefs(int wb, int hb, int rsti, int progressive)
 {
     struct jpeg_compress_struct cinfo;
     struct jpeg_decompress_struct dinfo;
@@ -79,6 +79,8 @@ static int do_encode_coefs(int wb, int hb, int rsti)
     jpeg_set_defaults(&cinfo);
     cinfo.arith_code = TRUE;
     cinfo.restart_interval = (unsigned)rsti;
+    if (progressive)
+        jpeg_simple_progression(&cinfo);
     for (k = 0; k < DCTSIZE2; k++)
         cinfo.quant_tbl_ptrs[0]->quantval[k] = 1;
     {
@@ -158,7 +160,9 @@ int main(int argc, char **argv)
         return do_encode(atoi(argv[2]), atoi(argv[3]));
     if (argc >= 2 && strcmp(argv[1], "encodec") == 0 && argc >= 4)
         return do_encode_coefs(atoi(argv[2]), atoi(argv[3]),
-                               argc > 4 ? atoi(argv[4]) : 0);
+                               argc > 4 ? atoi(argv[4]) : 0, 0);
+    if (argc >= 2 && strcmp(argv[1], "encodecp") == 0 && argc >= 4)
+        return do_encode_coefs(atoi(argv[2]), atoi(argv[3]), 0, 1);
     if (argc >= 2 && strcmp(argv[1], "coefs") == 0)
         return do_coefs();
     fprintf(stderr, "usage: jpegref encode <w> <h> | jpegref coefs\n");
