@@ -1205,6 +1205,105 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unicode NFC normalization (the CCNet/corpus-prep first pass)
+# ---------------------------------------------------------------------------
+
+# Seeds exercise the canonical-composition cases the fixture's ASCII
+# text never hits: combining-mark composition, singleton replacements
+# (ANGSTROM SIGN, OHM SIGN), Hangul Jamo composition, and combining
+# CLASS REORDERING (dot-below before acute regardless of input order).
+# All BMP, all stable since Unicode 3.0 — engine Unicode-version skew
+# cannot touch them.
+NFC_SEEDS: tuple[tuple[int, str], ...] = (
+    (-601, "Cafe\u0301 composition"),
+    (-602, "\u212b angstrom and \u2126 ohm singletons"),
+    (-603, "\u1100\u1161\u11a8 hangul jamo"),
+    (-604, "a\u0301\u0323 reorder to a\u0323\u0301"),
+    (-605, "already caf\u00e9 fine"),
+)
+
+
+def _sql_quote(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+@register(
+    "text_nfc_normalize",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {", ".join(
+        f"({i}, {_sql_quote(t_)})" for i, t_ in NFC_SEEDS
+    )}),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    )
+    SELECT doc_id,
+           nfc_normalize(coalesce(text, '')) AS nfc_text,
+           nfc_normalize(coalesce(text, '')) <> coalesce(text, '')
+               AS changed,
+           CAST(len(coalesce(text, '')) AS BIGINT) AS n_cp_raw,
+           CAST(len(nfc_normalize(coalesce(text, ''))) AS BIGINT)
+               AS n_cp_nfc
+    FROM docs
+    """,
+    tags=("text", "corpus", "pandas_udf"),
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the corpus-prep FIRST pass every
+    real pipeline runs before hashing or deduplicating text (CCNet
+    normalizes before anything else; two byte-distinct spellings of
+    ``cafe\u0301`` vs ``caf\u00e9`` must dedup as one document). The
+    engine applies ``unicodedata.normalize("NFC", ...)`` in an Arrow
+    ``mapInPandas`` batch — the DECLARED Python path, justified the
+    same way the codecs are: canonical composition needs the Unicode
+    character tables, which no built-in column expression carries. The
+    oracle runs DuckDB's independent ``nfc_normalize`` implementation,
+    so the hash gate certifies cross-IMPLEMENTATION agreement on the
+    Unicode standard itself (codepoint counts too — both engines count
+    codepoints, measured). Seeded rows cover composition, singletons,
+    Hangul Jamo, and combining-class reordering; the fixture corpus
+    certifies the (dominant) already-normalized fast path.
+
+    Scale: one narrow Arrow pass, zero shuffles — the cheapest
+    possible operator shape."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(list(NFC_SEEDS), "doc_id long, text string")
+        )
+    )
+
+    def batches(it):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = [x if x is not None else "" for x in pdf["text"]]
+            nfc = [unicodedata.normalize("NFC", x) for x in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "nfc_text": nfc,
+                    "changed": [a != b for a, b in zip(nfc, raw)],
+                    "n_cp_raw": [len(x) for x in raw],
+                    "n_cp_nfc": [len(x) for x in nfc],
+                }
+            )
+
+    return docs.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, nfc_text string, changed boolean,"
+            " n_cp_raw long, n_cp_nfc long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequential pattern matching (MATCH_RECOGNIZE-shape, window-only)
 # ---------------------------------------------------------------------------
 

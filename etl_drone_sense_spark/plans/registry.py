@@ -1049,6 +1049,8 @@ TOUCHED_R13: tuple[str, ...] = (
     # propagation communities on the pinned-adjacency discipline
     "multimodal_decode_jpeg_arith_progressive",  # NEW r13 late: SOF10
     # Annex G scan kinds under the QM coder, libjpeg cross-pinned
+    "text_nfc_normalize",  # NEW r13 late: Unicode NFC corpus-prep pass,
+    # cross-implementation-pinned (python unicodedata vs DuckDB)
 )
 
 
