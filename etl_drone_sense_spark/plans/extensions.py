@@ -6389,6 +6389,214 @@ def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC2.read_table(spark, root).select("doc_id", "band_idx", "bucket")
 
 
+# Holt linear-trend packing: level/trend in micro-units, biased by
+# 2^30 so both packed components stay nonnegative (events.value is
+# [0, ~500] -> |level|,|trend| < 2^29), packed as (l+B)*P + (b+B) with
+# P = 2^31 -> acc < 2^62, inside BIGINT. Halving is TRUNCATING integer
+# division by 2 — the one semantics Spark `div` and DuckDB `//` share
+# for negative operands (DuckDB // truncates, measured; floor-vs-trunc
+# would diverge on negative trends).
+_HOLT_P = 1 << 31
+_HOLT_B = 1 << 30
+
+
+def _holt_fold(div2: str, idiv: str) -> str:
+    """The Holt fold body with engine-local operators substituted:
+    ``div2(e)`` renders truncating halving, ``idiv`` the integer
+    division token for the unpack. One logical text, two renderings —
+    the IRLS/OLS shared-expression convention for an ordered fold."""
+    P, B = _HOLT_P, _HOLT_B
+    lv = f"((acc {idiv} {P}) - {B})"   # unpacked level
+    tr = f"((acc % {P}) - {B})"        # unpacked trend
+    l2 = div2.format(e=f"(x + {lv} + {tr})")
+    b2 = div2.format(e=f"({tr} + {l2} - {lv})")
+    return (
+        f"CASE WHEN acc < 0 THEN (x + {B}) * CAST({P} AS BIGINT) + {B} "
+        f"ELSE ({l2} + {B}) * CAST({P} AS BIGINT) + ({b2} + {B}) END"
+    )
+
+
+_HOLT_ORACLE = f"""
+    WITH q AS (
+        SELECT user_id,
+               list(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                    ORDER BY ts, event_id) AS xs,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, n_events,
+               list_reduce(
+                   list_prepend(CAST(-1 AS BIGINT), xs),
+                   (acc, x) -> {_holt_fold("(({e}) // 2)", "//")}
+               ) AS acc
+        FROM q
+    )
+    SELECT user_id, n_events,
+           CAST(acc // {_HOLT_P} - {_HOLT_B} AS BIGINT) AS level_micro,
+           CAST(acc % {_HOLT_P} - {_HOLT_B} AS BIGINT) AS trend_micro,
+           CAST((acc // {_HOLT_P} - {_HOLT_B})
+                + (acc % {_HOLT_P} - {_HOLT_B}) AS BIGINT) AS forecast_micro
+    FROM folded
+    """
+
+
+
+_STREAM_HOLT_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "stream_holt_trend",
+    oracle=_HOLT_ORACLE,
+    tags=("streaming", "stateful", "timeseries"),
+)
+def stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Holt linear-trend state maintenance (r13 late) — the
+    streaming twin of events_holt_trend, and the proof that the packed
+    ordered fold MIGRATES: the event feed is chopped into four
+    TIME-CUTOFF chunk files (row_number over (ts, event_id) quartiles —
+    the SCD2/interval-join convention, so ``maxFilesPerTrigger=1``
+    drains them in time order); each micro-batch folds ONLY ITS OWN
+    rows on top of the committed per-user (accumulator, count) state —
+    the fold's initial value is the stored accumulator, joined straight
+    into the SAME ``aggregate(...)`` expression text the batch query
+    uses — and commits the new state (txn-stamped, retried batch =
+    no-op).
+
+    THE ORACLE IS THE BATCH FOLD over all events at once
+    (events_holt_trend's own SQL): an ordered fold composes —
+    ``fold(fold(s0, c1), c2) == fold(s0, c1 || c2)`` when the chunks
+    partition the stream in order — so incremental maintenance must
+    converge BIT-FOR-BIT to the batch answer. The hash gate is the
+    state-migration proof itself: the property that lets a 100 TB/day
+    metric feed keep per-key forecasts in two BIGINTs of state with no
+    rescan of history.
+
+    Scale: per batch, one shuffle of the BATCH on user_id plus a
+    state-table join (state is one row per key); the commit is a
+    pointer swap. Built once per source generation
+    (fingerprint-keyed); later calls scan the state table."""
+    import os as _os
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/events.parquet"))
+    root = _STREAM_HOLT_TABLES.get(key)
+    if root is None:
+        work = tempfile.mkdtemp(prefix="sg_holt_")
+        root, feed, ckpt = (
+            _os.path.join(work, d) for d in ("tbl", "feed", "ckpt")
+        )
+        TC.commit(
+            spark.createDataFrame(
+                [], "user_id bigint, acc bigint, n_events bigint"
+            ),
+            root,
+        )
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        # TIME-CUTOFF chunks: quartiles of the (ts, event_id) total
+        # order, written smallest-first so file order IS time order
+        from pyspark.sql.window import Window as _W
+
+        ranked = ev.withColumn(
+            "_rn",
+            F.row_number().over(_W.orderBy("ts", "event_id")),
+        )
+        n_total = ev.count()
+        for i in range(4):
+            lo = i * n_total // 4
+            hi = (i + 1) * n_total // 4
+            ranked.filter(
+                (F.col("_rn") > lo) & (F.col("_rn") <= hi)
+            ).drop("_rn").coalesce(1).write.mode("append").parquet(feed)
+
+        P, B = _HOLT_P, _HOLT_B
+        fold = (
+            f"aggregate(_xs, coalesce(_acc0, CAST(-1 AS BIGINT)), "
+            f"(acc, x) -> {_holt_fold('(({e}) div 2)', 'div')})"
+        )
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            sp = bdf.sparkSession
+            folded = (
+                bdf.groupBy("user_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "value"))
+                    ).alias("_evs"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .select(
+                    "user_id",
+                    "_n",
+                    F.transform(
+                        "_evs",
+                        lambda e: F.floor(
+                            e["value"] * F.lit(1e6) + F.lit(0.5)
+                        ).cast("long"),
+                    ).alias("_xs"),
+                )
+            )
+            cur = TC.read_table(sp, root).withColumnRenamed("acc", "_acc0")
+            merged = (
+                folded.join(cur, "user_id", "left")
+                .select(
+                    "user_id",
+                    F.expr(fold).alias("acc"),
+                    (
+                        F.coalesce(F.col("n_events"), F.lit(0))
+                        + F.col("_n")
+                    ).alias("n_events"),
+                )
+            )
+            # keys absent from this batch carry their state forward
+            untouched = cur.join(
+                folded.select("user_id"), "user_id", "left_anti"
+            ).select(
+                "user_id",
+                F.col("_acc0").alias("acc"),
+                "n_events",
+            )
+            TC.commit(
+                merged.unionByName(untouched),
+                root,
+                mode="overwrite",
+                _operation="holt_fold",
+                txn=("stream_holt", batch_id),
+            )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_HOLT_TABLES[key] = root
+    from ..sources import table_commit as TC3
+
+    P, B = _HOLT_P, _HOLT_B
+    state = TC3.read_table(spark, root)
+    return state.select(
+        "user_id",
+        "n_events",
+        F.expr(f"CAST(acc div {P} - {B} AS BIGINT)").alias("level_micro"),
+        F.expr(f"CAST(acc % {P} - {B} AS BIGINT)").alias("trend_micro"),
+        F.expr(
+            f"CAST((acc div {P} - {B}) + (acc % {P} - {B}) AS BIGINT)"
+        ).alias("forecast_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting (r9): oriented wedge join over the co-occurrence graph
 # ---------------------------------------------------------------------------
@@ -6940,58 +7148,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Holt linear-trend packing: level/trend in micro-units, biased by
-# 2^30 so both packed components stay nonnegative (events.value is
-# [0, ~500] -> |level|,|trend| < 2^29), packed as (l+B)*P + (b+B) with
-# P = 2^31 -> acc < 2^62, inside BIGINT. Halving is TRUNCATING integer
-# division by 2 — the one semantics Spark `div` and DuckDB `//` share
-# for negative operands (DuckDB // truncates, measured; floor-vs-trunc
-# would diverge on negative trends).
-_HOLT_P = 1 << 31
-_HOLT_B = 1 << 30
-
-
-def _holt_fold(div2: str, idiv: str) -> str:
-    """The Holt fold body with engine-local operators substituted:
-    ``div2(e)`` renders truncating halving, ``idiv`` the integer
-    division token for the unpack. One logical text, two renderings —
-    the IRLS/OLS shared-expression convention for an ordered fold."""
-    P, B = _HOLT_P, _HOLT_B
-    lv = f"((acc {idiv} {P}) - {B})"   # unpacked level
-    tr = f"((acc % {P}) - {B})"        # unpacked trend
-    l2 = div2.format(e=f"(x + {lv} + {tr})")
-    b2 = div2.format(e=f"({tr} + {l2} - {lv})")
-    return (
-        f"CASE WHEN acc < 0 THEN (x + {B}) * CAST({P} AS BIGINT) + {B} "
-        f"ELSE ({l2} + {B}) * CAST({P} AS BIGINT) + ({b2} + {B}) END"
-    )
-
-
 @register(
     "events_holt_trend",
-    oracle=f"""
-    WITH q AS (
-        SELECT user_id,
-               list(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
-                    ORDER BY ts, event_id) AS xs,
-               count(*) AS n_events
-        FROM events GROUP BY user_id
-    ),
-    folded AS (
-        SELECT user_id, n_events,
-               list_reduce(
-                   list_prepend(CAST(-1 AS BIGINT), xs),
-                   (acc, x) -> {_holt_fold("(({e}) // 2)", "//")}
-               ) AS acc
-        FROM q
-    )
-    SELECT user_id, n_events,
-           CAST(acc // {_HOLT_P} - {_HOLT_B} AS BIGINT) AS level_micro,
-           CAST(acc % {_HOLT_P} - {_HOLT_B} AS BIGINT) AS trend_micro,
-           CAST((acc // {_HOLT_P} - {_HOLT_B})
-                + (acc % {_HOLT_P} - {_HOLT_B}) AS BIGINT) AS forecast_micro
-    FROM folded
-    """,
+    oracle=_HOLT_ORACLE,
     tags=("events", "timeseries", "anomaly", "higher-order"),
 )
 def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:

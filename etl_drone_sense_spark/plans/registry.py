@@ -1051,6 +1051,8 @@ TOUCHED_R13: tuple[str, ...] = (
     # Annex G scan kinds under the QM coder, libjpeg cross-pinned
     "text_nfc_normalize",  # NEW r13 late: Unicode NFC corpus-prep pass,
     # cross-implementation-pinned (python unicodedata vs DuckDB)
+    "stream_holt_trend",  # NEW r13 late: incremental Holt state
+    # maintenance — the ordered fold migrates, 4-chunk == batch
 )
 
 
