@@ -5308,6 +5308,13 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("unsupported JPEG: %d-bit precision" % prec)
             if nc not in (1, 3):
                 raise ValueError("unsupported JPEG: %d components" % nc)
+            # the GIF-fuzz lesson applied here (r13 late): the two
+            # unvalidated header shorts size the coefficient buffers
+            # (64 int64 per block) — a 65535x65535 claim would commit
+            # ~34 TB before any scan data is read, presenting as an OOM
+            # task kill instead of a quarantine
+            if w <= 0 or h <= 0 or w * h > 1 << 26:
+                raise ValueError("jpeg: unreasonable dimensions")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[3 + 3 + ci * 3 : 3 + 6 + ci * 3]

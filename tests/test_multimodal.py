@@ -3026,3 +3026,32 @@ def test_bmp_rle8_roundtrip_and_escapes():
     bad[off] = 9  # run of 9 on a width-4 row
     with pytest.raises(ValueError, match="escapes the raster"):
         parse_bmp(bytes(bad))
+
+
+def test_jpeg_adversarial_dimensions_quarantine_fast():
+    """r13 late (the GIF-fuzz lesson for JPEG): a 65535x65535 SOF claim
+    must raise IMMEDIATELY — the coefficient buffers it would size are
+    ~34 TB, and the old path died as an OOM task kill instead of the
+    ValueError quarantine. Applies to every SOF the decoder accepts."""
+    import struct
+    import time
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    base = bytearray(encode_jpeg(8, 8, np.zeros(64, dtype=np.uint8), ncomp=1))
+    i = base.find(b"\xff\xc0")
+    assert i != -1
+    for marker in (0xC0, 0xC9):
+        bad = bytearray(base)
+        bad[i + 1] = marker
+        struct.pack_into(">HH", bad, i + 5, 0xFFFF, 0xFFFF)  # h, w
+        t0 = time.perf_counter()
+        with pytest.raises(ValueError, match="unreasonable"):
+            parse_jpeg(bytes(bad))
+        assert time.perf_counter() - t0 < 1.0  # fail fast, no allocation
