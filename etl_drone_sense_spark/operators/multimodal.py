@@ -367,6 +367,10 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
                     "non-interlaced, got "
                     f"depth={depth} colour={ctype} interlace={inter}"
                 )
+            if width <= 0 or height <= 0 or width * height > 1 << 26:
+                # header-driven allocation guard (the GIF-fuzz lesson):
+                # dims size the scanline buffers and the palette fanout
+                raise ValueError("PNG: unreasonable dimensions")
         elif typ == b"PLTE":
             if length == 0 or length % 3 or length > 256 * 3:
                 raise ValueError("malformed PNG PLTE length")
@@ -378,13 +382,22 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
         i += 12 + length
     if width is None or not seen_end or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
+    # BOUNDED inflate (r13 late): plain zlib.decompress materializes
+    # whatever the stream claims — a crafted DEFLATE bomb expands up to
+    # ~1000x the payload before the size check ever runs. Cap the
+    # output at the geometry the IHDR promised (+1 so oversize is
+    # DETECTED, not silently truncated into a valid-looking raster).
+    expected = height * (width * _PNG_BPP[ctype] + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         # must surface as ValueError: the decode operators' per-row
         # quarantine catches ValueError only — a zlib.error escaping here
         # would kill the whole Arrow task for one corrupt payload
         raise ValueError(f"PNG inflate failed: {exc}") from exc
+    if len(raw) > expected or not d.eof:
+        raise ValueError("PNG inflate oversized or incomplete")
     rec = _unfilter_scanlines(raw, width, height, _PNG_BPP[ctype])
     if ctype == 2:
         raster = rec.tobytes()
@@ -1824,10 +1837,14 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
             import zlib
 
             try:
-                part = zlib.decompress(raw)
+                # bounded inflate (r13 late, the PNG-bomb fix): cap the
+                # output at the strip geometry +1 so an oversize stream
+                # is detected without materializing it
+                d = zlib.decompressobj()
+                part = d.decompress(raw, expected + 1)
             except zlib.error as exc:
                 raise ValueError(f"tiff: bad deflate strip ({exc})") from None
-            if len(part) != expected:
+            if len(part) != expected or not d.eof:
                 raise ValueError("tiff: deflate strip size mismatch")
         if predictor == 2:
             part = _predictor2_apply(

@@ -3055,3 +3055,40 @@ def test_jpeg_adversarial_dimensions_quarantine_fast():
         with pytest.raises(ValueError, match="unreasonable"):
             parse_jpeg(bytes(bad))
         assert time.perf_counter() - t0 < 1.0  # fail fast, no allocation
+
+
+def test_png_inflate_bomb_and_dimensions_quarantine():
+    """r13 late: a DEFLATE bomb (small IDAT inflating to ~100 MB) and a
+    header-dimension lie must both raise ValueError FAST — bounded
+    inflate caps the output at the IHDR geometry, and the dims cap
+    rejects allocations the 64M-pixel budget can't hold."""
+    import struct
+    import time
+    import zlib
+
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import parse_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 1000, 1000, 8, 2, 0, 0, 0))
+    bomb = sig + ihdr + chunk(
+        b"IDAT", zlib.compress(bytes(100_000_000), 9)
+    ) + chunk(b"IEND", b"")
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="oversized|size mismatch"):
+        parse_png(bomb)
+    assert time.perf_counter() - t0 < 2.0
+    huge = sig + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(b"x")) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unreasonable"):
+        parse_png(huge)
