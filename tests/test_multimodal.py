@@ -3092,3 +3092,38 @@ def test_png_inflate_bomb_and_dimensions_quarantine():
     ) + chunk(b"IDAT", zlib.compress(b"x")) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unreasonable"):
         parse_png(huge)
+
+
+def test_jpeg_new_tiers_mutation_hardening():
+    """Single-byte mutations of arithmetic (SOF9/SOF10) and lossless
+    (SOF3) streams must either decode to SOMETHING or raise ValueError
+    — never another exception type and never a hang (all decision
+    walks are bounded; JPEG carries no CRC, so silent wrong pixels are
+    inherent to the format, huffman or arithmetic alike)."""
+    import random
+
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        encode_jpeg_arithmetic,
+        encode_jpeg_arithmetic_progressive,
+        encode_jpeg_lossless,
+        parse_jpeg,
+    )
+
+    rnd = random.Random(7)
+    img = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    payloads = [
+        encode_jpeg_arithmetic(16, 16, img.tobytes()),
+        encode_jpeg_arithmetic_progressive(16, 16, img.tobytes()),
+        encode_jpeg_lossless(16, 16, img.tobytes(), predictor=4),
+    ]
+    for pay in payloads:
+        for _ in range(80):
+            buf = bytearray(pay)
+            pos = rnd.randrange(2, len(buf))
+            buf[pos] = (buf[pos] + 1 + rnd.randrange(255)) % 256
+            try:
+                parse_jpeg(bytes(buf))
+            except ValueError:
+                pass
