@@ -579,6 +579,73 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC.read_table(spark, root, version=2)
 
 
+_CLONE_TABLES: dict[tuple, tuple[str, str]] = {}
+
+
+@register(
+    "table_zero_copy_clone",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+    tags=("lake", "clone", "snapshot"),
+)
+def table_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW (zero-copy) table clone + independent evolution
+    (sources/table_commit.clone_table — the Delta ``CLONE`` primitive
+    behind dev/test branching at 100 TB, where copying the data is a
+    non-starter): the source table commits the EVEN-keyed half of
+    orders (v1); the clone is created from it — one manifest write, NO
+    data files under the clone root — and then the ODD-keyed half is
+    appended to the CLONE ONLY. Reading the clone must therefore equal
+    a plain scan of the full source table (the oracle): the even rows
+    arrive through the source's immutable files referenced by absolute
+    path, the odd rows through the clone's own append. The query
+    asserts the zero-copy and isolation properties in-plan: the clone's
+    v1 lists no file under its own root, the append wrote only under
+    the clone root, and the SOURCE is still at v1 with its original
+    file list (the clone's evolution never touched it)."""
+    import os as _os
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    roots = _CLONE_TABLES.get(key)
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    if roots is None:
+        src_root = tempfile.mkdtemp(prefix="sg_clone_src_")
+        dst_root = tempfile.mkdtemp(prefix="sg_clone_dst_")
+        TC.commit(base.filter(F.col("o_orderkey") % 2 == 0), src_root)
+        TC.clone_table(src_root, dst_root)
+        TC.commit(
+            base.filter(F.col("o_orderkey") % 2 == 1),
+            dst_root,
+            mode="append",
+        )
+        _CLONE_TABLES[key] = (src_root, dst_root)
+    src_root, dst_root = _CLONE_TABLES[key]
+    # zero-copy: the clone's v1 references no file under its own root
+    v1 = TC.read_snapshot(dst_root, 1)
+    assert all(
+        not _os.path.abspath(_os.path.join(dst_root, f)).startswith(
+            _os.path.abspath(dst_root) + _os.sep
+        )
+        for f in v1.files
+    ), "clone v1 copied data into its own root"
+    # isolation: the clone's append landed ONLY under the clone root,
+    # and the source is untouched at v1
+    v2 = TC.read_snapshot(dst_root, 2)
+    new_files = set(v2.files) - set(v1.files)
+    assert new_files and all(not _os.path.isabs(f) for f in new_files), (
+        "clone append did not write under the clone root"
+    )
+    assert TC.current_version(src_root) == 1, (
+        "source advanced — clone evolution leaked into it"
+    )
+    return TC.read_table(spark, dst_root)
+
+
 _ROLLBACK_TABLES: dict[tuple, str] = {}
 
 

@@ -1053,6 +1053,7 @@ TOUCHED_R13: tuple[str, ...] = (
     # cross-implementation-pinned (python unicodedata vs DuckDB)
     "stream_holt_trend",  # NEW r13 late: incremental Holt state
     # maintenance — the ordered fold migrates, 4-chunk == batch
+    "table_zero_copy_clone",  # NEW r13 late: shallow CLONE + isolation
 )
 
 

@@ -286,6 +286,63 @@ def rollback(root: str, to_version: int) -> Snapshot:
     return snap
 
 
+def clone_table(src_root: str, dst_root: str, version: int | None = None) -> Snapshot:
+    """SHALLOW (zero-copy) clone — the Delta ``CLONE`` shape: a NEW
+    table whose first snapshot lists the SOURCE version's data files by
+    ABSOLUTE path. No bytes move; the clone costs one manifest write
+    regardless of table size (the 100 TB dev/test-branch primitive).
+    Because files are immutable and reads resolve entries through
+    ``os.path.join(root, f)`` — a no-op for absolute paths — the clone
+    and the source evolve INDEPENDENTLY afterwards: the clone's own
+    commits write under ITS root, and neither table's
+    rollback/overwrite can touch the other's manifests. The one shared
+    fate is retention: vacuuming the SOURCE can delete files a clone
+    still references (exactly Delta's documented shallow-clone caveat —
+    callers wanting full isolation deep-copy instead).
+
+    Stats/blooms/field-id mappings carry over re-keyed to the absolute
+    paths, so file skipping and schema evolution work on the clone
+    from the first read. ``txn`` starts EMPTY: the clone is a new
+    writer application and must not inherit idempotence watermarks that
+    would silently swallow its own first micro-batches."""
+    src = read_snapshot(src_root, version)
+    schema, file_fields = _effective_schema(src_root, src)
+
+    def _abs(f: str) -> str:
+        return f if os.path.isabs(f) else os.path.abspath(
+            os.path.join(src_root, f)
+        )
+
+    remap = {f: _abs(f) for f in src.files}
+    snap = Snapshot(
+        version=1,
+        files=tuple(sorted(remap.values())),
+        operation="clone",
+        parent=None,
+        txn=(),
+        stats=tuple(sorted((remap[f], v) for f, v in src.stats if f in remap)),
+        schema=schema,
+        file_fields=tuple(
+            sorted((remap[f], v) for f, v in file_fields if f in remap)
+        ),
+        blooms=tuple(
+            sorted((remap[f], v) for f, v in src.blooms if f in remap)
+        ),
+    )
+    os.makedirs(os.path.join(dst_root, _MANIFEST_DIR), exist_ok=True)
+    try:
+        with open(_snapshot_path(dst_root, 1), "x", encoding="utf-8") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"table {dst_root}: v1 was committed by another writer"
+        ) from None
+    _swap_pointer(dst_root, snap)
+    return snap
+
+
 def rename_column(root: str, old: str, new: str) -> Snapshot:
     """Rename a column WITHOUT rewriting any data (Iceberg field-ID
     rename): the field keeps its id, the id binds to the new name, and

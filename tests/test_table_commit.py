@@ -929,3 +929,44 @@ def test_incremental_agg_maintenance_and_replay(spark, tmp_path, nation):
         combine_additive(
             partials(rows), partials(rows).drop("sv"), ["n_regionkey"]
         )
+
+
+def test_clone_table_zero_copy_and_isolation(spark, tmp_path):
+    """Shallow clone: one manifest write, absolute-path file reuse,
+    stats carried re-keyed (pruning works on the clone from the first
+    read), empty txn watermarks, and full evolution isolation in BOTH
+    directions (source overwrite after the clone leaves the clone's
+    pinned file list readable)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    TC.commit(
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        src,
+        stats_cols=["k"],
+        txn=("writer_a", 7),
+    )
+    snap = TC.clone_table(src, dst)
+    assert snap.operation == "clone" and snap.txn == ()
+    assert all(os.path.isabs(f) for f in snap.files)
+    # stats carried: range pruning opens fewer files on the CLONE
+    assert TC.pruned_file_count(dst, "k", 0, 10) < len(snap.files)
+    # clone reads the source's rows
+    assert TC.read_table(spark, dst).count() == 100
+    # evolve the SOURCE (overwrite) — the clone still reads its pinned
+    # files because the overwrite wrote NEW files and left v1's in place
+    TC.commit(base.filter(F.col("k") < 10), src)
+    assert TC.read_table(spark, dst).count() == 100
+    # evolve the CLONE — source version history is untouched
+    TC.commit(base.filter(F.col("k") >= 90), dst, mode="append")
+    assert TC.read_table(spark, dst).count() == 110
+    assert TC.current_version(src) == 2
+    assert TC.read_table(spark, src).count() == 10
