@@ -1370,6 +1370,78 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NFC-aware exact dedup seeds: byte-DISTINCT, NFC-EQUAL twins. The
+# decomposed member reuses NFC_SEEDS' -601 text; the composed twin
+# must collide with it after normalization — the FineWeb/CCNet reason
+# the NFC pass runs before any hashing.
+DEDUP_NFC_SEEDS: tuple[tuple[int, str], ...] = (
+    (-611, "Caf\u00e9 composition"),  # composed twin of -601
+    (-612, "\u00c5 angstrom and \u03a9 ohm singletons"),  # of -602
+)
+
+
+@register(
+    "dedup_nfc_exact",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {", ".join(
+        f"({i}, {_sql_quote(t_)})" for i, t_ in (*NFC_SEEDS, *DEDUP_NFC_SEEDS)
+    )}),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    )
+    SELECT {TXT.fingerprint_sql("nfc_normalize(coalesce(text, ''))")} AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM docs GROUP BY 1
+    """,
+    tags=("dedup", "text", "corpus", "pandas_udf"),
+)
+def dedup_nfc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER Unicode NFC normalization — the reason the NFC
+    pass precedes hashing in every real pipeline: ``Cafe\u0301`` and
+    ``Caf\u00e9`` are byte-distinct spellings of one document, so a
+    plain content-hash dedup keeps both while the NFC-aware one
+    collapses them (the seeded twins make exactly that collision happen
+    under the hash gate — their groups MUST report n_copies=2 where
+    dedup_exact would report two singletons). Pipeline shape: the NFC
+    Arrow pass (text_nfc_normalize's batch fn) feeds the standard
+    exact-dedup hash-groupBy — one narrow map, then ONE shuffle on the
+    128-bit fingerprint, the dedup_exact scale contract unchanged."""
+    from ..operators import dedup as DD
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [*NFC_SEEDS, *DEDUP_NFC_SEEDS], "doc_id long, text string"
+            )
+        )
+    )
+
+    def batches(it):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "nfc_text": [
+                        unicodedata.normalize("NFC", x)
+                        if x is not None
+                        else ""
+                        for x in pdf["text"]
+                    ],
+                }
+            )
+
+    nfc = docs.mapInPandas(batches, schema="doc_id long, nfc_text string")
+    return DD.exact_dedup(nfc, "doc_id", "nfc_text")
+
+
 # ---------------------------------------------------------------------------
 # Sequential pattern matching (MATCH_RECOGNIZE-shape, window-only)
 # ---------------------------------------------------------------------------

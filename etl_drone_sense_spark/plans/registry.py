@@ -1054,6 +1054,8 @@ TOUCHED_R13: tuple[str, ...] = (
     "stream_holt_trend",  # NEW r13 late: incremental Holt state
     # maintenance — the ordered fold migrates, 4-chunk == batch
     "table_zero_copy_clone",  # NEW r13 late: shallow CLONE + isolation
+    "dedup_nfc_exact",  # NEW r13 late: NFC-aware exact dedup (the
+    # seeded byte-distinct NFC-equal twins must collide)
 )
 
 
