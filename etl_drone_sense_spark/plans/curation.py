@@ -935,6 +935,79 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_sample_temperature",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    floor_n AS (SELECT min(n_lang) AS n_min FROM counts),
+    rates AS (
+        SELECT lang,
+               CAST(least(1000000, floor(
+                   1000000.0 * sqrt(CAST(n_min AS DOUBLE)
+                                    / CAST(n_lang AS DOUBLE))))
+                   AS BIGINT) AS rate_ppm
+        FROM counts CROSS JOIN floor_n
+    )
+    SELECT d.doc_id, d.lang, r.rate_ppm
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000) < r.rate_ppm
+    """,
+    tags=("sampling", "corpus", "mixture"),
+)
+def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-based language rebalancing (the mT5/multilingual-
+    training primitive: sample languages ∝ share^(1/T) so low-resource
+    languages stop being drowned) at T=2, SELF-DERIVED from the data —
+    unlike corpus_mixture_sample's fixed target weights, the rates here
+    are ``rate_l = (n_min / n_l)^(1/T)``: the rarest language keeps
+    100 % and larger ones downsample toward the tempered mixture,
+    with no up-sampling (the subsample-only regime).
+
+    T=2 is chosen deliberately for EXACTNESS, not just realism: the
+    rate is one division and one ``sqrt`` — both IEEE-754
+    correctly-rounded single operations in every engine — then the ppm
+    floor, so the accept/reject threshold is bit-identical across
+    engines BY GUARANTEE (a ``pow(x, 0.3)``-style tempered rate is a
+    transcendental whose last ULP may differ per libm, putting a coin
+    boundary at risk; sqrt carries no such caveat). The md5(doc_id)
+    ppm coin is the registry's deterministic-sampling convention.
+
+    Scale: one |langs|-row aggregate (map-side combined) + a 1-row min,
+    broadcast back over a scalar predicate — the corpus never
+    shuffles, the same 100 TB shape as corpus_domain_budget."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    floor_n = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(floor_n)).select(
+        "lang",
+        F.least(
+            F.lit(1000000),
+            F.floor(
+                1000000.0
+                * F.sqrt(
+                    F.col("n_min").cast("double")
+                    / F.col("n_lang").cast("double")
+                )
+            ),
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    u_ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u_ppm < F.col("rate_ppm"))
+        .select("doc_id", "lang", "rate_ppm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-domain token budgets (FineWeb-style domain capping)
 # ---------------------------------------------------------------------------

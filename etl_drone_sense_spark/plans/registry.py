@@ -1056,6 +1056,8 @@ TOUCHED_R13: tuple[str, ...] = (
     "table_zero_copy_clone",  # NEW r13 late: shallow CLONE + isolation
     "dedup_nfc_exact",  # NEW r13 late: NFC-aware exact dedup (the
     # seeded byte-distinct NFC-equal twins must collide)
+    "corpus_sample_temperature",  # NEW r13 late: T=2 language
+    # rebalancing — sqrt-only rates, IEEE-exact cross-engine
 )
 
 
