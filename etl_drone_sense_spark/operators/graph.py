@@ -66,6 +66,19 @@ def _narrow_private_session(spark: SparkSession, measured_rows: int) -> SparkSes
     return priv
 
 
+# Public aliases (r14): the private-session loop discipline (narrow
+# AQE-off SQLConf + cross-session re-homing of checkpointed relations)
+# is shared by non-graph iterative operators — the sampled BPE trainer
+# (operators/bpetrain.py) loops over a vocab-scale relation exactly the
+# way the label/distance loops here do.
+def narrow_private_session(spark: SparkSession, measured_rows: int) -> SparkSession:
+    return _narrow_private_session(spark, measured_rows)
+
+
+def on_session(df: DataFrame, target: SparkSession) -> DataFrame:
+    return _on_session(df, target)
+
+
 def _on_session(df: DataFrame, target: SparkSession) -> DataFrame:
     """Re-home ``df`` (which must already be materialized — a
     localCheckpointed LogicalRDD — so nothing is recomputed) onto

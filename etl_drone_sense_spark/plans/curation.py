@@ -2836,3 +2836,94 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         learned, "merge_rank int, a string, b string, merged string, cnt bigint"
     )
+
+
+BPE_SAMPLED_ROUNDS = 64  # merges learned by the sampled delta trainer
+BPE_SAMPLE_MOD = 5  # deterministic 20% doc sample: doc_id % 5 = 0
+
+
+def _bpe_train_sampled_oracle(rounds: int = BPE_SAMPLED_ROUNDS) -> str:
+    """The sampled trainer's recurrence unrolled in DuckDB — but over
+    the DISTINCT-WORD frequency vocab the production trainer actually
+    iterates (pair totals are identical to per-occurrence counting
+    because pairs never span words), so the hash gate certifies the
+    collapse AND the merge sequence. Every CTE is MATERIALIZED: b{k}
+    feeds both v{k+1} and the output union, and s/v CTEs chain — at 64
+    rounds, inlining would re-expand the shared subtrees exponentially
+    (the 6-round r13 oracle survives inlining; this one must not rely
+    on it). Empty corpora propagate empty best relations, so both
+    engines emit fewer rows in lockstep."""
+    o, c = ord(BPE.O), ord(BPE.C)
+    enc = f"regexp_replace(w, '(.)', chr({o}) || '\\1' || chr({c}), 'g')"
+    ctes = [
+        f"""v1 AS MATERIALIZED (
+        SELECT {enc} AS state, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest({BPE.words_sql('text')}) AS w
+              FROM documents WHERE doc_id % {BPE_SAMPLE_MOD} = 0)
+        GROUP BY 1)"""
+    ]
+    outs = []
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+    p{k} AS MATERIALIZED (
+        SELECT pr.a AS a, pr.b AS b, CAST(sum(wt) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> struct_pack(a := tk[i], b := tk[i + 1])))
+                   AS pr,
+                   wc AS wt
+            FROM (SELECT {BPE.word_tokens_sql('state')} AS tk, wc FROM v{k})
+            WHERE len(tk) >= 2
+        )
+        GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+        SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if k < rounds:
+            ctes.append(f"""
+    v{k + 1} AS MATERIALIZED (
+        SELECT replace(state,
+                       chr({o}) || a || chr({c}) || chr({o}) || b || chr({c}),
+                       chr({o}) || a || b || chr({c})) AS state, wc
+        FROM v{k} CROSS JOIN b{k}
+    )""")
+        outs.append(
+            f"SELECT {k} AS merge_rank, a, b, a || b AS merged, cnt FROM b{k}"
+        )
+    return (
+        "WITH " + ",".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(outs)
+    )
+
+
+@register(
+    "text_bpe_train_sampled",
+    oracle=_bpe_train_sampled_oracle(),
+    tags=("text", "tokenize", "iterative", "corpus"),
+)
+def text_bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION BPE trainer (r14 — r13 VERDICT item 1): learn
+    {BPE_SAMPLED_ROUNDS} merges from a deterministic 20% corpus sample
+    (doc_id % {BPE_SAMPLE_MOD} = 0) with pair-count DELTA maintenance
+    over the distinct-word frequency vocab, replacing text_bpe_train's
+    K-full-corpus-pass fixed-round form. Algorithm, exactness proof,
+    loop discipline, and the measured passes-vs-deltas comparison live
+    in operators/bpetrain.py; the DuckDB oracle unrolls the identical
+    recurrence ({BPE_SAMPLED_ROUNDS} MATERIALIZED rounds over the same
+    collapsed vocab), so the driver's hash gate certifies the sampling
+    predicate, the word-frequency collapse, the delta identity, and
+    every learned (rank, pair, count) row.
+
+    Deliberately NOT in the headline bench set, same as text_bpe_train:
+    training is an offline job (64 driver-synchronized rounds), not a
+    serving query; the cost profile is recorded in the operator
+    docstring and certified at sf0.01 AND sf1 instead."""
+    from ..operators.bpetrain import train_merges_delta
+
+    sample = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % BPE_SAMPLE_MOD) == 0
+    )
+    learned = train_merges_delta(sample, rounds=BPE_SAMPLED_ROUNDS)
+    return spark.createDataFrame(
+        learned, "merge_rank int, a string, b string, merged string, cnt bigint"
+    )

@@ -1060,21 +1060,62 @@ TOUCHED_R13: tuple[str, ...] = (
     # rebalancing — sqrt-only rates, IEEE-exact cross-engine
 )
 
+# The round-13 driver window (CORRECTNESS_r13.json — the exact 50-key
+# artifact set, all green): every TOUCHED_R13 name plus stalest-tier
+# fills per the r13 rotation mandate.
+DRIVER_CHECKED_R13: frozenset[str] = frozenset(
+    {
+        "arrowipc_scan", "arrowipc_sink_roundtrip", "cdc_snapshot_diff",
+        "corpus_mixture_sample", "corpus_pack_sequences_bpe",
+        "corpus_sample_temperature", "dedup_embedding",
+        "dedup_embedding_lsh", "dedup_nfc_exact", "dedup_simhash_adaptive",
+        "dedup_simhash_adaptive_capped", "dedup_url", "events_holt_trend",
+        "events_pattern_match", "graph_label_communities", "graph_sssp",
+        "layout_zorder", "multimodal_bytes", "multimodal_decode_adpcm",
+        "multimodal_decode_bmp", "multimodal_decode_flac",
+        "multimodal_decode_jpeg", "multimodal_decode_jpeg_arith_progressive",
+        "multimodal_decode_jpeg_arithmetic", "multimodal_decode_jpeg_lossless",
+        "multimodal_decode_jpeg_progressive", "multimodal_decode_tiff",
+        "multimodal_features", "multimodal_gif_frame_sample",
+        "sample_reservoir_group", "sim_ivf_topk", "sim_topk_batch",
+        "sim_topk_bruteforce", "stream_arrowipc_scan", "stream_holt_trend",
+        "stream_minhash_index", "stream_session_counts",
+        "table_zero_copy_clone", "text_bigram_lm", "text_bpe_tokenize",
+        "text_bpe_train", "text_gopher_quality", "text_langid",
+        "text_langid_predict", "text_nfc_normalize", "text_quality",
+        "text_redact_pii", "text_token_freq", "udaf_weighted_price",
+        "udtf_sentences",
+    }
+)
+
+# Queries whose Spark code OR oracle changed in round 14, plus new
+# registrations — all need a fresh driver row. Populated as r14 work
+# lands; ordering within the tuple is the order the driver checks them.
+TOUCHED_R14: tuple[str, ...] = (
+    "text_bpe_train_sampled",  # NEW r14: sampled pair-delta BPE trainer
+    # (r13 VERDICT item 1) — word-frequency collapse + delta-maintained
+    # pair counts, 64 merges on a deterministic 20% sample
+)
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
     about old code is still stale evidence). Every registered query has at
-    least one green driver row, so the order is: TOUCHED_R13, then any
-    never-checked stragglers (new r13 names not in TOUCHED_R13 — should be
+    least one green driver row, so the order is: TOUCHED_R14, then any
+    never-checked stragglers (new r14 names not in TOUCHED_R14 — should be
     none), then by newest-evidence round ascending — the stalest tier
-    (post-r12: the r7-newest block) first, round-12 (freshest) last."""
+    (post-r13: the r7-newest block, 16 names — the drone/join/stream core
+    with the oldest evidence in the fleet) first, round-13 (freshest)
+    last. The r14 VERDICT mandate: TOUCHED_R14 head, then empty the r7
+    tier, then r9 fills."""
 
-    head13 = {n: i for i, n in enumerate(TOUCHED_R13)}
+    head = {n: i for i, n in enumerate(TOUCHED_R14)}
 
     # Newest round in which each name earned a driver row, oldest-first
     # search order below relies on checking the NEWEST sets first.
     newest_first: tuple[tuple[int, frozenset[str]], ...] = (
+        (13, DRIVER_CHECKED_R13),
         (12, DRIVER_CHECKED_R12),
         (11, DRIVER_CHECKED_R11),
         (10, DRIVER_CHECKED_R10),
@@ -1089,15 +1130,15 @@ def _ordered_specs() -> list[QuerySpec]:
     )
 
     def tier(s: QuerySpec) -> tuple[int, int]:
-        if s.name in head13:
-            return (0, head13[s.name])
+        if s.name in head:
+            return (0, head[s.name])
         for rnd, names in newest_first:
             if s.name in names:
                 # staleness rank: newest-evidence round ascending, so
-                # r7-newest (rank 8) sorts before r12-newest (rank 13);
+                # r7-newest (rank 8) sorts before r13-newest (rank 14);
                 # +1 keeps every checked tier after the never-checked slot.
                 return (1 + rnd, 0)
-        return (1, 0)  # never-checked: right after the r13 touched head
+        return (1, 0)  # never-checked: right after the r14 touched head
 
     specs = list(REGISTRY.values())
     return sorted(specs, key=tier)  # sorted() is stable → registration order kept

@@ -193,3 +193,62 @@ def test_bpe_train_degenerate_corpora():
     want = _train_reference(["aaaa"], 2)
     assert want == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
     assert _train_reference(["", "   "], 4) == []
+
+def test_bpe_train_sampled_matches_reference_trainer(spark, sf_dir):
+    """text_bpe_train_sampled vs the independent sequential trainer run
+    on the SAME deterministic 20% sample — certifies the word-frequency
+    collapse (reference counts per occurrence, trainer per distinct
+    word x count) and the delta maintenance (any drift in the
+    maintained pair relation changes an argmax and diverges the merge
+    sequence)."""
+    from etl_drone_sense_spark.plans.curation import (
+        BPE_SAMPLE_MOD,
+        BPE_SAMPLED_ROUNDS,
+    )
+    from etl_drone_sense_spark.plans.registry import get
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    texts = [
+        r["text"]
+        for r in read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BPE_SAMPLE_MOD == 0)
+        .select("text")
+        .collect()
+    ]
+    want = _train_reference(texts, BPE_SAMPLED_ROUNDS)
+    got = sorted(
+        (r["merge_rank"], r["a"], r["b"], r["merged"], r["cnt"])
+        for r in get("text_bpe_train_sampled").fn(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_bpe_train_sampled_checkpoint_cadence_invariant(spark):
+    """The vocab checkpoint cadence is an execution knob, not a
+    semantic one: every cadence must learn the identical table,
+    including the early-stop round (pairs exhausted)."""
+    from etl_drone_sense_spark.operators.bpetrain import train_merges_delta
+
+    df = spark.createDataFrame(
+        [("the theory of things the the",), ("ababab theory abab",), ("",)],
+        "text string",
+    )
+    runs = [
+        train_merges_delta(df, rounds=30, vocab_checkpoint_every=c)
+        for c in (1, 4, 64)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # 30 rounds requested, but the tiny corpus exhausts first: the
+    # early-stop must have fired (every word fully collapsed)
+    assert 0 < len(runs[0]) < 30
+    want = _train_reference(
+        ["the theory of things the the", "ababab theory abab", ""], 30
+    )
+    assert runs[0] == want
+
+
+def test_bpe_train_sampled_empty_sample(spark):
+    from etl_drone_sense_spark.operators.bpetrain import train_merges_delta
+
+    df = spark.createDataFrame([("   ",), (None,)], "text string")
+    assert train_merges_delta(df, rounds=4) == []
