@@ -2927,3 +2927,225 @@ def text_bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         learned, "merge_rank int, a string, b string, merged string, cnt bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-token unification (r14 — r13 VERDICT item 2): the domain
+# budget and the Gopher stats gain BPE-token twins, since real pipelines
+# cap domains and budget documents in TOKENIZER tokens; the whitespace
+# originals stay registered as the cheap first-screen variants.
+# ---------------------------------------------------------------------------
+
+# At sf0.01 every source-domain holds ~4-5.5k BPE tokens (vs ~1.2k
+# whitespace tokens — the frozen merges leave ~2.5 tokens/word on this
+# corpus), so 3000 lands the fixture sources at rates ~0.55-0.74 (the
+# truncating regime) while the seeded URL domains still cap at rate 1 —
+# both least() branches exercised at the gate SF, same as the
+# whitespace twin's 800.
+_DOMAIN_BUDGET_BPE_TOKENS = 3000
+
+
+def _domain_budget_bpe_oracle() -> str:
+    from .extensions import HTML_SEEDS
+
+    seed_vals = ", ".join(
+        f"({i}, '" + s.replace("'", "''") + "', 'seed')" for i, s in HTML_SEEDS
+    )
+    first_url = f"list_extract({TXT.extract_urls_sql('text')}, 1)"
+    n_bpe = BPE.token_count_sql(BPE.doc_state_sql("text"))
+    return f"""
+    WITH seed(doc_id, text, source) AS (VALUES {seed_vals}),
+    docs AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL SELECT doc_id, text, source FROM seed
+    ),
+    base AS (
+        SELECT doc_id,
+               CASE WHEN len({TXT.extract_urls_sql('text')}) > 0
+                    THEN regexp_extract(
+                        {TXT.canonicalize_url_sql(first_url)},
+                        '{_DOMAIN_HOST_RE}', 1)
+                    ELSE source END AS domain,
+               {n_bpe} AS n_bpe_tokens
+        FROM docs
+    ),
+    rates AS (
+        SELECT domain,
+               least(1000000,
+                     (1000000::BIGINT * {_DOMAIN_BUDGET_BPE_TOKENS})
+                         // sum(n_bpe_tokens)) AS rate_ppm
+        FROM base GROUP BY domain
+    )
+    SELECT b.doc_id, b.domain, b.n_bpe_tokens,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+    FROM base b JOIN rates r USING (domain)
+    WHERE (('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000) < r.rate_ppm
+    """
+
+
+@register(
+    "corpus_domain_budget_bpe",
+    oracle=_domain_budget_bpe_oracle(),
+    tags=("sampling", "corpus", "domain", "tokenize"),
+)
+def corpus_domain_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_domain_budget's production twin: identical FineWeb-style
+    per-domain capping — domain key, integer-ppm acceptance rate, md5
+    coin, broadcast-back rate join, corpus never shuffles — but the
+    budget is denominated in REAL tokenizer tokens (functions/bpe.py),
+    which is what a training-data domain cap actually limits. The BPE
+    count is one narrow expression over the same scan, so the scale
+    shape is unchanged: one |domains|-row aggregate + a broadcast
+    scalar predicate."""
+    from .extensions import HTML_SEEDS
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .unionByName(
+            spark.createDataFrame(
+                [(i, s, "seed") for i, s in HTML_SEEDS],
+                "doc_id long, text string, source string",
+            )
+        )
+    )
+    urls = TXT.extract_urls(F.col("text"))
+    domain = F.when(
+        F.size(urls) > 0,
+        F.regexp_extract(
+            TXT.canonicalize_url(F.get(urls, 0)), _DOMAIN_HOST_RE, 1
+        ),
+    ).otherwise(F.col("source"))
+    base = docs.select(
+        "doc_id",
+        domain.alias("domain"),
+        BPE.token_count(BPE.doc_state(F.col("text"))).alias("n_bpe_tokens"),
+    )
+    rates = (
+        base.groupBy("domain")
+        .agg(F.sum("n_bpe_tokens").alias("dom_tokens"))
+        .select(
+            "domain",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.expr(
+                    f"(1000000L * {_DOMAIN_BUDGET_BPE_TOKENS}) div dom_tokens"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    u_ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    return (
+        base.join(F.broadcast(rates), "domain")
+        .filter(u_ppm < F.col("rate_ppm"))
+        .select("doc_id", "domain", "n_bpe_tokens", "rate_ppm")
+    )
+
+
+# Fertility gate: BPE tokens per word, integer ppm. The fixture corpus
+# encodes at 2.89-4.18 tokens/word under the frozen merges; 4.5 keeps
+# every fixture doc and fails the seeded gibberish (long consonant
+# words the merges can't compress, ~7.9 tokens/word).
+_BPE_FERTILITY_MAX_PPM = 4_500_000
+
+# Seeds exercising the fertility gate's branches (the fixture alone
+# would make it vacuous): -201 PASSES every Gopher rule (14 words, mean
+# length 8.1, two stopwords, fully alphabetic) but its 9-char consonant
+# words each cost 9 tokens — fertility ~7.86, bpe_pass false; -202
+# passes both; -203 is wordless (NULL fertility, both flags false).
+GOPHER_BPE_SEEDS: tuple[tuple[int, str], ...] = (
+    (
+        -201,
+        "bcdfgjkmp cdfgjkmpb dfgjkmpbc fgjkmpbcd gjkmpbcdf jkmpbcdfg "
+        "kmpbcdfgj mpbcdfgjk pbcdfgjkm bcdfgjkmp cdfgjkmpb dfgjkmpbc "
+        "the and",
+    ),
+    (
+        -202,
+        "the merge table keeps these words inside their normal shape "
+        "and that is all",
+    ),
+    (-203, "   "),
+)
+
+
+@register(
+    "text_gopher_quality_bpe",
+    oracle=f"""
+    WITH seed(doc_id, text) AS (VALUES {", ".join(
+        f"({i}, '" + s.replace("'", "''") + "')" for i, s in GOPHER_BPE_SEEDS
+    )}),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM seed
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len({BPE.words_sql('text')}) AS BIGINT) AS n_words,
+               {BPE.token_count_sql(BPE.doc_state_sql('text'))}
+                   AS n_bpe_tokens,
+               {TXT.gopher_pass_sql(TXT.gopher_features_sql('text'))}
+                   AS gopher_pass
+        FROM docs
+    ),
+    fert AS (
+        SELECT *,
+               CASE WHEN n_words > 0
+                    THEN (1000000 * n_bpe_tokens) // n_words END
+                   AS fertility_ppm
+        FROM feat
+    )
+    SELECT doc_id, n_words, n_bpe_tokens, fertility_ppm, gopher_pass,
+           (gopher_pass AND coalesce(
+               fertility_ppm <= {_BPE_FERTILITY_MAX_PPM}, false)) AS bpe_pass
+    FROM fert
+    """,
+    tags=("text", "quality", "tokenize"),
+)
+def text_gopher_quality_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_gopher_quality's tokenizer-token twin: the same Gopher
+    composite flag plus the two stats a token-budgeted pipeline needs —
+    the document's exact BPE token count (what it costs to train on)
+    and its FERTILITY (BPE tokens per word, integer ppm): text the
+    tokenizer can't compress (OOV gibberish, mojibake, DNA-like
+    strings) explodes toward one token per character, a quality signal
+    word-level Gopher rules can't see. ``bpe_pass`` = gopher_pass AND
+    fertility <= {_BPE_FERTILITY_MAX_PPM / 1e6} tokens/word. All pure
+    Column expressions over one narrow scan — same no-shuffle 100 TB
+    shape as the whitespace original."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = spark.createDataFrame(
+        list(GOPHER_BPE_SEEDS), "doc_id long, text string"
+    )
+    feats = TXT.gopher_features(F.col("text"))
+    base = docs.unionByName(seed).select(
+        "doc_id",
+        F.size(BPE.words(F.col("text"))).cast("long").alias("n_words"),
+        BPE.token_count(BPE.doc_state(F.col("text"))).alias("n_bpe_tokens"),
+        TXT.gopher_pass(feats).alias("gopher_pass"),
+    )
+    fert = base.withColumn(
+        "fertility_ppm",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(1000000L * n_bpe_tokens) div n_words"),
+        ),
+    )
+    return fert.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        "fertility_ppm",
+        "gopher_pass",
+        (
+            F.col("gopher_pass")
+            & F.coalesce(
+                F.col("fertility_ppm") <= _BPE_FERTILITY_MAX_PPM, F.lit(False)
+            )
+        ).alias("bpe_pass"),
+    )

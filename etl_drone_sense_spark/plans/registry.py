@@ -1095,6 +1095,10 @@ TOUCHED_R14: tuple[str, ...] = (
     "text_bpe_train_sampled",  # NEW r14: sampled pair-delta BPE trainer
     # (r13 VERDICT item 1) — word-frequency collapse + delta-maintained
     # pair counts, 64 merges on a deterministic 20% sample
+    "corpus_domain_budget_bpe",  # NEW r14: domain caps in tokenizer
+    # tokens (r13 VERDICT item 2) — whitespace original kept as screen
+    "text_gopher_quality_bpe",  # NEW r14: Gopher stats + BPE fertility
+    # gate (tokens/word ppm) — the quality signal word rules can't see
 )
 
 

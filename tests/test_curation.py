@@ -320,3 +320,52 @@ def test_bigram_lm_excludes_short_docs(spark, sf_dir):
             assert row.doc_id not in scored
         else:
             assert scored[row.doc_id].n_bigrams == row.nt - 1
+
+
+def test_domain_budget_bpe_caps_expected_tokens(spark, sf_dir):
+    """The BPE twin must exercise both rate regimes and track the
+    tokenizer-token budget for truncated domains, same contract as the
+    whitespace original."""
+    from etl_drone_sense_spark.plans.curation import (
+        _DOMAIN_BUDGET_BPE_TOKENS,
+        corpus_domain_budget_bpe,
+    )
+
+    out = corpus_domain_budget_bpe(spark, sf_dir).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    rates = {d: rows[0].rate_ppm for d, rows in by_dom.items()}
+    capped = {d for d, p in rates.items() if p == 1_000_000}
+    truncated = {d for d, p in rates.items() if p < 1_000_000}
+    assert capped and truncated, "both rate regimes must be exercised"
+    assert {"example.com", "mirror.test.org"} <= capped
+    for d in truncated:
+        kept = sum(r.n_bpe_tokens for r in by_dom[d])
+        assert abs(kept - _DOMAIN_BUDGET_BPE_TOKENS) < (
+            0.35 * _DOMAIN_BUDGET_BPE_TOKENS
+        ), (d, kept)
+
+
+def test_gopher_bpe_fertility_gate_branches(spark, sf_dir):
+    """Seed -201 is the gate's reason to exist: passes every word-level
+    Gopher rule yet fails on fertility (uncompressible 9-char consonant
+    words). -202 passes both; -203 is wordless (NULL fertility, both
+    false). Fixture docs must all clear the fertility bar (the gate adds
+    no false positives at 2.89-4.18 tokens/word)."""
+    from etl_drone_sense_spark.plans.curation import text_gopher_quality_bpe
+
+    rows = {r.doc_id: r for r in text_gopher_quality_bpe(spark, sf_dir).collect()}
+    s_fail = rows[-201]
+    assert s_fail.gopher_pass and not s_fail.bpe_pass
+    assert s_fail.fertility_ppm > 4_500_000
+    s_ok = rows[-202]
+    assert s_ok.gopher_pass and s_ok.bpe_pass
+    s_empty = rows[-203]
+    assert s_empty.n_words == 0 and s_empty.fertility_ppm is None
+    assert not s_empty.gopher_pass and not s_empty.bpe_pass
+    fixture = [r for i, r in rows.items() if i >= 0]
+    assert fixture
+    for r in fixture:
+        assert r.fertility_ppm <= 4_500_000
+        assert r.bpe_pass == r.gopher_pass
