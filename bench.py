@@ -52,17 +52,17 @@ BUDGETS_S: dict[str, float] = {
     "sketch_theta_kmv": 1.78,  # r9: 1.8 x 0.99 s quiet median
     "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
     # fixed-point moment aggregates over lineitem in one pass)
-    "multimodal_decode_bmp": 2.08,  # r13 late: 1.8 x 1.16 s quiet
-    # median — the BITFIELDS-565/32-bit/RLE4 tiers (cycle 4 -> 7) add
-    # per-pixel packing on the fixture side and the RLE4 cursor walk;
-    # was 1.8 x 0.93 with the RLE8-only cycle
+    "multimodal_decode_bmp": 2.24,  # r14: 1.8 x 1.245 s quiet median —
+    # the 1-bit tier (cycle 7 -> 8) adds a per-pixel bit-pack loop on
+    # the fixture side; was 1.8 x 1.16 with the 7-tier cycle
     "multimodal_decode_adpcm": 2.92,  # r13 late: 1.8 x 1.62 s quiet
     # median — the QUAD tier doubles the per-doc code volume on 1/3 of
     # docs (was 1.8 x 1.22 mono/stereo)
-    "multimodal_decode_flac": 3.22,  # r13: 1.8 x 1.79 s quiet median
+    "multimodal_decode_flac": 2.48,  # r14: 1.8 x 1.377 s quiet median
     # (Rice decode is a per-sample Python walk inside the Arrow batch,
-    # like the ADPCM tiers — ~675k samples at sf0.1; the r13-late
-    # depth tiers re-measured 1.73 s quiet — inside the same budget)
+    # like the ADPCM tiers — ~675k samples at sf0.1; the r14 32-bit
+    # tier redistributes the depth cycle 3 -> 4 and re-measured FASTER
+    # than the r13 1.79 s median, so the budget tightens)
     "multimodal_decode_jpeg_progressive": 1.82,  # r13: 1.8 x 1.01 s
     # quiet median (six-scan SOF2 decode through the Arrow path)
     "multimodal_decode_jpeg_lossless": 1.76,  # r13 late: 1.8 x 0.98 s

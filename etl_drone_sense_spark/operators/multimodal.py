@@ -873,12 +873,11 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
 # The uncompressed-raster interchange format every OS tool emits: a
 # 14-byte file header, a 40-byte BITMAPINFOHEADER, and bottom-up (or
 # top-down, via negative height) BGR rows padded to 4-byte multiples.
-# Supported tiers: 24-bit BI_RGB and 8-bit palette — the two layouts
-# that cover the overwhelming majority of real .bmp files. RLE4/RLE8,
-# 1-bit and V4/V5 headers quarantine (ValueError) — the honesty
-# contract every codec tier keeps (progressive JPEG, animated GIF,
-# RLE4/BITFIELDS/16/32-bit, once examples of it, decode for real
-# since r13).
+# Supported tiers: 24-bit BI_RGB and 1/4/8-bit palette — the layouts
+# that cover the overwhelming majority of real .bmp files. V4/V5
+# headers quarantine (ValueError) — the honesty contract every codec
+# tier keeps (progressive JPEG, animated GIF, RLE4/BITFIELDS/16/32-bit
+# and — r14 — 1-bit, once examples of it, decode for real).
 
 
 def encode_bmp(
@@ -891,6 +890,7 @@ def encode_bmp(
     rle4: bool = False,
     bitfields565: bool = False,
     rgb32: bool = False,
+    bit1: bool = False,
 ) -> bytes:
     """Minimal BMP writer — the fixture side of the codec pair, exactly
     like encode_png. ``raster`` is RGB bytes (24-bit) or palette indices
@@ -903,13 +903,17 @@ def encode_bmp(
     runs with alternating high/low pixels, nibble-packed absolute mode),
     ``bitfields565`` (16-bit BI_BITFIELDS with the 5/6/5 masks in the
     12 bytes after the info header; RGB input truncates to the field
-    widths), and ``rgb32`` (32-bit BI_RGB — BGRX quads, no row pad)."""
+    widths), ``rgb32`` (32-bit BI_RGB — BGRX quads, no row pad), and
+    ``bit1`` (r14: 1-bit palette — MSB-first bit-packed rows, <=2
+    palette entries)."""
     import struct
 
     if rle8 and (palette is None or top_down):
         raise ValueError("bmp: RLE8 needs a bottom-up palette image")
     if rle4 and (palette is None or top_down or len(palette) > 16 * 3):
         raise ValueError("bmp: RLE4 needs a bottom-up <=16-color palette")
+    if bit1 and (palette is None or len(palette) > 2 * 3 or rle8 or rle4):
+        raise ValueError("bmp: 1-bit needs a <=2-color palette, no RLE")
     if (bitfields565 or rgb32) and palette is not None:
         raise ValueError("bmp: bitfields/rgb32 are true-color tiers")
 
@@ -936,13 +940,14 @@ def encode_bmp(
             bytes((palette[3 * k + 2], palette[3 * k + 1], palette[3 * k], 0))
             for k in range(n_colors)
         )
-        bitcount = 4 if rle4 else 8
+        bitcount = 1 if bit1 else 4 if rle4 else 8
         if len(raster) != width * height:
             raise ValueError("bmp: index raster length mismatch")
         if raster and max(raster) >= n_colors:
             raise ValueError("bmp: index out of palette range")
     row_bytes = {24: width * 3, 16: width * 2, 32: width * 4,
-                 8: width, 4: (width + 1) // 2}[bitcount]
+                 8: width, 4: (width + 1) // 2,
+                 1: (width + 7) // 8}[bitcount]
     pad = (-row_bytes) % 4
     rows = []
     order = range(height) if top_down else range(height - 1, -1, -1)
@@ -1056,6 +1061,13 @@ def encode_bmp(
                     )
                     words += v.to_bytes(2, "little")
                 row = bytes(words)
+            elif bitcount == 1:  # bit-packed indices, MSB first
+                src = raster[y * width : (y + 1) * width]
+                packed = bytearray((width + 7) // 8)
+                for x in range(width):
+                    if src[x]:
+                        packed[x // 8] |= 0x80 >> (x % 8)
+                row = bytes(packed)
             else:  # 8-bit indices
                 row = raster[y * width : (y + 1) * width]
             rows.append(row + b"\x00" * pad)
@@ -1090,12 +1102,13 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     (the spec's DEFAULT 5-5-5 masks), 16/32-bit BI_BITFIELDS with
     arbitrary contiguous non-overlapping masks (each field scales to
     8-bit by the floor ratio ``v*255 // field_max`` — r13 late, the
-    BITFIELDS quarantine closed), 4/8-bit palette, both row orders, and
-    BI_RLE8 + BI_RLE4 compression (encoded runs — RLE4 runs alternate
-    the two nibbles of the value byte — absolute mode with word
-    padding, EOL/EOB escapes, delta moves; skipped pixels keep palette
-    entry 0, the conventional background). Everything else — 1-bit,
-    V4/V5 headers, RLE on top-down images, overlapping or
+    BITFIELDS quarantine closed), 1/4/8-bit palette (1-bit rows are
+    MSB-first bit-packed — r14, the last palette tier), both row
+    orders, and BI_RLE8 + BI_RLE4 compression (encoded runs — RLE4
+    runs alternate the two nibbles of the value byte — absolute mode
+    with word padding, EOL/EOB escapes, delta moves; skipped pixels
+    keep palette entry 0, the conventional background). Everything
+    else — V4/V5 headers, RLE on top-down images, overlapping or
     non-contiguous masks, and every malformed-structure case
     (truncation, raster overflow, cursor escape, out-of-range palette
     index) — raises ``ValueError`` so one bad blob quarantines instead
@@ -1128,7 +1141,7 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("bmp: RLE4 requires 4-bit bottom-up")
     if compression == 3 and bitcount not in (16, 32):
         raise ValueError("bmp: BITFIELDS requires 16/32-bit")
-    if bitcount not in (4, 8, 16, 24, 32):
+    if bitcount not in (1, 4, 8, 16, 24, 32):
         raise ValueError(f"bmp: unsupported bit depth {bitcount}")
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20 or w * h > 1 << 26:
         raise ValueError("bmp: unreasonable dimensions")
@@ -1158,7 +1171,7 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("bmp: non-contiguous channel mask")
             shifts.append(sh)
             maxes.append(mx)
-    if bitcount in (4, 8):
+    if bitcount in (1, 4, 8):
         if n_colors == 0:
             n_colors = 1 << bitcount
         if n_colors > (1 << bitcount):
@@ -1171,8 +1184,8 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
             -1, 4
         )
         pal_rgb = quads[:, [2, 1, 0]]  # BGRX → RGB
-    row_bytes = {4: (w + 1) // 2, 8: w, 16: w * 2, 24: w * 3,
-                 32: w * 4}[bitcount]
+    row_bytes = {1: (w + 7) // 8, 4: (w + 1) // 2, 8: w, 16: w * 2,
+                 24: w * 3, 32: w * 4}[bitcount]
     if compression in (1, 2):
         # BI_RLE cursor walk: (x, y) in BOTTOM-UP coordinates; the
         # canvas defaults to palette entry 0 (delta-skipped pixels)
@@ -1236,7 +1249,9 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
         ).reshape(h, stride)[:, :row_bytes]
         if not top_down:
             rows = rows[::-1]
-        if bitcount == 4:
+        if bitcount == 1:
+            idx = np.unpackbits(rows.reshape(h, row_bytes), axis=1)[:, :w]
+        elif bitcount == 4:
             packed = rows.reshape(h, row_bytes)
             nibs = np.empty((h, row_bytes * 2), dtype=np.uint8)
             nibs[:, 0::2] = packed >> 4
@@ -1244,7 +1259,7 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
             idx = nibs[:, :w]
         elif bitcount == 8:
             idx = rows.reshape(h, w)
-    if bitcount in (4, 8):
+    if bitcount in (1, 4, 8):
         if int(idx.max(initial=0)) >= n_colors:
             raise ValueError("bmp: palette index out of range")
         rgb = pal_rgb[idx]
@@ -2436,10 +2451,12 @@ def parse_wav(payload: bytes):
 # trailers. Lossless means the decoded stream IS the closed-form sample
 # formula, so the SQL oracle needs no recursive CTE (unlike ADPCM): it
 # recomputes the features from the formula directly. Decoder scope
-# after the r13 closures: 8/12/16/20/24-bit depths, mono/stereo with
-# all four channel assignments (independent, left/side, right/side,
-# mid/side); 32-bit depth and reserved channel codes raise ValueError
-# into the per-row quarantine.
+# after the r13/r14 closures: every fixed-depth frame code the spec
+# defines — 8/12/16/20/24 plus RFC 9639's 32-bit point (the side
+# channel of decorrelated 32-bit stereo reads at 33 bits; Python ints
+# and the int64 sample arrays absorb it) — mono/stereo with all four
+# channel assignments (independent, left/side, right/side, mid/side);
+# reserved channel codes raise ValueError into the per-row quarantine.
 # ---------------------------------------------------------------------------
 
 
@@ -2613,7 +2630,11 @@ def _write_residuals(fw: _FlacBitWriter, resid: list[int]) -> None:
             fw.write(u & ((1 << k) - 1), k)
 
 
-_FLAC_SS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+# 0b111 = 32 bits per sample (RFC 9639 assigns the last code point;
+# the legacy spec reserved it) — r14 closes the 32-bit quarantine.
+_FLAC_SS_CODE = {
+    8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111,
+}
 _FLAC_SS_BITS = {v: k for k, v in _FLAC_SS_CODE.items()}
 
 
@@ -2630,8 +2651,9 @@ def encode_flac(
     bits: int = 16,
 ) -> bytes:
     """REAL FLAC bytes for interleaved ``samples`` at ``bits`` per
-    sample (8/12/16/20/24 — the spec's fixed-depth frame codes; r13
-    closes the non-16-bit quarantine). ``variant`` picks the subframe
+    sample (8/12/16/20/24/32 — every fixed-depth frame code including
+    RFC 9639's 32-bit point; r13 closed the non-16-bit quarantine, r14
+    the 32-bit one). ``variant`` picks the subframe
     strategy applied to every block/channel:
     0 CONSTANT (samples must be constant per channel), 1 VERBATIM,
     2 FIXED order 1, 3 FIXED order 2, 4 LPC order ``len(lpc_coefs)``.
@@ -2843,17 +2865,18 @@ def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int) -> list[int]:
 def parse_flac(payload: bytes):
     """Decode a FLAC payload — dependency-free per the format spec.
     Supported (the interchange subset this engine synthesizes AND the
-    common encoder output shapes): 8/12/16/20/24-bit samples (every
-    fixed-depth frame code the spec defines — r13 closed the
-    non-16-bit quarantine), mono/stereo with ALL FOUR channel
+    common encoder output shapes): 8/12/16/20/24/32-bit samples
+    (every fixed-depth frame code the spec defines, including RFC
+    9639's 32-bit point — r13 closed the non-16-bit quarantine, r14
+    the 32-bit one), mono/stereo with ALL FOUR channel
     assignments (independent, left/side, right/side, mid/side — the
     side channel reads at bps+1 bits and mid's dropped parity bit is
     recovered from side, r13), CONSTANT/VERBATIM/FIXED(0-4)/LPC
     subframes, both Rice methods with escape partitions, any partition
     order, wasted bits, UTF-8 coded frame/sample numbers, explicit and
     table block sizes. CRC-8 and CRC-16 are VERIFIED — a corrupt frame
-    quarantines rather than emitting wrong samples. 32-bit depth and
-    reserved channel codes raise ValueError (honest quarantine).
+    quarantines rather than emitting wrong samples. Reserved channel
+    codes raise ValueError (honest quarantine).
     Returns ``(sample_rate, channels, numpy array of interleaved
     samples)`` — int16 for depths ≤ 16, int32 above — the same contract
     shape as ``parse_wav``."""
@@ -3224,10 +3247,11 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
     doc_id % 60`` over 48-sample blocks (2-3 frames per file, partial
     tail always present), subframe strategy cycling ``doc_id % 5``:
     CONSTANT / VERBATIM / FIXED-1 / FIXED-2 / LPC-2 (coefs (3, -2),
-    shift 1), BIT DEPTH cycling ``(doc_id // 3) % 3`` → 16 / 8 / 24
-    (r13 late: the non-16-bit quarantine closed — the depth only
-    changes the sample modulus, so one oracle certifies all three
-    depth tiers). Sample ``i`` of channel ``c`` =
+    shift 1), BIT DEPTH cycling ``(doc_id // 3) % 4`` → 16 / 8 / 24 /
+    32 (r13 late closed the non-16-bit quarantine; r14 adds RFC 9639's
+    32-bit code point, the last fixed-depth tier — the depth only
+    changes the sample modulus, so one oracle certifies every depth
+    tier). Sample ``i`` of channel ``c`` =
     ``(doc_id*47 + c*31 + i*9) % 2^bits - 2^(bits-1)`` (full dynamic
     range at every depth, the mod-wrap spikes exercise long Rice
     quotients), except the CONSTANT variant which drops the ``i``
@@ -3245,7 +3269,7 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
                 ch = 1 + did % 2
                 frames = 60 + did % 60
                 variant = did % 5
-                bits = (16, 8, 24)[(did // 3) % 3]
+                bits = (16, 8, 24, 32)[(did // 3) % 4]
                 mod, half = 1 << bits, 1 << (bits - 1)
                 i = np.arange(frames, dtype=np.int64)
                 chans = []
@@ -6112,7 +6136,7 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
     bytes (file + info headers, BGR rows, 4-byte row padding via
     ``encode_bmp``) whose pixel content a SQL oracle can derive.
     ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``; the variant
-    cycles ``doc_id % 7`` so one relation exercises every decoded bit
+    cycles ``doc_id % 8`` so one relation exercises every decoded bit
     depth, both row orders, both RLE compressions, and BITFIELDS
     (padding is non-zero whenever width*3 % 4 != 0, so the stride math
     is genuinely under test):
@@ -6140,7 +6164,12 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
       ``(doc_id*43 + p) % 16``, palette entry ``k`` channel ``c`` =
       ``(doc_id*47 + k*3 + c) % 256`` — nibble runs alternate the value
       byte's two halves and absolute mode nibble-packs, so an
-      alternation/packing bug hash-fails.
+      alternation/packing bug hash-fails;
+    * 7 → 1-BIT palette bottom-up (r14, the last palette tier): index
+      at ``p`` = ``(doc_id*43 + p) % 2``, 2-entry palette with the
+      shared palette formula — rows are MSB-first bit-packed into
+      ``(w+7)//8`` bytes then 4-byte padded, so the bit-unpack and the
+      sub-byte stride math are genuinely under test.
 
     Multipliers 43/47 are distinct from the PPM (31), PNG (37/41), and
     GIF fixtures so a codec mix-up cannot silently hash-match."""
@@ -6151,7 +6180,7 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 7
+                variant = did % 8
                 if variant in (0, 1, 4, 5):
                     raster = bytes(
                         (did * 43 + i) % 256 for i in range(w * h * 3)
@@ -6169,6 +6198,12 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
                     pal = bytes((did * 47 + b) % 256 for b in range(16 * 3))
                     payloads.append(
                         encode_bmp(w, h, idx, palette=pal, rle4=True)
+                    )
+                elif variant == 7:
+                    idx = bytes((did * 43 + p) % 2 for p in range(w * h))
+                    pal = bytes((did * 47 + b) % 256 for b in range(2 * 3))
+                    payloads.append(
+                        encode_bmp(w, h, idx, palette=pal, bit1=True)
                     )
                 else:
                     idx = bytes((did * 43 + p) % 64 for p in range(w * h))

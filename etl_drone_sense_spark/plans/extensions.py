@@ -2011,7 +2011,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 7 AS variant
+               doc_id % 8 AS variant
         FROM documents
     ),
     px AS (
@@ -2038,6 +2038,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                    -- RLE4: 16-entry palette
                    WHEN variant = 6
                    THEN (doc_id * 47 + ((doc_id * 43 + p) % 16) * 3 + c) % 256
+                   -- 1-bit: 2-entry palette, bit-packed rows
+                   WHEN variant = 7
+                   THEN (doc_id * 47 + ((doc_id * 43 + p) % 2) * 3 + c) % 256
                    -- variants 2 (plain palette) and 3 (RLE8) share the
                    -- palette formula: RLE is lossless re-coding
                    ELSE (doc_id * 47 + ((doc_id * 43 + p) % 64) * 3 + c) % 256
@@ -2069,7 +2072,9 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor ``v*255 // field_max`` rescale transcribed by the oracle),
     32-bit BI_RGB (BGRX quads — the pad byte must be ignored), and
     4-bit palette BI_RLE4 (nibble runs alternating the value byte's two
-    halves, nibble-packed absolute mode)
+    halves, nibble-packed absolute mode), plus the r14 tier that closed
+    the LAST palette quarantine: 1-bit (MSB-first bit-packed rows, the
+    sub-byte stride path)
     (operators/multimodal.encode_bmp / parse_bmp), decoded through the
     same Arrow mapInPandas path as PPM/PNG/JPEG/GIF (parse_image
     dispatches on the 'BM' magic). Pixel content is an arithmetic
@@ -2077,8 +2082,9 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-sensitive ``row_moment`` (Σ row_index · row byte-sum)
     catches the vertical-flip bug class that per-channel means are
     mathematically blind to (a mishandled negative biHeight preserves
-    all three means). 1-bit and V4/V5-header variants quarantine via
-    the shared decode_ok=false contract."""
+    all three means). V4/V5-header variants quarantine via
+    the shared decode_ok=false contract — the terminal BMP state (the
+    remaining headers add color-space metadata, not pixel layouts)."""
     media = multimodal.synth_bmp_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
     return feats.filter(F.col("decode_ok")).select(
@@ -5370,8 +5376,9 @@ def multimodal_decode_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch,
                60 + doc_id % 60 AS frames,
                doc_id % 5 AS variant,
-               CASE (doc_id // 3) % 3 WHEN 0 THEN 65536
-                    WHEN 1 THEN 256 ELSE 16777216 END AS modw
+               CASE (doc_id // 3) % 4 WHEN 0 THEN 65536
+                    WHEN 1 THEN 256 WHEN 2 THEN 16777216
+                    ELSE 4294967296 END AS modw
         FROM documents
     ),
     chans AS (
@@ -5408,8 +5415,9 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     — STREAMINFO, multi-frame with a partial tail block, CRC-8/CRC-16,
     UTF-8 frame numbers, Rice2 residual coding — cycling all five
     subframe strategies (CONSTANT / VERBATIM / FIXED-1 / FIXED-2 /
-    LPC-2) and all three corpus bit depths (16 / 8 / 24 — r13 late,
-    the non-16-bit quarantine closed; depth only changes the sample
+    LPC-2) and all four corpus bit depths (16 / 8 / 24 / 32 — r13 late
+    closed the non-16-bit quarantine, r14 adds RFC 9639's 32-bit code
+    point, the last fixed-depth tier; depth only changes the sample
     modulus so this one oracle certifies every tier) by doc id; the
     decoder (parse_flac, behind the parse_audio magic-byte dispatch)
     is an independent spec implementation that VERIFIES both CRCs.

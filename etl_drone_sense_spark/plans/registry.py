@@ -1099,6 +1099,10 @@ TOUCHED_R14: tuple[str, ...] = (
     # tokens (r13 VERDICT item 2) — whitespace original kept as screen
     "text_gopher_quality_bpe",  # NEW r14: Gopher stats + BPE fertility
     # gate (tokens/word ppm) — the quality signal word rules can't see
+    "multimodal_decode_flac",  # r14: 32-bit tier (RFC 9639 code point,
+    # the last fixed depth) — fixture depth cycle 3 -> 4
+    "multimodal_decode_bmp",  # r14: 1-bit palette tier (MSB-first
+    # bit-packed rows, the last palette layout) — fixture cycle 7 -> 8
 )
 
 

@@ -1433,7 +1433,7 @@ def test_bmp_quarantines_malformed_and_unsupported():
         mutate(14, "<I", 108),  # V4 header
         mutate(14, "<I", 124),  # V5 header
         mutate(26, "<H", 3),  # planes != 1
-        mutate(28, "<H", 1),  # 1-bit stays quarantined
+        mutate(28, "<H", 1),  # 1-bit reread of a 24-bit body: no palette
         mutate(28, "<H", 32),  # 32-bit reread of a 24-bit body: truncated
         mutate(30, "<I", 1),  # BI_RLE8 on a 24-bit image
         mutate(30, "<I", 3),  # BI_BITFIELDS on a 24-bit image
@@ -1530,14 +1530,14 @@ def test_bmp_end_to_end_decode_matches_formula(spark):
 
     from etl_drone_sense_spark.operators import multimodal as MM
 
-    docs = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
     got = {
         r["media_id"]: r
         for r in MM.decode_image_features(MM.synth_bmp_media(docs)).collect()
     }
-    for did in range(14):
+    for did in range(16):
         w, h = 4 + did % 5, 3 + did % 4
-        variant = did % 7  # r13: RLE8 + BITFIELDS/32-bit/RLE4 late tiers
+        variant = did % 8  # r13 late tiers + the r14 1-bit tier
         if variant in (0, 1, 5):
             vals = np.array(
                 [(did * 43 + i) % 256 for i in range(w * h * 3)], dtype=np.int64
@@ -1554,10 +1554,11 @@ def test_bmp_end_to_end_decode_matches_formula(spark):
                 ],
                 axis=-1,
             ).ravel()
-        elif variant == 6:
+        elif variant in (6, 7):
+            m = 16 if variant == 6 else 2
             vals = np.array(
                 [
-                    (did * 47 + ((did * 43 + p) % 16) * 3 + c) % 256
+                    (did * 47 + ((did * 43 + p) % m) * 3 + c) % 256
                     for p in range(w * h)
                     for c in (0, 1, 2)
                 ],
@@ -1925,8 +1926,9 @@ def test_tiff_packbits_overrun_quarantines():
 def test_flac_roundtrip_all_variants():
     """Every subframe strategy × mono/stereo × every channel assignment
     (independent, left/side, right/side, mid/side) × every corpus bit
-    depth (16/8/24 — r13 late) × partial-tail sizes must roundtrip
-    bit-exactly — losslessness IS the format contract."""
+    depth (16/8/24/32 — r13 late + the r14 32-bit closure) ×
+    partial-tail sizes must roundtrip bit-exactly — losslessness IS
+    the format contract."""
     import numpy as np
 
     from etl_drone_sense_spark.operators.multimodal import (
@@ -1935,11 +1937,12 @@ def test_flac_roundtrip_all_variants():
     )
 
     modes = ("independent", "left_side", "right_side", "mid_side")
-    for did in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 37, 49, 96, 97, 118, 119):
+    for did in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 37, 49, 96, 97,
+                118, 119, 130, 131):
         ch = 1 + did % 2
         frames = 60 + did % 60
         variant = did % 5
-        bits = (16, 8, 24)[(did // 3) % 3]
+        bits = (16, 8, 24, 32)[(did // 3) % 4]
         mod, half = 1 << bits, 1 << (bits - 1)
         i = np.arange(frames, dtype=np.int64)
         inter = np.empty(frames * ch, dtype=np.int64)
@@ -2098,16 +2101,18 @@ def test_flac_unsupported_shapes_quarantine():
 
     with pytest.raises(ValueError, match="not a FLAC"):
         parse_flac(b"fLaX" + bytes(60))
-    # 32-bit depth stays an honest quarantine (encoder and decoder)
+    # non-code depths quarantine (32-bit became a SUPPORTED tier in r14;
+    # the spec's remaining 3-bit code points are genuinely reserved)
     with pytest.raises(ValueError, match="unsupported bit depth"):
-        encode_flac(16000, 1, np.zeros(8, dtype=np.int64), bits=32)
-    base32 = bytearray(encode_flac(16000, 1, np.zeros(8, dtype=np.int64)))
+        encode_flac(16000, 1, np.zeros(8, dtype=np.int64), bits=17)
+    base31 = bytearray(encode_flac(16000, 1, np.zeros(8, dtype=np.int64)))
     # STREAMINFO bps-1 straddles bytes 20-21 of the block (bit offset
-    # 103): rewrite the 5-bit field from 15 (16-bit) to 31 (32-bit)
-    base32[8 + 12] |= 0x01
-    base32[8 + 13] |= 0xF0
+    # 103): rewrite the 5-bit field from 15 (16-bit) to 30 (31-bit —
+    # no frame code exists for it)
+    base31[8 + 12] |= 0x01
+    base31[8 + 13] = (base31[8 + 13] & 0x0F) | 0xE0
     with pytest.raises(ValueError, match="unsupported bit depth"):
-        parse_flac(bytes(base32))
+        parse_flac(bytes(base31))
     # a fixed frame depth code that CONTRADICTS STREAMINFO quarantines
     basem = bytearray(encode_flac(16000, 1, np.zeros(8, dtype=np.int64)))
     fo = 42  # first frame after 4 magic + 4 header + 34 streaminfo
@@ -3127,3 +3132,32 @@ def test_jpeg_new_tiers_mutation_hardening():
                 parse_jpeg(bytes(buf))
             except ValueError:
                 pass
+
+
+def test_bmp_1bit_roundtrip_multibyte_rows():
+    """r14 tier: 1-bit palette. The fixture's widths (4-8) pack into a
+    single row byte, so this pins the multi-byte case directly: w=19
+    needs 3 bytes (5 trailing pad bits) + 1 stride pad byte, both row
+    orders."""
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    w, h = 19, 5
+    idx = bytes((p * 7 + p // w) % 2 for p in range(w * h))
+    pal = bytes((11 + b * 29) % 256 for b in range(2 * 3))
+    for top_down in (False, True):
+        ww, hh, out = parse_bmp(
+            encode_bmp(w, h, idx, palette=pal, bit1=True, top_down=top_down)
+        )
+        assert (ww, hh) == (w, h)
+        pr = np.frombuffer(pal, dtype=np.uint8).reshape(2, 3)
+        exp = pr[np.frombuffer(idx, dtype=np.uint8)].ravel()
+        assert np.array_equal(np.frombuffer(out, dtype=np.uint8), exp), top_down
+    # encoder refuses an over-wide palette or RLE combination
+    import pytest
+
+    with pytest.raises(ValueError, match="1-bit"):
+        encode_bmp(4, 3, bytes(12), palette=bytes(9), bit1=True)
+    with pytest.raises(ValueError, match="1-bit"):
+        encode_bmp(4, 3, bytes(12), palette=bytes(6), bit1=True, rle8=True)
