@@ -52,9 +52,10 @@ BUDGETS_S: dict[str, float] = {
     "sketch_theta_kmv": 1.78,  # r9: 1.8 x 0.99 s quiet median
     "ml_ols_regression": 3.33,  # r9: 1.8 x 1.85 s quiet median (10
     # fixed-point moment aggregates over lineitem in one pass)
-    "multimodal_decode_bmp": 2.24,  # r14: 1.8 x 1.245 s quiet median —
-    # the 1-bit tier (cycle 7 -> 8) adds a per-pixel bit-pack loop on
-    # the fixture side; was 1.8 x 1.16 with the 7-tier cycle
+    "multimodal_decode_bmp": 2.50,  # r14: 1.8 x 1.388 s quiet median —
+    # the 1-bit tier adds a per-pixel bit-pack loop on the fixture side
+    # and the V4/V5 header tiers complete the cycle (7 -> 10); was
+    # 1.8 x 1.16 with the 7-tier cycle
     "multimodal_decode_adpcm": 2.92,  # r13 late: 1.8 x 1.62 s quiet
     # median — the QUAD tier doubles the per-doc code volume on 1/3 of
     # docs (was 1.8 x 1.22 mono/stereo)
@@ -147,7 +148,10 @@ BUDGETS_S: dict[str, float] = {
     "q3_shipping_priority": 1.18,
     "q5_region_revenue": 1.37,
     "q8_market_share": 1.90,  # r5: 1.8 × 1.05 s quiet-machine median
-    "q18_large_volume": 1.87,  # r5: 1.8 × 1.04 s quiet-machine median
+    "q18_large_volume": 1.70,  # r14: 1.8 x 0.943 s quiet median — the
+    # single-scan rework (one lineitem pass, long-lane fixed-point
+    # output sum); the r13 two-scan form measured 1.79 s for its first
+    # aggregate alone on this host
     "sample_importance": 2.50,
     "sessionize_events": 0.98,
     "sim_topk_bruteforce": 0.83,

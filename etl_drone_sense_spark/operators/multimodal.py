@@ -891,6 +891,7 @@ def encode_bmp(
     bitfields565: bool = False,
     rgb32: bool = False,
     bit1: bool = False,
+    header_version: int = 40,
 ) -> bytes:
     """Minimal BMP writer — the fixture side of the codec pair, exactly
     like encode_png. ``raster`` is RGB bytes (24-bit) or palette indices
@@ -905,7 +906,10 @@ def encode_bmp(
     12 bytes after the info header; RGB input truncates to the field
     widths), ``rgb32`` (32-bit BI_RGB — BGRX quads, no row pad), and
     ``bit1`` (r14: 1-bit palette — MSB-first bit-packed rows, <=2
-    palette entries)."""
+    palette entries). ``header_version`` (r14) picks the info header:
+    40 (BITMAPINFOHEADER), 108 (V4 — channel masks move INSIDE the
+    header at offset 40, CSType 'sRGB', zeroed endpoints/gammas) or
+    124 (V5 — adds intent and a zero profile)."""
     import struct
 
     if rle8 and (palette is None or top_down):
@@ -1072,10 +1076,30 @@ def encode_bmp(
                 row = raster[y * width : (y + 1) * width]
             rows.append(row + b"\x00" * pad)
         pixel_data = b"".join(rows)
-    data_offset = 14 + 40 + len(mask_blob) + len(pal_blob)
+    if header_version not in (40, 108, 124):
+        raise ValueError(f"bmp: unsupported header version {header_version}")
+    ext_blob = b""
+    if header_version >= 108:
+        # V4/V5: the four channel masks live INSIDE the header (offset
+        # 40), so the separate BITFIELDS mask blob disappears; CSType
+        # 'sRGB' declares the identity color space (no transform).
+        masks4 = (
+            struct.unpack("<III", mask_blob) + (0,)
+            if mask_blob
+            else (0, 0, 0, 0)
+        )
+        ext_blob = struct.pack("<IIII", *masks4)
+        ext_blob += struct.pack("<I", 0x73524742)  # 'sRGB' (big-endian tag)
+        ext_blob += bytes(36)  # CIEXYZTRIPLE endpoints (ignored for sRGB)
+        ext_blob += struct.pack("<III", 0, 0, 0)  # gammas
+        if header_version == 124:
+            # intent LCS_GM_GRAPHICS(2), no profile data, reserved
+            ext_blob += struct.pack("<IIII", 2, 0, 0, 0)
+        mask_blob = b""
+    data_offset = 14 + header_version + len(mask_blob) + len(pal_blob)
     info = struct.pack(
         "<IiiHHIIiiII",
-        40,
+        header_version,
         width,
         -height if top_down else height,
         1,
@@ -1091,7 +1115,7 @@ def encode_bmp(
     file_header = struct.pack(
         "<2sIHHI", b"BM", data_offset + len(pixel_data), 0, 0, data_offset
     )
-    return file_header + info + mask_blob + pal_blob + pixel_data
+    return file_header + info + ext_blob + mask_blob + pal_blob + pixel_data
 
 
 def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
@@ -1107,8 +1131,11 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     orders, and BI_RLE8 + BI_RLE4 compression (encoded runs — RLE4
     runs alternate the two nibbles of the value byte — absolute mode
     with word padding, EOL/EOB escapes, delta moves; skipped pixels
-    keep palette entry 0, the conventional background). Everything
-    else — V4/V5 headers, RLE on top-down images, overlapping or
+    keep palette entry 0, the conventional background), under 40-byte
+    BITMAPINFOHEADER or V4/V5 headers with identity color spaces
+    (sRGB/'Win '/0 — r14; an embedded ICC profile implies a transform
+    and quarantines). Everything else — RLE on top-down images,
+    overlapping or
     non-contiguous masks, and every malformed-structure case
     (truncation, raster overflow, cursor escape, out-of-range palette
     index) — raises ``ValueError`` so one bad blob quarantines instead
@@ -1120,8 +1147,18 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("bmp: not a BM file")
     data_offset = struct.unpack_from("<I", buf, 10)[0]
     hdr_size = struct.unpack_from("<I", buf, 14)[0]
-    if hdr_size != 40:
+    if hdr_size not in (40, 108, 124):
         raise ValueError(f"bmp: unsupported header size {hdr_size}")
+    if hdr_size >= 108:
+        # V4/V5 (r14): the extra fields add color-space METADATA, not a
+        # pixel layout. Identity color spaces decode as-is; an embedded
+        # ICC profile ('MBED'/'LINK') implies a transform this decoder
+        # does not apply — quarantine rather than emit wrong colors.
+        if len(buf) < 14 + hdr_size:
+            raise ValueError("bmp: truncated V4/V5 header")
+        cstype = struct.unpack_from("<I", buf, 14 + 56)[0]
+        if cstype not in (0, 0x73524742, 0x57696E20):  # 0 / sRGB / Win
+            raise ValueError(f"bmp: unsupported color space {cstype:#x}")
     if data_offset < 14 + hdr_size:
         # an offset pointing back into the headers would silently decode
         # header bytes as pixels — quarantine, don't guess
@@ -1148,6 +1185,9 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     n_colors = struct.unpack_from("<I", buf, 46)[0]
     masks = None
     if compression == 3:
+        # the three RGB masks sit at byte 54 for BOTH layouts: a 40-byte
+        # header is followed by the 12-byte BITFIELDS blob, V4/V5 embed
+        # the mask fields at header offset 40 (= file offset 54)
         if len(buf) < 54 + 12:
             raise ValueError("bmp: truncated BITFIELDS masks")
         masks = struct.unpack_from("<III", buf, 54)
@@ -1176,7 +1216,7 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
             n_colors = 1 << bitcount
         if n_colors > (1 << bitcount):
             raise ValueError("bmp: palette larger than the index space")
-        pal_off = 14 + 40
+        pal_off = 14 + hdr_size
         pal_end = pal_off + 4 * n_colors
         if pal_end > len(buf) or pal_end > data_offset:
             raise ValueError("bmp: truncated palette")
@@ -6136,8 +6176,9 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
     bytes (file + info headers, BGR rows, 4-byte row padding via
     ``encode_bmp``) whose pixel content a SQL oracle can derive.
     ``width = 4 + doc_id % 5``, ``height = 3 + doc_id % 4``; the variant
-    cycles ``doc_id % 8`` so one relation exercises every decoded bit
-    depth, both row orders, both RLE compressions, and BITFIELDS
+    cycles ``doc_id % 10`` so one relation exercises every decoded bit
+    depth, both row orders, both RLE compressions, all three header
+    versions, and BITFIELDS
     (padding is non-zero whenever width*3 % 4 != 0, so the stride math
     is genuinely under test):
 
@@ -6169,7 +6210,12 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
       at ``p`` = ``(doc_id*43 + p) % 2``, 2-entry palette with the
       shared palette formula — rows are MSB-first bit-packed into
       ``(w+7)//8`` bytes then 4-byte padded, so the bit-unpack and the
-      sub-byte stride math are genuinely under test.
+      sub-byte stride math are genuinely under test;
+    * 8 → the variant-4 BITFIELDS-565 image under a V4 HEADER (r14):
+      masks move INSIDE the 108-byte header at offset 40, sRGB CSType
+      — a header-offset bug shifts palette/pixel reads and hash-fails;
+    * 9 → the variant-5 32-bit image under a V5 HEADER (r14, 124-byte)
+      — same RGB formula bit-exactly.
 
     Multipliers 43/47 are distinct from the PPM (31), PNG (37/41), and
     GIF fixtures so a codec mix-up cannot silently hash-match."""
@@ -6180,8 +6226,8 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 4 + did % 5, 3 + did % 4
-                variant = did % 8
-                if variant in (0, 1, 4, 5):
+                variant = did % 10
+                if variant in (0, 1, 4, 5, 8, 9):
                     raster = bytes(
                         (did * 43 + i) % 256 for i in range(w * h * 3)
                     )
@@ -6189,8 +6235,9 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
                         encode_bmp(
                             w, h, raster,
                             top_down=(variant == 1),
-                            bitfields565=(variant == 4),
-                            rgb32=(variant == 5),
+                            bitfields565=(variant in (4, 8)),
+                            rgb32=(variant in (5, 9)),
+                            header_version={8: 108, 9: 124}.get(variant, 40),
                         )
                     )
                 elif variant == 6:

@@ -2011,7 +2011,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
         SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 8 AS variant
+               doc_id % 10 AS variant
         FROM documents
     ),
     px AS (
@@ -2024,12 +2024,13 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, w, h, p, c,
                CASE
                    -- 24-bit (both row orders) and 32-bit BGRX share the
-                   -- RGB formula bit-exactly
-                   WHEN variant IN (0, 1, 5)
+                   -- RGB formula bit-exactly (9 = 32-bit under V5)
+                   WHEN variant IN (0, 1, 5, 9)
                    THEN (doc_id * 43 + p * 3 + c) % 256
                    -- 16-bit BITFIELDS 5-6-5: truncate to the field
                    -- width, then the decoder's floor rescale to 8-bit
-                   WHEN variant = 4
+                   -- (8 = the same image under a V4 header)
+                   WHEN variant IN (4, 8)
                    THEN CASE c
                         WHEN 1 THEN (((doc_id * 43 + p * 3 + 1) % 256)
                                      // 4) * 255 // 63
@@ -2072,9 +2073,11 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor ``v*255 // field_max`` rescale transcribed by the oracle),
     32-bit BI_RGB (BGRX quads — the pad byte must be ignored), and
     4-bit palette BI_RLE4 (nibble runs alternating the value byte's two
-    halves, nibble-packed absolute mode), plus the r14 tier that closed
-    the LAST palette quarantine: 1-bit (MSB-first bit-packed rows, the
-    sub-byte stride path)
+    halves, nibble-packed absolute mode), plus the r14 tiers that
+    closed the LAST structural quarantines: 1-bit palette (MSB-first
+    bit-packed rows, the sub-byte stride path) and V4/V5 headers with
+    identity color spaces (masks inside the header, palette/pixel
+    offsets shifted by the header size)
     (operators/multimodal.encode_bmp / parse_bmp), decoded through the
     same Arrow mapInPandas path as PPM/PNG/JPEG/GIF (parse_image
     dispatches on the 'BM' magic). Pixel content is an arithmetic
@@ -2082,9 +2085,11 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-sensitive ``row_moment`` (Σ row_index · row byte-sum)
     catches the vertical-flip bug class that per-channel means are
     mathematically blind to (a mishandled negative biHeight preserves
-    all three means). V4/V5-header variants quarantine via
-    the shared decode_ok=false contract — the terminal BMP state (the
-    remaining headers add color-space metadata, not pixel layouts)."""
+    all three means). The terminal BMP state: every spec pixel layout
+    and header version decodes; the one remaining quarantine is a V4/V5
+    file whose CSType demands a real color transform (embedded ICC
+    profile) — emitting untransformed pixels there would be silently
+    wrong, so it stays ValueError by design."""
     media = multimodal.synth_bmp_media(t(spark, sf_dir, "documents"))
     feats = multimodal.decode_image_features(media)
     return feats.filter(F.col("decode_ok")).select(

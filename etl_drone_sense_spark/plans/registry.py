@@ -1102,7 +1102,11 @@ TOUCHED_R14: tuple[str, ...] = (
     "multimodal_decode_flac",  # r14: 32-bit tier (RFC 9639 code point,
     # the last fixed depth) — fixture depth cycle 3 -> 4
     "multimodal_decode_bmp",  # r14: 1-bit palette tier (MSB-first
-    # bit-packed rows, the last palette layout) — fixture cycle 7 -> 8
+    # bit-packed rows, the last palette layout) + V4/V5 header tiers
+    # (identity color spaces; masks inside the header) — fixture cycle
+    # 7 -> 8 -> 10
+    "q18_large_volume",  # r14: single-lineitem-scan rework (the HAVING
+    # agg already computes the output sum) — hash unchanged, slope cut
 )
 
 

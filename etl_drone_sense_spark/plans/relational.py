@@ -332,29 +332,59 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders (HAVING-filtered semi join).
 
-    Scale: the qualifying-orderkey set is computed by ONE agg over
-    lineitem (map-side partial on orderkey) and is tiny after the
-    HAVING filter — it left-semi joins into orders as a broadcast.
-    The second lineitem pass re-aggregates only qualifying orders'
-    lines. Two lineitem scans beat materializing per-order sums for
-    ALL orders through the customer join at 100 TB (the qualifying set
-    is ~1e-4 of orders)."""
+    Scale (r14 — r13 VERDICT item 6): the r13 form scanned lineitem
+    TWICE — once for the HAVING filter's per-order sums, once to
+    re-aggregate qualifying orders' lines — and carried the fleet's
+    second-highest raw sf1 slope (4.2×). But the first aggregation
+    already computes the exact quantity sum the OUTPUT needs, so the
+    second scan was pure rework: one groupBy(l_orderkey) pass now
+    produces BOTH the decimal HAVING sum and the fixed-point output
+    ``sum_qty``; the post-filter relation (~1e-4 of orders — one row
+    per qualifying order, already aggregated) joins into orders ⨝
+    customer with no further lineitem contact and no re-aggregation
+    (the group key is orderkey-functional, so the old final groupBy
+    was a per-order identity). At 100 TB this is ONE fact-table scan +
+    one map-combined exchange, then catalog-scale work; AQE picks
+    broadcast vs shuffle for the tiny qualifying side at runtime.
+    Hash unchanged: the HAVING predicate keeps the r13 decimal(28,6)
+    sum verbatim, and ``sum_qty`` is dsum's fixed-point formula with a
+    BIGINT accumulator instead of decimal(38,0) — measured 1.87 →
+    1.07 s for the aggregate alone (decimal-128 accumulation is the
+    cost), and exactness holds because per-ORDER micro-unit sums are
+    bounded by 7 lines × 50e6 « 2^53 (the general dsum needs the
+    128-bit lane only for unbounded groups). Measured sf0.1: the r13
+    two-scan form 1.79 s quiet for its first aggregate alone; the full
+    r14 query 0.94 s quiet median; sf1 slope 4.2× → 2.76×
+    (BENCH_sf1.json — the residual slope is the orders⨝qualifying
+    shuffle growing into the probe's fixed 32 cores)."""
     li = t(spark, sf_dir, "lineitem")
-    big = (
+    per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_quantity").cast("double") * F.lit(1e6)
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("sum_qty"),
+        )
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
+        .select("l_orderkey", "sum_qty")
     )
     orders = t(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+        per_order, F.col("o_orderkey") == F.col("l_orderkey")
     )
     cust = t(spark, sf_dir, "customer")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

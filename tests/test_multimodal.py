@@ -1530,19 +1530,19 @@ def test_bmp_end_to_end_decode_matches_formula(spark):
 
     from etl_drone_sense_spark.operators import multimodal as MM
 
-    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
     got = {
         r["media_id"]: r
         for r in MM.decode_image_features(MM.synth_bmp_media(docs)).collect()
     }
-    for did in range(16):
+    for did in range(20):
         w, h = 4 + did % 5, 3 + did % 4
-        variant = did % 8  # r13 late tiers + the r14 1-bit tier
-        if variant in (0, 1, 5):
+        variant = did % 10  # r13 late tiers + r14 1-bit and V4/V5 tiers
+        if variant in (0, 1, 5, 9):
             vals = np.array(
                 [(did * 43 + i) % 256 for i in range(w * h * 3)], dtype=np.int64
             )
-        elif variant == 4:
+        elif variant in (4, 8):
             px = np.array(
                 [(did * 43 + i) % 256 for i in range(w * h * 3)], dtype=np.int64
             ).reshape(-1, 3)
@@ -3161,3 +3161,40 @@ def test_bmp_1bit_roundtrip_multibyte_rows():
         encode_bmp(4, 3, bytes(12), palette=bytes(9), bit1=True)
     with pytest.raises(ValueError, match="1-bit"):
         encode_bmp(4, 3, bytes(12), palette=bytes(6), bit1=True, rle8=True)
+
+
+def test_bmp_v4_v5_headers_roundtrip_and_icc_quarantines():
+    """r14: V4/V5 headers are metadata, not pixel layouts — the same
+    image must decode bit-identically under all three header versions
+    (including BITFIELDS masks moving inside the V4+ header), and a
+    CSType demanding a real color transform (embedded ICC) must
+    quarantine rather than emit untransformed pixels."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_drone_sense_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    w, h = 7, 4
+    raster = bytes((i * 11 + 3) % 256 for i in range(w * h * 3))
+    base = parse_bmp(encode_bmp(w, h, raster))
+    for hv in (108, 124):
+        assert parse_bmp(encode_bmp(w, h, raster, header_version=hv)) == base
+        # BITFIELDS under V4/V5: masks ride inside the header
+        a40 = parse_bmp(encode_bmp(w, h, raster, bitfields565=True))
+        av = parse_bmp(
+            encode_bmp(w, h, raster, bitfields565=True, header_version=hv)
+        )
+        assert av == a40
+        # palette offset must shift with the header size
+        idx = bytes((p * 3) % 16 for p in range(w * h))
+        pal = bytes((p * 5 + 1) % 256 for p in range(16 * 3))
+        p40 = parse_bmp(encode_bmp(w, h, idx, palette=pal))
+        pv = parse_bmp(encode_bmp(w, h, idx, palette=pal, header_version=hv))
+        assert pv == p40
+    # PROFILE_EMBEDDED ('MBED') demands an ICC transform -> quarantine
+    v5 = bytearray(encode_bmp(w, h, raster, header_version=124))
+    struct.pack_into("<I", v5, 14 + 56, 0x4D424544)
+    with pytest.raises(ValueError, match="color space"):
+        parse_bmp(bytes(v5))

@@ -843,3 +843,19 @@ def test_sssp_rounds_frontier_only_one_exchange(spark, sf_dir):
         assert rp.count("ShuffledHashJoin") == 1, rp
         assert rp.count("Exchange") == 1, rp
         assert "+- Sort" not in rp and "- Sort " not in rp, rp
+
+
+def test_q18_single_lineitem_scan(spark, sf_dir):
+    """r14 (r13 VERDICT item 6): q18's HAVING aggregation already
+    computes the output's per-order quantity sum, so the plan must scan
+    lineitem exactly ONCE — the r13 second scan (re-aggregating
+    qualifying orders' lines) was rework and carried a 4.2x sf1 slope.
+    Also pins: exactly one fact-table exchange feeding the agg (the
+    map-combined groupBy(l_orderkey)), no further aggregate above the
+    joins, and top-k without a global sort."""
+    plan = plan_of(spark, sf_dir, "q18_large_volume", mode="simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan
+    # the only HashAggregates are the partial/final pair of the one
+    # per-order sum — the old plan had a second pair above the joins
+    assert plan.count("HashAggregate") == 2, plan

@@ -32,6 +32,8 @@ def test_every_bench_query_has_a_budget():
 def test_touched_and_checked_names_exist():
     known = set(RG.REGISTRY) | set(RG.RETIRED)
     for group in (
+        RG.TOUCHED_R14,
+        RG.DRIVER_CHECKED_R13,
         RG.TOUCHED_R13,
         RG.DRIVER_CHECKED_R12,
         RG.TOUCHED_R12,
@@ -77,7 +79,15 @@ def _ever_checked() -> set[str]:
         | set(RG.DRIVER_CHECKED_R10)
         | set(RG.DRIVER_CHECKED_R11)
         | set(RG.DRIVER_CHECKED_R12)
+        | set(RG.DRIVER_CHECKED_R13)
     )
+
+
+def test_r13_fold_covers_the_r13_touched_names():
+    """Every r13-touched name must have an r13 driver row (the fold is the
+    exact CORRECTNESS_r13.json key set, 50/50 green)."""
+    uncovered = set(RG.TOUCHED_R13) - set(RG.DRIVER_CHECKED_R13)
+    assert not uncovered, f"touched r13 names without an r13 row: {uncovered}"
 
 
 def test_r12_fold_covers_the_r12_touched_names():
@@ -121,9 +131,9 @@ def test_window_head_covers_everything_unverified_or_touched():
     # A touched name that is not registered must be an explicit retirement
     # (r10 ADVICE: otherwise a typo in TOUCHED silently drops the
     # must-be-in-head requirement for the query it meant to name).
-    ghosts = set(RG.TOUCHED_R13) - set(order)
+    ghosts = set(RG.TOUCHED_R14) - set(order)
     assert ghosts <= RG.RETIRED, f"touched names neither registered nor retired: {ghosts}"
-    must_be_in_head = set(RG.TOUCHED_R13) & set(order) | (
+    must_be_in_head = set(RG.TOUCHED_R14) & set(order) | (
         set(order) - _ever_checked()
     )
     missing = must_be_in_head - head
@@ -132,19 +142,21 @@ def test_window_head_covers_everything_unverified_or_touched():
 
 def test_window_head_leads_with_stalest_tier():
     """After the touched/never-checked block, remaining window slots must
-    fill with the stalest-evidence tier — after the r12 fold that is the
-    38-query tier whose NEWEST driver row is round 7 (the r6 tier emptied:
-    every r6-newest name was re-certified in r12). The r13 touched head
-    (8) plus the full r7 tier (38) fits in the 50-name window with 4
-    slots spilling into the next-stalest (r9) tier."""
+    fill with the stalest-evidence tier — after the r13 fold that is the
+    16-query tier whose NEWEST driver row is round 7 (the drone/join/
+    stream core, the oldest evidence in the fleet — the r13 fold
+    re-certified the other 22 r7-tier names). The r14 touched head plus
+    the full 16-name r7 tier fits in the 50-name window with the
+    remainder spilling into the next-stalest (r9) tier."""
     order = list(RG.all_queries())
     fresher = (
         set(RG.DRIVER_CHECKED_R09)
         | set(RG.DRIVER_CHECKED_R10)
         | set(RG.DRIVER_CHECKED_R11)
         | set(RG.DRIVER_CHECKED_R12)
+        | set(RG.DRIVER_CHECKED_R13)
     )
-    touched = set(RG.TOUCHED_R13)
+    touched = set(RG.TOUCHED_R14)
     stale_tier = [
         n
         for n in RG.REGISTRY
@@ -153,13 +165,8 @@ def test_window_head_leads_with_stalest_tier():
         and n not in touched
     ]
     assert set(stale_tier) == {
-        "cdc_snapshot_diff",
-        "corpus_mixture_sample",
-        "dedup_embedding",
-        "dedup_embedding_lsh",
         "drone_features_flat",
         "drone_features_multivideo",
-        "events_pattern_match",
         "events_retention_cohorts",
         "filter_in_between_like",
         "geo_bearing_distance",
@@ -169,36 +176,14 @@ def test_window_head_leads_with_stalest_tier():
         "join_left_count",
         "join_range_nonequi",
         "join_semi",
-        "layout_zorder",
-        "multimodal_bytes",
-        "multimodal_features",
-        "sample_reservoir_group",
-        "sim_ivf_topk",
-        "sim_topk_batch",
-        "sim_topk_bruteforce",
         "sort_limit",
         "stream_dedup_exact",
         "stream_drone_features_flat",
         "stream_interval_join_outer",
         "stream_running_totals",
-        "stream_session_counts",
-        "text_bigram_lm",
-        "text_gopher_quality",
-        "text_langid",
-        "text_langid_predict",
-        "text_quality",
-        "text_redact_pii",
-        "text_token_freq",
-        "udaf_weighted_price",
-        "udtf_sentences",
     }, "stale-tier membership drifted — re-derive the rotation plan"
     pos = {n: i for i, n in enumerate(order)}
     n_touched = len(touched & set(order))
-    # The touched head may leave fewer than |stale_tier| window slots
-    # (r13: 15 touched + 38-name r7 tier > 50); the tier then fills
-    # EVERY remaining slot, and the overflow rolls to the next round's
-    # window — what must never happen is a fresher-evidence name taking
-    # a slot ahead of a staler one.
     fill = min(50 - n_touched, len(stale_tier))
     window_fill = set(order[n_touched : n_touched + fill])
     assert window_fill <= set(stale_tier), (

@@ -305,6 +305,18 @@ SKEW_QUERIES = [
     # state = distinct values, not event count); an unweighted per-key
     # row sort would make the hot user a straggler task
     "events_anomaly_mad",
+    # r14 (r13 VERDICT item 5): the ITERATIVE graph family under a
+    # power-law hub. Both derive their edge relation from orders (src =
+    # o_custkey), so the hot-key remap makes one customer a hub carrying
+    # 20% of all FACT rows — the edge-derivation join + distinct absorb
+    # the skew (post-distinct the hub's degree caps at catalog scale:
+    # one row per distinct supplier), and each loop round then feeds the
+    # hub's whole adjacency through the message aggregation. The
+    # classic failure is a straggler reducer on the hub node in the
+    # per-round groupBy; the pinned-adjacency discipline keeps messages
+    # map-combined, which is exactly what the slope certifies.
+    "graph_sssp",
+    "graph_label_communities",
 ]
 
 # Under the hot key, a CORRECT interval join's OUTPUT is the hot pair
