@@ -2842,17 +2842,17 @@ BPE_SAMPLED_ROUNDS = 64  # merges learned by the sampled delta trainer
 BPE_SAMPLE_MOD = 5  # deterministic 20% doc sample: doc_id % 5 = 0
 
 
-def _bpe_train_sampled_oracle(rounds: int = BPE_SAMPLED_ROUNDS) -> str:
-    """The sampled trainer's recurrence unrolled in DuckDB — but over
-    the DISTINCT-WORD frequency vocab the production trainer actually
-    iterates (pair totals are identical to per-occurrence counting
-    because pairs never span words), so the hash gate certifies the
-    collapse AND the merge sequence. Every CTE is MATERIALIZED: b{k}
-    feeds both v{k+1} and the output union, and s/v CTEs chain — at 64
-    rounds, inlining would re-expand the shared subtrees exponentially
-    (the 6-round r13 oracle survives inlining; this one must not rely
-    on it). Empty corpora propagate empty best relations, so both
-    engines emit fewer rows in lockstep."""
+def _bpe_sampled_train_ctes(rounds: int) -> list[str]:
+    """The sampled trainer's recurrence as a MATERIALIZED CTE chain —
+    over the DISTINCT-WORD frequency vocab the production trainer
+    actually iterates (pair totals are identical to per-occurrence
+    counting because pairs never span words), so the hash gate
+    certifies the collapse AND the merge sequence. Every CTE is
+    MATERIALIZED: b{k} feeds both v{k+1} and downstream consumers, and
+    v CTEs chain — at 64 rounds, inlining would re-expand the shared
+    subtrees exponentially (the 6-round r13 oracle survives inlining;
+    this one must not rely on it). Shared by the trainer oracle and
+    the train→apply oracle."""
     o, c = ord(BPE.O), ord(BPE.C)
     enc = f"regexp_replace(w, '(.)', chr({o}) || '\\1' || chr({c}), 'g')"
     ctes = [
@@ -2862,7 +2862,6 @@ def _bpe_train_sampled_oracle(rounds: int = BPE_SAMPLED_ROUNDS) -> str:
               FROM documents WHERE doc_id % {BPE_SAMPLE_MOD} = 0)
         GROUP BY 1)"""
     ]
-    outs = []
     for k in range(1, rounds + 1):
         ctes.append(f"""
     p{k} AS MATERIALIZED (
@@ -2887,12 +2886,57 @@ def _bpe_train_sampled_oracle(rounds: int = BPE_SAMPLED_ROUNDS) -> str:
                        chr({o}) || a || b || chr({c})) AS state, wc
         FROM v{k} CROSS JOIN b{k}
     )""")
-        outs.append(
-            f"SELECT {k} AS merge_rank, a, b, a || b AS merged, cnt FROM b{k}"
-        )
+    return ctes
+
+
+def _bpe_train_sampled_oracle(rounds: int = BPE_SAMPLED_ROUNDS) -> str:
+    """Trainer output: one row per learned merge. Empty corpora
+    propagate empty best relations, so both engines emit fewer rows in
+    lockstep."""
+    outs = [
+        f"SELECT {k} AS merge_rank, a, b, a || b AS merged, cnt FROM b{k}"
+        for k in range(1, rounds + 1)
+    ]
     return (
-        "WITH " + ",".join(ctes) + "\n    "
+        "WITH " + ",".join(_bpe_sampled_train_ctes(rounds)) + "\n    "
         + "\n    UNION ALL ".join(outs)
+    )
+
+
+def _bpe_train_apply_oracle(rounds: int = BPE_SAMPLED_ROUNDS) -> str:
+    """Train on the sample, then ENCODE THE WHOLE CORPUS with the
+    learned table: the training chain above, then 64 apply CTEs — each
+    replaces one learned merge in every document's state, LEFT-joined
+    so an exhausted training run (empty b{k}) applies only the learned
+    prefix instead of vanishing the corpus."""
+    o, c = ord(BPE.O), ord(BPE.C)
+    ctes = _bpe_sampled_train_ctes(rounds)
+    ctes.append(f"""
+    d0 AS MATERIALIZED (
+        SELECT doc_id, {BPE.initial_state_sql('text')} AS state
+        FROM documents)""")
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+    d{k} AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN b.a IS NULL THEN state
+                    ELSE replace(state,
+                                 chr({o}) || b.a || chr({c}) || chr({o})
+                                     || b.b || chr({c}),
+                                 chr({o}) || b.a || b.b || chr({c})) END
+                   AS state
+        FROM d{k - 1} LEFT JOIN b{k} b ON true
+    )""")
+    state = f"d{rounds}.state"
+    render = BPE.render_sql(state)
+    return (
+        "WITH " + ",".join(ctes) + f"""
+    SELECT doc_id,
+           {BPE.token_count_sql(state)} AS n_tokens,
+           coalesce(array_to_string(
+               string_split({render}, ' ')[1:{BPE_HEAD_TOKENS}], ' '),
+               '') AS tokens_head
+    FROM d{rounds}"""
     )
 
 
@@ -3148,4 +3192,52 @@ def text_gopher_quality_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("fertility_ppm") <= _BPE_FERTILITY_MAX_PPM, F.lit(False)
             )
         ).alias("bpe_pass"),
+    )
+
+
+@register(
+    "text_bpe_train_apply",
+    oracle=_bpe_train_apply_oracle(),
+    tags=("text", "tokenize", "iterative", "corpus"),
+)
+def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END tokenizer pipeline (r14): learn
+    {BPE_SAMPLED_ROUNDS} merges from the deterministic 20% sample
+    (text_bpe_train_sampled's trainer, operators/bpetrain.py), then
+    ENCODE THE WHOLE CORPUS with the learned table — which is exactly
+    what a training-data pipeline does: train the tokenizer once on a
+    sample, tokenize everything with the frozen result. The encode side
+    is text_bpe_tokenize's shape with the learned merges in place of
+    the shipped table: one narrow projection, one plain replace per
+    learned rank folded in as literals — zero shuffles beyond the
+    trainer's own (rank-order replay is exact for a sequentially-learned
+    table: each merge was applied exhaustively at learning time and no
+    later merge can recreate an earlier pair it doesn't produce).
+    Output per document: exact learned-token count and the first
+    {BPE_HEAD_TOKENS} tokens (pinning actual sequences — merge order,
+    overlap resolution, word boundaries — not just counts). The DuckDB
+    oracle chains the trainer's {BPE_SAMPLED_ROUNDS} MATERIALIZED
+    rounds with {BPE_SAMPLED_ROUNDS} corpus-wide apply CTEs
+    (LEFT-joined so an exhausted training run applies only the learned
+    prefix), so the hash gate certifies the COMPOSITION: a drift in
+    any learned merge, its order, or the replay changes some document's
+    token stream and hash-fails. Not in the headline bench set (the
+    trainer's 64 driver rounds are an offline job, same reasoning as
+    text_bpe_train); certified at sf0.01 AND sf1 instead."""
+    from ..operators.bpetrain import train_merges_delta
+
+    docs = t(spark, sf_dir, "documents")
+    sample = docs.filter((F.col("doc_id") % BPE_SAMPLE_MOD) == 0)
+    learned = train_merges_delta(sample, rounds=BPE_SAMPLED_ROUNDS)
+    state = BPE.initial_state(F.col("text"))
+    for _, a, b, _, _ in learned:
+        pat, rep = BPE.merge_pattern(a, b)
+        state = F.replace(state, F.lit(pat), F.lit(rep))
+    toks = F.split(BPE.render(state), " ")
+    return docs.select(
+        "doc_id",
+        BPE.token_count(state).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, BPE_HEAD_TOKENS), " ").alias(
+            "tokens_head"
+        ),
     )

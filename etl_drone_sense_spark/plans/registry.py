@@ -1107,6 +1107,8 @@ TOUCHED_R14: tuple[str, ...] = (
     # 7 -> 8 -> 10
     "q18_large_volume",  # r14: single-lineitem-scan rework (the HAVING
     # agg already computes the output sum) — hash unchanged, slope cut
+    "text_bpe_train_apply",  # NEW r14: end-to-end train-on-sample then
+    # tokenize-the-corpus composition, the production tokenizer pipeline
 )
 
 

@@ -252,3 +252,50 @@ def test_bpe_train_sampled_empty_sample(spark):
 
     df = spark.createDataFrame([("   ",), (None,)], "text string")
     assert train_merges_delta(df, rounds=4) == []
+
+
+def test_bpe_train_apply_matches_sequential_replay(spark):
+    """train_apply = train on the sample, rank-order replay on every
+    doc. Pinned against a pure-python replay: train with the reference
+    trainer on the sampled docs, then apply each learned merge
+    leftmost-exhaustively in rank order to all docs."""
+    from etl_drone_sense_spark.functions import bpe
+    from etl_drone_sense_spark.operators.bpetrain import train_merges_delta
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the theory of things the the",
+        "ababab theory abab",
+        "theory of the ab",
+        "",
+    ]
+    # sample = doc_id % 2 == 0 for this test (drive the trainer directly)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    learned = train_merges_delta(
+        df.filter(F.col("doc_id") % 2 == 0), rounds=10
+    )
+    want_merges = _train_reference([texts[0], texts[2]], 10)
+    assert learned == want_merges
+
+    state = bpe.initial_state(F.col("text"))
+    for _, a, b, _, _ in learned:
+        pat, rep = bpe.merge_pattern(a, b)
+        state = F.replace(state, F.lit(pat), F.lit(rep))
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select("doc_id", bpe.render(state).alias("r")).collect()
+    }
+
+    # python replay
+    for i, t in enumerate(texts):
+        words = [list(w) for w in re.findall("[a-z0-9]+", t.lower())]
+        for _, a, b, _, _ in learned:
+            for toks in words:
+                j = 0
+                while j < len(toks) - 1:
+                    if toks[j] == a and toks[j + 1] == b:
+                        toks[j : j + 2] = [a + b]
+                    j += 1
+        assert got[i] == " ".join(tok for w in words for tok in w), i
