@@ -3241,3 +3241,185 @@ def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_head"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate ensemble (r14): the composed keep decision of a real
+# curation pipeline, in ONE scan
+# ---------------------------------------------------------------------------
+
+ENSEMBLE_LANGS = ("en", "de", "es", "fr")  # target-language whitelist
+
+# One seed per gate so every conjunct flips at least once (the fixture's
+# single-line unpunctuated word salad fails C4 across the board):
+# -701 passes every gate; -702 fails ONLY Gopher (zero stopwords);
+# -703 fails ONLY C4 (no terminal punctuation anywhere); -704 fails
+# ONLY fertility (9-char consonant words the frozen merges cannot
+# compress, wrapped in real sentences with stopwords); -705 is -701's
+# text under a non-target language tag.
+ENSEMBLE_SEEDS: tuple[tuple[int, str, str], ...] = (
+    (
+        -701,
+        "en",
+        "the merge table keeps a normal shape today.\n"
+        "these words flow into the second sentence here.\n"
+        "and a third sentence closes it for sure.",
+    ),
+    (
+        -702,
+        "en",
+        "cats jump over green fences quickly.\n"
+        "dogs chase red cars around town.\n"
+        "birds sing near tall trees daily.",
+    ),
+    (
+        -703,
+        "en",
+        "the merge table keeps a normal shape today these words flow "
+        "into a second part here and a third stretch closes it for sure",
+    ),
+    (
+        -704,
+        "en",
+        "the bcdfgjkmp cdfgjkmpb dfgjkmpbc fgjkmpbcd gjkmpbcdf and it is.\n"
+        "the jkmpbcdfg kmpbcdfgj mpbcdfgjk pbcdfgjkm bcdfgjkmp for it too.\n"
+        "the dfgjkmpbc fgjkmpbcd gjkmpbcdf jkmpbcdfg kmpbcdfgj is a fine end.",
+    ),
+    (
+        -705,
+        "zh",
+        "the merge table keeps a normal shape today.\n"
+        "these words flow into the second sentence here.\n"
+        "and a third sentence closes it for sure.",
+    ),
+)
+
+
+def _ensemble_seed_values() -> str:
+    return ", ".join(
+        f"({i}, '{lang}', '"
+        + s.replace("'", "''").replace(chr(10), "' || chr(10) || '")
+        + "')"
+        for i, lang, s in ENSEMBLE_SEEDS
+    )
+
+
+@register(
+    "corpus_quality_ensemble",
+    oracle=f"""
+    WITH seed(doc_id, lang, text) AS (VALUES {_ensemble_seed_values()}),
+    docs AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT doc_id, lang, text FROM seed
+    ),
+    gates AS (
+        SELECT doc_id, lang,
+               {TXT.gopher_pass_sql(TXT.gopher_features_sql('text'))}
+                   AS gopher_pass,
+               (NOT contains(lower(coalesce(text, '')), 'lorem ipsum')
+                AND NOT contains(coalesce(text, ''), '{{')
+                AND len(regexp_extract_all(
+                        coalesce(array_to_string(
+                            list_filter(
+                                list_transform(
+                                    string_split(coalesce(text, ''), chr(10)),
+                                    l -> trim(l)),
+                                l -> regexp_matches(l, '[.!?"]$')
+                                     AND len(string_split(l, ' ')) >= 5
+                                     AND NOT contains(lower(l), 'javascript')),
+                            chr(10)), ''),
+                        '[.!?]')) >= 3) AS keep_page,
+               CASE WHEN len({BPE.words_sql('text')}) > 0
+                    THEN (1000000 *
+                          {BPE.token_count_sql(BPE.doc_state_sql('text'))})
+                         // len({BPE.words_sql('text')}) END AS fertility_ppm,
+               (lang IN {ENSEMBLE_LANGS!r}) AS lang_pass
+        FROM docs
+    )
+    SELECT doc_id, lang, gopher_pass, keep_page, fertility_ppm, lang_pass,
+           (gopher_pass AND keep_page AND lang_pass AND coalesce(
+               fertility_ppm <= {_BPE_FERTILITY_MAX_PPM}, false)) AS keep
+    FROM gates
+    """,
+    tags=("corpus", "quality", "tokenize"),
+)
+def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED keep decision of a real curation pipeline (r14) in
+    one narrow scan: Gopher word-level rules AND C4 page cleaning AND
+    tokenizer fertility AND a target-language whitelist — the four
+    cheap gates every web corpus runs before any dedup or model-based
+    scoring, certified as one conjunction so gate interaction (a doc
+    passing three gates and failing the fourth) is itself under the
+    hash. All four gates are pure Column expressions over the same
+    scan: zero shuffles, survives a 100 TB scan untouched. The seeded
+    docs flip each conjunct independently (ENSEMBLE_SEEDS); the
+    whitelist gate uses the corpus lang TAG (the predicted-langid
+    surface is certified separately by text_langid_predict — at scale
+    the prediction feeds this tag)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .unionByName(
+            spark.createDataFrame(
+                list(ENSEMBLE_SEEDS), "doc_id long, lang string, text string"
+            )
+        )
+    )
+    feats = TXT.gopher_features(F.col("text"))
+    gopher = TXT.gopher_pass(feats)
+    lns = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+            lambda l: F.trim(l),
+        ),
+        lambda l: F.length(l) > 0,
+    )
+    keep_lines = F.filter(
+        lns,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= 5)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    n_sentences = F.size(
+        F.regexp_extract_all(F.array_join(keep_lines, "\n"), F.lit("[.!?]"), 0)
+    )
+    keep_page = (
+        ~F.contains(low, F.lit("lorem ipsum"))
+        & ~F.contains(F.coalesce(F.col("text"), F.lit("")), F.lit("{"))
+        & (n_sentences >= 3)
+    )
+    n_words = F.size(BPE.words(F.col("text"))).cast("long")
+    n_bpe = BPE.token_count(BPE.doc_state(F.col("text")))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        gopher.alias("gopher_pass"),
+        keep_page.alias("keep_page"),
+        F.when(
+            n_words > 0,
+            (F.lit(1_000_000).cast("long") * n_bpe)
+            .cast("long")
+            .alias("x"),
+        ).alias("_num"),
+        n_words.alias("_nw"),
+        F.col("lang").isin(*ENSEMBLE_LANGS).alias("lang_pass"),
+    ).withColumn(
+        "fertility_ppm", F.expr("_num div _nw")
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        "gopher_pass",
+        "keep_page",
+        "fertility_ppm",
+        "lang_pass",
+        (
+            F.col("gopher_pass")
+            & F.col("keep_page")
+            & F.col("lang_pass")
+            & F.coalesce(
+                F.col("fertility_ppm") <= _BPE_FERTILITY_MAX_PPM, F.lit(False)
+            )
+        ).alias("keep"),
+    )

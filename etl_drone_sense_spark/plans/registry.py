@@ -1109,6 +1109,8 @@ TOUCHED_R14: tuple[str, ...] = (
     # agg already computes the output sum) — hash unchanged, slope cut
     "text_bpe_train_apply",  # NEW r14: end-to-end train-on-sample then
     # tokenize-the-corpus composition, the production tokenizer pipeline
+    "corpus_quality_ensemble",  # NEW r14: gopher AND c4 AND fertility
+    # AND language whitelist as ONE certified conjunction, one scan
 )
 
 

@@ -369,3 +369,27 @@ def test_gopher_bpe_fertility_gate_branches(spark, sf_dir):
     for r in fixture:
         assert r.fertility_ppm <= 4_500_000
         assert r.bpe_pass == r.gopher_pass
+
+
+def test_quality_ensemble_gates_flip_independently(spark, sf_dir):
+    """Each conjunct must be the SOLE reason its seed fails — otherwise
+    the ensemble is vacuous for that gate."""
+    from etl_drone_sense_spark.plans.curation import corpus_quality_ensemble
+
+    rows = {
+        r.doc_id: r for r in corpus_quality_ensemble(spark, sf_dir).collect()
+    }
+    ok = rows[-701]
+    assert ok.keep and ok.gopher_pass and ok.keep_page and ok.lang_pass
+    g = rows[-702]  # gopher-only fail (zero stopwords)
+    assert (not g.gopher_pass) and g.keep_page and g.lang_pass
+    assert g.fertility_ppm <= 4_500_000 and not g.keep
+    c = rows[-703]  # c4-only fail (no terminal punctuation)
+    assert c.gopher_pass and (not c.keep_page) and c.lang_pass
+    assert c.fertility_ppm <= 4_500_000 and not c.keep
+    f = rows[-704]  # fertility-only fail
+    assert f.gopher_pass and f.keep_page and f.lang_pass
+    assert f.fertility_ppm > 4_500_000 and not f.keep
+    z = rows[-705]  # language-only fail
+    assert z.gopher_pass and z.keep_page and (not z.lang_pass)
+    assert z.fertility_ppm <= 4_500_000 and not z.keep
