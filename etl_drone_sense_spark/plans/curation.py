@@ -3423,3 +3423,89 @@ def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("keep"),
     )
+
+
+@register(
+    "stream_domain_budget_cutoff",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source AS domain,
+               CAST({TXT.token_count_sql('text')} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, domain, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                        PARTITION BY domain
+                        ORDER BY doc_id % 4, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS cum_before
+        FROM base
+    )
+    SELECT doc_id, domain, n_tokens, cum_before,
+           (cum_before < {_DOMAIN_BUDGET_TOKENS}) AS accepted
+    FROM cum
+    """,
+    tags=("streaming", "stateful", "corpus", "domain"),
+)
+def stream_domain_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_domain_budget's STREAMING twin (r14): the prefix-truncation
+    cutoff — accept each arriving doc while its domain has seen fewer
+    than {_DOMAIN_BUDGET_TOKENS} whitespace tokens, then reject
+    everything after. The batch twin deliberately caps by acceptance
+    RATE (a cumulative window would serialize hot domains at rest); in
+    streaming the cumulative form is natural — per-domain state is ONE
+    int64 counter (streaming/pipeline.domain_budget_cutoff,
+    applyInPandasWithState) and the cutoff is exact instead of
+    in-expectation.
+
+    The corpus drains in four micro-batches (doc_id % 4 chunk files ×
+    maxFilesPerTrigger=1 — the feed's appends are seconds apart, so the
+    file source's mtime order IS the chunk order), giving the arrival
+    order (doc_id % 4, doc_id); the oracle restates the whole run as a
+    window cumsum over exactly that order, so the hash gate certifies
+    the state carrying across micro-batches (at sf0.01 every fixture
+    domain's cutoff lands mid-stream — in batch 2 or 3 — so acceptance
+    genuinely straddles batch boundaries). Tokens are counted JVM-side
+    in the stream projection; the stateful handler touches only
+    (doc_id, domain, n_tokens)."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from ..streaming import pipeline as SP
+
+    work = tempfile.mkdtemp(prefix="sg_dombudget_")
+    feed = _os.path.join(work, "feed")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .select(
+            "doc_id",
+            F.col("source").alias("domain"),
+            TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    out = SP.domain_budget_cutoff(stream, budget=_DOMAIN_BUDGET_TOKENS)
+    name = f"reg_dombudget_{uuid.uuid4().hex[:8]}"
+    # The state store shards at spark.sql.shuffle.partitions; a plain
+    # session's 200 shards x 4 micro-batches is ~800 near-empty state
+    # tasks for a |domains|-cardinality key space. Scope a narrow width
+    # to this query's planning (set + restore around the blocking
+    # drain — the stream_running_totals_tws provider-conf pattern);
+    # the checkpoint pins the shard count for the query's lifetime.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = SP.run_to_memory(out, name, output_mode="update")
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name)

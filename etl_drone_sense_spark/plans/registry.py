@@ -1111,6 +1111,8 @@ TOUCHED_R14: tuple[str, ...] = (
     # tokenize-the-corpus composition, the production tokenizer pipeline
     "corpus_quality_ensemble",  # NEW r14: gopher AND c4 AND fertility
     # AND language whitelist as ONE certified conjunction, one scan
+    "stream_domain_budget_cutoff",  # NEW r14: streaming prefix-cutoff
+    # domain capping — one int64 state per domain, cumsum-window oracle
 )
 
 

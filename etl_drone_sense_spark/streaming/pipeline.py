@@ -376,3 +376,74 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "update"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-domain token-budget cutoff (r14)
+# ---------------------------------------------------------------------------
+
+_BUDGET_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("domain", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("cum_before", T.LongType()),
+        T.StructField("accepted", T.BooleanType()),
+    ]
+)
+_BUDGET_STATE_SCHEMA = T.StructType([T.StructField("cum", T.LongType())])
+
+
+def domain_budget_cutoff(docs: DataFrame, budget: int) -> DataFrame:
+    """Streaming per-domain token-budget CUTOFF via
+    ``applyInPandasWithState``: accept each arriving document while its
+    domain has seen fewer than ``budget`` tokens, then reject everything
+    after — the prefix-truncation form of domain capping. The BATCH
+    twin (plans/curation.corpus_domain_budget) deliberately uses
+    acceptance RATES because a per-domain cumulative window would
+    serialize each hot domain at rest; in STREAMING the cumulative form
+    is the natural one — per-domain state is one int64 counter and docs
+    arrive in a defined order, so the cutoff is exact rather than
+    in-expectation.
+
+    Exactness contract (what makes this hash-oracle-able): state is an
+    exact int64 token count; within a micro-batch the group's rows are
+    processed in doc_id order (sorted here — Spark hands the group's
+    batch rows in arbitrary order), so the acceptance decision depends
+    only on the (batch sequence, doc_id) arrival order the feed
+    defines, which the oracle restates as a window cumsum over the same
+    order. Counting ALL seen tokens (not just accepted ones) is
+    equivalent for the accept set — rejection starts exactly when the
+    running total crosses the budget and never stops — and keeps
+    ``cum_before`` a plain prefix sum."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (domain,) = key
+        (cum,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        toks = pdf["n_tokens"].to_numpy(dtype="int64")
+        cum_before = cum + np.concatenate(([0], np.cumsum(toks)[:-1]))
+        state.update((int(cum + toks.sum()),))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(dtype="int64"),
+                "domain": domain,
+                "n_tokens": toks,
+                "cum_before": cum_before.astype("int64"),
+                "accepted": cum_before < budget,
+            }
+        )
+
+    return docs.groupBy("domain").applyInPandasWithState(
+        update,
+        outputStructType=_BUDGET_OUT_SCHEMA,
+        stateStructType=_BUDGET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

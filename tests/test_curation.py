@@ -393,3 +393,34 @@ def test_quality_ensemble_gates_flip_independently(spark, sf_dir):
     z = rows[-705]  # language-only fail
     assert z.gopher_pass and z.keep_page and (not z.lang_pass)
     assert z.fertility_ppm <= 4_500_000 and not z.keep
+
+
+def test_stream_domain_budget_cutoff_state_crosses_batches(spark, sf_dir):
+    """The streaming cutoff's whole point is per-domain state carried
+    across micro-batches: at the fixture scale every domain's budget
+    must run out MID-STREAM (first rejection in batch >= 1, some
+    acceptance still in the same batch's predecessor), and the verdict
+    must equal an independent python replay of the (batch, doc_id)
+    arrival order."""
+    from etl_drone_sense_spark.plans.curation import (
+        _DOMAIN_BUDGET_TOKENS,
+        stream_domain_budget_cutoff,
+    )
+
+    rows = stream_domain_budget_cutoff(spark, sf_dir).collect()
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r)
+    crossed = 0
+    for dom, rs in by_dom.items():
+        rs.sort(key=lambda r: (r.doc_id % 4, r.doc_id))
+        cum = 0
+        for r in rs:
+            assert r.cum_before == cum, (dom, r.doc_id)
+            assert r.accepted == (cum < _DOMAIN_BUDGET_TOKENS), (dom, r.doc_id)
+            cum += r.n_tokens
+        first_rej = next((r for r in rs if not r.accepted), None)
+        assert first_rej is not None, f"{dom}: budget never ran out"
+        if first_rej.doc_id % 4 >= 1:
+            crossed += 1
+    assert crossed >= 3, "cutoffs never straddled a micro-batch boundary"
