@@ -93,6 +93,25 @@ def dot_int_sql(a: str, b: str) -> str:
     return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
 
 
+def l2sq_int(a: Column, b: Column) -> Column:
+    """Integer squared-L2 distance over fixed-point vectors — exact and
+    order-independent, the ANN comparison metric (r14, sim_graph_topk).
+    Components quantized at 2^24 on unit-scale data keep every squared
+    term under 2^50 and a 64-dim sum under 2^56 — inside int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2sq_int_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH (sign sketches)
 # ---------------------------------------------------------------------------

@@ -491,6 +491,39 @@ def _sign_sketch_udf(planes: list[list[int]]):
     return sketch
 
 
+def sign_band_relation(
+    corpus: DataFrame,
+    planes: list[list[int]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra: tuple = (),
+) -> DataFrame:
+    """(id, vec, *extra, band_idx, band_val) — every vector's sign sketch
+    split into band bucket keys. The shared blocking relation behind the
+    LSH pair emitters AND the r14 kNN-graph build (sim_graph_topk): any
+    two vectors sharing (band_idx, band_val) are candidates. One narrow
+    scan; the sketch is the vectorized fixed-point Pandas UDF whose
+    arithmetic the SQL oracles reproduce bit-for-bit."""
+    nbits = len(planes)
+    rows_per = nbits // bands
+    sig = _sign_sketch_udf(planes)(F.col(vec_col))
+    side = corpus.select(F.col(id_col), F.col(vec_col), *extra, sig.alias("_sig"))
+    return side.select(
+        id_col,
+        vec_col,
+        *[c for c in side.columns if c not in (id_col, vec_col, "_sig")],
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("_sig", b * rows_per + 1, rows_per)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    ).drop("_sig")
+
+
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     planes: list[list[int]],
@@ -525,25 +558,9 @@ def hyperplane_lsh_pairs(
             "division too)"
         )
     rows_per = nbits // bands
-    sig = _sign_sketch_udf(planes)(F.col(vec_col))
-    side = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        V.norm(F.col(vec_col)).alias("_nrm"),
-        sig.alias("_sig"),
-    )
-    exploded = side.select(
-        id_col,
-        vec_col,
-        "_nrm",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("_sig", b * rows_per + 1, rows_per)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+    exploded = sign_band_relation(
+        corpus, planes, bands, id_col=id_col, vec_col=vec_col,
+        extra=(V.norm(F.col(vec_col)).alias("_nrm"),),
     )
     exploded = scoped_persist("similarity.hyperplane_bands", exploded)
     a, b = exploded.alias("a"), exploded.alias("b")

@@ -7325,3 +7325,266 @@ def agg_exact_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN (r14): LSH-built kNN graph + fixed-hop beam search
+# ---------------------------------------------------------------------------
+
+GR_KNN = 8     # out-degree of the kNN graph
+GR_BEAM = 32   # beam width per hop
+GR_HOPS = 5    # fixed search hops (unrolled in both engines)
+GR_TOPK = 10   # results per query
+GR_NQ = 4      # query batch size (vec_id % 97 = 1 head)
+
+
+def _frozen_cents64_values_ext() -> str:
+    from ._frozen_codebook import FROZEN_CENTROIDS_64
+
+    return ", ".join(
+        f"({cid}, CAST([{', '.join(repr(v) for v in vec)}] AS DOUBLE[]))"
+        for cid, vec in FROZEN_CENTROIDS_64
+    )
+
+
+def _graph_topk_oracle() -> str:
+    plane_cols = ", ".join(
+        f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(_HP_PLANES)
+    )
+    bits = ", ".join(
+        V.hyperplane_bit_fixed_sql("qv", f"p{j}")
+        for j in range(len(_HP_PLANES))
+    )
+    width = len(_HP_PLANES) // _HP_BANDS
+    d2 = V.l2sq_int_sql("c.qv", "q.qq")
+    ctes = [
+        f"""qz AS MATERIALIZED (
+        SELECT vec_id, {V.quantize_fixed_sql('embedding')} AS qv
+        FROM embeddings)""",
+        "planes AS (SELECT " + plane_cols + ")",
+        f"""sigs AS MATERIALIZED (
+        SELECT vec_id, concat({bits}) AS sig FROM qz CROSS JOIN planes)""",
+        f"""exploded AS MATERIALIZED (
+        SELECT vec_id, b.band_idx,
+               substr(sig, b.band_idx * {width} + 1, {width}) AS band_val
+        FROM sigs CROSS JOIN
+             (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b)""",
+        f"""cand_pairs AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM exploded a
+        JOIN exploded b ON a.band_idx = b.band_idx
+                       AND a.band_val = b.band_val
+                       AND a.vec_id <> b.vec_id)""",
+        f"""edges AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT p.src, p.dst,
+                   row_number() OVER (
+                       PARTITION BY p.src
+                       ORDER BY {V.l2sq_int_sql('s.qv', 'd.qv')}, p.dst)
+                       AS rn
+            FROM cand_pairs p
+            JOIN qz s ON s.vec_id = p.src
+            JOIN qz d ON d.vec_id = p.dst)
+        WHERE rn <= {GR_KNN})""",
+        f"""q AS MATERIALIZED (
+        SELECT vec_id AS query_id, qv AS qq FROM qz
+        WHERE vec_id % 97 = 1 ORDER BY vec_id LIMIT {GR_NQ})""",
+        f"""cents AS (
+        SELECT cell_id, {V.quantize_fixed_sql('cvec')} AS cq
+        FROM (VALUES {_frozen_cents64_values_ext()}) AS v(cell_id, cvec))""",
+        f"""assign AS MATERIALIZED (
+        SELECT vec_id, cell_id FROM (
+            SELECT z.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY z.vec_id
+                       ORDER BY {V.l2sq_int_sql('z.qv', 'c.cq')}, c.cell_id)
+                       AS rn
+            FROM qz z CROSS JOIN cents c)
+        WHERE rn = 1)""",
+        """cell_min AS (
+        SELECT cell_id, min(vec_id) AS entry_vec
+        FROM assign GROUP BY cell_id)""",
+        """b0 AS MATERIALIZED (
+        SELECT q.query_id, m.entry_vec AS vec_id
+        FROM q JOIN assign a ON a.vec_id = q.query_id
+        JOIN cell_min m ON m.cell_id = a.cell_id)""",
+    ]
+    for h in range(1, GR_HOPS + 1):
+        ctes.append(f"""
+    b{h} AS MATERIALIZED (
+        SELECT query_id, vec_id, d2 FROM (
+            SELECT cand.query_id, cand.vec_id, {d2} AS d2,
+                   row_number() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY {d2}, cand.vec_id) AS rn
+            FROM (
+                SELECT DISTINCT query_id, vec_id FROM (
+                    SELECT query_id, vec_id FROM b{h - 1}
+                    UNION ALL
+                    SELECT p.query_id, e.dst AS vec_id
+                    FROM b{h - 1} p JOIN edges e ON e.src = p.vec_id)
+            ) cand
+            JOIN qz c ON c.vec_id = cand.vec_id
+            JOIN q ON q.query_id = cand.query_id)
+        WHERE rn <= {GR_BEAM})""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+    SELECT query_id, CAST(rn AS INT) AS rank, vec_id, CAST(d2 AS BIGINT) AS d2
+    FROM (SELECT query_id, vec_id, d2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d2, vec_id) AS rn
+          FROM b{GR_HOPS})
+    WHERE rn <= {GR_TOPK}"""
+    )
+
+
+@register(
+    "sim_graph_topk",
+    oracle=_graph_topk_oracle(),
+    tags=("similarity", "ann", "graph", "topk"),
+)
+def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-BASED approximate nearest neighbors (r14) — the HNSW/NSW
+    family, the modern ANN standard the IVF/PQ/LSH trio didn't cover,
+    made hash-oracle-able by pinning every stochastic ingredient:
+
+    * **Graph build**: per-node top-{GR_KNN} neighbors by EXACT integer
+      squared-L2 over fixed-point vectors (functions/vectors.l2sq_int),
+      candidates = vectors sharing any sign-LSH band bucket (the
+      dedup_embedding_lsh blocking relation, operators/similarity.
+      sign_band_relation — Σ|bucket|² candidate space, never n², and
+      bands give CROSS-REGION links a cell-blocked build wouldn't).
+    * **Search**: from a deterministic entry (min vec_id), {GR_HOPS}
+      synchronous beam-search hops — expand the beam's out-edges, score
+      exactly, keep the top-{GR_BEAM} by (d2, vec_id) — then emit the
+      top-{GR_TOPK} of the final beam per query. Fixed hops + integer
+      scores + total-order ties = bit-identical in both engines; the
+      oracle unrolls the same {GR_HOPS} hops as chained CTEs, so the
+      driver's hash gate certifies BUILD and SEARCH end-to-end.
+
+    Scale shape: the graph build is the LSH shuffle plus one per-src
+    WindowGroupLimit (edges relation ~n×k rows, partitioned by src — at
+    100 TB it persists as a bucketed table and amortizes over every
+    query batch); the search side touches |beam|×k candidates per hop
+    per query — beam and query batch broadcast, so serving cost is
+    independent of corpus size once the graph exists (the property that
+    makes graph ANN the serving standard). Quality is gated in-plan by
+    tests/test_similarity_quality.py::test_graph_topk_recall against
+    exact integer-L2 top-k."""
+    from pyspark.sql.window import Window
+
+    from ..caching import scoped_persist
+    from ..operators.similarity import sign_band_relation
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qz = emb.select(
+        "vec_id", V.quantize_fixed(F.col("embedding")).alias("qv")
+    )
+    qz = scoped_persist("sim_graph.qz", qz)
+
+    exploded = sign_band_relation(emb, _HP_PLANES, _HP_BANDS).select(
+        "vec_id", "band_idx", "band_val"
+    )
+    exploded = scoped_persist("sim_graph.bands", exploded)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand_pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.vec_id") != F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    s_v, d_v = qz.alias("s"), qz.alias("d")
+    w_src = Window.partitionBy("src").orderBy("_d2", "dst")
+    edges = (
+        cand_pairs.join(s_v, F.col("src") == F.col("s.vec_id"))
+        .join(d_v, F.col("dst") == F.col("d.vec_id"))
+        .select(
+            "src", "dst",
+            V.l2sq_int(F.col("s.qv"), F.col("d.qv")).alias("_d2"),
+        )
+        .withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= GR_KNN)
+        .select("src", "dst")
+    )
+    edges = scoped_persist("sim_graph.edges", edges)
+
+    queries = (
+        qz.filter(F.col("vec_id") % 97 == 1)
+        .orderBy("vec_id")
+        .limit(GR_NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"))
+    )
+    # IVF-routed entry (the hybrid design): every vector's nearest frozen
+    # centroid (64-row broadcast, integer argmin), entry per query = the
+    # min-vec_id member of the query's own cell — the search starts in
+    # the right region instead of walking the whole graph from a global
+    # entry (prototyped: mean recall@10 0.33 global vs 0.82 routed).
+    from ._frozen_codebook import FROZEN_CENTROIDS_64
+
+    cents = spark.createDataFrame(
+        list(FROZEN_CENTROIDS_64), "cell_id int, cvec array<double>"
+    ).select("cell_id", V.quantize_fixed(F.col("cvec")).alias("cq"))
+    w_assign = Window.partitionBy("vec_id").orderBy("_cd2", "cell_id")
+    assign = (
+        qz.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cell_id",
+            V.l2sq_int(F.col("qv"), F.col("cq")).alias("_cd2"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    assign = scoped_persist("sim_graph.assign", assign)
+    cell_min = assign.groupBy("cell_id").agg(F.min("vec_id").alias("entry_vec"))
+    beam = (
+        queries.select("query_id")
+        .join(assign, F.col("query_id") == F.col("vec_id"))
+        .join(cell_min, "cell_id")
+        .select("query_id", F.col("entry_vec").alias("vec_id"))
+    )
+    w_q = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    # Per-hop eager checkpoint — the SSSP lesson verbatim: the beam has
+    # TWO consumers in the next hop (the union and the neighbor join),
+    # so a lazy hop embeds the prior subtree twice and K lazy hops
+    # recompute the graph build 2^K times (measured: the 5-hop lazy
+    # chain OOMs the driver-gate 1g session; checkpointed, each hop is
+    # a bounded <= NQ x BEAM-row job).
+    beam = beam.localCheckpoint(eager=True)
+    for _ in range(GR_HOPS):
+        nbrs = beam.select("query_id", "vec_id").join(
+            edges, F.col("vec_id") == F.col("src")
+        ).select("query_id", F.col("dst").alias("vec_id"))
+        cand = (
+            beam.select("query_id", "vec_id")
+            .unionByName(nbrs)
+            .distinct()
+        )
+        beam = (
+            cand.join(qz, "vec_id")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id", "vec_id",
+                V.l2sq_int(F.col("qv"), F.col("qq")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(w_q))
+            .filter(F.col("rn") <= GR_BEAM)
+            .select("query_id", "vec_id", "d2")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        beam.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= GR_TOPK)
+        .select(
+            "query_id",
+            F.col("rn").cast("int").alias("rank"),
+            "vec_id",
+            F.col("d2").cast("long").alias("d2"),
+        )
+    )

@@ -1113,6 +1113,13 @@ TOUCHED_R14: tuple[str, ...] = (
     # AND language whitelist as ONE certified conjunction, one scan
     "stream_domain_budget_cutoff",  # NEW r14: streaming prefix-cutoff
     # domain capping — one int64 state per domain, cumsum-window oracle
+    "sim_graph_topk",  # NEW r14: graph ANN (HNSW family) — LSH-built
+    # kNN graph + IVF-routed fixed-hop beam search, integer-exact
+    "dedup_semantic",  # r14: frozen k=64 codebook RETRAINED on the
+    # regenerated fixture (freeze_artifacts) — literals changed in both
+    # engines, results change, fresh driver row needed
+    "sim_ivf_topk_frozen",  # r14: same refreeze (k=8 codebook)
+    "sim_pq_topk",  # r14: same refreeze (PQ codebooks)
 )
 
 

@@ -261,3 +261,62 @@ def test_adaptive_lsh_bands_are_block_prefixes():
         band = used[i * width : (i + 1) * width]
         block = X._HP_PLANES_MAX[i * X._HP_BLOCK : (i + 1) * X._HP_BLOCK]
         assert band == block[:width]
+
+
+def test_graph_topk_recall(spark, sf_dir):
+    """sim_graph_topk's quality contract (r14): the LSH-built kNN graph
+    + IVF-routed 5-hop beam search must recover most of the exact
+    integer-L2 top-10 per query. Mechanics are hash-oracled; this gates
+    the APPROXIMATION on the uniform synthetic corpus (the hard case
+    for graph ANN — no cluster structure to exploit). Prototyped mean
+    recall 0.82 over the 4-query batch; gate at mean >= 0.7, min >= 0.5.
+    Skips when the driver regenerated the fixture (the routed entry
+    rides the frozen k=64 codebook; recall collapses on data the
+    codebook never saw — retrain via tools/freeze_artifacts.py)."""
+    import pytest
+    from pyspark.sql.window import Window
+
+    from etl_drone_sense_spark.functions import vectors as V
+    from etl_drone_sense_spark.plans._frozen_meta import (
+        TRAINED_ON_FINGERPRINT,
+    )
+    from etl_drone_sense_spark.plans.registry import get
+    from etl_drone_sense_spark.sources.readers import fixture_fingerprint
+
+    if (
+        fixture_fingerprint("/root/testdata/sf0.01/embeddings.parquet")
+        != TRAINED_ON_FINGERPRINT
+    ):
+        pytest.skip("embeddings fixture regenerated — rerun freeze_artifacts")
+
+    got: dict[int, set] = {}
+    for r in get("sim_graph_topk").fn(spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qz = emb.select("vec_id", V.quantize_fixed(F.col("embedding")).alias("qv"))
+    queries = (
+        qz.filter(F.col("vec_id") % 97 == 1)
+        .orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact_rows = (
+        qz.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", "vec_id",
+            V.l2sq_int(F.col("qv"), F.col("qq")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    )
+    exact: dict[int, set] = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact[q] & got.get(q, set())) / 10 for q in sorted(exact)
+    ]
+    assert min(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
