@@ -3509,3 +3509,84 @@ def stream_domain_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(key, prev)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Partition evolution (r14): two physical layouts, one logical table
+# ---------------------------------------------------------------------------
+
+_PART_EVO_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "table_partition_evolution_read",
+    oracle="""
+    SELECT o_orderkey, CAST(month(o_orderdate) AS INT) AS o_month,
+           o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND month(o_orderdate) BETWEEN 3 AND 5
+    UNION ALL
+    SELECT o_orderkey, CAST(month(o_orderdate) AS INT) AS o_month,
+           o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 1 AND month(o_orderdate) BETWEEN 3 AND 5
+    """,
+    tags=("lake", "partition", "evolution", "pruning"),
+)
+def table_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (the other Iceberg marquee metadata feature,
+    beside schema_evolution_read): a table whose physical layout CHANGES
+    between write epochs — epoch 1 range-lays half of orders by month
+    alone (4 coarse files), epoch 2 appends the other half laid out by
+    (month, status) (12 finer files) — while reads stay one logical
+    table and a month predicate PRUNES ACROSS BOTH LAYOUTS. Iceberg
+    realizes this with per-file partition specs; this engine gets the
+    same property more generally from per-FILE min/max stats
+    (sources/table_commit.read_table_pruned): a file's month range is
+    whatever the layout made it, so evolving the layout is just writing
+    differently-shaped files — no spec registry, no rewrite of old
+    epochs, and pruning degrades gracefully to coarse files instead of
+    breaking (stats prune, they never filter). The month-3..5 read must
+    equal the plain SQL filter; tests assert the file-skipping really
+    engages on BOTH epochs (tests/test_table_commit.py::
+    test_partition_evolution_prunes_both_epochs).
+
+    Scale shape: layout is a write-side repartitionByRange (one shuffle
+    at ingest, amortized over every later pruned read); the manifest
+    carries O(files) stats; the pruned read opens O(selectivity) files.
+    Built once per fixture generation (fingerprint-keyed), then a lazy
+    pruned scan."""
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    root = _PART_EVO_TABLES.get(key)
+    if root is None:
+        base = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.month("o_orderdate").cast("int").alias("o_month"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        root = tempfile.mkdtemp(prefix="sg_part_evo_")
+        # epoch 1: partitioned by month only — 4 coarse range files
+        TC.commit(
+            base.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                4, "o_month"
+            ),
+            root,
+            stats_cols=["o_month"],
+        )
+        # epoch 2 (the evolution): finer spec (month, status) — 12 files
+        TC.commit(
+            base.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(
+                12, "o_month", "o_orderstatus"
+            ),
+            root,
+            mode="append",
+            stats_cols=["o_month", "o_orderstatus"],
+        )
+        _PART_EVO_TABLES[key] = root
+    return TC.read_table_pruned(spark, root, "o_month", 3, 5)

@@ -1120,6 +1120,8 @@ TOUCHED_R14: tuple[str, ...] = (
     # engines, results change, fresh driver row needed
     "sim_ivf_topk_frozen",  # r14: same refreeze (k=8 codebook)
     "sim_pq_topk",  # r14: same refreeze (PQ codebooks)
+    "table_partition_evolution_read",  # NEW r14: two physical layouts,
+    # one logical table — month predicate prunes across both epochs
 )
 
 

@@ -970,3 +970,64 @@ def test_clone_table_zero_copy_and_isolation(spark, tmp_path):
     assert TC.read_table(spark, dst).count() == 110
     assert TC.current_version(src) == 2
     assert TC.read_table(spark, src).count() == 10
+
+
+def test_partition_evolution_prunes_both_epochs(spark):
+    """The pruning claim behind table_partition_evolution_read: a month
+    predicate must SKIP files in BOTH layout epochs (coarse month-only
+    ranges AND finer month+status ranges), and the pruned read must
+    equal the unpruned filtered scan row-for-row."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    rows = [
+        (i, (i % 12) + 1, "OF"[i % 2], float(i))
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, o_month int, status string, val double"
+    )
+    root = tempfile.mkdtemp(prefix="sg_pevo_test_")
+    TC.commit(
+        df.filter(F.col("k") % 2 == 0).repartitionByRange(4, "o_month"),
+        root,
+        stats_cols=["o_month"],
+    )
+    snap1_files = set(TC.read_snapshot(root, None).files)
+    TC.commit(
+        df.filter(F.col("k") % 2 == 1).repartitionByRange(
+            12, "o_month", "status"
+        ),
+        root,
+        mode="append",
+        stats_cols=["o_month", "status"],
+    )
+    snap = TC.read_snapshot(root, None)
+    total = len(snap.files)
+    kept = TC.pruned_file_count(root, "o_month", 3, 3)
+    assert kept < total, "no file was skipped at all"
+    # skipping must engage inside EACH epoch, not just one
+    kept_files = set(
+        TC._pruned_files(snap, "o_month", 3, 3)
+    )
+    e1_total = len(snap1_files)
+    e2_total = total - e1_total
+    e1_kept = len(kept_files & snap1_files)
+    e2_kept = len(kept_files - snap1_files)
+    assert e1_kept < e1_total, "epoch-1 (coarse) files never pruned"
+    assert e2_kept < e2_total, "epoch-2 (fine) files never pruned"
+    # the finer epoch-2 layout must prune HARDER (fraction kept smaller)
+    assert e2_kept / e2_total < e1_kept / e1_total
+    got = sorted(
+        tuple(r) for r in TC.read_table_pruned(
+            spark, root, "o_month", 3, 3
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in TC.read_table(spark, root)
+        .filter(F.col("o_month") == 3).collect()
+    )
+    assert got == want
