@@ -116,9 +116,18 @@ def train_merges_delta(
     pending = 0
     for k in range(1, rounds + 1):
         best = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
-        if not best or int(best[0]["cnt"]) <= 0:
+        if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        # pc is filtered to cnt > 0 each round, so a non-positive argmax
+        # can only mean the delta maintenance corrupted the counts —
+        # surface it instead of silently ending training early.
+        if cnt <= 0:
+            raise AssertionError(
+                f"BPE delta maintenance produced a non-positive argmax "
+                f"count ({a!r},{b!r})={cnt} at round {k} — pair-count "
+                "relation is corrupted"
+            )
         learned.append((k, a, b, a + b, cnt))
         pat, rep = BPE.merge_pattern(a, b)
 

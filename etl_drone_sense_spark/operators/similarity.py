@@ -506,6 +506,13 @@ def sign_band_relation(
     scan; the sketch is the vectorized fixed-point Pandas UDF whose
     arithmetic the SQL oracles reproduce bit-for-bit."""
     nbits = len(planes)
+    if nbits % bands != 0:
+        raise ValueError(
+            f"nbits ({nbits}) must divide evenly into bands ({bands}): a "
+            "remainder would silently drop the trailing sign bits from every "
+            "band key, weakening selectivity (the oracle SQL assumes exact "
+            "division too)"
+        )
     rows_per = nbits // bands
     sig = _sign_sketch_udf(planes)(F.col(vec_col))
     side = corpus.select(F.col(id_col), F.col(vec_col), *extra, sig.alias("_sig"))

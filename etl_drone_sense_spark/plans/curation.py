@@ -3478,10 +3478,24 @@ def stream_domain_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="sg_dombudget_")
     feed = _os.path.join(work, "feed")
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # FileStreamSource orders files by mtime; the four appends are
+    # back-to-back and Hadoop mtimes are ms-granular, so on a
+    # coarse-mtime filesystem a tie would fall back to path order
+    # (random part-file UUIDs) and diverge from the oracle's
+    # (doc_id % 4, doc_id) arrival order. Stamp each chunk's files with
+    # an explicit strictly-increasing mtime so replay order is the
+    # write order by construction (r15, ADVICE).
+    seen: set = set()
+    base = _os.stat(work).st_mtime
     for i in range(4):
         docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
             "append"
         ).parquet(feed)
+        for f in _os.listdir(feed):
+            p = _os.path.join(feed, f)
+            if f.endswith(".parquet") and p not in seen:
+                _os.utime(p, (base + i, base + i))
+                seen.add(p)
     stream = (
         spark.readStream.schema("doc_id bigint, source string, text string")
         .option("maxFilesPerTrigger", 1)
