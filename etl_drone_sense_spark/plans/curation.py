@@ -2973,6 +2973,150 @@ def text_bpe_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_BATCH_ROUNDS = 16  # driver rounds of the batched trainer
+BPE_BATCH_K = 16  # frontier width collected per driver round
+
+
+def _bpe_batched_train_ctes(rounds: int, k: int) -> list[str]:
+    """The BATCHED trainer's recurrence (operators/bpetrain.
+    train_merges_batched) as a CTE chain (the WITH is RECURSIVE): per
+    round, recount pairs over the vocab (p), rank the top-``k``
+    frontier (rk), run the GREEDY maximal-independent-set walk as a
+    depth-``k`` recursive CTE carrying the used-token list (g — a
+    candidate is kept iff its {a, b, a+b} triple avoids every
+    previously-kept triple), project the kept rows (s), then apply ALL
+    selected replaces in rank order via one list_reduce (v). Disjoint
+    patterns commute, so the fold order is immaterial; the chr(1)
+    separator encodes (pattern, replacement) pairs inside one VARCHAR
+    list element — chr(1) can never appear in a token (tokens are
+    [a-z0-9] wrapped in chr(30)/chr(31) markers)."""
+    o, c = ord(BPE.O), ord(BPE.C)
+    enc = f"regexp_replace(w, '(.)', chr({o}) || '\\1' || chr({c}), 'g')"
+    ctes = [
+        f"""v1 AS MATERIALIZED (
+        SELECT {enc} AS state, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest({BPE.words_sql('text')}) AS w
+              FROM documents WHERE doc_id % {BPE_SAMPLE_MOD} = 0)
+        GROUP BY 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    p{r} AS MATERIALIZED (
+        SELECT pr.a AS a, pr.b AS b, CAST(sum(wt) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> struct_pack(a := tk[i], b := tk[i + 1])))
+                   AS pr,
+                   wc AS wt
+            FROM (SELECT {BPE.word_tokens_sql('state')} AS tk, wc FROM v{r})
+            WHERE len(tk) >= 2
+        )
+        GROUP BY 1, 2
+    ),
+    rk{r} AS MATERIALIZED (
+        SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+        FROM p{r} QUALIFY rn <= {k}
+    ),
+    g{r} AS (
+        SELECT 0 AS rn, ''::VARCHAR AS a, ''::VARCHAR AS b,
+               0::BIGINT AS cnt, []::VARCHAR[] AS used, FALSE AS picked
+        UNION ALL
+        SELECT x.rn, x.a, x.b, x.cnt,
+               CASE WHEN NOT (list_contains(g.used, x.a)
+                              OR list_contains(g.used, x.b)
+                              OR list_contains(g.used, x.a || x.b))
+                    THEN list_concat(g.used, [x.a, x.b, x.a || x.b])
+                    ELSE g.used END,
+               NOT (list_contains(g.used, x.a)
+                    OR list_contains(g.used, x.b)
+                    OR list_contains(g.used, x.a || x.b))
+        FROM g{r} g JOIN rk{r} x ON x.rn = g.rn + 1
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT a, b, cnt, row_number() OVER (ORDER BY rn) AS pick
+        FROM g{r} WHERE picked
+    )""")
+        if r < rounds:
+            ctes.append(f"""
+    v{r + 1} AS MATERIALIZED (
+        SELECT list_reduce(
+                 list_prepend(state,
+                   (SELECT coalesce(list(
+                        chr({o}) || a || chr({c}) || chr({o}) || b || chr({c})
+                            || chr(1)
+                            || chr({o}) || a || b || chr({c})
+                        ORDER BY pick), [])
+                    FROM s{r})),
+                 (acc, mp) -> replace(acc,
+                                      string_split(mp, chr(1))[1],
+                                      string_split(mp, chr(1))[2])) AS state,
+               wc
+        FROM v{r}
+    )""")
+    return ctes
+
+
+def _bpe_train_batched_oracle(
+    rounds: int = BPE_BATCH_ROUNDS, k: int = BPE_BATCH_K
+) -> str:
+    """One row per learned merge, globally ranked by (round, pick) —
+    the engine's sequential append order. Rounds whose frontier is
+    empty (fully collapsed vocab) contribute zero rows in lockstep."""
+    outs = [
+        f"SELECT {r} AS rnd, pick, a, b, a || b AS merged, cnt FROM s{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH RECURSIVE " + ",".join(_bpe_batched_train_ctes(rounds, k))
+        + """
+    SELECT CAST(row_number() OVER (ORDER BY rnd, pick) AS INT)
+               AS merge_rank,
+           a, b, merged, cnt
+    FROM ("""
+        + "\n    UNION ALL ".join(outs)
+        + ")"
+    )
+
+
+@register(
+    "text_bpe_train_batched",
+    oracle=_bpe_train_batched_oracle(),
+    tags=("text", "tokenize", "iterative", "corpus"),
+)
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VOCAB-SCALE trainer config (r15 — r14 VERDICT item 2):
+    {BPE_BATCH_ROUNDS} driver rounds x top-{BPE_BATCH_K} frontier =
+    up to {BPE_BATCH_ROUNDS * BPE_BATCH_K} merges, with per-merge
+    driver latency amortized across each batch — the fix for the
+    delta trainer's one-argmax-collect-per-merge shape, which at a
+    real 32k-100k vocab is hours of py4j round-trip latency. Batch
+    semantics (greedy token-disjoint frontier subsets; why they
+    commute and keep recorded counts exact) are proven in
+    operators/bpetrain.train_merges_batched; the DuckDB oracle
+    unrolls the identical batched recurrence (rank -> depth-K
+    recursive greedy walk -> list_reduce fold of the selected
+    replaces), so the hash gate certifies the frontier ranking, the
+    selection rule, the commuting application, and every learned
+    (rank, pair, count) row.
+
+    Same sampling contract as text_bpe_train_sampled (deterministic
+    20% sample, doc_id % {BPE_SAMPLE_MOD} = 0). Not in the headline
+    bench set: training is an offline job; the measured
+    driver-latency comparison lives in the trainer docstring and the
+    sf0.01 + sf1 certs in SURVEY §8."""
+    from ..operators.bpetrain import train_merges_batched
+
+    sample = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % BPE_SAMPLE_MOD) == 0
+    )
+    learned = train_merges_batched(
+        sample, batch_rounds=BPE_BATCH_ROUNDS, batch_k=BPE_BATCH_K
+    )
+    return spark.createDataFrame(
+        learned, "merge_rank int, a string, b string, merged string, cnt bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer-token unification (r14 — r13 VERDICT item 2): the domain
 # budget and the Gopher stats gain BPE-token twins, since real pipelines

@@ -1124,24 +1124,66 @@ TOUCHED_R14: tuple[str, ...] = (
     # one logical table — month predicate prunes across both epochs
 )
 
+# The exact CORRECTNESS_r14 key set (50 rows, all green): every
+# TOUCHED_R14 name plus stalest-tier fills per the r14 rotation mandate.
+DRIVER_CHECKED_R14: frozenset[str] = frozenset(
+    {
+        "agg_exact_quantiles", "agg_exact_quantiles_binned",
+        "corpus_domain_budget_bpe", "corpus_quality_ensemble",
+        "dedup_editdistance", "dedup_editdistance_k2", "dedup_semantic",
+        "drone_features_flat", "drone_features_multivideo",
+        "events_cusum_changepoint", "events_markov_transitions",
+        "events_retention_cohorts", "filter_in_between_like",
+        "geo_bearing_distance", "graph_triangle_count", "join_anti",
+        "join_cross", "join_full_outer", "join_left_count",
+        "join_range_nonequi", "join_semi", "ml_ols_regression",
+        "ml_pca_power_iteration", "multimodal_decode",
+        "multimodal_decode_bmp", "multimodal_decode_flac",
+        "multimodal_decode_gif", "multimodal_decode_png",
+        "multimodal_decode_ulaw", "multimodal_decode_video",
+        "multimodal_decode_wav", "multimodal_video_frame_sample",
+        "q18_large_volume", "scd2_point_in_time", "sim_graph_topk",
+        "sim_ivf_topk_frozen", "sim_pq_topk", "sketch_theta_kmv",
+        "sort_limit", "stream_dedup_exact", "stream_domain_budget_cutoff",
+        "stream_drone_features_flat", "stream_interval_join",
+        "stream_interval_join_outer", "stream_running_totals",
+        "stream_sketch_kmv", "table_partition_evolution_read",
+        "text_bpe_train_apply", "text_bpe_train_sampled",
+        "text_gopher_quality_bpe",
+    }
+)
+
+# Queries whose Spark code OR oracle changed in round 15, plus new
+# registrations — all need a fresh driver row. Populated as r15 work
+# lands; ordering within the tuple is the order the driver checks them.
+TOUCHED_R15: tuple[str, ...] = (
+    "text_bpe_train_batched",  # NEW r15: vocab-scale trainer config
+    # (r14 VERDICT item 2) — greedy token-disjoint frontier batches,
+    # per-merge driver round trips amortized ~1/|batch|
+    "stream_domain_budget_cutoff",  # r15: explicit strictly-increasing
+    # feed-chunk mtimes (ADVICE) — replay order now deterministic on
+    # coarse-mtime filesystems; plan unchanged, hash unchanged
+)
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
     about old code is still stale evidence). Every registered query has at
-    least one green driver row, so the order is: TOUCHED_R14, then any
-    never-checked stragglers (new r14 names not in TOUCHED_R14 — should be
+    least one green driver row, so the order is: TOUCHED_R15, then any
+    never-checked stragglers (new r15 names not in TOUCHED_R15 — should be
     none), then by newest-evidence round ascending — the stalest tier
-    (post-r13: the r7-newest block, 16 names — the drone/join/stream core
-    with the oldest evidence in the fleet) first, round-13 (freshest)
-    last. The r14 VERDICT mandate: TOUCHED_R14 head, then empty the r7
-    tier, then r9 fills."""
+    (post-r14: the r9-newest block, 21 names — avro/table/TPC-H-tail/
+    window tiers with the oldest evidence in the fleet) first, round-14
+    (freshest) last. The r14 VERDICT mandate for r15: TOUCHED_R15 head,
+    then empty the r9 tier, then r10 fills."""
 
-    head = {n: i for i, n in enumerate(TOUCHED_R14)}
+    head = {n: i for i, n in enumerate(TOUCHED_R15)}
 
     # Newest round in which each name earned a driver row, oldest-first
     # search order below relies on checking the NEWEST sets first.
     newest_first: tuple[tuple[int, frozenset[str]], ...] = (
+        (14, DRIVER_CHECKED_R14),
         (13, DRIVER_CHECKED_R13),
         (12, DRIVER_CHECKED_R12),
         (11, DRIVER_CHECKED_R11),
@@ -1165,7 +1207,7 @@ def _ordered_specs() -> list[QuerySpec]:
                 # r7-newest (rank 8) sorts before r13-newest (rank 14);
                 # +1 keeps every checked tier after the never-checked slot.
                 return (1 + rnd, 0)
-        return (1, 0)  # never-checked: right after the r14 touched head
+        return (1, 0)  # never-checked: right after the r15 touched head
 
     specs = list(REGISTRY.values())
     return sorted(specs, key=tier)  # sorted() is stable → registration order kept

@@ -254,6 +254,101 @@ def test_bpe_train_sampled_empty_sample(spark):
     assert train_merges_delta(df, rounds=4) == []
 
 
+def _train_reference_batched(texts, rounds, k):
+    """Independent batched-greedy BPE trainer (pure python): per round,
+    count adjacent pairs per occurrence, rank by (count DESC, lexicographic),
+    walk the top-k greedily keeping token-disjoint triples {a, b, a+b},
+    apply every kept merge leftmost-exhaustively, append in rank order."""
+    from collections import Counter
+
+    words_lists = [
+        list(w)
+        for t in texts
+        for w in re.findall("[a-z0-9]+", (t or "").lower())
+    ]
+    merges = []
+    for _ in range(rounds):
+        counts: Counter = Counter()
+        for toks in words_lists:
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += 1
+        if not counts:
+            break
+        frontier = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        used: set = set()
+        sel = []
+        for (a, b), cnt in frontier:
+            trip = {a, b, a + b}
+            if not (trip & used):
+                sel.append((a, b, cnt))
+                used |= trip
+        for a, b, cnt in sel:
+            merges.append((len(merges) + 1, a, b, a + b, cnt))
+            for toks in words_lists:
+                i = 0
+                while i < len(toks) - 1:
+                    if toks[i] == a and toks[i + 1] == b:
+                        toks[i : i + 2] = [a + b]
+                    i += 1
+    return merges
+
+
+def test_bpe_train_batched_matches_reference_trainer(spark, sf_dir):
+    """text_bpe_train_batched vs the independent batched-greedy trainer
+    on the SAME deterministic 20% sample — certifies the frontier
+    ranking, the greedy disjoint walk (triples including merged
+    outputs), the commuting batch application, and the recorded
+    round-start counts."""
+    from etl_drone_sense_spark.plans.curation import (
+        BPE_BATCH_K,
+        BPE_BATCH_ROUNDS,
+        BPE_SAMPLE_MOD,
+    )
+    from etl_drone_sense_spark.plans.registry import get
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    texts = [
+        r["text"]
+        for r in read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BPE_SAMPLE_MOD == 0)
+        .select("text")
+        .collect()
+    ]
+    want = _train_reference_batched(texts, BPE_BATCH_ROUNDS, BPE_BATCH_K)
+    got = sorted(
+        (r["merge_rank"], r["a"], r["b"], r["merged"], r["cnt"])
+        for r in get("text_bpe_train_batched").fn(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_bpe_train_batched_k1_equals_sequential(spark):
+    """A batch width of 1 degenerates to the sequential argmax: the
+    greedy walk keeps exactly the top-1 pair, so the learned table must
+    equal train_merges_delta's merge for merge — counts, tie-breaks,
+    ranks."""
+    from etl_drone_sense_spark.operators.bpetrain import (
+        train_merges_batched,
+        train_merges_delta,
+    )
+
+    df = spark.createDataFrame(
+        [("the theory of things the the",), ("ababab theory abab",), ("",)],
+        "text string",
+    )
+    want = train_merges_delta(df, rounds=30)
+    got = train_merges_batched(df, batch_rounds=30, batch_k=1)
+    assert got == want
+    assert 0 < len(got) < 30  # early-stop fired in both
+
+
+def test_bpe_train_batched_empty_sample(spark):
+    from etl_drone_sense_spark.operators.bpetrain import train_merges_batched
+
+    df = spark.createDataFrame([("   ",), (None,)], "text string")
+    assert train_merges_batched(df, batch_rounds=4, batch_k=8) == []
+
+
 def test_bpe_train_apply_matches_sequential_replay(spark):
     """train_apply = train on the sample, rank-order replay on every
     doc. Pinned against a pure-python replay: train with the reference

@@ -32,6 +32,8 @@ def test_every_bench_query_has_a_budget():
 def test_touched_and_checked_names_exist():
     known = set(RG.REGISTRY) | set(RG.RETIRED)
     for group in (
+        RG.TOUCHED_R15,
+        RG.DRIVER_CHECKED_R14,
         RG.TOUCHED_R14,
         RG.DRIVER_CHECKED_R13,
         RG.TOUCHED_R13,
@@ -80,7 +82,15 @@ def _ever_checked() -> set[str]:
         | set(RG.DRIVER_CHECKED_R11)
         | set(RG.DRIVER_CHECKED_R12)
         | set(RG.DRIVER_CHECKED_R13)
+        | set(RG.DRIVER_CHECKED_R14)
     )
+
+
+def test_r14_fold_covers_the_r14_touched_names():
+    """Every r14-touched name must have an r14 driver row (the fold is the
+    exact CORRECTNESS_r14.json key set, 50/50 green)."""
+    uncovered = set(RG.TOUCHED_R14) - set(RG.DRIVER_CHECKED_R14)
+    assert not uncovered, f"touched r14 names without an r14 row: {uncovered}"
 
 
 def test_r13_fold_covers_the_r13_touched_names():
@@ -131,9 +141,9 @@ def test_window_head_covers_everything_unverified_or_touched():
     # A touched name that is not registered must be an explicit retirement
     # (r10 ADVICE: otherwise a typo in TOUCHED silently drops the
     # must-be-in-head requirement for the query it meant to name).
-    ghosts = set(RG.TOUCHED_R14) - set(order)
+    ghosts = set(RG.TOUCHED_R15) - set(order)
     assert ghosts <= RG.RETIRED, f"touched names neither registered nor retired: {ghosts}"
-    must_be_in_head = set(RG.TOUCHED_R14) & set(order) | (
+    must_be_in_head = set(RG.TOUCHED_R15) & set(order) | (
         set(order) - _ever_checked()
     )
     missing = must_be_in_head - head
@@ -142,45 +152,49 @@ def test_window_head_covers_everything_unverified_or_touched():
 
 def test_window_head_leads_with_stalest_tier():
     """After the touched/never-checked block, remaining window slots must
-    fill with the stalest-evidence tier — after the r13 fold that is the
-    16-query tier whose NEWEST driver row is round 7 (the drone/join/
-    stream core, the oldest evidence in the fleet — the r13 fold
-    re-certified the other 22 r7-tier names). The r14 touched head plus
-    the full 16-name r7 tier fits in the 50-name window with the
-    remainder spilling into the next-stalest (r9) tier."""
+    fill with the stalest-evidence tier — after the r14 fold that is the
+    21-query tier whose NEWEST driver row is round 9 (avro/table/
+    TPC-H-tail/window, the oldest evidence in the fleet). The r15 touched
+    head plus the full 21-name r9 tier fits in the 50-name window with
+    the remainder spilling into the next-stalest (r10) tier."""
     order = list(RG.all_queries())
     fresher = (
-        set(RG.DRIVER_CHECKED_R09)
-        | set(RG.DRIVER_CHECKED_R10)
+        set(RG.DRIVER_CHECKED_R10)
         | set(RG.DRIVER_CHECKED_R11)
         | set(RG.DRIVER_CHECKED_R12)
         | set(RG.DRIVER_CHECKED_R13)
+        | set(RG.DRIVER_CHECKED_R14)
     )
-    touched = set(RG.TOUCHED_R14)
+    touched = set(RG.TOUCHED_R15)
     stale_tier = [
         n
         for n in RG.REGISTRY
-        if n in RG.DRIVER_CHECKED_R07
+        if n in RG.DRIVER_CHECKED_R09
         and n not in fresher
         and n not in touched
     ]
     assert set(stale_tier) == {
-        "drone_features_flat",
-        "drone_features_multivideo",
-        "events_retention_cohorts",
-        "filter_in_between_like",
-        "geo_bearing_distance",
-        "join_anti",
-        "join_cross",
-        "join_full_outer",
-        "join_left_count",
-        "join_range_nonequi",
-        "join_semi",
-        "sort_limit",
-        "stream_dedup_exact",
-        "stream_drone_features_flat",
-        "stream_interval_join_outer",
-        "stream_running_totals",
+        "avro_scan",
+        "avro_sink_roundtrip",
+        "basket_pair_counts",
+        "join_asof_tolerance",
+        "join_bloom_prefiltered",
+        "q11_important_stock",
+        "q12_line_class_priority",
+        "q16_supplier_part_counts",
+        "q20_concentrated_suppliers",
+        "q21_waiting_suppliers",
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q9_product_profit",
+        "stream_avro_scan",
+        "stream_scd2_apply",
+        "table_incremental_agg",
+        "table_pruned_read",
+        "table_rollback_read",
+        "table_time_travel",
+        "unpivot_priority_status",
+        "window_distribution_funcs",
     }, "stale-tier membership drifted — re-derive the rotation plan"
     pos = {n: i for i, n in enumerate(order)}
     n_touched = len(touched & set(order))
@@ -192,10 +206,10 @@ def test_window_head_leads_with_stalest_tier():
     # Restrict to registered names: retired queries (dedup_simhash) keep
     # their historical driver-checked rows but have no registry position.
     fresh_only = (
-        fresher & set(RG.REGISTRY) - set(RG.DRIVER_CHECKED_R07) - touched
+        fresher & set(RG.REGISTRY) - set(RG.DRIVER_CHECKED_R09) - touched
     )
     first_fresh = min(pos[n] for n in fresh_only)
     worst_stale = max(pos[n] for n in stale_tier)
     assert worst_stale < first_fresh, (
-        "a freshly-certified query sorts ahead of the r7 stale tier"
+        "a freshly-certified query sorts ahead of the r9 stale tier"
     )
