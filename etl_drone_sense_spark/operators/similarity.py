@@ -498,13 +498,27 @@ def sign_band_relation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra: tuple = (),
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(id, vec, *extra, band_idx, band_val) — every vector's sign sketch
     split into band bucket keys. The shared blocking relation behind the
     LSH pair emitters AND the r14 kNN-graph build (sim_graph_topk): any
     two vectors sharing (band_idx, band_val) are candidates. One narrow
     scan; the sketch is the vectorized fixed-point Pandas UDF whose
-    arithmetic the SQL oracles reproduce bit-for-bit."""
+    arithmetic the SQL oracles reproduce bit-for-bit.
+
+    ``bucket_cap`` (r15 — the hot-bucket budget guard, the simhash
+    pair-budget pattern applied to the vector family): keep only the
+    first ``bucket_cap`` members of each (band_idx, band_val) bucket by
+    ``id_col`` order. The banded join's candidate space is Σ|bucket|²;
+    one pathological bucket holding 20% of the corpus (mass-duplicated
+    or degenerate embeddings) makes that term quadratic in CORPUS size
+    no matter how wide the bands are — the cap turns it into
+    Σ min(|bucket|, cap)², a hard linear bound, at the cost of recall
+    ONLY inside buckets deeper than the cap (where members are
+    near-identical by construction, so dropped candidates are the
+    least informative ones). Deterministic (id-ordered), mirrored in
+    SQL by a QUALIFY row_number() over the same keys."""
     nbits = len(planes)
     if nbits % bands != 0:
         raise ValueError(
@@ -513,10 +527,12 @@ def sign_band_relation(
             "band key, weakening selectivity (the oracle SQL assumes exact "
             "division too)"
         )
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
     rows_per = nbits // bands
     sig = _sign_sketch_udf(planes)(F.col(vec_col))
     side = corpus.select(F.col(id_col), F.col(vec_col), *extra, sig.alias("_sig"))
-    return side.select(
+    out = side.select(
         id_col,
         vec_col,
         *[c for c in side.columns if c not in (id_col, vec_col, "_sig")],
@@ -529,6 +545,14 @@ def sign_band_relation(
             )
         ).alias("band_idx", "band_val"),
     ).drop("_sig")
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+        out = (
+            out.withColumn("_brn", F.row_number().over(w))
+            .filter(F.col("_brn") <= bucket_cap)
+            .drop("_brn")
+        )
+    return out
 
 
 def hyperplane_lsh_pairs(
@@ -538,6 +562,7 @@ def hyperplane_lsh_pairs(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs WITHOUT a precomputed blocking label:
     random-hyperplane sign-LSH (sign sketches), banded.
@@ -568,6 +593,7 @@ def hyperplane_lsh_pairs(
     exploded = sign_band_relation(
         corpus, planes, bands, id_col=id_col, vec_col=vec_col,
         extra=(V.norm(F.col(vec_col)).alias("_nrm"),),
+        bucket_cap=bucket_cap,
     )
     exploded = scoped_persist("similarity.hyperplane_bands", exploded)
     a, b = exploded.alias("a"), exploded.alias("b")

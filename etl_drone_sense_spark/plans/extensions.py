@@ -600,7 +600,20 @@ _HP_PLANES = V.hyperplanes(dim=64, nbits=64)
 _HP_BANDS = 8
 
 
-def _hp_oracle(planes=None, bands=None) -> str:
+def _bucket_cap_qualify(bucket_cap: int | None) -> str:
+    """The SQL twin of sign_band_relation's bucket_cap: keep the first
+    ``bucket_cap`` members of each (band_idx, band_val) bucket by vec_id
+    order. Empty when uncapped, so the uncapped oracles are textually
+    unchanged."""
+    if bucket_cap is None:
+        return ""
+    return (
+        "\n        QUALIFY row_number() OVER (PARTITION BY b.band_idx, "
+        f"band_val ORDER BY vec_id) <= {bucket_cap}"
+    )
+
+
+def _hp_oracle(planes=None, bands=None, bucket_cap=None) -> str:
     planes = _HP_PLANES if planes is None else planes
     bands = _HP_BANDS if bands is None else bands
     # Planes live in a constant CTE (p0..pN columns), referenced from the
@@ -631,7 +644,7 @@ def _hp_oracle(planes=None, bands=None) -> str:
         SELECT vec_id, b.band_idx,
                substr(sig, b.band_idx * {width} + 1, {width}) AS band_val
         FROM sigs CROSS JOIN
-             (SELECT unnest(range(0, {bands})) AS band_idx) b
+             (SELECT unnest(range(0, {bands})) AS band_idx) b{_bucket_cap_qualify(bucket_cap)}
     ),
     pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -681,6 +694,44 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=_HP_PLANES,
         bands=_HP_BANDS,
         threshold=0.8,
+    )
+
+
+# Hot-BUCKET budget guard (r15 — r14 VERDICT item 5): band WIDTH scaling
+# (the _wide/_adaptive twins) holds Σ|bucket|² linear for UNIFORM growth,
+# but one degenerate bucket holding 20% of the corpus (mass-duplicated
+# embeddings — the hot-key case) is quadratic at ANY width. The cap
+# bounds every bucket at the first 128 members by vec_id, making the
+# candidate space Σ min(|b|, 128)² — hard-linear. 128 is ~5x the mean
+# uniform bucket depth at sf0.1 (6k vectors / 256 buckets x 8 bands), so
+# benign buckets never hit it at the gate SF (pinned by test).
+_HP_BUCKET_CAP = 128
+
+
+@register(
+    "dedup_embedding_lsh_capped",
+    oracle=_hp_oracle(bucket_cap=_HP_BUCKET_CAP),
+    tags=("dedup", "similarity", "lsh", "skew"),
+)
+def dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_lsh under the HOT-BUCKET budget guard — the
+    deployment default for corpora whose duplicate clusters can deepen
+    with scale (the dedup_simhash_adaptive_capped posture, applied to
+    the vector family): identical banded LSH + exact-cosine verify, but
+    each (band, bucket) admits only its first {_HP_BUCKET_CAP} members
+    by vec_id (operators/similarity.sign_band_relation bucket_cap),
+    turning the Σ|bucket|² candidate space into Σ min(|b|, cap)² — a
+    hard linear bound under the 20%-hot-bucket skew fixture
+    (SKEW_PROBE.json). Recall is traded ONLY inside buckets deeper than
+    the cap, where members are near-identical by construction; on the
+    benign fixture the cap never engages and the output equals the
+    uncapped query row-for-row (pinned by test)."""
+    return similarity.hyperplane_lsh_pairs(
+        _seeded_embeddings(spark, sf_dir),
+        planes=_HP_PLANES,
+        bands=_HP_BANDS,
+        threshold=0.8,
+        bucket_cap=_HP_BUCKET_CAP,
     )
 
 
@@ -6402,6 +6453,111 @@ def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC2.read_table(spark, root).select("doc_id", "band_idx", "bucket")
 
 
+_STREAM_IVF_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "stream_ivf_index",
+    oracle=f"""
+    WITH cents AS (
+        SELECT * FROM (VALUES {_frozen_cents_values()}) AS v(cell_id, cvec)
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cell_id,
+               round({V.cosine_sql('e.embedding', 'c.cvec')}, 9) AS sim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, cell_id FROM assign WHERE rn = 1
+    """,
+    tags=("streaming", "similarity", "ann", "lake"),
+)
+def stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN-index maintenance for the VECTOR family (r15 —
+    r14 VERDICT item 3): stream_minhash_index's pattern applied to the
+    IVF index behind sim_ivf_topk_frozen. The embedding feed drains in
+    four micro-batches (``maxFilesPerTrigger=1``); each batch assigns
+    ONLY ITS OWN vectors to the frozen codebook (broadcast 8x64
+    centroid literals, one narrow pass — a batch never re-reads or
+    re-assigns history) and APPENDS its (vec_id, cell_id) rows to the
+    committed ``ivf_index`` table, txn-stamped so a redelivered batch
+    is a no-op (exactly-once). A production vector store maintains its
+    IVF lists exactly this way: assignment against a FROZEN codebook
+    is a pure per-vector map, so incremental build ∪ append equals the
+    one-shot batch build row for row — the mergeability proof, and the
+    oracle IS the batch-built assignment (the same scored/assign CTEs
+    sim_ivf_topk_frozen serves from). Chop-invariance (3-chunk vs
+    4-chunk feeds produce the identical table) is pinned in
+    tests/test_streaming.py.
+
+    Serving composes with the committed table directly: an IVF probe
+    is a semi-join of the probe cells against this table's cell_id —
+    at scale the table is written partitioned by cell_id and the probe
+    is a partition-pruned scan (sim_ivf_topk_frozen's docstring), so
+    index maintenance cost per batch is O(batch), never O(corpus)."""
+    import os as _os
+    import tempfile
+
+    from ..operators.similarity import assign_cells
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+    from ._frozen_codebook import FROZEN_CENTROIDS
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    root = _STREAM_IVF_TABLES.get(key)
+    if root is None:
+        work = tempfile.mkdtemp(prefix="sg_ivfidx_")
+        root, feed, ckpt = (
+            _os.path.join(work, d) for d in ("tbl", "feed", "ckpt")
+        )
+        TC.commit(
+            spark.createDataFrame([], "vec_id bigint, cell_id int"), root
+        )
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # four arbitrary chunks: assignment is a per-vector pure map, so
+        # the final table must be chop-invariant (pinned in tests)
+        for i in range(4):
+            emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            sp = bdf.sparkSession
+            cents = sp.createDataFrame(
+                list(FROZEN_CENTROIDS), "cell_id int, embedding array<double>"
+            )
+            idx = assign_cells(bdf, cents).select("vec_id", "cell_id")
+            TC.commit(
+                idx,
+                root,
+                mode="append",
+                _operation="ivf_index_append",
+                txn=("stream_ivf", batch_id),
+            )
+
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_IVF_TABLES[key] = root
+    from ..sources import table_commit as TC3
+
+    return TC3.read_table(spark, root).select("vec_id", "cell_id")
+
+
 # Holt linear-trend packing: level/trend in micro-units, biased by
 # 2^30 so both packed components stay nonnegative (events.value is
 # [0, ~500] -> |level|,|trend| < 2^29), packed as (l+B)*P + (b+B) with
@@ -7347,7 +7503,7 @@ def _frozen_cents64_values_ext() -> str:
     )
 
 
-def _graph_topk_oracle() -> str:
+def _graph_topk_oracle(bucket_cap: int | None = None) -> str:
     plane_cols = ", ".join(
         f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(_HP_PLANES)
     )
@@ -7368,7 +7524,7 @@ def _graph_topk_oracle() -> str:
         SELECT vec_id, b.band_idx,
                substr(sig, b.band_idx * {width} + 1, {width}) AS band_val
         FROM sigs CROSS JOIN
-             (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b)""",
+             (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b{_bucket_cap_qualify(bucket_cap)})""",
         f"""cand_pairs AS MATERIALIZED (
         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
         FROM exploded a
@@ -7471,20 +7627,58 @@ def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes graph ANN the serving standard). Quality is gated in-plan by
     tests/test_similarity_quality.py::test_graph_topk_recall against
     exact integer-L2 top-k."""
+    return _graph_topk_impl(spark, sf_dir, bucket_cap=None)
+
+
+@register(
+    "sim_graph_topk_capped",
+    oracle=_graph_topk_oracle(bucket_cap=_HP_BUCKET_CAP),
+    tags=("similarity", "ann", "graph", "topk", "skew"),
+)
+def sim_graph_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_graph_topk's GRAPH BUILD under the hot-bucket budget guard
+    (r15 — the dedup_embedding_lsh_capped posture applied to the kNN
+    graph): candidate generation admits only the first
+    {_HP_BUCKET_CAP} members of each sign-LSH bucket, so a degenerate
+    bucket holding 20% of the corpus (mass-duplicated embeddings, the
+    SKEW_PROBE fixture) contributes min(|b|, cap)^2 candidate pairs
+    instead of |b|^2 — the build stays linear in corpus size no matter
+    how deep duplicate clusters grow. Search is UNCHANGED (the beam is
+    already corpus-size-independent). On the benign fixture the cap
+    never engages and build+search equal the uncapped query
+    bit-for-bit (pinned by test); under skew, nodes beyond the cap in
+    a hot bucket lose only links to their own near-identical clones —
+    the least informative edges in the graph."""
+    return _graph_topk_impl(spark, sf_dir, bucket_cap=_HP_BUCKET_CAP)
+
+
+def _graph_topk_impl(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _graph_topk_from(spark, emb, bucket_cap)
+
+
+def _graph_topk_from(
+    spark: SparkSession, emb: DataFrame, bucket_cap: int | None
+) -> DataFrame:
+    """Build + search over an arbitrary (vec_id, embedding) corpus — the
+    registry queries pass the fixture scan; the clustered-regime recall
+    test (tests/test_similarity_quality.py) passes a synthetically
+    tightened corpus through the SAME machinery."""
     from pyspark.sql.window import Window
 
     from ..caching import scoped_persist
     from ..operators.similarity import sign_band_relation
 
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qz = emb.select(
         "vec_id", V.quantize_fixed(F.col("embedding")).alias("qv")
     )
     qz = scoped_persist("sim_graph.qz", qz)
 
-    exploded = sign_band_relation(emb, _HP_PLANES, _HP_BANDS).select(
-        "vec_id", "band_idx", "band_val"
-    )
+    exploded = sign_band_relation(
+        emb, _HP_PLANES, _HP_BANDS, bucket_cap=bucket_cap
+    ).select("vec_id", "band_idx", "band_val")
     exploded = scoped_persist("sim_graph.bands", exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand_pairs = (

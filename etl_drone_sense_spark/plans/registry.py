@@ -1163,6 +1163,21 @@ TOUCHED_R15: tuple[str, ...] = (
     "stream_domain_budget_cutoff",  # r15: explicit strictly-increasing
     # feed-chunk mtimes (ADVICE) — replay order now deterministic on
     # coarse-mtime filesystems; plan unchanged, hash unchanged
+    "table_layout_migration_read",  # NEW r15: partition-evolution WRITE
+    # path (r14 VERDICT item 4) — migrate_layout rewrites the coarse
+    # epoch under the finer spec, time travel preserved
+    "stream_ivf_index",  # NEW r15: incremental ANN-index maintenance
+    # (r14 VERDICT item 3) — per-batch frozen-codebook assignment
+    # appended exactly-once; oracle = the batch-built assignment
+    "dedup_embedding_lsh_capped",  # NEW r15: hot-bucket budget guard
+    # (r14 VERDICT item 5) — Σ min(|b|, cap)² candidate space
+    "sim_graph_topk_capped",  # NEW r15: the same guard on the kNN-graph
+    # build; search unchanged
+    "sim_graph_topk",  # r15: body refactored into _graph_topk_from
+    # (corpus-parameterized for the clustered-recall regime) — plan and
+    # hash unchanged, fresh row to certify the refactor
+    "dedup_embedding_lsh",  # r15: sign_band_relation gained bucket_cap
+    # (default None) + divisibility guard — plan unchanged, fresh row
 )
 
 

@@ -736,6 +736,7 @@ def commit(
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    _replace_files: frozenset[str] | None = None,
 ) -> Snapshot:
     """Commit ``df`` as a new table version. ``mode='overwrite'`` makes the
     new snapshot exactly df's files; ``'append'`` carries the parent
@@ -818,10 +819,31 @@ def commit(
     new_ff_json = json.dumps(mapping, sort_keys=True)
     file_fields = tuple((f, new_ff_json) for f in files)
     if mode == "append":
-        files = sorted([*parent_snap.files, *files])
-        stats = tuple(sorted([*parent_snap.stats, *stats]))
-        blooms = tuple(sorted([*parent_snap.blooms, *blooms]))
-        file_fields = tuple(sorted([*parent_file_fields, *file_fields]))
+        # _replace_files (internal, used by migrate_layout): parent
+        # entries for these files do NOT carry forward — the new files
+        # REPLACE them in the child manifest. The data files themselves
+        # stay on disk, still referenced by every older version, so time
+        # travel keeps reading the pre-replacement layout.
+        drop = _replace_files or frozenset()
+        files = sorted(
+            [*(f for f in parent_snap.files if f not in drop), *files]
+        )
+        stats = tuple(
+            sorted([*(s for s in parent_snap.stats if s[0] not in drop), *stats])
+        )
+        blooms = tuple(
+            sorted(
+                [*(b for b in parent_snap.blooms if b[0] not in drop), *blooms]
+            )
+        )
+        file_fields = tuple(
+            sorted(
+                [
+                    *(ff for ff in parent_file_fields if ff[0] not in drop),
+                    *file_fields,
+                ]
+            )
+        )
     snap = Snapshot(
         version=new_version,
         files=tuple(files),
@@ -983,6 +1005,72 @@ def compact(
         _operation="compact",
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
+    )
+
+
+def migrate_layout(
+    spark: SparkSession,
+    root: str,
+    layout_cols: list[str],
+    n_files: int,
+    files: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> Snapshot:
+    """LAYOUT-MIGRATION COMPACTION (r15 — the write path of partition
+    evolution; Iceberg's ``rewrite_data_files`` with a target spec):
+    rewrite ``files`` (root-relative paths from the CURRENT snapshot;
+    default all of them) under a new physical layout —
+    ``repartitionByRange(n_files, *layout_cols)`` — and commit the
+    result as one new version whose manifest carries every untouched
+    file forward unchanged.
+
+    Properties, all inherited from the manifest machinery rather than
+    re-implemented:
+      - ATOMIC: the rewrite is a single PUT-if-absent manifest commit
+        (``commit``'s CAS); readers see either the old layout or the
+        new one, never a mix, and a racing writer aborts cleanly.
+      - TIME TRAVEL PRESERVED: data files are immutable and the old
+        epoch's files stay on disk, still listed by every pre-migration
+        manifest — ``read_table(root, version=v_old)`` keeps reading
+        the OLD layout byte-for-byte. Only ``vacuum`` (with its
+        retention window) ever reclaims them.
+      - LOGICALLY INVARIANT: the child snapshot lists the same rows in
+        differently-shaped files; a full read before and after must be
+        row-identical (the registry query's hash oracle certifies it).
+      - FIELD-ID EXACT: the rewritten files are read through the
+        per-file field-id mapping (``_read_files_mapped``), so a table
+        that was renamed/evolved mid-history migrates under its
+        CURRENT logical schema and the new files bind current ids.
+
+    Scale shape: the rewrite reads ONLY the files being migrated (an
+    O(migrated-bytes) job, not O(table)) and shuffles once into the
+    target range layout — exactly the amortized write-side shuffle the
+    read-side pruning pays for. Old-epoch reads during the rewrite are
+    untouched; the commit point is metadata-only."""
+    snap = read_snapshot(root)
+    target = set(snap.files) if files is None else set(files)
+    unknown = target - set(snap.files)
+    if unknown:
+        raise ValueError(
+            f"migrate_layout: not in the current snapshot: {sorted(unknown)}"
+        )
+    rewrite = [f for f in snap.files if f in target]
+    if not rewrite:
+        raise ValueError("migrate_layout: no files to migrate")
+    if snap.schema:
+        src = _read_files_mapped(spark, root, snap, rewrite)
+    else:
+        src = spark.read.parquet(*(os.path.join(root, f) for f in rewrite))
+    out = src.repartitionByRange(n_files, *layout_cols)
+    return commit(
+        out,
+        root,
+        mode="append",
+        _operation="migrate-layout",
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        _replace_files=frozenset(rewrite),
     )
 
 

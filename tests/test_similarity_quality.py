@@ -320,3 +320,167 @@ def test_graph_topk_recall(spark, sf_dir):
     ]
     assert min(recalls) >= 0.5, recalls
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_bucket_cap_twins_equal_uncapped_on_benign_corpus(spark, sf_dir):
+    """The hot-bucket budget guard must be pure insurance on benign
+    data: at the gate SF no sign-LSH bucket reaches the cap, so the
+    capped twins' outputs equal the uncapped originals row for row —
+    for the pair emitter AND the graph build+search."""
+    from etl_drone_sense_spark.plans.extensions import (
+        dedup_embedding_lsh,
+        dedup_embedding_lsh_capped,
+        sim_graph_topk,
+        sim_graph_topk_capped,
+    )
+
+    lsh = sorted(map(tuple, dedup_embedding_lsh(spark, sf_dir).collect()))
+    lsh_c = sorted(
+        map(tuple, dedup_embedding_lsh_capped(spark, sf_dir).collect())
+    )
+    assert lsh_c == lsh and len(lsh) > 0
+
+    g = sorted(map(tuple, sim_graph_topk(spark, sf_dir).collect()))
+    g_c = sorted(map(tuple, sim_graph_topk_capped(spark, sf_dir).collect()))
+    assert g_c == g and len(g) > 0
+
+
+def test_bucket_cap_bounds_hot_bucket_candidates(spark):
+    """Under mass duplication (300 byte-identical vectors) the capped
+    pair emitter's output is C(cap, 2) — the first `cap` members by
+    vec_id pair up, everything deeper is dropped — while the uncapped
+    form would emit C(300, 2). The Σ min(|b|, cap)² bound in one
+    number."""
+    from etl_drone_sense_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+        sign_band_relation,
+    )
+    from etl_drone_sense_spark.functions import vectors as V
+
+    planes = V.hyperplanes(dim=8, nbits=16)
+    base = [0.3, -1.2, 0.8, 0.05, -0.4, 1.1, -0.9, 0.6]
+    rows = [(i, [float(x) for x in base]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cap = 16
+    banded = sign_band_relation(df, planes, 4, bucket_cap=cap)
+    per_bucket = (
+        banded.groupBy("band_idx", "band_val").count().collect()
+    )
+    assert all(r["count"] <= cap for r in per_bucket)
+
+    pairs = hyperplane_lsh_pairs(
+        df, planes, bands=4, threshold=0.8, bucket_cap=cap
+    ).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == set(range(cap))  # the first `cap` members by vec_id
+
+
+def test_bucket_cap_validation():
+    import pytest
+
+    from etl_drone_sense_spark.operators.similarity import sign_band_relation
+    from etl_drone_sense_spark.functions import vectors as V
+
+    planes = V.hyperplanes(dim=8, nbits=16)
+    with pytest.raises(ValueError, match="bucket_cap"):
+        sign_band_relation(None, planes, 4, bucket_cap=0)
+
+
+def test_graph_topk_recall_clustered_regime(spark, sf_dir):
+    """The OTHER recall regime (r15 — r14 VERDICT item 6): the uniform
+    gate above is the hard case for graph QUALITY; CLUSTERED data is
+    the case that breaks naive ENTRY selection instead (a global entry
+    lands in one cluster and the fixed-hop beam can't cross the void to
+    the query's cluster). Tighten every vector 4x around its frozen-
+    codebook centroid — deterministic, no RNG, and the cells become
+    real clusters — then run the SAME build+search machinery and gate
+    recall against exact integer-L2 top-10 on the tightened corpus.
+    The IVF-routed entry is what this certifies: each query enters in
+    its own cell's subgraph."""
+    import pytest
+    from pyspark.sql.window import Window
+
+    from etl_drone_sense_spark.functions import vectors as V
+    from etl_drone_sense_spark.plans._frozen_codebook import (
+        FROZEN_CENTROIDS_64,
+    )
+    from etl_drone_sense_spark.plans._frozen_meta import (
+        TRAINED_ON_FINGERPRINT,
+    )
+    from etl_drone_sense_spark.plans.extensions import _graph_topk_from
+    from etl_drone_sense_spark.sources.readers import fixture_fingerprint
+
+    if (
+        fixture_fingerprint("/root/testdata/sf0.01/embeddings.parquet")
+        != TRAINED_ON_FINGERPRINT
+    ):
+        pytest.skip("embeddings fixture regenerated — rerun freeze_artifacts")
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = spark.createDataFrame(
+        list(FROZEN_CENTROIDS_64), "cell_id int, cvec array<double>"
+    )
+    # nearest frozen centroid per vector (double cosine-free argmin on
+    # exact integer L2 over the fixed-point grid, like the engine)
+    qz = emb.select(
+        "vec_id", "embedding", V.quantize_fixed(F.col("embedding")).alias("qv")
+    )
+    cq = cents.select(
+        "cell_id", "cvec", V.quantize_fixed(F.col("cvec")).alias("cq")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    assigned = (
+        qz.crossJoin(F.broadcast(cq))
+        .select(
+            "vec_id", "embedding", "cvec", "cell_id",
+            V.l2sq_int(F.col("qv"), F.col("cq")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    # tighten: v' = c + (v - c)/4 — clusters shrink, centroids (and the
+    # frozen routing) stay exact
+    clustered = assigned.select(
+        "vec_id",
+        F.zip_with(
+            "cvec", "embedding",
+            lambda c, x: c + (x.cast("double") - c) / F.lit(4.0),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+
+    got: dict[int, set] = {}
+    for r in _graph_topk_from(spark, clustered, bucket_cap=None).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+
+    czq = clustered.select(
+        "vec_id", V.quantize_fixed(F.col("embedding")).alias("qv")
+    )
+    queries = (
+        czq.filter(F.col("vec_id") % 97 == 1)
+        .orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact_rows = (
+        czq.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", "vec_id",
+            V.l2sq_int(F.col("qv"), F.col("qq")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    )
+    exact: dict[int, set] = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact[q] & got.get(q, set())) / 10 for q in sorted(exact)
+    ]
+    assert min(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls

@@ -619,3 +619,96 @@ def test_minhash_index_stream_chop_invariance(spark, sf_dir, tmp_path):
     )
     assert two == three == batch
     assert len(batch) == 60 * MH_BANDS
+
+
+def test_ivf_index_stream_chop_invariance(spark, sf_dir, tmp_path):
+    """r15 (stream_ivf_index): the committed IVF index must be IDENTICAL
+    however the embedding feed is chopped into micro-batches — frozen-
+    codebook assignment is a per-vector pure map, so per-batch assign ∪
+    append = the one-shot batch build, row for row. Builds the index
+    through the real foreachBatch+commit machinery with a 2-chop and a
+    3-chop of the same 60 vectors and compares against the direct batch
+    operator output."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.operators.similarity import assign_cells
+    from etl_drone_sense_spark.plans._frozen_codebook import FROZEN_CENTROIDS
+    from etl_drone_sense_spark.sources import table_commit as TC
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 60)
+    )
+    cents = spark.createDataFrame(
+        list(FROZEN_CENTROIDS), "cell_id int, embedding array<double>"
+    )
+
+    def build(nchop: int, tag: str) -> list:
+        root = str(tmp_path / f"ivf_tbl_{tag}")
+        feed = str(tmp_path / f"ivf_feed_{tag}")
+        ckpt = str(tmp_path / f"ivf_ckpt_{tag}")
+        TC.commit(
+            spark.createDataFrame([], "vec_id bigint, cell_id int"), root
+        )
+        for i in range(nchop):
+            emb.filter(F.col("vec_id") % nchop == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            idx = assign_cells(bdf, cents).select("vec_id", "cell_id")
+            TC.commit(
+                idx, root, mode="append",
+                _operation="ivf_index_append",
+                txn=(f"ivfchop_{tag}", batch_id),
+            )
+
+        q = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["vec_id"], r["cell_id"])
+            for r in TC.read_table(spark, root).collect()
+        )
+
+    two = build(2, "two")
+    three = build(3, "three")
+    batch = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in assign_cells(emb, cents)
+        .select("vec_id", "cell_id")
+        .collect()
+    )
+    assert two == three == batch
+    assert len(batch) == 60
+
+
+def test_ivf_index_stream_is_multi_batch_and_idempotent(spark, sf_dir):
+    """The registry query's committed table must carry one append per
+    drained chunk (4 — AvailableNow must not have coalesced them) and
+    the final snapshot's txn watermark makes any replayed batch a
+    no-op."""
+    from etl_drone_sense_spark.plans.extensions import (
+        _STREAM_IVF_TABLES,
+        stream_ivf_index,
+    )
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    stream_ivf_index(spark, sf_dir).collect()
+    (root,) = [v for k, v in _STREAM_IVF_TABLES.items() if k[0] == sf_dir]
+    version = TC.current_version(root)
+    ops = [
+        TC.read_snapshot(root, v).operation for v in range(1, version + 1)
+    ]
+    assert ops.count("ivf_index_append") == 4, ops
+    last = TC.read_snapshot(root, version)
+    assert last.txn_map.get("stream_ivf") == 3, last.txn

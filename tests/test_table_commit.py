@@ -1031,3 +1031,154 @@ def test_partition_evolution_prunes_both_epochs(spark):
         .filter(F.col("o_month") == 3).collect()
     )
     assert got == want
+
+
+def _two_epoch_table(spark, tmp_prefix="sg_mig_test_"):
+    """Shared fixture for the migration tests: epoch 1 = even keys in 4
+    coarse month-range files, epoch 2 = odd keys in 12 (month, status)
+    files. Returns (root, df, epoch1_files)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    rows = [(i, (i % 12) + 1, "OF"[i % 2], float(i)) for i in range(1200)]
+    df = spark.createDataFrame(
+        rows, "k long, o_month int, status string, val double"
+    )
+    root = tempfile.mkdtemp(prefix=tmp_prefix)
+    TC.commit(
+        df.filter(F.col("k") % 2 == 0).repartitionByRange(4, "o_month"),
+        root,
+        stats_cols=["o_month"],
+    )
+    epoch1 = set(TC.read_snapshot(root, None).files)
+    TC.commit(
+        df.filter(F.col("k") % 2 == 1).repartitionByRange(
+            12, "o_month", "status"
+        ),
+        root,
+        mode="append",
+        stats_cols=["o_month", "status"],
+    )
+    return root, df, epoch1
+
+
+def test_migrate_layout_row_identical_and_time_travel(spark):
+    """migrate_layout moves bytes, not rows: the post-migration read is
+    row-identical to the pre-migration one, the old version still reads
+    the OLD layout (its manifest lists the original files, all still on
+    disk), and the new manifest swaps exactly the migrated subset."""
+    import os
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    root, df, epoch1 = _two_epoch_table(spark)
+    pre_version = TC.read_snapshot(root, None).version
+    pre_rows = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+
+    snap = TC.migrate_layout(
+        spark,
+        root,
+        layout_cols=["o_month", "status"],
+        n_files=12,
+        files=sorted(epoch1),
+        stats_cols=["o_month", "status"],
+    )
+    assert snap.operation == "migrate-layout"
+    assert snap.parent == pre_version
+
+    # row-identical current read
+    post_rows = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    assert post_rows == pre_rows
+
+    # manifest surgery: epoch-1 files gone from the child, epoch-2 kept
+    assert not (set(snap.files) & epoch1)
+    pre_files = set(TC.read_snapshot(root, pre_version).files)
+    assert (pre_files - epoch1) <= set(snap.files)
+    new_files = set(snap.files) - pre_files
+    assert new_files, "migration wrote no new files"
+    # every new file carries stats for the new layout cols
+    stats = snap.stats_map
+    for f in new_files:
+        assert "o_month" in stats[f] and "status" in stats[f]
+
+    # TIME TRAVEL: the pre-migration version still lists & reads the old
+    # files byte-for-byte
+    old_snap = TC.read_snapshot(root, pre_version)
+    assert set(old_snap.files) == pre_files
+    for f in epoch1:
+        assert os.path.exists(os.path.join(root, f)), "old epoch file GC'd"
+    tt_rows = sorted(
+        tuple(r)
+        for r in TC.read_table(spark, root, version=pre_version).collect()
+    )
+    assert tt_rows == pre_rows
+
+
+def test_migrate_layout_improves_pruning(spark):
+    """The point of the rewrite: after migrating the coarse epoch under
+    the finer spec, a month predicate keeps a strictly smaller fraction
+    of the migrated half's files than the coarse layout did."""
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    root, _, epoch1 = _two_epoch_table(spark)
+    pre = TC.read_snapshot(root, None)
+    pre_kept = set(TC._pruned_files(pre, "o_month", 3, 3))
+    pre_frac = len(pre_kept & epoch1) / len(epoch1)
+
+    TC.migrate_layout(
+        spark,
+        root,
+        layout_cols=["o_month", "status"],
+        n_files=12,
+        files=sorted(epoch1),
+        stats_cols=["o_month", "status"],
+    )
+    post = TC.read_snapshot(root, None)
+    migrated = set(post.files) - set(pre.files)
+    post_kept = set(TC._pruned_files(post, "o_month", 3, 3))
+    post_frac = len(post_kept & migrated) / len(migrated)
+    assert post_frac < pre_frac, (
+        f"finer layout did not prune harder: {post_frac} vs {pre_frac}"
+    )
+
+
+def test_migrate_layout_vacuum_reclaims_old_epoch(spark):
+    """vacuum is the ONLY thing that ever reclaims the migrated-away
+    files: keep_last=1 with a zero retention window drops the
+    pre-migration manifests and exactly the now-unreferenced epoch-1
+    files; the current read is untouched."""
+    import os
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    root, _, epoch1 = _two_epoch_table(spark)
+    pre_rows = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    TC.migrate_layout(
+        spark,
+        root,
+        layout_cols=["o_month", "status"],
+        n_files=12,
+        files=sorted(epoch1),
+        stats_cols=["o_month", "status"],
+    )
+    removed = set(TC.vacuum(root, keep_last=1, min_age_seconds=0.0))
+    assert removed == epoch1, "vacuum removed the wrong file set"
+    for f in epoch1:
+        assert not os.path.exists(os.path.join(root, f))
+    post_rows = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    assert post_rows == pre_rows
+
+
+def test_migrate_layout_rejects_unknown_files(spark):
+    import pytest
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    root, _, _ = _two_epoch_table(spark)
+    with pytest.raises(ValueError, match="not in the current snapshot"):
+        TC.migrate_layout(
+            spark, root, ["o_month"], 4, files=["data/ghost.parquet"]
+        )

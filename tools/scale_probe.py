@@ -264,7 +264,7 @@ def synthesize_skewed(spark, scale: int) -> str:
     )
     for t_ in tables:
         dst = os.path.join(out, f"{t_}.parquet")
-        if t_ in ("events", "orders") or os.path.exists(dst):
+        if t_ in ("events", "orders", "embeddings") or os.path.exists(dst):
             continue
         os.symlink(os.path.join(base, f"{t_}.parquet"), dst)
 
@@ -277,6 +277,25 @@ def synthesize_skewed(spark, scale: int) -> str:
         ),
     ).repartition(16).write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
+    )
+    # r15 (VERDICT item 5): hot-BUCKET skew for the vector family — 20%
+    # of embeddings become byte-identical copies of the min-vec_id
+    # vector, so every sign-LSH band funnels them into ONE bucket (the
+    # Σ|bucket|² worst case band widening can't fix). vec_id/label are
+    # untouched: only the VALUE distribution changes.
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    hot_vec = (
+        emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    )
+    ev_dim = len(hot_vec)
+    emb.withColumn(
+        "embedding",
+        F.when(
+            F.pmod("vec_id", F.lit(5)) == 0,
+            F.array(*[F.lit(float(hot_vec[i])).cast("float") for i in range(ev_dim)]),
+        ).otherwise(F.col("embedding")),
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
     )
     orders = spark.read.parquet(f"{base}/orders.parquet")
     hot_cust = orders.agg(F.min("o_custkey")).collect()[0][0]
@@ -317,6 +336,14 @@ SKEW_QUERIES = [
     # map-combined, which is exactly what the slope certifies.
     "graph_sssp",
     "graph_label_communities",
+    # r15 (r14 VERDICT item 5): the vector family under a 20%-hot LSH
+    # bucket (byte-identical embeddings). Both run their CAPPED twins —
+    # the hot-bucket budget guard (sign_band_relation bucket_cap) is the
+    # deployment default for exactly this shape; the uncapped originals
+    # keep the definition-exact audit posture (quadratic-by-construction
+    # under mass duplication, like dedup_simhash_adaptive).
+    "dedup_embedding_lsh_capped",
+    "sim_graph_topk_capped",
 ]
 
 # Under the hot key, a CORRECT interval join's OUTPUT is the hot pair
