@@ -7782,3 +7782,222 @@ def _graph_topk_from(
             F.col("d2").cast("long").alias("d2"),
         )
     )
+
+
+def _graph_edges_oracle() -> str:
+    """The BATCH-BUILT kNN graph with distances and ranks — the oracle
+    for incremental graph-index maintenance (stream_graph_index). Same
+    qz/sigs/exploded/cand_pairs recurrence as _graph_topk_oracle's
+    build, projected as (src, rank, dst, d2)."""
+    plane_cols = ", ".join(
+        f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(_HP_PLANES)
+    )
+    bits = ", ".join(
+        V.hyperplane_bit_fixed_sql("qv", f"p{j}")
+        for j in range(len(_HP_PLANES))
+    )
+    width = len(_HP_PLANES) // _HP_BANDS
+    return f"""
+    WITH qz AS MATERIALIZED (
+        SELECT vec_id, {V.quantize_fixed_sql('embedding')} AS qv
+        FROM embeddings),
+    planes AS (SELECT {plane_cols}),
+    sigs AS MATERIALIZED (
+        SELECT vec_id, concat({bits}) AS sig FROM qz CROSS JOIN planes),
+    exploded AS MATERIALIZED (
+        SELECT vec_id, b.band_idx,
+               substr(sig, b.band_idx * {width} + 1, {width}) AS band_val
+        FROM sigs CROSS JOIN
+             (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b),
+    cand_pairs AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM exploded a
+        JOIN exploded b ON a.band_idx = b.band_idx
+                       AND a.band_val = b.band_val
+                       AND a.vec_id <> b.vec_id)
+    SELECT src, CAST(rn AS INT) AS rank, dst, CAST(d2v AS BIGINT) AS d2
+    FROM (
+        SELECT p.src, p.dst, {V.l2sq_int_sql('s.qv', 'd.qv')} AS d2v,
+               row_number() OVER (
+                   PARTITION BY p.src
+                   ORDER BY {V.l2sq_int_sql('s.qv', 'd.qv')}, p.dst) AS rn
+        FROM cand_pairs p
+        JOIN qz s ON s.vec_id = p.src
+        JOIN qz d ON d.vec_id = p.dst)
+    WHERE rn <= {GR_KNN}"""
+
+
+_STREAM_GRAPH_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "stream_graph_index",
+    oracle=_graph_edges_oracle(),
+    tags=("streaming", "similarity", "ann", "graph", "lake"),
+)
+def stream_graph_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL kNN-GRAPH maintenance (r15 — closes the r14
+    VERDICT's 'ANN maintenance exists for LSH but not the graph/IVF
+    family' gap alongside stream_ivf_index): HNSW-style insert as a
+    streaming table pipeline. The embedding feed drains in four
+    micro-batches; each batch
+      1. signs ONLY its own vectors (sign_band_relation — pure map) and
+         appends them to the committed signature + vector tables;
+      2. generates candidate links for its vectors against the
+         COMMITTED index plus itself (banded equi-join — one bucket
+         probe per new vector, never a recompute of history), in BOTH
+         directions: the new node's out-candidates AND the reverse
+         links existing nodes receive (the HNSW back-link step);
+      3. trims per-src to the batch-local top-{GR_KNN} and APPENDS
+         (src, dst, d2) exactly-once (txn-stamped).
+    The final read re-trims per src over the appended union — the LSM
+    shape: each batch's local trim keeps every edge that can still be
+    in the global top-k (top-k of a growing set is determined by the
+    set, so trim-then-union-then-trim equals one global trim), and
+    candidate generation is SYMMETRIC in insertion order (a pair is
+    examined exactly once, when its later member inserts — forward if
+    src is newer, reverse if dst is newer). Hence the maintained graph
+    EQUALS the batch-built kNN graph row for row, and the oracle is
+    that batch build — the stream_minhash/ivf mergeability proof, now
+    for a structure HNSW maintains destructively. Chop-invariance is
+    pinned in tests/test_streaming.py; storage per src is
+    O(k x touching batches), not Σ|bucket|².
+
+    Scale shape: per batch one narrow sign pass + one bucket-keyed
+    join against the committed signatures (at 100 TB the signature
+    table is bucketed by (band_idx, band_val), making the probe a
+    co-located join) + a batch-local WindowGroupLimit; the commit is a
+    metadata append. Serving reads the trimmed edge relation exactly
+    like sim_graph_topk's build output."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import sign_band_relation
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    roots = _STREAM_GRAPH_TABLES.get(key)
+    if roots is None:
+        work = tempfile.mkdtemp(prefix="sg_gidx_")
+        e_root, s_root, v_root, feed, ckpt = (
+            _os.path.join(work, d)
+            for d in ("edges", "sig", "vec", "feed", "ckpt")
+        )
+        TC.commit(
+            spark.createDataFrame([], "src bigint, dst bigint, d2 bigint"),
+            e_root,
+        )
+        TC.commit(
+            spark.createDataFrame(
+                [], "vec_id bigint, band_idx int, band_val string"
+            ),
+            s_root,
+        )
+        TC.commit(
+            spark.createDataFrame([], "vec_id bigint, qv array<bigint>"),
+            v_root,
+        )
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        for i in range(4):
+            emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            sp = bdf.sparkSession
+            qz_b = bdf.select(
+                "vec_id", V.quantize_fixed(F.col("embedding")).alias("qv")
+            ).localCheckpoint(eager=True)
+            sig_b = (
+                sign_band_relation(bdf, _HP_PLANES, _HP_BANDS)
+                .select("vec_id", "band_idx", "band_val")
+                .localCheckpoint(eager=True)
+            )
+            all_sig = TC.read_table(sp, s_root).unionByName(sig_b)
+            all_vec = TC.read_table(sp, v_root).unionByName(qz_b)
+            n, o = sig_b.alias("n"), all_sig.alias("o")
+            pairs = (
+                n.join(
+                    o,
+                    on=[
+                        F.col("n.band_idx") == F.col("o.band_idx"),
+                        F.col("n.band_val") == F.col("o.band_val"),
+                        F.col("n.vec_id") != F.col("o.vec_id"),
+                    ],
+                )
+                .select(
+                    F.col("n.vec_id").alias("a"), F.col("o.vec_id").alias("b")
+                )
+                .distinct()
+            )
+            both = (
+                pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .unionByName(
+                    pairs.select(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    )
+                )
+                .distinct()
+            )
+            s_v, d_v = all_vec.alias("s"), all_vec.alias("d")
+            w = Window.partitionBy("src").orderBy("d2", "dst")
+            ed = (
+                both.join(s_v, F.col("src") == F.col("s.vec_id"))
+                .join(d_v, F.col("dst") == F.col("d.vec_id"))
+                .select(
+                    "src", "dst",
+                    V.l2sq_int(F.col("s.qv"), F.col("d.qv")).alias("d2"),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= GR_KNN)
+                .select("src", "dst", "d2")
+            )
+            TC.commit(
+                ed, e_root, mode="append",
+                _operation="graph_index_append",
+                txn=("stream_graph_e", batch_id),
+            )
+            TC.commit(
+                sig_b, s_root, mode="append",
+                _operation="graph_sig_append",
+                txn=("stream_graph_s", batch_id),
+            )
+            TC.commit(
+                qz_b, v_root, mode="append",
+                _operation="graph_vec_append",
+                txn=("stream_graph_v", batch_id),
+            )
+
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        roots = (e_root, s_root, v_root)
+        _STREAM_GRAPH_TABLES[key] = roots
+    from pyspark.sql.window import Window as W2
+
+    from ..sources import table_commit as TC4
+
+    w_final = W2.partitionBy("src").orderBy("d2", "dst")
+    return (
+        TC4.read_table(spark, roots[0])
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= GR_KNN)
+        .select(
+            "src",
+            F.col("rn").cast("int").alias("rank"),
+            "dst",
+            F.col("d2").cast("long").alias("d2"),
+        )
+    )

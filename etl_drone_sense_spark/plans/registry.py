@@ -1178,6 +1178,8 @@ TOUCHED_R15: tuple[str, ...] = (
     # hash unchanged, fresh row to certify the refactor
     "dedup_embedding_lsh",  # r15: sign_band_relation gained bucket_cap
     # (default None) + divisibility guard — plan unchanged, fresh row
+    "stream_graph_index",  # NEW r15: incremental kNN-graph maintenance
+    # (HNSW-style insert as LSM appends) — oracle = batch-built graph
 )
 
 

@@ -712,3 +712,170 @@ def test_ivf_index_stream_is_multi_batch_and_idempotent(spark, sf_dir):
     assert ops.count("ivf_index_append") == 4, ops
     last = TC.read_snapshot(root, version)
     assert last.txn_map.get("stream_ivf") == 3, last.txn
+
+
+def test_graph_index_stream_chop_invariance(spark, sf_dir, tmp_path):
+    """r15 (stream_graph_index): the maintained kNN graph must be
+    IDENTICAL however the embedding feed is chopped — candidate
+    generation is symmetric in insertion order (each pair examined
+    exactly once, forward or reverse, when its later member inserts)
+    and batch-local top-k trims never drop a global top-k edge, so
+    incremental insert ∪ read-time trim = the batch-built graph row
+    for row. Runs 2-chop and 3-chop through the real
+    foreachBatch+commit machinery and compares against the direct
+    batch build."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_drone_sense_spark.functions import vectors as V
+    from etl_drone_sense_spark.operators.similarity import sign_band_relation
+    from etl_drone_sense_spark.plans.extensions import (
+        _HP_BANDS,
+        _HP_PLANES,
+        GR_KNN,
+    )
+    from etl_drone_sense_spark.sources import table_commit as TC
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 60)
+    )
+
+    def build(nchop: int, tag: str) -> list:
+        e_root = str(tmp_path / f"g_edges_{tag}")
+        s_root = str(tmp_path / f"g_sig_{tag}")
+        v_root = str(tmp_path / f"g_vec_{tag}")
+        feed = str(tmp_path / f"g_feed_{tag}")
+        ckpt = str(tmp_path / f"g_ckpt_{tag}")
+        TC.commit(
+            spark.createDataFrame([], "src bigint, dst bigint, d2 bigint"),
+            e_root,
+        )
+        TC.commit(
+            spark.createDataFrame(
+                [], "vec_id bigint, band_idx int, band_val string"
+            ),
+            s_root,
+        )
+        TC.commit(
+            spark.createDataFrame([], "vec_id bigint, qv array<bigint>"),
+            v_root,
+        )
+        for i in range(nchop):
+            emb.filter(F.col("vec_id") % nchop == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            sp = bdf.sparkSession
+            qz_b = bdf.select(
+                "vec_id", V.quantize_fixed(F.col("embedding")).alias("qv")
+            ).localCheckpoint(eager=True)
+            sig_b = (
+                sign_band_relation(bdf, _HP_PLANES, _HP_BANDS)
+                .select("vec_id", "band_idx", "band_val")
+                .localCheckpoint(eager=True)
+            )
+            all_sig = TC.read_table(sp, s_root).unionByName(sig_b)
+            all_vec = TC.read_table(sp, v_root).unionByName(qz_b)
+            n, o = sig_b.alias("n"), all_sig.alias("o")
+            pairs = (
+                n.join(
+                    o,
+                    on=[
+                        F.col("n.band_idx") == F.col("o.band_idx"),
+                        F.col("n.band_val") == F.col("o.band_val"),
+                        F.col("n.vec_id") != F.col("o.vec_id"),
+                    ],
+                )
+                .select(
+                    F.col("n.vec_id").alias("a"), F.col("o.vec_id").alias("b")
+                )
+                .distinct()
+            )
+            both = (
+                pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .unionByName(
+                    pairs.select(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    )
+                )
+                .distinct()
+            )
+            s_v, d_v = all_vec.alias("s"), all_vec.alias("d")
+            w = Window.partitionBy("src").orderBy("d2", "dst")
+            ed = (
+                both.join(s_v, F.col("src") == F.col("s.vec_id"))
+                .join(d_v, F.col("dst") == F.col("d.vec_id"))
+                .select(
+                    "src", "dst",
+                    V.l2sq_int(F.col("s.qv"), F.col("d.qv")).alias("d2"),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= GR_KNN)
+                .select("src", "dst", "d2")
+            )
+            TC.commit(ed, e_root, mode="append", txn=(f"gc_{tag}_e", batch_id))
+            TC.commit(sig_b, s_root, mode="append", txn=(f"gc_{tag}_s", batch_id))
+            TC.commit(qz_b, v_root, mode="append", txn=(f"gc_{tag}_v", batch_id))
+
+        q = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        w_final = Window.partitionBy("src").orderBy("d2", "dst")
+        return sorted(
+            (r["src"], r["rn"], r["dst"], r["d2"])
+            for r in TC.read_table(spark, e_root)
+            .withColumn("rn", F.row_number().over(w_final))
+            .filter(F.col("rn") <= GR_KNN)
+            .collect()
+        )
+
+    two = build(2, "two")
+    three = build(3, "three")
+
+    # direct batch build over the same 60 vectors
+    qz = emb.select(
+        "vec_id", V.quantize_fixed(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=True)
+    sig = sign_band_relation(emb, _HP_PLANES, _HP_BANDS).select(
+        "vec_id", "band_idx", "band_val"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.vec_id") != F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    s_v, d_v = qz.alias("s"), qz.alias("d")
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    batch = sorted(
+        (r["src"], r["rn"], r["dst"], r["d2"])
+        for r in cand.join(s_v, F.col("src") == F.col("s.vec_id"))
+        .join(d_v, F.col("dst") == F.col("d.vec_id"))
+        .select(
+            "src", "dst",
+            V.l2sq_int(F.col("s.qv"), F.col("d.qv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GR_KNN)
+        .collect()
+    )
+    assert two == three == batch
+    assert len(batch) > 0
