@@ -3769,9 +3769,7 @@ def _frozen_cents_values() -> str:
     )
 
 
-@register(
-    "sim_ivf_topk_frozen",
-    oracle=f"""
+_IVF_FROZEN_ORACLE = f"""
     WITH cents AS (
         SELECT * FROM (VALUES {_frozen_cents_values()}) AS v(cell_id, cvec)
     ),
@@ -3799,7 +3797,12 @@ def _frozen_cents_values() -> str:
     WHERE a.rn = 1
     ORDER BY cosine DESC, a.vec_id
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "sim_ivf_topk_frozen",
+    oracle=_IVF_FROZEN_ORACLE,
     tags=("similarity", "topk", "ann"),
 )
 def sim_ivf_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6556,6 +6559,52 @@ def stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import table_commit as TC3
 
     return TC3.read_table(spark, root).select("vec_id", "cell_id")
+
+
+@register(
+    "sim_ivf_topk_served",
+    oracle=_IVF_FROZEN_ORACLE,
+    tags=("similarity", "topk", "ann", "streaming", "lake"),
+)
+def sim_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k served FROM the incrementally-maintained IVF index (r15 —
+    the compositional closure of stream_ivf_index): the probe reads the
+    COMMITTED (vec_id, cell_id) table the streaming pipeline built,
+    never re-assigning the corpus — exactly how a production vector
+    store serves (assignment amortized at ingest, probe = a
+    partition-pruned scan of nprobe/ncells of the data joined back to
+    the vectors). The oracle is sim_ivf_topk_frozen's VERBATIM — the
+    mergeability proof made end-to-end: an index maintained per batch
+    must serve the identical top-k the batch-built index serves, so
+    the two queries share one oracle string and the driver hash gate
+    certifies the composition."""
+    from ..operators.similarity import topk_cosine
+    from ._frozen_codebook import FROZEN_CENTROIDS
+
+    idx = stream_ivf_index(spark, sf_dir)  # committed (vec_id, cell_id)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        list(FROZEN_CENTROIDS), "cell_id int, embedding array<double>"
+    )
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    # rank centroids by similarity to the query, probe the top 2 cells
+    # (the nprobe branch of similarity.ivf_topk_cosine, verbatim)
+    c = F.broadcast(
+        cents.select("cell_id", F.col("embedding").alias("_cvec"))
+    )
+    q1 = q.select(F.col("embedding").alias("_qv"))
+    probe_cells = (
+        c.crossJoin(F.broadcast(q1))
+        .select(
+            "cell_id",
+            F.round(V.cosine(F.col("_cvec"), F.col("_qv")), 9).alias("_sim"),
+        )
+        .orderBy(F.col("_sim").desc(), F.col("cell_id").asc())
+        .limit(2)
+        .select("cell_id")
+    )
+    pruned = emb.join(idx, "vec_id").join(F.broadcast(probe_cells), "cell_id")
+    return topk_cosine(pruned, q, 10)
 
 
 # Holt linear-trend packing: level/trend in micro-units, biased by

@@ -1180,6 +1180,11 @@ TOUCHED_R15: tuple[str, ...] = (
     # (default None) + divisibility guard — plan unchanged, fresh row
     "stream_graph_index",  # NEW r15: incremental kNN-graph maintenance
     # (HNSW-style insert as LSM appends) — oracle = batch-built graph
+    "sim_ivf_topk_served",  # NEW r15: top-k served FROM the maintained
+    # index table — shares sim_ivf_topk_frozen's oracle verbatim (the
+    # mergeability proof made end-to-end)
+    "sim_ivf_topk_frozen",  # r15: oracle extracted to a shared constant
+    # (byte-identical text) — fresh row certifies the refactor
 )
 
 
