@@ -773,6 +773,31 @@ def commit(
         txns[txn[0]] = txn[1]
     if parent is None and mode == "append":
         mode = "overwrite"  # first commit: nothing to append to
+    if _replace_files:
+        # The rewrite set must still be LIVE in the parent this commit
+        # actually lands on (r15 ADVICE): migrate_layout resolved it from
+        # read_snapshot(), but a writer landing in between (e.g. compact()
+        # rewriting one of the same files) would make the drop a silent
+        # no-op for files no longer in the parent — the migration would
+        # commit cleanly with those rows DUPLICATED (the racer's copy +
+        # our rewrite). Iceberg's rewrite_data_files validates the same
+        # way. TOCTOU after this check is closed by the CAS itself: any
+        # later-landing writer bumps the version, so our PUT-if-absent
+        # fails and we abort in step 2.
+        if mode != "append" or parent_snap is None:
+            raise ValueError(
+                "_replace_files requires mode='append' on an existing "
+                "table: replacement is an edit of the parent manifest, "
+                "and overwrite/first-commit would silently ignore it"
+            )
+        gone = _replace_files - set(parent_snap.files)
+        if gone:
+            raise ConcurrentCommitError(
+                f"table {root}: {len(gone)} file(s) to be replaced are no "
+                f"longer in parent v{parent_snap.version} (concurrent "
+                f"rewrite landed); aborting instead of duplicating rows: "
+                f"{sorted(gone)[:3]}"
+            )
 
     # Field-ID bookkeeping (Iceberg semantics): a df column whose name
     # matches the parent schema keeps that field's id; an unknown name is

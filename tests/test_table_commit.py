@@ -1182,3 +1182,146 @@ def test_migrate_layout_rejects_unknown_files(spark):
         TC.migrate_layout(
             spark, root, ["o_month"], 4, files=["data/ghost.parquet"]
         )
+
+
+def test_replace_files_requires_append_on_existing_table(spark):
+    """_replace_files is a parent-manifest edit: overwrite mode and the
+    first-commit append->overwrite flip would silently ignore it, so
+    commit() must refuse both outright (r15 ADVICE)."""
+    import tempfile
+
+    import pytest
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    root = tempfile.mkdtemp(prefix="sg_repl_mode_")
+    TC.commit(df, root)
+    with pytest.raises(ValueError, match="requires mode='append'"):
+        TC.commit(
+            df, root, mode="overwrite", _replace_files=frozenset({"x"})
+        )
+    fresh = tempfile.mkdtemp(prefix="sg_repl_first_")
+    with pytest.raises(ValueError, match="requires mode='append'"):
+        TC.commit(
+            df, fresh, mode="append", _replace_files=frozenset({"x"})
+        )
+
+
+def test_migrate_layout_aborts_on_concurrent_compact(spark, monkeypatch):
+    """THE r15 ADVICE race: a compact() rewrites the table between
+    migrate_layout's read_snapshot() and its commit(). Without
+    validation the stale drop set is a silent no-op and the migrated
+    rows land TWICE (the compacted copy + the rewrite). The loser must
+    abort with ConcurrentCommitError, the table must stay readable and
+    row-identical, and no version may be burned."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    root, df, epoch1 = _two_epoch_table(spark, tmp_prefix="sg_mig_race_")
+    want = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+
+    real_commit = TC.commit
+    fired = {"done": False}
+
+    def racing_commit(dfc, rootc, *a, **kw):
+        # Fire the racer exactly once, at the migration's own commit —
+        # i.e. after migrate_layout resolved its rewrite set.
+        if kw.get("_replace_files") and not fired["done"]:
+            fired["done"] = True
+            TC.compact(spark, rootc, target_file_bytes=1 << 30)
+        return real_commit(dfc, rootc, *a, **kw)
+
+    monkeypatch.setattr(TC, "commit", racing_commit)
+    with pytest.raises(TC.ConcurrentCommitError, match="no longer in parent"):
+        TC.migrate_layout(
+            spark, root, ["o_month", "status"], 12, files=sorted(epoch1)
+        )
+    monkeypatch.undo()
+    assert fired["done"]
+
+    # Table intact: the compact won, rows identical, no duplicates.
+    got = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    assert got == want
+    assert TC.read_snapshot(root, None).operation == "compact"
+    # A retried migration (re-resolving against the NEW snapshot) works.
+    snap = TC.migrate_layout(spark, root, ["o_month", "status"], 12)
+    assert snap.operation == "migrate-layout"
+    got2 = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    assert got2 == want
+    assert (
+        TC.read_table(spark, root).filter(F.col("k") == 0).count() == 1
+    )
+
+
+def test_migrate_layout_survives_benign_interleaved_append(spark, monkeypatch):
+    """The converse of the race test: an APPEND landing in the same
+    window touches none of the rewrite set, so the migration must
+    SUCCEED on the newer parent (Iceberg semantics), carrying the
+    appended rows forward untouched."""
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    root, df, epoch1 = _two_epoch_table(spark, tmp_prefix="sg_mig_app_")
+    base = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    extra_df = spark.createDataFrame(
+        [(9001, 1, "X", 9001.0)], "k long, o_month int, status string, val double"
+    )
+
+    real_commit = TC.commit
+    fired = {"done": False}
+
+    def racing_commit(dfc, rootc, *a, **kw):
+        if kw.get("_replace_files") and not fired["done"]:
+            fired["done"] = True
+            real_commit(extra_df, rootc, mode="append")
+        return real_commit(dfc, rootc, *a, **kw)
+
+    monkeypatch.setattr(TC, "commit", racing_commit)
+    snap = TC.migrate_layout(
+        spark, root, ["o_month", "status"], 12, files=sorted(epoch1)
+    )
+    monkeypatch.undo()
+    assert fired["done"]
+    assert snap.operation == "migrate-layout"
+    assert not (set(snap.files) & epoch1)
+    got = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    assert got == sorted(base + [(9001, 1, "X", 9001.0)])
+
+
+def test_migrate_layout_crash_before_publish_is_adopted(spark, monkeypatch):
+    """Crash-window parity with plain commits (r15 VERDICT item 6): a
+    migration that dies between the manifest CAS and the pointer swap
+    is durable history — the NEXT commit adopts and publishes it, and
+    no rows are lost or duplicated."""
+    import pytest
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    root, df, epoch1 = _two_epoch_table(spark, tmp_prefix="sg_mig_crash_")
+    want = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    pre_version = TC.read_snapshot(root, None).version
+
+    monkeypatch.setattr(
+        TC, "_swap_pointer",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("crash before publish")),
+    )
+    with pytest.raises(RuntimeError, match="crash before publish"):
+        TC.migrate_layout(
+            spark, root, ["o_month", "status"], 12, files=sorted(epoch1)
+        )
+    monkeypatch.undo()
+
+    # Pointer still on the old version; reads unaffected.
+    assert TC.read_snapshot(root, None).version == pre_version
+    assert sorted(tuple(r) for r in TC.read_table(spark, root).collect()) == want
+    # The next commit adopts the orphaned migration as its parent.
+    extra_df = spark.createDataFrame(
+        [(9002, 2, "Y", 9002.0)], "k long, o_month int, status string, val double"
+    )
+    snap = TC.commit(extra_df, root, mode="append")
+    assert snap.parent == pre_version + 1  # the orphan, not pre_version
+    assert not (set(snap.files) & epoch1)
+    got = sorted(tuple(r) for r in TC.read_table(spark, root).collect())
+    assert got == sorted(want + [(9002, 2, "Y", 9002.0)])
