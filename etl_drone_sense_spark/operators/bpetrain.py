@@ -75,23 +75,19 @@ def _pair_counts(vocab: DataFrame, state: Column, weight: Column) -> DataFrame:
     )
 
 
-def train_merges_delta(
-    docs: DataFrame,
-    text_col: str = "text",
-    rounds: int = 64,
-    vocab_checkpoint_every: int = 8,
-) -> list[tuple[int, str, str, str, int]]:
-    """Learn up to ``rounds`` BPE merges from ``docs`` (already sampled
-    by the caller) via delta-maintained pair counts over the
-    distinct-word frequency vocab. Returns
-    ``[(merge_rank, a, b, merged, cnt), ...]`` — stops early when no
-    pair remains (every distinct word fully collapsed), in lockstep
-    with the unrolled oracle's empty-relation propagation."""
+def _init_training_state(
+    docs: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared trainer setup — the ONLY corpus-scale step, one exchange:
+    the distinct-word frequency vocab (initial per-word state = every
+    character its own marker-wrapped token, functions/bpe.initial_state
+    applied per word), hopped onto an AQE-off private session sized to
+    the measured vocab, plus the initial pair-count relation over it.
+    Both trainers call this — the batched trainer's exactness claims are
+    'inherited from train_merges_delta', which holds only while the two
+    start from the IDENTICAL state, so the initialization lives in one
+    place instead of two lockstep copies (r15 ADVICE)."""
     caller = docs.sparkSession
-
-    # The ONLY corpus-scale step: word frequencies, one exchange. The
-    # initial per-word state is every character its own marker-wrapped
-    # token (functions/bpe.initial_state, applied per word).
     vocab0 = (
         docs.select(F.explode(BPE.words(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -111,6 +107,22 @@ def train_merges_delta(
         .agg(F.sum("wt").alias("cnt"))
         .localCheckpoint(eager=True)
     )
+    return vocab, pc
+
+
+def train_merges_delta(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 64,
+    vocab_checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn up to ``rounds`` BPE merges from ``docs`` (already sampled
+    by the caller) via delta-maintained pair counts over the
+    distinct-word frequency vocab. Returns
+    ``[(merge_rank, a, b, merged, cnt), ...]`` — stops early when no
+    pair remains (every distinct word fully collapsed), in lockstep
+    with the unrolled oracle's empty-relation propagation."""
+    vocab, pc = _init_training_state(docs, text_col)
 
     learned: list[tuple[int, str, str, str, int]] = []
     pending = 0
@@ -231,27 +243,7 @@ def train_merges_batched(
     per merge fall with 1/|batch| — the quantity that was hours of
     latency at real vocab scale.
     """
-    caller = docs.sparkSession
-
-    vocab0 = (
-        docs.select(F.explode(BPE.words(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
-        .select(
-            F.regexp_replace("w", "(.)", f"{BPE.O}$1{BPE.C}").alias("state"),
-            "wc",
-        )
-        .localCheckpoint(eager=True)
-    )
-    priv = narrow_private_session(caller, vocab0.count())
-    vocab = on_session(vocab0, priv)
-
-    pc = (
-        _pair_counts(vocab, F.col("state"), F.col("wc"))
-        .groupBy("a", "b")
-        .agg(F.sum("wt").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+    vocab, pc = _init_training_state(docs, text_col)
 
     learned: list[tuple[int, str, str, str, int]] = []
     for r in range(1, batch_rounds + 1):

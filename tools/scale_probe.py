@@ -239,6 +239,17 @@ def synthesize_full(spark, scale: int) -> str:
     return out
 
 
+_SKEW_RECIPE_VERSION = 2  # 1 = events/orders hot key; 2 = +hot-bucket embeddings (r15)
+
+
+def _unlink_stale_symlink(path: str) -> None:
+    """A dst about to be rewritten must never be a symlink: Spark's
+    overwrite delete recurses THROUGH the link into the shared base
+    fixture (r15 ADVICE). Remove just the link, never the target."""
+    if os.path.islink(path):
+        os.unlink(path)
+
+
 def synthesize_skewed(spark, scale: int) -> str:
     """HOT-KEY variant of the fixture (r6 VERDICT item 8): the replica
     model above is deliberately skew-free, so this mode remaps ~20% of
@@ -253,7 +264,14 @@ def synthesize_skewed(spark, scale: int) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(SCRATCH, f"sf_skew_x{scale}")
-    marker = os.path.join(out, "_COMPLETE")
+    # VERSIONED completeness marker (r15 ADVICE): the r15 recipe change
+    # (hot-bucket embeddings) made pre-r15 dirs silently WRONG two ways —
+    # an old _COMPLETE early-returned with embeddings still symlinked to
+    # the UNSKEWED base (probe measures benign data), and overwriting
+    # through a stale symlink can delete the shared base fixture's files
+    # (Hadoop fullyDelete recurses into the link target). Bump the
+    # version whenever the synthesis recipe changes.
+    marker = os.path.join(out, f"_COMPLETE_v{_SKEW_RECIPE_VERSION}")
     if os.path.isfile(marker):
         return out
     base = synthesize_full(spark, scale) if scale > 1 else BASE_SF
@@ -270,6 +288,7 @@ def synthesize_skewed(spark, scale: int) -> str:
 
     ev = spark.read.parquet(f"{base}/events.parquet")
     hot_user = ev.agg(F.min("user_id")).collect()[0][0]
+    _unlink_stale_symlink(os.path.join(out, "events.parquet"))
     ev.withColumn(
         "user_id",
         F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit(hot_user)).otherwise(
@@ -288,6 +307,7 @@ def synthesize_skewed(spark, scale: int) -> str:
         emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     )
     ev_dim = len(hot_vec)
+    _unlink_stale_symlink(os.path.join(out, "embeddings.parquet"))
     emb.withColumn(
         "embedding",
         F.when(
@@ -299,6 +319,7 @@ def synthesize_skewed(spark, scale: int) -> str:
     )
     orders = spark.read.parquet(f"{base}/orders.parquet")
     hot_cust = orders.agg(F.min("o_custkey")).collect()[0][0]
+    _unlink_stale_symlink(os.path.join(out, "orders.parquet"))
     orders.withColumn(
         "o_custkey",
         F.when(
