@@ -29,6 +29,13 @@ from pyspark.sql.window import Window
 
 from ..functions import vectors as V
 
+# Lehmer / MINSTD parameters for the bucket_cap admission coin (shared
+# verbatim by the DuckDB oracle twin, plans/extensions._bucket_cap_qualify):
+# h(id) = (id % M) * A % M with M = 2^31−1 prime, A = 48271. Products stay
+# < 2^47 — exact in int64 in BOTH engines, no overflow, no float.
+BUCKET_HASH_M = 2_147_483_647
+BUCKET_HASH_A = 48_271
+
 # Largest group a semantic_dedup cell computes as ONE dense Gram matrix;
 # above this the lower-triangular product runs in B×B blocks (8192² int64
 # ≈ 0.5 GiB — comfortably inside one executor's working memory).
@@ -508,17 +515,36 @@ def sign_band_relation(
     arithmetic the SQL oracles reproduce bit-for-bit.
 
     ``bucket_cap`` (r15 — the hot-bucket budget guard, the simhash
-    pair-budget pattern applied to the vector family): keep only the
-    first ``bucket_cap`` members of each (band_idx, band_val) bucket by
-    ``id_col`` order. The banded join's candidate space is Σ|bucket|²;
-    one pathological bucket holding 20% of the corpus (mass-duplicated
-    or degenerate embeddings) makes that term quadratic in CORPUS size
-    no matter how wide the bands are — the cap turns it into
-    Σ min(|bucket|, cap)², a hard linear bound, at the cost of recall
-    ONLY inside buckets deeper than the cap (where members are
+    pair-budget pattern applied to the vector family): admit ~``bucket_cap``
+    members of each (band_idx, band_val) bucket. The banded join's
+    candidate space is Σ|bucket|²; one pathological bucket holding 20%
+    of the corpus (mass-duplicated or degenerate embeddings) makes that
+    term quadratic in CORPUS size no matter how wide the bands are —
+    the cap turns it into Σ Õ(cap)², a linear bound, at the cost of
+    recall ONLY inside buckets deeper than the cap (where members are
     near-identical by construction, so dropped candidates are the
-    least informative ones). Deterministic (id-ordered), mirrored in
-    SQL by a QUALIFY row_number() over the same keys."""
+    least informative ones).
+
+    Admission rule (r16 — the scale-safe form; the r15 original kept
+    the first ``cap`` ids via row_number over the bucket window, which
+    SORTS the whole hot bucket on ONE task — linear, but the straggler
+    at 100×): two passes, no per-bucket sort anywhere.
+      pass 1  per-bucket counts n_b (map-side-combining groupBy — the
+              hot key costs one long per task, not its rows), keep only
+              the OVERFULL buckets (n_b > cap; a handful by definition);
+      pass 2  broadcast those counts back and admit each member by a
+              deterministic Lehmer-hash coin,
+                  ((id % M) * A % M) % n_b < cap,   M=2^31−1, A=48271,
+              i.e. rate cap/n_b — members of benign buckets never meet
+              a join at all (left-join miss), the hot bucket streams
+              through a broadcast hash probe with no sort, no single-
+              task window, no skew shuffle of the big side.
+    Admitted count per overfull bucket is Binomial(n_b, cap/n_b) — mean
+    ``cap``, concentration O(√cap) — so the budget is a RATE, not a hard
+    ceiling; every bound downstream is Σ Õ(cap)². Exact integer
+    arithmetic end-to-end, so the SQL twin (a QUALIFY over a windowed
+    count with the same Lehmer hash) reproduces the admitted set
+    bit-for-bit."""
     nbits = len(planes)
     if nbits % bands != 0:
         raise ValueError(
@@ -546,11 +572,28 @@ def sign_band_relation(
         ).alias("band_idx", "band_val"),
     ).drop("_sig")
     if bucket_cap is not None:
-        w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+        # Pass 1: bucket sizes, OVERFULL only. Catalyst prunes the count
+        # subtree to (band_idx, band_val) — the sketch runs twice (two
+        # narrow vectorized passes), which beats caching n×bands vector
+        # copies; at 100 TB the counts are maintained at ingest anyway.
+        hot = (
+            out.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_nb"))
+            .filter(F.col("_nb") > bucket_cap)
+        )
+        # Pass 2: broadcast the (few) overfull buckets; admit by the
+        # Lehmer coin. Benign buckets miss the join (_nb null) and pass.
+        coin = (
+            (F.col(id_col) % F.lit(BUCKET_HASH_M)) * F.lit(BUCKET_HASH_A)
+            % F.lit(BUCKET_HASH_M)
+        )
         out = (
-            out.withColumn("_brn", F.row_number().over(w))
-            .filter(F.col("_brn") <= bucket_cap)
-            .drop("_brn")
+            out.join(F.broadcast(hot), ["band_idx", "band_val"], "left")
+            .filter(
+                F.col("_nb").isNull()
+                | ((coin % F.col("_nb")) < F.lit(bucket_cap))
+            )
+            .drop("_nb")
         )
     return out
 

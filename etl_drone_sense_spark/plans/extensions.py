@@ -601,15 +601,25 @@ _HP_BANDS = 8
 
 
 def _bucket_cap_qualify(bucket_cap: int | None) -> str:
-    """The SQL twin of sign_band_relation's bucket_cap: keep the first
-    ``bucket_cap`` members of each (band_idx, band_val) bucket by vec_id
-    order. Empty when uncapped, so the uncapped oracles are textually
-    unchanged."""
+    """The SQL twin of sign_band_relation's bucket_cap (r16 scale-safe
+    form): admit a bucket member iff the bucket is not overfull OR the
+    member's Lehmer coin lands below the cap rate —
+        n_b <= cap  OR  ((vec_id % M) * A % M) % n_b < cap
+    with n_b the windowed bucket count. Pure int64 arithmetic, identical
+    in DuckDB and Spark (operators/similarity.sign_band_relation), so
+    the admitted set matches bit-for-bit. Empty when uncapped, so the
+    uncapped oracles are textually unchanged. The oracle's windowed
+    count is free to sort engine-side; the ENGINE's plan is the
+    broadcast-probe form with no per-bucket sort."""
     if bucket_cap is None:
         return ""
+    from ..operators.similarity import BUCKET_HASH_A, BUCKET_HASH_M
+
+    nb = "count(*) OVER (PARTITION BY b.band_idx, band_val)"
+    coin = f"(((vec_id % {BUCKET_HASH_M}) * {BUCKET_HASH_A}) % {BUCKET_HASH_M})"
     return (
-        "\n        QUALIFY row_number() OVER (PARTITION BY b.band_idx, "
-        f"band_val ORDER BY vec_id) <= {bucket_cap}"
+        f"\n        QUALIFY {nb} <= {bucket_cap} "
+        f"OR ({coin} % {nb}) < {bucket_cap}"
     )
 
 
@@ -701,10 +711,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the _wide/_adaptive twins) holds Σ|bucket|² linear for UNIFORM growth,
 # but one degenerate bucket holding 20% of the corpus (mass-duplicated
 # embeddings — the hot-key case) is quadratic at ANY width. The cap
-# bounds every bucket at the first 128 members by vec_id, making the
-# candidate space Σ min(|b|, 128)² — hard-linear. 128 is ~5x the mean
-# uniform bucket depth at sf0.1 (6k vectors / 256 buckets x 8 bands), so
-# benign buckets never hit it at the gate SF (pinned by test).
+# admits ~128 members per bucket (r16: deterministic Lehmer-coin rate,
+# operators/similarity.sign_band_relation — no per-bucket sort, so no
+# single-task straggler), making the candidate space Σ Õ(128)² —
+# linear. 128 is ~5x the mean uniform bucket depth at sf0.1 (6k vectors
+# / 256 buckets x 8 bands), so benign buckets never hit it at the gate
+# SF (pinned by test).
 _HP_BUCKET_CAP = 128
 
 
@@ -718,10 +730,12 @@ def dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment default for corpora whose duplicate clusters can deepen
     with scale (the dedup_simhash_adaptive_capped posture, applied to
     the vector family): identical banded LSH + exact-cosine verify, but
-    each (band, bucket) admits only its first {_HP_BUCKET_CAP} members
-    by vec_id (operators/similarity.sign_band_relation bucket_cap),
-    turning the Σ|bucket|² candidate space into Σ min(|b|, cap)² — a
-    hard linear bound under the 20%-hot-bucket skew fixture
+    each overfull (band, bucket) admits ~{_HP_BUCKET_CAP} members by a
+    deterministic Lehmer-coin rate (operators/similarity.
+    sign_band_relation bucket_cap — r16 scale-safe form: a two-pass
+    count + broadcast hash probe, never a per-bucket sort), turning the
+    Σ|bucket|² candidate space into Σ Õ(cap)² — linear under the
+    20%-hot-bucket skew fixture
     (SKEW_PROBE.json). Recall is traded ONLY inside buckets deeper than
     the cap, where members are near-identical by construction; on the
     benign fixture the cap never engages and the output equals the
@@ -7687,12 +7701,13 @@ def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_graph_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim_graph_topk's GRAPH BUILD under the hot-bucket budget guard
     (r15 — the dedup_embedding_lsh_capped posture applied to the kNN
-    graph): candidate generation admits only the first
-    {_HP_BUCKET_CAP} members of each sign-LSH bucket, so a degenerate
-    bucket holding 20% of the corpus (mass-duplicated embeddings, the
-    SKEW_PROBE fixture) contributes min(|b|, cap)^2 candidate pairs
-    instead of |b|^2 — the build stays linear in corpus size no matter
-    how deep duplicate clusters grow. Search is UNCHANGED (the beam is
+    graph): candidate generation admits ~{_HP_BUCKET_CAP} members of
+    each overfull sign-LSH bucket (r16: deterministic Lehmer-coin rate,
+    no per-bucket sort), so a degenerate bucket holding 20% of the
+    corpus (mass-duplicated embeddings, the SKEW_PROBE fixture)
+    contributes Õ(cap²) candidate pairs instead of |b|² — the build
+    stays linear in corpus size no matter how deep duplicate clusters
+    grow. Search is UNCHANGED (the beam is
     already corpus-size-independent). On the benign fixture the cap
     never engages and build+search equal the uncapped query
     bit-for-bit (pinned by test); under skew, nodes beyond the cap in

@@ -347,11 +347,15 @@ def test_bucket_cap_twins_equal_uncapped_on_benign_corpus(spark, sf_dir):
 
 def test_bucket_cap_bounds_hot_bucket_candidates(spark):
     """Under mass duplication (300 byte-identical vectors) the capped
-    pair emitter's output is C(cap, 2) — the first `cap` members by
-    vec_id pair up, everything deeper is dropped — while the uncapped
-    form would emit C(300, 2). The Σ min(|b|, cap)² bound in one
-    number."""
+    pair emitter admits the Lehmer-coin subset of the bucket — rate
+    cap/n_b, mean `cap` members, and exactly predictable in pure
+    Python — while the uncapped form would emit C(300, 2) pairs. Pins
+    both the Σ Õ(cap)² budget and the bit-exact determinism the SQL
+    oracle twin relies on (r16 scale-safe admission: no per-bucket
+    sort, so no single-task straggler on the hot bucket)."""
     from etl_drone_sense_spark.operators.similarity import (
+        BUCKET_HASH_A,
+        BUCKET_HASH_M,
         hyperplane_lsh_pairs,
         sign_band_relation,
     )
@@ -359,22 +363,44 @@ def test_bucket_cap_bounds_hot_bucket_candidates(spark):
 
     planes = V.hyperplanes(dim=8, nbits=16)
     base = [0.3, -1.2, 0.8, 0.05, -0.4, 1.1, -0.9, 0.6]
-    rows = [(i, [float(x) for x in base]) for i in range(300)]
+    n, cap = 300, 16
+    rows = [(i, [float(x) for x in base]) for i in range(n)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    cap = 16
+    # Every band funnels all 300 identical vectors into ONE bucket of
+    # size n, so the admitted set is the same pure-Python-predictable
+    # coin subset in every band.
+    admitted = {
+        i for i in range(n)
+        if ((i % BUCKET_HASH_M) * BUCKET_HASH_A % BUCKET_HASH_M) % n < cap
+    }
+    assert 2 <= len(admitted) <= 3 * cap  # binomial around the cap rate
+
     banded = sign_band_relation(df, planes, 4, bucket_cap=cap)
-    per_bucket = (
-        banded.groupBy("band_idx", "band_val").count().collect()
+    got = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.collect_set("vec_id").alias("ids"))
+        .collect()
     )
-    assert all(r["count"] <= cap for r in per_bucket)
+    assert len(got) == 4
+    for r in got:
+        assert set(r["ids"]) == admitted
 
     pairs = hyperplane_lsh_pairs(
         df, planes, bands=4, threshold=0.8, bucket_cap=cap
     ).collect()
-    assert len(pairs) == cap * (cap - 1) // 2
+    k = len(admitted)
+    assert len(pairs) == k * (k - 1) // 2
     ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
-    assert ids == set(range(cap))  # the first `cap` members by vec_id
+    assert ids == admitted
+
+    # Plan shape: the cap compiles to a broadcast hash probe of the
+    # overfull-bucket counts — no window, no per-bucket sort anywhere.
+    plan = (
+        banded._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "Sort" not in plan
 
 
 def test_bucket_cap_validation():
