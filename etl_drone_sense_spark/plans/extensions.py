@@ -798,7 +798,7 @@ def _adaptive_band_bits(n_rows: int) -> int:
     return max(8, min(_HP_BLOCK, (max(n_rows, 2) - 1).bit_length() - 2))
 
 
-def _hp_oracle_adaptive() -> str:
+def _hp_oracle_adaptive(bucket_cap: int | None = None) -> str:
     planes = _HP_PLANES_MAX
     plane_cols = ", ".join(
         f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(planes)
@@ -825,7 +825,7 @@ def _hp_oracle_adaptive() -> str:
                substr(sig, b.band_idx * {_HP_BLOCK} + 1, cfg.width) AS band_val
         FROM sigs
         CROSS JOIN (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b
-        CROSS JOIN cfg
+        CROSS JOIN cfg{_bucket_cap_qualify(bucket_cap)}
     ),
     pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -861,6 +861,40 @@ def dedup_embedding_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact. Occupancy stays ~2^2..2^3 per bucket per band, keeping the
     candidate space Σ|bucket|² linear in n up to the 16-bit cap — past
     that, add bands/blocks, not width."""
+    return _lsh_adaptive_impl(spark, sf_dir, bucket_cap=None)
+
+
+@register(
+    "dedup_embedding_lsh_adaptive_capped",
+    oracle=_hp_oracle_adaptive(bucket_cap=_HP_BUCKET_CAP),
+    tags=("dedup", "similarity", "lsh", "skew"),
+)
+def dedup_embedding_lsh_adaptive_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE DEPLOYMENT DEFAULT for embedding near-dup at scale (r16 —
+    r15 VERDICT item 1): BOTH guards composed. The log₂(n)-derived band
+    width (the _adaptive rule) holds Σ|bucket|² linear under UNIFORM
+    density growth — occupancy stays ~2²..2³ per bucket as the corpus
+    grows — and the hot-bucket Lehmer-coin cap (sign_band_relation
+    bucket_cap) bounds the one failure width cannot fix: a degenerate
+    bucket fed by mass-duplicated embeddings, which is quadratic at ANY
+    width. Separately each guard leaves the other's failure mode open
+    (the r15 capped twin kept the FIXED 8-bit bands and measured a
+    5.81× residual skew slope from uniform-density growth alone; the
+    adaptive twin is defenseless against the 20%-hot bucket). Composed,
+    the candidate space is Σ min-occupancy(width) ∧ Õ(cap)² — linear in
+    n under BOTH regimes, which SKEW_PROBE.json certifies directly.
+    On the benign fixture the cap never engages and the output equals
+    dedup_embedding_lsh_adaptive row-for-row (pinned by test); the
+    oracle is the adaptive oracle with the same windowed-count coin
+    QUALIFY, width-independent like its parent."""
+    return _lsh_adaptive_impl(spark, sf_dir, bucket_cap=_HP_BUCKET_CAP)
+
+
+def _lsh_adaptive_impl(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None
+) -> DataFrame:
     seeded = _seeded_embeddings(spark, sf_dir)
     n = seeded.count()
     width = _adaptive_band_bits(n)
@@ -870,7 +904,8 @@ def dedup_embedding_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _HP_PLANES_MAX[i * _HP_BLOCK : i * _HP_BLOCK + width]
     ]
     return similarity.hyperplane_lsh_pairs(
-        seeded, planes=used, bands=_HP_BANDS, threshold=0.8
+        seeded, planes=used, bands=_HP_BANDS, threshold=0.8,
+        bucket_cap=bucket_cap,
     )
 
 

@@ -329,6 +329,8 @@ def test_bucket_cap_twins_equal_uncapped_on_benign_corpus(spark, sf_dir):
     for the pair emitter AND the graph build+search."""
     from etl_drone_sense_spark.plans.extensions import (
         dedup_embedding_lsh,
+        dedup_embedding_lsh_adaptive,
+        dedup_embedding_lsh_adaptive_capped,
         dedup_embedding_lsh_capped,
         sim_graph_topk,
         sim_graph_topk_capped,
@@ -339,6 +341,19 @@ def test_bucket_cap_twins_equal_uncapped_on_benign_corpus(spark, sf_dir):
         map(tuple, dedup_embedding_lsh_capped(spark, sf_dir).collect())
     )
     assert lsh_c == lsh and len(lsh) > 0
+
+    # The composed deployment default (r16): adaptive width AND cap —
+    # on benign data the cap side must be a strict no-op too.
+    ad = sorted(
+        map(tuple, dedup_embedding_lsh_adaptive(spark, sf_dir).collect())
+    )
+    ad_c = sorted(
+        map(
+            tuple,
+            dedup_embedding_lsh_adaptive_capped(spark, sf_dir).collect(),
+        )
+    )
+    assert ad_c == ad and len(ad) > 0
 
     g = sorted(map(tuple, sim_graph_topk(spark, sf_dir).collect()))
     g_c = sorted(map(tuple, sim_graph_topk_capped(spark, sf_dir).collect()))

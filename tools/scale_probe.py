@@ -365,6 +365,12 @@ SKEW_QUERIES = [
     # under mass duplication, like dedup_simhash_adaptive).
     "dedup_embedding_lsh_capped",
     "sim_graph_topk_capped",
+    # r16 (r15 VERDICT item 1): the composed deployment default —
+    # adaptive log2(n) band width AND the hot-bucket coin cap. The
+    # capped fixed-width twin above keeps its 8-bit bands, so its
+    # residual slope isolates uniform-density growth; this one should
+    # gate materially lower (target <= 3x).
+    "dedup_embedding_lsh_adaptive_capped",
 ]
 
 # Under the hot key, a CORRECT interval join's OUTPUT is the hot pair
