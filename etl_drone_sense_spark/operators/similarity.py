@@ -98,6 +98,37 @@ def assign_cells(
     return scored.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn", "_sim")
 
 
+def probe_cells(
+    centroids: DataFrame,
+    query: DataFrame,
+    nprobe: int,
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+) -> DataFrame:
+    """Rank centroids by cosine similarity to the (single-row) query
+    vector and keep the ``nprobe`` nearest — the cell-selection half of
+    ``ivf_topk_cosine``, factored out (r15 ADVICE) so maintained-index
+    serving (plans/extensions.sim_ivf_topk_served) shares the exact
+    rounding and (sim DESC, cell_id) tie-break instead of carrying an
+    inline copy that could drift while still sharing the frozen
+    oracle. Returns a single-column (centroid_id) relation, broadcast-
+    sized by construction (≤ nprobe rows)."""
+    c = F.broadcast(
+        centroids.select(centroid_id, F.col(vec_col).alias("_cvec"))
+    )
+    q1 = query.select(F.col(vec_col).alias("_qv"))
+    return (
+        c.crossJoin(F.broadcast(q1))
+        .select(
+            centroid_id,
+            F.round(_cos(F.col("_cvec"), F.col("_qv")), 9).alias("_sim"),
+        )
+        .orderBy(F.col("_sim").desc(), F.col(centroid_id).asc())
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+
+
 def ivf_topk_cosine(
     corpus: DataFrame,
     query: DataFrame,
@@ -114,34 +145,17 @@ def ivf_topk_cosine(
     partition-pruned scan of nprobe/ncells of the data.
     """
     assigned = assign_cells(corpus, centroids, id_col, vec_col, centroid_id)
-    qcells = (
-        assign_cells(
+    if nprobe == 1:
+        cells = assign_cells(
             query.select(F.lit(0).alias("_qid"), F.col(vec_col)),
             centroids,
             "_qid",
             vec_col,
             centroid_id,
-        )
-        if nprobe == 1
-        else None
-    )
-    if qcells is None:
-        # nprobe > 1: rank centroids by similarity to the query, take nprobe.
-        c = F.broadcast(centroids.select(centroid_id, F.col(vec_col).alias("_cvec")))
-        q1 = query.select(F.col(vec_col).alias("_qv"))
-        ranked = (
-            c.crossJoin(F.broadcast(q1))
-            .select(
-                centroid_id,
-                F.round(_cos(F.col("_cvec"), F.col("_qv")), 9).alias("_sim"),
-            )
-            .orderBy(F.col("_sim").desc(), F.col(centroid_id).asc())
-            .limit(nprobe)
-        )
-        probe_cells = ranked.select(centroid_id)
+        ).select(centroid_id)
     else:
-        probe_cells = qcells.select(centroid_id)
-    pruned = assigned.join(F.broadcast(probe_cells), centroid_id)
+        cells = probe_cells(centroids, query, nprobe, vec_col, centroid_id)
+    pruned = assigned.join(F.broadcast(cells), centroid_id)
     return topk_cosine(pruned, query, k, id_col, vec_col)
 
 

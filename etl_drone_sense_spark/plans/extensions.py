@@ -6627,7 +6627,7 @@ def sim_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     must serve the identical top-k the batch-built index serves, so
     the two queries share one oracle string and the driver hash gate
     certifies the composition."""
-    from ..operators.similarity import topk_cosine
+    from ..operators.similarity import probe_cells, topk_cosine
     from ._frozen_codebook import FROZEN_CENTROIDS
 
     idx = stream_ivf_index(spark, sf_dir)  # committed (vec_id, cell_id)
@@ -6636,23 +6636,12 @@ def sim_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(FROZEN_CENTROIDS), "cell_id int, embedding array<double>"
     )
     q = emb.orderBy("vec_id").limit(1).select("embedding")
-    # rank centroids by similarity to the query, probe the top 2 cells
-    # (the nprobe branch of similarity.ivf_topk_cosine, verbatim)
-    c = F.broadcast(
-        cents.select("cell_id", F.col("embedding").alias("_cvec"))
-    )
-    q1 = q.select(F.col("embedding").alias("_qv"))
-    probe_cells = (
-        c.crossJoin(F.broadcast(q1))
-        .select(
-            "cell_id",
-            F.round(V.cosine(F.col("_cvec"), F.col("_qv")), 9).alias("_sim"),
-        )
-        .orderBy(F.col("_sim").desc(), F.col("cell_id").asc())
-        .limit(2)
-        .select("cell_id")
-    )
-    pruned = emb.join(idx, "vec_id").join(F.broadcast(probe_cells), "cell_id")
+    # Probe the top-2 cells — the SAME cell-selection helper
+    # ivf_topk_cosine's nprobe branch runs (r15 ADVICE: shared, not an
+    # inline copy, so the tie-break/rounding can never drift from
+    # sim_ivf_topk_frozen while sharing its oracle).
+    cells = probe_cells(cents, q, nprobe=2)
+    pruned = emb.join(idx, "vec_id").join(F.broadcast(cells), "cell_id")
     return topk_cosine(pruned, q, 10)
 
 
@@ -7692,9 +7681,16 @@ def _graph_topk_oracle(bucket_cap: int | None = None) -> str:
     )
 
 
+# ONE oracle string shared VERBATIM by sim_graph_topk and
+# sim_graph_topk_served — the sim_ivf_topk_frozen/_served convention: a
+# maintained index must serve exactly what the batch build serves, so the
+# two queries certify the composition through the same hash gate.
+_GRAPH_TOPK_ORACLE = _graph_topk_oracle()
+
+
 @register(
     "sim_graph_topk",
-    oracle=_graph_topk_oracle(),
+    oracle=_GRAPH_TOPK_ORACLE,
     tags=("similarity", "ann", "graph", "topk"),
 )
 def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7806,6 +7802,22 @@ def _graph_topk_from(
         .select("src", "dst")
     )
     edges = scoped_persist("sim_graph.edges", edges)
+    return _graph_search_over(spark, qz, edges)
+
+
+def _graph_search_over(
+    spark: SparkSession, qz: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """The SEARCH half of sim_graph_topk, over an arbitrary committed or
+    freshly-built (vec_id, qv) + (src, dst) graph — factored out (r16)
+    so maintained-index serving (sim_graph_topk_served) runs the exact
+    beam recurrence, entry routing, and tie-breaks the batch query
+    runs, instead of a copy that could drift while sharing its oracle.
+    ``qz`` must be persisted/committed by the caller (it feeds every
+    hop); ``edges`` is the per-src top-{GR_KNN} trimmed relation."""
+    from pyspark.sql.window import Window
+
+    from ..caching import scoped_persist
 
     queries = (
         qz.filter(F.col("vec_id") % 97 == 1)
@@ -8100,3 +8112,40 @@ def stream_graph_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").cast("long").alias("d2"),
         )
     )
+
+
+@register(
+    "sim_graph_topk_served",
+    oracle=_GRAPH_TOPK_ORACLE,
+    tags=("similarity", "ann", "graph", "topk", "streaming", "lake"),
+)
+def sim_graph_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search served FROM the incrementally-maintained kNN graph
+    (r16 — r15 VERDICT item 3, closing the graph family's serving
+    composition the way sim_ivf_topk_served closed IVF's): the edges
+    come from the COMMITTED tables stream_graph_index built batch by
+    batch — the final per-src re-trim over the appended union, the LSM
+    read — and the quantized vectors from the committed vector table,
+    never re-signing or re-pairing the corpus. The search itself is
+    _graph_search_over, the EXACT recurrence sim_graph_topk runs
+    (entry routing via the frozen 64-cell codebook, {GR_HOPS} beam
+    hops, (d2, vec_id) tie-breaks), and the oracle is sim_graph_topk's
+    VERBATIM (_GRAPH_TOPK_ORACLE): an index maintained per batch must
+    serve the identical top-k the batch-built index serves — the
+    mergeability proof made end-to-end for the graph family.
+
+    Scale shape: serving reads two committed tables (edge relation
+    ~n×k rows bucketed by src at 100 TB; vectors pruned to the beam's
+    candidates per hop) — no signature pass, no banded join, cost
+    independent of ingest history."""
+    from ..sources import table_commit as TC5
+    from ..sources.readers import fixture_fingerprint
+
+    edges = stream_graph_index(spark, sf_dir).select("src", "dst")
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    v_root = _STREAM_GRAPH_TABLES[key][2]
+    qz = TC5.read_table(spark, v_root).select("vec_id", "qv")
+    from ..caching import scoped_persist
+
+    qz = scoped_persist("sim_graph.qz_served", qz)
+    return _graph_search_over(spark, qz, edges)
