@@ -3752,15 +3752,22 @@ def table_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFram
 
 _LAYOUT_MIG_TABLES: dict[tuple, str] = {}
 
-
-@register(
-    "table_layout_migration_read",
-    oracle="""
+# ONE oracle string shared VERBATIM by table_layout_migration_read and
+# stream_migrate_apply (r16): a migration interleaved with live streaming
+# appends must leave exactly the table the batch migration leaves — rows
+# moved between files, never changed — so both queries certify against
+# the same plain filter over the full corpus through the same hash gate.
+_LAYOUT_MIG_ORACLE = """
     SELECT o_orderkey, CAST(month(o_orderdate) AS INT) AS o_month,
            o_orderstatus, o_totalprice
     FROM orders
     WHERE month(o_orderdate) BETWEEN 3 AND 5
-    """,
+    """
+
+
+@register(
+    "table_layout_migration_read",
+    oracle=_LAYOUT_MIG_ORACLE,
     tags=("lake", "partition", "evolution", "migration", "pruning"),
 )
 def table_layout_migration_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3827,4 +3834,123 @@ def table_layout_migration_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats_cols=["o_month", "o_orderstatus"],
         )
         _LAYOUT_MIG_TABLES[key] = root
+    return TC.read_table_pruned(spark, root, "o_month", 3, 5)
+
+
+_STREAM_MIG_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "stream_migrate_apply",
+    oracle=_LAYOUT_MIG_ORACLE,
+    tags=("streaming", "lake", "migration", "partition", "evolution"),
+)
+def stream_migrate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYOUT MIGRATION UNDER A LIVE WRITER (r16 — r15 VERDICT item 8,
+    the lake family's batch-op + streaming-twin pattern applied to
+    migrate_layout): a foreachBatch writer keeps appending orders
+    micro-batches to the table under txn commits while the migration
+    rewrites the initial coarse epoch to the finer (month, status)
+    spec MID-STREAM — after the second append lands, before the third.
+    Every step goes through the real manifest CAS, including the
+    _replace_files liveness validation (a racing rewrite of the same
+    files would abort the migration instead of duplicating rows —
+    tests/test_table_commit.py pins that abort path directly).
+
+    Invariances certified: (1) the oracle is
+    table_layout_migration_read's VERBATIM — the full corpus's plain
+    month filter — so interleaving appends with the migration must
+    leave exactly the rows the batch migration leaves; (2) the
+    migration step is IDEMPOTENT under micro-batch retry: it targets
+    whatever old-epoch files the CURRENT snapshot still lists, so a
+    replayed batch finds none and skips (txn watermarks already no-op
+    the replayed append itself); (3) chop-invariance and the
+    crash/race windows are pinned in tests.
+
+    Scale shape: appends are metadata commits of pre-shuffled batches;
+    the migration reads ONLY the coarse epoch (O(migrated-bytes)) and
+    never blocks the writer — between its read_snapshot and its CAS
+    the writer may land more appends, and the commit validation makes
+    that safe, not racy. The final pruned read shows the whole table
+    uniformly finer-laid."""
+    import os as _os
+    import tempfile
+
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/orders.parquet"))
+    root = _STREAM_MIG_TABLES.get(key)
+    if root is None:
+        base = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.month("o_orderdate").cast("int").alias("o_month"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        work = tempfile.mkdtemp(prefix="sg_smig_")
+        root, feed, ckpt = (
+            _os.path.join(work, "tbl"),
+            _os.path.join(work, "feed"),
+            _os.path.join(work, "ckpt"),
+        )
+        # Epoch 1: a quarter of orders under the COARSE spec.
+        TC.commit(
+            base.filter(F.col("o_orderkey") % 4 == 0).repartitionByRange(
+                4, "o_month"
+            ),
+            root,
+            stats_cols=["o_month"],
+        )
+        for i in (1, 2, 3):
+            base.filter(F.col("o_orderkey") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            sp = bdf.sparkSession
+            TC.commit(
+                bdf.repartitionByRange(4, "o_month", "o_orderstatus"),
+                root,
+                mode="append",
+                _operation="stream-append",
+                stats_cols=["o_month", "o_orderstatus"],
+                txn=("stream_mig", batch_id),
+            )
+            if batch_id == 1:
+                # Mid-stream migration of whatever coarse-epoch files
+                # the CURRENT snapshot still lists — a retried batch
+                # finds none (already swapped out) and skips, making
+                # the step idempotent alongside the txn watermark.
+                old = [
+                    f
+                    for f in TC.read_snapshot(root).files
+                    if "/v00000001-" in f
+                ]
+                if old:
+                    TC.migrate_layout(
+                        sp,
+                        root,
+                        layout_cols=["o_month", "o_orderstatus"],
+                        n_files=12,
+                        files=old,
+                        stats_cols=["o_month", "o_orderstatus"],
+                    )
+
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_month int, "
+                "o_orderstatus string, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_MIG_TABLES[key] = root
     return TC.read_table_pruned(spark, root, "o_month", 3, 5)

@@ -879,3 +879,139 @@ def test_graph_index_stream_chop_invariance(spark, sf_dir, tmp_path):
     )
     assert two == three == batch
     assert len(batch) > 0
+
+
+def test_stream_migrate_chop_invariance(spark, sf_dir, tmp_path):
+    """r16 (stream_migrate_apply): a layout migration interleaved with
+    live streaming appends must leave the table row-identical however
+    the append feed is chopped — and identical to the plain BATCH
+    migration over the same corpus — with no coarse-epoch file left in
+    the current manifest either way."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.sources import table_commit as TC
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.month("o_orderdate").cast("int").alias("o_month"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .filter(F.col("o_orderkey") < 800)
+    )
+
+    def build(nchop: int, tag: str) -> tuple[list, list]:
+        root = str(tmp_path / f"smig_tbl_{tag}")
+        feed = str(tmp_path / f"smig_feed_{tag}")
+        ckpt = str(tmp_path / f"smig_ckpt_{tag}")
+        TC.commit(
+            base.filter(F.col("o_orderkey") % (nchop + 1) == 0)
+            .repartitionByRange(4, "o_month"),
+            root,
+            stats_cols=["o_month"],
+        )
+        for i in range(nchop):
+            base.filter(
+                F.col("o_orderkey") % (nchop + 1) == i + 1
+            ).coalesce(1).write.mode("append").parquet(feed)
+        mig_at = nchop // 2
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            sp = bdf.sparkSession
+            TC.commit(
+                bdf.repartitionByRange(4, "o_month", "o_orderstatus"),
+                root, mode="append", _operation="stream-append",
+                stats_cols=["o_month", "o_orderstatus"],
+                txn=(f"smig_{tag}", batch_id),
+            )
+            if batch_id == mig_at:
+                old = [
+                    f for f in TC.read_snapshot(root).files
+                    if "/v00000001-" in f
+                ]
+                if old:
+                    TC.migrate_layout(
+                        sp, root, ["o_month", "o_orderstatus"], 12,
+                        files=old,
+                        stats_cols=["o_month", "o_orderstatus"],
+                    )
+
+        q = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_month int, "
+                "o_orderstatus string, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snap = TC.read_snapshot(root)
+        rows = sorted(
+            tuple(r) for r in TC.read_table(spark, root).collect()
+        )
+        return rows, [f for f in snap.files if "/v00000001-" in f]
+
+    two, left2 = build(2, "two")
+    three, left3 = build(3, "three")
+
+    # The batch reference: same corpus, one append, then migrate.
+    broot = str(tmp_path / "smig_tbl_batch")
+    TC.commit(
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .repartitionByRange(4, "o_month"),
+        broot,
+        stats_cols=["o_month"],
+    )
+    TC.commit(
+        base.filter(F.col("o_orderkey") % 3 != 0)
+        .repartitionByRange(4, "o_month", "o_orderstatus"),
+        broot, mode="append", stats_cols=["o_month", "o_orderstatus"],
+    )
+    old = [f for f in TC.read_snapshot(broot).files if "/v00000001-" in f]
+    TC.migrate_layout(
+        spark, broot, ["o_month", "o_orderstatus"], 12, files=old,
+        stats_cols=["o_month", "o_orderstatus"],
+    )
+    batch = sorted(
+        tuple(r) for r in TC.read_table(spark, broot).collect()
+    )
+
+    # NOTE: the three builds seed different epoch-1 subsets (mod nchop+1
+    # vs mod 3), but the UNION is the same corpus — rows must agree.
+    assert two == three == batch and len(batch) > 0
+    assert left2 == [] and left3 == []
+
+
+def test_stream_migrate_apply_is_mid_stream_and_idempotent(spark, sf_dir):
+    """The registry query's table history must show the migration
+    landing BETWEEN streaming appends (not before or after the
+    stream), the txn watermark at the last batch, and no coarse-epoch
+    file left — so a replayed migration step finds nothing to rewrite
+    and skips (idempotent alongside the replayed append's txn no-op)."""
+    from etl_drone_sense_spark.plans.curation import (
+        _STREAM_MIG_TABLES,
+        stream_migrate_apply,
+    )
+    from etl_drone_sense_spark.sources import table_commit as TC
+
+    stream_migrate_apply(spark, sf_dir).collect()
+    (root,) = [v for k, v in _STREAM_MIG_TABLES.items() if k[0] == sf_dir]
+    version = TC.current_version(root)
+    ops = [
+        TC.read_snapshot(root, v).operation for v in range(1, version + 1)
+    ]
+    assert ops.count("stream-append") == 3, ops
+    assert ops.count("migrate-layout") == 1, ops
+    mig = ops.index("migrate-layout")
+    appends = [i for i, o in enumerate(ops) if o == "stream-append"]
+    assert appends[0] < mig < appends[-1], ops  # genuinely mid-stream
+    snap = TC.read_snapshot(root, version)
+    assert snap.txn_map.get("stream_mig") == 2
+    assert not [f for f in snap.files if "/v00000001-" in f]
