@@ -394,3 +394,84 @@ def test_bpe_train_apply_matches_sequential_replay(spark):
                         toks[j : j + 2] = [a + b]
                     j += 1
         assert got[i] == " ".join(tok for w in words for tok in w), i
+
+
+def test_bpe_train_batched_concentrated_frontier_not_degenerate(spark):
+    """r16 (r15 VERDICT item 7): pin the failure mode that killed the
+    non-recursive dominance variant with a CONCENTRATED frontier — a
+    conflict CHAIN (a,a) >> (a,b) > (b,c) > (c,d) > (d,e) > (e,f) where
+    each candidate shares a token with the one above it. Dominance
+    (conflict vs every higher-ranked row, kept or not) degenerates to
+    EXACTLY 1 merge/round — one unkept row poisons everything below it
+    — while the shipped greedy walk admits every odd-ranked candidate.
+    The Spark trainer must (1) match the pure-python greedy reference
+    on this regime bit-for-bit and (2) drain the fixture's merge space
+    in HALF the rounds the dominance rule needs."""
+    import re as _re
+    from collections import Counter
+
+    from etl_drone_sense_spark.operators.bpetrain import train_merges_batched
+
+    text = " ".join(
+        ["aa"] * 60 + ["ab"] * 50 + ["bc"] * 40
+        + ["cd"] * 30 + ["de"] * 20 + ["ef"] * 10
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+
+    def rounds_with(rule: str, nrounds: int, k: int):
+        words_lists = [
+            list(w)
+            for w in _re.findall("[a-z0-9]+", text.lower())
+        ]
+        merges, per_round = [], []
+        for _ in range(nrounds):
+            counts: Counter = Counter()
+            for toks in words_lists:
+                for i in range(len(toks) - 1):
+                    counts[(toks[i], toks[i + 1])] += 1
+            if not counts:
+                break
+            frontier = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:k]
+            sel = []
+            if rule == "greedy":
+                used: set = set()
+                for (a, b), cnt in frontier:
+                    trip = {a, b, a + b}
+                    if not (trip & used):
+                        sel.append((a, b, cnt))
+                        used |= trip
+            else:  # dominance: conflict vs every HIGHER-RANKED row
+                for i, ((a, b), cnt) in enumerate(frontier):
+                    trip = {a, b, a + b}
+                    higher: set = set()
+                    for (a2, b2), _ in frontier[:i]:
+                        higher |= {a2, b2, a2 + b2}
+                    if not (trip & higher):
+                        sel.append((a, b, cnt))
+            per_round.append(len(sel))
+            for a, b, cnt in sel:
+                merges.append((len(merges) + 1, a, b, a + b, cnt))
+                for toks in words_lists:
+                    i = 0
+                    while i < len(toks) - 1:
+                        if toks[i] == a and toks[i + 1] == b:
+                            toks[i : i + 2] = [a + b]
+                        i += 1
+            if not any(len(t) > 1 for t in words_lists):
+                break
+        return merges, per_round
+
+    greedy_ref, greedy_rounds = rounds_with("greedy", 4, 8)
+    dom_ref, dom_rounds = rounds_with("dominance", 4, 8)
+
+    # The pinned degeneracy: dominance admits exactly ONE merge per
+    # round on the chain; greedy admits 3 per round and drains the
+    # whole 6-merge space in 2 rounds vs dominance's 4-for-4.
+    assert dom_rounds == [1, 1, 1, 1]
+    assert greedy_rounds == [3, 3]
+    assert len(greedy_ref) == 6 and len(dom_ref) == 4
+
+    got = train_merges_batched(df, batch_rounds=4, batch_k=8)
+    assert got == greedy_ref
