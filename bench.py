@@ -207,7 +207,11 @@ def _quiet_wait() -> float:
     return round(time.monotonic() - t0, 1)
 
 
-def main() -> None:
+def _measure_attempt(spark, queries, sf_dir, sf_val, warm: bool) -> dict:
+    """One full bench pass: quiet-wait gate, (optional) warm-up, 3-sample
+    medians for every bench query, DuckDB oracle grounding, budget check
+    with isolated retests, contamination stamp. Returns the complete
+    record dict for this attempt."""
     # Quiet-launch gate, then the pre-flight load check (r10 VERDICT item
     # 4): an elevated 1-min loadavg at launch means the timings below
     # measure contention, not code. After the gate this should only fire
@@ -224,26 +228,16 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
-
-    spark = get_spark(app_name="etl-drone-sense-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    queries = bench_queries()
     # JVM/codegen warm-up on the smallest fixture so headline timings
-    # measure steady-state execution, not first-call compilation.
+    # measure steady-state execution, not first-call compilation (first
+    # attempt only — the retry attempts inherit a warm JVM).
     warm_dir = "/root/testdata/sf0.001"
 
     def run(fn, d):
         fn(spark, d).write.mode("overwrite").format("noop").save()
         release_caches()  # don't let one query's scoped caches skew the next
 
-    if os.path.isdir(warm_dir):
+    if warm and os.path.isdir(warm_dir):
         for fn in queries.values():
             run(fn, warm_dir)
 
@@ -293,19 +287,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Contamination self-description (r12 VERDICT item 4): two rounds
-    # running, the driver's BENCH artifact launched into background load
-    # and the clean numbers lived only in SURVEY prose. Make the JSON
-    # self-describing instead: sample loadavg at launch AND at end, and
-    # when any budget is breached, re-measure each violating query
-    # INDIVIDUALLY right here (fresh 3-sample median, loadavg stamped
-    # per retest) so the artifact itself records whether the violation
-    # survives isolation. Tooling reads `retest_s` vs `budget`; no
-    # SURVEY prose required. loadavg_at_end is recorded for forensics
-    # but does NOT feed the verdict — right after our own local[32] run
-    # it is always elevated by our own worker threads; the mid-run
-    # interference fingerprint is instead "violations that vanish under
-    # isolated retest", which is exactly what the retest loop detects.
+    # Contamination self-description (r12 VERDICT item 4): sample loadavg
+    # at launch AND at end, and when any budget is breached, re-measure
+    # each violating query INDIVIDUALLY right here (fresh 3-sample
+    # median, loadavg stamped per retest) so the artifact itself records
+    # whether the violation survives isolation. loadavg_at_end is
+    # recorded for forensics but does NOT feed the verdict — right after
+    # our own local[32] run it is always elevated by our own worker
+    # threads; the mid-run interference fingerprint is instead
+    # "violations that vanish under isolated retest".
     load1_end = _load1()
     contaminated = load1 > 1.0
     if violations:
@@ -333,7 +323,7 @@ def main() -> None:
             contaminated = True
 
     total = round(sum(timings.values()), 3)
-    record = {
+    return {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -347,6 +337,59 @@ def main() -> None:
         "oracle_s": oracle_s,
         "oracle_ratio": oracle_ratio,
     }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark(app_name="etl-drone-sense-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = bench_queries()
+
+    # Retry-until-clean (r15 VERDICT item 2 of the refinement list): the
+    # round's headline evidence must live in the JSON artifact, not in
+    # prose about a cleaner rerun. If an attempt comes out contaminated
+    # (loud launch after the wait cap, or violations that vanish under
+    # isolated retest), re-run the whole measurement — bounded attempts,
+    # each behind its own quiet-wait gate — and record the attempt
+    # trail. The artifact is the first clean attempt, or the last one
+    # with its contamination stamp intact if none came clean.
+    try:
+        attempts_max = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    except ValueError:
+        attempts_max = 3
+    attempts_max = max(1, attempts_max)
+    history: list[dict] = []
+    record: dict = {}
+    for attempt in range(1, attempts_max + 1):
+        record = _measure_attempt(
+            spark, queries, sf_dir, sf_val, warm=(attempt == 1)
+        )
+        history.append(
+            {
+                "attempt": attempt,
+                "value": record["value"],
+                "contaminated": record["contaminated"],
+                "loadavg_at_launch": record["loadavg_at_launch"],
+                "n_violations": len(record["budget_violations"]),
+            }
+        )
+        if not record["contaminated"]:
+            break
+        if attempt < attempts_max:
+            print(
+                f"bench attempt {attempt}/{attempts_max} contaminated — "
+                "retrying behind a fresh quiet-wait gate",
+                file=sys.stderr,
+            )
+    record["attempt_history"] = history
+
     print(json.dumps(record))
     # The driver records only the TAIL of stdout (exactly the last 2000
     # chars) and parses the LAST JSON line into BENCH_r{N}.json's
@@ -366,16 +409,17 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": total,
+                "value": record["value"],
                 "unit": "sec",
                 "sf": sf_val,
-                "waited_s": waited_s,
-                "loadavg_at_launch": load1,
-                "loadavg_at_end": load1_end,
-                "contaminated": contaminated,
-                "n_queries": len(timings),
-                "n_violations": len(violations),
-                "budget_violations": violations,
+                "waited_s": record["waited_s"],
+                "loadavg_at_launch": record["loadavg_at_launch"],
+                "loadavg_at_end": record["loadavg_at_end"],
+                "contaminated": record["contaminated"],
+                "attempts": len(history),
+                "n_queries": len(record["queries"]),
+                "n_violations": len(record["budget_violations"]),
+                "budget_violations": record["budget_violations"],
                 "full_record": full_out or None,
             }
         )

@@ -1188,23 +1188,90 @@ TOUCHED_R15: tuple[str, ...] = (
 )
 
 
+# The exact CORRECTNESS_r15 key set (50 rows, all green): every
+# TOUCHED_R15 name plus stalest-tier fills per the r15 rotation mandate.
+DRIVER_CHECKED_R15: frozenset[str] = frozenset(
+    {
+        "agg_approx_distinct", "agg_heavy_hitters", "agg_hll_mergeable",
+        "avro_scan", "avro_sink_roundtrip", "basket_pair_counts",
+        "corpus_chunking", "dedup_embedding_lsh",
+        "dedup_embedding_lsh_capped", "dedup_embedding_lsh_wide",
+        "events_ewma", "geo_radius_join", "join_asof_tolerance",
+        "join_bloom_prefiltered", "q10_returned_items",
+        "q11_important_stock", "q12_line_class_priority",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q16_supplier_part_counts", "q20_concentrated_suppliers",
+        "q21_waiting_suppliers", "q2_min_cost_supplier",
+        "q4_order_priority", "q9_product_profit", "schema_evolution_read",
+        "set_ops", "sim_graph_topk", "sim_graph_topk_capped",
+        "sim_ivf_topk_frozen", "sim_ivf_topk_served",
+        "sim_kmeans_ivf_topk", "stream_avro_scan",
+        "stream_domain_budget_cutoff", "stream_graph_index",
+        "stream_interval_join_full", "stream_ivf_index",
+        "stream_merge_apply", "stream_scd2_apply", "stream_static_enrich",
+        "table_incremental_agg", "table_incremental_feed",
+        "table_layout_migration_read", "table_pruned_read",
+        "table_rollback_read", "table_time_travel",
+        "text_bpe_train_batched", "text_html_strip",
+        "unpivot_priority_status", "window_distribution_funcs",
+    }
+)
+
+# Queries whose Spark code OR oracle changed in round 16, plus new
+# registrations — all need a fresh driver row. Populated as r16 work
+# lands; ordering within the tuple is the order the driver checks them.
+TOUCHED_R16: tuple[str, ...] = (
+    "dedup_embedding_lsh_adaptive_capped",  # NEW r16: the deployment
+    # default — log2(n) adaptive band width COMPOSED with the hot-bucket
+    # cap (r15 VERDICT item 1)
+    "dedup_embedding_lsh_capped",  # r16: ORACLE CHANGED — the cap is now
+    # a two-pass count + Lehmer-coin admission (no per-bucket sort); the
+    # QUALIFY twin carries the same int64 coin (r15 VERDICT item 2)
+    "sim_graph_topk_capped",  # r16: same oracle change (shared
+    # _bucket_cap_qualify)
+    "sim_graph_topk_served",  # NEW r16: beam search served FROM the
+    # maintained graph tables, sim_graph_topk's oracle verbatim (r15
+    # VERDICT item 3)
+    "stream_migrate_apply",  # NEW r16: layout migration under a live
+    # foreachBatch writer — table_layout_migration_read's oracle
+    # verbatim, chop-invariant (r15 VERDICT item 8)
+    "table_layout_migration_read",  # r16: commit() now validates
+    # _replace_files liveness against the actual parent (ADVICE) —
+    # clean-path behavior unchanged, fresh row certifies it
+    "sim_graph_topk",  # r16: search half factored into
+    # _graph_search_over — plan and hash unchanged, fresh row certifies
+    "dedup_embedding_lsh_adaptive",  # r16: body refactored into
+    # _lsh_adaptive_impl (cap-parameterized) — hash unchanged
+    "sim_ivf_topk_served",  # r16: inline probe-cell copy replaced by the
+    # shared similarity.probe_cells helper (ADVICE) — hash unchanged
+    "sim_ivf_topk",  # r16: ivf_topk_cosine nprobe branch now calls
+    # probe_cells — hash unchanged
+    "sim_kmeans_ivf_topk",  # r16: same ivf_topk_cosine refactor
+    "sim_ivf_topk_frozen",  # r16: same ivf_topk_cosine refactor
+    "text_bpe_train_batched",  # r16: trainer init shared with the delta
+    # trainer via _init_training_state (ADVICE) — hash unchanged
+    "text_bpe_train_sampled",  # r16: same shared-init refactor
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Registration order within tiers, stalest driver evidence first —
     except queries TOUCHED this round, which lead outright (fresh evidence
     about old code is still stale evidence). Every registered query has at
-    least one green driver row, so the order is: TOUCHED_R15, then any
-    never-checked stragglers (new r15 names not in TOUCHED_R15 — should be
+    least one green driver row, so the order is: TOUCHED_R16, then any
+    never-checked stragglers (new r16 names not in TOUCHED_R16 — should be
     none), then by newest-evidence round ascending — the stalest tier
-    (post-r14: the r9-newest block, 21 names — avro/table/TPC-H-tail/
-    window tiers with the oldest evidence in the fleet) first, round-14
-    (freshest) last. The r14 VERDICT mandate for r15: TOUCHED_R15 head,
-    then empty the r9 tier, then r10 fills."""
+    (post-r15: the r10-newest block — the 14 relational/window/scan names
+    the r15 judge re-verified by hand) first, round-15 (freshest) last.
+    The r15 VERDICT mandate for r16 (item 5): TOUCHED_R16 head, then the
+    r10 tier, then r11 fills (tools/staleness.py prints the live ranking)."""
 
-    head = {n: i for i, n in enumerate(TOUCHED_R15)}
+    head = {n: i for i, n in enumerate(TOUCHED_R16)}
 
     # Newest round in which each name earned a driver row, oldest-first
     # search order below relies on checking the NEWEST sets first.
     newest_first: tuple[tuple[int, frozenset[str]], ...] = (
+        (15, DRIVER_CHECKED_R15),
         (14, DRIVER_CHECKED_R14),
         (13, DRIVER_CHECKED_R13),
         (12, DRIVER_CHECKED_R12),
