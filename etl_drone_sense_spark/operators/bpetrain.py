@@ -180,6 +180,7 @@ def train_merges_batched(
     text_col: str = "text",
     batch_rounds: int = 16,
     batch_k: int = 16,
+    stats_out: list | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """Vocab-scale trainer shape (r15 — r14 VERDICT item 2): amortize
     the per-merge driver round trip by learning a BATCH of merges per
@@ -243,10 +244,13 @@ def train_merges_batched(
     per merge fall with 1/|batch| — the quantity that was hours of
     latency at real vocab scale.
     """
+    import time as _time
+
     vocab, pc = _init_training_state(docs, text_col)
 
     learned: list[tuple[int, str, str, str, int]] = []
     for r in range(1, batch_rounds + 1):
+        _t0 = _time.perf_counter()
         top = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(batch_k).collect()
         if not top:
             break
@@ -290,4 +294,16 @@ def train_merges_batched(
         vocab = vocab.withColumn("state", new_state).localCheckpoint(
             eager=True
         )
+        if stats_out is not None:
+            # Per-round amortization telemetry (tools/bpe_scale_probe.py):
+            # admitted/|frontier| is the quantity that must NOT collapse
+            # as the frontier concentrates at vocab scale.
+            stats_out.append(
+                {
+                    "round": r,
+                    "frontier": len(top),
+                    "admitted": len(sel),
+                    "wall_s": round(_time.perf_counter() - _t0, 3),
+                }
+            )
     return learned
