@@ -32,6 +32,8 @@ def test_every_bench_query_has_a_budget():
 def test_touched_and_checked_names_exist():
     known = set(RG.REGISTRY) | set(RG.RETIRED)
     for group in (
+        RG.TOUCHED_R16,
+        RG.DRIVER_CHECKED_R15,
         RG.TOUCHED_R15,
         RG.DRIVER_CHECKED_R14,
         RG.TOUCHED_R14,
@@ -83,7 +85,15 @@ def _ever_checked() -> set[str]:
         | set(RG.DRIVER_CHECKED_R12)
         | set(RG.DRIVER_CHECKED_R13)
         | set(RG.DRIVER_CHECKED_R14)
+        | set(RG.DRIVER_CHECKED_R15)
     )
+
+
+def test_r15_fold_covers_the_r15_touched_names():
+    """Every r15-touched name must have an r15 driver row (the fold is the
+    exact CORRECTNESS_r15.json key set, 50/50 green)."""
+    uncovered = set(RG.TOUCHED_R15) - set(RG.DRIVER_CHECKED_R15)
+    assert not uncovered, f"touched r15 names without an r15 row: {uncovered}"
 
 
 def test_r14_fold_covers_the_r14_touched_names():
@@ -141,9 +151,9 @@ def test_window_head_covers_everything_unverified_or_touched():
     # A touched name that is not registered must be an explicit retirement
     # (r10 ADVICE: otherwise a typo in TOUCHED silently drops the
     # must-be-in-head requirement for the query it meant to name).
-    ghosts = set(RG.TOUCHED_R15) - set(order)
+    ghosts = set(RG.TOUCHED_R16) - set(order)
     assert ghosts <= RG.RETIRED, f"touched names neither registered nor retired: {ghosts}"
-    must_be_in_head = set(RG.TOUCHED_R15) & set(order) | (
+    must_be_in_head = set(RG.TOUCHED_R16) & set(order) | (
         set(order) - _ever_checked()
     )
     missing = must_be_in_head - head
@@ -152,49 +162,43 @@ def test_window_head_covers_everything_unverified_or_touched():
 
 def test_window_head_leads_with_stalest_tier():
     """After the touched/never-checked block, remaining window slots must
-    fill with the stalest-evidence tier — after the r14 fold that is the
-    21-query tier whose NEWEST driver row is round 9 (avro/table/
-    TPC-H-tail/window, the oldest evidence in the fleet). The r15 touched
-    head plus the full 21-name r9 tier fits in the 50-name window with
-    the remainder spilling into the next-stalest (r10) tier."""
+    fill with the stalest-evidence tier — after the r15 fold (which
+    drained the whole r9 tier) that is the 14-query tier whose NEWEST
+    driver row is round 10 (relational/window/scan names the r15 judge
+    re-verified by hand). The r16 touched head plus the full 14-name r10
+    tier fits in the 50-name window with the remainder spilling into the
+    next-stalest (r11) tier."""
     order = list(RG.all_queries())
     fresher = (
-        set(RG.DRIVER_CHECKED_R10)
-        | set(RG.DRIVER_CHECKED_R11)
+        set(RG.DRIVER_CHECKED_R11)
         | set(RG.DRIVER_CHECKED_R12)
         | set(RG.DRIVER_CHECKED_R13)
         | set(RG.DRIVER_CHECKED_R14)
+        | set(RG.DRIVER_CHECKED_R15)
     )
-    touched = set(RG.TOUCHED_R15)
+    touched = set(RG.TOUCHED_R16)
     stale_tier = [
         n
         for n in RG.REGISTRY
-        if n in RG.DRIVER_CHECKED_R09
+        if n in RG.DRIVER_CHECKED_R10
         and n not in fresher
         and n not in touched
     ]
     assert set(stale_tier) == {
-        "avro_scan",
-        "avro_sink_roundtrip",
-        "basket_pair_counts",
-        "join_asof_tolerance",
-        "join_bloom_prefiltered",
-        "q11_important_stock",
-        "q12_line_class_priority",
-        "q16_supplier_part_counts",
-        "q20_concentrated_suppliers",
-        "q21_waiting_suppliers",
-        "q2_min_cost_supplier",
-        "q4_order_priority",
-        "q9_product_profit",
-        "stream_avro_scan",
-        "stream_scd2_apply",
-        "table_incremental_agg",
-        "table_pruned_read",
-        "table_rollback_read",
-        "table_time_travel",
-        "unpivot_priority_status",
-        "window_distribution_funcs",
+        "array_funcs",
+        "case_bucketing",
+        "csv_scan",
+        "date_funcs",
+        "json_funcs",
+        "math_funcs",
+        "orc_scan",
+        "string_funcs",
+        "subquery_exists_notin",
+        "subquery_scalar_correlated",
+        "window_lag_lead",
+        "window_rank_navigation",
+        "window_running_sum",
+        "window_topk_per_group",
     }, "stale-tier membership drifted — re-derive the rotation plan"
     pos = {n: i for i, n in enumerate(order)}
     n_touched = len(touched & set(order))
@@ -205,11 +209,13 @@ def test_window_head_leads_with_stalest_tier():
     )
     # Restrict to registered names: retired queries (dedup_simhash) keep
     # their historical driver-checked rows but have no registry position.
+    # The r9-and-older tiers were drained by later folds, so "fresh" here
+    # means any name whose newest row is r11+ (not in the r10 tier).
     fresh_only = (
-        fresher & set(RG.REGISTRY) - set(RG.DRIVER_CHECKED_R09) - touched
+        fresher & set(RG.REGISTRY) - set(RG.DRIVER_CHECKED_R10) - touched
     )
     first_fresh = min(pos[n] for n in fresh_only)
     worst_stale = max(pos[n] for n in stale_tier)
     assert worst_stale < first_fresh, (
-        "a freshly-certified query sorts ahead of the r9 stale tier"
+        "a freshly-certified query sorts ahead of the r10 stale tier"
     )
