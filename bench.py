@@ -301,6 +301,14 @@ def _measure_attempt(spark, queries, sf_dir, sf_val, warm: bool) -> dict:
     if violations:
         for name in sorted(violations):
             v = violations[name]
+            # A retest that itself runs into background load proves
+            # nothing in either direction (r16: run-2 attempt 3 retested
+            # four violations at loadavg 5–8.5 and every one went UP) —
+            # quiet-gate each retest with a short bounded wait and
+            # record the loadavg it actually ran at.
+            t_gate = time.monotonic()
+            while time.monotonic() - t_gate < 120.0 and _load1() >= 1.0:
+                time.sleep(5.0)
             v["retest_loadavg"] = _load1()
             samples = []
             for _ in range(3):
@@ -319,7 +327,15 @@ def _measure_attempt(spark, queries, sf_dir, sf_val, warm: bool) -> dict:
         # A breach that vanishes under isolated re-measurement IS the
         # contamination fingerprint even when both loadavg samples were
         # clean (the interference window closed before we re-sampled).
+        # A breach whose retest ran LOUD anyway (gate cap expired) is
+        # INDETERMINATE — stamp contaminated rather than let a loud
+        # retest masquerade as a confirmed real violation.
         if any(v["retest_within_budget"] for v in violations.values()):
+            contaminated = True
+        if any(
+            not v["retest_within_budget"] and v["retest_loadavg"] > 1.0
+            for v in violations.values()
+        ):
             contaminated = True
 
     total = round(sum(timings.values()), 3)
