@@ -673,10 +673,25 @@ def hyperplane_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    return verified_pairs(cands, threshold)
+
+
+def verified_pairs(cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verification of candidate pairs carrying per-side
+    vectors (``_va``/``_vb``) and precomputed norms (``_na``/``_nb``) —
+    the emission tail shared by ``hyperplane_lsh_pairs`` and the
+    maintained-index serving path (plans/extensions.
+    dedup_embedding_lsh_served), so the division order
+    ``dot / (na * nb)`` — which the SQL oracles reproduce bit-for-bit —
+    can never drift between the batch and served queries."""
     return (
         cands.withColumn(
             "cosine",
-            F.round(V.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+            F.round(
+                V.dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

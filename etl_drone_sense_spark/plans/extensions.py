@@ -671,9 +671,16 @@ def _hp_oracle(planes=None, bands=None, bucket_cap=None) -> str:
     """
 
 
+# ONE oracle string shared VERBATIM by dedup_embedding_lsh and
+# dedup_embedding_lsh_served (r16) — the sim_ivf/sim_graph serving
+# convention applied to the pair emitter: pairs served from the
+# incrementally-maintained band table must equal the batch emitter's.
+_HP_LSH_ORACLE = _hp_oracle()
+
+
 @register(
     "dedup_embedding_lsh",
-    oracle=_hp_oracle(),
+    oracle=_HP_LSH_ORACLE,
     tags=("dedup", "similarity", "lsh"),
     bench=True,
 )
@@ -8149,3 +8156,195 @@ def sim_graph_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qz = scoped_persist("sim_graph.qz_served", qz)
     return _graph_search_over(spark, qz, edges)
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH family: maintain + serve (r16 — symmetric completion)
+# ---------------------------------------------------------------------------
+
+_STREAM_SLSH_TABLES: dict[tuple, str] = {}
+
+
+def _hp_bands_oracle() -> str:
+    """The BATCH sign-band relation over the seeded corpus — the oracle
+    for incremental band-index maintenance (stream_signlsh_index): the
+    sigs/exploded recurrence of _hp_oracle, projected as
+    (vec_id, band_idx, band_val)."""
+    planes = _HP_PLANES
+    plane_cols = ", ".join(
+        f"{V.plane_lit_sql(p)} AS p{j}" for j, p in enumerate(planes)
+    )
+    bits = ", ".join(
+        V.hyperplane_bit_fixed_sql("qv", f"p{j}") for j in range(len(planes))
+    )
+    width = len(planes) // _HP_BANDS
+    return f"""
+    WITH {_SEEDED_EMB_CTE},
+    planes AS (SELECT {plane_cols}),
+    sigs AS MATERIALIZED (
+        SELECT vec_id, concat({bits}) AS sig
+        FROM (SELECT vec_id, {V.quantize_fixed_sql('embedding')} AS qv
+              FROM seeded)
+        CROSS JOIN planes)
+    SELECT vec_id, b.band_idx,
+           substr(sig, b.band_idx * {width} + 1, {width}) AS band_val
+    FROM sigs CROSS JOIN
+         (SELECT unnest(range(0, {_HP_BANDS})) AS band_idx) b
+    """
+
+
+@register(
+    "stream_signlsh_index",
+    oracle=_hp_bands_oracle(),
+    tags=("streaming", "dedup", "similarity", "lsh", "lake"),
+)
+def stream_signlsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sign-LSH band-index maintenance (r16 — the
+    stream_minhash_index pattern on the HYPERPLANE family, completing
+    maintain+serve for every ANN/LSH family in the registry: MinHash
+    and IVF and the kNN graph all have streaming maintenance; the
+    hyperplane band relation — the blocking structure under
+    dedup_embedding_lsh AND the graph build — had none). The seeded
+    corpus drains in four micro-batches; each batch signs ONLY its own
+    vectors against the frozen 64-plane codebook
+    (operators/similarity.sign_band_relation — one narrow vectorized
+    pass, a pure per-vector map) and APPENDS its (vec_id, band_idx,
+    band_val) rows exactly-once (txn-stamped manifest commit). Because
+    the sketch is a pure map, per-batch sign ∪ append EQUALS the
+    one-shot batch relation row for row — the oracle is that batch
+    relation, the mergeability proof. Chop-invariance is pinned in
+    tests/test_streaming.py.
+
+    Scale shape: ingest-time signing is exactly how a production LSH
+    index amortizes its sketch pass — each batch costs one narrow scan
+    of ITS OWN vectors plus a metadata append; history is never
+    re-signed. At 100 TB the table is written bucketed by
+    (band_idx, band_val), making every downstream bucket probe a
+    co-located join."""
+    import os as _os
+    import tempfile
+
+    from ..operators.similarity import sign_band_relation
+    from ..sources import table_commit as TC
+    from ..sources.readers import fixture_fingerprint
+
+    key = (sf_dir, fixture_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    root = _STREAM_SLSH_TABLES.get(key)
+    if root is None:
+        work = tempfile.mkdtemp(prefix="sg_slsh_")
+        root, feed, ckpt = (
+            _os.path.join(work, "bands"),
+            _os.path.join(work, "feed"),
+            _os.path.join(work, "ckpt"),
+        )
+        TC.commit(
+            spark.createDataFrame(
+                [], "vec_id bigint, band_idx int, band_val string"
+            ),
+            root,
+        )
+        seeded = _seeded_embeddings(spark, sf_dir).select(
+            "vec_id", "embedding"
+        )
+        for i in range(4):
+            seeded.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            bands = (
+                sign_band_relation(bdf, _HP_PLANES, _HP_BANDS)
+                .select("vec_id", "band_idx", "band_val")
+                .localCheckpoint(eager=True)
+            )
+            TC.commit(
+                bands, root, mode="append",
+                _operation="signlsh_index_append",
+                txn=("stream_slsh", batch_id),
+            )
+
+        q = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_SLSH_TABLES[key] = root
+    from ..sources import table_commit as TC6
+
+    return TC6.read_table(spark, root)
+
+
+@register(
+    "dedup_embedding_lsh_served",
+    oracle=_HP_LSH_ORACLE,
+    tags=("dedup", "similarity", "lsh", "streaming", "lake"),
+)
+def dedup_embedding_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs served FROM the incrementally-maintained band
+    table (r16 — the compositional closure of stream_signlsh_index,
+    completing the family symmetry: IVF and the kNN graph both have
+    maintain→serve certified under the batch query's verbatim oracle;
+    this does the same for the pair emitter). The banded self-join runs
+    over the COMMITTED (vec_id, band_idx, band_val) table — no
+    re-signing, no sketch pass — then joins the candidate ids back to
+    the corpus for the exact-cosine verify, through
+    operators/similarity.verified_pairs: the SAME emission tail
+    hyperplane_lsh_pairs runs, so the division order can never drift.
+    The oracle is dedup_embedding_lsh's VERBATIM (_HP_LSH_ORACLE): an
+    index maintained per batch must serve the identical pair set the
+    batch-built relation serves, and the driver hash gate certifies
+    the composition end-to-end.
+
+    Scale shape: serving cost is the bucket-keyed self-join (pair
+    space Σ|bucket|²) plus one id-keyed join back to the vectors —
+    the sketch pass, the expensive narrow scan, is amortized at
+    ingest. Production deployments add the bucket_cap / adaptive-width
+    guards on the WRITE side (the capped/adaptive twins); this query
+    pins the uncapped audit config the shared oracle encodes."""
+    from ..caching import scoped_persist
+    from ..operators.similarity import verified_pairs
+
+    bands = stream_signlsh_index(spark, sf_dir)
+    bands = scoped_persist("dedup.slsh_served_bands", bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand_ids = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    side = _seeded_embeddings(spark, sf_dir).select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("_nrm")
+    )
+    cands = (
+        cand_ids.join(
+            side.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("_va"),
+                F.col("_nrm").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            side.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("_vb"),
+                F.col("_nrm").alias("_nb"),
+            ),
+            "id_b",
+        )
+    )
+    return verified_pairs(cands, threshold=0.8)

@@ -1251,6 +1251,12 @@ TOUCHED_R16: tuple[str, ...] = (
     "text_bpe_train_batched",  # r16: trainer init shared with the delta
     # trainer via _init_training_state (ADVICE) — hash unchanged
     "text_bpe_train_sampled",  # r16: same shared-init refactor
+    "stream_signlsh_index",  # NEW r16: incremental sign-LSH band-index
+    # maintenance — the stream_minhash_index pattern on the hyperplane
+    # family; oracle = the batch band relation (pure-map mergeability)
+    "dedup_embedding_lsh_served",  # NEW r16: pairs served FROM the
+    # maintained band table — dedup_embedding_lsh's oracle verbatim,
+    # the maintain->serve closure for the pair emitter
 )
 
 

@@ -1015,3 +1015,75 @@ def test_stream_migrate_apply_is_mid_stream_and_idempotent(spark, sf_dir):
     snap = TC.read_snapshot(root, version)
     assert snap.txn_map.get("stream_mig") == 2
     assert not [f for f in snap.files if "/v00000001-" in f]
+
+
+def test_signlsh_index_stream_chop_invariance(spark, sf_dir, tmp_path):
+    """r16 (stream_signlsh_index): the committed band index must be
+    IDENTICAL however the embedding feed is chopped — the sign sketch
+    is a pure per-vector map, so per-batch sign ∪ append = the one-shot
+    batch relation row for row. 2-chop vs 3-chop vs the direct batch
+    sign_band_relation over the same 60 vectors."""
+    from pyspark.sql import functions as F
+
+    from etl_drone_sense_spark.operators.similarity import sign_band_relation
+    from etl_drone_sense_spark.plans.extensions import _HP_BANDS, _HP_PLANES
+    from etl_drone_sense_spark.sources import table_commit as TC
+    from etl_drone_sense_spark.sources.readers import read_table
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .filter(F.col("vec_id") < 60)
+    )
+
+    def build(nchop: int, tag: str) -> list:
+        root = str(tmp_path / f"slsh_tbl_{tag}")
+        feed = str(tmp_path / f"slsh_feed_{tag}")
+        ckpt = str(tmp_path / f"slsh_ckpt_{tag}")
+        TC.commit(
+            spark.createDataFrame(
+                [], "vec_id bigint, band_idx int, band_val string"
+            ),
+            root,
+        )
+        for i in range(nchop):
+            emb.filter(F.col("vec_id") % nchop == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+        def apply_batch(bdf, batch_id: int) -> None:
+            bands = (
+                sign_band_relation(bdf, _HP_PLANES, _HP_BANDS)
+                .select("vec_id", "band_idx", "band_val")
+                .localCheckpoint(eager=True)
+            )
+            TC.commit(
+                bands, root, mode="append",
+                _operation="signlsh_index_append",
+                txn=(f"slshchop_{tag}", batch_id),
+            )
+
+        q = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r) for r in TC.read_table(spark, root).collect()
+        )
+
+    two = build(2, "two")
+    three = build(3, "three")
+    batch = sorted(
+        tuple(r)
+        for r in sign_band_relation(emb, _HP_PLANES, _HP_BANDS)
+        .select("vec_id", "band_idx", "band_val")
+        .collect()
+    )
+    assert two == three == batch
+    assert len(batch) == 60 * _HP_BANDS
