@@ -218,6 +218,35 @@ def simhash_fingerprints(
     )
 
 
+def simhash_fingerprints_packed(
+    df: DataFrame, id_col: str, text_col: str, nbits: int = 16
+) -> DataFrame:
+    """(id, fp): the SAME SimHash fingerprint as ``simhash_fingerprints``
+    packed into a BIGINT — ``fp = conv(simhash, 2, 10)``, i.e. char j of
+    the string form is bit ``nbits - j`` of ``fp`` (MSB-first). The
+    packing is a bijection, so bucket keys sliced from it block
+    identically and ``bit_count(a XOR b)`` equals the per-char hamming
+    sum. A NULL text stays a NULL fingerprint (conv of NULL is NULL).
+
+    Why pack at all (r16 optimization — guide §2.3 "shuffle fewer
+    bytes"): everything DOWNSTREAM of the fingerprint — block keys, the
+    persisted bucket relation, the pair self-join, the dedup shuffle,
+    the exact hamming filter — gets 8-byte integers instead of
+    ``nbits``-char strings, and the hamming check collapses from
+    ``nbits`` substring comparisons per candidate pair to one XOR +
+    popcount. The fingerprint itself stays the narrow per-doc fold
+    (``simhash_bits``): an exploded groupBy-sum formulation was measured
+    SLOWER here (0.67 s vs 0.29 s at sf0.1) because
+    ``rebalance_for_compute`` already spreads the fold across all cores
+    and the aggregate adds an exchange the narrow form doesn't have."""
+    return df.select(
+        F.col(id_col),
+        F.conv(simhash_col(F.col(text_col), nbits), 2, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -284,13 +313,29 @@ def simhash_pairs(
     kb = width if key_bits is None else key_bits
     if not 1 <= kb <= width:
         raise ValueError(f"key_bits {kb} outside [1, {width}]")
-    fp = simhash_fingerprints(rebalance_for_compute(df), id_col, text_col, nbits)
+    # r16 (guide §2.3/§4.1): fingerprints flow as packed BIGINTs, not
+    # '0'/'1' strings — the block key is a bit slice (a bijection of the
+    # old substring key, so the pigeonhole buckets are identical), the
+    # exploded/persisted/joined relation carries 8-byte keys instead of
+    # 48-char strings, and the exact hamming filter below collapses from
+    # 48 substring comparisons per candidate pair to one bit_count(XOR).
+    fp = simhash_fingerprints_packed(
+        rebalance_for_compute(df), id_col, text_col, nbits
+    )
+    # conv packs MSB-first: string chars b*width+1 .. b*width+kb are fp
+    # bits nbits-b*width-1 down to nbits-b*width-kb — the slice below is
+    # the substring key under that bijection.
     exploded = fp.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col("fp"),
         F.posexplode(
             F.array(
-                *[F.substring("simhash", b * width + 1, kb) for b in range(blocks)]
+                *[
+                    F.shiftright("fp", nbits - b * width - kb).bitwiseAND(
+                        F.lit((1 << kb) - 1)
+                    )
+                    for b in range(blocks)
+                ]
             )
         ).alias("block_idx", "block_val"),
     )
@@ -345,12 +390,15 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = TXT.hamming_bits(F.col("sh_a"), F.col("sh_b"), nbits)
+    # bit_count over the XOR of the packed fingerprints == the per-char
+    # hamming sum of the string form (bits beyond nbits are 0 on both
+    # sides, so they never differ).
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -210,28 +210,58 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # per-row value outside it needs a dedicated decimal formulation, not
 # this helper.
 
-def dsum(col: Column | str, alias: str) -> Column:
+# r16 (optimization round, guide §2.3 "narrower types"): the decimal(38,0)
+# accumulator is the EXACTNESS anchor but also the measured cost of every
+# dsum-bearing aggregate — Spark's Decimal sum updates a 128-bit BigDecimal
+# buffer per row, outside the primitive codegen fast path (q18's r14 rework
+# measured one such aggregate at 1.87 s vs 1.07 s with a long accumulator;
+# the ml_ols 10-moment shape re-measured 1.12 s decimal vs 0.39 s lanes).
+# The lane formulation below keeps the IDENTICAL result: the per-row
+# micro-unit value v = floor(x*1e6 + 0.5) (a long, by the per-row domain
+# bound above) is decomposed into four 17-bit lanes
+#     v = ((hi*2^17 + m2)*2^17 + m1)*2^17 + m0,
+#       m_i = (v >> 17i) & 0x1FFFF  (non-negative),  hi = v >> 51
+# (arithmetic shift = floor division, so the identity holds for negative v
+# in two's complement). Each lane is summed as a plain LONG — pure codegen
+# primitives — and the lanes are recombined IN DECIMAL(38,0) once per
+# GROUP, so the final integer is bit-identical to the old decimal per-row
+# sum, and the decimal→double cast stays the same correctly-rounded single
+# step. Overflow safety: |lane| < 2^17 per row ⇒ a group of n rows sums to
+# < n·2^17, safe while n ≤ 2^46 ≈ 7.0e13 rows PER GROUP (the top lane is
+# bounded by 2^12 per row — stricter); 100 TB lineitem is ~6e11 rows, two
+# orders inside the bound. The combined decimal magnitude is ≤ 2^109 ≈
+# 6.5e32 < 10^38, inside decimal(38,0). NULL semantics match: all four
+# lanes are null exactly when v is null, sum skips the same rows, and an
+# all-null group yields null through the combine exactly like the old
+# decimal sum.
+
+_LANE_BITS = 17
+_LANE_MASK = (1 << _LANE_BITS) - 1
+
+
+def _dsum_micro(col: Column | str) -> Column:
+    """Exact Σ floor(x*1e6 + 0.5) as decimal(38,0), lane-accumulated."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(
-            F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
-                "decimal(38,0)"
-            )
-        ).cast("double")
-        / F.lit(1e6)
-    ).alias(alias)
+    v = F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    lanes = [
+        F.sum(F.shiftright(v, i * _LANE_BITS).bitwiseAND(F.lit(_LANE_MASK)))
+        for i in range(3)
+    ]
+    lanes.append(F.sum(F.shiftright(v, 3 * _LANE_BITS)))
+    total = lanes[3].cast("decimal(38,0)")
+    for i in (2, 1, 0):
+        total = total * F.lit(1 << _LANE_BITS) + lanes[i].cast("decimal(38,0)")
+    return total
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    return (_dsum_micro(col).cast("double") / F.lit(1e6)).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(
-            F.floor(c.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
-                "decimal(38,0)"
-            )
-        ).cast("double")
-        / F.lit(1e6)
-        / F.count(c)
+        _dsum_micro(col).cast("double") / F.lit(1e6) / F.count(c)
     ).alias(alias)
 
 
