@@ -248,8 +248,9 @@ def pagerank_fixed_point(
     AND re-sorted the full edge relation (measured: 11.7 M rows × 5
     rounds at the 10× fixture — the whole 5.78× slope). Per round now:
 
-    * contributions are computed NODE-side first — ``ranks ⨝ degree`` is
-      a node-scale co-partitioned join (both hash(u/node, W)), so the
+    * contributions are computed NODE-side first — the rank state carries
+      each node's out-degree (r16: a narrow projection of the state; the
+      pre-r16 form joined a separate degree relation every round), so the
       per-edge division collapses to one row per source node;
     * the edge join takes the contributions as the SHUFFLE_HASH build
       side: the checkpointed hash(u, W) adjacency satisfies the join's
@@ -322,29 +323,51 @@ def pagerank_fixed_point(
     contrib_expr = F.expr(
         f"(rank * {damping_num}) div ({damping_den} * d)"
     ).alias("_c")
-    ranks = nodes.select(
-        "node", F.lit(1_000_000).cast("long").alias("rank")
-    )
+    # r16 (guide §2.4 — remove work per round): the rank STATE carries the
+    # node's out-degree alongside its rank, so the per-round contribution
+    # is a narrow PROJECTION of the state instead of a ranks ⨝ degree
+    # join, and the post-aggregate rank rebuild joins the state (which
+    # already holds every node) instead of a separate nodes relation —
+    # two of the three per-round node-scale hash joins disappear
+    # (measured: the 5-round loop job 3.4 s → 2.4 s at sf0.1). The
+    # recurrence is unchanged: d is a constant per node, carried through
+    # the round boundary; a dangling node (no out-edges, only possible
+    # when assume_symmetric=False) carries d NULL, its contribution
+    # expression is NULL, and — exactly like the old inner join with
+    # degree — it can never match an adjacency source row, because a
+    # node with no out-edges never appears as ``u`` in ``adj``.
+    if assume_symmetric:
+        state = degree.select(
+            F.col("u").alias("node"),
+            "d",
+            F.lit(1_000_000).cast("long").alias("rank"),
+        )
+    else:
+        d_0 = "_pr_d0"
+        state = nodes.join(
+            degree.alias(d_0).hint("shuffle_hash"),
+            nodes.node == F.col(f"{d_0}.u"),
+            "left",
+        ).select(
+            "node", "d", F.lit(1_000_000).cast("long").alias("rank")
+        )
     for i in range(1, iters + 1):
-        # One row per SOURCE node: rank ⨝ degree co-partitioned at W.
-        # Per-round dataset aliases: round i's ranks plan already embeds
-        # round i-1's degree/adj subtrees, so bare attribute references
-        # would be (analyzer-rejected) ambiguous self-joins.
-        d_i, a_i = f"_pr_d{i}", f"_pr_a{i}"
-        contribs = (
-            ranks.join(
+        # Per-round dataset aliases: round i's state plan already embeds
+        # round i-1's adj subtree, so bare attribute references would be
+        # (analyzer-rejected) ambiguous self-joins.
+        a_i = f"_pr_a{i}"
+        # One row per SOURCE node, a pure projection: alias-aware
+        # partitioning propagation keeps hash(node→_cu, W), so the edge
+        # join below consumes it as the SHUFFLE_HASH build side with no
+        # exchange.
+        contribs = state.select(F.col("node").alias("_cu"), contrib_expr)
+        incoming = (
+            adj.alias(a_i)
+            .join(
                 # shuffle_hash everywhere in the loop: all build sides
                 # are node-scale, and hash joins skip the per-round
                 # sorts SMJ would redo (sort order does not survive the
                 # round boundary the way hash partitioning does).
-                degree.alias(d_i).hint("shuffle_hash"),
-                ranks.node == F.col(f"{d_i}.u"),
-            )
-            .select(F.col(f"{d_i}.u").alias("_cu"), contrib_expr)
-        )
-        incoming = (
-            adj.alias(a_i)
-            .join(
                 contribs.hint("shuffle_hash"),
                 F.col(f"{a_i}.u") == F.col("_cu"),
             )
@@ -352,10 +375,11 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = nodes.join(
+        state = state.join(
             incoming.hint("shuffle_hash"), "node", "left"
         ).select(
             "node",
+            "d",
             (
                 F.lit(base_micro).cast("long")
                 + F.coalesce(F.col("_in"), F.lit(0))
@@ -366,8 +390,8 @@ def pagerank_fixed_point(
         # would re-plan its shuffles at the caller's width outside
         # the loop's scope.
         if i == iters or (i % checkpoint_every == 0 and iters - i >= 2):
-            ranks = ranks.localCheckpoint(eager=True)
-    return _on_session(ranks, caller)
+            state = state.localCheckpoint(eager=True)
+    return _on_session(state.select("node", "rank"), caller)
 
 
 def flatten_hierarchy(
@@ -585,6 +609,12 @@ def sssp_fixed_rounds(
                 | F.coalesce(F.col("_cand") < F.col("_old"), F.lit(False))
             ).alias("improved"),
         ).localCheckpoint(eager=True)
+        # r16 note: an empty-frontier early exit was measured here and
+        # REJECTED — at sf0.1 the frontier first empties at round 5 of 6
+        # (36 → 11k → 976 → 9.7k → 0), so a per-round limit-1 probe pays
+        # ~5 driver jobs to skip at most one near-free delta round. The
+        # delta formulation already makes post-convergence rounds cheap
+        # (no messages, node-scale re-aggregation only).
     return _on_session(state.select("node", "dist"), caller)
 
 

@@ -702,7 +702,10 @@ def test_pagerank_rounds_never_move_the_adjacency(spark, sf_dir):
         _CDF.localCheckpoint = orig
     final = plans[-1]  # the 3-round final checkpoint job
     assert "SortMergeJoin" not in final, final
-    assert final.count("ShuffledHashJoin") == 3 * 3, final
+    # r16: two hash joins per round — the edge join plus the state
+    # rebuild (the old third join, ranks ⨝ degree, became a projection
+    # when the state started carrying the out-degree).
+    assert final.count("ShuffledHashJoin") == 3 * 2, final
     # one contribution exchange per round — nothing else moves
     assert final.count("Exchange") == 3, final
     assert "+- Sort" not in final and "- Sort " not in final, final
