@@ -643,32 +643,37 @@ def paragraph_dedup(
         ),
         lambda p: p != "",
     )
+    # r16: (a) spread the split/trim explode out of the single scan task
+    # (no-op on splittable sources — guide §2.5); (b) compute the
+    # paragraph fingerprint ONCE into the persisted relation — it used to
+    # be re-evaluated by the census groupBy, the semi-join probe AND the
+    # first-occurrence window (3× the md5 bytes over the whole corpus).
     nonblank = scoped_persist(
         "dedup.paragraphs",
-        docs.select(
+        rebalance_for_compute(docs).select(
             F.col(id_col), F.posexplode(lns).alias("pos", "para")
-        ),
+        ).withColumn("_fp", F.md5(F.col("para"))),
     )
     dup_fps = (
-        nonblank.groupBy(F.md5(F.col("para")).alias("_fp"))
+        nonblank.groupBy("_fp")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
         .select("_fp")
     )
     affected = (
-        nonblank.join(
-            dup_fps, F.md5(F.col("para")) == F.col("_fp"), "semi"
-        )
+        nonblank.join(dup_fps, "_fp", "semi")
         .select(id_col)
         .distinct()
     )
-    clean = docs.join(affected, id_col, "anti").select(
+    # The bypass branch re-splits ~every doc's text (size/array_join of
+    # lns) — also scan-task work worth spreading.
+    clean = rebalance_for_compute(docs).join(affected, id_col, "anti").select(
         F.col(id_col),
         F.size(lns).cast("long").alias("n_paras"),
         F.size(lns).cast("long").alias("n_kept"),
         F.array_join(lns, sep).alias("text_clean"),
     )
-    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "pos")
+    w = Window.partitionBy("_fp").orderBy(id_col, "pos")
     flagged = (
         nonblank.join(affected, id_col, "semi")
         .withColumn("kept", F.row_number().over(w) == 1)
@@ -728,7 +733,11 @@ def duplicated_span_stats(
     quadratic: a boilerplate span shared by millions of docs is one hot
     hash group, not a pair explosion.
     """
-    toks = docs.select(
+    # r16 (guide §2.5 input under-split): the tokenize+shingle+md5
+    # pipeline below is the dominant cost and runs INSIDE the scan task —
+    # spread it first (no-op on splittable production sources; measured
+    # 1.10 → 0.30 s for the span relation at sf0.1's one-row-group file).
+    toks = rebalance_for_compute(docs).select(
         F.col(id_col), TXT.tokens(F.col(text_col)).alias("_toks")
     )
     spans = toks.filter(F.size("_toks") >= width).select(

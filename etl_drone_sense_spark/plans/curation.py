@@ -23,6 +23,7 @@ from ..functions import text as TXT
 from ..functions import vectors as V
 from ..operators import merge as M
 from ..operators import similarity
+from ..sources.readers import rebalance_for_compute
 from .registry import register, t
 from .extensions import _seeded_embeddings, _SEEDED_EMB_CTE
 
@@ -811,6 +812,10 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic under any partitioning (repo convention). Docs with < 2
     tokens have no bigrams and are absent, matching the unpadded n-gram
     semantics of word_ngrams_sql."""
+    # r16 note: a rebalance_for_compute was measured here and rejected
+    # (1.36 s as-is vs 1.61 s spread at sf0.1) — the window exchange on
+    # doc_id arrives right after the tokenize, so spreading first just
+    # round-robins the text for one narrow projection.
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     wp = Window.partitionBy("doc_id").orderBy("pos")
     bigr = (
@@ -2645,7 +2650,11 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression as constants."""
     st = BPE.doc_state(F.col("text"))
     toks = F.split(BPE.render(st), " ")
-    return t(spark, sf_dir, "documents").select(
+    # r16 (guide §2.5): the merge-replace chain is the whole cost and is
+    # otherwise pinned to the scan task (the fixture is one row group) —
+    # spread it first; on a splittable production lake the probe makes
+    # this a no-op and the projection stays exchange-free.
+    return rebalance_for_compute(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.size(BPE.words(F.col("text"))).cast("long").alias("n_words"),
         BPE.token_count(st).alias("n_bpe_tokens"),

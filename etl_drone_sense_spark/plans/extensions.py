@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TXT
 from ..functions import vectors as V
 from ..operators import dedup, multimodal, sessionize, similarity
+from ..sources.readers import rebalance_for_compute
 from .registry import dsum, dsum_sql, register, t
 
 # LSH configuration shared by Spark and oracle sides.
@@ -1327,6 +1328,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # r16 (guide §2.5): every signal branch re-normalizes/splits the full
+    # text inside the scan task — spread once (production no-op).
+    docs = rebalance_for_compute(docs)
     base = docs.select(
         "doc_id",
         F.greatest(
@@ -1551,6 +1555,10 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.createDataFrame(list(BOILER_SEEDS), "doc_id long, text string")
         )
     )
+    # r16 (guide §2.5): both the line explode and the clean-docs bypass
+    # re-split every document's text inside the scan task — spread once
+    # (no-op on splittable production sources).
+    docs = rebalance_for_compute(docs)
     # NULL-text coalesce: split(NULL) is NULL and the clean-branch bypass
     # would emit NULL/0/NULL instead of the 0/0/'' the operator contract
     # (and the oracle) defines for no-text docs.
@@ -1810,6 +1818,9 @@ def text_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary frequency: explode → two-level agg. Scale: explode is
     narrow; the agg shuffles (token, doc) pairs once."""
+    # r16 note: a rebalance_for_compute was measured here and rejected —
+    # the tokenize is too light to pay for round-robining the text
+    # (0.40 s as-is vs 0.55 s spread at sf0.1).
     docs = t(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
@@ -3726,6 +3737,10 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import scoped_persist
     from ..operators.corpus import assign_split
 
+    # r16 note: a rebalance_for_compute before the gopher gate was
+    # measured and rejected (2.17 s as-is vs 2.29 s spread at sf0.1) —
+    # the pipeline's early exchange (the fingerprint window) already
+    # spreads the heavy downstream stages.
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     kept = docs.filter(TXT.gopher_pass(TXT.gopher_features(F.col("text"))))
     _, redacted = TXT.pii_stages(F.col("text"))
