@@ -3123,6 +3123,11 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_wav(rate, ch, samples))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -6115,6 +6120,9 @@ def synth_ppm_media(docs: DataFrame) -> DataFrame:
                 payloads.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    # r16 note: rebalance_for_compute measured here and rejected — the PPM
+    # encoder is a raw-byte passthrough, so round-robining the rows costs
+    # more than the single-task encode (0.60 s as-is vs 1.06 s spread).
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -6166,6 +6174,11 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -6262,6 +6275,11 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -6373,6 +6391,11 @@ def synth_tiff_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    from ..sources.readers import rebalance_for_compute
+
+    # one row per doc but kilobytes of codec work each: spread an
+    # under-split source across the cluster before the Arrow pass
+    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
