@@ -1881,9 +1881,11 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hashed-unigram bucket arrays are STAGED ONCE: tokenize+hash is
     # the dominant narrow cost and feeds both the census and the scoring
     # pass (the text normalizer's regex work would otherwise run twice).
+    # r16: spread that narrow cost out of the single scan task first
+    # (production no-op — guide §2.5).
     staged = scoped_persist(
         "curation.dsir_bs",
-        docs.select(
+        rebalance_for_compute(docs).select(
             "doc_id",
             "lang",
             "source",

@@ -56,14 +56,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: filter + column pruning push into the parquet scan; the agg is
     map-side partial (6 groups → bytes per task), so the shuffle is trivial
-    at any SF. The eight exact-decimal aggregates are CPU-heavy relative to
-    the row width, so an under-split source (one row group) is rebalanced
-    after the pushed filter — measured 2× at sf0.1; no-op on a real lake."""
-    li = rebalance_for_compute(
-        t(spark, sf_dir, "lineitem").filter(
-            F.col("l_shipdate") <= F.lit("1999-09-01 00:00:00").cast("timestamp")
-        ),
-        cache_key=f"{sf_dir}:lineitem:q1",
+    at any SF. r16: the pre-r16 decimal(38,0) aggregates were CPU-heavy
+    enough to pay for rebalancing an under-split source (measured 2× at
+    sf0.1 then); with the lane-accumulated dsum the math is codegen'd
+    longs and the round-robin costs more than it saves (0.30 s as-is vs
+    0.60 s spread at sf0.1) — the rebalance is removed."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-09-01 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
