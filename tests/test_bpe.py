@@ -102,8 +102,15 @@ def test_spark_rendering_matches_reference(spark):
 
 
 def test_encoder_is_one_narrow_projection(spark, sf_dir):
-    """The 100 TB shape claim: no exchange anywhere in text_bpe_tokenize."""
+    """The 100 TB shape claim: text_bpe_tokenize is one narrow projection
+    — no hash/range exchange, no Python boundary. The single permitted
+    Exchange is the ROUND-ROBIN spread of an under-split source
+    (rebalance_for_compute, r16): on a splittable production lake the
+    partition-count probe makes it a no-op and the plan is exchange-free;
+    on the one-row-group fixture it buys the merge-replace chain full
+    parallelism."""
     import io
+    import re
     from contextlib import redirect_stdout
 
     from etl_drone_sense_spark.plans.registry import get
@@ -113,7 +120,13 @@ def test_encoder_is_one_narrow_projection(spark, sf_dir):
     with redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "Exchange" not in plan
+    # formatted explain names each node twice (tree + details) — count
+    # the numbered detail headers so one Exchange node counts once
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 1, plan
+    if n_exchange:
+        assert "RoundRobinPartitioning" in plan, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
