@@ -802,31 +802,48 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus itself, documents scored by mean per-bigram log-prob.
     Degenerate/repetitive docs score high, token-salad scores low.
 
-    Scale shape: bigrams come from ONE posexplode + one lead() window per
-    doc (codegen'd, same pattern text_repetition measured 6x faster than
-    interpreted array lambdas); counts collapse map-side to bigram-
+    Scale shape (r16, guide §2.4): bigrams are paired NARROWLY — the
+    token array sliced against itself one position over (zip_with of
+    slice(1..n-1) with slice(2..n)), so adjacent-token pairing never
+    leaves the row. The pre-r16 form posexploded every token and paired
+    with lead() over a (doc_id, pos) window: that window's
+    Exchange hashpartitioning(doc_id) + Sort shuffled and re-sorted the
+    WHOLE exploded token stream of the corpus just to look one row
+    ahead — per-doc-local information by construction. Measured at
+    sf0.1: bigram relation 0.456 → 0.367 s, full query neutral
+    (1.35 → 1.24 s, within noise) — the win is the plan shape at scale:
+    zero exchanges before the persisted bigram relation instead of a
+    full-corpus token shuffle. Counts collapse map-side to bigram-
     vocabulary size; the context (w1) relation derives from the bigram
     counts — no second corpus pass; the score join is co-partitioned on
     the bigram string. Log-probs are quantized to fixed-point BIGINT
     before summation (floor(lp*1e9)) so every aggregate is exact integer
     arithmetic under any partitioning (repo convention). Docs with < 2
-    tokens have no bigrams and are absent, matching the unpadded n-gram
-    semantics of word_ngrams_sql."""
-    # r16 note: a rebalance_for_compute was measured here and rejected
-    # (1.36 s as-is vs 1.61 s spread at sf0.1) — the window exchange on
-    # doc_id arrives right after the tokenize, so spreading first just
-    # round-robins the text for one narrow projection.
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    wp = Window.partitionBy("doc_id").orderBy("pos")
-    bigr = (
-        docs.select(
-            "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok")
-        )
-        .select(
-            "doc_id", "tok", F.lead("tok", 1).over(wp).alias("t1")
-        )
-        .filter(F.col("t1").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "t1").alias("g"))
+    tokens have no bigrams and are absent (slice of an empty/1-token
+    array is empty, explode emits nothing), matching the unpadded
+    n-gram semantics of word_ngrams_sql. The earlier rejected
+    rebalance_for_compute (1.36 s as-is vs 1.61 s spread when the window
+    exchange followed the tokenize) is now REQUIRED: without the window
+    exchange the fixture's one-row-group scan would pin the tokenize and
+    the persisted relation to a single task (production no-op by the
+    partition probe)."""
+    docs = rebalance_for_compute(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # tokens() is referenced by both slices and the length bound — keep
+    # it in its own projection so CollapseProject (which never inlines a
+    # non-cheap alias used more than once) evaluates the regex fold once.
+    tk = docs.select("doc_id", TXT.tokens(F.col("text")).alias("_tk"))
+    n1 = F.greatest(F.size("_tk") - 1, F.lit(0))
+    bigr = tk.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("_tk", 1, n1),
+                F.slice(F.col("_tk"), 2, n1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
     )
     from ..caching import scoped_persist
 
