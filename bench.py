@@ -409,37 +409,52 @@ def main() -> None:
     print(json.dumps(record))
     # The driver records only the TAIL of stdout (exactly the last 2000
     # chars) and parses the LAST JSON line into BENCH_r{N}.json's
-    # ``parsed`` field. At 63+ bench queries the complete per-query dict
-    # (~1.8 KB) plus the gates no longer fits that window (r13 VERDICT
-    # item 7: the raw tail opened mid-dict, losing ~16 oracle_ratio
-    # entries) — so the COMPLETE record is persisted to a committed repo
-    # file instead, and the trailing compact line (always parseable,
-    # well under the window) carries the gates plus a pointer to it.
+    # ``parsed`` field. The COMPLETE record (3-decimal timings, oracle
+    # grounding, violation detail, attempt trail) is persisted to a
+    # committed repo file; the trailing compact line carries the gates
+    # AND — r17, restoring the per-query contract the r16 VERDICT item 2
+    # flagged (PERF has been blind since r13: n_common=0, empty scaling
+    # per_query) — the per-query seconds at 2-decimal precision with
+    # compact separators: 63 queries ≈ 1.92 KB, inside the 2000-char
+    # window. A length guard degrades gracefully (1-decimal, then the
+    # old queries-less line) if the bench surface ever outgrows it.
     full_out = os.environ.get("SPARK_GRAFT_BENCH_FULL_OUT", "BENCH_FULL.json")
     if full_out:
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_out)
         with open(full_path, "w", encoding="utf-8") as f:
             json.dump(record, f, indent=1)
             f.write("\n")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": record["value"],
-                "unit": "sec",
-                "sf": sf_val,
-                "waited_s": record["waited_s"],
-                "loadavg_at_launch": record["loadavg_at_launch"],
-                "loadavg_at_end": record["loadavg_at_end"],
-                "contaminated": record["contaminated"],
-                "attempts": len(history),
-                "n_queries": len(record["queries"]),
-                "n_violations": len(record["budget_violations"]),
-                "budget_violations": record["budget_violations"],
-                "full_record": full_out or None,
+
+    def compact_line(ndigits: int | None) -> str:
+        payload = {
+            "metric": "headline_total",
+            "value": record["value"],
+            "unit": "sec",
+            "sf": sf_val,
+            "contaminated": record["contaminated"],
+            "attempts": len(history),
+            "n_queries": len(record["queries"]),
+            "n_violations": len(record["budget_violations"]),
+            "violations": sorted(record["budget_violations"]),
+            "full_record": full_out or None,
+        }
+        if ndigits is not None:
+            payload["queries"] = {
+                k: round(v, ndigits) for k, v in record["queries"].items()
             }
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = compact_line(2)
+    if len(line) > 1990:
+        line = compact_line(1)
+    if len(line) > 1990:
+        print(
+            "WARNING: per-query dict no longer fits the driver's "
+            "2000-char stdout tail — emitting the queries-less line",
+            file=sys.stderr,
         )
-    )
+        line = compact_line(None)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -2127,24 +2127,26 @@ def encode_wav_adpcm(
         raise ValueError("adpcm: channels must carry equal code counts")
     if (ch == 1 and n % 2) or (ch > 1 and n % 8):
         raise ValueError("adpcm: code count must fill whole data groups")
-    if any(c > 15 for cc in chans for c in cc):
+    carr = [np.frombuffer(c, dtype=np.uint8) for c in chans]
+    if any(int(a.max(initial=0)) > 15 for a in carr):
         raise ValueError("adpcm: nibble out of range")
     for p0, i0 in zip(preds, idxs):
         if not (-32768 <= p0 <= 32767 and 0 <= i0 <= 88):
             raise ValueError("adpcm: bad initial state")
 
-    def pack8(codes: bytes) -> bytes:
-        return bytes(
-            codes[i] | (codes[i + 1] << 4) for i in range(0, len(codes), 2)
-        )
-
     data = b"".join(
         struct.pack("<hBB", p0, i0, 0) for p0, i0 in zip(preds, idxs)
     )
-    group = 8 if ch > 1 else n  # mono: one run; multi: 8-code groups
-    for g in range(0, n, group):
-        for c in range(ch):
-            data += pack8(chans[c][g : g + group])
+    # two codes per byte, LOW nibble first; multi-channel interleaves
+    # 4-byte (8-code) groups channel-major — assembled as one numpy
+    # (ngroups, ch, 4) stack instead of a per-byte Python loop (r17)
+    packed = [a[0::2] | (a[1::2] << 4) for a in carr]
+    if ch == 1:
+        data += packed[0].tobytes()
+    elif n:
+        data += np.stack(
+            [p.reshape(-1, 4) for p in packed], axis=1
+        ).tobytes()
     block_align = len(data)
     frames = n + 1
     fmt = struct.pack(
@@ -2227,7 +2229,8 @@ def encode_wav_msadpcm(
         raise ValueError("msadpcm: channels must carry equal code counts")
     if ch == 1 and n % 2:
         raise ValueError("msadpcm: mono code count must fill whole bytes")
-    if any(c > 15 for cc in chans for c in cc):
+    carr = [np.frombuffer(c, dtype=np.uint8) for c in chans]
+    if any(int(a.max(initial=0)) > 15 for a in carr):
         raise ValueError("msadpcm: nibble out of range")
     for p, d, a, b in zip(preds, deltas, s1s, s2s):
         if not 0 <= p <= 6:
@@ -2239,12 +2242,11 @@ def encode_wav_msadpcm(
     data += b"".join(struct.pack("<h", d) for d in deltas)
     data += b"".join(struct.pack("<h", s) for s in s1s)
     data += b"".join(struct.pack("<h", s) for s in s2s)
+    # HIGH nibble first (the opposite of IMA), numpy-packed (r17)
     if ch == 1:
-        data += bytes(
-            (chans[0][i] << 4) | chans[0][i + 1] for i in range(0, n, 2)
-        )
+        data += ((carr[0][0::2] << 4) | carr[0][1::2]).tobytes()
     else:
-        data += bytes((chans[0][i] << 4) | chans[1][i] for i in range(n))
+        data += ((carr[0] << 4) | carr[1]).tobytes()
     block_align = len(data)
     frames = n + 2
     coefs = b"".join(
@@ -2283,34 +2285,21 @@ def encode_wav_ulaw(sample_rate: int, channels: int, ulaw: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def parse_wav(payload: bytes):
-    """Decode a RIFF/WAVE payload — dependency-free chunk walk per the
-    RIFF spec (unknown chunks skipped, word-aligned). Supports the
-    interchange common cases: PCM (format 1, 16-bit), G.711 mu-law
-    (format 7, 8-bit — telephony; expanded to int16 via the CCITT
-    table), 1-8 CHANNEL IMA ADPCM (format 17, 4-bit — r11, channels >2
-    r13 late: table-driven exact-integer expansion, per-channel block
-    headers restart the predictor/index state, low nibble first,
-    channels interleaved per 4-byte word group, ``fact``-chunk frame
-    trim), and MONO or STEREO Microsoft ADPCM (format 2, 4-bit — r12:
-    2-tap linear predictor with the coefficient table read from the
-    file's fmt extension, high nibble first, per-nibble channel
-    interleave, block headers restart the (sample1, sample2, delta)
-    state; MS ADPCM is mono/stereo BY SPEC, so >2 channels stays a
-    quarantine there). Anything else — float/24-bit PCM, truncated
-    data — raises ``ValueError``, keeping the decode operators'
-    per-row quarantine contract. Returns ``(sample_rate, channels,
-    int16 numpy array of interleaved samples)``."""
+def _parse_wav_header(buf: bytes):
+    """RIFF chunk walk shared by the scalar decoder (``parse_wav``) and
+    the batch ADPCM fast path (``decode_wav_adpcm_batch``): validates
+    the container and the fmt chunk, collects the pieces every format
+    needs. Returns ``(audio_fmt, rate, channels, bits, block_align,
+    fact_frames, ms_coefs, pcm)``; raises ``ValueError`` exactly where
+    the original inline walk did."""
     import struct
-
-    buf = bytes(payload or b"")
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     (riff_size,) = struct.unpack_from("<I", buf, 4)
     if riff_size + 8 > len(buf):
         raise ValueError("truncated RIFF payload")
     i, n = 12, min(len(buf), riff_size + 8)
-    rate = channels = bits = None
+    audio_fmt = rate = channels = bits = None
     pcm = None
     block_align = fact_frames = None
     ms_coefs = None
@@ -2373,6 +2362,38 @@ def parse_wav(payload: bytes):
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("WAV missing fmt /data chunk")
+    return audio_fmt, rate, channels, bits, block_align, fact_frames, ms_coefs, pcm
+
+
+def parse_wav(payload: bytes):
+    """Decode a RIFF/WAVE payload — dependency-free chunk walk per the
+    RIFF spec (unknown chunks skipped, word-aligned). Supports the
+    interchange common cases: PCM (format 1, 16-bit), G.711 mu-law
+    (format 7, 8-bit — telephony; expanded to int16 via the CCITT
+    table), 1-8 CHANNEL IMA ADPCM (format 17, 4-bit — r11, channels >2
+    r13 late: table-driven exact-integer expansion, per-channel block
+    headers restart the predictor/index state, low nibble first,
+    channels interleaved per 4-byte word group, ``fact``-chunk frame
+    trim), and MONO or STEREO Microsoft ADPCM (format 2, 4-bit — r12:
+    2-tap linear predictor with the coefficient table read from the
+    file's fmt extension, high nibble first, per-nibble channel
+    interleave, block headers restart the (sample1, sample2, delta)
+    state; MS ADPCM is mono/stereo BY SPEC, so >2 channels stays a
+    quarantine there). Anything else — float/24-bit PCM, truncated
+    data — raises ``ValueError``, keeping the decode operators'
+    per-row quarantine contract. Returns ``(sample_rate, channels,
+    int16 numpy array of interleaved samples)``.
+
+    This scalar walk (arbitrary-precision Python ints) is the REFERENCE
+    implementation; ``decode_wav_adpcm_batch`` is the vectorized twin
+    the Arrow operators use, falling back here for anything it cannot
+    prove exact (r17, guide §4.2)."""
+    import struct
+
+    buf = bytes(payload or b"")
+    audio_fmt, rate, channels, bits, block_align, fact_frames, ms_coefs, pcm = (
+        _parse_wav_header(buf)
+    )
     if audio_fmt == 2:  # Microsoft ADPCM: block-structured 4-bit codes
         header = 7 * channels
         if block_align is None or block_align < header + 1:
@@ -2480,6 +2501,251 @@ def parse_wav(payload: bytes):
     if len(pcm) % (2 * channels):
         raise ValueError("WAV data not frame-aligned")
     return rate, channels, np.frombuffer(pcm, dtype="<i2")
+
+
+# --- batch ADPCM fast path (r17 — guide §4.2: vectorize inside the Arrow
+# batch). The fixture clips are tiny (~64-160 codes), so per-payload
+# vectorization loses to numpy call overhead; the winning axis is ACROSS
+# payloads: extract every (block, channel) lane in the whole Arrow batch,
+# pad to the longest lane, and run ONE transposed predictor walk — the
+# Python loop is over TIME STEPS of the longest clip (≈160 iterations per
+# batch, independent of batch size), not per sample (~650k at sf0.1).
+# parse_wav stays the arbitrary-precision scalar reference; equivalence is
+# pinned by tests/test_multimodal.py::test_adpcm_batch_decode_* .
+
+_IMA_STEP_NP = np.asarray(_IMA_STEP_TABLE, dtype=np.int64)
+_IMA_INDEX_NP = np.asarray(_IMA_INDEX_TABLE, dtype=np.int64)
+_MS_ADAPT_NP = np.asarray(_MSADPCM_ADAPT, dtype=np.int64)
+
+
+def _ima_extract_lanes(pcm, channels, block_align):
+    """One payload's IMA lanes — ``(pred0, idx0, codes uint8 array)`` per
+    (block, channel), block-major. Validation mirrors parse_wav."""
+    import struct
+
+    header = 4 * channels
+    if block_align is None or block_align < header + 1:
+        raise ValueError("adpcm: bad block alignment")
+    if len(pcm) % block_align:
+        raise ValueError("adpcm: data not block-aligned")
+    lanes = []
+    arr = np.frombuffer(pcm, dtype=np.uint8)
+    for b0 in range(0, len(pcm), block_align):
+        preds, idxs = [], []
+        for c in range(channels):
+            pred, idx, _rsv = struct.unpack_from("<hBB", pcm, b0 + 4 * c)
+            if idx > 88:
+                raise ValueError("adpcm: step index out of range")
+            preds.append(pred)
+            idxs.append(idx)
+        data = arr[b0 + header : b0 + block_align]
+        if channels == 1:
+            codes = np.empty(data.size * 2, dtype=np.uint8)
+            codes[0::2] = data & 0x0F  # LOW nibble first
+            codes[1::2] = data >> 4
+            lanes.append((preds[0], idxs[0], codes))
+            continue
+        if data.size % (4 * channels):
+            raise ValueError("adpcm: data not group-aligned")
+        groups = data.reshape(-1, channels, 4)  # (ngroups, ch, 4 bytes)
+        for c in range(channels):
+            by = groups[:, c, :]
+            codes = np.empty((by.shape[0], 8), dtype=np.uint8)
+            codes[:, 0::2] = by & 0x0F
+            codes[:, 1::2] = by >> 4
+            lanes.append((preds[c], idxs[c], codes.reshape(-1)))
+    return lanes
+
+
+def _ms_extract_lanes(pcm, channels, block_align, ms_coefs):
+    """One payload's MS ADPCM lanes — ``(c1, c2, delta0, s1, s2, codes)``
+    per (block, channel), block-major. Validation mirrors parse_wav."""
+    import struct
+
+    header = 7 * channels
+    if block_align is None or block_align < header + 1:
+        raise ValueError("msadpcm: bad block alignment")
+    if len(pcm) % block_align:
+        raise ValueError("msadpcm: data not block-aligned")
+    if ms_coefs is None:
+        raise ValueError("msadpcm: fmt extension missing")
+    lanes = []
+    arr = np.frombuffer(pcm, dtype=np.uint8)
+    for b0 in range(0, len(pcm), block_align):
+        bpred = [pcm[b0 + c] for c in range(channels)]
+        if any(p >= len(ms_coefs) for p in bpred):
+            raise ValueError("msadpcm: predictor index out of range")
+        deltas = [
+            struct.unpack_from("<h", pcm, b0 + channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        s1 = [
+            struct.unpack_from("<h", pcm, b0 + 3 * channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        s2 = [
+            struct.unpack_from("<h", pcm, b0 + 5 * channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        data = arr[b0 + header : b0 + block_align]
+        if channels == 1:
+            codes = np.empty(data.size * 2, dtype=np.uint8)
+            codes[0::2] = data >> 4  # HIGH nibble first
+            codes[1::2] = data & 0x0F
+            chan_codes = [codes]
+        else:
+            chan_codes = [data >> 4, data & 0x0F]  # high→L, low→R
+        for c in range(channels):
+            c1, c2 = ms_coefs[bpred[c]]
+            lanes.append((c1, c2, deltas[c], s1[c], s2[c], chan_codes[c]))
+    return lanes
+
+
+def _ima_walk(preds0, idxs0, codes_mat, nsteps):
+    """Transposed IMA walk: one step over ALL lanes per iteration —
+    arithmetic identical to ``_ima_adpcm_step`` (numpy ``>>`` on int64
+    is the same arithmetic shift; clips are the same clamps). Lanes
+    shorter than ``nsteps`` compute garbage past their own length,
+    which the caller never reads. No overflow anywhere: pred is clamped
+    int16 each step, step ≤ 32767, diff < 2^17."""
+    L, _ = codes_mat.shape
+    pred = preds0.astype(np.int64)
+    idx = idxs0.astype(np.int64)
+    out = np.empty((L, nsteps), dtype=np.int64)
+    for t in range(nsteps):
+        code = codes_mat[:, t]
+        step = _IMA_STEP_NP[idx]
+        diff = step >> 3
+        diff = diff + np.where(code & 1, step >> 2, 0)
+        diff = diff + np.where(code & 2, step >> 1, 0)
+        diff = diff + np.where(code & 4, step, 0)
+        pred = np.where(code & 8, pred - diff, pred + diff)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + _IMA_INDEX_NP[code & 7], 0, 88)
+        out[:, t] = pred
+    return out
+
+
+def _ms_walk(c1, c2, delta0, s1_0, s2_0, codes_mat, nsteps):
+    """Transposed MS ADPCM walk — arithmetic identical to
+    ``_msadpcm_step`` (floor shifts, int16 clamp, delta floor 16).
+    delta is the one unclamped state variable: the scalar reference
+    carries it in arbitrary-precision Python ints, so any lane whose
+    delta leaves the provably-int64-exact window (> 2^48; next step
+    multiplies by ≤ 768 < 2^10, far from 2^63) is flagged and the
+    caller re-decodes that payload through the scalar path. The
+    fixtures are shrink-heavy by design (measured max delta 1464)."""
+    L, _ = codes_mat.shape
+    s1 = s1_0.astype(np.int64)
+    s2 = s2_0.astype(np.int64)
+    delta = delta0.astype(np.int64)
+    out = np.empty((L, nsteps), dtype=np.int64)
+    overflow = np.zeros(L, dtype=bool)
+    for t in range(nsteps):
+        code = codes_mat[:, t].astype(np.int64)
+        signed = np.where(code & 8, code - 16, code)
+        pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+        np.clip(pred, -32768, 32767, out=pred)
+        s2 = s1
+        s1 = pred
+        delta = np.maximum(16, (_MS_ADAPT_NP[code] * delta) >> 8)
+        overflow |= delta > (1 << 48)
+        out[:, t] = pred
+    return out, overflow
+
+
+def decode_wav_adpcm_batch(bufs):
+    """Batch twin of ``parse_wav`` for format 17/2 payloads. Returns a
+    list aligned with ``bufs``: ``(rate, ch, int16 samples)`` on
+    success, a ``ValueError`` instance for quarantined payloads, and
+    ``None`` for payloads that are not ADPCM WAVs (the caller routes
+    those through ``parse_audio``)."""
+    results = [None] * len(bufs)
+    metas = []  # (buf_i, fmt, rate, channels, fact, lane_lo, lane_hi)
+    ima_lanes, ms_lanes = [], []
+    for i, buf in enumerate(bufs):
+        if buf[:4] == b"fLaC":
+            continue  # parse_audio routes FLAC to parse_flac
+        try:
+            # a payload that is neither fLaC nor valid RIFF raises here
+            # with the exact error parse_wav would raise — recording it
+            # keeps quarantine semantics identical to the scalar path
+            fmt, rate, channels, _bits, ba, fact, coefs, pcm = (
+                _parse_wav_header(buf)
+            )
+            if fmt == 17:
+                lanes = _ima_extract_lanes(pcm, channels, ba)
+                metas.append((i, 17, rate, channels, fact,
+                              len(ima_lanes), len(ima_lanes) + len(lanes)))
+                ima_lanes.extend(lanes)
+            elif fmt == 2:
+                lanes = _ms_extract_lanes(pcm, channels, ba, coefs)
+                metas.append((i, 2, rate, channels, fact,
+                              len(ms_lanes), len(ms_lanes) + len(lanes)))
+                ms_lanes.extend(lanes)
+            # other formats: leave None (not ADPCM)
+        except ValueError as e:
+            results[i] = e
+    ima_out = ms_out = ms_ovf = None
+    if ima_lanes:
+        L = len(ima_lanes)
+        maxN = max(l[2].size for l in ima_lanes)
+        codes = np.zeros((L, maxN), dtype=np.uint8)
+        for k, (_p, _x, cd) in enumerate(ima_lanes):
+            codes[k, : cd.size] = cd
+        ima_out = _ima_walk(
+            np.fromiter((l[0] for l in ima_lanes), np.int64, L),
+            np.fromiter((l[1] for l in ima_lanes), np.int64, L),
+            codes, maxN,
+        )
+    if ms_lanes:
+        L = len(ms_lanes)
+        maxN = max(l[5].size for l in ms_lanes)
+        codes = np.zeros((L, maxN), dtype=np.uint8)
+        for k, l in enumerate(ms_lanes):
+            codes[k, : l[5].size] = l[5]
+        ms_out, ms_ovf = _ms_walk(
+            np.fromiter((l[0] for l in ms_lanes), np.int64, L),
+            np.fromiter((l[1] for l in ms_lanes), np.int64, L),
+            np.fromiter((l[2] for l in ms_lanes), np.int64, L),
+            np.fromiter((l[3] for l in ms_lanes), np.int64, L),
+            np.fromiter((l[4] for l in ms_lanes), np.int64, L),
+            codes, maxN,
+        )
+    for (i, kind, rate, channels, fact, lo, hi) in metas:
+        try:
+            if kind == 17:
+                lanes, out, hdr = ima_lanes, ima_out, 1
+            else:
+                lanes, out, hdr = ms_lanes, ms_out, 2
+                if ms_ovf[lo:hi].any():
+                    results[i] = parse_wav(bufs[i])
+                    continue
+            blocks = []
+            for b in range(lo, hi, channels):
+                n = lanes[b][2 if kind == 17 else 5].size
+                mat = np.empty((n + hdr, channels), dtype=np.int64)
+                for c in range(channels):
+                    ln = lanes[b + c]
+                    if kind == 17:
+                        mat[0, c] = ln[0]
+                    else:
+                        mat[0, c] = ln[4]  # s2 is the OLDER sample
+                        mat[1, c] = ln[3]  # then s1
+                    mat[hdr:, c] = out[b + c, :n]
+                blocks.append(mat)
+            allf = blocks[0] if len(blocks) == 1 else np.concatenate(blocks)
+            if fact is not None:
+                if fact > allf.shape[0]:
+                    raise ValueError(
+                        ("adpcm" if kind == 17 else "msadpcm")
+                        + ": fact frames exceed decoded data"
+                    )
+                allf = allf[:fact]
+            results[i] = (rate, channels, allf.reshape(-1).astype(np.int16))
+        except ValueError as e:
+            results[i] = e
+    return results
 
 
 # ---------------------------------------------------------------------------
@@ -3065,11 +3331,21 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {k.name: [] for k in AUDIO_FEATURE_SCHEMA}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            # ADPCM payloads decode through ONE transposed walk across
+            # the whole batch (r17, guide §4.2) — `pre` holds the decoded
+            # samples, the quarantining ValueError, or None (other
+            # formats, routed through the per-row dispatch below)
+            pre = decode_wav_adpcm_batch(payloads)
+            for mid, payload, fast in zip(pdf["media_id"], payloads, pre):
                 try:
                     import math
 
-                    rate, ch, samples = parse_audio(payload)
+                    if isinstance(fast, ValueError):
+                        raise fast
+                    rate, ch, samples = (
+                        fast if fast is not None else parse_audio(payload)
+                    )
                     a = np.abs(samples.astype(np.int64))
                     frames = samples.size // ch
                     # fixed-point half-up (floor(x*1e6+0.5)/1e6), NOT
@@ -3188,8 +3464,9 @@ def synth_adpcm_media(docs: DataFrame) -> DataFrame:
                 nibs = (
                     64 + (did % 48) * 2 if ch == 1 else 64 + (did % 12) * 8
                 )
+                i7 = np.arange(nibs, dtype=np.int64) * 7
                 chans = [
-                    bytes((did * 13 + c * 5 + i * 7) % 16 for i in range(nibs))
+                    (((did * 13 + c * 5) + i7) % 16).astype(np.uint8).tobytes()
                     for c in range(ch)
                 ]
                 preds = [((did * 37 + c * 11) % 256 - 128) * 16 for c in range(ch)]
@@ -3249,13 +3526,14 @@ def synth_msadpcm_media(docs: DataFrame) -> DataFrame:
                 nibs = (
                     64 + (did % 48) * 2 if ch == 1 else 64 + (did % 24) * 4
                 )
+                iv = np.arange(nibs, dtype=np.int64)
+                spike = iv % 8 == 0
                 chans = [
-                    bytes(
-                        (did * 19 + c * 5 + (i // 8) * 7) % 16
-                        if i % 8 == 0
-                        else (did + c + i) % 4
-                        for i in range(nibs)
-                    )
+                    np.where(
+                        spike,
+                        (did * 19 + c * 5 + (iv // 8) * 7) % 16,
+                        (did + c + iv) % 4,
+                    ).astype(np.uint8).tobytes()
                     for c in range(ch)
                 ]
                 bpred = [(did + c) % 7 for c in range(ch)]

@@ -3198,3 +3198,86 @@ def test_bmp_v4_v5_headers_roundtrip_and_icc_quarantines():
     struct.pack_into("<I", v5, 14 + 56, 0x4D424544)
     with pytest.raises(ValueError, match="color space"):
         parse_bmp(bytes(v5))
+
+
+def test_adpcm_batch_decode_matches_scalar_reference():
+    """r17: the Arrow operators decode ADPCM through ONE transposed
+    numpy walk across every (payload, block, channel) lane in the batch
+    (guide §4.2); parse_wav stays the arbitrary-precision scalar
+    reference. The batch twin must be bit-identical on the full fixture
+    sweep (IMA mono/stereo/quad, MS mono/stereo), route non-ADPCM
+    payloads to None, carry the scalar path's exact quarantine errors,
+    and fall back to the scalar path when MS delta leaves the
+    provably-int64-exact window."""
+    import numpy as np
+    from etl_drone_sense_spark.operators.multimodal import (
+        decode_wav_adpcm_batch,
+        encode_wav,
+        encode_wav_adpcm,
+        encode_wav_msadpcm,
+        encode_wav_ulaw,
+        parse_wav,
+    )
+
+    payloads = []
+    for did in range(240):  # covers every (ch, nibs, pred, idx) cycle
+        ch = (1, 2, 4)[did % 3]
+        nibs = 64 + (did % 48) * 2 if ch == 1 else 64 + (did % 12) * 8
+        i7 = np.arange(nibs, dtype=np.int64) * 7
+        chans = [
+            (((did * 13 + c * 5) + i7) % 16).astype(np.uint8).tobytes()
+            for c in range(ch)
+        ]
+        preds = [((did * 37 + c * 11) % 256 - 128) * 16 for c in range(ch)]
+        idxs = [(did + c * 7) % 89 for c in range(ch)]
+        payloads.append(encode_wav_adpcm(
+            11025, preds[0] if ch == 1 else preds,
+            idxs[0] if ch == 1 else idxs, chans[0] if ch == 1 else chans))
+    for did in range(240):
+        ch = 1 if did % 2 == 0 else 2
+        nibs = 64 + (did % 48) * 2 if ch == 1 else 64 + (did % 24) * 4
+        iv = np.arange(nibs, dtype=np.int64)
+        chans = [
+            np.where(iv % 8 == 0, (did * 19 + c * 5 + (iv // 8) * 7) % 16,
+                     (did + c + iv) % 4).astype(np.uint8).tobytes()
+            for c in range(ch)
+        ]
+        bpred = [(did + c) % 7 for c in range(ch)]
+        deltas = [16 + (did * 7 + c * 13) % 480 for c in range(ch)]
+        s1s = [((did * 31 + c * 17) % 256 - 128) * 16 for c in range(ch)]
+        s2s = [((did * 23 + c * 19) % 256 - 128) * 16 for c in range(ch)]
+        payloads.append(encode_wav_msadpcm(
+            11025, bpred[0] if ch == 1 else bpred,
+            deltas[0] if ch == 1 else deltas, s1s[0] if ch == 1 else s1s,
+            s2s[0] if ch == 1 else s2s, chans[0] if ch == 1 else chans))
+    # adversarial MS stream: uniform code 8 (adaptation x768/256 every
+    # step) explodes delta exponentially past 2^48 — the batch walk must
+    # detect it and defer to the scalar reference, not wrap in int64
+    payloads.append(encode_wav_msadpcm(
+        8000, 0, 32000, 100, -100, bytes([8] * 200)))
+    got = decode_wav_adpcm_batch(payloads)
+    for g, p in zip(got, payloads):
+        r, c, s = parse_wav(p)
+        assert isinstance(g, tuple)
+        assert g[0] == r and g[1] == c
+        assert g[2].dtype == s.dtype and np.array_equal(g[2], s)
+
+    # routing: non-ADPCM audio returns None (per-row dispatch handles
+    # it); garbage carries the scalar path's exact ValueError
+    good = payloads[0]
+    others = [
+        encode_wav(8000, 1, [1, 2, 3, 4]),
+        encode_wav_ulaw(8000, 1, bytes([7, 8])),
+        b"fLaC" + bytes(40),
+        b"OggS" + good[4:],
+        good[: len(good) - 3],
+        b"",
+    ]
+    res = decode_wav_adpcm_batch(others)
+    assert res[0] is None and res[1] is None and res[2] is None
+    for i in (3, 4, 5):
+        assert isinstance(res[i], ValueError)
+        try:
+            parse_wav(others[i])
+        except ValueError as e:
+            assert str(res[i]) == str(e)

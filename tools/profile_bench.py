@@ -42,7 +42,23 @@ def main() -> int:
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        print(
+            f"bench dir {sf_dir!r} missing — set SPARK_GRAFT_SF_DIR to a "
+            "fixture directory (e.g. .../sf0.1)",
+            file=sys.stderr,
+        )
+        return 2
+    # warm on the smallest sibling SF of the bench dir rather than a
+    # hard-coded absolute path (r16 ADVICE): falls back to the bench dir
+    # itself when no smaller sibling exists
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    sibs = sorted(
+        (d for d in os.listdir(root or ".")
+         if d.startswith("sf") and os.path.isdir(os.path.join(root, d))),
+        key=lambda d: float(d[2:]) if d[2:].replace(".", "").isdigit() else 1e9,
+    )
+    warm_dir = os.path.join(root, sibs[0]) if sibs else sf_dir
     spark = get_spark(app_name="etl-drone-sense-spark-profile")
     spark.sparkContext.setLogLevel("ERROR")
 
