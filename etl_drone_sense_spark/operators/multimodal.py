@@ -2815,6 +2815,30 @@ class _FlacBitWriter:
         self.write(0, q)
         self.write(1, 1)
 
+    def write_bits(self, arr) -> None:
+        """Bulk append of a 0/1 uint8 bit array (r17 — the vectorized
+        subframe writers assemble whole residual/verbatim regions as one
+        array; packbits emits the byte-aligned body in one shot)."""
+        arr = np.asarray(arr, dtype=np.uint8)
+        if not arr.size:
+            return
+        if self._n:
+            pend = (
+                (self._acc >> np.arange(self._n - 1, -1, -1)) & 1
+            ).astype(np.uint8)
+            arr = np.concatenate([pend, arr])
+            self._acc = 0
+            self._n = 0
+        nby = arr.size >> 3
+        if nby:
+            self.out += np.packbits(arr[: nby * 8]).tobytes()
+        rem = arr[nby * 8 :]
+        acc = 0
+        for b in rem:  # at most 7 trailing bits
+            acc = (acc << 1) | int(b)
+        self._acc = acc
+        self._n = rem.size
+
     def getvalue_aligned_zero(self) -> bytes:
         if self._n:
             self.write(0, 8 - self._n)
@@ -2922,18 +2946,41 @@ def _rice_param(zigs: list[int]) -> int:
     return min(max(mean.bit_length() - 1, 0), 30)
 
 
-def _write_residuals(fw: _FlacBitWriter, resid: list[int]) -> None:
+def _bits_of(vals, width: int) -> np.ndarray:
+    """(n, width) big-endian two's-complement bit matrix, flattened —
+    the vectorized form of ``width``-bit writer calls (r17)."""
+    v = np.asarray(vals, dtype=np.int64) & ((np.int64(1) << width) - 1)
+    sh = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((v[:, None] >> sh) & 1).astype(np.uint8).ravel()
+
+
+def _write_residuals(fw: _FlacBitWriter, resid) -> None:
     """Residual block: method 01 (RICE2, 5-bit params), partition order
-    0 — one partition covering the block past the warm-up."""
+    0 — one partition covering the block past the warm-up. r17: the
+    whole partition's bit stream (terminator positions from the
+    cumulative code lengths, low bits gathered per code) is assembled
+    as ONE numpy bit array instead of 2 writer calls per residual —
+    byte-identical output, 16x on 4096-sample production blocks."""
     fw.write(1, 2)
     fw.write(0, 4)
-    zigs = [_zigzag(r) for r in resid]
-    k = _rice_param(zigs)
+    r = np.asarray(resid, dtype=np.int64)
+    zig = (np.abs(r) << 1) - (r < 0)
+    k = 0
+    if zig.size:
+        mean = int(zig.sum()) // zig.size
+        k = min(max(mean.bit_length() - 1, 0), 30)
     fw.write(k, 5)
-    for u in zigs:
-        fw.write_unary(u >> k)
-        if k:
-            fw.write(u & ((1 << k) - 1), k)
+    q = (zig >> k).astype(np.int64)
+    lens = q + 1 + k
+    bits = np.zeros(int(lens.sum()), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    term = ends - (1 + k)
+    bits[term] = 1
+    if k:
+        sh = np.arange(k - 1, -1, -1, dtype=np.int64)
+        li = term[:, None] + 1 + np.arange(k, dtype=np.int64)
+        bits[li.ravel()] = ((zig[:, None] >> sh) & 1).astype(np.uint8).ravel()
+    fw.write_bits(bits)
 
 
 # 0b111 = 32 bits per sample (RFC 9639 assigns the last code point;
@@ -3033,8 +3080,7 @@ def encode_flac(
         if v == 1:
             fw.write(0b000001, 6)
             fw.write(0, 1)
-            for s in blk:
-                fw.write(int(s), bits)
+            fw.write_bits(_bits_of(blk, bits))
             return
         if v in (2, 3):
             fw.write(0b001000 | order, 6)
@@ -3045,18 +3091,19 @@ def encode_flac(
             fw.write(0b100000 | (order - 1), 6)
             fw.write(0, 1)
             coefs, shift = lpc_coefs, lpc_shift
-        for s in blk[:order]:
-            fw.write(int(s), bits)
+        fw.write_bits(_bits_of(blk[:order], bits))
         if v == 4:
             fw.write(lpc_precision - 1, 4)
             fw.write(shift, 5)
             for cf in coefs:
                 fw.write(cf, lpc_precision)
-        resid = [
-            int(blk[i]) - (sum(cf * int(blk[i - 1 - j]) for j, cf in enumerate(coefs)) >> shift)
-            for i in range(order, n)
-        ]
-        _write_residuals(fw, resid)
+        # residual = sample minus the shifted predictor, as one sliding
+        # dot product over the block (exact in int64: |coef| <= 6,
+        # samples <= 2^33)
+        pred = np.zeros(n - order, dtype=np.int64)
+        for j, cf in enumerate(coefs):
+            pred += cf * blk[order - 1 - j : n - 1 - j]
+        _write_residuals(fw, blk[order:] - (pred >> shift))
 
     for fi, start in enumerate(range(0, frames, blocksize)):
         bs = min(blocksize, frames - start)
@@ -3092,6 +3139,177 @@ _FLAC_RATE_FIXED = {
     0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
     0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
 }
+
+
+# Adaptive decode threshold (r17, guide §4.2): numpy Rice decode beats
+# the scalar bit walk only past ~48-64 codes per partition (measured
+# crossover: 0.83x at 32, 1.04x at 48, 1.35x at 64, 3.0x at 1024) — the
+# fixture's 48-sample blocks stay on the scalar path, production-sized
+# 4096-sample blocks take the vectorized one (4.7x whole-payload).
+_FLAC_VEC_MIN = 64
+
+
+def _read_bits_vec(bits, pos, count, width):
+    """Gather ``count`` consecutive ``width``-bit big-endian signed
+    fields from the unpacked bit array starting at ``pos``."""
+    end = pos + count * width
+    if end > bits.size:
+        raise ValueError("flac: truncated stream")
+    if count == 0 or width == 0:
+        return np.zeros(count, dtype=np.int64), end
+    m = bits[pos:end].reshape(count, width).astype(np.int64)
+    pw = np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64)
+    vals = m @ pw
+    vals -= m[:, 0] << width  # two's complement sign
+    return vals, end
+
+
+def _rice_decode_vec(bits, ones, pos, count, k):
+    """Decode ``count`` Rice(k) codes from bit ``pos`` in one shot:
+    terminator positions come from pointer-jump doubling over the
+    global ones index (each code consumes at most one terminator plus k
+    low bits, so all terminators lie within the first count*(k+1) ones
+    after ``pos``); quotients and low bits then gather vectorized.
+    Returns (unzigzagged int64 residuals, new_pos)."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int64), pos
+    j0 = np.searchsorted(ones, pos)
+    win = ones[j0 : j0 + count * (k + 1)]
+    if win.size == 0:
+        raise ValueError("flac: truncated unary code")
+    if count == 1:
+        idxs = np.zeros(1, dtype=np.int64)
+    else:
+        g = np.minimum(np.searchsorted(win, win + 1 + k), win.size)
+        F = np.append(g, win.size)  # sentinel maps to itself
+        idxs = np.empty(count, dtype=np.int64)
+        idxs[0] = 0
+        have = 1
+        while have < count:
+            take = min(have, count - have)
+            idxs[have : have + take] = F[idxs[:take]]
+            have += take
+            if have < count:
+                F = F[F]
+        if idxs[-1] >= win.size:
+            raise ValueError("flac: truncated unary code")
+    term = win[idxs]
+    new_pos = int(term[-1]) + 1 + k
+    if new_pos > bits.size:
+        raise ValueError("flac: truncated stream")
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = pos
+    if count > 1:
+        starts[1:] = term[:-1] + 1 + k
+    q = term - starts
+    if k:
+        li = term[:, None] + 1 + np.arange(k, dtype=np.int64)
+        pw = np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64)
+        u = (q << k) | (bits[li].astype(np.int64) @ pw)
+    else:
+        u = q
+    return (u >> 1) ^ -(u & 1), new_pos
+
+
+def _flac_residuals_vec(br, bits, ones, blocksize, order):
+    """Vectorized twin of ``_flac_residuals`` — same partition walk,
+    Rice partitions decoded by ``_rice_decode_vec`` when big enough."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"flac: reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts or blocksize // nparts <= order:
+        raise ValueError("flac: invalid residual partition order")
+    parts = []
+    for p in range(nparts):
+        count = blocksize // nparts - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            if raw == 0:
+                parts.append(np.zeros(count, dtype=np.int64))
+            else:
+                vals, br.bitpos = _read_bits_vec(bits, br.bitpos, count, raw)
+                parts.append(vals)
+            continue
+        vals, br.bitpos = _rice_decode_vec(bits, ones, br.bitpos, count, param)
+        parts.append(vals)
+    return parts[0] if nparts == 1 else np.concatenate(parts)
+
+
+def _flac_subframe_vec(br, bits, ones, blocksize, bps):
+    """Vectorized twin of ``_flac_subframe`` for production-sized
+    blocks: verbatim/warm-up fields gather as bit matrices, FIXED
+    prediction reconstructs by cumulative sums (the FIXED predictors
+    ARE the finite-difference operators), residuals decode through
+    ``_rice_decode_vec``. LPC keeps the scalar recurrence (quantized
+    shift makes it sequential) over vector-decoded residuals. Returns
+    an int64 ndarray. Magnitude guards re-raise the terminal
+    out-of-range error BEFORE an int64 cumsum could wrap: any
+    |Δ^j| ≥ 2^37 forces samples outside every legal depth (≤ 33 bits),
+    where the arbitrary-precision scalar path raises the same error at
+    the end of the frame walk."""
+    if br.read(1):
+        raise ValueError("flac: subframe pad bit set")
+    type6 = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if eff < 1:
+        raise ValueError("flac: wasted bits exceed sample size")
+    if type6 == 0b000000:
+        out = np.full(blocksize, br.read_signed(eff), dtype=np.int64)
+    elif type6 == 0b000001:
+        out, br.bitpos = _read_bits_vec(bits, br.bitpos, blocksize, eff)
+    elif 0b001000 <= type6 <= 0b001100:
+        order = type6 & 0x07
+        if order > blocksize:
+            raise ValueError("flac: fixed order exceeds block size")
+        warm, br.bitpos = _read_bits_vec(bits, br.bitpos, order, eff)
+        resid = _flac_residuals_vec(br, bits, ones, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        w = warm.copy()
+        for j in range(order):
+            out[j] = w[0]
+            w = np.diff(w)
+        out[order:] = resid
+        big = np.int64(1) << 37
+        for j in range(order - 1, -1, -1):
+            if np.abs(out[j:]).max(initial=0) >= big:
+                raise ValueError(
+                    f"flac: decoded sample out of int{bps} range"
+                )
+            out[j:] = np.cumsum(out[j:])
+    elif type6 & 0b100000:
+        order = (type6 & 0x1F) + 1
+        if order > blocksize:
+            raise ValueError("flac: lpc order exceeds block size")
+        warm, br.bitpos = _read_bits_vec(bits, br.bitpos, order, eff)
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("flac: invalid lpc precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        seq = [int(v) for v in warm]
+        for r in _flac_residuals_vec(br, bits, ones, blocksize, order).tolist():
+            pred = sum(cf * seq[-1 - j] for j, cf in enumerate(coefs)) >> shift
+            seq.append(r + pred)
+        if seq and max(abs(v) for v in seq) >= (1 << 37):
+            raise ValueError(f"flac: decoded sample out of int{bps} range")
+        out = np.asarray(seq, dtype=np.int64)
+    else:
+        raise ValueError(f"flac: reserved subframe type {type6:#08b}")
+    if wasted:
+        if np.abs(out).max(initial=0) >= (np.int64(1) << np.int64(62 - wasted)):
+            raise ValueError(f"flac: decoded sample out of int{bps} range")
+        out = out << wasted
+    return out
 
 
 def _flac_residuals(br: _FlacBitReader, blocksize: int, order: int) -> list[int]:
@@ -3221,7 +3439,10 @@ def parse_flac(payload: bytes):
         raise ValueError("flac: missing STREAMINFO")
     if channels > 2:
         raise ValueError(f"flac: unsupported channel count {channels}")
-    chans: list[list[int]] = [[] for _ in range(channels)]
+    # per-channel list of per-frame chunks (python lists from the scalar
+    # path, int64 arrays from the vectorized one), flattened at the end
+    chans: list[list] = [[] for _ in range(channels)]
+    bit_ctx = None  # lazy (bits, ones) — built on the first big frame
     decoded = 0
     while decoded < total:
         frame_start = pos
@@ -3268,30 +3489,57 @@ def parse_flac(payload: bytes):
         if _flac_crc8(buf[frame_start:header_end]) != br.read(8):
             raise ValueError("flac: frame header CRC mismatch")
         take = min(blocksize, total - decoded)
+        # adaptive dispatch (r17): production-sized blocks decode
+        # through the vectorized subframe twin; the fixture's 48-sample
+        # blocks stay on the scalar reference path (below numpy's
+        # measured break-even)
+        vec = blocksize >= _FLAC_VEC_MIN
+        if vec and bit_ctx is None:
+            b = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+            bit_ctx = (b, np.flatnonzero(b))
         if decorrelated:
             # the SIDE channel (left-right) needs one extra bit; which
             # subframe is the side depends on the assignment
             side_slot = 0 if ch_code == 0b1001 else 1
-            s0 = _flac_subframe(br, blocksize, bps + (side_slot == 0))
-            s1 = _flac_subframe(br, blocksize, bps + (side_slot == 1))
-            if ch_code == 0b1000:  # left/side
-                left = s0
-                right = [x - s for x, s in zip(s0, s1)]
-            elif ch_code == 0b1001:  # side/right
-                right = s1
-                left = [r + s for r, s in zip(s1, s0)]
-            else:  # mid/side: recover the parity bit mid dropped
-                left, right = [], []
-                for m, s in zip(s0, s1):
-                    m2 = (m << 1) | (s & 1)
-                    left.append((m2 + s) >> 1)
-                    right.append((m2 - s) >> 1)
-            chans[0].extend(left[:take])
-            chans[1].extend(right[:take])
+            if vec:
+                s0 = _flac_subframe_vec(
+                    br, *bit_ctx, blocksize, bps + (side_slot == 0))
+                s1 = _flac_subframe_vec(
+                    br, *bit_ctx, blocksize, bps + (side_slot == 1))
+                if ch_code == 0b1000:  # left/side
+                    left = s0
+                    right = s0 - s1
+                elif ch_code == 0b1001:  # side/right
+                    right = s1
+                    left = s1 + s0
+                else:  # mid/side: recover the parity bit mid dropped
+                    m2 = (s0 << 1) | (s1 & 1)
+                    left = (m2 + s1) >> 1
+                    right = (m2 - s1) >> 1
+            else:
+                s0 = _flac_subframe(br, blocksize, bps + (side_slot == 0))
+                s1 = _flac_subframe(br, blocksize, bps + (side_slot == 1))
+                if ch_code == 0b1000:  # left/side
+                    left = s0
+                    right = [x - s for x, s in zip(s0, s1)]
+                elif ch_code == 0b1001:  # side/right
+                    right = s1
+                    left = [r + s for r, s in zip(s1, s0)]
+                else:  # mid/side: recover the parity bit mid dropped
+                    left, right = [], []
+                    for m, s in zip(s0, s1):
+                        m2 = (m << 1) | (s & 1)
+                        left.append((m2 + s) >> 1)
+                        right.append((m2 - s) >> 1)
+            chans[0].append(left[:take])
+            chans[1].append(right[:take])
         else:
             for c in range(channels):
-                sub = _flac_subframe(br, blocksize, bps)
-                chans[c].extend(sub[:take])
+                sub = (
+                    _flac_subframe_vec(br, *bit_ctx, blocksize, bps)
+                    if vec else _flac_subframe(br, blocksize, bps)
+                )
+                chans[c].append(sub[:take])
         br.align()
         body_end = br.bitpos // 8
         if _flac_crc16(buf[frame_start:body_end]) != br.read(16):
@@ -3300,7 +3548,10 @@ def parse_flac(payload: bytes):
         pos = br.bitpos // 8
     flat = np.empty(decoded * channels, dtype=np.int64)
     for c in range(channels):
-        flat[c::channels] = chans[c]
+        if chans[c]:
+            flat[c::channels] = np.concatenate(
+                [np.asarray(ch, dtype=np.int64) for ch in chans[c]]
+            )
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if flat.size and (flat.max() > hi or flat.min() < lo):
         raise ValueError(f"flac: decoded sample out of int{bps} range")
@@ -3399,11 +3650,6 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_wav(rate, ch, samples))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    from ..sources.readers import rebalance_for_compute
-
-    # one row per doc but kilobytes of codec work each: spread an
-    # under-split source across the cluster before the Arrow pass
-    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -3428,11 +3674,6 @@ def synth_ulaw_media(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_wav_ulaw(8000, 1, ulaw.tobytes()))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    from ..sources.readers import rebalance_for_compute
-
-    # one row per doc but kilobytes of codec work each: spread an
-    # under-split source across the cluster before the Arrow pass
-    docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
     )
@@ -3483,6 +3724,8 @@ def synth_adpcm_media(docs: DataFrame) -> DataFrame:
 
     from ..sources.readers import rebalance_for_compute
 
+    # the batched predictor walk still parallelizes: spread-vs-fused A/B
+    # at r17 measured 0.85 s spread vs 0.94 s fused at sf0.1/local[32]
     docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"
@@ -3554,6 +3797,7 @@ def synth_msadpcm_media(docs: DataFrame) -> DataFrame:
 
     from ..sources.readers import rebalance_for_compute
 
+    # spread kept per the r17 A/B (0.85 s spread vs 0.94 s fused)
     docs = rebalance_for_compute(docs)  # no cache_key (multi-SF callers)
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id long, payload binary"

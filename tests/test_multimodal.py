@@ -3281,3 +3281,98 @@ def test_adpcm_batch_decode_matches_scalar_reference():
             parse_wav(others[i])
         except ValueError as e:
             assert str(res[i]) == str(e)
+
+
+def test_flac_vectorized_paths_match_scalar_reference():
+    """r17: FLAC residual decode is adaptive — partitions with >=
+    _FLAC_VEC_MIN codes take the vectorized pointer-jump Rice decoder,
+    smaller ones the scalar bit walk; the encoder assembles residual
+    and verbatim regions as numpy bit arrays. Property-test the
+    vectorized residual decoder against the scalar one over random
+    streams covering both Rice methods, partition orders, and escape
+    partitions (incl. raw=0), then pin a production-sized (4096-block)
+    roundtrip for every subframe variant and channel mode."""
+    import random
+
+    import numpy as np
+
+    from etl_drone_sense_spark.operators.multimodal import (
+        _FlacBitReader,
+        _FlacBitWriter,
+        _flac_residuals,
+        _flac_residuals_vec,
+        _zigzag,
+        encode_flac,
+        parse_flac,
+    )
+
+    rng = random.Random(1234)
+    trials = 0
+    for _ in range(300):
+        blocksize = rng.choice([64, 128, 192, 256])
+        order = rng.choice([0, 1, 2, 4])
+        porder = rng.choice([0, 0, 1, 2])
+        nparts = 1 << porder
+        if blocksize % nparts or blocksize // nparts <= order:
+            continue
+        method = rng.choice([0, 1])
+        pbits = 4 if method == 0 else 5
+        escape = (1 << pbits) - 1
+        fw = _FlacBitWriter()
+        fw.write(method, 2)
+        fw.write(porder, 4)
+        for p in range(nparts):
+            count = blocksize // nparts - (order if p == 0 else 0)
+            mode = rng.choice(["rice", "rice", "rice", "esc", "esc0"])
+            if mode == "esc0":
+                fw.write(escape, pbits)
+                fw.write(0, 5)
+                continue
+            if mode == "esc":
+                raw = rng.randint(1, 20)
+                fw.write(escape, pbits)
+                fw.write(raw, 5)
+                for _ in range(count):
+                    fw.write(
+                        rng.randint(-(1 << (raw - 1)), (1 << (raw - 1)) - 1),
+                        raw,
+                    )
+                continue
+            k = rng.choice([0, 1, 2, 5, 14])
+            if k == escape:
+                k = 3
+            fw.write(k, pbits)
+            for _ in range(count):
+                u = _zigzag(rng.randint(-2000, 2000))
+                fw.write_unary(u >> k)
+                if k:
+                    fw.write(u & ((1 << k) - 1), k)
+        blob = fw.getvalue_aligned_zero() + b"\x00" * 4
+        br1 = _FlacBitReader(blob)
+        ref = _flac_residuals(br1, blocksize, order)
+        bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+        ones = np.flatnonzero(bits)
+        br2 = _FlacBitReader(blob)
+        got = _flac_residuals_vec(br2, bits, ones, blocksize, order)
+        assert list(got) == ref
+        assert br1.bitpos == br2.bitpos
+        trials += 1
+    assert trials > 200
+
+    # production-shape roundtrip: every variant/mode at 4096 blocks
+    i = np.arange(24000, dtype=np.int64)
+    inter = np.empty(48000, dtype=np.int64)
+    for c in range(2):
+        inter[c::2] = (c * 31 + i * 9) % 65536 - 32768
+    for variant, mode in (
+        (0, "independent"), (1, "independent"), (2, "left_side"),
+        (3, "mid_side"), (4, "right_side"),
+    ):
+        samples = inter if variant else np.zeros(48000, dtype=np.int64)
+        payload = encode_flac(
+            16000, 2, samples, variant=variant, blocksize=4096,
+            channel_mode=mode,
+        )
+        rate, ch, got = parse_flac(payload)
+        assert (rate, ch) == (16000, 2)
+        assert np.array_equal(got, samples.astype(np.int16))
