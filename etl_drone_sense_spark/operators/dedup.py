@@ -239,6 +239,14 @@ def simhash_fingerprints_packed(
     SLOWER here (0.67 s vs 0.29 s at sf0.1) because
     ``rebalance_for_compute`` already spreads the fold across all cores
     and the aggregate adds an exchange the narrow form doesn't have."""
+    if nbits > 63:
+        # conv(bits, 2, 10).cast('long') overflows for a 64-bit
+        # fingerprint with the MSB set (NULL under non-ANSI cast), which
+        # would silently DROP candidate pairs — refuse loudly instead
+        # (r16 ADVICE; mirrors the key_bits/max_hamming validation)
+        raise ValueError(
+            f"simhash_fingerprints_packed: nbits must be <= 63, got {nbits}"
+        )
     return df.select(
         F.col(id_col),
         F.conv(simhash_col(F.col(text_col), nbits), 2, 10)

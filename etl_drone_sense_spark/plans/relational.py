@@ -1284,9 +1284,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("_n_r")
     )
+    # r17 (r16 VERDICT item 5): the pair relation previously fed TWO
+    # consumers (the per-order rollup and the flagged-pair probe), and
+    # with nothing staged Spark recomputed it — two full lineitem scans
+    # and two pair-grain shuffles. Since a qualifying order has EXACTLY
+    # one flagged supplier, the order rollup can carry that supplier's
+    # identity and line count along as max/sum-of-flagged aggregates —
+    # ONE consumer, so ONE lineitem scan and one pair shuffle, and the
+    # pair→order rejoin disappears entirely.
     per_order = per_pair.groupBy("_ok").agg(
         F.count(F.lit(1)).alias("_n_supp"),
         F.sum(F.when(F.col("_n_r") > 0, 1).otherwise(0)).alias("_n_flagged"),
+        F.max(F.when(F.col("_n_r") > 0, F.col("_sk"))).alias("_flag_sk"),
+        F.sum(F.when(F.col("_n_r") > 0, F.col("_n_r"))).alias("_flag_n"),
     )
     orders_f = t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -1296,15 +1306,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_n_supp") >= 2) & (F.col("_n_flagged") == 1)
         )
         .join(orders_f, F.col("_ok") == F.col("o_orderkey"), "left_semi")
-        .select("_ok")
+        .select("_flag_sk", "_flag_n")
     )
     supp = t(spark, sf_dir, "supplier")
     return (
-        per_pair.filter(F.col("_n_r") > 0)
-        .join(qualifying, "_ok", "left_semi")
-        .join(supp, F.col("s_suppkey") == F.col("_sk"))
+        qualifying
+        .join(supp, F.col("s_suppkey") == F.col("_flag_sk"))
         .groupBy("s_name")
-        .agg(F.sum("_n_r").alias("numwait"))
+        .agg(F.sum("_flag_n").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -262,3 +262,21 @@ def test_simhash_bucket_cap_plans_window_group_limit(spark, sf_dir):
     )
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_packed_nbits_guard(spark):
+    """r17 (r16 ADVICE): conv(bits,2,10).cast('long') overflows for a
+    64-bit fingerprint with the MSB set (silent NULL under non-ANSI
+    cast, dropping candidate pairs) — the packed builder must refuse
+    nbits > 63 loudly, like the key_bits/max_hamming validation."""
+    import pytest
+
+    from etl_drone_sense_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "aaa"), (2, "aab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="nbits must be <= 63"):
+        dedup.simhash_fingerprints_packed(docs, "doc_id", "text", nbits=64)
+    # 63 stays legal (the full positive-long range)
+    assert dedup.simhash_fingerprints_packed(
+        docs, "doc_id", "text", nbits=63
+    ).count() == 2
