@@ -33,7 +33,7 @@ COMMENTARY = {
     "q2_min_cost_supplier": "Correlated min as rank-1 WindowGroupLimit over the single-pass join web (per-partition top-1 heaps before the shuffle); top-100 heap.",
     "q4_order_priority": "LeftSemi on orderkey with the cross-side 90-day residual inside the join condition; quarter filter pushed to the orders scan.",
     "q9_product_profit": "LIKE-filtered part broadcast into lineitem; supplier/nation broadcast; profit expression one codegen'd project; dsum partials before the 2-key exchange.",
-    "q21_waiting_suppliers": "EXISTS/NOT-EXISTS decorrelated to a two-level pair aggregate (no Expand, no lineitem self-joins; 4 scans total); top-100 heap.",
+    "q21_waiting_suppliers": "EXISTS/NOT-EXISTS decorrelated to a two-level pair aggregate; the order rollup carries the single flagged supplier's id+count (r17), so lineitem is scanned ONCE and the pair relation shuffles once; top-100 heap.",
     "graph_pagerank": "Edge derivation collapses to catalog cardinality before the loop; the 5-round job (r12 pinned adjacency) plans every loop join as ShuffledHashJoin with ONE exchange per round — the checkpointed edge relation is consumed in place, no per-round sort (pinned by tests/test_plans.py).",
     "graph_sssp": "Delta Bellman-Ford (r13): each round SHUFFLE_HASH joins only the improved-node frontier against the stationary weighted adjacency; the dist/messages merge is one tagged-union map-combined groupBy — exactly ONE exchange per round, plan-pinned.",
     "text_bpe_tokenize": "One narrow projection: 41 nested replace() calls over the marker-encoded doc state — no Exchange, no Python, the whole encoder inside whole-stage codegen.",
@@ -41,7 +41,7 @@ COMMENTARY = {
     "multimodal_decode_msadpcm": "Arrow mapInPandas decode pipeline — scan, rebalance-if-undersplit, one Python stage; no shuffle after the spread.",
     "scd2_point_in_time": "lag + lead + row_number share one (user_id, ts) sort; PIT join is equi on user with the validity-interval residual.",
     "hierarchy_flatten": "Pointer doubling: the plan shows the final doubled state reading checkpointed RDDs — each round was ONE equi-shuffle of the node relation on the ancestor pointer.",
-    "events_anomaly_mad": "Weighted median: (user, value) count collapse first (map-side combinable), cumulative-rank selection on the compressed relation; every exchange hashes user_id first.",
+    "events_anomaly_mad": "Weighted median + binned MAD selection behind ONE up-front user_id repartition (r17): every downstream aggregate/window/join reuses that partitioning (zero ENSURE_REQUIREMENTS shuffles; AQE dedupes the repeated exchange subtree at runtime).",
     "agg_exact_quantiles": "ONE exchange serves the window sort and the final rollup; the quantile explode happens after ranking and collapses immediately.",
     "sketch_theta_kmv": "WindowGroupLimit pushes the k-minimum selection into each sort partial (asserted on the pre-checkpoint sketch build); downstream math touches only k-row sketches.",
     "ml_ols_regression": "One partial-aggregable shuffle computes all 10 fixed-point moments; coefficients are a projection (<=2 exchanges incl. the output sort).",
@@ -51,7 +51,7 @@ COMMENTARY = {
     "stream_sketch_kmv": "Post-drain read of the committed k*|types|-row state table + re-rank; the streaming merges happened at write time.",
     "dedup_editdistance": "Deletion-variant explode, self equi-join on the variant string, distinct before the levenshtein filter — no pair-space product.",
     "multimodal_decode_gif": "Rebalanced synthesis, one Arrow mapInPandas pass; the binary column dies at the feature boundary.",
-    "multimodal_decode_ulaw": "Same Arrow audio path as PCM; mu-law expands via a 256-entry table lookup inside the batch.",
+    "multimodal_decode_ulaw": "Same Arrow audio path as PCM; mu-law expands via a 256-entry table lookup inside the batch. Exchange-free (r17: the synth spread was measured pure overhead and removed).",
     "multimodal_gif_frame_sample": "Animated-GIF container walk + strided per-frame decode in one Arrow pass.",
 }
 
